@@ -1,0 +1,23 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One place to build correctly-configured local sessions so Verify, Bench
+  * and the test suites agree on semantics-relevant settings.
+  */
+object Sessions {
+  def local(cpus: String): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      // shuffle partitions sized to the local core count, not the 200 default
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      // TESTDATA events.ts is parquet TIMESTAMP(NANOS); read as raw longs
+      // (Tables.events converts to microsecond timestamps)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

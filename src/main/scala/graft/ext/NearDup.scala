@@ -1,0 +1,117 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** Near-duplicate detection for large text corpora: word-shingling,
+  * MinHash signatures, LSH banding for candidate generation, and exact
+  * Jaccard verification of candidates.
+  *
+  * Scale design (the whole point of MinHash+LSH):
+  *   - shingling + signatures are map-side only (one shuffle to aggregate
+  *     per-doc minima, combiner-friendly `min` aggregates);
+  *   - candidate generation shuffles SIGNATURES (k longs/doc), never text;
+  *   - the quadratic step is confined to per-bucket groups; `maxBucketSize`
+  *     drops degenerate buckets (boilerplate) instead of letting one hot
+  *     bucket quadratically explode — the standard web-dedup trade-off;
+  *   - exact verification joins shingle sets only for surviving candidate
+  *     pairs.
+  *
+  * With b bands of r rows (k = b·r hashes), P(candidate | jaccard=s) =
+  * 1−(1−s^r)^b; the default (b=32, r=2) catches s ≥ 0.5 with ≥ 99.99 %
+  * probability while pruning low-similarity pairs aggressively.
+  */
+object NearDup {
+
+  /** Distinct word n-gram shingles per document: (id, shingle). */
+  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    val words = split(TextFunctions.normalizeWs(col(textCol)), " ")
+    val grams = when(size(words) >= n,
+      transform(sequence(lit(0), size(words) - n),
+        i => concat_ws(" ", slice(words, i + 1, lit(n)))))
+      .otherwise(array(concat_ws(" ", words)))
+    df.select(col(idCol).as("id"), explode(grams).as("shingle")).distinct()
+  }
+
+  /** MinHash signature per id from a (id, shingle) relation: k independent
+    * hash functions realized as seeded xxhash64, one `min` aggregate each
+    * (partial aggregation makes this a single cheap shuffle of k longs/doc).
+    */
+  def minhashSignatures(sh: DataFrame, numHashes: Int = 64): DataFrame = {
+    val mins: Seq[Column] =
+      (0 until numHashes).map(i => min(xxhash64(lit(i), col("shingle"))).as(s"h$i"))
+    sh.groupBy("id").agg(mins.head, mins.tail: _*)
+      .select(col("id"), array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
+  }
+
+  /** LSH banding: hash r consecutive signature entries per band, bucket by
+    * (band, hash), emit candidate pairs (idA < idB) from co-bucketed docs.
+    */
+  def lshCandidates(sig: DataFrame, bands: Int, rowsPerBand: Int,
+                    maxBucketSize: Int = 1000): DataFrame = {
+    val bandCols = (0 until bands).map { b =>
+      val slice = (0 until rowsPerBand).map(r => element_at(col("sig"), b * rowsPerBand + r + 1))
+      struct(lit(b).as("band"), xxhash64(slice: _*).as("bh"))
+    }
+    val buckets = sig.select(col("id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+    // prune degenerate hot buckets before the quadratic self-join
+    val sized = buckets.withColumn("bsz",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("band", "bh")))
+      .filter(col("bsz") <= maxBucketSize).drop("bsz")
+    val a = sized.select(col("band"), col("bh"), col("id").as("id_a"))
+    val b = sized.select(col("band"), col("bh"), col("id").as("id_b"))
+    a.join(b, Seq("band", "bh")).filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** Exact Jaccard over candidate pairs, computed from the shingle relation:
+    * |A∩B| via a shingle equi-join restricted to the candidates, |A∪B| from
+    * per-doc set sizes. Division is int→double, identical on any engine.
+    */
+  def exactJaccard(sh: DataFrame, pairs: DataFrame): DataFrame = {
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
+    val shA = sh.select(col("id").as("id_a"), col("shingle"))
+    val shB = sh.select(col("id").as("id_b"), col("shingle"))
+    val inter = pairs.join(shA, "id_a").join(shB, Seq("id_b", "shingle"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.select(col("id").as("id_a"), col("n").as("na")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("n").as("nb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (col("i").cast("double") / (col("na") + col("nb") - col("i"))).as("jaccard"))
+  }
+
+  /** End-to-end MinHash+LSH near-duplicate pairs with exact verification. */
+  def nearDuplicatePairs(df: DataFrame, idCol: String, textCol: String,
+                         threshold: Double, numHashes: Int = 64,
+                         bands: Int = 32, shingleSize: Int = 3): DataFrame = {
+    val sh = shingles(df, idCol, textCol, shingleSize).cache()
+    val sig = minhashSignatures(sh, numHashes)
+    val cand = lshCandidates(sig, bands, numHashes / bands)
+    exactJaccard(sh, cand).filter(col("jaccard") >= threshold)
+  }
+
+  /** SimHash: 64-bit signature whose bit i is the sign of the sum over
+    * tokens of ±1 at bit i of the token hash. Near-dups = small Hamming
+    * distance. Pure column algebra: per-token bit contributions are unpacked
+    * once, summed per (id, bit) — no UDF, map-side combinable.
+    */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tokens = df.select(col(idCol).as("id"),
+      explode(split(TextFunctions.normalizeWs(lower(col(textCol))), " ")).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bits = tokens.select(col("id"), posexplode(
+      array((0 until 64).map(b =>
+        when(col("h").bitwiseAND(lit(1L << b)) =!= 0, lit(1)).otherwise(lit(-1))): _*)))
+      .withColumnRenamed("pos", "bit").withColumnRenamed("col", "contrib")
+    bits.groupBy("id", "bit").agg(sum("contrib").as("s"))
+      .groupBy("id")
+      .agg(sum(when(col("s") >= 0, expr("shiftleft(1L, cast(bit as int))"))
+        .otherwise(lit(0L))).as("simhash"))
+  }
+
+  /** Hamming distance between two 64-bit signatures. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}

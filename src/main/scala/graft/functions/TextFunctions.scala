@@ -1,0 +1,99 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for large-scale training-data pipelines:
+  * whitespace normalization (reference: dw-etl `raw_analysis/main.py:16-24`),
+  * content fingerprinting, token counting, quality scoring and a light
+  * n-gram/marker-word language heuristic.
+  *
+  * All are pure column expressions (codegen'd, no UDFs) — at 100 TB these run
+  * map-side inside the scan stage with zero shuffle.
+  */
+object TextFunctions {
+
+  /** Collapse \r\n and runs of whitespace to single spaces and trim
+    * (reference `raw_analysis/main.py:16-24`).
+    */
+  def normalizeWs(c: Column): Column =
+    trim(regexp_replace(regexp_replace(c, "[\\r\\n]+", " "), "\\s+", " "))
+
+  /** Content fingerprint: md5 of the lower-cased, whitespace-normalized text.
+    * Stable across engines (hex string), used for exact dedup.
+    */
+  def fingerprint(c: Column): Column = md5(lower(normalizeWs(c)))
+
+  /** Whitespace token count. */
+  def wordCount(c: Column): Column =
+    when(length(normalizeWs(c)) === 0, lit(0))
+      .otherwise(size(split(normalizeWs(c), " ")))
+
+  /** BPE-ish token estimate: word pieces plus standalone punctuation,
+    * `\w+|[^\w\s]` — a deterministic proxy for subword tokenizer counts.
+    */
+  def tokenCount(c: Column): Column =
+    size(regexp_extract_all(c, lit("[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]"), lit(0)))
+
+  /** Ratio of punctuation characters to total characters. */
+  def punctRatio(c: Column): Column =
+    when(length(c) === 0, lit(0.0)).otherwise(
+      size(regexp_extract_all(c, lit("[.,;:!?'\"()\\[\\]{}-]"), lit(0))).cast("double")
+        / length(c).cast("double"))
+
+  private val stopwords = Seq("the", "a", "an", "and", "or", "of", "to", "in",
+    "is", "it", "that", "for", "on", "with", "as")
+
+  /** Ratio of English stopwords to total whitespace tokens. */
+  def stopwordRatio(c: Column): Column = {
+    val toks = lower(normalizeWs(c))
+    val pat = "\\b(" + stopwords.mkString("|") + ")\\b"
+    when(wordCount(c) === 0, lit(0.0)).otherwise(
+      size(regexp_extract_all(toks, lit(pat), lit(0))).cast("double")
+        / wordCount(c).cast("double"))
+  }
+
+  /** Heuristic document-quality score in [0,1]: combines a length band,
+    * low punctuation noise, and stopword presence. Deterministic arithmetic
+    * only, so an external oracle can replicate it bit-for-bit.
+    */
+  def qualityScore(c: Column): Column = {
+    val lenScore = least(length(c).cast("double") / lit(500.0), lit(1.0))
+    val punctPenalty = greatest(lit(0.0), lit(1.0) - punctRatio(c) * 5.0)
+    val stopScore = least(stopwordRatio(c) * 4.0, lit(1.0))
+    round((lenScore * 0.4 + punctPenalty * 0.3 + stopScore * 0.3), 6)
+  }
+
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "is", "with"),
+    "fr" -> Seq("le", "la", "et", "les", "des"),
+    "es" -> Seq("el", "los", "las", "una", "y"),
+    "de" -> Seq("der", "die", "und", "das", "ist"))
+
+  /** Marker-word language heuristic: count language-specific stopwords, pick
+    * the argmax (ties → lexicographically first language code); CJK
+    * characters short-circuit to "zh"; no markers at all → "und".
+    * A real system would use fastText/CLD3 — this is the deterministic,
+    * dependency-free n-gram-style heuristic variant.
+    */
+  def langId(c: Column): Column = {
+    val toks = lower(normalizeWs(c))
+    def markerHits(words: Seq[String]): Column =
+      size(regexp_extract_all(toks, lit("\\b(" + words.mkString("|") + ")\\b"), lit(0)))
+    val hits = langMarkers.map { case (code, words) => code -> markerHits(words) }
+    // priority-order argmax: a language wins ties against every LATER entry,
+    // so the chain below is a deterministic "first language with max hits"
+    val anyHit = hits.map(_._2).reduce(_ + _) > 0
+    val argmax = hits.zipWithIndex.foldLeft(lit(null).cast("string")) {
+      case (acc, ((code, h), i)) =>
+        val beatsAll = hits.zipWithIndex.collect {
+          case ((_, h2), j) if j < i  => h > h2   // strictly beats earlier
+          case ((_, h2), j) if j > i  => h >= h2  // ties win vs later
+        }.reduce(_ && _)
+        when(acc.isNull && beatsAll, lit(code)).otherwise(acc)
+    }
+    when(c.rlike("[\\u4e00-\\u9fff]"), lit("zh"))
+      .when(!anyHit, lit("und"))
+      .otherwise(coalesce(argmax, lit("und")))
+  }
+}

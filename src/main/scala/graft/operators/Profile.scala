@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-profiling aggregates (reference: dw-etl `raw_analysis/main.py:41-122`
+  * — per-column nulls, uniques, duplicates, describe, top-10 values, string
+  * lengths, IQR outliers).
+  *
+  * Everything is a single wide aggregation (one pass over the data, one
+  * reduce) followed by a driver-side unpivot of ONE row — fully distributed,
+  * no per-column jobs. `distinct` uses exact `count_distinct` in
+  * [[profile]] (oracle-matchable) and HyperLogLog `approx_count_distinct`
+  * in [[profileApprox]] (the 100 TB path: no per-column shuffle of the
+  * distinct sets).
+  */
+object Profile {
+
+  /** One row per column: column, n_rows, n_null, n_distinct, min_len,
+    * avg_len, max_len (lengths over the string form, like the reference's
+    * `astype(str).map(len)`).
+    */
+  def profile(df: DataFrame): DataFrame = profileImpl(df, exact = true)
+
+  def profileApprox(df: DataFrame): DataFrame = profileImpl(df, exact = false)
+
+  private def profileImpl(df: DataFrame, exact: Boolean): DataFrame = {
+    val cols = df.columns.toSeq
+    val aggs: Seq[Column] = cols.flatMap { c =>
+      val s = col(c).cast("string")
+      Seq(
+        count(lit(1)).as(s"${c}__n"),
+        count(when(col(c).isNull, lit(1))).as(s"${c}__null"),
+        (if (exact) count_distinct(col(c)) else approx_count_distinct(col(c)))
+          .as(s"${c}__dist"),
+        min(length(s)).as(s"${c}__minlen"),
+        avg(length(s)).as(s"${c}__avglen"),
+        max(length(s)).as(s"${c}__maxlen"))
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    // unpivot: one struct per source column, then explode — single row, cheap
+    val structs = array(cols.map { c =>
+      struct(
+        lit(c).as("col_name"),
+        col(s"${c}__n").cast("long").as("n_rows"),
+        col(s"${c}__null").cast("long").as("n_null"),
+        col(s"${c}__dist").cast("long").as("n_distinct"),
+        col(s"${c}__minlen").cast("int").as("min_len"),
+        col(s"${c}__avglen").cast("double").as("avg_len"),
+        col(s"${c}__maxlen").cast("int").as("max_len"))
+    }: _*)
+    wide.select(explode(structs).as("p")).select("p.*")
+  }
+
+  /** Top-k most frequent values of a column (reference
+    * `value_counts().head(10)`), deterministic tie-break on the value.
+    */
+  def topK(df: DataFrame, c: String, k: Int): DataFrame =
+    df.groupBy(col(c).cast("string").as("value")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("value").asc)
+      .limit(k)
+
+  /** IQR outlier count for a numeric column (reference
+    * `raw_analysis/main.py:84-93`): values outside [q1−1.5·IQR, q3+1.5·IQR].
+    */
+  def iqrOutliers(df: DataFrame, c: String): DataFrame = {
+    val v = col(c).cast("double")
+    df.agg(
+        percentile(v, lit(0.25)).as("__q1"),
+        percentile(v, lit(0.75)).as("__q3"))
+      .crossJoin(df.select(v.as("__v")))
+      .select(col("__v"), col("__q1"), col("__q3"),
+        (col("__q1") - (col("__q3") - col("__q1")) * 1.5).as("__lo"),
+        (col("__q3") + (col("__q3") - col("__q1")) * 1.5).as("__hi"))
+      .agg(
+        count(when(col("__v") < col("__lo") || col("__v") > col("__hi"), lit(1)))
+          .cast("long").as("n_outliers"),
+        first(col("__lo")).as("lo"),
+        first(col("__hi")).as("hi"))
+  }
+}

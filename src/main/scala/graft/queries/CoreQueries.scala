@@ -1,0 +1,434 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{Cols, Tables}
+import graft.operators._
+
+/** SURVEY §2 core relational surface: scans, projections/filters, joins
+  * (equi / multi-key / semi / anti / fuzzy-top1 / range), aggregations
+  * (group, pivot, rollup, distinct, top-k), window functions (rank, lag,
+  * running sums, interpolation, qcut, surrogate keys), set ops, scalar
+  * functions (binning, dict map, date parts, regex, JSON).
+  *
+  * Every query is written plan-first: filters before joins, small sides
+  * broadcast, aggregates map-side-combinable, decimal-routed double sums for
+  * oracle parity (see [[graft.Cols]]).
+  */
+object CoreQueries {
+  import GraftQuery.dsum
+
+  private def q(name: String, oracle: String)(fn: (SparkSession, String) => DataFrame) =
+    GraftQuery(name, fn, Some(oracle))
+
+  // ---------------------------------------------------------------- q01
+  /** Flagship TPC-H-Q1-style scan+agg (reference A-family aggregates). */
+  val q01_pricing_summary = q("q01_pricing_summary",
+    s"""SELECT l_returnflag, l_linestatus,
+       |  ${dsum("l_quantity")} AS sum_qty,
+       |  ${dsum("l_extendedprice")} AS sum_base_price,
+       |  ${dsum("l_extendedprice*(1-l_discount)")} AS sum_disc_price,
+       |  ${dsum("l_quantity")}/COUNT(*) AS avg_qty,
+       |  COUNT(*) AS count_order
+       |FROM lineitem
+       |WHERE l_shipdate <= TIMESTAMP '1999-09-02 00:00:00'
+       |GROUP BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") <= to_timestamp(lit("1999-09-02 00:00:00")))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        Cols.decimalSum(col("l_quantity")).as("sum_qty"),
+        Cols.decimalSum(col("l_extendedprice")).as("sum_base_price"),
+        Cols.decimalSum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+        Cols.decimalAvg(col("l_quantity")).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+  }
+
+  // ---------------------------------------------------------------- q02
+  /** Projection + predicate, both pushed into the parquet scan (P1/P3). */
+  val q02_filter_project = q("q02_filter_project",
+    """SELECT o_orderkey, o_totalprice, o_orderdate
+      |FROM orders
+      |WHERE o_orderstatus = 'O' AND o_totalprice > 200000.0""".stripMargin) { (s, dir) =>
+    Tables.orders(s, dir)
+      .filter(col("o_orderstatus") === "O" && col("o_totalprice") > 200000.0)
+      .select("o_orderkey", "o_totalprice", "o_orderdate")
+  }
+
+  // ---------------------------------------------------------------- q03
+  /** Two-key left equi-join against a derived dimension (J1/J2 shape):
+    * the dim side is an aggregate (tiny) → broadcast, no shuffle of the fact.
+    */
+  val q03_left_join_2key = q("q03_left_join_2key",
+    s"""WITH d AS (
+       |  SELECT l_returnflag AS rf, l_linestatus AS ls,
+       |         ${dsum("l_quantity")} AS grp_qty
+       |  FROM lineitem GROUP BY 1, 2)
+       |SELECT l_orderkey, l_linenumber, l_quantity, grp_qty
+       |FROM lineitem LEFT JOIN d
+       |  ON l_returnflag = d.rf AND l_linestatus = d.ls""".stripMargin) { (s, dir) =>
+    val li = Tables.lineitem(s, dir)
+    val dim = li.groupBy(col("l_returnflag").as("rf"), col("l_linestatus").as("ls"))
+      .agg(Cols.decimalSum(col("l_quantity")).as("grp_qty"))
+    li.join(broadcast(dim),
+        li("l_returnflag") === dim("rf") && li("l_linestatus") === dim("ls"), "left")
+      .select("l_orderkey", "l_linenumber", "l_quantity", "grp_qty")
+  }
+
+  // ---------------------------------------------------------------- q04
+  /** Snowflake join chain with broadcast dims + grouped agg. */
+  val q04_join_chain_agg = q("q04_join_chain_agg",
+    s"""SELECT r_name, n_name, COUNT(*) AS n_cust,
+       |  ${dsum("c_acctbal")} AS total_bal
+       |FROM customer
+       |JOIN nation ON c_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |GROUP BY r_name, n_name""".stripMargin) { (s, dir) =>
+    Tables.customer(s, dir)
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(count(lit(1)).as("n_cust"), Cols.decimalSum(col("c_acctbal")).as("total_bal"))
+  }
+
+  // ---------------------------------------------------------------- q05
+  /** Anti join: customers that never ordered. */
+  val q05_anti_join = q("q05_anti_join",
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)""".stripMargin) { (s, dir) =>
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+  }
+
+  // ---------------------------------------------------------------- q06
+  /** Semi join: parts that actually ship. */
+  val q06_semi_join = q("q06_semi_join",
+    """SELECT p_partkey, p_name FROM part
+      |WHERE p_partkey IN (SELECT l_partkey FROM lineitem)""".stripMargin) { (s, dir) =>
+    Tables.part(s, dir)
+      .join(Tables.lineitem(s, dir), col("p_partkey") === col("l_partkey"), "left_semi")
+      .select("p_partkey", "p_name")
+  }
+
+  // ---------------------------------------------------------------- q07
+  /** Fuzzy top-1 similarity join (J3/F7): each supplier name to its nearest
+    * nation name by Levenshtein distance, distinct+broadcast rewrite of the
+    * reference's memoised scalar loop.
+    */
+  val q07_fuzzy_top1 = q("q07_fuzzy_top1",
+    """WITH cand AS (SELECT DISTINCT n_name FROM nation),
+      |keys AS (SELECT DISTINCT s_name FROM supplier),
+      |scored AS (
+      |  SELECT s_name AS k, n_name, levenshtein(s_name, n_name) AS dist
+      |  FROM keys CROSS JOIN cand),
+      |best AS (
+      |  SELECT k, n_name, dist,
+      |         ROW_NUMBER() OVER (PARTITION BY k ORDER BY dist ASC, n_name ASC) AS rn
+      |  FROM scored)
+      |SELECT s_suppkey, s_name, b.n_name AS match_name, b.dist AS match_dist
+      |FROM supplier LEFT JOIN best b ON s_name = b.k AND b.rn = 1""".stripMargin) { (s, dir) =>
+    val matched = FuzzyJoin.top1(
+      Tables.supplier(s, dir), "s_name", Tables.nation(s, dir), "n_name", "match_name")
+    matched.select(col("s_suppkey"), col("s_name"),
+      col("match_name"), col("match_name_dist").as("match_dist"))
+  }
+
+  // ---------------------------------------------------------------- q08
+  /** Pivot with mean-over-duplicates (A1, `pivot_table` semantics). */
+  val q08_pivot_mean = q("q08_pivot_mean",
+    s"""SELECT l_linestatus,
+       |  ${dsum("CASE WHEN l_returnflag='A' THEN l_quantity END")}/COUNT(CASE WHEN l_returnflag='A' THEN 1 END) AS "A",
+       |  ${dsum("CASE WHEN l_returnflag='N' THEN l_quantity END")}/COUNT(CASE WHEN l_returnflag='N' THEN 1 END) AS "N",
+       |  ${dsum("CASE WHEN l_returnflag='R' THEN l_quantity END")}/COUNT(CASE WHEN l_returnflag='R' THEN 1 END) AS "R"
+       |FROM lineitem GROUP BY l_linestatus""".stripMargin) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .groupBy("l_linestatus")
+      .pivot("l_returnflag", Seq("A", "N", "R"))
+      .agg(Cols.decimalSum(col("l_quantity")) / count(col("l_quantity")))
+  }
+
+  // ---------------------------------------------------------------- q09
+  /** Keep-first keyed dedup (A2), pandas keep-first pinned by row_number.
+    * The tie-break covers enough columns to be a total order (l_linenumber
+    * alone is NOT unique per order in the synthetic data).
+    */
+  val q09_dedup_keep_first = q("q09_dedup_keep_first",
+    """SELECT l_orderkey, l_partkey, l_linenumber, l_quantity FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY l_orderkey
+      |    ORDER BY l_linenumber, l_partkey, l_suppkey, l_quantity, l_extendedprice) AS rn
+      |  FROM lineitem) t
+      |WHERE rn = 1""".stripMargin) { (s, dir) =>
+    Dedup.keepFirst(Tables.lineitem(s, dir), Seq("l_orderkey"),
+        Seq(col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+          col("l_quantity"), col("l_extendedprice")))
+      .select("l_orderkey", "l_partkey", "l_linenumber", "l_quantity")
+  }
+
+  // ---------------------------------------------------------------- q10
+  /** Surrogate-key assignment (W3): contiguous 1..n in a deterministic order. */
+  val q10_surrogate_key = q("q10_surrogate_key",
+    """SELECT ROW_NUMBER() OVER (ORDER BY n_name) AS Id, n_name AS Name
+      |FROM nation""".stripMargin) { (s, dir) =>
+    SurrogateKey.dense(Tables.nation(s, dir).select(col("n_name").as("Name")),
+      Seq(col("Name"))).select("Id", "Name")
+  }
+
+  // ---------------------------------------------------------------- q11
+  /** Grouped linear interpolation (W1, pandas `interpolate()` semantics):
+    * per-customer order-value series with synthetic interior nulls.
+    */
+  val q11_interpolate = q("q11_interpolate",
+    """WITH base AS (
+      |  SELECT o_custkey, o_orderkey, o_orderdate,
+      |         CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_totalprice END AS v
+      |  FROM orders),
+      |pos AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS p
+      |  FROM base),
+      |m AS (
+      |  SELECT *,
+      |    LAST_VALUE(v IGNORE NULLS) OVER w1 AS pv,
+      |    LAST_VALUE(CASE WHEN v IS NOT NULL THEN p END IGNORE NULLS) OVER w1 AS pp,
+      |    FIRST_VALUE(v IGNORE NULLS) OVER w2 AS nv,
+      |    FIRST_VALUE(CASE WHEN v IS NOT NULL THEN p END IGNORE NULLS) OVER w2 AS np
+      |  FROM pos
+      |  WINDOW
+      |    w1 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |    w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+      |SELECT o_custkey, o_orderkey,
+      |  CASE WHEN v IS NOT NULL THEN v
+      |       WHEN pv IS NOT NULL AND nv IS NOT NULL THEN pv + (nv-pv)*(p-pp)/(np-pp)
+      |       WHEN pv IS NOT NULL THEN pv
+      |  END AS v
+      |FROM m""".stripMargin) { (s, dir) =>
+    val base = Tables.orders(s, dir).select(
+      col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+      when(col("o_orderkey") % 7 === 0, lit(null)).otherwise(col("o_totalprice")).as("v"))
+    Interpolate.linear(base, Seq("o_custkey"), Seq("o_orderdate", "o_orderkey"), Seq("v"))
+      .select("o_custkey", "o_orderkey", "v")
+  }
+
+  // ---------------------------------------------------------------- q12
+  /** Per-group qcut(3, duplicates="drop") (W2): equal-frequency buckets of
+    * order value within each order year.
+    */
+  val q12_qcut_buckets = q("q12_qcut_buckets",
+    """WITH t AS (
+      |  SELECT o_orderkey, year(o_orderdate) AS yr, o_totalprice AS v FROM orders),
+      |e AS (
+      |  SELECT yr, min(v) AS mn, quantile_cont(v, 1.0/3.0) AS q1,
+      |         quantile_cont(v, 2.0/3.0) AS q2, max(v) AS mx
+      |  FROM t GROUP BY yr),
+      |e2 AS (SELECT yr, list_sort(list_distinct([mn, q1, q2, mx])) AS edges FROM e)
+      |SELECT o_orderkey, t.yr, v AS o_totalprice,
+      |  CASE WHEN v IS NULL THEN NULL
+      |       WHEN len(edges) - 1 <= 1 THEN 'Low'
+      |       WHEN len(edges) - 1 = 2 THEN (CASE WHEN v <= edges[2] THEN 'Low' ELSE 'High' END)
+      |       ELSE (CASE WHEN v <= edges[2] THEN 'Low'
+      |                  WHEN v <= edges[3] THEN 'Medium' ELSE 'High' END)
+      |  END AS bucket
+      |FROM t JOIN e2 ON t.yr = e2.yr""".stripMargin) { (s, dir) =>
+    val t = Tables.orders(s, dir).select(
+      col("o_orderkey"), year(col("o_orderdate")).as("yr"), col("o_totalprice"))
+    QuantileBucket.qcut3(t, Seq("yr"), "o_totalprice", "bucket")
+      .select("o_orderkey", "yr", "o_totalprice", "bucket")
+  }
+
+  // ---------------------------------------------------------------- q13
+  /** Top-k by frequency (O2) with deterministic tie-break. */
+  val q13_topk_freq = q("q13_topk_freq",
+    """SELECT p_brand AS value, COUNT(*) AS cnt FROM part
+      |GROUP BY 1 ORDER BY cnt DESC, value ASC LIMIT 10""".stripMargin) { (s, dir) =>
+    Profile.topK(Tables.part(s, dir), "p_brand", 10)
+  }
+
+  // ---------------------------------------------------------------- q14
+  /** Rollup (grouping-sets surface). */
+  val q14_rollup = q("q14_rollup",
+    s"""SELECT l_returnflag, l_linestatus,
+       |  ${dsum("l_quantity")} AS sum_qty, COUNT(*) AS n
+       |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(Cols.decimalSum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+  }
+
+  // ---------------------------------------------------------------- q15
+  /** Set operations: intersect / except / union-all over nation keys. */
+  val q15_set_ops = q("q15_set_ops",
+    """SELECT 'both' AS tag, nk FROM (
+      |  SELECT c_nationkey AS nk FROM customer INTERSECT SELECT s_nationkey FROM supplier) a
+      |UNION ALL
+      |SELECT 'cust_only' AS tag, nk FROM (
+      |  SELECT c_nationkey AS nk FROM customer EXCEPT SELECT s_nationkey FROM supplier) b""".stripMargin) { (s, dir) =>
+    val c = Tables.customer(s, dir).select(col("c_nationkey").as("nk"))
+    val sup = Tables.supplier(s, dir).select(col("s_nationkey").as("nk"))
+    val both = c.intersect(sup).select(lit("both").as("tag"), col("nk"))
+    val custOnly = c.except(sup).select(lit("cust_only").as("tag"), col("nk"))
+    both.unionByName(custOnly)
+  }
+
+  // ---------------------------------------------------------------- q16
+  /** Date-dimension derivation (F3/F4/W3): year/quarter/season-map/decade. */
+  val q16_dim_date = q("q16_dim_date",
+    """WITH d AS (
+      |  SELECT DISTINCT year(o_orderdate) AS Year, quarter(o_orderdate) AS Quarter
+      |  FROM orders)
+      |SELECT ROW_NUMBER() OVER (ORDER BY Year, Quarter) AS Id, Year, Quarter,
+      |  CASE Quarter WHEN 1 THEN 'Winter' WHEN 2 THEN 'Spring'
+      |               WHEN 3 THEN 'Summer' WHEN 4 THEN 'Autumn' END AS QuarterName,
+      |  CAST(FLOOR(Year / 10.0) * 10 AS INT) AS Decade
+      |FROM d""".stripMargin) { (s, dir) =>
+    val d = Tables.orders(s, dir)
+      .select(year(col("o_orderdate")).as("Year"), quarter(col("o_orderdate")).as("Quarter"))
+      .distinct()
+    SurrogateKey.dense(d, Seq(col("Year"), col("Quarter")))
+      .select(col("Id"), col("Year"), col("Quarter"),
+        Bin.dictMap(col("Quarter"), Map(1 -> "Winter", 2 -> "Spring", 3 -> "Summer", 4 -> "Autumn"))
+          .as("QuarterName"),
+        (floor(col("Year") / 10.0) * 10).cast("int").as("Decade"))
+  }
+
+  // ---------------------------------------------------------------- q17
+  /** Static-edge binning (F5/F6, `pd.cut` right-open semantics). */
+  val q17_static_bins = q("q17_static_bins",
+    """SELECT c_custkey, c_acctbal,
+      |  CASE WHEN c_acctbal >= -1000.0 AND c_acctbal < 0.0 THEN 'negative'
+      |       WHEN c_acctbal >= 0.0 AND c_acctbal < 2000.0 THEN '0-2k'
+      |       WHEN c_acctbal >= 2000.0 AND c_acctbal < 4000.0 THEN '2-4k'
+      |       WHEN c_acctbal >= 4000.0 AND c_acctbal < 6000.0 THEN '4-6k'
+      |       WHEN c_acctbal >= 6000.0 AND c_acctbal < 8000.0 THEN '6-8k'
+      |       WHEN c_acctbal >= 8000.0 AND c_acctbal < 10000.0 THEN '8k+'
+      |  END AS bal_bucket
+      |FROM customer""".stripMargin) { (s, dir) =>
+    Tables.customer(s, dir).select(col("c_custkey"), col("c_acctbal"),
+      Bin.cut(col("c_acctbal"),
+        Seq(-1000, 0, 2000, 4000, 6000, 8000, 10000),
+        Seq("negative", "0-2k", "2-4k", "4-6k", "6-8k", "8k+")).as("bal_bucket"))
+  }
+
+  // ---------------------------------------------------------------- q18
+  /** Conditional value rewrite (P4, gender-normalize shape). */
+  val q18_conditional_rewrite = q("q18_conditional_rewrite",
+    """SELECT o_orderkey,
+      |  CASE WHEN o_orderstatus IN ('F','O') THEN o_orderstatus ELSE 'UNKNOWN' END AS status_norm
+      |FROM orders""".stripMargin) { (s, dir) =>
+    Tables.orders(s, dir).select(col("o_orderkey"),
+      when(col("o_orderstatus").isin("F", "O"), col("o_orderstatus"))
+        .otherwise(lit("UNKNOWN")).as("status_norm"))
+  }
+
+  // ---------------------------------------------------------------- q19
+  /** Data profiler (A5): per-column nulls/distinct/length stats, one pass. */
+  val q19_profile = q("q19_profile", {
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    cols.map { c =>
+      s"""SELECT '$c' AS col_name, COUNT(*) AS n_rows,
+         |  COUNT(CASE WHEN $c IS NULL THEN 1 END) AS n_null,
+         |  COUNT(DISTINCT $c) AS n_distinct,
+         |  CAST(MIN(length(CAST($c AS VARCHAR))) AS INT) AS min_len,
+         |  AVG(length(CAST($c AS VARCHAR))) AS avg_len,
+         |  CAST(MAX(length(CAST($c AS VARCHAR))) AS INT) AS max_len
+         |FROM documents""".stripMargin
+    }.mkString("\nUNION ALL\n")
+  }) { (s, dir) => Profile.profile(Tables.documents(s, dir)) }
+
+  // ---------------------------------------------------------------- q20
+  /** IQR outlier detection (A6). */
+  val q20_iqr_outliers = q("q20_iqr_outliers",
+    """WITH q AS (
+      |  SELECT quantile_cont(o_totalprice, 0.25) AS q1,
+      |         quantile_cont(o_totalprice, 0.75) AS q3
+      |  FROM orders)
+      |SELECT COUNT(CASE WHEN o_totalprice < q1 - (q3-q1)*1.5
+      |                    OR o_totalprice > q3 + (q3-q1)*1.5 THEN 1 END) AS n_outliers,
+      |       MIN(q1 - (q3-q1)*1.5) AS lo, MIN(q3 + (q3-q1)*1.5) AS hi
+      |FROM orders, q""".stripMargin) { (s, dir) =>
+    Profile.iqrOutliers(Tables.orders(s, dir), "o_totalprice")
+  }
+
+  // ---------------------------------------------------------------- q21
+  /** Ranking / lag / running-sum window surface (engine requirement §2.5). */
+  val q21_window_rank = q("q21_window_rank",
+    """SELECT o_custkey, o_orderkey,
+      |  RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk,
+      |  LAG(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_total,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+      |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_total
+      |FROM orders""".stripMargin) { (s, dir) =>
+    val byVal = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val byTime = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(s, dir).select(
+      col("o_custkey"), col("o_orderkey"),
+      rank().over(byVal).as("rnk"),
+      lag(col("o_totalprice"), 1).over(byTime).as("prev_total"),
+      Cols.decimalSumOver(col("o_totalprice"),
+        byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("run_total"))
+  }
+
+  // ---------------------------------------------------------------- q22
+  /** JSON field extraction (F10). */
+  val q22_json_extract = q("q22_json_extract",
+    """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
+      |FROM events""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir).select(col("event_id"),
+      get_json_object(col("props"), "$.k").cast("int").as("k"))
+  }
+
+  // ---------------------------------------------------------------- q23
+  /** Equi + range-predicate join: lineitems shipped within 30 days of their
+    * order date. The range predicate rides the equi-join (no BNLJ).
+    */
+  val q23_range_join = q("q23_range_join",
+    """SELECT o_orderkey,
+      |  COUNT(CASE WHEN l_shipdate >= o_orderdate
+      |              AND l_shipdate <= o_orderdate + INTERVAL 30 DAY THEN 1 END) AS n_within_30d
+      |FROM orders LEFT JOIN lineitem ON o_orderkey = l_orderkey
+      |GROUP BY o_orderkey""".stripMargin) { (s, dir) =>
+    val o = Tables.orders(s, dir)
+    val li = Tables.lineitem(s, dir)
+    o.join(li, col("o_orderkey") === col("l_orderkey"), "left")
+      .groupBy("o_orderkey")
+      .agg(count(when(
+        col("l_shipdate") >= col("o_orderdate") &&
+          col("l_shipdate") <= col("o_orderdate") + expr("INTERVAL 30 DAY"), lit(1)))
+        .as("n_within_30d"))
+  }
+
+  // ---------------------------------------------------------------- q24
+  /** As-of join (windowed rewrite): for each event, the timestamp of the
+    * user's most recent STRICTLY PRIOR purchase. Instead of a sort-merge
+    * as-of join, tag+union+window gives an O(n log n) shuffle-once plan —
+    * see graft.operators.AsOfJoin for the general two-table form.
+    */
+  val q24_asof_prev_purchase = q("q24_asof_prev_purchase",
+    """SELECT event_id, date_trunc('second', prev_purchase_ts) AS prev_purchase_ts FROM (
+      |  SELECT event_id,
+      |    LAST_VALUE(CASE WHEN event_type = 'purchase' THEN ts END IGNORE NULLS) OVER (
+      |      PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_purchase_ts
+      |  FROM events) t""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(s, dir).select(
+      col("event_id"),
+      date_trunc("second",
+        last(when(col("event_type") === "purchase", col("ts")), ignoreNulls = true).over(w))
+        .as("prev_purchase_ts"))
+  }
+
+  val all: Seq[GraftQuery] = Seq(
+    q01_pricing_summary, q02_filter_project, q03_left_join_2key, q04_join_chain_agg,
+    q05_anti_join, q06_semi_join, q07_fuzzy_top1, q08_pivot_mean,
+    q09_dedup_keep_first, q10_surrogate_key, q11_interpolate, q12_qcut_buckets,
+    q13_topk_freq, q14_rollup, q15_set_ops, q16_dim_date, q17_static_bins,
+    q18_conditional_rewrite, q19_profile, q20_iqr_outliers, q21_window_rank,
+    q22_json_extract, q23_range_join, q24_asof_prev_purchase)
+}

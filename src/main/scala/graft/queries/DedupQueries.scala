@@ -1,0 +1,107 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ext.NearDup
+import graft.functions.TextFunctions
+
+/** Deduplication surface over `documents`: exact (fingerprint groups),
+  * exact n-gram Jaccard, MinHash+LSH near-dup with exact verification, and
+  * SimHash signatures (SURVEY §7.8 extension set).
+  *
+  * The DuckDB oracles recompute shingle Jaccard exactly; the MinHash+LSH
+  * query's oracle is the EXACT pairs at the same threshold — i.e. the oracle
+  * doubles as a recall check for the LSH banding (b=32, r=2 catches
+  * s ≥ 0.7 with probability 1 − (1−0.49)^32 ≈ 1 − 4e-10, so hash-match is
+  * expected, and a miss would be a real recall bug worth failing on).
+  */
+object DedupQueries {
+
+  private def q(name: String, oracle: Option[String])(fn: (SparkSession, String) => DataFrame) =
+    GraftQuery(name, fn, oracle)
+
+  private def normSql(c: String) =
+    s"trim(regexp_replace(regexp_replace($c, '[\\r\\n]+', ' ', 'g'), '\\s+', ' ', 'g'))"
+
+  /** DuckDB CTEs producing the distinct (doc_id, 3-gram shingle) relation —
+    * mirror of [[NearDup.shingles]] (docs shorter than n collapse to one
+    * whole-text shingle).
+    */
+  private def shingleSql: String =
+    s"""w AS (SELECT doc_id, string_split(${normSql("text")}, ' ') AS toks FROM documents),
+       |g AS (SELECT doc_id,
+       |        unnest(CASE WHEN len(toks) >= 3
+       |               THEN [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)]
+       |               ELSE [array_to_string(toks, ' ')] END) AS shingle
+       |      FROM w),
+       |s AS (SELECT DISTINCT doc_id, shingle FROM g),
+       |sz AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
+       |i AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+       |      FROM s a JOIN s b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |      GROUP BY 1, 2),
+       |j AS (SELECT id_a, id_b,
+       |        CAST(i AS DOUBLE) / (x.n + y.n - i) AS jaccard
+       |      FROM i JOIN sz x ON id_a = x.doc_id JOIN sz y ON id_b = y.doc_id)""".stripMargin
+
+  // ---------------------------------------------------------------- d01
+  /** Exact dedup: group documents by content fingerprint. */
+  val d01_exact_dup_groups = q("d01_exact_dup_groups", Some(
+    s"""SELECT md5(lower(${normSql("text")})) AS fp,
+       |  COUNT(*) AS n_docs, MIN(doc_id) AS first_doc
+       |FROM documents GROUP BY 1""".stripMargin)) { (s, dir) =>
+    Tables.documents(s, dir)
+      .groupBy(TextFunctions.fingerprint(col("text")).as("fp"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
+  }
+
+  // ---------------------------------------------------------------- d02
+  /** Exact 3-gram Jaccard near-dup pairs (threshold 0.5): candidate pairs
+    * from the shingle equi-join itself (pairs sharing no shingle have j = 0),
+    * intersection counts from the same join — one shuffle on the shingle,
+    * one on the pair.
+    */
+  val d02_ngram_jaccard = q("d02_ngram_jaccard", Some(
+    s"""WITH $shingleSql
+       |SELECT id_a, id_b, ROUND(jaccard, 6) AS jaccard
+       |FROM j WHERE jaccard >= 0.5""".stripMargin)) { (s, dir) =>
+    val sh = NearDup.shingles(Tables.documents(s, dir), "doc_id", "text", 3)
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
+    val a = sh.select(col("id").as("id_a"), col("shingle"))
+    val b = sh.select(col("id").as("id_b"), col("shingle"))
+    val inter = a.join(b, Seq("shingle")).filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.select(col("id").as("id_a"), col("n").as("na")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("n").as("nb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (col("i").cast("double") / (col("na") + col("nb") - col("i"))).as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  // ---------------------------------------------------------------- d03
+  /** MinHash+LSH near-dup pairs at threshold 0.7 with exact verification —
+    * the 100 TB path: signatures shuffle instead of text, the quadratic step
+    * is confined to LSH buckets. Oracle = exact pairs (recall check built in).
+    */
+  val d03_minhash_lsh = q("d03_minhash_lsh", Some(
+    s"""WITH $shingleSql
+       |SELECT id_a, id_b, ROUND(jaccard, 6) AS jaccard
+       |FROM j WHERE jaccard >= 0.7""".stripMargin)) { (s, dir) =>
+    NearDup.nearDuplicatePairs(Tables.documents(s, dir), "doc_id", "text",
+        threshold = 0.7, numHashes = 64, bands = 32, shingleSize = 3)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  // ---------------------------------------------------------------- d04
+  /** SimHash signature per document (near-dups = small Hamming distance).
+    * xxhash64-based — not expressible in the oracle engine → rows-only check.
+    */
+  val d04_simhash = q("d04_simhash", None) { (s, dir) =>
+    NearDup.simhash(Tables.documents(s, dir), "doc_id", "text")
+  }
+
+  val all: Seq[GraftQuery] = Seq(
+    d01_exact_dup_groups, d02_ngram_jaccard, d03_minhash_lsh, d04_simhash)
+}

@@ -1,0 +1,132 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+import graft.Tables
+import graft.functions.VectorFunctions
+
+/** Similarity search over the `embeddings` table (64-dim float vectors):
+  * brute-force cosine top-k (baseline), label-blocked nearest neighbour
+  * (IVF-style coarse blocking), per-label centroids (the coarse quantizer),
+  * and hyperplane-LSH bucketed ANN (the approximate scale path).
+  *
+  * Cross-engine float discipline: every element is cast to DOUBLE before any
+  * arithmetic and folded strictly left-to-right, so the oracle's sequential
+  * list_sum reproduces the identical IEEE result; outputs round to 6 dp but
+  * ORDERING always uses the raw double.
+  */
+object EmbeddingQueries {
+
+  private def q(name: String, oracle: Option[String])(fn: (SparkSession, String) => DataFrame) =
+    GraftQuery(name, fn, oracle)
+
+  /** DuckDB mirror of [[VectorFunctions.cosineSimilarity]] (zipped double
+    * products summed sequentially; dot / (||a||·||b||)).
+    */
+  private def cosSql(a: String, b: String): String =
+    s"""(list_sum(list_transform(list_zip($a, $b),
+       |    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+       | / (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       |   * sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))))""".stripMargin
+
+  // ---------------------------------------------------------------- e01
+  /** Brute-force cosine top-5 for 8 query vectors: broadcast the tiny query
+    * side, score map-side over the full candidate scan, per-query top-k via
+    * a small keyed window.
+    */
+  val e01_knn_bruteforce = q("e01_knn_bruteforce", Some(
+    s"""WITH qs AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 8),
+       |p AS (
+       |  SELECT qid, e.vec_id AS nid, ${cosSql("qv", "e.embedding")} AS c
+       |  FROM embeddings e CROSS JOIN qs WHERE e.vec_id <> qid),
+       |r AS (SELECT qid, nid, c,
+       |        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY c DESC, nid) AS rank
+       |      FROM p)
+       |SELECT qid, CAST(rank AS INT) AS rank, nid, ROUND(c, 6) AS cos
+       |FROM r WHERE rank <= 5""".stripMargin)) { (s, dir) =>
+    val emb = Tables.embeddings(s, dir)
+    val qs = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val scored = emb.select(col("vec_id").as("nid"), col("embedding").as("cv"))
+      .crossJoin(broadcast(qs))
+      .filter(col("nid") =!= col("qid"))
+      .withColumn("c", VectorFunctions.cosineSimilarity(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("c").desc, col("nid"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+      .select(col("qid"), col("rank"), col("nid"), round(col("c"), 6).as("cos"))
+  }
+
+  // ---------------------------------------------------------------- e02
+  /** Per-label centroid, long form (label, dim, value) — the coarse-quantizer
+    * step of an IVF index. Per-dimension means route through DECIMAL(38,18)
+    * so the shuffle-order-dependent double sum can't diverge from the oracle.
+    */
+  val e02_centroids = q("e02_centroids", Some(
+    """SELECT label, CAST(i - 1 AS INT) AS dim,
+      |  ROUND(CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(38,18))) AS DOUBLE)
+      |        / COUNT(*), 6) AS centroid
+      |FROM (SELECT label, unnest(embedding) AS x,
+      |             generate_subscripts(embedding, 1) AS i
+      |      FROM embeddings)
+      |GROUP BY label, dim""".stripMargin)) { (s, dir) =>
+    Tables.embeddings(s, dir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy("label", "dim")
+      .agg(round(
+        sum(col("x").cast(DoubleType).cast(DecimalType(38, 18))).cast(DoubleType)
+          / count(lit(1)), 6).as("centroid"))
+  }
+
+  // ---------------------------------------------------------------- e03
+  /** IVF-style blocked nearest neighbour: for each probe vector, the closest
+    * other vector WITHIN ITS LABEL BLOCK — blocking turns the all-pairs
+    * O(n²) into O(n²/k), the first step toward a real IVF index.
+    */
+  val e03_label_block_nn = q("e03_label_block_nn", Some(
+    s"""WITH probes AS (SELECT vec_id AS pid, label, embedding AS pv
+       |                FROM embeddings WHERE vec_id < 200),
+       |p AS (
+       |  SELECT pid, e.label, e.vec_id AS nid, ${cosSql("pv", "e.embedding")} AS c
+       |  FROM embeddings e JOIN probes USING (label) WHERE e.vec_id <> pid),
+       |r AS (SELECT pid, label, nid, c,
+       |        ROW_NUMBER() OVER (PARTITION BY pid ORDER BY c DESC, nid) AS rn
+       |      FROM p)
+       |SELECT pid AS vec_id, label, nid AS nn_id, ROUND(c, 6) AS cos
+       |FROM r WHERE rn = 1""".stripMargin)) { (s, dir) =>
+    val emb = Tables.embeddings(s, dir)
+    val probes = emb.filter(col("vec_id") < 200)
+      .select(col("vec_id").as("pid"), col("label"), col("embedding").as("pv"))
+    val scored = emb.select(col("label"), col("vec_id").as("nid"), col("embedding").as("cv"))
+      .join(broadcast(probes), Seq("label"))
+      .filter(col("nid") =!= col("pid"))
+      .withColumn("c", VectorFunctions.cosineSimilarity(col("pv"), col("cv")))
+    val w = Window.partitionBy(col("pid")).orderBy(col("c").desc, col("nid"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("pid").as("vec_id"), col("label"), col("nid").as("nn_id"),
+        round(col("c"), 6).as("cos"))
+  }
+
+  // ---------------------------------------------------------------- e04
+  /** Hyperplane-LSH bucketed ANN: bucket every vector by a 6-bit
+    * random-hyperplane signature, search only the query's bucket. The
+    * approximate scale path (recall < 1 by design) → rows-only check.
+    */
+  val e04_lsh_ann = q("e04_lsh_ann", None) { (s, dir) =>
+    val emb = Tables.embeddings(s, dir)
+      .withColumn("sig", VectorFunctions.hyperplaneSignature(col("embedding"), dim = 64, planes = 6))
+    val qs = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("sig"), col("embedding").as("qv"))
+    val scored = emb.select(col("sig"), col("vec_id").as("nid"), col("embedding").as("cv"))
+      .join(broadcast(qs), Seq("sig"))
+      .filter(col("nid") =!= col("qid"))
+      .withColumn("c", VectorFunctions.cosineSimilarity(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("c").desc, col("nid"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
+      .select(col("qid"), col("rank"), col("nid"), round(col("c"), 6).as("cos"))
+  }
+
+  val all: Seq[GraftQuery] = Seq(
+    e01_knn_bruteforce, e02_centroids, e03_label_block_nn, e04_lsh_ann)
+}

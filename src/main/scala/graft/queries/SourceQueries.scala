@@ -1,0 +1,116 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Cols, Tables}
+import graft.ext.Multimodal
+import graft.sources.{CsvSource, RestSource}
+import GraftQuery.dsum
+
+/** Source/sink surface (SURVEY §2.1): contract-checked CSV scan, paged
+  * REST-style ingestion, partitioned parquet sink with partition pruning on
+  * read-back, and the multimodal binary-asset plumbing. Scratch output goes
+  * under target/qtmp inside the repo.
+  */
+object SourceQueries {
+
+  private def q(name: String, oracle: Option[String])(fn: (SparkSession, String) => DataFrame) =
+    GraftQuery(name, fn, oracle)
+
+  private val scratch = "/root/repo/target/qtmp"
+
+  // ---------------------------------------------------------------- src01
+  /** CSV write → contract-checked schema-first read-back (S1–S4): the
+    * round-trip must be lossless, so the oracle is simply the original table.
+    */
+  val src01_csv_roundtrip = q("src01_csv_roundtrip", Some(
+    "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier")) { (s, dir) =>
+    val supplier = Tables.supplier(s, dir)
+      .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+    val path = s"$scratch/csv_supplier"
+    supplier.write.mode("overwrite").option("header", "true").csv(path)
+    CsvSource.read(s, path, supplier.schema,
+      required = Seq("s_suppkey", "s_name", "s_nationkey", "s_acctbal"),
+      requireRows = true)
+  }
+
+  // ---------------------------------------------------------------- src02
+  /** Paged REST-style source (S5): a deterministic fake pager stands in for
+    * the HTTP fetch (4 pages × 40 records, then an empty page terminates);
+    * the oracle regenerates the same records arithmetically.
+    */
+  final case class ApiRecord(id: Long, code: String, year: Int, value: Double)
+
+  val src02_rest_paged = q("src02_rest_paged", Some(
+    s"""WITH r AS (
+       |  SELECT i AS id, 'C' || CAST(i % 7 AS VARCHAR) AS code,
+       |         CAST(2000 + i % 24 AS INT) AS year,
+       |         CAST(i * 7919 % 1000 AS DOUBLE) / 10.0 AS value
+       |  FROM generate_series(0, 159) t(i))
+       |SELECT code, COUNT(*) AS n, ${dsum("value")} AS sum_value,
+       |  MIN(year) AS min_year, MAX(year) AS max_year
+       |FROM r GROUP BY code""".stripMargin)) { (s, dir) =>
+    def fetchPage(page: Int): Seq[ApiRecord] =
+      if (page >= 4) Nil
+      else (0 until 40).map { i =>
+        val id = page * 40L + i
+        ApiRecord(id, "C" + (id % 7), (2000 + id % 24).toInt, (id * 7919 % 1000) / 10.0)
+      }
+    RestSource.paged(s, fetchPage).toDF()
+      .groupBy("code")
+      .agg(count(lit(1)).as("n"), Cols.decimalSum(col("value")).as("sum_value"),
+        min(col("year")).as("min_year"), max(col("year")).as("max_year"))
+  }
+
+  // ---------------------------------------------------------------- src03
+  /** Partitioned parquet sink + pruned read-back (S8 generalized to the
+    * engine's native warehouse format): write orders partitioned by year,
+    * read back ONE partition (directory pruning — the scan never touches the
+    * other years), aggregate it.
+    */
+  val src03_partitioned_sink = q("src03_partitioned_sink", Some(
+    s"""SELECT o_orderstatus, COUNT(*) AS n, ${dsum("o_totalprice")} AS sum_price
+       |FROM orders WHERE year(o_orderdate) = 1995
+       |GROUP BY o_orderstatus""".stripMargin)) { (s, dir) =>
+    val path = s"$scratch/orders_by_year"
+    Tables.orders(s, dir)
+      .withColumn("o_year", year(col("o_orderdate")))
+      .write.mode("overwrite").partitionBy("o_year").parquet(path)
+    s.read.parquet(path)
+      .filter(col("o_year") === 1995) // partition pruning: only year=1995 dirs scanned
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), Cols.decimalSum(col("o_totalprice")).as("sum_price"))
+  }
+
+  // ---------------------------------------------------------------- src04
+  /** Multimodal binary-asset metadata (SQL twin of the mapPartitions decode
+    * stub — same arithmetic, oracle-checkable; the typed Dataset path is
+    * exercised in MultimodalSpec).
+    */
+  val src04_multimodal_meta = q("src04_multimodal_meta", Some(
+    """SELECT CAST(doc_id AS BIGINT) AS asset_id,
+      |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      |  CAST(320 + octet_length(encode(text)) % 320 AS INT) AS width,
+      |  CAST(240 + octet_length(encode(text)) % 240 AS INT) AS height
+      |FROM documents""".stripMargin)) { (s, dir) =>
+    Multimodal.decodeMetaSql(
+      Multimodal.toAssets(Tables.documents(s, dir), "doc_id", "text"))
+  }
+
+  // ---------------------------------------------------------------- src05
+  /** Deterministic frame sampling over binary assets (video-pipeline plan
+    * shape: generator → per-frame rows).
+    */
+  val src05_frame_sample = q("src05_frame_sample", Some(
+    """SELECT CAST(doc_id AS BIGINT) AS asset_id,
+      |  CAST(f AS INT) AS frame_no,
+      |  CAST(f * octet_length(encode(text)) // 4 AS BIGINT) AS frame_offset
+      |FROM documents CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS f) t""".stripMargin)) { (s, dir) =>
+    Multimodal.frameSample(
+      Multimodal.toAssets(Tables.documents(s, dir), "doc_id", "text"), framesPer = 4)
+  }
+
+  val all: Seq[GraftQuery] = Seq(
+    src01_csv_roundtrip, src02_rest_paged, src03_partitioned_sink,
+    src04_multimodal_meta, src05_frame_sample)
+}

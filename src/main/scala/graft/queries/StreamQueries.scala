@@ -1,0 +1,143 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{Cols, Tables}
+import graft.operators.{AsOfJoin, Dedup}
+
+/** Event-time window semantics over the `events` table, run in BATCH mode —
+  * `window` / `session_window` are mode-agnostic, so these same plans run
+  * under Structured Streaming via graft.streaming.StreamOps (differential
+  * stream-vs-batch tests live in StreamingSpec). Covers tumbling, sliding and
+  * session windows, stateful keep-first dedup, a watermark late-data model,
+  * and a backward as-of join (tag+union+window plan — one shuffle, no range
+  * explosion).
+  */
+object StreamQueries {
+
+  private def q(name: String, oracle: Option[String])(fn: (SparkSession, String) => DataFrame) =
+    GraftQuery(name, fn, oracle)
+  import GraftQuery.dsum
+
+  // ---------------------------------------------------------------- s01
+  /** 1-hour tumbling windows per event type. */
+  val s01_tumbling_agg = q("s01_tumbling_agg", Some(
+    s"""SELECT date_trunc('hour', ts) AS window_start, event_type,
+       |  COUNT(*) AS n, ${dsum("value")} AS sum_value
+       |FROM events GROUP BY 1, 2""".stripMargin)) { (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), Cols.decimalSum(col("value")).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+  }
+
+  // ---------------------------------------------------------------- s02
+  /** 1-hour windows sliding every 30 minutes (each event lands in exactly
+    * two windows; the oracle materializes both window starts per event).
+    */
+  val s02_sliding_agg = q("s02_sliding_agg", Some(
+    s"""WITH x AS (
+       |  SELECT e.*, make_timestamp(CAST((floor(epoch(ts) / 1800) * 1800 - off) * 1000000 AS BIGINT)) AS ws
+       |  FROM events e CROSS JOIN (SELECT unnest([0, 1800]) AS off) o)
+       |SELECT ws AS window_start, event_type, COUNT(*) AS n, ${dsum("value")} AS sum_value
+       |FROM x GROUP BY 1, 2""".stripMargin)) { (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), Cols.decimalSum(col("value")).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+  }
+
+  // ---------------------------------------------------------------- s03
+  /** Per-user session windows with a 30-minute inactivity gap; session end =
+    * last event + gap (Spark session_window semantics, [start, end) half-open
+    * — an event exactly at the previous end starts a NEW session, hence the
+    * strict `<` in the oracle's island rule).
+    */
+  val s03_session_windows = q("s03_session_windows", Some(
+    """WITH o AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+      |              < INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS brk
+      |  FROM events),
+      |g AS (
+      |  SELECT user_id, ts,
+      |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+      |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM o)
+      |SELECT user_id, MIN(ts) AS session_start,
+      |  MAX(ts) + INTERVAL 30 MINUTE AS session_end, COUNT(*) AS n
+      |FROM g GROUP BY user_id, sid""".stripMargin)) { (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n"))
+  }
+
+  // ---------------------------------------------------------------- s04
+  /** Stateful keep-first dedup per (user_id, event_type) — the batch twin of
+    * streaming `dropDuplicatesWithinWatermark`.
+    */
+  val s04_dedup_first_event = q("s04_dedup_first_event", Some(
+    """SELECT user_id, event_type, event_id FROM (
+      |  SELECT user_id, event_type, event_id,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+      |                       ORDER BY ts, event_id) AS rn
+      |  FROM events) t
+      |WHERE rn = 1""".stripMargin)) { (s, dir) =>
+    Dedup.keepFirst(Tables.events(s, dir), Seq("user_id", "event_type"),
+        Seq(col("ts"), col("event_id")))
+      .select("user_id", "event_type", "event_id")
+  }
+
+  // ---------------------------------------------------------------- s05
+  /** Watermark late-data model: processing order = event_id; an event is
+    * "late" if the max event-time already seen exceeds its own by > 30 min
+    * (exactly the rows a 30-minute watermark would drop).
+    */
+  val s05_watermark_late = q("s05_watermark_late", Some(
+    """WITH m AS (
+      |  SELECT ts, MAX(ts) OVER (ORDER BY event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mp
+      |  FROM events)
+      |SELECT CAST(COALESCE(SUM(CASE WHEN mp IS NOT NULL
+      |         AND epoch_us(mp) - epoch_us(ts) > 1800000000 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_late,
+      |  COUNT(*) AS n_events
+      |FROM m""".stripMargin)) { (s, dir) =>
+    val w = Window.orderBy(col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(s, dir)
+      .withColumn("mp", max(col("ts")).over(w))
+      .agg(
+        sum(when(col("mp").isNotNull &&
+            unix_micros(col("mp")) - unix_micros(col("ts")) > 1800000000L, 1)
+          .otherwise(0)).cast("long").as("n_late"),
+        count(lit(1)).as("n_events"))
+  }
+
+  // ---------------------------------------------------------------- s06
+  /** Backward as-of join: each click picks up the value of the user's most
+    * recent purchase at-or-before it (inclusive — mirrors native ASOF JOIN).
+    */
+  val s06_asof_backward = q("s06_asof_backward", Some(
+    """SELECT c.event_id, p.value AS last_purchase_value
+      |FROM (SELECT * FROM events WHERE event_type = 'click') c
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      |  ON c.user_id = p.user_id AND c.ts >= p.ts""".stripMargin)) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("pts"), col("value").as("last_purchase_value"))
+    AsOfJoin.backward(clicks, purchases, keys = Seq("user_id"),
+        leftTs = "ts", rightTs = "pts", payloadCols = Seq("last_purchase_value"))
+      .select("event_id", "last_purchase_value")
+  }
+
+  val all: Seq[GraftQuery] = Seq(
+    s01_tumbling_agg, s02_sliding_agg, s03_session_windows,
+    s04_dedup_first_event, s05_watermark_late, s06_asof_backward)
+}

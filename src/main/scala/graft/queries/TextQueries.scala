@@ -1,0 +1,138 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFunctions
+
+/** Text-analysis surface over the `documents` table: token statistics,
+  * quality scoring, language ID, content fingerprinting, rolling hash
+  * (SURVEY §7.8 / the training-data-pipeline extension set).
+  *
+  * Every query is pure column expressions (codegen'd, zero shuffle except
+  * final aggregation where present) and every DuckDB oracle mirrors the
+  * exact same arithmetic so doubles match bit-for-bit before the ROUND.
+  * DuckDB `regexp_replace` is per-first-match by default — every oracle
+  * pattern passes the 'g' flag to match Spark's replace-all semantics.
+  */
+object TextQueries {
+
+  private def q(name: String, oracle: String)(fn: (SparkSession, String) => DataFrame) =
+    GraftQuery(name, fn, Some(oracle))
+
+  /** DuckDB mirror of [[TextFunctions.normalizeWs]]. */
+  private def normSql(c: String) =
+    s"trim(regexp_replace(regexp_replace($c, '[\\r\\n]+', ' ', 'g'), '\\s+', ' ', 'g'))"
+
+  private val stopPat = "\\b(the|a|an|and|or|of|to|in|is|it|that|for|on|with|as)\\b"
+  private val tokenPat = "[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]"
+  private val punctPat = """[.,;:!?''"()\[\]{}-]""" // '' = escaped quote in SQL
+
+  // ---------------------------------------------------------------- t01
+  /** Token statistics: chars, whitespace words, BPE-ish tokens. */
+  val t01_token_stats = q("t01_token_stats",
+    s"""WITH n AS (SELECT doc_id, n_chars, text, ${normSql("text")} AS norm FROM documents)
+       |SELECT doc_id, n_chars,
+       |  CAST(length(text) AS INT) AS text_len,
+       |  CAST(CASE WHEN length(norm) = 0 THEN 0
+       |            ELSE len(string_split(norm, ' ')) END AS INT) AS word_cnt,
+       |  CAST(len(regexp_extract_all(text, '$tokenPat')) AS INT) AS token_cnt
+       |FROM n""".stripMargin) { (s, dir) =>
+    Tables.documents(s, dir).select(
+      col("doc_id"), col("n_chars"),
+      length(col("text")).as("text_len"),
+      TextFunctions.wordCount(col("text")).as("word_cnt"),
+      TextFunctions.tokenCount(col("text")).as("token_cnt"))
+  }
+
+  // ---------------------------------------------------------------- t02
+  /** Quality scoring: punctuation ratio, stopword ratio, composite score. */
+  val t02_quality_score = q("t02_quality_score",
+    s"""WITH n AS (SELECT doc_id, text, ${normSql("text")} AS norm FROM documents),
+       |m AS (
+       |  SELECT doc_id, text,
+       |    CASE WHEN length(norm) = 0 THEN 0
+       |         ELSE len(string_split(norm, ' ')) END AS wc,
+       |    len(regexp_extract_all(text, '$punctPat')) AS punct,
+       |    len(regexp_extract_all(lower(norm), '$stopPat')) AS stop
+       |  FROM n),
+       |r AS (
+       |  SELECT doc_id,
+       |    CASE WHEN length(text) = 0 THEN 0.0
+       |         ELSE CAST(punct AS DOUBLE) / CAST(length(text) AS DOUBLE) END AS pr,
+       |    CASE WHEN wc = 0 THEN 0.0
+       |         ELSE CAST(stop AS DOUBLE) / CAST(wc AS DOUBLE) END AS sr,
+       |    CAST(length(text) AS DOUBLE) AS tl
+       |  FROM m)
+       |SELECT doc_id, ROUND(pr, 6) AS punct_ratio, ROUND(sr, 6) AS stopword_ratio,
+       |  ROUND(least(tl / 500.0, 1.0) * 0.4
+       |      + greatest(0.0, 1.0 - pr * 5.0) * 0.3
+       |      + least(sr * 4.0, 1.0) * 0.3, 6) AS quality
+       |FROM r""".stripMargin) { (s, dir) =>
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      round(TextFunctions.punctRatio(col("text")), 6).as("punct_ratio"),
+      round(TextFunctions.stopwordRatio(col("text")), 6).as("stopword_ratio"),
+      TextFunctions.qualityScore(col("text")).as("quality"))
+  }
+
+  // ---------------------------------------------------------------- t03
+  /** Marker-word language ID (n-gram heuristic; priority-order argmax). */
+  val t03_lang_id = q("t03_lang_id",
+    s"""WITH n AS (SELECT doc_id, lang, text, lower(${normSql("text")}) AS toks FROM documents),
+       |h AS (
+       |  SELECT doc_id, lang, text,
+       |    len(regexp_extract_all(toks, '\\b(the|and|of|is|with)\\b')) AS hen,
+       |    len(regexp_extract_all(toks, '\\b(le|la|et|les|des)\\b')) AS hfr,
+       |    len(regexp_extract_all(toks, '\\b(el|los|las|una|y)\\b')) AS hes,
+       |    len(regexp_extract_all(toks, '\\b(der|die|und|das|ist)\\b')) AS hde
+       |  FROM n)
+       |SELECT doc_id, lang,
+       |  CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+       |       WHEN hen + hfr + hes + hde = 0 THEN 'und'
+       |       WHEN hen >= hfr AND hen >= hes AND hen >= hde THEN 'en'
+       |       WHEN hfr >= hes AND hfr >= hde THEN 'fr'
+       |       WHEN hes >= hde THEN 'es'
+       |       ELSE 'de' END AS lang_pred
+       |FROM h""".stripMargin) { (s, dir) =>
+    Tables.documents(s, dir).select(
+      col("doc_id"), col("lang"),
+      TextFunctions.langId(col("text")).as("lang_pred"))
+  }
+
+  // ---------------------------------------------------------------- t04
+  /** Content fingerprint (md5 of normalized lower-cased text). */
+  val t04_fingerprint = q("t04_fingerprint",
+    s"""SELECT doc_id, md5(lower(${normSql("text")})) AS fp FROM documents""") { (s, dir) =>
+    Tables.documents(s, dir).select(
+      col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))
+  }
+
+  // ---------------------------------------------------------------- t05
+  /** Polynomial rolling hash over the normalized character stream
+    * (document fingerprinting without a hash library — pure arithmetic, so
+    * any engine reproduces it exactly).
+    */
+  val t05_rolling_hash = q("t05_rolling_hash",
+    s"""WITH n AS (SELECT doc_id, ${normSql("text")} AS norm FROM documents)
+       |SELECT doc_id,
+       |  CASE WHEN length(norm) = 0 THEN 0
+       |       ELSE list_reduce(
+       |         list_prepend(CAST(0 AS BIGINT),
+       |           [CAST(ascii(substr(norm, CAST(i AS INT), 1)) AS BIGINT)
+       |            for i in range(1, CAST(length(norm) AS INT) + 1)]),
+       |         (acc, x) -> (acc * 31 + x) % 1000000007) END AS rhash
+       |FROM n""".stripMargin) { (s, dir) =>
+    Tables.documents(s, dir)
+      .withColumn("norm", TextFunctions.normalizeWs(col("text")))
+      .select(col("doc_id"),
+        when(length(col("norm")) === 0, lit(0L))
+          .otherwise(expr(
+            "aggregate(sequence(1, length(norm)), 0L, " +
+              "(acc, i) -> (acc * 31 + ascii(substr(norm, i, 1))) % 1000000007)"))
+          .as("rhash"))
+  }
+
+  val all: Seq[GraftQuery] = Seq(
+    t01_token_stats, t02_quality_score, t03_lang_id, t04_fingerprint, t05_rolling_hash)
+}

@@ -1,0 +1,72 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Structured Streaming surface over the `events` shape (extension per
+  * SURVEY §2.9 — the reference is strictly batch, so these are engine
+  * capabilities, not ports; semantics follow Spark's own streaming model and
+  * are differentially tested against the batch equivalents in
+  * graft.queries.StreamQueries, which run the SAME aggregation logic in batch
+  * mode — `window`/`session_window` are mode-agnostic).
+  *
+  * Scale notes: every op below is keyed, so state is partitioned by the
+  * grouping key across executors; watermarks bound state size (late rows are
+  * dropped instead of accumulating); `dropDuplicatesWithinWatermark` keeps
+  * only in-watermark keys in the state store.
+  */
+object StreamOps {
+
+  /** File-based stream of event rows (parquet directory as an append-only
+    * source; `maxFilesPerTrigger` bounds per-micro-batch input).
+    */
+  def readEventStream(spark: SparkSession, path: String, schema: StructType,
+                      maxFilesPerTrigger: Int = 8): DataFrame =
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(path)
+
+  /** Tumbling-window counts+sums per event type with a watermark: state for
+    * a window is dropped once the watermark passes its end.
+    */
+  def tumblingAgg(events: DataFrame, tsCol: String, windowLen: String,
+                  watermark: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Sliding-window variant. */
+  def slidingAgg(events: DataFrame, tsCol: String, windowLen: String,
+                 slide: String, watermark: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen, slide).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"))
+
+  /** Session windows per user: a session closes after `gap` of inactivity;
+    * watermark bounds how long an open session is retained.
+    */
+  def sessionAgg(events: DataFrame, tsCol: String, gap: String,
+                 watermark: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n"))
+
+  /** Stateful streaming dedup: first event per (user_id, event_type) wins;
+    * state for a key is released once the watermark passes its event time.
+    */
+  def dedupWithinWatermark(events: DataFrame, tsCol: String,
+                           watermark: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+}

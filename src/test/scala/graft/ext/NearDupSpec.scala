@@ -1,0 +1,48 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class NearDupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank now"),
+    (3L, "completely different content talking about spark catalyst optimizer rules"),
+    (4L, "another unrelated text on minhash lsh banding and jaccard similarity")
+  ).toDF("doc_id", "text")
+
+  test("nearDuplicatePairs finds the planted near-dup pair and only it") {
+    val pairs = NearDup.nearDuplicatePairs(docs, "doc_id", "text", threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("exact shingle jaccard of identical docs is 1.0") {
+    val two = Seq((1L, "a b c d e"), (2L, "a b c d e")).toDF("doc_id", "text")
+    val sh = NearDup.shingles(two, "doc_id", "text")
+    val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val j = NearDup.exactJaccard(sh, pairs).select("jaccard").as[Double].collect().head
+    assert(j == 1.0)
+  }
+
+  test("simhash: identical docs get identical signatures, hamming 0") {
+    val two = Seq((1L, "spark is a distributed engine"),
+      (2L, "spark is a distributed engine"),
+      (3L, "entirely other words appear here")).toDF("doc_id", "text")
+    val sig = NearDup.simhash(two, "doc_id", "text")
+    val m = sig.as[(Long, Long)].collect().toMap
+    assert(m(1L) == m(2L))
+    val d = NearDup.hamming(lit(m(1L)), lit(m(3L)))
+    val dist = spark.range(1).select(d.as("h")).as[Long].collect().head
+    assert(dist > 0)
+  }
+
+  test("shingles of a doc shorter than n collapse to one whole-text shingle") {
+    val short = Seq((1L, "two words")).toDF("doc_id", "text")
+    val got = NearDup.shingles(short, "doc_id", "text", 3)
+      .select("shingle").as[String].collect().toSeq
+    assert(got == Seq("two words"))
+  }
+}

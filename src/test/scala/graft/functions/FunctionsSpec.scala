@@ -1,0 +1,65 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("wordCount: empty, single, multi, messy whitespace") {
+    val df = Seq("", "one", "two words", "  padded \r\n lines \t here ").toDF("t")
+    val got = df.select(TextFunctions.wordCount(col("t")).as("n")).as[Int].collect().toSeq
+    assert(got == Seq(0, 1, 2, 3))
+  }
+
+  test("tokenCount counts word pieces and punctuation separately") {
+    val df = Seq("hello, world!").toDF("t")
+    val got = df.select(TextFunctions.tokenCount(col("t")).as("n")).as[Int].collect().head
+    assert(got == 4) // hello , world !
+  }
+
+  test("fingerprint is invariant to case and whitespace shape") {
+    val df = Seq(("A  B\r\nC", "a b c")).toDF("x", "y")
+    val got = df.select(
+      (TextFunctions.fingerprint(col("x")) === TextFunctions.fingerprint(col("y"))).as("eq"))
+      .as[Boolean].collect().head
+    assert(got)
+  }
+
+  test("langId picks marker-majority language; no markers -> und") {
+    val df = Seq(
+      "the cat and the dog is with us",
+      "le chat et la mer les des",
+      "zzz qqq www").toDF("t")
+    val got = df.select(TextFunctions.langId(col("t")).as("l")).as[String].collect().toSeq
+    assert(got == Seq("en", "fr", "und"))
+  }
+
+  test("cosineSimilarity: identical=1, orthogonal=0, zero-norm -> null") {
+    val df = Seq(
+      (Array(1f, 2f, 3f), Array(1f, 2f, 3f)),
+      (Array(1f, 0f, 0f), Array(0f, 1f, 0f)),
+      (Array(0f, 0f, 0f), Array(1f, 1f, 1f))).toDF("a", "b")
+    val got = df.select(VectorFunctions.cosineSimilarity(col("a"), col("b")).as("c"))
+      .as[Option[Double]].collect().toSeq
+    assert(math.abs(got(0).get - 1.0) < 1e-12)
+    assert(got(1).get == 0.0)
+    assert(got(2).isEmpty)
+  }
+
+  test("l2Distance of identical vectors is 0") {
+    val df = Seq((Array(1f, 2f), Array(1f, 2f))).toDF("a", "b")
+    val got = df.select(VectorFunctions.l2Distance(col("a"), col("b")).as("d"))
+      .as[Double].collect().head
+    assert(got == 0.0)
+  }
+
+  test("hyperplaneSignature is deterministic and bucket-stable for equal vectors") {
+    val df = Seq((1L, Array.fill(8)(0.5f)), (2L, Array.fill(8)(0.5f)),
+      (3L, Array.tabulate(8)(i => if (i % 2 == 0) 1f else -1f))).toDF("id", "v")
+    val sigs = df.select(col("id"),
+        VectorFunctions.hyperplaneSignature(col("v"), dim = 8, planes = 6).as("s"))
+      .as[(Long, Long)].collect().toMap
+    assert(sigs(1L) == sigs(2L)) // identical vectors share a bucket
+  }
+}

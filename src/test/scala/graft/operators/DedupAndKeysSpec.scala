@@ -1,0 +1,65 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupAndKeysSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("keepFirst keeps exactly the first row per key under the given order") {
+    val df = Seq(("k1", 2, "second"), ("k1", 1, "first"), ("k2", 5, "only"))
+      .toDF("k", "ord", "tag")
+    val got = Dedup.keepFirst(df, Seq("k"), Seq(col("ord")))
+      .select("k", "tag").as[(String, String)].collect().toMap
+    assert(got == Map("k1" -> "first", "k2" -> "only"))
+  }
+
+  test("SurrogateKey.dense assigns contiguous 1..n in order") {
+    val df = Seq("c", "a", "b").toDF("name")
+    val got = SurrogateKey.dense(df, Seq(col("name")))
+      .select("Id", "name").as[(Int, String)].collect().toSet
+    assert(got == Set((1, "a"), (2, "b"), (3, "c")))
+  }
+
+  test("SurrogateKey.scalable matches dense on the same order") {
+    val df = (1 to 100).map(i => (i % 7, i)).toDF("a", "b")
+    val dense = SurrogateKey.dense(df, Seq(col("a"), col("b")))
+      .select(col("Id").cast("long"), col("a"), col("b"))
+      .as[(Long, Int, Int)].collect().toSet
+    val scalable = SurrogateKey.scalable(df, Seq(col("a"), col("b")))
+      .select(col("Id"), col("a"), col("b"))
+      .as[(Long, Int, Int)].collect().toSet
+    assert(scalable == dense)
+  }
+
+  test("FuzzyJoin.top1 picks nearest candidate, ties lexicographically") {
+    val left = Seq("GERMANY!", "FRANC", "xyz").toDF("name")
+    val right = Seq("GERMANY", "FRANCE", "GREECE").toDF("country")
+    val got = FuzzyJoin.top1(left, "name", right, "country", "best")
+      .select("name", "best").as[(String, String)].collect().toMap
+    assert(got("GERMANY!") == "GERMANY")
+    assert(got("FRANC") == "FRANCE")
+    // xyz: dist 6 to FRANCE/GREECE, 7 to GERMANY -> tie FRANCE vs GREECE -> FRANCE
+    assert(got("xyz") == "FRANCE")
+  }
+
+  test("AsOfJoin.backward: inclusive sees same-instant right row, strict does not") {
+    val left = Seq((1L, 10L, "e1"), (1L, 20L, "e2")).toDF("uid", "t", "eid")
+    val right = Seq((1L, 10L, 100.0), (1L, 15L, 150.0)).toDF("uid", "rt", "pay")
+    val incl = AsOfJoin.backward(left, right, Seq("uid"), "t", "rt", Seq("pay"))
+      .select("eid", "pay").as[(String, Option[Double])].collect().toMap
+    assert(incl == Map("e1" -> Some(100.0), "e2" -> Some(150.0)))
+    val strict = AsOfJoin.backward(left, right, Seq("uid"), "t", "rt", Seq("pay"),
+        strict = true)
+      .select("eid", "pay").as[(String, Option[Double])].collect().toMap
+    assert(strict == Map("e1" -> None, "e2" -> Some(150.0)))
+  }
+
+  test("AsOfJoin.backward: key with no right rows yields null payload") {
+    val left = Seq((7L, 10L, "lone")).toDF("uid", "t", "eid")
+    val right = Seq((1L, 5L, 1.0)).toDF("uid", "rt", "pay")
+    val got = AsOfJoin.backward(left, right, Seq("uid"), "t", "rt", Seq("pay"))
+      .select("eid", "pay").as[(String, Option[Double])].collect().toMap
+    assert(got == Map("lone" -> None))
+  }
+}

@@ -1,0 +1,64 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+
+/** Property-based laws (SURVEY §5): binning monotonicity/totality,
+  * interpolation endpoint preservation, qcut bucket-count law. ScalaCheck
+  * generators feed one BATCHED DataFrame per law (one Spark job each)
+  * rather than one job per generated case.
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("Bin.cut is total and monotone over in-range values") {
+    val edges = Seq(0.0, 10.0, 20.0, 30.0)
+    val labels = Seq("lo", "mid", "hi")
+    val values = Gen.listOfN(200, Gen.chooseNum(-5.0, 35.0)).sample.get
+    val got = values.toDF("v")
+      .select(col("v"), Bin.cut(col("v"), edges, labels).as("b"))
+      .as[(Double, Option[String])].collect()
+    got.foreach { case (v, b) =>
+      if (v >= 0 && v < 30) {
+        val expected = labels((v / 10).toInt.min(2))
+        assert(b.contains(expected), s"v=$v got $b")
+      } else assert(b.isEmpty, s"out-of-range v=$v got $b")
+    }
+  }
+
+  test("Interpolate preserves non-null values exactly and fills within bounds") {
+    val series = Gen.listOfN(120,
+      Gen.option(Gen.chooseNum(-100.0, 100.0))).sample.get
+    val df = series.zipWithIndex.map { case (v, i) => ("g", i, v) }.toDF("g", "i", "v")
+    val got = Interpolate.linear(df, Seq("g"), Seq("i"), Seq("v"))
+      .orderBy("i").select("v").as[Option[Double]].collect().toSeq
+    // non-null inputs pass through untouched
+    series.zip(got).foreach {
+      case (Some(in), out) => assert(out.contains(in))
+      case _ =>
+    }
+    // filled values are bounded by the group's min/max of defined values
+    val defined = series.flatten
+    if (defined.nonEmpty) {
+      val (lo, hi) = (defined.min, defined.max)
+      got.flatten.foreach(v => assert(v >= lo - 1e-9 && v <= hi + 1e-9))
+    }
+  }
+
+  test("qcut3 label set is always a prefix of [Low, Medium, High] per group") {
+    val groups = (0 until 10).flatMap { g =>
+      val n = 1 + g % 7
+      Gen.listOfN(n, Gen.chooseNum(0.0, 5.0)).sample.get.map(v => (s"g$g", v))
+    }
+    val labelSets = QuantileBucket.qcut3(groups.toDF("g", "v"), Seq("g"), "v", "b")
+      .groupBy("g").agg(collect_set(col("b")).as("ls"))
+      .as[(String, Seq[String])].collect()
+    labelSets.foreach { case (g, ls) =>
+      val s = ls.toSet
+      assert(Seq(Set("Low"), Set("Low", "High"), Set("Low", "Medium", "High"))
+        .exists(_ == s) || s.subsetOf(Set("Low", "Medium", "High")), s"group $g: $s")
+      assert(s.contains("Low"), s"group $g must bucket its minimum as Low: $s")
+    }
+  }
+}

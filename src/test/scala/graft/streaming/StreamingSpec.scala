@@ -1,0 +1,87 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import java.sql.Timestamp
+
+case class Ev(ts: Timestamp, user_id: Long, event_type: String, value: Double)
+
+/** Differential stream-vs-batch tests: the same event-time aggregations must
+  * produce identical results fed through Structured Streaming micro-batches
+  * (complete/append output over a MemoryStream) and plain batch execution —
+  * `window`/`session_window` are mode-agnostic by design.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(minutes: Int) = new Timestamp(minutes * 60000L)
+
+  private val events = Seq(
+    Ev(ts(1), 1, "click", 1.0), Ev(ts(5), 1, "click", 2.0),
+    Ev(ts(61), 1, "view", 3.0), Ev(ts(62), 2, "click", 4.0),
+    Ev(ts(200), 2, "click", 5.0), Ev(ts(201), 1, "click", 6.0))
+
+  test("streaming tumbling agg over MemoryStream equals batch result") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    mem.addData(events.take(3))
+    mem.addData(events.drop(3))
+
+    val streamed = StreamOps.tumblingAgg(mem.toDF(), "ts", "1 hour", "10 minutes")
+    val query = streamed.writeStream
+      .format("memory").queryName("tumbling_out").outputMode("complete").start()
+    query.processAllAvailable()
+    query.stop()
+
+    val got = spark.table("tumbling_out")
+      .select("window_start", "event_type", "n", "sum_value")
+      .as[(Timestamp, String, Long, Double)].collect().toSet
+    val expected = events.toDF()
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("w.start"), col("event_type"), col("n"), col("sum_value"))
+      .as[(Timestamp, String, Long, Double)].collect().toSet
+    assert(got == expected)
+  }
+
+  test("dropDuplicatesWithinWatermark keeps one row per (user, type) key") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    mem.addData(events)
+
+    val deduped = StreamOps.dedupWithinWatermark(mem.toDF(), "ts", "10 hours")
+    val query = deduped.writeStream
+      .format("memory").queryName("dedup_out").outputMode("append").start()
+    query.processAllAvailable()
+    query.stop()
+
+    val got = spark.table("dedup_out").select("user_id", "event_type")
+      .as[(Long, String)].collect().toSeq
+    assert(got.size == got.toSet.size) // no duplicate keys emitted
+    assert(got.toSet == Set((1L, "click"), (1L, "view"), (2L, "click")))
+  }
+
+  test("streaming session windows equal batch session_window result") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    mem.addData(events)
+
+    val streamed = StreamOps.sessionAgg(mem.toDF(), "ts", "30 minutes", "10 minutes")
+    val query = streamed.writeStream
+      .format("memory").queryName("session_out").outputMode("complete").start()
+    query.processAllAvailable()
+    query.stop()
+
+    val got = spark.table("session_out")
+      .select("user_id", "session_start", "session_end", "n")
+      .as[(Long, Timestamp, Timestamp, Long)].collect().toSet
+    val expected = events.toDF()
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("w.start"), col("w.end"), col("n"))
+      .as[(Long, Timestamp, Timestamp, Long)].collect().toSet
+    assert(got == expected)
+  }
+}

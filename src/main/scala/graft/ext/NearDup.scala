@@ -24,29 +24,52 @@ import graft.functions.TextFunctions
   */
 object NearDup {
 
-  /** Distinct word n-gram shingles per document: (id, shingle). */
+  /** Distinct word n-gram shingles per document: (id, shingle).
+    *
+    * Two-step on purpose: the tokenized `words` array is materialized in its
+    * own projection BEFORE the generator. Catalyst does not collapse a
+    * Project under Generate, so inlining the split+regex chain into the
+    * per-shingle lambda would re-run it for every element reference —
+    * measured 5-10x slower at sf0.1. `element_at` is O(1) per gram vs
+    * `slice`'s per-position array copy.
+    */
   def shingles(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
-    val words = split(TextFunctions.normalizeWs(col(textCol)), " ")
-    val grams = when(size(words) >= n,
-      transform(sequence(lit(0), size(words) - n),
-        i => concat_ws(" ", slice(words, i + 1, lit(n)))))
-      .otherwise(array(concat_ws(" ", words)))
-    df.select(col(idCol).as("id"), explode(grams).as("shingle")).distinct()
+    val tokenized = df.select(col(idCol).as("id"),
+      split(TextFunctions.normalizeWs(col(textCol)), " ").as("__w"))
+    val w = col("__w")
+    val grams = when(size(w) >= n,
+      transform(sequence(lit(1), size(w) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(k => element_at(w, i + k)): _*)))
+      .otherwise(array(concat_ws(" ", w)))
+    tokenized.select(col("id"), explode(grams).as("shingle")).distinct()
   }
 
-  /** MinHash signature per id from a (id, shingle) relation: k independent
-    * hash functions realized as seeded xxhash64, one `min` aggregate each
-    * (partial aggregation makes this a single cheap shuffle of k longs/doc).
+  /** MinHash signature per id from a (id, shingle) relation: each shingle is
+    * string-hashed ONCE (xxhash64), then the k "independent" hash functions
+    * re-hash that single LONG with a per-function seed — k fixed-width
+    * 8-byte hashes instead of k variable-length string hashes per shingle
+    * (an affine a·h+b family would be cheaper still, but ANSI mode makes
+    * wrap-around long multiplication an error). One `min` aggregate each;
+    * partial aggregation makes this a single cheap shuffle of k longs/doc.
     */
   def minhashSignatures(sh: DataFrame, numHashes: Int = 64): DataFrame = {
-    val mins: Seq[Column] =
-      (0 until numHashes).map(i => min(xxhash64(lit(i), col("shingle"))).as(s"h$i"))
-    sh.groupBy("id").agg(mins.head, mins.tail: _*)
+    val base = sh.select(col("id"), xxhash64(col("shingle")).as("__h"))
+    val mins: Seq[Column] = (0 until numHashes).map { i =>
+      min(xxhash64(lit(i), col("__h"))).as(s"h$i")
+    }
+    base.groupBy("id").agg(mins.head, mins.tail: _*)
       .select(col("id"), array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
   }
 
   /** LSH banding: hash r consecutive signature entries per band, bucket by
     * (band, hash), emit candidate pairs (idA < idB) from co-bucketed docs.
+    *
+    * ONE shuffle: bucket members are collect_list'd per (band, bandhash) and
+    * pairs expand IN-ROW via a double explode — no second shuffle for a
+    * self-join and the bucket-size guard (degenerate boilerplate buckets
+    * would otherwise explode quadratically) falls out of `size(ids)` for
+    * free. Bucket lists are bounded by `maxBucketSize`, so collected rows
+    * stay small.
     */
   def lshCandidates(sig: DataFrame, bands: Int, rowsPerBand: Int,
                     maxBucketSize: Int = 1000): DataFrame = {
@@ -55,15 +78,12 @@ object NearDup {
       struct(lit(b).as("band"), xxhash64(slice: _*).as("bh"))
     }
     val buckets = sig.select(col("id"), explode(array(bandCols: _*)).as("bk"))
-      .select(col("id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
-    // prune degenerate hot buckets before the quadratic self-join
-    val sized = buckets.withColumn("bsz",
-      count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("band", "bh")))
-      .filter(col("bsz") <= maxBucketSize).drop("bsz")
-    val a = sized.select(col("band"), col("bh"), col("id").as("id_a"))
-    val b = sized.select(col("band"), col("bh"), col("id").as("id_b"))
-    a.join(b, Seq("band", "bh")).filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+      .groupBy(col("bk")).agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucketSize))
+    buckets.select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
+      .filter(col("id_a") < col("id_b"))
+      .distinct()
   }
 
   /** Exact Jaccard over candidate pairs, computed from the shingle relation:
@@ -83,11 +103,19 @@ object NearDup {
         (col("i").cast("double") / (col("na") + col("nb") - col("i"))).as("jaccard"))
   }
 
-  /** End-to-end MinHash+LSH near-duplicate pairs with exact verification. */
+  /** End-to-end MinHash+LSH near-duplicate pairs with exact verification.
+    *
+    * The cached relation is the HASHED shingle set `(id, xxhash64(shingle))`
+    * — signatures and the verification join both consume it, so shingle
+    * strings are hashed once and never shuffled (8 bytes/shingle instead of
+    * the text n-gram). Jaccard over hashed shingles is exact up to 64-bit
+    * collisions (odds ~1e-11 at corpus scale).
+    */
   def nearDuplicatePairs(df: DataFrame, idCol: String, textCol: String,
                          threshold: Double, numHashes: Int = 64,
                          bands: Int = 32, shingleSize: Int = 3): DataFrame = {
-    val sh = shingles(df, idCol, textCol, shingleSize).cache()
+    val sh = shingles(df, idCol, textCol, shingleSize)
+      .select(col("id"), xxhash64(col("shingle")).as("shingle")).cache()
     val sig = minhashSignatures(sh, numHashes)
     val cand = lshCandidates(sig, bands, numHashes / bands)
     exactJaccard(sh, cand).filter(col("jaccard") >= threshold)

@@ -16,6 +16,8 @@ object Sessions {
       // TESTDATA events.ts is parquet TIMESTAMP(NANOS); read as raw longs
       // (Tables.events converts to microsecond timestamps)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // native engine expressions (cosine_similarity) as SQL functions
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark

@@ -1,0 +1,19 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Engine extension point (`spark.sql.extensions=graft.plans.GraftExtensions`):
+  * registers the native expressions so they're first-class SQL functions —
+  * `SELECT cosine_similarity(a.embedding, b.embedding) FROM ...` plans the
+  * fused codegen'd loop, indistinguishable from a built-in.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("cosine_similarity"),
+      new ExpressionInfo(classOf[CosineSimilarityExpr].getName, "cosine_similarity"),
+      (children: Seq[Expression]) => CosineSimilarityExpr(children.head, children(1))))
+  }
+}

@@ -52,7 +52,7 @@ object EmbeddingQueries {
     val scored = emb.select(col("vec_id").as("nid"), col("embedding").as("cv"))
       .crossJoin(broadcast(qs))
       .filter(col("nid") =!= col("qid"))
-      .withColumn("c", VectorFunctions.cosineSimilarity(col("qv"), col("cv")))
+      .withColumn("c", graft.plans.CosineSimilarityExpr.cosine(col("qv"), col("cv")))
     val w = Window.partitionBy(col("qid")).orderBy(col("c").desc, col("nid"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
       .select(col("qid"), col("rank"), col("nid"), round(col("c"), 6).as("cos"))
@@ -101,7 +101,7 @@ object EmbeddingQueries {
     val scored = emb.select(col("label"), col("vec_id").as("nid"), col("embedding").as("cv"))
       .join(broadcast(probes), Seq("label"))
       .filter(col("nid") =!= col("pid"))
-      .withColumn("c", VectorFunctions.cosineSimilarity(col("pv"), col("cv")))
+      .withColumn("c", graft.plans.CosineSimilarityExpr.cosine(col("pv"), col("cv")))
     val w = Window.partitionBy(col("pid")).orderBy(col("c").desc, col("nid"))
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
       .select(col("pid").as("vec_id"), col("label"), col("nid").as("nn_id"),
@@ -121,7 +121,7 @@ object EmbeddingQueries {
     val scored = emb.select(col("sig"), col("vec_id").as("nid"), col("embedding").as("cv"))
       .join(broadcast(qs), Seq("sig"))
       .filter(col("nid") =!= col("qid"))
-      .withColumn("c", VectorFunctions.cosineSimilarity(col("qv"), col("cv")))
+      .withColumn("c", graft.plans.CosineSimilarityExpr.cosine(col("qv"), col("cv")))
     val w = Window.partitionBy(col("qid")).orderBy(col("c").desc, col("nid"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
       .select(col("qid"), col("rank"), col("nid"), round(col("c"), 6).as("cos"))

@@ -424,11 +424,104 @@ object CoreQueries {
         .as("prev_purchase_ts"))
   }
 
+  // ---------------------------------------------------------------- q25
+  /** Cube (full grouping-set lattice) with grouping-id disambiguation. */
+  val q25_cube = q("q25_cube",
+    s"""SELECT l_returnflag, l_linestatus, CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+       |  CAST(GROUPING(l_linestatus) AS INT) AS g_ls, ${dsum("l_quantity")} AS sum_qty, COUNT(*) AS n
+       |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .cube("l_returnflag", "l_linestatus")
+      .agg(grouping(col("l_returnflag")).cast("int").as("g_rf"),
+        grouping(col("l_linestatus")).cast("int").as("g_ls"),
+        Cols.decimalSum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+      .select("l_returnflag", "l_linestatus", "g_rf", "g_ls", "sum_qty", "n")
+  }
+
+  // ---------------------------------------------------------------- q26
+  /** Distinct aggregates: exact COUNT(DISTINCT) single and multi-column. */
+  val q26_distinct_agg = q("q26_distinct_agg",
+    """SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_cust,
+      |  COUNT(DISTINCT year(o_orderdate)) AS n_years,
+      |  COUNT(*) AS n
+      |FROM orders GROUP BY o_orderstatus""".stripMargin) { (s, dir) =>
+    Tables.orders(s, dir)
+      .groupBy("o_orderstatus")
+      .agg(countDistinct(col("o_custkey")).as("n_cust"),
+        countDistinct(year(col("o_orderdate"))).as("n_years"),
+        count(lit(1)).as("n"))
+  }
+
+  // ---------------------------------------------------------------- q27
+  /** Window-function breadth: dense_rank, ntile, lead, first/last over an
+    * explicit frame — all on a TOTAL order (o_orderkey) so tie handling
+    * cannot diverge between engines.
+    */
+  val q27_window_extras = q("q27_window_extras",
+    """SELECT o_orderkey,
+      |  CAST(DENSE_RANK() OVER w AS INT) AS drnk,
+      |  CAST(NTILE(4) OVER w AS INT) AS quartile,
+      |  LEAD(o_totalprice, 2) OVER w AS lead2,
+      |  CAST(FIRST_VALUE(o_totalprice) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS first3
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_orderkey)""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy(col("o_orderstatus")).orderBy(col("o_orderkey"))
+    val framed = w.rowsBetween(-2, Window.currentRow)
+    Tables.orders(s, dir).select(
+      col("o_orderkey"),
+      dense_rank().over(w).as("drnk"),
+      ntile(4).over(w).as("quartile"),
+      lead(col("o_totalprice"), 2).over(w).as("lead2"),
+      first(col("o_totalprice")).over(framed).cast("double").as("first3"))
+  }
+
+  // ---------------------------------------------------------------- q28
+  /** Scalar string + date function breadth (F8/F9/F11): case, substring,
+    * regex replace, concat, length / date parts, truncation, day arithmetic.
+    */
+  val q28_scalar_funcs = q("q28_scalar_funcs",
+    """SELECT p_partkey,
+      |  upper(p_brand) AS brand_u,
+      |  substr(p_name, 1, 8) AS name8,
+      |  regexp_replace(p_type, '[aeiou]', '_', 'g') AS type_novowel,
+      |  p_brand || '/' || p_type AS brand_type,
+      |  CAST(length(p_name) AS INT) AS name_len
+      |FROM part""".stripMargin) { (s, dir) =>
+    Tables.part(s, dir).select(
+      col("p_partkey"),
+      upper(col("p_brand")).as("brand_u"),
+      substring(col("p_name"), 1, 8).as("name8"),
+      regexp_replace(col("p_type"), "[aeiou]", "_").as("type_novowel"),
+      concat(col("p_brand"), lit("/"), col("p_type")).as("brand_type"),
+      length(col("p_name")).as("name_len"))
+  }
+
+  // ---------------------------------------------------------------- q29
+  /** Date/time functions (F11): parts, truncation, day arithmetic, diffs. */
+  val q29_date_funcs = q("q29_date_funcs",
+    """SELECT o_orderkey,
+      |  year(o_orderdate) AS yr, quarter(o_orderdate) AS qtr,
+      |  month(o_orderdate) AS mth, dayofmonth(o_orderdate) AS dom,
+      |  date_trunc('month', o_orderdate) AS month_start,
+      |  o_orderdate + INTERVAL 90 DAY AS due_date,
+      |  CAST(date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS BIGINT) AS days_since_95
+      |FROM orders""".stripMargin) { (s, dir) =>
+    Tables.orders(s, dir).select(
+      col("o_orderkey"),
+      year(col("o_orderdate")).as("yr"), quarter(col("o_orderdate")).as("qtr"),
+      month(col("o_orderdate")).as("mth"), dayofmonth(col("o_orderdate")).as("dom"),
+      date_trunc("month", col("o_orderdate")).as("month_start"),
+      (col("o_orderdate") + expr("INTERVAL 90 DAY")).as("due_date"),
+      datediff(to_date(col("o_orderdate")), to_date(lit("1995-01-01")))
+        .cast("long").as("days_since_95"))
+  }
+
   val all: Seq[GraftQuery] = Seq(
     q01_pricing_summary, q02_filter_project, q03_left_join_2key, q04_join_chain_agg,
     q05_anti_join, q06_semi_join, q07_fuzzy_top1, q08_pivot_mean,
     q09_dedup_keep_first, q10_surrogate_key, q11_interpolate, q12_qcut_buckets,
     q13_topk_freq, q14_rollup, q15_set_ops, q16_dim_date, q17_static_bins,
     q18_conditional_rewrite, q19_profile, q20_iqr_outliers, q21_window_rank,
-    q22_json_extract, q23_range_join, q24_asof_prev_purchase)
+    q22_json_extract, q23_range_join, q24_asof_prev_purchase, q25_cube,
+    q26_distinct_agg, q27_window_extras, q28_scalar_funcs, q29_date_funcs)
 }

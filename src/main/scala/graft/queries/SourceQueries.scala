@@ -110,7 +110,33 @@ object SourceQueries {
       Multimodal.toAssets(Tables.documents(s, dir), "doc_id", "text"), framesPer = 4)
   }
 
+  // ---------------------------------------------------------------- src06
+  /** DataSource V2 paged REST source (S5 scale path): pages fetched
+    * executor-side, one InputPartition per page range; the oracle
+    * regenerates the deterministic fake-fetcher records arithmetically.
+    */
+  val src06_restv2_scan = q("src06_restv2_scan", Some(
+    s"""WITH r AS (
+       |  SELECT 'C' || CAST(i % 5 AS VARCHAR) AS country_code,
+       |         'IND' || CAST(i % 3 AS VARCHAR) AS indicator,
+       |         CAST(2000 + i % 10 AS INT) AS year,
+       |         CASE WHEN i % 7 = 0 THEN NULL
+       |              ELSE CAST(i * 31 % 997 AS DOUBLE) / 10.0 END AS value
+       |  FROM generate_series(0, 999) t(i))
+       |SELECT country_code, indicator, COUNT(*) AS n,
+       |  CAST(COUNT(value) AS BIGINT) AS n_vals,
+       |  ${dsum("value")} AS sum_value
+       |FROM r GROUP BY 1, 2""".stripMargin)) { (s, dir) =>
+    s.read.format("graft-rest")
+      .option("pages", 40) // 40 pages x 25 records
+      .option("pagesPerPartition", 8)
+      .load()
+      .groupBy("country_code", "indicator")
+      .agg(count(lit(1)).as("n"), count(col("value")).as("n_vals"),
+        Cols.decimalSum(col("value")).as("sum_value"))
+  }
+
   val all: Seq[GraftQuery] = Seq(
     src01_csv_roundtrip, src02_rest_paged, src03_partitioned_sink,
-    src04_multimodal_meta, src05_frame_sample)
+    src04_multimodal_meta, src05_frame_sample, src06_restv2_scan)
 }

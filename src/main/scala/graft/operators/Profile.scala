@@ -52,6 +52,47 @@ object Profile {
     wide.select(explode(structs).as("p")).select("p.*")
   }
 
+  /** Numeric `describe()` (reference `raw_analysis/main.py:60-83`): one row
+    * per column with count/mean/min/max/variance, all in ONE aggregation
+    * pass. Mean and variance derive from exact DECIMAL sums (Σx, Σx²) cast
+    * to double only for the final arithmetic, so any engine replaying the
+    * same formula lands on the identical IEEE result regardless of row
+    * order.
+    */
+  def numericSummary(df: DataFrame, cols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val aggs: Seq[Column] = cols.flatMap { c =>
+      val v = col(c).cast("double")
+      Seq(
+        count(v).as(s"${c}__n"),
+        sum(v.cast(DecimalType(38, 6))).cast(DoubleType).as(s"${c}__s"),
+        // square in DOUBLE per row (order-independent), then exact-sum the
+        // decimal image — decimal×decimal would overflow one engine or the
+        // other's precision rules
+        sum((v * v).cast(DecimalType(38, 6))).cast(DoubleType).as(s"${c}__s2"),
+        min(v).as(s"${c}__min"),
+        max(v).as(s"${c}__max"))
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val structs = array(cols.map { c =>
+      val n = col(s"${c}__n").cast("double")
+      val s = col(s"${c}__s")
+      val s2 = col(s"${c}__s2")
+      struct(
+        lit(c).as("col_name"),
+        col(s"${c}__n").cast("long").as("n"),
+        round(s / n, 6).as("mean"),
+        col(s"${c}__min").as("min"),
+        col(s"${c}__max").as("max"),
+        // stddev, not variance: sqrt compresses the decimal→double
+        // conversion ulp far below the 6-dp rounding grain, so both engines
+        // round to the same value at any magnitude
+        round(when(n > 1,
+          sqrt(greatest((s2 - s * s / n) / (n - lit(1.0)), lit(0.0)))), 6).as("stddev"))
+    }: _*)
+    wide.select(explode(structs).as("p")).select("p.*")
+  }
+
   /** Top-k most frequent values of a column (reference
     * `value_counts().head(10)`), deterministic tie-break on the value.
     */

@@ -516,7 +516,30 @@ object CoreQueries {
         .cast("long").as("days_since_95"))
   }
 
+  // ---------------------------------------------------------------- q30
+  /** Numeric describe (A5): one-pass count/mean/min/max/variance per column,
+    * decimal-routed so both engines compute the identical final doubles.
+    */
+  val q30_numeric_describe = q("q30_numeric_describe", {
+    def block(c: String) =
+      s"""SELECT '$c' AS col_name, COUNT($c) AS n,
+         |  ROUND(CAST(SUM(CAST($c AS DECIMAL(38,6))) AS DOUBLE) / CAST(COUNT($c) AS DOUBLE), 6) AS mean,
+         |  MIN($c) AS min, MAX($c) AS max,
+         |  ROUND(CASE WHEN COUNT($c) > 1 THEN
+         |    sqrt(greatest(
+         |      (CAST(SUM(CAST($c * $c AS DECIMAL(38,6))) AS DOUBLE)
+         |       - CAST(SUM(CAST($c AS DECIMAL(38,6))) AS DOUBLE)
+         |         * CAST(SUM(CAST($c AS DECIMAL(38,6))) AS DOUBLE) / CAST(COUNT($c) AS DOUBLE))
+         |      / (CAST(COUNT($c) AS DOUBLE) - 1.0), 0.0)) END, 6) AS stddev
+         |FROM (SELECT CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+         |             CAST(o_custkey AS DOUBLE) AS o_custkey FROM orders)""".stripMargin
+    Seq("o_totalprice", "o_custkey").map(block).mkString("\nUNION ALL\n")
+  }) { (s, dir) =>
+    Profile.numericSummary(Tables.orders(s, dir), Seq("o_totalprice", "o_custkey"))
+  }
+
   val all: Seq[GraftQuery] = Seq(
+    q30_numeric_describe,
     q01_pricing_summary, q02_filter_project, q03_left_join_2key, q04_join_chain_agg,
     q05_anti_join, q06_semi_join, q07_fuzzy_top1, q08_pivot_mean,
     q09_dedup_keep_first, q10_surrogate_key, q11_interpolate, q12_qcut_buckets,

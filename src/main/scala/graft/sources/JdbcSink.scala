@@ -62,6 +62,16 @@ object JdbcSink {
       try st.execute(sql) finally st.close()
     }
 
+  /** Parameterized SQL read pushed down to the database (reference
+    * `execute_query`, `resources.py:50-56`): the query runs remotely, Spark
+    * scans only its result set.
+    */
+  def readQuery(spark: org.apache.spark.sql.SparkSession, cfg: JdbcConfig,
+                sql: String, numPartitions: Int = 1): DataFrame =
+    spark.read
+      .option("numPartitions", numPartitions)
+      .jdbc(cfg.url, s"($sql) AS q", cfg.props)
+
   /** INFORMATION_SCHEMA existence probe (reference `table_exists`,
     * `resources.py:80-87`).
     */

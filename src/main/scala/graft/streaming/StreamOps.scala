@@ -1,8 +1,16 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types.StructType
+
+/** Typed event row for the stateful APIs. */
+final case class EventRow(ts: java.sql.Timestamp, user_id: Long,
+                          event_type: String, value: Double)
+
+/** Running per-user aggregate carried in the state store. */
+final case class UserAgg(user_id: Long, n_events: Long, total_value: Double)
 
 /** Structured Streaming surface over the `events` shape (extension per
   * SURVEY §2.9 — the reference is strictly batch, so these are engine
@@ -69,4 +77,28 @@ object StreamOps {
     events
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("user_id", "event_type")
+
+  /** Custom state machine via `flatMapGroupsWithState` (the escape hatch for
+    * semantics windowed aggregates can't express): a running per-user
+    * count/total that survives across micro-batches in the state store and
+    * emits an updated row whenever the user appears in a batch. State is
+    * partitioned by key across executors; at scale, pair with a timeout
+    * (`GroupStateTimeout.EventTimeTimeout` + `state.setTimeoutTimestamp`) so
+    * idle keys are evicted instead of accumulating forever.
+    */
+  def runningUserAgg(events: Dataset[EventRow]): Dataset[UserAgg] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (uid: Long, rows: Iterator[EventRow], state: GroupState[UserAgg]) => {
+          val prev = state.getOption.getOrElse(UserAgg(uid, 0L, 0.0))
+          var n = prev.n_events
+          var total = prev.total_value
+          rows.foreach { r => n += 1; total += r.value }
+          val next = UserAgg(uid, n, total)
+          state.update(next)
+          Iterator.single(next)
+        })
+  }
 }

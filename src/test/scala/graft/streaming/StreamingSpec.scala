@@ -63,6 +63,31 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSet == Set((1L, "click"), (1L, "view"), (2L, "click")))
   }
 
+  test("flatMapGroupsWithState carries running per-user state across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventRow]
+    val query = StreamOps.runningUserAgg(mem.toDS()).writeStream
+      .format("memory").queryName("state_out").outputMode("update").start()
+    // two separate micro-batches (processed in between): state must
+    // accumulate across them
+    mem.addData(events.take(3).map(e => EventRow(e.ts, e.user_id, e.event_type, e.value)))
+    query.processAllAvailable()
+    mem.addData(events.drop(3).map(e => EventRow(e.ts, e.user_id, e.event_type, e.value)))
+    query.processAllAvailable()
+    query.stop()
+
+    // the LAST emitted update per user must equal the batch-mode totals
+    val emitted = spark.table("state_out").as[(Long, Long, Double)].collect()
+    val finalPerUser = emitted.zipWithIndex
+      .groupBy(_._1._1).map { case (u, rows) => u -> rows.maxBy(_._2)._1 }
+    val expected = events.groupBy(_.user_id).map { case (u, es) =>
+      u -> ((u, es.size.toLong, es.map(_.value).sum))
+    }
+    assert(finalPerUser == expected)
+    // multiple updates for a user seen in both batches proves cross-batch state
+    assert(emitted.count(_._1 == 1L) >= 2)
+  }
+
   test("streaming session windows equal batch session_window result") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]

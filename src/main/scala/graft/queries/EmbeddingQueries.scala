@@ -127,6 +127,30 @@ object EmbeddingQueries {
       .select(col("qid"), col("rank"), col("nid"), round(col("c"), 6).as("cos"))
   }
 
+  // ---------------------------------------------------------------- e05
+  /** Embedding-cosine near-duplicate PAIRS (the dedup-by-embedding operator):
+    * all same-label pairs above a similarity threshold. Label blocking keeps
+    * the pair space O(n²/k); at corpus scale the label comes from an IVF
+    * coarse quantizer (e02's centroids) or LSH signature (e04) instead of a
+    * given column.
+    */
+  val e05_cosine_neardup = q("e05_cosine_neardup", Some(
+    s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |  ROUND(${cosSql("a.embedding", "b.embedding")}, 6) AS cos
+       |FROM embeddings a JOIN embeddings b
+       |  ON a.label = b.label AND a.vec_id < b.vec_id
+       |WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.42""".stripMargin)) { (s, dir) =>
+    val emb = Tables.embeddings(s, dir)
+    val a = emb.select(col("label"), col("vec_id").as("id_a"), col("embedding").as("ea"))
+    val b = emb.select(col("label"), col("vec_id").as("id_b"), col("embedding").as("eb"))
+    a.join(b, Seq("label"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("c", graft.plans.CosineSimilarityExpr.cosine(col("ea"), col("eb")))
+      .filter(col("c") >= 0.42)
+      .select(col("id_a"), col("id_b"), round(col("c"), 6).as("cos"))
+  }
+
   val all: Seq[GraftQuery] = Seq(
-    e01_knn_bruteforce, e02_centroids, e03_label_block_nn, e04_lsh_ann)
+    e01_knn_bruteforce, e02_centroids, e03_label_block_nn, e04_lsh_ann,
+    e05_cosine_neardup)
 }

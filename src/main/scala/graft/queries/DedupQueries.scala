@@ -65,7 +65,10 @@ object DedupQueries {
     s"""WITH $shingleSql
        |SELECT id_a, id_b, ROUND(jaccard, 6) AS jaccard
        |FROM j WHERE jaccard >= 0.5""".stripMargin)) { (s, dir) =>
+    // join on 8-byte shingle hashes, not n-gram text (counts identical up to
+    // 64-bit collisions, ~1e-11 at corpus scale) — same trick as d03
     val sh = NearDup.shingles(Tables.documents(s, dir), "doc_id", "text", 3)
+      .select(col("id"), xxhash64(col("shingle")).as("shingle"))
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
     val a = sh.select(col("id").as("id_a"), col("shingle"))
     val b = sh.select(col("id").as("id_b"), col("shingle"))

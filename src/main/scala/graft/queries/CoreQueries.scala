@@ -538,8 +538,82 @@ object CoreQueries {
     Profile.numericSummary(Tables.orders(s, dir), Seq("o_totalprice", "o_custkey"))
   }
 
+  // ---------------------------------------------------------------- q31
+  /** TPC-H-Q3-shape shipping priority: selective filters on both sides of a
+    * fact-fact join, grouped revenue, deterministic top-10. Filters push to
+    * both scans; the orders side shrinks enough for AQE to broadcast it.
+    */
+  val q31_ship_priority = q("q31_ship_priority",
+    s"""SELECT l_orderkey, ${dsum("l_extendedprice*(1-l_discount)")} AS revenue,
+       |  o_orderdate
+       |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+       |WHERE o_orderdate < TIMESTAMP '1996-06-01 00:00:00'
+       |  AND l_shipdate > TIMESTAMP '1996-06-01 00:00:00'
+       |GROUP BY l_orderkey, o_orderdate
+       |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin) { (s, dir) =>
+    val cutoff = to_timestamp(lit("1996-06-01 00:00:00"))
+    Tables.orders(s, dir).filter(col("o_orderdate") < cutoff)
+      .join(Tables.lineitem(s, dir).filter(col("l_shipdate") > cutoff),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_orderkey", "o_orderdate")
+      .agg(Cols.decimalSum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .as("revenue"))
+      .select("l_orderkey", "revenue", "o_orderdate")
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  // ---------------------------------------------------------------- q32
+  /** TPC-H-Q5-shape regional volume: fact x fact x three broadcast dims,
+    * customer and supplier constrained to the same nation.
+    */
+  val q32_regional_volume = q("q32_regional_volume",
+    s"""SELECT n_name, ${dsum("l_extendedprice*(1-l_discount)")} AS revenue
+       |FROM customer
+       |JOIN orders ON c_custkey = o_custkey
+       |JOIN lineitem ON l_orderkey = o_orderkey
+       |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |GROUP BY n_name""".stripMargin) { (s, dir) =>
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"))
+      .join(Tables.lineitem(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.supplier(s, dir),
+        col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(Cols.decimalSum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .as("revenue"))
+  }
+
+  // ---------------------------------------------------------------- q33
+  /** TPC-H-Q17-shape correlated aggregate: lineitems under 20% of their
+    * part's average quantity — the correlated subquery decorrelates to an
+    * aggregate-then-join, the plan Spark and any modern optimizer converge
+    * on.
+    */
+  val q33_small_quantity = q("q33_small_quantity",
+    s"""WITH pa AS (
+       |  SELECT l_partkey AS pk,
+       |         0.2 * (${dsum("l_quantity")} / COUNT(*)) AS qty_thresh
+       |  FROM lineitem GROUP BY l_partkey)
+       |SELECT l_partkey, COUNT(*) AS n_small, ${dsum("l_extendedprice")} AS total_price
+       |FROM lineitem JOIN pa ON l_partkey = pk
+       |WHERE l_quantity < qty_thresh
+       |GROUP BY l_partkey""".stripMargin) { (s, dir) =>
+    val li = Tables.lineitem(s, dir)
+    val pa = li.groupBy(col("l_partkey").as("pk"))
+      .agg((lit(0.2) * (Cols.decimalSum(col("l_quantity")) / count(lit(1))))
+        .as("qty_thresh"))
+    li.join(pa, col("l_partkey") === col("pk"))
+      .filter(col("l_quantity") < col("qty_thresh"))
+      .groupBy("l_partkey")
+      .agg(count(lit(1)).as("n_small"),
+        Cols.decimalSum(col("l_extendedprice")).as("total_price"))
+  }
+
   val all: Seq[GraftQuery] = Seq(
-    q30_numeric_describe,
+    q30_numeric_describe, q31_ship_priority, q32_regional_volume, q33_small_quantity,
     q01_pricing_summary, q02_filter_project, q03_left_join_2key, q04_join_chain_agg,
     q05_anti_join, q06_semi_join, q07_fuzzy_top1, q08_pivot_mean,
     q09_dedup_keep_first, q10_surrogate_key, q11_interpolate, q12_qcut_buckets,

@@ -88,6 +88,37 @@ class StreamingSpec extends SparkSpec {
     assert(emitted.count(_._1 == 1L) >= 2)
   }
 
+  test("file-based stream: parquet dir -> windowed agg -> parquet sink") {
+    val base = "/root/repo/target/qtmp/stream_e2e"
+    val inDir = s"$base/in"; val outDir = s"$base/out"; val ckpt = s"$base/ckpt"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    val df = events.toDF()
+    df.write.mode("overwrite").parquet(inDir)
+
+    val stream = StreamOps.readEventStream(spark, inDir, df.schema,
+      maxFilesPerTrigger = 2)
+    val agg = StreamOps.tumblingAgg(stream, "ts", "1 hour", "10 minutes")
+    val query = agg.writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    query.processAllAvailable()
+    query.stop()
+
+    // append mode only emits windows the watermark has passed; the final
+    // (open) window is withheld -> compare against the batch result minus
+    // the max window
+    val batch = df.groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("ws"), col("event_type"), col("n"))
+    val maxWs = batch.agg(max("ws")).collect().head.getTimestamp(0)
+    val expected = batch.filter(col("ws") < lit(maxWs))
+      .as[(Timestamp, String, Long)].collect().toSet
+    val got = spark.read.parquet(outDir)
+      .select(col("window_start"), col("event_type"), col("n"))
+      .as[(Timestamp, String, Long)].collect().toSet
+    assert(got == expected)
+  }
+
   test("streaming session windows equal batch session_window result") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]

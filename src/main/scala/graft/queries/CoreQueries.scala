@@ -612,8 +612,36 @@ object CoreQueries {
         Cols.decimalSum(col("l_extendedprice")).as("total_price"))
   }
 
+  // ---------------------------------------------------------------- q34
+  /** Approximate statistics (the 100 TB profiling path): HyperLogLog
+    * distinct counts and t-digest-style quantiles. Approximation is
+    * engine-specific by nature → rows-only check; the exact twins are
+    * oracle-checked in q26/q30.
+    */
+  val q34_approx_stats = GraftQuery("q34_approx_stats", (s, dir) =>
+    Tables.orders(s, dir).agg(
+      approx_count_distinct(col("o_custkey")).as("approx_custs"),
+      approx_count_distinct(col("o_orderkey")).as("approx_orders"),
+      percentile_approx(col("o_totalprice"), lit(0.5), lit(1000)).as("approx_median"),
+      percentile_approx(col("o_totalprice"), lit(0.99), lit(1000)).as("approx_p99")),
+    oracle = None)
+
+  // ---------------------------------------------------------------- q35
+  /** Schema-first JSON parse (S5/F10): `from_json` with an explicit schema +
+    * struct field access — the typed twin of q22's path extraction.
+    */
+  val q35_from_json = q("q35_from_json",
+    """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k,
+      |  CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_mod
+      |FROM events""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .withColumn("j", from_json(col("props"), lit("k INT")))
+      .select(col("event_id"), col("j.k").as("k"), (col("j.k") % 10).as("k_mod"))
+  }
+
   val all: Seq[GraftQuery] = Seq(
     q30_numeric_describe, q31_ship_priority, q32_regional_volume, q33_small_quantity,
+    q34_approx_stats, q35_from_json,
     q01_pricing_summary, q02_filter_project, q03_left_join_2key, q04_join_chain_agg,
     q05_anti_join, q06_semi_join, q07_fuzzy_top1, q08_pivot_mean,
     q09_dedup_keep_first, q10_surrogate_key, q11_interpolate, q12_qcut_buckets,

@@ -1,0 +1,59 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** Plan-quality regression guards: the properties that make these queries
+  * scale (filters reaching the parquet scan, pruned read schemas, broadcast
+  * dimension joins) are asserted against the physical plan so a refactor
+  * that silently loses them fails CI, not the 100 TB run.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(q: GraftQuery): String =
+    q.fn(spark, dir).queryExecution.executedPlan.toString
+
+  test("q01: ship-date filter is pushed into the parquet scan") {
+    val p = plan(CoreQueries.q01_pricing_summary)
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p)
+  }
+
+  test("q01: scan reads only the referenced columns") {
+    val p = plan(CoreQueries.q01_pricing_summary)
+    val read = "ReadSchema: [^\n]+".r.findFirstIn(p).get
+    assert(!read.contains("l_orderkey") && !read.contains("l_partkey"), read)
+  }
+
+  test("q02: both predicates pushed") {
+    val p = plan(CoreQueries.q02_filter_project)
+    // (toString truncates long PushedFilters lists, hence the loose match)
+    assert(p.contains("EqualTo(o_orderstatus,O)"), p)
+    assert(p.contains("GreaterThan(o_total"), p)
+  }
+
+  test("q04: snowflake dims join as broadcast hash joins, no sort-merge") {
+    val p = plan(CoreQueries.q04_join_chain_agg)
+    assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) == 2, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("e01: query side is broadcast; candidate scan prunes to id+embedding") {
+    val p = plan(EmbeddingQueries.e01_knn_bruteforce)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    val reads = "ReadSchema: [^\n]+".r.findAllIn(p).toList
+    assert(reads.forall(r => !r.contains("label")), reads.mkString("\n"))
+  }
+
+  test("s01: events scan prunes to ts/event_type/value") {
+    val p = plan(StreamQueries.s01_tumbling_agg)
+    val read = "ReadSchema: [^\n]+".r.findFirstIn(p).get
+    assert(!read.contains("props") && !read.contains("user_id"), read)
+  }
+
+  test("aggregates are partial (map-side combine) for q01") {
+    val p = plan(CoreQueries.q01_pricing_summary)
+    // two HashAggregate nodes (partial + final) around the exchange
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2, p)
+  }
+}

@@ -1,0 +1,93 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.plans.CosineSimilarityExpr
+
+/** IVF (inverted-file) approximate nearest-neighbour index — the scale path
+  * for embedding similarity search (brute force is O(n) per query; IVF probes
+  * `nprobe`/`k` of the corpus).
+  *
+  * Pipeline: [[codebook]] learns k centroids with Lloyd iterations (hash
+  * seeding → assign → per-dimension mean), [[assign]] gives every vector its
+  * nearest cell, [[searchTopK]] routes each query to its `nprobe` closest
+  * cells and scores only those cells' members.
+  *
+  * Scale shape: the codebook is k·dim doubles — always broadcast; assignment
+  * is a map-side argmin over the broadcast codebook (no shuffle); search
+  * shuffles only the probed cells' candidates. Distances against the
+  * (driver-collected, literal) centroids fold in deterministic order, so
+  * assignments are reproducible run-to-run.
+  */
+object IvfAnn {
+
+  /** Squared L2 distance between a vector column and a literal centroid. */
+  private def l2sqToLit(vec: Column, centroid: Seq[Double]): Column =
+    aggregate(
+      zip_with(vec, typedLit(centroid), (x, c) => {
+        val d = x.cast("double") - c; d * d
+      }),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** (cell, dist) pairs to every centroid, as one array column. */
+  private def cellDistances(vec: Column, centroids: Seq[(Int, Seq[Double])]): Column =
+    array(centroids.map { case (cell, c) =>
+      struct(l2sqToLit(vec, c).as("dist"), lit(cell).as("cell"))
+    }: _*)
+
+  /** Nearest cell id for a vector (argmin by distance, ties → lowest cell). */
+  private def nearestCell(vec: Column, centroids: Seq[(Int, Seq[Double])]): Column =
+    array_min(cellDistances(vec, centroids)).getField("cell")
+
+  /** Learn a k-cell codebook: deterministic hash seeding, then `iterations`
+    * Lloyd steps (assign to nearest centroid, recompute per-dimension means).
+    * Returns the collected codebook — k·dim values, driver-small by design.
+    */
+  def codebook(emb: DataFrame, idCol: String, vecCol: String, k: Int,
+               iterations: Int = 2): Seq[(Int, Seq[Double])] = {
+    def means(assigned: DataFrame): Seq[(Int, Seq[Double])] =
+      assigned
+        .select(col("__cell"), posexplode(col(vecCol)).as(Seq("dim", "x")))
+        .groupBy("__cell", "dim").agg(avg(col("x").cast("double")).as("m"))
+        .groupBy("__cell").agg(map_from_arrays(
+          collect_list(col("dim")), collect_list(col("m"))).as("byDim"))
+        .collect()
+        .map { r =>
+          val m = r.getMap[Int, Double](1)
+          r.getInt(0) -> (0 until m.size).map(m).toSeq
+        }.toSeq.sortBy(_._1)
+
+    var cb = means(emb.withColumn("__cell",
+      pmod(xxhash64(col(idCol)), lit(k)).cast("int")))
+    for (_ <- 0 until iterations)
+      cb = means(emb.withColumn("__cell", nearestCell(col(vecCol), cb)))
+    cb
+  }
+
+  /** Map-side cell assignment against the broadcast (literal) codebook. */
+  def assign(emb: DataFrame, vecCol: String,
+             cb: Seq[(Int, Seq[Double])]): DataFrame =
+    emb.withColumn("cell", nearestCell(col(vecCol), cb))
+
+  /** ANN top-k: probe the `nprobe` nearest cells per query, score only their
+    * members with the native cosine expression, keep the best `topK`.
+    */
+  def searchTopK(emb: DataFrame, queries: DataFrame, idCol: String,
+                 vecCol: String, cb: Seq[(Int, Seq[Double])],
+                 nprobe: Int, topK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = assign(emb, vecCol, cb)
+      .select(col(idCol).as("nid"), col(vecCol).as("cv"), col("cell"))
+    // nprobe nearest cells per query: sort the (dist, cell) array, slice
+    val probes = queries
+      .select(col(idCol).as("qid"), col(vecCol).as("qv"),
+        slice(array_sort(cellDistances(col(vecCol), cb)), 1, nprobe).as("pc"))
+      .select(col("qid"), col("qv"), explode(col("pc").getField("cell")).as("cell"))
+    val scored = cells.join(broadcast(probes), Seq("cell"))
+      .filter(col("nid") =!= col("qid"))
+      .withColumn("cos", CosineSimilarityExpr.cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= topK)
+      .select("qid", "rank", "nid", "cos")
+  }
+}

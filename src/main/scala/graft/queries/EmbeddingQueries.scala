@@ -150,7 +150,20 @@ object EmbeddingQueries {
       .select(col("id_a"), col("id_b"), round(col("c"), 6).as("cos"))
   }
 
+  // ---------------------------------------------------------------- e06
+  /** IVF ANN (the indexed scale path): learn an 8-cell codebook, route each
+    * of 8 queries to its 3 nearest cells, score only those cells' members.
+    * Approximate by construction → rows-only check; recall vs brute force is
+    * asserted in IvfAnnSpec.
+    */
+  val e06_ivf_ann = q("e06_ivf_ann", None) { (s, dir) =>
+    val emb = Tables.embeddings(s, dir)
+    val cb = graft.ext.IvfAnn.codebook(emb, "vec_id", "embedding", k = 8, iterations = 1)
+    graft.ext.IvfAnn.searchTopK(emb, emb.filter(col("vec_id") < 8),
+      "vec_id", "embedding", cb, nprobe = 3, topK = 5)
+  }
+
   val all: Seq[GraftQuery] = Seq(
     e01_knn_bruteforce, e02_centroids, e03_label_block_nn, e04_lsh_ann,
-    e05_cosine_neardup)
+    e05_cosine_neardup, e06_ivf_ann)
 }

@@ -18,12 +18,16 @@ object Bench {
     if (warmup) {
       SparkEntry.queries.foreach { case (_, fn) =>
         try { fn(spark, sfDir).count() } catch { case _: Throwable => }
+        spark.catalog.clearCache() // queries cache intermediates; don't let
+                                   // storage pressure bleed across queries
       }
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -639,9 +639,30 @@ object CoreQueries {
       .select(col("event_id"), col("j.k").as("k"), (col("j.k") % 10).as("k_mod"))
   }
 
+  // ---------------------------------------------------------------- q36
+  /** Array aggregation (F13 beyond embeddings): per-group sorted value
+    * lists and set sizes — collect_list is unordered by contract, so the
+    * deterministic surface is sort_array(collect_list(...)); the list is
+    * emitted stringified because array-typed result columns don't survive
+    * row-sorting comparison harnesses.
+    */
+  val q36_array_agg = q("q36_array_agg",
+    """SELECT c_nationkey,
+      |  array_to_string(list_sort(list(c_mktsegment)), ',') AS segs,
+      |  CAST(len(list_distinct(list(c_mktsegment))) AS INT) AS n_seg,
+      |  list_sort(list(c_custkey))[1] AS min_cust
+      |FROM customer GROUP BY c_nationkey""".stripMargin) { (s, dir) =>
+    Tables.customer(s, dir)
+      .groupBy("c_nationkey")
+      .agg(
+        concat_ws(",", sort_array(collect_list(col("c_mktsegment")))).as("segs"),
+        size(collect_set(col("c_mktsegment"))).as("n_seg"),
+        array_min(collect_list(col("c_custkey"))).as("min_cust"))
+  }
+
   val all: Seq[GraftQuery] = Seq(
     q30_numeric_describe, q31_ship_priority, q32_regional_volume, q33_small_quantity,
-    q34_approx_stats, q35_from_json,
+    q34_approx_stats, q35_from_json, q36_array_agg,
     q01_pricing_summary, q02_filter_project, q03_left_join_2key, q04_join_chain_agg,
     q05_anti_join, q06_semi_join, q07_fuzzy_top1, q08_pivot_mean,
     q09_dedup_keep_first, q10_surrogate_key, q11_interpolate, q12_qcut_buckets,

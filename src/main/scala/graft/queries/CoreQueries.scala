@@ -660,9 +660,49 @@ object CoreQueries {
         array_min(collect_list(col("c_custkey"))).as("min_cust"))
   }
 
+  // ---------------------------------------------------------------- q37
+  /** TPC-H-Q13-shape customer order distribution: LEFT join so zero-order
+    * customers count, then a second aggregation over the first — two shuffle
+    * stages, the canonical histogram-of-aggregates plan.
+    */
+  val q37_order_distribution = q("q37_order_distribution",
+    """WITH c_orders AS (
+      |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |  GROUP BY c_custkey)
+      |SELECT c_count, COUNT(*) AS custdist
+      |FROM c_orders GROUP BY c_count""".stripMargin) { (s, dir) =>
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+  }
+
+  // ---------------------------------------------------------------- q38
+  /** TPC-H-Q2-shape correlated minimum: suppliers whose account balance is
+    * the minimum within their nation — the correlated subquery decorrelates
+    * to a grouped-min broadcast-joined back (same plan Catalyst derives for
+    * the subquery form).
+    */
+  val q38_min_per_group_filter = q("q38_min_per_group_filter",
+    """SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+      |FROM supplier s
+      |WHERE s_acctbal = (SELECT MIN(s2.s_acctbal) FROM supplier s2
+      |                   WHERE s2.s_nationkey = s.s_nationkey)""".stripMargin) { (s, dir) =>
+    val sup = Tables.supplier(s, dir)
+    val mins = sup.groupBy(col("s_nationkey").as("nk"))
+      .agg(min(col("s_acctbal")).as("min_bal"))
+    sup.join(broadcast(mins),
+        col("s_nationkey") === col("nk") && col("s_acctbal") === col("min_bal"))
+      .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     q30_numeric_describe, q31_ship_priority, q32_regional_volume, q33_small_quantity,
-    q34_approx_stats, q35_from_json, q36_array_agg,
+    q34_approx_stats, q35_from_json, q36_array_agg, q37_order_distribution,
+    q38_min_per_group_filter,
     q01_pricing_summary, q02_filter_project, q03_left_join_2key, q04_join_chain_agg,
     q05_anti_join, q06_semi_join, q07_fuzzy_top1, q08_pivot_mean,
     q09_dedup_keep_first, q10_surrogate_key, q11_interpolate, q12_qcut_buckets,

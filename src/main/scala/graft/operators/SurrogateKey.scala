@@ -32,7 +32,7 @@ object SurrogateKey {
   def scalable(df: DataFrame, order: Seq[Column], idCol: String = "Id"): DataFrame = {
     val sorted = df.orderBy(order: _*)
     val schema = sorted.schema
-    val rdd = sorted.rdd.zipWithIndex.map { case (row, idx) =>
+    val rdd = sorted.rdd.zipWithIndex().map { case (row, idx) =>
       org.apache.spark.sql.Row.fromSeq(row.toSeq :+ (idx + 1L))
     }
     val spark = df.sparkSession

@@ -10,7 +10,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
 import java.util.{Map => JMap}
-import scala.collection.JavaConverters._
+import scala.jdk.CollectionConverters._
 
 /** One fetched record in the World-Bank-style long shape the reference's
   * REST extractor flattens to (`ops/extract.py:285-294`).

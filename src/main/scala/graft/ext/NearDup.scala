@@ -105,17 +105,26 @@ object NearDup {
 
   /** End-to-end MinHash+LSH near-duplicate pairs with exact verification.
     *
-    * The cached relation is the HASHED shingle set `(id, xxhash64(shingle))`
+    * The shared relation is the HASHED shingle set `(id, xxhash64(shingle))`
     * — signatures and the verification join both consume it, so shingle
     * strings are hashed once and never shuffled (8 bytes/shingle instead of
     * the text n-gram). Jaccard over hashed shingles is exact up to 64-bit
     * collisions (odds ~1e-11 at corpus scale).
+    *
+    * `cacheShingles` is OFF by default: measured at small/medium corpus
+    * sizes, cache materialization (serialization + an InMemoryTableScan
+    * boundary that blocks whole-stage fusion) costs ~3x more than simply
+    * recomputing the map-side shingling for each of its three consumers.
+    * Turn it on when the source text is expensive to rescan (remote storage,
+    * heavy decompression) — the classic recompute-vs-materialize trade.
     */
   def nearDuplicatePairs(df: DataFrame, idCol: String, textCol: String,
                          threshold: Double, numHashes: Int = 64,
-                         bands: Int = 32, shingleSize: Int = 3): DataFrame = {
-    val sh = shingles(df, idCol, textCol, shingleSize)
-      .select(col("id"), xxhash64(col("shingle")).as("shingle")).cache()
+                         bands: Int = 32, shingleSize: Int = 3,
+                         cacheShingles: Boolean = false): DataFrame = {
+    val hashed = shingles(df, idCol, textCol, shingleSize)
+      .select(col("id"), xxhash64(col("shingle")).as("shingle"))
+    val sh = if (cacheShingles) hashed.cache() else hashed
     val sig = minhashSignatures(sh, numHashes)
     val cand = lshCandidates(sig, bands, numHashes / bands)
     exactJaccard(sh, cand).filter(col("jaccard") >= threshold)

@@ -93,12 +93,17 @@ object CoreQueries {
   }
 
   // ---------------------------------------------------------------- q05
-  /** Anti join: customers that never ordered. */
+  /** Anti join: customers with no finished ('F') order. (Every customer has
+    * SOME order in the synthetic data, so the anti-join is against the
+    * filtered side — filter pushes below the join, result is non-empty.)
+    */
   val q05_anti_join = q("q05_anti_join",
     """SELECT c_custkey, c_name FROM customer
-      |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)""".stripMargin) { (s, dir) =>
+      |WHERE c_custkey NOT IN (
+      |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')""".stripMargin) { (s, dir) =>
     Tables.customer(s, dir)
-      .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(Tables.orders(s, dir).filter(col("o_orderstatus") === "F"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
       .select("c_custkey", "c_name")
   }
 

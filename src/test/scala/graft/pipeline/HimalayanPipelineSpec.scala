@@ -104,6 +104,36 @@ class HimalayanPipelineSpec extends SparkSpec {
       "Success", "OxygenUsed", "Hired", "Death", "DateId", "CountryIndicatorId"))
   }
 
+  test("CSV-driven pipeline with contract validation and FK integrity") {
+    import graft.sources.CsvSource
+    import graft.operators.Integrity
+    val base = "/root/repo/target/qtmp/himalayan_csv"
+    peaks.write.mode("overwrite").option("header", "true").csv(s"$base/peaks")
+    members.write.mode("overwrite").option("header", "true").csv(s"$base/members")
+
+    // schema-first contract-checked reads (reference extract ops S2-S4)
+    val peaksIn = CsvSource.read(spark, s"$base/peaks", peaks.schema,
+      required = Seq("PEAKID", "PKNAME", "HEIGHTM"), requireRows = true)
+    val membersIn = CsvSource.read(spark, s"$base/members", members.schema,
+      required = Seq("EXPID", "PEAKID", "MYEAR", "MSEASON", "SEX", "CITIZEN",
+        "CALCAGE", "MSUCCESS", "MO2USED", "HIRED", "DEATH"), requireRows = true)
+
+    val tables = HimalayanPipeline.build(membersIn, expeditions, peaksIn, wbLong)
+    val fact = tables("FACT_MemberExpedition")
+    // post-load referential integrity (reference ops/load.py:149-159):
+    // every resolved FK must land in its dimension
+    Integrity.requireFk(fact, "DateId", tables("DIM_Date"), "Id")
+    Integrity.requireFk(fact, "CountryIndicatorId", tables("DIM_CountryIndicator"), "Id")
+    Integrity.requireFk(fact, "PeakId", tables("DIM_Peak"), "Id")
+    assert(fact.count() == 3)
+    // and the violation detector actually detects: poison one key
+    import org.apache.spark.sql.functions._
+    val poisoned = fact.withColumn("DateId",
+      when(col("FirstName") === "Ann", lit(999)).otherwise(col("DateId")))
+    assert(Integrity.fkViolations(poisoned, "DateId", tables("DIM_Date"), "Id")
+      .count() == 1)
+  }
+
   test("writeParquet lands all five star-schema tables") {
     val out = "/root/repo/target/qtmp/star"
     val tables = HimalayanPipeline.build(members, expeditions, peaks, wbLong)

@@ -1,0 +1,44 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ParquetWarehouseSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dynamic partition overwrite rewrites only the touched partitions") {
+    val path = "/root/repo/target/qtmp/warehouse_dyn"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+
+    // initial load: three day-partitions
+    val day1 = Seq((1, "2024-01-01", 10.0), (2, "2024-01-01", 20.0),
+      (3, "2024-01-02", 30.0), (4, "2024-01-03", 40.0))
+      .toDF("id", "day", "v")
+    ParquetWarehouse.overwritePartitions(day1, path, Seq("day"))
+    assert(ParquetWarehouse.read(spark, path).count() == 4)
+
+    // re-run of ONLY day 2 with corrected data: days 1 and 3 must survive
+    val day2fix = Seq((3, "2024-01-02", 99.0), (5, "2024-01-02", 55.0))
+      .toDF("id", "day", "v")
+    ParquetWarehouse.overwritePartitions(day2fix, path, Seq("day"))
+
+    val after = ParquetWarehouse.read(spark, path)
+      .select("id", "day", "v").as[(Int, String, Double)].collect().toSet
+    assert(after == Set(
+      (1, "2024-01-01", 10.0), (2, "2024-01-01", 20.0),
+      (3, "2024-01-02", 99.0), (5, "2024-01-02", 55.0),
+      (4, "2024-01-03", 40.0)))
+
+    // rerunning the same batch is idempotent
+    ParquetWarehouse.overwritePartitions(day2fix, path, Seq("day"))
+    assert(ParquetWarehouse.read(spark, path).count() == 5)
+  }
+
+  test("partition pruning reaches the partitioned table on read") {
+    val path = "/root/repo/target/qtmp/warehouse_dyn"
+    val q = ParquetWarehouse.read(spark, path).filter(col("day") === "2024-01-02")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(day"), plan)
+    assert(q.count() == 2)
+  }
+}

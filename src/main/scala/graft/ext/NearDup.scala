@@ -151,4 +151,35 @@ object NearDup {
 
   /** Hamming distance between two 64-bit signatures. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-duplicate pairs via banded blocking: split each 64-bit
+    * signature into `bands` equal chunks and bucket-join on (band, chunk) —
+    * by pigeonhole, any pair with hamming < bands shares at least one intact
+    * chunk, so recall is EXACT for maxHamming ≤ bands − 1 (use 4 bands for
+    * the classic ≤ 3-bit web-dedup setting). The quadratic step touches only
+    * per-bucket groups, like the MinHash LSH path.
+    */
+  def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
+                      maxHamming: Int = 3, bands: Int = 4): DataFrame = {
+    require(maxHamming < bands,
+      s"pigeonhole guarantee needs maxHamming < bands (got $maxHamming >= $bands)")
+    val width = 64 / bands
+    val sig = simhash(df, idCol, textCol)
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(col("simhash"), b * width)
+          .bitwiseAND(lit((1L << width) - 1)).as("chunk"))
+    }
+    val buckets = sig.select(col("id"), col("simhash"),
+        explode(array(bandCols: _*)).as("bk"))
+      .select(col("id"), col("simhash"), col("bk.band").as("band"), col("bk.chunk").as("chunk"))
+    val a = buckets.select(col("band"), col("chunk"),
+      col("id").as("id_a"), col("simhash").as("ha"))
+    val b = buckets.select(col("band"), col("chunk"),
+      col("id").as("id_b"), col("simhash").as("hb"))
+    a.join(b, Seq("band", "chunk")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), hamming(col("ha"), col("hb")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
 }

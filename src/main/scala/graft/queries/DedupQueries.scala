@@ -105,6 +105,17 @@ object DedupQueries {
     NearDup.simhash(Tables.documents(s, dir), "doc_id", "text")
   }
 
+  // ---------------------------------------------------------------- d05
+  /** SimHash banded near-dup pairs (hamming ≤ 3; 4 bands give exact recall
+    * at that radius by pigeonhole). xxhash64-based → rows-only check;
+    * NearDupSpec proves the recall guarantee on planted duplicates.
+    */
+  val d05_simhash_neardup = q("d05_simhash_neardup", None) { (s, dir) =>
+    NearDup.simhashNearDups(Tables.documents(s, dir), "doc_id", "text",
+      maxHamming = 3, bands = 4)
+  }
+
   val all: Seq[GraftQuery] = Seq(
-    d01_exact_dup_groups, d02_ngram_jaccard, d03_minhash_lsh, d04_simhash)
+    d01_exact_dup_groups, d02_ngram_jaccard, d03_minhash_lsh, d04_simhash,
+    d05_simhash_neardup)
 }

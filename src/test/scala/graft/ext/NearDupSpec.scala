@@ -39,6 +39,23 @@ class NearDupSpec extends SparkSpec {
     assert(dist > 0)
   }
 
+  test("simhashNearDups: banded blocking finds every pair within the radius") {
+    // short fixture docs move ~5 bits per differing word -> radius 7 with 8
+    // bands (pigeonhole guarantee holds for maxHamming < bands)
+    val pairs = NearDup.simhashNearDups(docs, "doc_id", "text",
+        maxHamming = 7, bands = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    // exhaustive check: banding must equal the brute-force answer
+    val sigs = NearDup.simhash(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    val brute = (for {
+      a <- sigs.keys; b <- sigs.keys if a < b
+      if java.lang.Long.bitCount(sigs(a) ^ sigs(b)) <= 7
+    } yield (a, b)).toSet
+    assert(pairs == brute)
+  }
+
   test("shingles of a doc shorter than n collapse to one whole-text shingle") {
     val short = Seq((1L, "two words")).toDF("doc_id", "text")
     val got = NearDup.shingles(short, "doc_id", "text", 3)

@@ -31,6 +31,17 @@ object FuzzyJoin {
     lit(1.0) - levenshtein(a, b).cast("double") /
       greatest(length(a), length(b)).cast("double")
 
+  /** Token-sort ratio (thefuzz `token_sort_ratio` semantics): compare the
+    * whitespace tokens in sorted order, so word-order differences don't
+    * count as edits ("new york mets" ~ "mets new york" → 1.0). Pure column
+    * expressions — lower, tokenize, sort, rejoin, levenshtein-ratio.
+    */
+  def tokenSortRatio(a: Column, b: Column): Column = {
+    def normSorted(c: Column): Column =
+      concat_ws(" ", array_sort(split(trim(regexp_replace(lower(c), "\\s+", " ")), " ")))
+    similarityRatio(normSorted(a), normSorted(b))
+  }
+
   /** For each row of `left`, attach the `right` value of `rightCol` nearest
     * to `leftCol` by Levenshtein distance (ties → lexicographically smallest
     * candidate). Output adds `outCol` (matched value) and `outCol_dist`.

@@ -43,6 +43,18 @@ class DedupAndKeysSpec extends SparkSpec {
     assert(got("xyz") == "FRANCE")
   }
 
+  test("FuzzyJoin.tokenSortRatio ignores word order, penalizes real edits") {
+    val df = Seq(
+      ("new york mets", "mets new york"),
+      ("new york mets", "new york jets"),
+      ("a b", "a b")).toDF("x", "y")
+    val got = df.select(FuzzyJoin.tokenSortRatio(col("x"), col("y")).as("r"))
+      .as[Double].collect().toSeq
+    assert(got(0) == 1.0)          // pure reorder -> identical
+    assert(got(1) > 0.7 && got(1) < 1.0) // one-word edit
+    assert(got(2) == 1.0)
+  }
+
   test("AsOfJoin.backward: inclusive sees same-instant right row, strict does not") {
     val left = Seq((1L, 10L, "e1"), (1L, 20L, "e2")).toDF("uid", "t", "eid")
     val right = Seq((1L, 10L, 100.0), (1L, 15L, 150.0)).toDF("uid", "rt", "pay")

@@ -5,9 +5,10 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 /** Engine extension point (`spark.sql.extensions=graft.plans.GraftExtensions`):
-  * registers the native expressions so they're first-class SQL functions —
+  * registers the native expressions as first-class SQL functions —
   * `SELECT cosine_similarity(a.embedding, b.embedding) FROM ...` plans the
-  * fused codegen'd loop, indistinguishable from a built-in.
+  * fused codegen'd loop, indistinguishable from a built-in — and installs
+  * the engine's optimizer rules (thresholded-Levenshtein length pruning).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -15,5 +16,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("cosine_similarity"),
       new ExpressionInfo(classOf[CosineSimilarityExpr].getName, "cosine_similarity"),
       (children: Seq[Expression]) => CosineSimilarityExpr(children.head, children(1))))
+    ext.injectOptimizerRule(_ => PruneLevenshteinFilters)
   }
 }

@@ -1,7 +1,19 @@
 package graft
 
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
 /** Benchmark main: runs every SparkEntry query against
   * `SPARK_GRAFT_SF_DIR` and prints ONE JSON line with per-query seconds.
+  * The same line is also written to `SPARK_GRAFT_BENCH_OUT` (default
+  * `bench_out.json` in the working directory) so a log-tail truncation can
+  * never lose it — round 1's driver captured only the tail of sbt stdout and
+  * the 9-decimal timings pushed the line past the window (`parsed: null`).
+  *
+  * Timings are rounded to milliseconds (3 decimals): sub-ms precision is
+  * noise at these scales and the shorter line survives log windows. A query
+  * that THROWS is recorded as -1 — round 1 swallowed the error and recorded
+  * the elapsed-until-throw as if it were a real timing.
   *
   * Methodology: one untimed warm-up pass (JIT + whole-stage-codegen compile +
   * parquet footer caches — one-time per-JVM costs that would otherwise land
@@ -14,6 +26,7 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val warmup = sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0"
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     val spark = Sessions.local(cpus)
     if (warmup) {
       SparkEntry.queries.foreach { case (_, fn) =>
@@ -24,15 +37,25 @@ object Bench {
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).count(); true }
+        catch { case t: Throwable =>
+          System.err.println(s"BENCH FAIL $name: ${t.getClass.getName}: ${t.getMessage}")
+          false
+        }
+      val dt = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       spark.catalog.clearCache()
       name -> dt
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def fmt(v: Double): String =
+      if (v < 0) "-1" else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.values.filter(_ >= 0).sum
+    val line =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    Files.write(Paths.get(outPath), (line + "\n").getBytes(StandardCharsets.UTF_8))
+    println(line)
     spark.stop()
   }
 }

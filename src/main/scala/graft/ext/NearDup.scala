@@ -153,14 +153,21 @@ object NearDup {
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
   /** SimHash near-duplicate pairs via banded blocking: split each 64-bit
-    * signature into `bands` equal chunks and bucket-join on (band, chunk) —
-    * by pigeonhole, any pair with hamming < bands shares at least one intact
+    * signature into `bands` equal chunks and bucket on (band, chunk) — by
+    * pigeonhole, any pair with hamming < bands shares at least one intact
     * chunk, so recall is EXACT for maxHamming ≤ bands − 1 (use 4 bands for
-    * the classic ≤ 3-bit web-dedup setting). The quadratic step touches only
-    * per-bucket groups, like the MinHash LSH path.
+    * the classic ≤ 3-bit web-dedup setting).
+    *
+    * Same shape as `lshCandidates`: ONE shuffle collects bucket members per
+    * (band, chunk), pairs expand IN-ROW via a double explode, and
+    * `maxBucketSize` drops degenerate buckets — e.g. the all-zero chunk every
+    * near-empty document hashes to, which an uncapped self-join would turn
+    * quadratic at corpus scale. Dropped buckets trade recall on boilerplate
+    * for bounded work, exactly like the MinHash path.
     */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
-                      maxHamming: Int = 3, bands: Int = 4): DataFrame = {
+                      maxHamming: Int = 3, bands: Int = 4,
+                      maxBucketSize: Int = 1000): DataFrame = {
     require(maxHamming < bands,
       s"pigeonhole guarantee needs maxHamming < bands (got $maxHamming >= $bands)")
     val width = 64 / bands
@@ -170,15 +177,16 @@ object NearDup {
         shiftright(col("simhash"), b * width)
           .bitwiseAND(lit((1L << width) - 1)).as("chunk"))
     }
-    val buckets = sig.select(col("id"), col("simhash"),
+    val buckets = sig
+      .select(struct(col("id"), col("simhash")).as("doc"),
         explode(array(bandCols: _*)).as("bk"))
-      .select(col("id"), col("simhash"), col("bk.band").as("band"), col("bk.chunk").as("chunk"))
-    val a = buckets.select(col("band"), col("chunk"),
-      col("id").as("id_a"), col("simhash").as("ha"))
-    val b = buckets.select(col("band"), col("chunk"),
-      col("id").as("id_b"), col("simhash").as("hb"))
-    a.join(b, Seq("band", "chunk")).filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), hamming(col("ha"), col("hb")).as("hamming"))
+      .groupBy(col("bk")).agg(collect_list(col("doc")).as("docs"))
+      .filter(size(col("docs")).between(2, maxBucketSize))
+    buckets.select(explode(col("docs")).as("a"), col("docs"))
+      .select(col("a"), explode(col("docs")).as("b"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        hamming(col("a.simhash"), col("b.simhash")).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }

@@ -56,6 +56,30 @@ class NearDupSpec extends SparkSpec {
     assert(pairs == brute)
   }
 
+  test("simhashNearDups: degenerate corpus (one hot bucket) is capped, not quadratic") {
+    // 400 identical docs all hash to the SAME simhash, so every (band, chunk)
+    // bucket holds all 400 ids — an uncapped self-join would expand
+    // 400×400×4 bands ≈ 640k rows. With maxBucketSize below the bucket size
+    // the hot buckets are dropped entirely and the planted distinct pair
+    // (each band bucket of size 2) still comes through.
+    val degenerate = (1L to 400L).map(i => (i, "lorem ipsum dolor sit amet " * 3)) ++
+      Seq((900L, "a genuinely distinct document about catalyst planner internals"),
+          (901L, "a genuinely distinct document about catalyst planner detail"))
+    val df = degenerate.toDF("doc_id", "text")
+    val pairs = NearDup.simhashNearDups(df, "doc_id", "text",
+      maxHamming = 7, bands = 8, maxBucketSize = 100)
+    val got = pairs.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // every surviving pair is from the small bucket; no pair touches the hot
+    // 400-doc clique (its buckets all exceeded the cap)
+    assert(got.nonEmpty)
+    assert(got.forall { case (a, b) => a >= 900L && b >= 900L })
+    // and with a cap that admits the clique, identical docs DO pair up
+    val uncapped = NearDup.simhashNearDups(df.limit(10), "doc_id", "text",
+      maxHamming = 3, bands = 4, maxBucketSize = 1000)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(uncapped.size >= 10 * 9 / 2 - 10) // near-complete clique of the 10 identical docs
+  }
+
   test("shingles of a doc shorter than n collapse to one whole-text shingle") {
     val short = Seq((1L, "two words")).toDF("doc_id", "text")
     val got = NearDup.shingles(short, "doc_id", "text", 3)

@@ -15,10 +15,12 @@ import java.sql.{Connection, DriverManager}
   * abstraction, so it runs as plain statements on a driver-side connection,
   * exactly like the reference's raw `ALTER TABLE` strings.
   *
-  * No database ships in this container, so this surface is exercised by unit
-  * tests only up to statement construction; the load protocol mirrors
-  * `ops/load.py` 1:1 (drop FKs → overwrite dims → PK → overwrite fact →
-  * column types → FKs).
+  * The DDL surface is dialect-parameterized: `SqlServerDialect` renders the
+  * reference's T-SQL verbatim (bracket quoting, `DATETIME2`, `BIT`), and
+  * `DerbyDialect` targets the embedded Apache Derby engine that ships with
+  * Spark — which is how the whole protocol (overwrite → PK → FK → type →
+  * exists → drop) is executed END-TO-END against a live database in
+  * `JdbcDerbySpec`, constraints enforced and all.
   */
 object JdbcSink {
 
@@ -33,6 +35,111 @@ object JdbcSink {
     }
   }
 
+  /** Renders the per-engine DDL strings. Statement SHAPES follow the
+    * reference protocol (`resources.py:101-180`); only quoting and type
+    * spellings vary by engine.
+    */
+  sealed trait SqlDialect {
+    /** Identifier quoting (T-SQL brackets / none for Derby, which folds
+      * unquoted identifiers to upper case consistently on both DDL and
+      * metadata paths).
+      */
+    def q(ident: String): String
+    /** How the engine stores an unquoted identifier, for metadata probes. */
+    def storedName(ident: String): String
+    /** Whether `DROP ... IF EXISTS` is accepted (Derby: no — callers probe
+      * `tableExists` first).
+      */
+    def supportsIfExists: Boolean
+
+    def dropTableSql(table: String): String
+    /** NOT NULL + PRIMARY KEY (reference `set_pk`, `resources.py:101-119`). */
+    def setPrimaryKeySql(table: String, column: String, sqlType: String): Seq[String]
+    /** ADD FK (reference `set_fk`, `resources.py:121-137`). */
+    def setForeignKeySql(table: String, column: String,
+                         refTable: String, refColumn: String): String
+    def dropForeignKeySql(table: String, column: String): String
+    /** ALTER COLUMN type (reference `set_type`, `resources.py:167-180`). */
+    def setColumnTypeSql(table: String, column: String, sqlType: String): String
+    /** Spark DataType → engine column type (reference `get_id_datatype`,
+      * `ops/load.py:21-33`, generalized).
+      */
+    def columnType(dt: org.apache.spark.sql.types.DataType): String
+  }
+
+  /** The reference's target engine (T-SQL). */
+  case object SqlServerDialect extends SqlDialect {
+    def q(ident: String): String = s"[$ident]"
+    def storedName(ident: String): String = ident
+    def supportsIfExists: Boolean = true
+    def dropTableSql(table: String): String = s"DROP TABLE IF EXISTS ${q(table)}"
+    def setPrimaryKeySql(table: String, column: String, sqlType: String): Seq[String] = Seq(
+      s"ALTER TABLE ${q(table)} ALTER COLUMN ${q(column)} $sqlType NOT NULL",
+      s"ALTER TABLE ${q(table)} ADD CONSTRAINT ${q(s"PK_$table")} PRIMARY KEY (${q(column)})")
+    def setForeignKeySql(table: String, column: String,
+                         refTable: String, refColumn: String): String =
+      s"ALTER TABLE ${q(table)} ADD CONSTRAINT ${q(s"FK_$column")} " +
+        s"FOREIGN KEY (${q(column)}) REFERENCES ${q(refTable)} (${q(refColumn)})"
+    def dropForeignKeySql(table: String, column: String): String =
+      s"ALTER TABLE ${q(table)} DROP CONSTRAINT IF EXISTS ${q(s"FK_$column")}"
+    def setColumnTypeSql(table: String, column: String, sqlType: String): String =
+      s"ALTER TABLE ${q(table)} ALTER COLUMN ${q(column)} $sqlType"
+    def columnType(dt: org.apache.spark.sql.types.DataType): String = {
+      import org.apache.spark.sql.types._
+      dt match {
+        case IntegerType            => "INT"
+        case LongType               => "BIGINT"
+        case DoubleType | FloatType => "FLOAT"
+        case d: DecimalType         => s"DECIMAL(${d.precision},${d.scale})"
+        case DateType               => "DATE"
+        case TimestampType          => "DATETIME2"
+        case BooleanType            => "BIT"
+        case _                      => "VARCHAR(255)"
+      }
+    }
+  }
+
+  /** Embedded Apache Derby (`jdbc:derby:memory:...`), used to execute the
+    * protocol against a live engine in tests. Derby folds unquoted
+    * identifiers to upper case and has no `IF EXISTS`; `ALTER COLUMN ... SET
+    * DATA TYPE` is restricted to VARCHAR/BLOB/CLOB widening, which is the
+    * shape the tests exercise.
+    */
+  case object DerbyDialect extends SqlDialect {
+    // Columns are double-quoted case-preserved because that is how Spark's
+    // JDBC writer creates them; TABLE names stay unquoted (Spark embeds the
+    // caller's table string verbatim, so Derby folds it to upper case on
+    // create, and unquoted DDL folds the same way — consistent by default).
+    def q(ident: String): String = "\"" + ident + "\""
+    def storedName(ident: String): String = ident.toUpperCase
+    def supportsIfExists: Boolean = false
+    def dropTableSql(table: String): String = s"DROP TABLE $table"
+    def setPrimaryKeySql(table: String, column: String, sqlType: String): Seq[String] = Seq(
+      s"ALTER TABLE $table ALTER COLUMN ${q(column)} NOT NULL",
+      s"ALTER TABLE $table ADD CONSTRAINT PK_$table PRIMARY KEY (${q(column)})")
+    def setForeignKeySql(table: String, column: String,
+                         refTable: String, refColumn: String): String =
+      s"ALTER TABLE $table ADD CONSTRAINT FK_$column " +
+        s"FOREIGN KEY (${q(column)}) REFERENCES $refTable (${q(refColumn)})"
+    def dropForeignKeySql(table: String, column: String): String =
+      s"ALTER TABLE $table DROP CONSTRAINT FK_$column"
+    def setColumnTypeSql(table: String, column: String, sqlType: String): String =
+      s"ALTER TABLE $table ALTER COLUMN ${q(column)} SET DATA TYPE $sqlType"
+    def columnType(dt: org.apache.spark.sql.types.DataType): String = {
+      import org.apache.spark.sql.types._
+      dt match {
+        case IntegerType            => "INTEGER"
+        case LongType               => "BIGINT"
+        case DoubleType | FloatType => "DOUBLE"
+        case d: DecimalType         => s"DECIMAL(${d.precision},${d.scale})"
+        case DateType               => "DATE"
+        case TimestampType          => "TIMESTAMP"
+        case BooleanType            => "BOOLEAN"
+        case _                      => "VARCHAR(255)"
+      }
+    }
+  }
+
   /** Append in `batchSize`-row batches over `numPartitions` connections
     * (reference `bulk_insert`, `resources.py:58-78`).
     */
@@ -43,13 +150,19 @@ object JdbcSink {
       .option("batchsize", batchSize)
       .jdbc(cfg.url, table, cfg.props)
 
-  /** Drop-and-recreate load (reference `load_table`, `ops/load.py:36-74`). */
+  /** Drop-and-recreate load (reference `load_table`, `ops/load.py:36-74`).
+    * `columnTypes` optionally pins CREATE TABLE column types (e.g.
+    * `"name VARCHAR(64)"`) where the engine default (Derby: CLOB for
+    * strings) can't carry constraints.
+    */
   def overwrite(df: DataFrame, cfg: JdbcConfig, table: String,
-                batchSize: Int = 1000): Unit =
-    df.write.mode("overwrite")
+                batchSize: Int = 1000, columnTypes: String = ""): Unit = {
+    val w = df.write.mode("overwrite")
       .option("batchsize", batchSize)
       .option("truncate", "false") // real drop+recreate, like the reference
-      .jdbc(cfg.url, table, cfg.props)
+    val w2 = if (columnTypes.nonEmpty) w.option("createTableColumnTypes", columnTypes) else w
+    w2.jdbc(cfg.url, table, cfg.props)
+  }
 
   private def withConnection[A](cfg: JdbcConfig)(f: Connection => A): A = {
     val conn = DriverManager.getConnection(cfg.url, cfg.user, cfg.password)
@@ -72,60 +185,46 @@ object JdbcSink {
       .option("numPartitions", numPartitions)
       .jdbc(cfg.url, s"($sql) AS q", cfg.props)
 
-  /** INFORMATION_SCHEMA existence probe (reference `table_exists`,
+  /** Metadata existence probe (reference `table_exists`,
     * `resources.py:80-87`).
     */
-  def tableExists(cfg: JdbcConfig, table: String): Boolean =
+  def tableExists(cfg: JdbcConfig, table: String,
+                  dialect: SqlDialect = SqlServerDialect): Boolean =
     withConnection(cfg) { c =>
-      val rs = c.getMetaData.getTables(null, null, table, Array("TABLE"))
+      val rs = c.getMetaData.getTables(null, null, dialect.storedName(table), Array("TABLE"))
       try rs.next() finally rs.close()
     }
 
-  def dropTableSql(table: String): String = s"DROP TABLE IF EXISTS [$table]"
-
-  /** NOT NULL + PRIMARY KEY (reference `set_pk`, `resources.py:101-119`). */
-  def setPrimaryKeySql(table: String, column: String, sqlType: String): Seq[String] = Seq(
-    s"ALTER TABLE [$table] ALTER COLUMN [$column] $sqlType NOT NULL",
-    s"ALTER TABLE [$table] ADD CONSTRAINT [PK_$table] PRIMARY KEY ([$column])")
-
-  /** ADD FK (reference `set_fk`, `resources.py:121-137`). */
+  // Legacy SQL-Server-spelled entry points (the reference's native dialect).
+  def dropTableSql(table: String): String = SqlServerDialect.dropTableSql(table)
+  def setPrimaryKeySql(table: String, column: String, sqlType: String): Seq[String] =
+    SqlServerDialect.setPrimaryKeySql(table, column, sqlType)
   def setForeignKeySql(table: String, column: String,
                        refTable: String, refColumn: String): String =
-    s"ALTER TABLE [$table] ADD CONSTRAINT [FK_$column] " +
-      s"FOREIGN KEY ([$column]) REFERENCES [$refTable] ([$refColumn])"
-
+    SqlServerDialect.setForeignKeySql(table, column, refTable, refColumn)
   def dropForeignKeySql(table: String, column: String): String =
-    s"ALTER TABLE [$table] DROP CONSTRAINT IF EXISTS [FK_$column]"
-
-  /** ALTER COLUMN type (reference `set_type`, `resources.py:167-180`). */
+    SqlServerDialect.dropForeignKeySql(table, column)
   def setColumnTypeSql(table: String, column: String, sqlType: String): String =
-    s"ALTER TABLE [$table] ALTER COLUMN [$column] $sqlType"
+    SqlServerDialect.setColumnTypeSql(table, column, sqlType)
+  def sqlServerType(dt: org.apache.spark.sql.types.DataType): String =
+    SqlServerDialect.columnType(dt)
 
-  /** Spark DataType → SQL-Server column type (reference `get_id_datatype`,
-    * `ops/load.py:21-33`, generalized).
-    */
-  def sqlServerType(dt: org.apache.spark.sql.types.DataType): String = {
-    import org.apache.spark.sql.types._
-    dt match {
-      case IntegerType        => "INT"
-      case LongType           => "BIGINT"
-      case DoubleType | FloatType => "FLOAT"
-      case d: DecimalType     => s"DECIMAL(${d.precision},${d.scale})"
-      case DateType           => "DATE"
-      case TimestampType      => "DATETIME2"
-      case BooleanType        => "BIT"
-      case _                  => "VARCHAR(255)"
-    }
+  def dropTable(cfg: JdbcConfig, table: String,
+                dialect: SqlDialect = SqlServerDialect): Unit = {
+    if (dialect.supportsIfExists || tableExists(cfg, table, dialect))
+      exec(cfg, dialect.dropTableSql(table))
   }
-
-  def dropTable(cfg: JdbcConfig, table: String): Unit = exec(cfg, dropTableSql(table))
-  def setPrimaryKey(cfg: JdbcConfig, table: String, column: String, sqlType: String): Unit =
-    setPrimaryKeySql(table, column, sqlType).foreach(exec(cfg, _))
+  def setPrimaryKey(cfg: JdbcConfig, table: String, column: String, sqlType: String,
+                    dialect: SqlDialect = SqlServerDialect): Unit =
+    dialect.setPrimaryKeySql(table, column, sqlType).foreach(exec(cfg, _))
   def setForeignKey(cfg: JdbcConfig, table: String, column: String,
-                    refTable: String, refColumn: String): Unit =
-    exec(cfg, setForeignKeySql(table, column, refTable, refColumn))
-  def dropForeignKey(cfg: JdbcConfig, table: String, column: String): Unit =
-    exec(cfg, dropForeignKeySql(table, column))
-  def setColumnType(cfg: JdbcConfig, table: String, column: String, sqlType: String): Unit =
-    exec(cfg, setColumnTypeSql(table, column, sqlType))
+                    refTable: String, refColumn: String,
+                    dialect: SqlDialect = SqlServerDialect): Unit =
+    exec(cfg, dialect.setForeignKeySql(table, column, refTable, refColumn))
+  def dropForeignKey(cfg: JdbcConfig, table: String, column: String,
+                     dialect: SqlDialect = SqlServerDialect): Unit =
+    exec(cfg, dialect.dropForeignKeySql(table, column))
+  def setColumnType(cfg: JdbcConfig, table: String, column: String, sqlType: String,
+                    dialect: SqlDialect = SqlServerDialect): Unit =
+    exec(cfg, dialect.setColumnTypeSql(table, column, sqlType))
 }

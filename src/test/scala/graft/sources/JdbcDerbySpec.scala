@@ -1,0 +1,88 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+import java.sql.DriverManager
+
+/** Executes the reference's warehouse load protocol (`ops/load.py:36-168`:
+  * drop FKs → overwrite dims → PK → overwrite fact → column types → FKs)
+  * against a LIVE embedded Apache Derby database — not statement-construction
+  * unit checks but real DDL, with the resulting constraints enforced by the
+  * engine (duplicate-PK and orphan-FK inserts must be rejected).
+  */
+class JdbcDerbySpec extends SparkSpec {
+  import spark.implicits._
+  import JdbcSink._
+
+  private val cfg = JdbcConfig("jdbc:derby:memory:graftddl;create=true", "app", "app")
+  private val dialect = DerbyDialect
+
+  private def execRaw(sql: String): Unit = {
+    val c = DriverManager.getConnection(cfg.url, cfg.user, cfg.password)
+    try { val st = c.createStatement(); try st.execute(sql) finally st.close() }
+    finally c.close()
+  }
+
+  test("full drop-recreate load protocol with PK/FK enforcement on live Derby") {
+    val dim = Seq((1, "Everest"), (2, "K2"), (3, "Lhotse")).toDF("peak_id", "name")
+    val fact = Seq((10, 1, 8848.0), (11, 1, 8844.4), (12, 3, 8516.0))
+      .toDF("exp_id", "peak_id", "height")
+
+    // fresh run: tear down in FK-safe order (fact before dim), like the
+    // reference's drop_fks + drop_table preamble
+    dropTable(cfg, "fact_exp", dialect)
+    dropTable(cfg, "dim_peak", dialect)
+    assert(!tableExists(cfg, "dim_peak", dialect))
+
+    // dims first (ops/load.py loads dims, then PKs them)
+    overwrite(dim, cfg, "dim_peak", columnTypes = "name VARCHAR(64)")
+    assert(tableExists(cfg, "dim_peak", dialect))
+    setPrimaryKey(cfg, "dim_peak", "peak_id", dialect.columnType(org.apache.spark.sql.types.IntegerType), dialect)
+
+    // fact next, typed, then FK-wired to the dim
+    overwrite(fact, cfg, "fact_exp", columnTypes = "")
+    setPrimaryKey(cfg, "fact_exp", "exp_id", "INTEGER", dialect)
+    setForeignKey(cfg, "fact_exp", "peak_id", "dim_peak", "peak_id", dialect)
+
+    // live enforcement: duplicate PK rejected
+    val dupPk = intercept[java.sql.SQLException](
+      execRaw("INSERT INTO fact_exp VALUES (10, 2, 1.0)"))
+    assert(dupPk.getSQLState.startsWith("23")) // integrity-constraint class
+
+    // live enforcement: orphan FK rejected
+    val orphan = intercept[java.sql.SQLException](
+      execRaw("INSERT INTO fact_exp VALUES (99, 42, 1.0)"))
+    assert(orphan.getSQLState.startsWith("23"))
+
+    // a valid row passes and append() moves rows through Spark's JDBC writer
+    append(Seq((13, 2, 8611.0)).toDF("exp_id", "peak_id", "height"),
+      cfg, "fact_exp", batchSize = 2, numPartitions = 2)
+
+    // parameterized pushed-down read (resources.py execute_query shape)
+    val joined = readQuery(spark, cfg,
+      """SELECT f."exp_id", d."name" FROM fact_exp f JOIN dim_peak d ON f."peak_id" = d."peak_id"""")
+    assert(joined.count() == 4)
+    assert(joined.filter(col("name") === "K2").count() == 1)
+
+    // column-type evolution: widen the VARCHAR (set_type, resources.py:167)
+    setColumnType(cfg, "dim_peak", "name", "VARCHAR(256)", dialect)
+    execRaw("INSERT INTO dim_peak VALUES (4, '" + "x" * 100 + "')")
+
+    // teardown order matters with live FKs: drop the constraint, then tables
+    dropForeignKey(cfg, "fact_exp", "peak_id", dialect)
+    dropTable(cfg, "fact_exp", dialect)
+    dropTable(cfg, "dim_peak", dialect)
+    assert(!tableExists(cfg, "fact_exp", dialect))
+  }
+
+  test("overwrite really drops and recreates (schema change survives)") {
+    val v1 = Seq((1, "a")).toDF("id", "s")
+    overwrite(v1, cfg, "reshape_t", columnTypes = "s VARCHAR(8)")
+    val v2 = Seq((1, 2.5)).toDF("id", "d") // different schema entirely
+    overwrite(v2, cfg, "reshape_t")
+    val back = spark.read.jdbc(cfg.url, "reshape_t", cfg.props)
+    assert(back.columns.map(_.toLowerCase).sorted.toSeq == Seq("d", "id"))
+    dropTable(cfg, "reshape_t", dialect)
+  }
+}

@@ -81,24 +81,43 @@ object StreamOps {
   /** Custom state machine via `flatMapGroupsWithState` (the escape hatch for
     * semantics windowed aggregates can't express): a running per-user
     * count/total that survives across micro-batches in the state store and
-    * emits an updated row whenever the user appears in a batch. State is
-    * partitioned by key across executors; at scale, pair with a timeout
-    * (`GroupStateTimeout.EventTimeTimeout` + `state.setTimeoutTimestamp`) so
-    * idle keys are evicted instead of accumulating forever.
+    * emits an updated row whenever the user appears in a batch.
+    *
+    * State is partitioned by key across executors and BOUNDED: a key idle for
+    * `idleTimeoutMs` of event time past the watermark is evicted
+    * (`EventTimeTimeout` + `setTimeoutTimestamp`), so the store holds only
+    * recently-active users instead of every user ever seen — the difference
+    * between O(active) and O(all-time) state at 100 TB of events. An evicted
+    * user that reappears restarts from zero, the standard trade for bounded
+    * state; widen `idleTimeoutMs` if business logic needs longer memory.
     */
-  def runningUserAgg(events: Dataset[EventRow]): Dataset[UserAgg] = {
+  def runningUserAgg(events: Dataset[EventRow], watermark: String = "10 minutes",
+                     idleTimeoutMs: Long = 6L * 3600 * 1000): Dataset[UserAgg] = {
     import events.sparkSession.implicits._
     events
+      .withWatermark("ts", watermark)
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.EventTimeTimeout)(
         (uid: Long, rows: Iterator[EventRow], state: GroupState[UserAgg]) => {
-          val prev = state.getOption.getOrElse(UserAgg(uid, 0L, 0.0))
-          var n = prev.n_events
-          var total = prev.total_value
-          rows.foreach { r => n += 1; total += r.value }
-          val next = UserAgg(uid, n, total)
-          state.update(next)
-          Iterator.single(next)
+          if (state.hasTimedOut) {
+            state.remove() // idle key: evict, emit nothing
+            Iterator.empty
+          } else {
+            val prev = state.getOption.getOrElse(UserAgg(uid, 0L, 0.0))
+            var n = prev.n_events
+            var total = prev.total_value
+            var maxTs = Long.MinValue
+            rows.foreach { r =>
+              n += 1; total += r.value
+              if (r.ts.getTime > maxTs) maxTs = r.ts.getTime
+            }
+            val next = UserAgg(uid, n, total)
+            state.update(next)
+            // keep the key alive for idleTimeoutMs past its newest event;
+            // the timeout fires once the watermark passes this timestamp
+            state.setTimeoutTimestamp(maxTs + idleTimeoutMs)
+            Iterator.single(next)
+          }
         })
   }
 }

@@ -88,6 +88,35 @@ class StreamingSpec extends SparkSpec {
     assert(emitted.count(_._1 == 1L) >= 2)
   }
 
+  test("runningUserAgg evicts idle keys once the watermark passes their timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventRow]
+    // zero watermark delay, 60 s idle timeout: user 1's state must be gone
+    // long before minute 100
+    val query = StreamOps.runningUserAgg(mem.toDS(),
+        watermark = "0 seconds", idleTimeoutMs = 60000L).writeStream
+      .format("memory").queryName("evict_out").outputMode("update").start()
+
+    mem.addData(Seq(EventRow(ts(1), 1, "click", 1.0)))     // user 1 appears
+    query.processAllAvailable()
+    mem.addData(Seq(EventRow(ts(100), 2, "view", 2.0)))    // advances watermark to min 100
+    query.processAllAvailable()
+    mem.addData(Seq(EventRow(ts(101), 2, "view", 3.0)))    // batch where user 1's timeout fires
+    query.processAllAvailable()
+    mem.addData(Seq(EventRow(ts(102), 1, "click", 4.0)))   // user 1 returns AFTER eviction
+    query.processAllAvailable()
+    query.stop()
+
+    val emitted = spark.table("evict_out").as[(Long, Long, Double)].collect()
+    // the post-eviction update for user 1 restarts from zero: n_events == 1,
+    // total == 4.0 — state did NOT carry the pre-eviction event
+    val lastUser1 = emitted.zipWithIndex.filter(_._1._1 == 1L).maxBy(_._2)._1
+    assert(lastUser1 == ((1L, 1L, 4.0)))
+    // and user 2, never idle long enough, accumulated normally
+    val lastUser2 = emitted.zipWithIndex.filter(_._1._1 == 2L).maxBy(_._2)._1
+    assert(lastUser2 == ((2L, 2L, 5.0)))
+  }
+
   test("file-based stream: parquet dir -> windowed agg -> parquet sink") {
     val base = "/root/repo/target/qtmp/stream_e2e"
     val inDir = s"$base/in"; val outDir = s"$base/out"; val ckpt = s"$base/ckpt"

@@ -26,17 +26,32 @@ object SurrogateKey {
 
   /** Contiguous 1..n for big tables: sort once, then assign ids with a
     * distributed two-pass (per-partition row counts → cumulative offsets
-    * broadcast back). No single-partition stage; the sort is the only
-    * shuffle.
+    * broadcast back). No single-partition stage over the data; the sort is
+    * the only full shuffle.
+    *
+    * Stays entirely in Tungsten/codegen (no RDD round-trip): after the range
+    * sort, `monotonically_increasing_id()` is `(partitionId << 33) + local
+    * 0-based counter` by contract, which gives both the partition id and the
+    * within-partition row number as column arithmetic. Per-partition counts
+    * (a combiner-friendly aggregate of one row per partition) become
+    * cumulative offsets via a window over #partitions rows, broadcast back.
+    * Range partitioning orders partitions, so offset + local + 1 is the
+    * global 1..n rank. Like any two-pass id assignment (RDD `zipWithIndex`
+    * included), determinism requires the sort order to be total — pass a
+    * tie-breaking key.
     */
   def scalable(df: DataFrame, order: Seq[Column], idCol: String = "Id"): DataFrame = {
-    val sorted = df.orderBy(order: _*)
-    val schema = sorted.schema
-    val rdd = sorted.rdd.zipWithIndex().map { case (row, idx) =>
-      org.apache.spark.sql.Row.fromSeq(row.toSeq :+ (idx + 1L))
-    }
-    val spark = df.sparkSession
-    spark.createDataFrame(rdd,
-      schema.add(idCol, org.apache.spark.sql.types.LongType, nullable = false))
+    val local = lit((1L << 33) - 1)
+    val withMid = df.orderBy(order: _*)
+      .withColumn("__mid", monotonically_increasing_id())
+    val counts = withMid
+      .groupBy(shiftright(col("__mid"), 33).as("__pid"))
+      .agg(count(lit(1)).as("__n"))
+    val offsets = counts.select(col("__pid"),
+      (sum(col("__n")).over(Window.orderBy("__pid")) - col("__n")).as("__offset"))
+    withMid
+      .join(broadcast(offsets), shiftright(col("__mid"), 33) === col("__pid"))
+      .withColumn(idCol, col("__offset") + col("__mid").bitwiseAND(local) + 1L)
+      .drop("__mid", "__pid", "__offset")
   }
 }

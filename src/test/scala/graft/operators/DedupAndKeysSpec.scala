@@ -32,6 +32,22 @@ class DedupAndKeysSpec extends SparkSpec {
     assert(scalable == dense)
   }
 
+  test("SurrogateKey.scalable stays in Tungsten (no RDD round-trip) and is contiguous at size") {
+    val df = spark.range(10000).select(
+      (col("id") % 13).as("a"), col("id").as("b"))
+    val keyed = SurrogateKey.scalable(df, Seq(col("a"), col("b")))
+    // the old implementation exited codegen via rdd.zipWithIndex; the plan
+    // must now be pure SQL operators (no ExistingRDD scan)
+    assert(!keyed.queryExecution.executedPlan.toString.contains("ExistingRDD"))
+    val ids = keyed.select("Id").as[Long].collect().sorted
+    assert(ids.head == 1L && ids.last == 10000L && ids.length == 10000)
+    assert(ids.zip(ids.tail).forall { case (x, y) => y == x + 1 })
+    // order semantics: id rank equals the sort rank
+    val firstRow = keyed.filter(col("Id") === 1).select("a", "b")
+      .as[(Long, Long)].collect().head
+    assert(firstRow == ((0L, 0L)))
+  }
+
   test("FuzzyJoin.top1 picks nearest candidate, ties lexicographically") {
     val left = Seq("GERMANY!", "FRANC", "xyz").toDF("name")
     val right = Seq("GERMANY", "FRANCE", "GREECE").toDF("country")

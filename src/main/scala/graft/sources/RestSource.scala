@@ -21,24 +21,32 @@ object RestSource {
 
   /** Fetch pages `0, 1, 2, …` until the fetcher returns an empty page (the
     * reference stops when the API yields no rows) or `maxPages` is reached;
-    * union everything into one Dataset.
+    * union everything into one Dataset. Each page fetch is retried with
+    * bounded exponential backoff (a transient API hiccup must not abort an
+    * extract that is N-1 pages in).
     */
   def paged[T <: Product : TypeTag](spark: SparkSession, fetchPage: Int => Seq[T],
-                                    maxPages: Int = 10000): Dataset[T] = {
+                                    maxPages: Int = 10000,
+                                    maxRetries: Int = 3,
+                                    retryDelayMs: Long = 1000): Dataset[T] = {
     import spark.implicits._
     val pages = Iterator.from(0)
-      .map(fetchPage)
+      .map(p => withRetry(maxRetries, retryDelayMs)(fetchPage(p)))
       .takeWhile(_.nonEmpty)
       .take(maxPages)
       .toSeq
     spark.createDataset(pages.flatten)
   }
 
-  /** Retry with fixed backoff (reference `RetryPolicy(max_retries=3,
-    * delay=1.0)`, `ops/extract.py:13`) for the driver-side fetch; Spark task
-    * retries cover everything executor-side.
+  /** Bounded exponential backoff (reference `RetryPolicy(max_retries=3,
+    * delay=1.0)`, `ops/extract.py:5,13`, with exponential growth instead of
+    * the reference's fixed delay): attempt k sleeps `delayMs · 2^k`, capped
+    * at `maxDelayMs`. Used for the driver-side fetch AND inside the DSv2
+    * partition reader — Spark task retries re-run a whole partition (all its
+    * pages); a per-page retry is the cheaper first line of defense.
     */
-  def withRetry[A](maxRetries: Int = 3, delayMs: Long = 1000)(f: => A): A = {
+  def withRetry[A](maxRetries: Int = 3, delayMs: Long = 1000,
+                   maxDelayMs: Long = 30000)(f: => A): A = {
     var attempt = 0
     var result: Option[A] = None
     var lastErr: Throwable = null
@@ -47,7 +55,8 @@ object RestSource {
       catch {
         case e: Throwable =>
           lastErr = e; attempt += 1
-          if (attempt <= maxRetries) Thread.sleep(delayMs)
+          if (attempt <= maxRetries)
+            Thread.sleep(math.min(delayMs << (attempt - 1), maxDelayMs))
       }
     }
     result.getOrElse(throw lastErr)

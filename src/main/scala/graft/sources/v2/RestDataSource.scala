@@ -95,6 +95,8 @@ private class RestScan(options: CaseInsensitiveStringMap)
   private val pagesPerPartition = options.getInt("pagesPerPartition", 8)
   private val fetcherClass =
     options.getOrDefault("fetcher", classOf[FakeWbFetcher].getName)
+  private val maxRetries = options.getInt("maxRetries", 3)
+  private val retryDelayMs = options.getLong("retryDelayMs", 1000L)
 
   override def build(): Scan = this
   override def readSchema(): StructType = RestDataSource.schema
@@ -102,7 +104,8 @@ private class RestScan(options: CaseInsensitiveStringMap)
 
   override def planInputPartitions(): Array[InputPartition] =
     (0 until pages by pagesPerPartition).map { start =>
-      RestInputPartition(start, math.min(start + pagesPerPartition, pages), fetcherClass)
+      RestInputPartition(start, math.min(start + pagesPerPartition, pages),
+        fetcherClass, maxRetries, retryDelayMs)
         .asInstanceOf[InputPartition]
     }.toArray
 
@@ -111,7 +114,9 @@ private class RestScan(options: CaseInsensitiveStringMap)
 }
 
 private case class RestInputPartition(startPage: Int, endPage: Int,
-                                      fetcherClass: String) extends InputPartition
+                                      fetcherClass: String,
+                                      maxRetries: Int = 3,
+                                      retryDelayMs: Long = 1000L) extends InputPartition
 
 private class RestReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
@@ -119,8 +124,11 @@ private class RestReaderFactory extends PartitionReaderFactory {
     // fetcher (HTTP client in real life) instantiated once per partition
     val fetcher = Class.forName(p.fetcherClass)
       .getDeclaredConstructor().newInstance().asInstanceOf[PageFetcher]
+    // per-page retry with exponential backoff: cheaper than a Spark task
+    // retry, which would re-fetch the partition's every page
     val rows = (p.startPage until p.endPage).iterator
-      .flatMap(fetcher.fetch)
+      .flatMap(page => graft.sources.RestSource.withRetry(
+        p.maxRetries, p.retryDelayMs)(fetcher.fetch(page)))
     new PartitionReader[InternalRow] {
       private var current: WbRecord = _
       override def next(): Boolean = {

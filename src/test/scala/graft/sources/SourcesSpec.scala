@@ -49,6 +49,17 @@ class SourcesSpec extends SparkSpec {
     assert(fetched.toSeq == Seq(0, 1, 2, 3)) // probed exactly one empty page
   }
 
+  test("RestSource.paged rides out transient page failures via retry") {
+    val failedOnce = scala.collection.mutable.Set[Int]()
+    def flaky(p: Int): Seq[Rec] = {
+      if (failedOnce.add(p)) sys.error(s"transient fault on page $p")
+      if (p >= 3) Nil else (0 until 5).map(Rec(p, _))
+    }
+    val ds = RestSource.paged(spark, flaky, maxRetries = 2, retryDelayMs = 1)
+    assert(ds.count() == 15) // all pages recovered, nothing dropped
+    assert(failedOnce == Set(0, 1, 2, 3))
+  }
+
   test("RestSource.withRetry retries then succeeds; exhausts -> throws") {
     var n = 0
     val v = RestSource.withRetry(maxRetries = 3, delayMs = 1) {

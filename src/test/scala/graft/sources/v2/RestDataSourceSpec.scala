@@ -3,6 +3,23 @@ package graft.sources.v2
 import graft.SparkSpec
 import org.apache.spark.sql.functions._
 
+/** Flaky executor-side fetcher: the FIRST fetch of every page throws, the
+  * retry succeeds — exercises the per-page retry inside the partition reader
+  * (zero-arg constructible; first-failure bookkeeping is JVM-wide, which is
+  * exactly the visibility a local[n] test has).
+  */
+final class FlakyWbFetcher extends PageFetcher {
+  private val inner = new FakeWbFetcher
+  override def fetch(page: Int): Seq[WbRecord] = {
+    if (FlakyWbFetcher.firstCall.putIfAbsent(page, java.lang.Boolean.TRUE) == null)
+      throw new RuntimeException(s"transient fault on page $page")
+    inner.fetch(page)
+  }
+}
+object FlakyWbFetcher {
+  val firstCall = new java.util.concurrent.ConcurrentHashMap[Int, java.lang.Boolean]()
+}
+
 class RestDataSourceSpec extends SparkSpec {
 
   private def read(pages: Int, perPartition: Int) =
@@ -22,6 +39,18 @@ class RestDataSourceSpec extends SparkSpec {
     assert(read(10, 4).rdd.getNumPartitions == 3)  // ceil(10/4)
     assert(read(40, 8).rdd.getNumPartitions == 5)
     assert(read(1, 8).rdd.getNumPartitions == 1)
+  }
+
+  test("partition reader retries transient page faults and loses nothing") {
+    FlakyWbFetcher.firstCall.clear()
+    val df = spark.read.format("graft-rest")
+      .option("pages", 6)
+      .option("pagesPerPartition", 2)
+      .option("fetcher", classOf[FlakyWbFetcher].getName)
+      .option("retryDelayMs", 1)
+      .load()
+    assert(df.count() == 150) // every page failed once, retried, none lost
+    assert(FlakyWbFetcher.firstCall.size() == 6)
   }
 
   test("values match the deterministic fetcher, including nulls") {

@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked-run output normally routes through sbt's logger, which prefixes
+// every line with "[info] " — that framing broke the driver's bench-line
+// parse two rounds running. StdoutOutput pipes the child JVM's stdout
+// straight through, so graft.Bench's JSON line lands bare on stdout.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

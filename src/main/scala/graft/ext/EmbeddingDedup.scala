@@ -1,0 +1,55 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.plans.CosineSimilarityExpr
+
+/** Embedding-cosine near-duplicate pairs with BOUNDED per-block work — the
+  * dedup-by-embedding operator for training-data pipelines.
+  *
+  * Same scale shape as [[NearDup.lshCandidates]]: block members are
+  * collect_list'd per blocking key (ONE shuffle), pairs expand IN-ROW via a
+  * double explode, and `maxBlockSize` drops degenerate blocks instead of
+  * letting one hot key go quadratic — an uncapped equi-self-join on the
+  * blocking key is O(n²/k) per block and a scale-killer the moment one block
+  * grows with the corpus. Dropped blocks trade recall on pathological keys
+  * for bounded work, exactly like the MinHash/SimHash paths.
+  *
+  * At corpus scale the blocking key should NOT be a free-text label (labels
+  * grow O(n/k)): [[cosineNearDupsByCell]] blocks by IVF cell from
+  * [[IvfAnn.codebook]], whose granularity is chosen (k cells) independent of
+  * any label skew. Cross-cell near-dups are missed by construction — the
+  * standard single-probe trade; raise `k`'s resolution or run twice with a
+  * rotated codebook when recall matters more than cost.
+  */
+object EmbeddingDedup {
+
+  /** All within-block pairs (idA < idB) with cosine ≥ `threshold`, blocks
+    * bounded by `maxBlockSize` members (oversized blocks are DROPPED — see
+    * object doc). Output: (id_a, id_b, cos), cos the raw double.
+    */
+  def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                         blockCol: String, threshold: Double,
+                         maxBlockSize: Int = 1000): DataFrame = {
+    val blocks = df
+      .select(col(blockCol).as("__blk"),
+        struct(col(idCol).as("id"), col(vecCol).as("v")).as("m"))
+      .groupBy(col("__blk")).agg(collect_list(col("m")).as("ms"))
+      .filter(size(col("ms")).between(2, maxBlockSize))
+    blocks.select(explode(col("ms")).as("a"), col("ms"))
+      .select(col("a"), explode(col("ms")).as("b"))
+      .filter(col("a.id") < col("b.id"))
+      .withColumn("cos", CosineSimilarityExpr.cosine(col("a.v"), col("b.v")))
+      .filter(col("cos") >= threshold)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cos"))
+  }
+
+  /** The scale API: block by IVF cell (codebook granularity, not label
+    * skew), then run the bounded pair expansion within cells.
+    */
+  def cosineNearDupsByCell(emb: DataFrame, idCol: String, vecCol: String,
+                           cb: Seq[(Int, Seq[Double])], threshold: Double,
+                           maxBlockSize: Int = 1000): DataFrame =
+    cosineNearDupPairs(IvfAnn.assign(emb, vecCol, cb), idCol, vecCol,
+      "cell", threshold, maxBlockSize)
+}

@@ -42,21 +42,36 @@ object IvfAnn {
   /** Learn a k-cell codebook: deterministic hash seeding, then `iterations`
     * Lloyd steps (assign to nearest centroid, recompute per-dimension means).
     * Returns the collected codebook — k·dim values, driver-small by design.
+    *
+    * Each Lloyd pass is ONE job: per-(cell, dim) decimal sums + counts —
+    * a constant THREE aggregate expressions regardless of vector width, so
+    * the plan (and its generated code) is small and cache-hits across
+    * passes, and there is no per-pass dim-discovery job (dim falls out of
+    * the collected rows). The k·dim result rows are reassembled into
+    * centroids driver-side — 512 rows for k=8, dim=64.
+    *
+    * Sums route through DECIMAL(27,12): the cast rounds each component to
+    * 12 dp (deterministic per value), the sum is exact and therefore
+    * shuffle-order-independent, and the unscaled accumulator stays
+    * Long-backed (fast path) for any |Σx| < 1e15 — far beyond normalized
+    * embedding sums. The whole index is reproducible bit-for-bit
+    * run-to-run, which the golden-parquet regression net for e06 relies on.
     */
   def codebook(emb: DataFrame, idCol: String, vecCol: String, k: Int,
                iterations: Int = 2): Seq[(Int, Seq[Double])] = {
+    import org.apache.spark.sql.types.DecimalType
     def means(assigned: DataFrame): Seq[(Int, Seq[Double])] =
       assigned
         .select(col("__cell"), posexplode(col(vecCol)).as(Seq("dim", "x")))
-        .groupBy("__cell", "dim").agg(avg(col("x").cast("double")).as("m"))
-        .groupBy("__cell").agg(map_from_arrays(
-          collect_list(col("dim")), collect_list(col("m"))).as("byDim"))
+        .groupBy("__cell", "dim")
+        .agg(sum(col("x").cast("double").cast(DecimalType(27, 12))).as("s"),
+          count(lit(1)).as("n"))
         .collect()
-        .map { r =>
-          val m = r.getMap[Int, Double](1)
-          r.getInt(0) -> (0 until m.size).map(m).toSeq
+        .groupBy(_.getInt(0))
+        .map { case (cell, rows) =>
+          cell -> rows.sortBy(_.getInt(1))
+            .map(r => r.getDecimal(2).doubleValue() / r.getLong(3)).toSeq
         }.toSeq.sortBy(_._1)
-
     var cb = means(emb.withColumn("__cell",
       pmod(xxhash64(col(idCol)), lit(k)).cast("int")))
     for (_ <- 0 until iterations)

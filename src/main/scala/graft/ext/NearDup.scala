@@ -69,7 +69,11 @@ object NearDup {
     * self-join and the bucket-size guard (degenerate boilerplate buckets
     * would otherwise explode quadratically) falls out of `size(ids)` for
     * free. Bucket lists are bounded by `maxBucketSize`, so collected rows
-    * stay small.
+    * stay small. NOTE the cap trades recall for bounded work: pairs whose
+    * only shared bucket exceeds `maxBucketSize` members (large boilerplate
+    * cliques) are DROPPED — any exactness/recall guarantee downstream holds
+    * only for buckets within the cap; pass `Int.MaxValue` for lossless
+    * candidate generation at small scale.
     */
   def lshCandidates(sig: DataFrame, bands: Int, rowsPerBand: Int,
                     maxBucketSize: Int = 1000): DataFrame = {
@@ -155,8 +159,10 @@ object NearDup {
   /** SimHash near-duplicate pairs via banded blocking: split each 64-bit
     * signature into `bands` equal chunks and bucket on (band, chunk) — by
     * pigeonhole, any pair with hamming < bands shares at least one intact
-    * chunk, so recall is EXACT for maxHamming ≤ bands − 1 (use 4 bands for
-    * the classic ≤ 3-bit web-dedup setting).
+    * chunk, so recall is EXACT for maxHamming ≤ bands − 1 *within buckets
+    * smaller than `maxBucketSize`* (use 4 bands for the classic ≤ 3-bit
+    * web-dedup setting; pass `maxBucketSize = Int.MaxValue` to make the
+    * pigeonhole guarantee unconditional).
     *
     * Same shape as `lshCandidates`: ONE shuffle collects bucket members per
     * (band, chunk), pairs expand IN-ROW via a double explode, and

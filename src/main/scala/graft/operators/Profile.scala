@@ -93,6 +93,69 @@ object Profile {
     wide.select(explode(structs).as("p")).select("p.*")
   }
 
+  /** Per-column quality VERDICTS (reference `raw_analysis/main.py:100-113`:
+    * the "[UWAGA]/[OK]" assessment lines) — the judgment layer on top of
+    * [[profile]]'s raw stats. One row per column:
+    *
+    *   - `missing_verdict`: 'no_missing' when the column has no nulls,
+    *     'high_missing' when the null ratio exceeds `missingThreshold`
+    *     (reference: 20 %), else 'acceptable_missing';
+    *   - `n_empty` / `empty_verdict`: empty-string count for string columns
+    *     ('has_empty' / 'ok'; null for non-string columns);
+    *   - `n_true` / `n_false`: value distribution for boolean columns
+    *     (null elsewhere).
+    *
+    * Same scale shape as [[profile]]: ONE wide aggregation pass, one-row
+    * unpivot — no per-column jobs.
+    */
+  def verdicts(df: DataFrame, missingThreshold: Double = 0.2): DataFrame = {
+    import org.apache.spark.sql.types.{BooleanType, StringType}
+    val fields = df.schema.fields.toSeq
+    val nullLong = max(lit(null).cast("long")) // typed aggregate null
+    val aggs: Seq[Column] = fields.flatMap { f =>
+      val c = col(f.name)
+      Seq(
+        count(lit(1)).as(s"${f.name}__n"),
+        count(when(c.isNull, lit(1))).as(s"${f.name}__null"),
+        (f.dataType match {
+          case StringType => count(when(c === "", lit(1)))
+          case _          => nullLong
+        }).as(s"${f.name}__empty"),
+        (f.dataType match {
+          case BooleanType => count(when(c === true, lit(1)))
+          case _           => nullLong
+        }).as(s"${f.name}__true"),
+        (f.dataType match {
+          case BooleanType => count(when(c === false, lit(1)))
+          case _           => nullLong
+        }).as(s"${f.name}__false"))
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val structs = array(fields.map { f =>
+      val n = col(s"${f.name}__n").cast("long")
+      val nNull = col(s"${f.name}__null").cast("long")
+      val nEmpty = col(s"${f.name}__empty").cast("long")
+      val ratio = nNull.cast("double") / n.cast("double")
+      struct(
+        lit(f.name).as("col_name"),
+        n.as("n_rows"),
+        nNull.as("n_null"),
+        round(ratio, 6).as("missing_ratio"),
+        when(nNull === 0, "no_missing")
+          .when(ratio > missingThreshold, "high_missing")
+          .otherwise("acceptable_missing").as("missing_verdict"),
+        nEmpty.as("n_empty"),
+        (f.dataType match {
+          case StringType =>
+            when(nEmpty > 0, "has_empty").otherwise("ok")
+          case _ => lit(null).cast("string")
+        }).as("empty_verdict"),
+        col(s"${f.name}__true").cast("long").as("n_true"),
+        col(s"${f.name}__false").cast("long").as("n_false"))
+    }: _*)
+    wide.select(explode(structs).as("p")).select("p.*")
+  }
+
   /** Top-k most frequent values of a column (reference
     * `value_counts().head(10)`), deterministic tie-break on the value.
     */

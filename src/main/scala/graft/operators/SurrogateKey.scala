@@ -42,8 +42,19 @@ object SurrogateKey {
     */
   def scalable(df: DataFrame, order: Seq[Column], idCol: String = "Id"): DataFrame = {
     val local = lit((1L << 33) - 1)
+    // persist() pins the (partition-dependent, nondeterministic) __mid
+    // values: the frame is consumed TWICE below — by the counts aggregate
+    // and by the join — and correctness of the offsets requires both
+    // evaluations to see identical range-partition boundaries. Without a
+    // shared materialization the two subtrees prune differently, so their
+    // sort exchanges need not be reused — two independent range samplings
+    // could disagree on boundaries and silently duplicate/gap ids. The
+    // in-memory relation keeps the plan in SQL operators (no RDD
+    // round-trip); MEMORY_AND_DISK spills rather than evicting, so a
+    // cached partition is never recomputed mid-query.
     val withMid = df.orderBy(order: _*)
       .withColumn("__mid", monotonically_increasing_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val counts = withMid
       .groupBy(shiftright(col("__mid"), 33).as("__pid"))
       .agg(count(lit(1)).as("__n"))

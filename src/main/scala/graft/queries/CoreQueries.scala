@@ -619,17 +619,23 @@ object CoreQueries {
 
   // ---------------------------------------------------------------- q34
   /** Approximate statistics (the 100 TB profiling path): HyperLogLog
-    * distinct counts and t-digest-style quantiles. Approximation is
-    * engine-specific by nature → rows-only check; the exact twins are
-    * oracle-checked in q26/q30.
+    * distinct counts and quantile sketches. Approximation is
+    * engine-specific by nature → no SQL oracle; the regression net is a
+    * committed golden parquet (see GoldenOracles). Determinism: HLL merge
+    * is register-wise max (split-order-independent), and at 1e6 accuracy
+    * the quantile sketch's compression can never fire below ~500k rows
+    * (2·ε·n < 1), so the sketch holds every value and the result is the
+    * exact percentile — stable under any partitioning. At a real 100 TB
+    * run you would drop accuracy back to O(1e3) and accept rank error;
+    * the exact twins are oracle-checked in q26/q30.
     */
   val q34_approx_stats = GraftQuery("q34_approx_stats", (s, dir) =>
     Tables.orders(s, dir).agg(
       approx_count_distinct(col("o_custkey")).as("approx_custs"),
       approx_count_distinct(col("o_orderkey")).as("approx_orders"),
-      percentile_approx(col("o_totalprice"), lit(0.5), lit(1000)).as("approx_median"),
-      percentile_approx(col("o_totalprice"), lit(0.99), lit(1000)).as("approx_p99")),
-    oracle = None)
+      percentile_approx(col("o_totalprice"), lit(0.5), lit(1000000)).as("approx_median"),
+      percentile_approx(col("o_totalprice"), lit(0.99), lit(1000000)).as("approx_p99")),
+    oracle = GoldenOracles.sqlFor("q34_approx_stats"))
 
   // ---------------------------------------------------------------- q35
   /** Schema-first JSON parse (S5/F10): `from_json` with an explicit schema +
@@ -704,10 +710,91 @@ object CoreQueries {
       .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
   }
 
+  // ---------------------------------------------------------------- q39
+  /** Profiler QUALITY VERDICTS (reference `raw_analysis/main.py:100-113`,
+    * the "[UWAGA]/[OK]" assessment lines): missing-ratio verdicts at the
+    * reference's 20 % threshold, empty-string detection for string columns,
+    * true/false distribution for boolean columns — over a frame engineered
+    * to hit every verdict branch (25 % nulls → high, 2 % → acceptable,
+    * none → no_missing, injected empty strings, a derived boolean).
+    */
+  val q39_profile_verdicts = q("q39_profile_verdicts",
+    """WITH src AS (
+      |  SELECT o_orderkey,
+      |    CASE WHEN o_orderkey % 4 = 0 THEN NULL ELSE o_orderstatus END AS status_sparse,
+      |    CASE WHEN o_orderkey % 50 = 0 THEN NULL ELSE o_orderpriority END AS prio_mostly,
+      |    CASE WHEN o_orderkey % 10 = 0 THEN '' ELSE o_orderstatus END AS status_dirty,
+      |    o_totalprice > 150000 AS big_order
+      |  FROM orders)
+      |SELECT * FROM (
+      |  SELECT 'o_orderkey' AS col_name, COUNT(*) AS n_rows,
+      |    COUNT(*) FILTER (o_orderkey IS NULL) AS n_null,
+      |    ROUND(CAST(COUNT(*) FILTER (o_orderkey IS NULL) AS DOUBLE) / COUNT(*), 6) AS missing_ratio,
+      |    CASE WHEN COUNT(*) FILTER (o_orderkey IS NULL) = 0 THEN 'no_missing'
+      |         WHEN CAST(COUNT(*) FILTER (o_orderkey IS NULL) AS DOUBLE) / COUNT(*) > 0.2 THEN 'high_missing'
+      |         ELSE 'acceptable_missing' END AS missing_verdict,
+      |    CAST(NULL AS BIGINT) AS n_empty, CAST(NULL AS VARCHAR) AS empty_verdict,
+      |    CAST(NULL AS BIGINT) AS n_true, CAST(NULL AS BIGINT) AS n_false
+      |  FROM src
+      |  UNION ALL
+      |  SELECT 'status_sparse', COUNT(*),
+      |    COUNT(*) FILTER (status_sparse IS NULL),
+      |    ROUND(CAST(COUNT(*) FILTER (status_sparse IS NULL) AS DOUBLE) / COUNT(*), 6),
+      |    CASE WHEN COUNT(*) FILTER (status_sparse IS NULL) = 0 THEN 'no_missing'
+      |         WHEN CAST(COUNT(*) FILTER (status_sparse IS NULL) AS DOUBLE) / COUNT(*) > 0.2 THEN 'high_missing'
+      |         ELSE 'acceptable_missing' END,
+      |    COUNT(*) FILTER (status_sparse = ''),
+      |    CASE WHEN COUNT(*) FILTER (status_sparse = '') > 0 THEN 'has_empty' ELSE 'ok' END,
+      |    CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+      |  FROM src
+      |  UNION ALL
+      |  SELECT 'prio_mostly', COUNT(*),
+      |    COUNT(*) FILTER (prio_mostly IS NULL),
+      |    ROUND(CAST(COUNT(*) FILTER (prio_mostly IS NULL) AS DOUBLE) / COUNT(*), 6),
+      |    CASE WHEN COUNT(*) FILTER (prio_mostly IS NULL) = 0 THEN 'no_missing'
+      |         WHEN CAST(COUNT(*) FILTER (prio_mostly IS NULL) AS DOUBLE) / COUNT(*) > 0.2 THEN 'high_missing'
+      |         ELSE 'acceptable_missing' END,
+      |    COUNT(*) FILTER (prio_mostly = ''),
+      |    CASE WHEN COUNT(*) FILTER (prio_mostly = '') > 0 THEN 'has_empty' ELSE 'ok' END,
+      |    CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+      |  FROM src
+      |  UNION ALL
+      |  SELECT 'status_dirty', COUNT(*),
+      |    COUNT(*) FILTER (status_dirty IS NULL),
+      |    ROUND(CAST(COUNT(*) FILTER (status_dirty IS NULL) AS DOUBLE) / COUNT(*), 6),
+      |    CASE WHEN COUNT(*) FILTER (status_dirty IS NULL) = 0 THEN 'no_missing'
+      |         WHEN CAST(COUNT(*) FILTER (status_dirty IS NULL) AS DOUBLE) / COUNT(*) > 0.2 THEN 'high_missing'
+      |         ELSE 'acceptable_missing' END,
+      |    COUNT(*) FILTER (status_dirty = ''),
+      |    CASE WHEN COUNT(*) FILTER (status_dirty = '') > 0 THEN 'has_empty' ELSE 'ok' END,
+      |    CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+      |  FROM src
+      |  UNION ALL
+      |  SELECT 'big_order', COUNT(*),
+      |    COUNT(*) FILTER (big_order IS NULL),
+      |    ROUND(CAST(COUNT(*) FILTER (big_order IS NULL) AS DOUBLE) / COUNT(*), 6),
+      |    CASE WHEN COUNT(*) FILTER (big_order IS NULL) = 0 THEN 'no_missing'
+      |         WHEN CAST(COUNT(*) FILTER (big_order IS NULL) AS DOUBLE) / COUNT(*) > 0.2 THEN 'high_missing'
+      |         ELSE 'acceptable_missing' END,
+      |    CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+      |    COUNT(*) FILTER (big_order), COUNT(*) FILTER (NOT big_order)
+      |  FROM src)""".stripMargin) { (s, dir) =>
+    val src = Tables.orders(s, dir).select(
+      col("o_orderkey"),
+      when(col("o_orderkey") % 4 === 0, lit(null).cast("string"))
+        .otherwise(col("o_orderstatus")).as("status_sparse"),
+      when(col("o_orderkey") % 50 === 0, lit(null).cast("string"))
+        .otherwise(col("o_orderpriority")).as("prio_mostly"),
+      when(col("o_orderkey") % 10 === 0, lit(""))
+        .otherwise(col("o_orderstatus")).as("status_dirty"),
+      (col("o_totalprice") > 150000).as("big_order"))
+    Profile.verdicts(src)
+  }
+
   val all: Seq[GraftQuery] = Seq(
     q30_numeric_describe, q31_ship_priority, q32_regional_volume, q33_small_quantity,
     q34_approx_stats, q35_from_json, q36_array_agg, q37_order_distribution,
-    q38_min_per_group_filter,
+    q38_min_per_group_filter, q39_profile_verdicts,
     q01_pricing_summary, q02_filter_project, q03_left_join_2key, q04_join_chain_agg,
     q05_anti_join, q06_semi_join, q07_fuzzy_top1, q08_pivot_mean,
     q09_dedup_keep_first, q10_surrogate_key, q11_interpolate, q12_qcut_buckets,

@@ -99,18 +99,22 @@ object DedupQueries {
 
   // ---------------------------------------------------------------- d04
   /** SimHash signature per document (near-dups = small Hamming distance).
-    * xxhash64-based — not expressible in the oracle engine → rows-only check.
+    * xxhash64-based — not expressible in the oracle engine → the oracle is
+    * a committed golden parquet (deterministic integer/bit algebra, see
+    * [[GoldenOracles]]).
     */
-  val d04_simhash = q("d04_simhash", None) { (s, dir) =>
+  val d04_simhash = q("d04_simhash", GoldenOracles.sqlFor("d04_simhash")) { (s, dir) =>
     NearDup.simhash(Tables.documents(s, dir), "doc_id", "text")
   }
 
   // ---------------------------------------------------------------- d05
   /** SimHash banded near-dup pairs (hamming ≤ 3; 4 bands give exact recall
-    * at that radius by pigeonhole). xxhash64-based → rows-only check;
-    * NearDupSpec proves the recall guarantee on planted duplicates.
+    * at that radius by pigeonhole, within capped buckets). xxhash64-based →
+    * golden-parquet oracle ([[GoldenOracles]]); NearDupSpec proves the
+    * recall guarantee on planted duplicates.
     */
-  val d05_simhash_neardup = q("d05_simhash_neardup", None) { (s, dir) =>
+  val d05_simhash_neardup = q("d05_simhash_neardup",
+    GoldenOracles.sqlFor("d05_simhash_neardup")) { (s, dir) =>
     NearDup.simhashNearDups(Tables.documents(s, dir), "doc_id", "text",
       maxHamming = 3, bands = 4)
   }

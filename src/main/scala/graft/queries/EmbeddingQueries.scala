@@ -111,9 +111,11 @@ object EmbeddingQueries {
   // ---------------------------------------------------------------- e04
   /** Hyperplane-LSH bucketed ANN: bucket every vector by a 6-bit
     * random-hyperplane signature, search only the query's bucket. The
-    * approximate scale path (recall < 1 by design) → rows-only check.
+    * approximate scale path (recall < 1 by design) → golden-parquet oracle
+    * ([[GoldenOracles]]; the signature derives from xxhash64, the scores
+    * are per-row IEEE folds — fully deterministic).
     */
-  val e04_lsh_ann = q("e04_lsh_ann", None) { (s, dir) =>
+  val e04_lsh_ann = q("e04_lsh_ann", GoldenOracles.sqlFor("e04_lsh_ann")) { (s, dir) =>
     val emb = Tables.embeddings(s, dir)
       .withColumn("sig", VectorFunctions.hyperplaneSignature(col("embedding"), dim = 64, planes = 6))
     val qs = emb.filter(col("vec_id") < 8)
@@ -129,10 +131,14 @@ object EmbeddingQueries {
 
   // ---------------------------------------------------------------- e05
   /** Embedding-cosine near-duplicate PAIRS (the dedup-by-embedding operator):
-    * all same-label pairs above a similarity threshold. Label blocking keeps
-    * the pair space O(n²/k); at corpus scale the label comes from an IVF
-    * coarse quantizer (e02's centroids) or LSH signature (e04) instead of a
-    * given column.
+    * all same-label pairs above a similarity threshold, through
+    * [[graft.ext.EmbeddingDedup.cosineNearDupPairs]] — ONE shuffle, in-row
+    * pair expansion, per-block work bounded by `maxBlockSize` (labels here
+    * stay far under the cap, so the oracle sees the lossless result; a
+    * degenerate one-key corpus is bounded by construction, proven in
+    * EmbeddingDedupSpec). At corpus scale block by IVF cell instead
+    * ([[graft.ext.EmbeddingDedup.cosineNearDupsByCell]]) — cell granularity
+    * is chosen, label skew is not.
     */
   val e05_cosine_neardup = q("e05_cosine_neardup", Some(
     s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -140,23 +146,20 @@ object EmbeddingQueries {
        |FROM embeddings a JOIN embeddings b
        |  ON a.label = b.label AND a.vec_id < b.vec_id
        |WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.42""".stripMargin)) { (s, dir) =>
-    val emb = Tables.embeddings(s, dir)
-    val a = emb.select(col("label"), col("vec_id").as("id_a"), col("embedding").as("ea"))
-    val b = emb.select(col("label"), col("vec_id").as("id_b"), col("embedding").as("eb"))
-    a.join(b, Seq("label"))
-      .filter(col("id_a") < col("id_b"))
-      .withColumn("c", graft.plans.CosineSimilarityExpr.cosine(col("ea"), col("eb")))
-      .filter(col("c") >= 0.42)
-      .select(col("id_a"), col("id_b"), round(col("c"), 6).as("cos"))
+    graft.ext.EmbeddingDedup.cosineNearDupPairs(
+        Tables.embeddings(s, dir), "vec_id", "embedding",
+        blockCol = "label", threshold = 0.42)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
   }
 
   // ---------------------------------------------------------------- e06
   /** IVF ANN (the indexed scale path): learn an 8-cell codebook, route each
     * of 8 queries to its 3 nearest cells, score only those cells' members.
-    * Approximate by construction → rows-only check; recall vs brute force is
-    * asserted in IvfAnnSpec.
+    * Approximate by construction → golden-parquet oracle ([[GoldenOracles]];
+    * the codebook's DECIMAL-summed centroids make the whole index
+    * bit-reproducible); recall vs brute force is asserted in IvfAnnSpec.
     */
-  val e06_ivf_ann = q("e06_ivf_ann", None) { (s, dir) =>
+  val e06_ivf_ann = q("e06_ivf_ann", GoldenOracles.sqlFor("e06_ivf_ann")) { (s, dir) =>
     val emb = Tables.embeddings(s, dir)
     val cb = graft.ext.IvfAnn.codebook(emb, "vec_id", "embedding", k = 8, iterations = 1)
     graft.ext.IvfAnn.searchTopK(emb, emb.filter(col("vec_id") < 8),

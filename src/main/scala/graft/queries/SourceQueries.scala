@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{Cols, Tables}
 import graft.ext.Multimodal
-import graft.sources.{CsvSource, RestSource}
+import graft.sources.{CsvSource, DbfSource, RestSource}
 import GraftQuery.dsum
 
 /** Source/sink surface (SURVEY §2.1): contract-checked CSV scan, paged
@@ -136,7 +136,36 @@ object SourceQueries {
         Cols.decimalSum(col("value")).as("sum_value"))
   }
 
+  // ---------------------------------------------------------------- src07
+  /** DBF round-trip (S6 — reference `raw_analysis/main.py:12-38` reads dBase
+    * extracts as the prep step): write a typed fixture with
+    * [[graft.sources.DbfSource.write]], read the DIRECTORY back (glob path)
+    * with [[graft.sources.DbfSource.read]]; the oracle is the original
+    * projection, so the round-trip must be lossless across C/N/L/D field
+    * types. The date column is emitted as its ISO string (DateType decode
+    * itself is covered in DbfSourceSpec).
+    */
+  val src07_dbf_roundtrip = q("src07_dbf_roundtrip", Some(
+    """SELECT CAST(n_nationkey AS BIGINT) AS nkey, n_name AS nname,
+      |  CAST(n_nationkey * 1.5 AS DOUBLE) AS score,
+      |  n_nationkey % 2 = 0 AS even,
+      |  CAST(DATE '1996-01-01' + CAST(n_nationkey AS INT) AS VARCHAR) AS d
+      |FROM nation""".stripMargin)) { (s, dir) =>
+    val src = Tables.nation(s, dir).select(
+      col("n_nationkey").cast("long").as("nkey"),
+      col("n_name").as("nname"),
+      (col("n_nationkey") * 1.5).cast("double").as("score"),
+      (col("n_nationkey") % 2 === 0).as("even"),
+      date_add(lit(java.sql.Date.valueOf("1996-01-01")),
+        col("n_nationkey").cast("int")).as("d"))
+    val path = s"$scratch/dbf_nation"
+    new java.io.File(path).mkdirs()
+    DbfSource.write(src, s"$path/nation.dbf")
+    DbfSource.read(s, path).withColumn("d", col("d").cast("string"))
+  }
+
   val all: Seq[GraftQuery] = Seq(
     src01_csv_roundtrip, src02_rest_paged, src03_partitioned_sink,
-    src04_multimodal_meta, src05_frame_sample, src06_restv2_scan)
+    src04_multimodal_meta, src05_frame_sample, src06_restv2_scan,
+    src07_dbf_roundtrip)
 }

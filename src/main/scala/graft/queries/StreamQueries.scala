@@ -137,7 +137,33 @@ object StreamQueries {
       .select("event_id", "last_purchase_value")
   }
 
+  // ---------------------------------------------------------------- s07
+  /** Batch twin of `StreamOps.runningUserAgg` (flatMapGroupsWithState): the
+    * per-user RUNNING count/total after each event — exactly the row the
+    * streaming state machine emits in Update mode when that event's
+    * micro-batch arrives (one event per batch). A cumulative keyed window;
+    * the total order (ts, event_id) is the stream's arrival order. The
+    * running sum routes through DECIMAL so the cumulative fold can't
+    * diverge between engines (DuckDB computes windowed sums via segment
+    * trees — a different association order than a sequential fold).
+    * Stream-vs-batch equivalence of the final per-user row is asserted
+    * differentially in StreamingSpec.
+    */
+  val s07_running_user_agg = q("s07_running_user_agg", Some(
+    """SELECT event_id, user_id, COUNT(*) OVER w AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS total_value
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin)) { (s, dir) =>
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir).select(col("event_id"), col("user_id"),
+      count(lit(1)).over(w).as("n_events"),
+      Cols.decimalSumOver(col("value"), w).as("total_value"))
+  }
+
   val all: Seq[GraftQuery] = Seq(
     s01_tumbling_agg, s02_sliding_agg, s03_session_windows,
-    s04_dedup_first_event, s05_watermark_late, s06_asof_backward)
+    s04_dedup_first_event, s05_watermark_late, s06_asof_backward,
+    s07_running_user_agg)
 }

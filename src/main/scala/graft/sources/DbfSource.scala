@@ -115,9 +115,12 @@ object DbfSource {
     * parsed inside executors from a `binaryFile` scan (one task per file).
     */
   def read(spark: SparkSession, path: String): DataFrame = {
-    val files = spark.read.format("binaryFile")
-      .option("pathGlobFilter", "*.{dbf,DBF}")
-      .load(if (Files.isRegularFile(Paths.get(path))) path else path)
+    // a directly-named file is loaded as-is (any extension casing); only a
+    // directory scan filters to .dbf files, case-insensitively
+    val reader = spark.read.format("binaryFile")
+    val files =
+      if (Files.isRegularFile(Paths.get(path))) reader.load(path)
+      else reader.option("pathGlobFilter", "*.[dD][bB][fF]").load(path)
     // schema from the smallest driver-side read we can do: the first file
     val firstPath = files.select("path").orderBy("path").limit(1)
       .collect().headOption
@@ -135,9 +138,10 @@ object DbfSource {
 
   /** Fixture/export writer (dimension-scale: collects to the driver — the
     * reference's DBF files are one-time prep inputs, not fact data). Supports
-    * the C/N/L/D subset the reader round-trips.
+    * the C/N/L/D subset the reader round-trips. `maxRows` bounds the driver
+    * collect so misuse on a fact table fails loudly instead of OOMing.
     */
-  def write(df: DataFrame, path: String): Unit = {
+  def write(df: DataFrame, path: String, maxRows: Int = 1000000): Unit = {
     val schema = df.schema
     val fields = schema.fields.map { sf =>
       sf.dataType match {
@@ -149,7 +153,12 @@ object DbfSource {
         case dt => throw new IllegalArgumentException(s"DBF writer: unsupported $dt")
       }
     }
-    val rows = df.collect()
+    // limit+1 keeps the collect bounded even when the require is about to
+    // fail — the driver never materializes more than maxRows+1 rows
+    val rows = df.limit(maxRows + 1).collect()
+    require(rows.length <= maxRows,
+      s"DbfSource.write is a dimension-scale driver-side writer; " +
+        s"input exceeds maxRows=$maxRows — write parquet instead")
     val recordSize = 1 + fields.map(_.length).sum
     val headerSize = 32 + fields.length * 32 + 1
     val out = new java.io.ByteArrayOutputStream()

@@ -221,9 +221,30 @@ object JdbcSink {
                     refTable: String, refColumn: String,
                     dialect: SqlDialect = SqlServerDialect): Unit =
     exec(cfg, dialect.setForeignKeySql(table, column, refTable, refColumn))
+  /** Metadata probe for the `FK_<column>` constraint both dialects name
+    * their foreign keys with (`DatabaseMetaData.getImportedKeys`).
+    */
+  def foreignKeyExists(cfg: JdbcConfig, table: String, column: String,
+                       dialect: SqlDialect = SqlServerDialect): Boolean =
+    withConnection(cfg) { c =>
+      val rs = c.getMetaData.getImportedKeys(null, null, dialect.storedName(table))
+      try {
+        var found = false
+        while (!found && rs.next())
+          found = s"FK_$column".equalsIgnoreCase(rs.getString("FK_NAME"))
+        found
+      } finally rs.close()
+    }
+
+  /** Mirrors [[dropTable]]'s guard: the reference protocol drops all FKs
+    * FIRST (`ops/load.py` drop_all_fk, `IF EXISTS`-guarded in
+    * `resources.py`), so on a dialect without `IF EXISTS` (Derby) a
+    * fresh-database run must probe before dropping or the preamble throws.
+    */
   def dropForeignKey(cfg: JdbcConfig, table: String, column: String,
                      dialect: SqlDialect = SqlServerDialect): Unit =
-    exec(cfg, dialect.dropForeignKeySql(table, column))
+    if (dialect.supportsIfExists || foreignKeyExists(cfg, table, column, dialect))
+      exec(cfg, dialect.dropForeignKeySql(table, column))
   def setColumnType(cfg: JdbcConfig, table: String, column: String, sqlType: String,
                     dialect: SqlDialect = SqlServerDialect): Unit =
     exec(cfg, dialect.setColumnTypeSql(table, column, sqlType))

@@ -55,8 +55,15 @@ object RestSource {
       catch {
         case e: Throwable =>
           lastErr = e; attempt += 1
-          if (attempt <= maxRetries)
-            Thread.sleep(math.min(delayMs << (attempt - 1), maxDelayMs))
+          if (attempt <= maxRetries) {
+            // clamp the shift: delayMs << k overflows Long for k ≥ 63 (and a
+            // negative sleep would throw from inside this handler, masking
+            // the real failure); past 2^15 the cap has long since won anyway
+            val backoff =
+              if (attempt - 1 >= 15) maxDelayMs
+              else math.min(delayMs << (attempt - 1), maxDelayMs)
+            Thread.sleep(backoff)
+          }
       }
     }
     result.getOrElse(throw lastErr)

@@ -76,6 +76,19 @@ class JdbcDerbySpec extends SparkSpec {
     assert(!tableExists(cfg, "fact_exp", dialect))
   }
 
+  test("dropForeignKey on a fresh database is a guarded no-op (no IF EXISTS on Derby)") {
+    // the reference protocol drops all FKs FIRST; on a fresh run the
+    // constraint does not exist and Derby has no IF EXISTS — the probe must
+    // swallow the preamble instead of throwing
+    val t = Seq((1, 2)).toDF("a", "b")
+    overwrite(t, cfg, "fresh_t")
+    assert(!foreignKeyExists(cfg, "fresh_t", "b", dialect))
+    dropForeignKey(cfg, "fresh_t", "b", dialect) // must not throw
+    // and on a table that never existed at all
+    dropForeignKey(cfg, "never_created_t", "b", dialect)
+    dropTable(cfg, "fresh_t", dialect)
+  }
+
   test("overwrite really drops and recreates (schema change survives)") {
     val v1 = Seq((1, "a")).toDF("id", "s")
     overwrite(v1, cfg, "reshape_t", columnTypes = "s VARCHAR(8)")

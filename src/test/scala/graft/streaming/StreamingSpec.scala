@@ -88,6 +88,30 @@ class StreamingSpec extends SparkSpec {
     assert(emitted.count(_._1 == 1L) >= 2)
   }
 
+  test("one-event-per-batch streaming trace equals the s07 batch running twin") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.expressions.Window
+    val mem = MemoryStream[EventRow]
+    val query = StreamOps.runningUserAgg(mem.toDS()).writeStream
+      .format("memory").queryName("trace_out").outputMode("update").start()
+    // one event per micro-batch, in event-time order: the state machine must
+    // emit the FULL running trace, row for row what the batch cumulative
+    // window (s07_running_user_agg's plan) computes
+    events.sortBy(_.ts.getTime).foreach { e =>
+      mem.addData(Seq(EventRow(e.ts, e.user_id, e.event_type, e.value)))
+      query.processAllAvailable()
+    }
+    query.stop()
+
+    val got = spark.table("trace_out").as[(Long, Long, Double)].collect().toSet
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val expected = events.toDF().select(col("user_id"),
+        count(lit(1)).over(w).as("n"), sum(col("value")).over(w).as("t"))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == expected)
+  }
+
   test("runningUserAgg evicts idle keys once the watermark passes their timeout") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[EventRow]

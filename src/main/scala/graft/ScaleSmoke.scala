@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Skew/scale smoke for the capped near-dup / ANN operators: builds a
+  * synthetic 10× corpus from sf0.1 WITH AN INJECTED HOT KEY (a boilerplate
+  * document repeated thousands of times / one embedding label holding
+  * thousands of near-identical vectors — the classic web-dedup degenerate
+  * input) and times d03/d05/e05/e06 on it.
+  *
+  * What it proves: the bucket/block caps turn the hot key from a quadratic
+  * blow-up (a 3000-member bucket is 4.5M in-bucket pairs PER BAND) into
+  * bounded work — wall-time must stay roughly linear in corpus size, and
+  * the run FAILS (exit 1) if any capped operator exceeds `maxSlowdown`×
+  * the linear budget extrapolated from the sf0.1 run. Results are recorded
+  * in README.md per round.
+  */
+object ScaleSmoke {
+
+  private def time[A](f: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val r = f
+    (r, (System.nanoTime() - t0) / 1e9)
+  }
+
+  def docs10x(spark: SparkSession, sfDir: String, copies: Int, hotDocs: Int): DataFrame = {
+    val base = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val n = 1000000L
+    val replicated = base.crossJoin(
+        spark.range(copies.toLong).select(col("id").as("__copy")))
+      .select((col("doc_id") + col("__copy") * n).as("doc_id"),
+        // perturb each copy so replicas are near-dups, not exact clones
+        concat_ws(" ", col("text"), concat(lit("copytag"), col("__copy"))).as("text"))
+    // the hot key: one boilerplate string repeated hotDocs times with a tiny
+    // suffix — all land in the same SimHash chunks / LSH bands
+    val boiler = "lorem ipsum boilerplate terms of service all rights " +
+      "reserved please read carefully before proceeding thank you"
+    val hot = spark.range(hotDocs.toLong)
+      .select((col("id") + copies * n).as("doc_id"),
+        concat(lit(boiler + " v"), col("id") % 3).as("text"))
+    replicated.unionByName(hot)
+  }
+
+  def emb10x(spark: SparkSession, sfDir: String, copies: Int, hotVecs: Int): DataFrame = {
+    val base = Tables.embeddings(spark, sfDir).select("vec_id", "label", "embedding")
+    val n = 1000000L
+    val replicated = base.crossJoin(
+        spark.range(copies.toLong).select(col("id").as("__copy")))
+      .select((col("vec_id") + col("__copy") * n).as("vec_id"), col("label"),
+        col("embedding"))
+    // hot label: thousands of copies of one vector under a single label
+    val one = base.limit(1).select(col("embedding")).crossJoin(
+        spark.range(hotVecs.toLong).select(col("id").as("__i")))
+      .select((col("__i") + copies * n).as("vec_id"),
+        lit(999999L).as("label"), col("embedding"))
+    replicated.unionByName(one)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val copies = 10
+    val maxSlowdown = 2.0 // vs linear extrapolation of the sf0.1 timing
+    val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+
+    val docsBig = docs10x(spark, sfDir, copies, hotDocs = 3000).cache()
+    val embBig = emb10x(spark, sfDir, copies, hotVecs = 3000).cache()
+    val nDocs = docsBig.count(); val nVecs = embBig.count()
+    println(s"corpus: $nDocs docs, $nVecs vectors (10x sf0.1 + hot keys)")
+
+    val docsSmall = Tables.documents(spark, sfDir).select("doc_id", "text").cache()
+    val embSmall = Tables.embeddings(spark, sfDir).cache()
+    docsSmall.count(); embSmall.count()
+
+    def run(name: String, small: => Long, big: => Long): (String, Double, Double, Long) = {
+      small // warm-up (codegen, shuffles)
+      val (_, tSmall) = time(small)
+      val (rows, tBig) = time(big)
+      (name, tSmall, tBig, rows)
+    }
+
+    val results = Seq(
+      run("d03_minhash_lsh",
+        ext.NearDup.nearDuplicatePairs(docsSmall, "doc_id", "text", 0.7).count(),
+        ext.NearDup.nearDuplicatePairs(docsBig, "doc_id", "text", 0.7).count()),
+      run("d05_simhash_neardup",
+        ext.NearDup.simhashNearDups(docsSmall, "doc_id", "text", 3, 4).count(),
+        ext.NearDup.simhashNearDups(docsBig, "doc_id", "text", 3, 4).count()),
+      run("e05_cosine_neardup",
+        ext.EmbeddingDedup.cosineNearDupPairs(embSmall, "vec_id", "embedding",
+          "label", 0.42).count(),
+        ext.EmbeddingDedup.cosineNearDupPairs(embBig, "vec_id", "embedding",
+          "label", 0.42).count()),
+      // the scale path for embedding dedup: when labels outgrow the cap
+      // (every 10x label does — see e05's 0 rows above), block by IVF cell
+      // instead; cell count scales with k, not with label skew
+      // same k both sides so the O(k·dim) per-row assignment cost divides out
+      run("e05_by_ivf_cell", {
+        val cb = ext.IvfAnn.codebook(embSmall, "vec_id", "embedding", 32, 1)
+        ext.EmbeddingDedup.cosineNearDupsByCell(embSmall, "vec_id", "embedding",
+          cb, 0.9).count()
+      }, {
+        val cb = ext.IvfAnn.codebook(embBig, "vec_id", "embedding", 32, 1)
+        ext.EmbeddingDedup.cosineNearDupsByCell(embBig, "vec_id", "embedding",
+          cb, 0.9).count()
+      }),
+      run("e06_ivf_ann", {
+        val cb = ext.IvfAnn.codebook(embSmall, "vec_id", "embedding", 8, 1)
+        ext.IvfAnn.searchTopK(embSmall, embSmall.filter(col("vec_id") < 8),
+          "vec_id", "embedding", cb, 3, 5).count()
+      }, {
+        val cb = ext.IvfAnn.codebook(embBig, "vec_id", "embedding", 8, 1)
+        ext.IvfAnn.searchTopK(embBig, embBig.filter(col("vec_id") < 8),
+          "vec_id", "embedding", cb, 3, 5).count()
+      }))
+
+    var failed = false
+    results.foreach { case (name, tSmall, tBig, rows) =>
+      val slowdown = tBig / (tSmall * copies)
+      val verdict =
+        if (slowdown <= maxSlowdown) "OK"
+        else { failed = true; "FAIL (super-linear)" }
+      println(f"SMOKE $name%-22s 1x=${tSmall}%6.2fs 10x+hot=${tBig}%7.2fs " +
+        f"rows=$rows%8d vs-linear=${slowdown}%5.2fx $verdict")
+    }
+    spark.stop()
+    if (failed) sys.exit(1)
+  }
+}

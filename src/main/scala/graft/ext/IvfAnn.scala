@@ -35,9 +35,14 @@ object IvfAnn {
       struct(l2sqToLit(vec, c).as("dist"), lit(cell).as("cell"))
     }: _*)
 
-  /** Nearest cell id for a vector (argmin by distance, ties → lowest cell). */
+  /** Nearest cell id for a vector (argmin by distance, ties → lowest cell):
+    * a fused codegen expression — one k·dim loop per row, no per-row array
+    * allocations or interpreted lambda dispatch (the HOF composition rode
+    * CodegenFallback). Bit-identical arithmetic to the [[cellDistances]]
+    * fold.
+    */
   private def nearestCell(vec: Column, centroids: Seq[(Int, Seq[Double])]): Column =
-    array_min(cellDistances(vec, centroids)).getField("cell")
+    graft.plans.NearestCentroidExpr.nearest(vec, centroids)
 
   /** Learn a k-cell codebook: deterministic hash seeding, then `iterations`
     * Lloyd steps (assign to nearest centroid, recompute per-dimension means).

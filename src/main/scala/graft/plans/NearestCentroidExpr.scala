@@ -1,0 +1,123 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.graft.bridge
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expression for IVF cell assignment: argmin-L2² of a
+  * vector against a literal codebook, returning the winning CELL ID.
+  *
+  * Why an Expression instead of the higher-order-function composition
+  * (`array_min` over k `aggregate(zip_with(...))` distances): the
+  * composition allocates 2k intermediate arrays + k structs per row and
+  * evaluates its lambdas interpreted (HOFs ride CodegenFallback even
+  * inside a codegen'd stage) — O(k·dim) boxed lambda dispatches per row.
+  * This emits ONE fused loop (k·dim multiply-adds, no allocations) via
+  * `doGenCode`, which is the difference between memory-bound and
+  * compute-bound when assigning 10^9 vectors to cells.
+  * Arithmetic is the same left-to-right fold per
+  * centroid, strictly-less argmin over centroids in ascending cell order —
+  * bit-identical to the HOF path, so golden results are unchanged.
+  *
+  * Semantics: null vector, null element, or vector length ≠ codebook dim →
+  * null. Ties keep the lowest cell id (codebook is sorted at construction).
+  */
+case class NearestCentroidExpr(child: Expression,
+                               cells: Seq[Int],
+                               centroids: Seq[Seq[Double]])
+    extends UnaryExpression {
+
+  require(cells.nonEmpty && cells.length == centroids.length,
+    "codebook must be non-empty and cells must align with centroids")
+  require(centroids.forall(_.length == centroids.head.length),
+    "all centroids must share one dimensionality")
+
+  private val dim = centroids.head.length
+  // ascending-cell order makes strictly-less argmin keep the lowest id on ties
+  private val (cellArr, centroidFlat) = {
+    val sorted = cells.zip(centroids).sortBy(_._1)
+    (sorted.map(_._1).toArray, sorted.flatMap(_._2).toArray)
+  }
+
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+  override def prettyName: String = "nearest_centroid"
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array<float> or array<double> column, " +
+        s"got ${other.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    if (v.numElements() != dim) return null
+    val float = isFloat
+    var best = -1
+    var bestDist = Double.PositiveInfinity
+    var c = 0
+    while (c < cellArr.length) {
+      var d = 0.0
+      var i = 0
+      while (i < dim) {
+        if (v.isNullAt(i)) return null
+        val x = if (float) v.getFloat(i).toDouble else v.getDouble(i)
+        val diff = x - centroidFlat(c * dim + i)
+        d += diff * diff
+        i += 1
+      }
+      if (d < bestDist) { bestDist = d; best = c }
+      c += 1
+    }
+    cellArr(best)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val getter = if (isFloat) "getFloat" else "getDouble"
+    val cellsRef = ctx.addReferenceObj("cells", cellArr, "int[]")
+    val centRef = ctx.addReferenceObj("centroids", centroidFlat, "double[]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val c = ctx.freshName("c"); val i = ctx.freshName("i")
+      val d = ctx.freshName("d"); val x = ctx.freshName("x")
+      val diff = ctx.freshName("diff")
+      val best = ctx.freshName("best"); val bestDist = ctx.freshName("bestDist")
+      s"""
+         |if ($v.numElements() != $dim) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $best = -1;
+         |  double $bestDist = Double.POSITIVE_INFINITY;
+         |  for (int $c = 0; $c < ${cellArr.length} && !${ev.isNull}; $c++) {
+         |    double $d = 0.0;
+         |    for (int $i = 0; $i < $dim; $i++) {
+         |      if ($v.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |      final double $x = (double) $v.$getter($i);
+         |      final double $diff = $x - $centRef[$c * $dim + $i];
+         |      $d += $diff * $diff;
+         |    }
+         |    if (!${ev.isNull} && $d < $bestDist) { $bestDist = $d; $best = $c; }
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $cellsRef[$best]; }
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object NearestCentroidExpr {
+  /** Column-API entry point over an IVF codebook `Seq[(cell, centroid)]`. */
+  def nearest(vec: Column, cb: Seq[(Int, Seq[Double])]): Column =
+    bridge.column(NearestCentroidExpr(bridge.expression(vec),
+      cb.map(_._1), cb.map(_._2)))
+}

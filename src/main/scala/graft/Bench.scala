@@ -20,6 +20,13 @@ import java.nio.file.{Files, Paths}
   * entirely on whichever query happens to run first), then one timed pass.
   * Steady-state numbers are the ones that extrapolate to a long-lived
   * cluster. Set SPARK_GRAFT_WARMUP=0 to time cold instead.
+  *
+  * Each query is materialized through the `noop` sink, NOT `count()`:
+  * count lets Catalyst prune every column the count doesn't need, so a
+  * query whose cost lives in its output projection (regex scoring, hash
+  * signatures) would time only its scan. The noop sink computes every
+  * output row in full and discards it — the honest analog of a downstream
+  * consumer, with zero write overhead.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -28,9 +35,11 @@ object Bench {
     val warmup = sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0"
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     val spark = Sessions.local(cpus)
+    def materialize(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
     if (warmup) {
       SparkEntry.queries.foreach { case (_, fn) =>
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => }
+        try materialize(fn(spark, sfDir)) catch { case _: Throwable => }
         spark.catalog.clearCache() // queries cache intermediates; don't let
                                    // storage pressure bleed across queries
       }
@@ -38,7 +47,7 @@ object Bench {
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
-        try { fn(spark, sfDir).count(); true }
+        try { materialize(fn(spark, sfDir)); true }
         catch { case t: Throwable =>
           System.err.println(s"BENCH FAIL $name: ${t.getClass.getName}: ${t.getMessage}")
           false

@@ -136,21 +136,30 @@ object NearDup {
 
   /** SimHash: 64-bit signature whose bit i is the sign of the sum over
     * tokens of ±1 at bit i of the token hash. Near-dups = small Hamming
-    * distance. Pure column algebra: per-token bit contributions are unpacked
-    * once, summed per (id, bit) — no UDF, map-side combinable.
+    * distance. Pure column algebra — no UDF.
+    *
+    * Shape: ONE aggregation — 64 conditional integer sums per doc id,
+    * partial-aggregated map-side, then the signature is assembled from the
+    * 64 sums with plain bit arithmetic in a projection. The previous
+    * posexplode shape multiplied every token row 64× and shuffled the
+    * (id, bit) pairs — a 64× shuffle-volume tax this one-pass form avoids
+    * entirely (per-doc shuffle payload: 64 longs, same as a MinHash
+    * signature). Integer sums are order-independent, so signatures are
+    * deterministic under any partitioning (golden-net d04/d05 rely on it).
     */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tokens = df.select(col(idCol).as("id"),
       explode(split(TextFunctions.normalizeWs(lower(col(textCol))), " ")).as("tok"))
       .withColumn("h", xxhash64(col("tok")))
-    val bits = tokens.select(col("id"), posexplode(
-      array((0 until 64).map(b =>
-        when(col("h").bitwiseAND(lit(1L << b)) =!= 0, lit(1)).otherwise(lit(-1))): _*)))
-      .withColumnRenamed("pos", "bit").withColumnRenamed("col", "contrib")
-    bits.groupBy("id", "bit").agg(sum("contrib").as("s"))
-      .groupBy("id")
-      .agg(sum(when(col("s") >= 0, expr("shiftleft(1L, cast(bit as int))"))
-        .otherwise(lit(0L))).as("simhash"))
+    val sums = (0 until 64).map { b =>
+      sum(when(col("h").bitwiseAND(lit(1L << b)) =!= 0, lit(1)).otherwise(lit(-1)))
+        .as(s"s$b")
+    }
+    tokens.groupBy("id").agg(sums.head, sums.tail: _*)
+      .select(col("id"),
+        (0 until 64).map(b =>
+          when(col(s"s$b") >= 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_.bitwiseOR(_)).as("simhash"))
   }
 
   /** Hamming distance between two 64-bit signatures. */

@@ -80,20 +80,23 @@ object TextFunctions {
     val toks = lower(normalizeWs(c))
     def markerHits(words: Seq[String]): Column =
       size(regexp_extract_all(toks, lit("\\b(" + words.mkString("|") + ")\\b"), lit(0)))
-    val hits = langMarkers.map { case (code, words) => code -> markerHits(words) }
-    // priority-order argmax: a language wins ties against every LATER entry,
-    // so the chain below is a deterministic "first language with max hits"
-    val anyHit = hits.map(_._2).reduce(_ + _) > 0
-    val argmax = hits.zipWithIndex.foldLeft(lit(null).cast("string")) {
-      case (acc, ((code, h), i)) =>
-        val beatsAll = hits.zipWithIndex.collect {
-          case ((_, h2), j) if j < i  => h > h2   // strictly beats earlier
-          case ((_, h2), j) if j > i  => h >= h2  // ties win vs later
-        }.reduce(_ && _)
-        when(acc.isNull && beatsAll, lit(code)).otherwise(acc)
-    }
-    when(c.rlike("[\\u4e00-\\u9fff]"), lit("zh"))
-      .when(!anyHit, lit("und"))
-      .otherwise(coalesce(argmax, lit("und")))
+    // The hit counts are evaluated ONCE into an array, and the
+    // priority-order argmax (first language with the max count) is a single
+    // left fold whose accumulator carries (best hits, best code). The
+    // previous pairwise-comparison CASE chain referenced every hit-count
+    // expression ~7 times; expression-tree duplication exploded the
+    // generated projection past Janino's method limits (codegen fell back
+    // to interpreted eval for the whole stage) and re-ran the marker
+    // regexes per reference. The decision itself is finished inside the
+    // fold's `finish` lambda so the fold is evaluated exactly once.
+    val hitsArr = array(langMarkers.map { case (_, words) => markerHits(words) }: _*)
+    val codes = typedLit(langMarkers.map(_._1))
+    val decided = aggregate(
+      zip_with(hitsArr, codes, (h, code) => struct(h.as("h"), code.as("code"))),
+      struct(lit(-1).as("h"), lit("und").as("code")),
+      (acc, x) => when(x.getField("h") > acc.getField("h"), x).otherwise(acc),
+      acc => when(acc.getField("h") <= 0, lit("und"))
+        .otherwise(acc.getField("code")))
+    when(c.rlike("[\\u4e00-\\u9fff]"), lit("zh")).otherwise(decided)
   }
 }

@@ -126,11 +126,10 @@ object TextQueries {
     Tables.documents(s, dir)
       .withColumn("norm", TextFunctions.normalizeWs(col("text")))
       .select(col("doc_id"),
-        when(length(col("norm")) === 0, lit(0L))
-          .otherwise(expr(
-            "aggregate(sequence(1, length(norm)), 0L, " +
-              "(acc, i) -> (acc * 31 + ascii(substr(norm, i, 1))) % 1000000007)"))
-          .as("rhash"))
+        // codegen'd code-point loop (graft.plans.RollingHashExpr) — the SQL
+        // aggregate-over-sequence twin allocated a 1-char substring per
+        // character and ran its lambda interpreted
+        graft.plans.RollingHashExpr.rollingHash(col("norm")).as("rhash"))
   }
 
   val all: Seq[GraftQuery] = Seq(

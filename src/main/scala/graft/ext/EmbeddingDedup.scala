@@ -52,4 +52,21 @@ object EmbeddingDedup {
                            maxBlockSize: Int = 1000): DataFrame =
     cosineNearDupPairs(IvfAnn.assign(emb, vecCol, cb), idCol, vecCol,
       "cell", threshold, maxBlockSize)
+
+  /** Codebook-free scale blocking: bucket by the deterministic
+    * hyperplane-LSH signature (e04's quantizer — `2^planes` buckets, no
+    * training pass), then the bounded pair expansion within buckets. Near-
+    * identical vectors project to the same side of every hyperplane, so
+    * true near-dups co-bucket with high probability; recall tunes DOWN as
+    * `planes` grows (finer buckets, cheaper pairs). Use the IVF-cell
+    * variant when a codebook already exists — cells track the data
+    * distribution, hyperplanes don't.
+    */
+  def cosineNearDupsBySignature(emb: DataFrame, idCol: String, vecCol: String,
+                                dim: Int, planes: Int, threshold: Double,
+                                maxBlockSize: Int = 1000): DataFrame =
+    cosineNearDupPairs(
+      emb.withColumn("__sig",
+        graft.functions.VectorFunctions.hyperplaneSignature(col(vecCol), dim, planes)),
+      idCol, vecCol, "__sig", threshold, maxBlockSize)
 }

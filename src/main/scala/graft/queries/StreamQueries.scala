@@ -162,8 +162,37 @@ object StreamQueries {
       Cols.decimalSumOver(col("value"), w).as("total_value"))
   }
 
+  // ---------------------------------------------------------------- s08
+  /** Batch twin of a stream-stream INTERVAL JOIN (the attribution shape):
+    * every (click, purchase) pair of the same user where the purchase lands
+    * within [click, click + 1 hour]. Under Structured Streaming the same
+    * plan runs as a watermarked stream-stream inner join — the time-range
+    * predicate is what lets Spark bound both join states (a click's state
+    * can be dropped once the watermark passes click_ts + 1 hour) —
+    * differentially proven in StreamingSpec. Batch execution is a plain
+    * equi-join on user_id with the range as a post-filter (one shuffle).
+    */
+  val s08_interval_join = q("s08_interval_join", Some(
+    """SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+      |  CAST((epoch_us(p.ts) - epoch_us(c.ts)) // 1000000 AS BIGINT) AS lag_sec
+      |FROM (SELECT * FROM events WHERE event_type = 'click') c
+      |JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      |  ON c.user_id = p.user_id
+      |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR""".stripMargin)) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("cts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("pts"))
+    clicks.join(purchases, Seq("user_id"))
+      .filter(col("pts") >= col("cts") &&
+        col("pts") <= col("cts") + expr("INTERVAL 1 HOUR"))
+      .select(col("click_id"), col("purchase_id"),
+        expr("(unix_micros(pts) - unix_micros(cts)) div 1000000").as("lag_sec"))
+  }
+
   val all: Seq[GraftQuery] = Seq(
     s01_tumbling_agg, s02_sliding_agg, s03_session_windows,
     s04_dedup_first_event, s05_watermark_late, s06_asof_backward,
-    s07_running_user_agg)
+    s07_running_user_agg, s08_interval_join)
 }

@@ -47,6 +47,20 @@ class EmbeddingDedupSpec extends SparkSpec {
     assert(res.count() == 0)
   }
 
+  test("signature blocking recovers planted near-duplicate pairs, codebook-free") {
+    // 50 base vectors plus a planted near-identical twin of vector 7
+    val base = (0 until 50).map(i => (i.toLong, vec(i)))
+    val twin = (100L, vec(7).zipWithIndex.map { case (x, j) =>
+      if (j == 0) x + 1e-4f else x
+    })
+    val data = (base :+ twin).toDF("id", "v")
+    val got = EmbeddingDedup.cosineNearDupsBySignature(data, "id", "v",
+        dim = 8, planes = 4, threshold = 0.999)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got.contains((7L, 100L)),
+      "near-identical twin must co-bucket with its original and survive the threshold")
+  }
+
   test("cell blocking splits a degenerate label; pairs only from capped cells") {
     val one = (0 until 300).map(i => (i.toLong, vec(i)))
       .toDF("vec_id", "embedding")

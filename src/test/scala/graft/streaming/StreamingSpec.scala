@@ -141,6 +141,48 @@ class StreamingSpec extends SparkSpec {
     assert(lastUser2 == ((2L, 2L, 5.0)))
   }
 
+  test("watermarked stream-stream interval join equals the batch join") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Ev]
+    val purchases = MemoryStream[Ev]
+    val clickEvents = Seq(
+      Ev(ts(10), 1, "click", 0), Ev(ts(30), 1, "click", 0),
+      Ev(ts(40), 2, "click", 0), Ev(ts(300), 3, "click", 0))
+    val purchaseEvents = Seq(
+      Ev(ts(25), 1, "purchase", 9), // joins both user-1 clicks? 10+60>=25 yes, 30<=25 no
+      Ev(ts(95), 2, "purchase", 7), // 55 min after click -> in window
+      Ev(ts(200), 2, "purchase", 5), // 160 min after -> out of window
+      Ev(ts(299), 3, "purchase", 3)) // before the click -> out
+
+    // the time-range predicate is what bounds BOTH state stores: a click
+    // older than watermark - 60min can never join a future purchase
+    val c = clicks.toDF().withWatermark("ts", "10 minutes")
+      .select(col("user_id"), col("ts").as("cts"), col("value").as("cv"))
+    val p = purchases.toDF().withWatermark("ts", "10 minutes")
+      .select(col("user_id").as("p_uid"), col("ts").as("pts"), col("value").as("pv"))
+    val joined = c.join(p,
+      col("user_id") === col("p_uid") &&
+        col("pts") >= col("cts") &&
+        col("pts") <= col("cts") + org.apache.spark.sql.functions.expr("INTERVAL 1 HOUR"))
+      .select(col("user_id"), col("cts"), col("pts"))
+    val query = joined.writeStream
+      .format("memory").queryName("ssj_out").outputMode("append").start()
+    clicks.addData(clickEvents.take(2)); purchases.addData(purchaseEvents.take(1))
+    query.processAllAvailable()
+    clicks.addData(clickEvents.drop(2)); purchases.addData(purchaseEvents.drop(1))
+    query.processAllAvailable()
+    query.stop()
+
+    val got = spark.table("ssj_out")
+      .as[(Long, Timestamp, Timestamp)].collect().toSet
+    val expected = (for {
+      cl <- clickEvents; pu <- purchaseEvents
+      if cl.user_id == pu.user_id
+      if pu.ts.getTime >= cl.ts.getTime && pu.ts.getTime <= cl.ts.getTime + 3600000L
+    } yield (cl.user_id, cl.ts, pu.ts)).toSet
+    assert(got == expected && got.nonEmpty)
+  }
+
   test("file-based stream: parquet dir -> windowed agg -> parquet sink") {
     val base = "/root/repo/target/qtmp/stream_e2e"
     val inDir = s"$base/in"; val outDir = s"$base/out"; val ckpt = s"$base/ckpt"

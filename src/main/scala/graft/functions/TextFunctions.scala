@@ -64,6 +64,19 @@ object TextFunctions {
     round((lenScore * 0.4 + punctPenalty * 0.3 + stopScore * 0.3), 6)
   }
 
+  /** PII-style scrub for training corpora: emails → `<EMAIL>`, simple
+    * international phone shapes → `<PHONE>`. Patterns are RE2-safe (no
+    * backrefs/lookarounds) so external engines replay them identically;
+    * a production scrubber would add locale-specific shapes on top.
+    */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phonePattern = "\\+\\d{1,2}-\\d{3}-\\d{4}"
+
+  def redact(c: Column): Column =
+    regexp_replace(
+      regexp_replace(c, emailPattern, "<EMAIL>"),
+      phonePattern, "<PHONE>")
+
   private val langMarkers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "and", "of", "is", "with"),
     "fr" -> Seq("le", "la", "et", "les", "des"),

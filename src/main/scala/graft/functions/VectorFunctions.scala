@@ -34,6 +34,21 @@ object VectorFunctions {
       .otherwise(dotProduct(a, b) / denom)
   }
 
+  /** Unit-normalize a vector (each element / L2 norm, as doubles) — the
+    * standard pre-step before cosine ANN so dot product IS cosine.
+    * Zero-norm vectors yield NaN elements (0/0), like numpy.
+    *
+    * NOTE the norm subtree is inlined into the per-element lambda, so this
+    * convenience form recomputes the fold per element (O(dim²) per row).
+    * On a hot path materialize the norm in its own projection first and
+    * use the two-argument overload.
+    */
+  def l2Normalize(a: Column): Column = l2Normalize(a, l2Norm(a))
+
+  /** Normalize by a precomputed norm column (one fold per row). */
+  def l2Normalize(a: Column, norm: Column): Column =
+    transform(a, x => x.cast("double") / norm)
+
   def l2Distance(a: Column, b: Column): Column =
     sqrt(aggregate(
       zip_with(a, b, (x, y) => {

@@ -166,7 +166,31 @@ object EmbeddingQueries {
       "vec_id", "embedding", cb, nprobe = 3, topK = 5)
   }
 
+  // ---------------------------------------------------------------- e07
+  /** L2 normalization (the pre-step that turns dot product into cosine):
+    * per-vector norm plus the first component of the unit vector. The norm
+    * is materialized in its own projection and reused — the one-argument
+    * `l2Normalize` convenience would inline the fold per element (O(dim²)
+    * per row).
+    */
+  val e07_l2_normalize = q("e07_l2_normalize", Some(
+    """WITH n AS (
+      |  SELECT vec_id,
+      |    sqrt(list_sum(list_transform(embedding,
+      |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm,
+      |    CAST(embedding[1] AS DOUBLE) AS x1
+      |  FROM embeddings)
+      |SELECT vec_id, ROUND(nrm, 6) AS norm, ROUND(x1 / nrm, 6) AS lead_c
+      |FROM n""".stripMargin)) { (s, dir) =>
+    Tables.embeddings(s, dir)
+      .withColumn("__n", VectorFunctions.l2Norm(col("embedding")))
+      .select(col("vec_id"), round(col("__n"), 6).as("norm"),
+        round(element_at(
+          VectorFunctions.l2Normalize(col("embedding"), col("__n")), 1), 6)
+          .as("lead_c"))
+  }
+
   val all: Seq[GraftQuery] = Seq(
     e01_knn_bruteforce, e02_centroids, e03_label_block_nn, e04_lsh_ann,
-    e05_cosine_neardup, e06_ivf_ann)
+    e05_cosine_neardup, e06_ivf_ann, e07_l2_normalize)
 }

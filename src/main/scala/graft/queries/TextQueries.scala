@@ -132,6 +132,42 @@ object TextQueries {
         graft.plans.RollingHashExpr.rollingHash(col("norm")).as("rhash"))
   }
 
+  // ---------------------------------------------------------------- t06
+  /** PII-style redaction (training-corpus scrub): deterministic synthetic
+    * PII is appended to every document (an email + a phone derived from
+    * doc_id — both engines construct the identical string), then scrubbed
+    * to `<EMAIL>`/`<PHONE>` tokens. Output is the md5 of the redacted text
+    * plus per-kind match counts, so the oracle hash-checks the exact
+    * redacted bytes without shipping full documents through the compare.
+    */
+  val t06_redact = q("t06_redact",
+    s"""WITH p AS (
+       |  SELECT doc_id,
+       |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+       |      || '@example.com or +1-555-'
+       |      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS dirty
+       |  FROM documents)
+       |SELECT doc_id,
+       |  md5(regexp_replace(regexp_replace(dirty,
+       |    '${TextFunctions.emailPattern}', '<EMAIL>', 'g'),
+       |    '${TextFunctions.phonePattern}', '<PHONE>', 'g')) AS redacted_fp,
+       |  CAST(len(regexp_extract_all(dirty, '${TextFunctions.emailPattern}')) AS INT) AS n_email,
+       |  CAST(len(regexp_extract_all(dirty, '${TextFunctions.phonePattern}')) AS INT) AS n_phone
+       |FROM p""".stripMargin) { (s, dir) =>
+    val dirty = concat(col("text"), lit(" contact user"),
+      col("doc_id").cast("string"), lit("@example.com or +1-555-"),
+      lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"))
+    Tables.documents(s, dir)
+      .withColumn("dirty", dirty)
+      .select(col("doc_id"),
+        md5(TextFunctions.redact(col("dirty")).cast("binary")).as("redacted_fp"),
+        size(regexp_extract_all(col("dirty"),
+          lit(TextFunctions.emailPattern), lit(0))).as("n_email"),
+        size(regexp_extract_all(col("dirty"),
+          lit(TextFunctions.phonePattern), lit(0))).as("n_phone"))
+  }
+
   val all: Seq[GraftQuery] = Seq(
-    t01_token_stats, t02_quality_score, t03_lang_id, t04_fingerprint, t05_rolling_hash)
+    t01_token_stats, t02_quality_score, t03_lang_id, t04_fingerprint,
+    t05_rolling_hash, t06_redact)
 }

@@ -9,6 +9,9 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * `SELECT cosine_similarity(a.embedding, b.embedding) FROM ...` plans the
   * fused codegen'd loop, indistinguishable from a built-in — and installs
   * the engine's optimizer rules (thresholded-Levenshtein length pruning).
+  * `rolling_hash(s)` is likewise SQL-reachable; nearest_centroid is not
+  * (its codebook is a Scala literal, not a child expression — use
+  * [[NearestCentroidExpr.nearest]] from the Column API).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -16,6 +19,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("cosine_similarity"),
       new ExpressionInfo(classOf[CosineSimilarityExpr].getName, "cosine_similarity"),
       (children: Seq[Expression]) => CosineSimilarityExpr(children.head, children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("rolling_hash"),
+      new ExpressionInfo(classOf[RollingHashExpr].getName, "rolling_hash"),
+      (children: Seq[Expression]) => RollingHashExpr(children.head)))
     ext.injectOptimizerRule(_ => PruneLevenshteinFilters)
   }
 }

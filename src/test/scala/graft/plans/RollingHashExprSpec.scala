@@ -32,6 +32,14 @@ class RollingHashExprSpec extends SparkSpec {
     assert(rows.last.isNullAt(0))
   }
 
+  test("registered as a SQL function via GraftExtensions") {
+    import spark.implicits._
+    val got = spark.sql("SELECT rolling_hash('hello world') AS h").as[Long].head()
+    val ref = Seq("hello world").toDF("s")
+      .select(RollingHashExpr.rollingHash(col("s"))).as[Long].head()
+    assert(got == ref)
+  }
+
   test("hash discriminates and is order-sensitive") {
     val h = (s: String) => Seq(s).toDF("s")
       .select(RollingHashExpr.rollingHash(col("s"))).as[Long].head()

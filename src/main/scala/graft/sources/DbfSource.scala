@@ -126,7 +126,11 @@ object DbfSource {
       .collect().headOption
       .getOrElse(throw new IllegalArgumentException(s"no DBF files at $path"))
       .getString(0)
-    val headBytes = Files.readAllBytes(Paths.get(new java.net.URI(firstPath)))
+    // bounded header read: headerSize is a u16, so 64 KiB upper-bounds the
+    // header + descriptor region — never pull a whole (up to 2 GB) file
+    // onto the driver for its schema
+    val in = Files.newInputStream(Paths.get(new java.net.URI(firstPath)))
+    val headBytes = try in.readNBytes(64 * 1024) finally in.close()
     val hdr = parseHeader(headBytes)
     val schema = schemaFor(hdr)
     val rows = files.select("content").rdd.flatMap { r =>

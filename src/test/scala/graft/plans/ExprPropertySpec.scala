@@ -1,0 +1,71 @@
+package graft.plans
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+
+/** Property-based laws for the native codegen expressions, fuzzing against
+  * their interpreted / SQL-composition references on one batched DataFrame
+  * per law (one Spark job each, PropertySpec style).
+  */
+class ExprPropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("RollingHashExpr equals the SQL fold on random unicode strings") {
+    val charGen = Gen.frequency(
+      5 -> Gen.alphaNumChar,
+      2 -> Gen.oneOf(' ', '\t', ',', '!', '�'.toChar),
+      2 -> Gen.choose('À', 'ſ'), // latin extended
+      1 -> Gen.choose('一', '鿿')) // CJK
+    val strGen = Gen.chooseNum(0, 80).flatMap(n => Gen.stringOfN(n, charGen))
+    val strings = Gen.listOfN(300, strGen).sample.get
+    val both = strings.toDF("s").select(
+      RollingHashExpr.rollingHash(col("s")).as("fast"),
+      expr("CASE WHEN length(s) = 0 THEN 0L ELSE aggregate(" +
+        "sequence(1, length(s)), 0L, " +
+        "(acc, i) -> (acc * 31 + ascii(substr(s, i, 1))) % 1000000007) END")
+        .as("ref"))
+      .as[(Long, Long)].collect()
+    both.foreach { case (fast, ref) => assert(fast == ref) }
+  }
+
+  test("NearestCentroidExpr equals per-centroid L2 argmin computed driver-side") {
+    val dim = 6
+    val k = 5
+    val cb: Seq[(Int, Seq[Double])] = (0 until k).map { c =>
+      // non-dense cell ids on purpose
+      (c * 3 + 1) -> Seq.tabulate(dim)(j => ((c * 17 + j * 13) % 19) - 9.0)
+    }
+    val vecGen = Gen.listOfN(dim, Gen.chooseNum(-10.0f, 10.0f)).map(_.toArray)
+    val vecs = Gen.listOfN(300, vecGen).sample.get.zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }
+    val got = vecs.toDF("id", "v")
+      .select(col("id"), NearestCentroidExpr.nearest(col("v"), cb).as("cell"))
+      .as[(Long, Int)].collect().toMap
+    vecs.foreach { case (id, v) =>
+      val best = cb.map { case (cell, c) =>
+        val d = v.zip(c).map { case (x, ci) =>
+          val diff = x.toDouble - ci; diff * diff
+        }.sum
+        (d, cell)
+      }.minBy(identity) // (dist, cell) — lowest cell wins ties
+      assert(got(id) == best._2, s"id=$id")
+    }
+  }
+
+  test("simhash: near-identical token multisets land within small hamming") {
+    // appending one token flips at most a bounded number of sign sums —
+    // identical docs MUST collide, single-token edits stay close
+    val docs = (0 until 40).map { i =>
+      val base = s"alpha beta gamma delta epsilon zeta eta theta word$i"
+      Seq((i * 3L, base), (i * 3 + 1L, base), (i * 3 + 2L, base + " extra"))
+    }.flatten.toDF("id", "text")
+    val sig = graft.ext.NearDup.simhash(docs, "id", "text")
+      .as[(Long, Long)].collect().toMap
+    (0 until 40).foreach { i =>
+      assert(sig(i * 3L) == sig(i * 3 + 1L), "exact clones must collide")
+      val ham = java.lang.Long.bitCount(sig(i * 3L) ^ sig(i * 3 + 2L))
+      assert(ham <= 24, s"one-token edit drifted $ham bits")
+    }
+  }
+}

@@ -164,8 +164,49 @@ object SourceQueries {
     DbfSource.read(s, path).withColumn("d", col("d").cast("string"))
   }
 
+  // ---------------------------------------------------------------- src08
+  /** REAL media-container metadata (WAV/BMP — plain byte layouts, no media
+    * library needed): build valid WAV + BMP blobs per document with
+    * parameters derived from (doc_id, n_chars), then parse them back
+    * executor-side with [[Multimodal.parseWav]]/[[Multimodal.parseBmp]].
+    * The oracle recomputes the expected metadata from the construction
+    * arithmetic — so a parser bug (or builder bug) hash-fails. Sample-level
+    * decode stays stubbed (no codecs in this environment); header
+    * extraction like this is what gates partitioning/filtering in a real
+    * media-ingest pipeline.
+    */
+  val src08_media_meta = q("src08_media_meta", Some(
+    """SELECT doc_id AS asset_id,
+      |  CAST(8000 + (doc_id % 4) * 4000 AS INT) AS sample_rate,
+      |  CAST(1 + doc_id % 2 AS INT) AS channels,
+      |  CAST(16 + n_chars % 256 AS BIGINT) AS n_frames,
+      |  CAST((16 + n_chars % 256) * 1000 // (8000 + (doc_id % 4) * 4000) AS BIGINT) AS duration_ms,
+      |  CAST(16 + doc_id % 64 AS INT) AS bmp_w,
+      |  CAST(16 + doc_id % 32 AS INT) AS bmp_h,
+      |  CAST(24 AS INT) AS bmp_bpp
+      |FROM documents""".stripMargin)) { (s, dir) =>
+    import s.implicits._
+    Tables.documents(s, dir).select(col("doc_id"), col("n_chars"))
+      .as[(Long, Long)]
+      .mapPartitions { rows =>
+        rows.map { case (id, nChars) =>
+          val sr = 8000 + (id % 4).toInt * 4000
+          val wav = Multimodal.wavBytes(sr, 1 + (id % 2).toInt, 16,
+            16 + (nChars % 256).toInt)
+          val bmp = Multimodal.bmpBytes((16 + id % 64).toInt, (16 + id % 32).toInt)
+          val wm = Multimodal.parseWav(wav).get
+          val bm = Multimodal.parseBmp(bmp).get
+          (id, wm.sample_rate, wm.channels, wm.n_frames,
+            wm.n_frames * 1000 / wm.sample_rate,
+            bm.width, bm.height, bm.bits_per_pixel)
+        }
+      }
+      .toDF("asset_id", "sample_rate", "channels", "n_frames", "duration_ms",
+        "bmp_w", "bmp_h", "bmp_bpp")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     src01_csv_roundtrip, src02_rest_paged, src03_partitioned_sink,
     src04_multimodal_meta, src05_frame_sample, src06_restv2_scan,
-    src07_dbf_roundtrip)
+    src07_dbf_roundtrip, src08_media_meta)
 }

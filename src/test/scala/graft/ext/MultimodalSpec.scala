@@ -18,6 +18,34 @@ class MultimodalSpec extends SparkSpec {
     assert(typed.size == 2)
   }
 
+  test("parseWav round-trips the builder and survives interposed chunks") {
+    val wav = Multimodal.wavBytes(sampleRate = 44100, channels = 2,
+      bitsPerSample = 16, nFrames = 1000)
+    assert(Multimodal.parseWav(wav).contains(
+      Multimodal.WavMeta(44100, 2, 16, 1000L)))
+    // splice a LIST chunk between 'fmt ' and 'data' — parsers must walk,
+    // not assume fixed offsets
+    val listChunk = "LIST".getBytes ++
+      Array[Byte](6, 0, 0, 0) ++ "INFOab".getBytes
+    val spliced = wav.take(36) ++ listChunk ++ wav.drop(36)
+    assert(Multimodal.parseWav(spliced).contains(
+      Multimodal.WavMeta(44100, 2, 16, 1000L)))
+    // malformed inputs refuse, not throw
+    assert(Multimodal.parseWav(wav.take(10)).isEmpty)
+    assert(Multimodal.parseWav("RIFFxxxxJUNK".getBytes).isEmpty)
+  }
+
+  test("parseBmp reads dimensions, reports top-down height as magnitude") {
+    val bmp = Multimodal.bmpBytes(width = 33, height = 17)
+    assert(Multimodal.parseBmp(bmp).contains(Multimodal.BmpMeta(33, 17, 24)))
+    // negative (top-down) height: flip the height field's sign bytes
+    val buf = java.nio.ByteBuffer.wrap(bmp.clone())
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.putInt(22, -17)
+    assert(Multimodal.parseBmp(buf.array()).contains(Multimodal.BmpMeta(33, 17, 24)))
+    assert(Multimodal.parseBmp("notabmp".getBytes).isEmpty)
+  }
+
   test("frameSample emits framesPer rows per asset with monotone offsets") {
     val assets = Multimodal.toAssets(docs, "doc_id", "text")
     val frames = Multimodal.frameSample(assets, framesPer = 4)

@@ -67,6 +67,6 @@ object EmbeddingDedup {
                                 maxBlockSize: Int = 1000): DataFrame =
     cosineNearDupPairs(
       emb.withColumn("__sig",
-        graft.functions.VectorFunctions.hyperplaneSignature(col(vecCol), dim, planes)),
+        graft.plans.HyperplaneSignatureExpr.signature(col(vecCol), dim, planes)),
       idCol, vecCol, "__sig", threshold, maxBlockSize)
 }

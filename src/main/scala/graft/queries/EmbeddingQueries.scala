@@ -117,7 +117,10 @@ object EmbeddingQueries {
     */
   val e04_lsh_ann = q("e04_lsh_ann", GoldenOracles.sqlFor("e04_lsh_ann")) { (s, dir) =>
     val emb = Tables.embeddings(s, dir)
-      .withColumn("sig", VectorFunctions.hyperplaneSignature(col("embedding"), dim = 64, planes = 6))
+      // codegen'd signature (bit-equal to VectorFunctions.hyperplaneSignature
+      // — golden-verified); the HOF form remains the readable reference
+      .withColumn("sig", graft.plans.HyperplaneSignatureExpr
+        .signature(col("embedding"), dim = 64, planes = 6))
     val qs = emb.filter(col("vec_id") < 8)
       .select(col("vec_id").as("qid"), col("sig"), col("embedding").as("qv"))
     val scored = emb.select(col("sig"), col("vec_id").as("nid"), col("embedding").as("cv"))

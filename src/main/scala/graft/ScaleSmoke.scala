@@ -104,6 +104,13 @@ object ScaleSmoke {
         ext.EmbeddingDedup.cosineNearDupsByCell(embBig, "vec_id", "embedding",
           cb, 0.9).count()
       }),
+      // codebook-free alternative: hyperplane-signature blocking (2^6
+      // buckets, codegen'd signature) — same cap discipline
+      run("e05_by_signature",
+        ext.EmbeddingDedup.cosineNearDupsBySignature(embSmall, "vec_id",
+          "embedding", dim = 64, planes = 6, threshold = 0.9).count(),
+        ext.EmbeddingDedup.cosineNearDupsBySignature(embBig, "vec_id",
+          "embedding", dim = 64, planes = 6, threshold = 0.9).count()),
       run("e06_ivf_ann", {
         val cb = ext.IvfAnn.codebook(embSmall, "vec_id", "embedding", 8, 1)
         ext.IvfAnn.searchTopK(embSmall, embSmall.filter(col("vec_id") < 8),

@@ -791,10 +791,46 @@ object CoreQueries {
     Profile.verdicts(src)
   }
 
+  // ---------------------------------------------------------------- q40
+  /** KMV distinct sketch per group (the mergeable alternative to q34's
+    * HLL): per-status sketch of customers with the exact count alongside.
+    * Hash-based k-minima are partitioning-independent → golden oracle
+    * ([[GoldenOracles]]); KmvSketchSpec proves the estimator laws.
+    */
+  val q40_kmv_distinct = GraftQuery("q40_kmv_distinct", (s, dir) =>
+    Tables.orders(s, dir).groupBy("o_orderstatus")
+      .agg(count_distinct(col("o_custkey")).as("exact_custs"),
+        graft.plans.KmvSketch.sketch(col("o_custkey"), 256).as("sk"))
+      .select(col("o_orderstatus"), col("exact_custs"),
+        round(graft.plans.KmvSketch.estimate(col("sk")), 4).as("kmv_custs")),
+    oracle = GoldenOracles.sqlFor("q40_kmv_distinct"))
+
+  // ---------------------------------------------------------------- q41
+  /** Sketch SET ALGEBRA — the operation HLL cannot do losslessly:
+    * per-segment sketches built in ONE pass (conditional inputs), then
+    * union (lossless for KMV: kmin(A∪B) = kmin(kminA ∪ kminB)) and
+    * intersection estimates between customer segments. At 100 TB this is
+    * "distinct users in A∩B" without re-scanning either segment.
+    */
+  val q41_kmv_setops = GraftQuery("q41_kmv_setops", (s, dir) =>
+    Tables.orders(s, dir).agg(
+        graft.plans.KmvSketch.sketch(
+          when(col("o_orderstatus") === "O", col("o_custkey")), 256).as("sko"),
+        graft.plans.KmvSketch.sketch(
+          when(col("o_orderstatus") === "F", col("o_custkey")), 256).as("skf"))
+      .select(
+        round(graft.plans.KmvSketch.estimate(col("sko")), 4).as("est_open"),
+        round(graft.plans.KmvSketch.estimate(col("skf")), 4).as("est_finished"),
+        round(graft.plans.KmvSketch.estimate(
+          graft.plans.KmvSketch.merge(col("sko"), col("skf"))), 4).as("est_union"),
+        round(graft.plans.KmvSketch.intersectEstimate(
+          col("sko"), col("skf")), 4).as("est_intersect")),
+    oracle = GoldenOracles.sqlFor("q41_kmv_setops"))
+
   val all: Seq[GraftQuery] = Seq(
     q30_numeric_describe, q31_ship_priority, q32_regional_volume, q33_small_quantity,
     q34_approx_stats, q35_from_json, q36_array_agg, q37_order_distribution,
-    q38_min_per_group_filter, q39_profile_verdicts,
+    q38_min_per_group_filter, q39_profile_verdicts, q40_kmv_distinct, q41_kmv_setops,
     q01_pricing_summary, q02_filter_project, q03_left_join_2key, q04_join_chain_agg,
     q05_anti_join, q06_semi_join, q07_fuzzy_top1, q08_pivot_mean,
     q09_dedup_keep_first, q10_surrogate_key, q11_interpolate, q12_qcut_buckets,

@@ -1,0 +1,67 @@
+package graft.plans
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** KMV sketch laws: exactness below k, bounded estimation error, LOSSLESS
+  * merge (kmin(A ∪ B) = kmin(kmin A ∪ kmin B) — byte equality, not
+  * approximation), intersection estimation, and partitioning-independent
+  * bytes (what lets the q40/q41 goldens exist).
+  */
+class KmvSketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sketchOf(df: org.apache.spark.sql.DataFrame, c: String, k: Int = 256) =
+    df.agg(KmvSketch.sketch(col(c), k).as("sk"))
+
+  test("below k uniques the sketch is exact") {
+    val df = (1 to 100).map(_ % 40).toDF("v") // 40 distinct, k=256
+    val est = sketchOf(df, "v")
+      .select(KmvSketch.estimate(col("sk"))).as[Double].head()
+    assert(est == 40.0)
+  }
+
+  test("estimate lands within 4 sigma at 10k distinct, k=256") {
+    val df = (1 to 30000).map(i => (i * 7919) % 10000).toDF("v") // 10k distinct
+    val est = sketchOf(df, "v")
+      .select(KmvSketch.estimate(col("sk"))).as[Double].head()
+    // RSE ~ 1/sqrt(254) ~ 6.3%; 4 sigma ~ 25%
+    assert(math.abs(est - 10000) / 10000 < 0.25, s"est=$est")
+  }
+
+  test("merge of two sketches equals the sketch of the union, byte for byte") {
+    val a = (1 to 5000).toDF("v")
+    val b = (3000 to 8000).toDF("v")
+    val skA = sketchOf(a, "v").as[Array[Byte]].head()
+    val skB = sketchOf(b, "v").as[Array[Byte]].head()
+    val skUnion = sketchOf(a.union(b), "v").as[Array[Byte]].head()
+    val merged = Seq((skA, skB)).toDF("a", "b")
+      .select(KmvSketch.merge(col("a"), col("b"))).as[Array[Byte]].head()
+    assert(merged.toSeq == skUnion.toSeq)
+  }
+
+  test("intersection estimate tracks the true overlap") {
+    val a = (1 to 6000).toDF("v")
+    val b = (4001 to 10000).toDF("v") // true intersection: 2000
+    val skA = sketchOf(a, "v").as[Array[Byte]].head()
+    val skB = sketchOf(b, "v").as[Array[Byte]].head()
+    val est = Seq((skA, skB)).toDF("a", "b")
+      .select(KmvSketch.intersectEstimate(col("a"), col("b")))
+      .as[Double].head()
+    assert(math.abs(est - 2000) / 2000 < 0.4, s"est=$est")
+  }
+
+  test("sketch bytes are identical under different partitionings") {
+    val data = (1 to 20000).map(i => (i * 31) % 7000)
+    val s1 = sketchOf(data.toDF("v").repartition(3), "v").as[Array[Byte]].head()
+    val s2 = sketchOf(data.toDF("v").repartition(11), "v").as[Array[Byte]].head()
+    assert(s1.toSeq == s2.toSeq)
+  }
+
+  test("strings and nulls: nulls skipped, distinct strings counted") {
+    val df = Seq("a", "b", null, "a", "c", null).toDF("v")
+    val est = sketchOf(df, "v")
+      .select(KmvSketch.estimate(col("sk"))).as[Double].head()
+    assert(est == 3.0)
+  }
+}

@@ -827,10 +827,59 @@ object CoreQueries {
           col("sko"), col("skf")), 4).as("est_intersect")),
     oracle = GoldenOracles.sqlFor("q41_kmv_setops"))
 
+  // ---------------------------------------------------------------- q42
+  /** Deterministic train/val/test corpus split by content hash
+    * ([[Checks.hashSplit]]): split is a pure function of the key — stable
+    * across runs, partitionings and engines (seeded `rand()` is not; its
+    * draws depend on partition layout). The oracle replays the identical
+    * md5-hex-threshold assignment, so this is a full hash check, not a
+    * proportion check.
+    */
+  val q42_hash_split = q("q42_hash_split",
+    s"""WITH s AS (
+       |  SELECT CASE WHEN substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 4) < 'cccd' THEN 'train'
+       |              WHEN substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 4) < 'e666' THEN 'val'
+       |              ELSE 'test' END AS split,
+       |         o_totalprice
+       |  FROM orders)
+       |SELECT split, COUNT(*) AS n, ${dsum("o_totalprice")} AS sum_price
+       |FROM s GROUP BY split""".stripMargin) { (s, dir) =>
+    Checks.hashSplit(Tables.orders(s, dir), col("o_orderkey"),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n"),
+        Cols.decimalSum(col("o_totalprice")).as("sum_price"))
+  }
+
+  // ---------------------------------------------------------------- q43
+  /** Declarative data-quality constraint report ([[Checks.report]]): all
+    * rules counted in ONE aggregation pass — the guardrail a corpus load
+    * runs before landing (fail on any `pass = false` row).
+    */
+  val q43_quality_checks = q("q43_quality_checks",
+    """WITH m AS (
+      |  SELECT COUNT(*) AS n,
+      |    COUNT(*) FILTER (NOT COALESCE(l_quantity > 0, FALSE)) AS v_qty,
+      |    COUNT(*) FILTER (NOT COALESCE(l_discount BETWEEN 0 AND 1, FALSE)) AS v_disc,
+      |    COUNT(*) FILTER (NOT COALESCE(l_tax >= 0, FALSE)) AS v_tax,
+      |    COUNT(*) FILTER (NOT COALESCE(l_returnflag IN ('A','N','R'), FALSE)) AS v_rf
+      |  FROM lineitem)
+      |SELECT r.rule, m.n AS n_rows, r.v AS n_violations, r.v = 0 AS pass
+      |FROM m, LATERAL (VALUES
+      |  ('qty_positive', v_qty), ('discount_range', v_disc),
+      |  ('tax_nonneg', v_tax), ('returnflag_domain', v_rf)) r(rule, v)""".stripMargin) { (s, dir) =>
+    Checks.report(Tables.lineitem(s, dir), Seq(
+      Checks.Rule("qty_positive", col("l_quantity") > 0),
+      Checks.Rule("discount_range", col("l_discount").between(0, 1)),
+      Checks.Rule("tax_nonneg", col("l_tax") >= 0),
+      Checks.Rule("returnflag_domain", col("l_returnflag").isin("A", "N", "R"))))
+  }
+
   val all: Seq[GraftQuery] = Seq(
     q30_numeric_describe, q31_ship_priority, q32_regional_volume, q33_small_quantity,
     q34_approx_stats, q35_from_json, q36_array_agg, q37_order_distribution,
     q38_min_per_group_filter, q39_profile_verdicts, q40_kmv_distinct, q41_kmv_setops,
+    q42_hash_split, q43_quality_checks,
     q01_pricing_summary, q02_filter_project, q03_left_join_2key, q04_join_chain_agg,
     q05_anti_join, q06_semi_join, q07_fuzzy_top1, q08_pivot_mean,
     q09_dedup_keep_first, q10_surrogate_key, q11_interpolate, q12_qcut_buckets,

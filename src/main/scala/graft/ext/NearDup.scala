@@ -134,6 +134,54 @@ object NearDup {
     exactJaccard(sh, cand).filter(col("jaccard") >= threshold)
   }
 
+  /** Connected components over a near-duplicate PAIR relation — the step
+    * that turns pairs into dedup CLUSTERS (then "keep min id per cluster"
+    * dedups transitively: A~B, B~C collapses all three even though A~C was
+    * never emitted). Input: (id_a, id_b) edges; output: (id, comp) where
+    * comp = smallest id reachable from `id`.
+    *
+    * Algorithm: min-label propagation with POINTER JUMPING — each round
+    * every node takes the min of its own and its neighbours' labels, then
+    * labels are path-compressed by following comp → comp(comp). Neighbour
+    * steps alone move a label one hop per round (O(diameter) rounds — a
+    * 40-node chain would exhaust any sane iteration bound); the jump step
+    * halves remaining label-chain depth, giving O(log diameter)
+    * convergence, the standard large-scale CC recipe. Per round: two
+    * joins + one combiner-friendly min-aggregate, localCheckpoint'd to
+    * cut the exponentially-growing iterative lineage (the same discipline
+    * GraphX/Pregel applies); the driver loop runs one tiny count per
+    * round for the convergence check.
+    */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+    val sym = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val prop = labels.join(sym, col("id") === col("src"))
+        .select(col("dst").as("id"), col("comp"))
+        .unionByName(labels.select("id", "comp"))
+        .groupBy("id").agg(min("comp").as("comp"))
+        .localCheckpoint() // also breaks the self-join attribute ambiguity
+      val next = prop
+        .join(prop.select(col("id").as("cid"), col("comp").as("ccomp")),
+          col("comp") === col("cid"), "left")
+        .select(col("id"), coalesce(col("ccomp"), col("comp")).as("comp"))
+        .localCheckpoint()
+      val changed = next.as("n")
+        .join(labels.as("o"), "id")
+        .filter(col("n.comp") =!= col("o.comp"))
+        .limit(1).count()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    labels
+  }
+
   /** SimHash: 64-bit signature whose bit i is the sign of the sum over
     * tokens of ±1 at bit i of the token hash. Near-dups = small Hamming
     * distance. Pure column algebra — no UDF.

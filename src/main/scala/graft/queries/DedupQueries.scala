@@ -119,7 +119,43 @@ object DedupQueries {
       maxHamming = 3, bands = 4)
   }
 
+  // ---------------------------------------------------------------- d06
+  /** Near-dup CLUSTERS: connected components over the exact-Jaccard pair
+    * relation (threshold 0.5) — pairs become transitive dedup groups, the
+    * form "keep one per cluster" actually needs (A~B, B~C collapses all
+    * three even when A~C was never emitted). Spark side is iterative
+    * min-label propagation ([[NearDup.connectedComponents]]); the oracle
+    * replays reachability with a recursive CTE, so the clustering is
+    * hash-checked exactly. Output: every clustered doc with its cluster
+    * representative (min doc_id) + cluster size.
+    */
+  val d06_dedup_clusters = q("d06_dedup_clusters", Some(
+    s"""WITH RECURSIVE $shingleSql,
+       |e AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.5),
+       |sym AS (SELECT id_a AS src, id_b AS dst FROM e
+       |        UNION ALL SELECT id_b, id_a FROM e),
+       |walk(id, comp) AS (
+       |  SELECT DISTINCT src, src FROM sym
+       |  UNION
+       |  SELECT s.dst, w.comp FROM walk w JOIN sym s ON w.id = s.src),
+       |comps AS (SELECT id, MIN(comp) AS comp FROM walk GROUP BY id)
+       |SELECT c.id AS doc_id, c.comp AS cluster_rep,
+       |  CAST(n.sz AS BIGINT) AS cluster_size
+       |FROM comps c
+       |JOIN (SELECT comp, COUNT(*) AS sz FROM comps GROUP BY comp) n
+       |  ON c.comp = n.comp""".stripMargin)) { (s, dir) =>
+    // edge relation = d02's exact pairs (mirrors the oracle's `e` 1:1 so
+    // the check isolates the CLUSTERING); at corpus scale substitute
+    // d03's LSH pairs — connectedComponents is agnostic to the edge source
+    val pairs = d02_ngram_jaccard.fn(s, dir).select("id_a", "id_b")
+    val comps = NearDup.connectedComponents(pairs)
+    val sizes = comps.groupBy("comp").agg(count(lit(1)).as("cluster_size"))
+    comps.join(sizes, "comp")
+      .select(col("id").as("doc_id"), col("comp").as("cluster_rep"),
+        col("cluster_size"))
+  }
+
   val all: Seq[GraftQuery] = Seq(
     d01_exact_dup_groups, d02_ngram_jaccard, d03_minhash_lsh, d04_simhash,
-    d05_simhash_neardup)
+    d05_simhash_neardup, d06_dedup_clusters)
 }

@@ -80,6 +80,31 @@ class NearDupSpec extends SparkSpec {
     assert(uncapped.size >= 10 * 9 / 2 - 10) // near-complete clique of the 10 identical docs
   }
 
+  test("connectedComponents labels chains, triangles and isolates-in-pairs") {
+    // chain 1-2-3-4 (diameter 3: needs multiple propagation rounds),
+    // triangle 10-11-12 with extra edge, disjoint pair 20-21
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (10L, 12L),
+      (20L, 21L)).toDF("id_a", "id_b")
+    val got = NearDup.connectedComponents(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L))
+  }
+
+  test("connectedComponents collapses a long path within the iteration bound") {
+    // path of 40 nodes (diameter 39) — naive neighbour-min would need 39
+    // rounds; the pointer-jumping step must collapse it within the default
+    // iteration bound
+    val edges = (0L until 39L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = NearDup.connectedComponents(edges)
+      .as[(Long, Long)].collect()
+    assert(got.length == 40 && got.forall(_._2 == 0L))
+  }
+
   test("shingles of a doc shorter than n collapse to one whole-text shingle") {
     val short = Seq((1L, "two words")).toDF("doc_id", "text")
     val got = NearDup.shingles(short, "doc_id", "text", 3)

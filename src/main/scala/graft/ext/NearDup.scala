@@ -153,8 +153,13 @@ object NearDup {
     * round for the convergence check.
     */
   def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+    // materialize the symmetric edge relation ONCE: it is joined every
+    // round, and `edges` may be an arbitrarily expensive upstream pipeline
+    // (d06 feeds the full shingle-Jaccard join) that must not re-run per
+    // iteration
     val sym = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint()
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
       .localCheckpoint()

@@ -875,11 +875,33 @@ object CoreQueries {
       Checks.Rule("returnflag_domain", col("l_returnflag").isin("A", "N", "R"))))
   }
 
+  // ---------------------------------------------------------------- q44
+  /** Salted skew join under the gate: lineitem ⋈ orders through
+    * [[SkewJoin.salted]] must equal the plain equi-join exactly — salting
+    * redistributes a hot key over `numSalts` tasks without changing a
+    * single row (the salt is joined on both sides, then dropped). The plan
+    * fix for skew where AQE can't re-split.
+    */
+  val q44_salted_join = q("q44_salted_join",
+    s"""SELECT o_orderstatus, COUNT(*) AS n,
+       |  ${dsum("l_extendedprice")} AS sum_price
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |GROUP BY o_orderstatus""".stripMargin) { (s, dir) =>
+    SkewJoin.salted(
+        Tables.lineitem(s, dir).select("l_orderkey", "l_extendedprice"),
+        Tables.orders(s, dir).select("o_orderkey", "o_orderstatus")
+          .withColumnRenamed("o_orderkey", "l_orderkey"),
+        keys = Seq("l_orderkey"), numSalts = 8)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        Cols.decimalSum(col("l_extendedprice")).as("sum_price"))
+  }
+
   val all: Seq[GraftQuery] = Seq(
     q30_numeric_describe, q31_ship_priority, q32_regional_volume, q33_small_quantity,
     q34_approx_stats, q35_from_json, q36_array_agg, q37_order_distribution,
     q38_min_per_group_filter, q39_profile_verdicts, q40_kmv_distinct, q41_kmv_setops,
-    q42_hash_split, q43_quality_checks,
+    q42_hash_split, q43_quality_checks, q44_salted_join,
     q01_pricing_summary, q02_filter_project, q03_left_join_2key, q04_join_chain_agg,
     q05_anti_join, q06_semi_join, q07_fuzzy_top1, q08_pivot_mean,
     q09_dedup_keep_first, q10_surrogate_key, q11_interpolate, q12_qcut_buckets,

@@ -104,6 +104,17 @@ object ScaleSmoke {
         ext.EmbeddingDedup.cosineNearDupsByCell(embBig, "vec_id", "embedding",
           cb, 0.9).count()
       }),
+      // pairs -> transitive dedup clusters: connected components over the
+      // LSH pair relation (the full dedup story at 10x — 1.7M edges, hot
+      // boilerplate cluster included; pointer jumping keeps rounds log-
+      // bounded so wall-time tracks edge volume)
+      run("d06_cc_over_lsh",
+        ext.NearDup.connectedComponents(
+          ext.NearDup.nearDuplicatePairs(docsSmall, "doc_id", "text", 0.7)
+            .select("id_a", "id_b")).count(),
+        ext.NearDup.connectedComponents(
+          ext.NearDup.nearDuplicatePairs(docsBig, "doc_id", "text", 0.7)
+            .select("id_a", "id_b")).count()),
       // codebook-free alternative: hyperplane-signature blocking (2^6
       // buckets, codegen'd signature) — same cap discipline
       run("e05_by_signature",

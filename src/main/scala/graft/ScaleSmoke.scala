@@ -132,8 +132,58 @@ object ScaleSmoke {
           "vec_id", "embedding", cb, 3, 5).count()
       }))
 
+    // ---------------------------------------------------------------
+    // relational section: the fact tables replicated 10x (6M lineitem
+    // rows), dims left at sf0.1 (dims don't grow with facts — they stay
+    // broadcastable, which is the point)
+    // ---------------------------------------------------------------
+    import org.apache.spark.sql.expressions.Window
+    val liSmall = Tables.lineitem(spark, sfDir).cache(); liSmall.count()
+    val liBig = {
+      val n = 100000000L
+      liSmall.crossJoin(spark.range(copies.toLong).select(col("id").as("__c")))
+        .withColumn("l_orderkey", col("l_orderkey") + col("__c") * n)
+        .drop("__c").cache()
+    }
+    liBig.count()
+    val ordSmall = Tables.orders(spark, sfDir).cache(); ordSmall.count()
+    val ordBig = {
+      val n = 100000000L
+      ordSmall.crossJoin(spark.range(copies.toLong).select(col("id").as("__c")))
+        .withColumn("o_orderkey", col("o_orderkey") + col("__c") * n)
+        .drop("__c").cache()
+    }
+    ordBig.count()
+    val cust = Tables.customer(spark, sfDir)
+    val nat = Tables.nation(spark, sfDir)
+
+    def scanAgg(li: org.apache.spark.sql.DataFrame): Long =
+      li.groupBy("l_returnflag", "l_linestatus")
+        .agg(sum(col("l_quantity")).as("q"), count(lit(1))).count()
+    def windowDedup(li: org.apache.spark.sql.DataFrame): Long =
+      operators.Dedup.keepFirst(li, Seq("l_orderkey", "l_partkey"),
+        Seq(col("l_linenumber"), col("l_suppkey"))).count()
+    def joinTopK(li: org.apache.spark.sql.DataFrame,
+                 ord: org.apache.spark.sql.DataFrame): Long =
+      li.join(ord.filter(col("o_orderstatus") =!= "F"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_custkey").agg(sum(col("l_extendedprice")).as("rev"))
+        .orderBy(col("rev").desc).limit(10).count()
+    def fourWayJoin(li: org.apache.spark.sql.DataFrame,
+                    ord: org.apache.spark.sql.DataFrame): Long =
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name").agg(sum(col("l_extendedprice"))).count()
+
+    val relational = Seq(
+      run("rel_scan_agg", scanAgg(liSmall), scanAgg(liBig)),
+      run("rel_window_dedup", windowDedup(liSmall), windowDedup(liBig)),
+      run("rel_join_topk", joinTopK(liSmall, ordSmall), joinTopK(liBig, ordBig)),
+      run("rel_4way_join", fourWayJoin(liSmall, ordSmall), fourWayJoin(liBig, ordBig)))
+
     var failed = false
-    results.foreach { case (name, tSmall, tBig, rows) =>
+    (results ++ relational).foreach { case (name, tSmall, tBig, rows) =>
       val slowdown = tBig / (tSmall * copies)
       val verdict =
         if (slowdown <= maxSlowdown) "OK"

@@ -167,7 +167,48 @@ object TextQueries {
           lit(TextFunctions.phonePattern), lit(0))).as("n_phone"))
   }
 
+  // ---------------------------------------------------------------- t07
+  /** TF-IDF: the canonical corpus-statistic scoring — term frequency per
+    * doc × smoothed inverse document frequency (ln((N+1)/(df+1)) + 1),
+    * top-scoring term per document (ties → lexicographically first term).
+    * Plan: one shuffle for per-(doc,term) counts, one for per-term doc
+    * frequencies, a broadcast of the single-row corpus size, and a keyed
+    * window for the top-1 — nothing quadratic, df table is O(vocabulary).
+    */
+  val t07_tfidf_top_terms = q("t07_tfidf_top_terms",
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split(lower(${normSql("text")}), ' ')) AS term
+       |  FROM documents),
+       |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+       |df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+       |n AS (SELECT COUNT(*) AS n FROM documents),
+       |scored AS (
+       |  SELECT tf.doc_id, tf.term,
+       |    tf.tf * (ln((n.n + 1.0) / (df.df + 1.0)) + 1.0) AS score
+       |  FROM tf JOIN df USING (term) CROSS JOIN n),
+       |r AS (SELECT doc_id, term, score,
+       |        ROW_NUMBER() OVER (PARTITION BY doc_id
+       |                           ORDER BY score DESC, term) AS rn
+       |      FROM scored)
+       |SELECT doc_id, term AS top_term, ROUND(score, 6) AS tfidf
+       |FROM r WHERE rn = 1""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+    val toks = docs.select(col("doc_id"),
+      explode(split(lower(TextFunctions.normalizeWs(col("text"))), " ")).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = toks.groupBy("term").agg(count_distinct(col("doc_id")).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val scored = tf.join(df, "term").crossJoin(broadcast(n))
+      .withColumn("score",
+        col("tf") * (log((col("n") + 1.0) / (col("df") + 1.0)) + 1.0))
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("doc_id"), col("term").as("top_term"),
+        round(col("score"), 6).as("tfidf"))
+  }
+
   val all: Seq[GraftQuery] = Seq(
     t01_token_stats, t02_quality_score, t03_lang_id, t04_fingerprint,
-    t05_rolling_hash, t06_redact)
+    t05_rolling_hash, t06_redact, t07_tfidf_top_terms)
 }

@@ -155,7 +155,35 @@ object DedupQueries {
         col("cluster_size"))
   }
 
+  // ---------------------------------------------------------------- d07
+  /** APPLY the dedup: keep exactly one representative (min doc_id) per
+    * near-dup cluster and every unclustered doc — the corpus that actually
+    * ships to training. Composition of d06's components with a left-anti
+    * join (drop non-representative members); at scale the pair input is
+    * d03's LSH relation and this is the final map-side-cheap step.
+    */
+  val d07_dedup_apply = q("d07_dedup_apply", Some(
+    s"""WITH RECURSIVE $shingleSql,
+       |e AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.5),
+       |sym AS (SELECT id_a AS src, id_b AS dst FROM e
+       |        UNION ALL SELECT id_b, id_a FROM e),
+       |walk(id, comp) AS (
+       |  SELECT DISTINCT src, src FROM sym
+       |  UNION
+       |  SELECT s.dst, w.comp FROM walk w JOIN sym s ON w.id = s.src),
+       |comps AS (SELECT id, MIN(comp) AS comp FROM walk GROUP BY id)
+       |SELECT d.doc_id, d.lang FROM documents d
+       |WHERE d.doc_id NOT IN (SELECT id FROM comps WHERE id <> comp)""".stripMargin)) { (s, dir) =>
+    val pairs = d02_ngram_jaccard.fn(s, dir).select("id_a", "id_b")
+    val nonReps = NearDup.connectedComponents(pairs)
+      .filter(col("id") =!= col("comp"))
+      .select(col("id").as("doc_id"))
+    Tables.documents(s, dir)
+      .join(nonReps, Seq("doc_id"), "left_anti")
+      .select("doc_id", "lang")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     d01_exact_dup_groups, d02_ngram_jaccard, d03_minhash_lsh, d04_simhash,
-    d05_simhash_neardup, d06_dedup_clusters)
+    d05_simhash_neardup, d06_dedup_clusters, d07_dedup_apply)
 }

@@ -193,7 +193,22 @@ object EmbeddingQueries {
           .as("lead_c"))
   }
 
+  // ---------------------------------------------------------------- e08
+  /** Codebook-free embedding near-dup at scale: hyperplane-signature
+    * blocking (e04's quantizer, codegen'd) feeding the capped pair
+    * expansion — the composition the 10× skew smoke showed fastest.
+    * Deterministic (hash-derived hyperplanes, per-row IEEE folds) →
+    * golden-parquet oracle ([[GoldenOracles]]).
+    */
+  val e08_signature_neardup = q("e08_signature_neardup",
+    GoldenOracles.sqlFor("e08_signature_neardup")) { (s, dir) =>
+    graft.ext.EmbeddingDedup.cosineNearDupsBySignature(
+        Tables.embeddings(s, dir), "vec_id", "embedding",
+        dim = 64, planes = 6, threshold = 0.4)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+  }
+
   val all: Seq[GraftQuery] = Seq(
     e01_knn_bruteforce, e02_centroids, e03_label_block_nn, e04_lsh_ann,
-    e05_cosine_neardup, e06_ivf_ann, e07_l2_normalize)
+    e05_cosine_neardup, e06_ivf_ann, e07_l2_normalize, e08_signature_neardup)
 }

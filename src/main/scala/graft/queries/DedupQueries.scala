@@ -183,7 +183,48 @@ object DedupQueries {
       .select("doc_id", "lang")
   }
 
+  // ---------------------------------------------------------------- d08
+  /** DECONTAMINATION: flag training documents sharing ≥ `minShared`
+    * 3-gram shingles with any document of a held-out evaluation set (here
+    * every 50th doc stands in as the benchmark) — the cross-corpus twin of
+    * d02 every lab runs before training. Joins 8-byte shingle hashes, the
+    * eval side is tiny → broadcast; output is per-train-doc contamination
+    * evidence (worst eval doc, shared-shingle count).
+    */
+  val d08_contamination = q("d08_contamination", Some(
+    s"""WITH $shingleSql,
+       |hs AS (SELECT DISTINCT doc_id AS id, hash(shingle) AS h FROM s),
+       |ev AS (SELECT id, h FROM hs WHERE id % 50 = 0),
+       |tr AS (SELECT id, h FROM hs WHERE id % 50 <> 0),
+       |shared AS (
+       |  SELECT tr.id AS doc_id, ev.id AS eval_id, COUNT(*) AS n_shared
+       |  FROM tr JOIN ev ON tr.h = ev.h GROUP BY 1, 2),
+       |best AS (SELECT doc_id, eval_id, n_shared,
+       |           ROW_NUMBER() OVER (PARTITION BY doc_id
+       |             ORDER BY n_shared DESC, eval_id) AS rn
+       |         FROM shared WHERE n_shared >= 3)
+       |SELECT doc_id, eval_id, n_shared FROM best WHERE rn = 1""".stripMargin)) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    // NOTE the oracle hashes shingle TEXT with DuckDB's hash() while the
+    // engine uses xxhash64 — join AND count are over distinct shingles, so
+    // any 64-bit hash gives identical counts (collisions aside, ~1e-11)
+    val sh = NearDup.shingles(Tables.documents(s, dir), "doc_id", "text", 3)
+      .select(col("id"), xxhash64(col("shingle")).as("h"))
+    val ev = sh.filter(col("id") % 50 === 0)
+      .select(col("id").as("eval_id"), col("h"))
+    val tr = sh.filter(col("id") % 50 =!= 0)
+      .select(col("id").as("doc_id"), col("h"))
+    val shared = tr.join(broadcast(ev), "h")
+      .groupBy("doc_id", "eval_id").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 3)
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("n_shared").desc, col("eval_id"))
+    shared.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select("doc_id", "eval_id", "n_shared")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     d01_exact_dup_groups, d02_ngram_jaccard, d03_minhash_lsh, d04_simhash,
-    d05_simhash_neardup, d06_dedup_clusters, d07_dedup_apply)
+    d05_simhash_neardup, d06_dedup_clusters, d07_dedup_apply,
+    d08_contamination)
 }

@@ -34,17 +34,23 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val warmup = sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0"
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    // comma-separated allowlist for targeted perf iteration; unset = all
+    val only = sys.env.get("SPARK_GRAFT_QUERIES").map(_.split(",").map(_.trim).toSet)
+    val queries = only match {
+      case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
+      case None        => SparkEntry.queries
+    }
     val spark = Sessions.local(cpus)
     def materialize(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
     if (warmup) {
-      SparkEntry.queries.foreach { case (_, fn) =>
+      queries.foreach { case (_, fn) =>
         try materialize(fn(spark, sfDir)) catch { case _: Throwable => }
         spark.catalog.clearCache() // queries cache intermediates; don't let
                                    // storage pressure bleed across queries
       }
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
         try { materialize(fn(spark, sfDir)); true }
@@ -68,7 +74,27 @@ object Bench {
     val line =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","materialize":"noop-sink","queries":$qs,"sf":"$sfDir"}"""
     Files.write(Paths.get(outPath), (line + "\n").getBytes(StandardCharsets.UTF_8))
-    println(line)
+    // The driver captures only the LAST 2000 bytes of stdout (and sbt appends
+    // a ~75-byte "[success]" trailer after us), so the full 83-query line
+    // (~2.2 KB) gets its head truncated and the driver records parsed:null —
+    // rounds 1-3 all lost the perf gate to this. Print a compact final line
+    // instead: total + registry size + the slowest queries at 2 decimals,
+    // greedily packed to a 1200-byte budget. The full-precision per-query map
+    // lives in bench_out.json (path advertised in "detail").
+    def fmt2(v: Double): String =
+      if (v < 0) "-1" else BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
+    val failed = results.count(_._2 < 0)
+    val head =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","nqueries":${results.size},"failed":$failed,"materialize":"noop-sink","detail":"$outPath","queries":{"""
+    val tail = "}}"
+    val budget = 1200 - head.length - tail.length
+    val slowestFirst = results.toSeq.sortBy { case (_, v) => -v }
+    val packed = new StringBuilder
+    slowestFirst.foreach { case (k, v) =>
+      val entry = (if (packed.nonEmpty) "," else "") + "\"" + k + "\":" + fmt2(v)
+      if (packed.length + entry.length <= budget) packed.append(entry)
+    }
+    println(head + packed + tail)
     spark.stop()
   }
 }

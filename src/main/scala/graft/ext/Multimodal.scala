@@ -110,6 +110,11 @@ object Multimodal {
             WavMeta(rate, ch, bits, sz / block)
         }
       }
+      // sz is an unvalidated u32: a crafted size >= 2^31 truncates to a
+      // negative Int step and the walk never advances (executor-side
+      // infinite loop). A non-data chunk's payload must lie inside the
+      // blob for the walk to make sense — reject anything that doesn't.
+      if (sz > bytes.length - off - 8) return None
       off += 8 + sz.toInt + (sz.toInt & 1) // chunks are word-aligned
     }
     None

@@ -146,13 +146,34 @@ object NearDup {
     * steps alone move a label one hop per round (O(diameter) rounds — a
     * 40-node chain would exhaust any sane iteration bound); the jump step
     * halves remaining label-chain depth, giving O(log diameter)
-    * convergence, the standard large-scale CC recipe. Per round: two
-    * joins + one combiner-friendly min-aggregate, localCheckpoint'd to
-    * cut the exponentially-growing iterative lineage (the same discipline
-    * GraphX/Pregel applies); the driver loop runs one tiny count per
-    * round for the convergence check.
+    * convergence, the standard large-scale CC recipe.
+    *
+    * Per round exactly ONE materializing job (the checkpoint of the jumped
+    * labels) plus one cheap scan of its cached blocks for the convergence
+    * probe. The propagate aggregate carries each node's PREVIOUS label
+    * through (`max(when(own, comp))` — one own row per id), so convergence
+    * is a filter over the already-materialized round output, not a join
+    * back against the prior labels; and the propagate result is persist()ed
+    * rather than checkpointed, so the jump self-join reads it from cache
+    * inside the same job instead of paying a second materialization.
+    *
+    * DURABILITY: `localCheckpoint` stores blocks on executors only — fine
+    * on local[n], but at cluster scale one executor loss mid-iteration
+    * kills the job. Callers on a real cluster should
+    * `spark.sparkContext.setCheckpointDir(...)` and pass
+    * `reliableEvery = k` (k≈3): every k-th round the labels are written
+    * through a RELIABLE `checkpoint()` to that directory, bounding
+    * replay-on-failure to < k rounds of executor-local lineage. Rounds in
+    * between still use localCheckpoint (a reliable checkpoint every round
+    * would put the distributed filesystem on the critical path).
     */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+  def connectedComponents(edges: DataFrame, maxIter: Int = 25,
+                          reliableEvery: Int = 0): DataFrame = {
+    require(reliableEvery == 0 || edges.sparkSession.sparkContext.getCheckpointDir.nonEmpty,
+      "reliableEvery > 0 requires spark.sparkContext.setCheckpointDir(...)")
+    def pin(df: DataFrame, round: Int): DataFrame =
+      if (reliableEvery > 0 && round % reliableEvery == 0) df.checkpoint()
+      else df.localCheckpoint()
     // materialize the symmetric edge relation ONCE: it is joined every
     // round, and `edges` may be an arbitrarily expensive upstream pipeline
     // (d06 feeds the full shingle-Jaccard join) that must not re-run per
@@ -166,23 +187,25 @@ object NearDup {
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      val prop = labels.join(sym, col("id") === col("src"))
-        .select(col("dst").as("id"), col("comp"))
-        .unionByName(labels.select("id", "comp"))
-        .groupBy("id").agg(min("comp").as("comp"))
-        .localCheckpoint() // also breaks the self-join attribute ambiguity
-      val next = prop
-        .join(prop.select(col("id").as("cid"), col("comp").as("ccomp")),
-          col("comp") === col("cid"), "left")
-        .select(col("id"), coalesce(col("ccomp"), col("comp")).as("comp"))
-        .localCheckpoint()
-      val changed = next.as("n")
-        .join(labels.as("o"), "id")
-        .filter(col("n.comp") =!= col("o.comp"))
-        .limit(1).count()
-      labels = next
-      converged = changed == 0
       i += 1
+      // own rows carry the pre-round label; every dst also appears as a
+      // src (sym is symmetric), so each id aggregates exactly one own row
+      val prop = labels.join(sym, col("id") === col("src"))
+        .select(col("dst").as("id"), col("comp"), lit(false).as("own"))
+        .unionByName(labels.select(col("id"), col("comp"), lit(true).as("own")))
+        .groupBy("id")
+        .agg(min("comp").as("comp"), max(when(col("own"), col("comp"))).as("prev"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val next = pin(
+        prop
+          .join(prop.select(col("id").as("cid"), col("comp").as("ccomp")),
+            col("comp") === col("cid"), "left")
+          .select(col("id"), coalesce(col("ccomp"), col("comp")).as("comp"),
+            col("prev")),
+        i) // the round's single materializing job (computes prop once, cached)
+      prop.unpersist(blocking = false)
+      converged = next.filter(col("comp") =!= col("prev")).limit(1).count() == 0
+      labels = next.drop("prev")
     }
     labels
   }

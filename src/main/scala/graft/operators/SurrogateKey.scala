@@ -39,6 +39,15 @@ object SurrogateKey {
     * global 1..n rank. Like any two-pass id assignment (RDD `zipWithIndex`
     * included), determinism requires the sort order to be total — pass a
     * tie-breaking key.
+    *
+    * CACHE LIFETIME: the internal persist (required for correctness — see
+    * the comment below) is tied to the RETURNED frame and cannot be
+    * released inside this method; unpersisting before the caller's last
+    * action would let the two consumers re-sample range boundaries and
+    * silently duplicate/gap ids. The caller must release it when done —
+    * either via the [[withScalable]] bracket (preferred), or
+    * `spark.catalog.clearCache()` after the frame's final action. Bench
+    * clears the cache between queries for exactly this reason.
     */
   def scalable(df: DataFrame, order: Seq[Column], idCol: String = "Id"): DataFrame = {
     val local = lit((1L << 33) - 1)
@@ -60,9 +69,30 @@ object SurrogateKey {
       .agg(count(lit(1)).as("__n"))
     val offsets = counts.select(col("__pid"),
       (sum(col("__n")).over(Window.orderBy("__pid")) - col("__n")).as("__offset"))
-    withMid
+    val out = withMid
       .join(broadcast(offsets), shiftright(col("__mid"), 33) === col("__pid"))
       .withColumn(idCol, col("__offset") + col("__mid").bitwiseAND(local) + 1L)
       .drop("__mid", "__pid", "__offset")
+    lastCached.set(withMid)
+    out
+  }
+
+  // The persist handle from the most recent scalable() call, so the bracket
+  // (and tests) can release it without the caller threading it through.
+  private val lastCached =
+    new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+
+  /** Resource-bracket form of [[scalable]]: runs `use` on the keyed frame,
+    * then unpersists the internal cached relation — the leak-free way to
+    * consume a scalable surrogate key when the result is acted on inside
+    * one scope. `use` must EXECUTE its actions before returning (a lazy
+    * frame escaping the bracket re-inherits the unpersist hazard).
+    */
+  def withScalable[T](df: DataFrame, order: Seq[Column], idCol: String = "Id")
+                     (use: DataFrame => T): T = {
+    val out = scalable(df, order, idCol)
+    val handle = lastCached.getAndSet(null)
+    try use(out)
+    finally if (handle != null) handle.unpersist(blocking = false)
   }
 }

@@ -25,6 +25,15 @@ import org.apache.spark.sql.types._
   * NULL vector, null element, or dim mismatch yields signature 0L (the
   * column version's `when(proj >= 0, bit).otherwise(0)` swallows null
   * projections into 0 — kept, because committed goldens hash it).
+  *
+  * One documented divergence: a vector LONGER than `dim`. This expr
+  * returns 0L (dim-mismatch rule above); the column version zip_withs the
+  * index side against the longer vector, padding the index with null, and
+  * xxhash64's null-field skip can still produce a nonzero projection →
+  * nonzero signature. Over-length vectors are malformed input for a
+  * fixed-dim signature; 0L (the same bucket all malformed rows share) is
+  * the defensible answer, and no registry query feeds mixed-length
+  * vectors. ExprPropertySpec pins parity on length == dim only.
   */
 case class HyperplaneSignatureExpr(child: Expression, dim: Int, planes: Int)
     extends UnaryExpression {

@@ -113,6 +113,22 @@ case class KmvSketchAgg(child: Expression, k: Int,
   override def nullable: Boolean = false
   override def prettyName: String = "kmv_sketch"
 
+  // hashValue dispatches on the runtime class, so an unsupported child type
+  // (binary, array, struct, map) would otherwise pass analysis and throw
+  // per-row at execution. Reject at analysis instead. Date/timestamp are
+  // admitted because their internal representations (Int days / Long
+  // micros) hit the Int/Long hash cases.
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType | IntegerType | StringType | DoubleType | FloatType |
+         BooleanType | ShortType | ByteType | DateType | TimestampType |
+         TimestampNTZType | _: DecimalType =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an atomic orderable column " +
+        s"(integral, floating, string, boolean, decimal, date, timestamp); " +
+        s"got ${other.catalogString}")
+  }
+
   override def createAggregationBuffer(): mutable.TreeSet[Long] =
     mutable.TreeSet.empty[Long](KmvSketch.unsignedOrdering)
 

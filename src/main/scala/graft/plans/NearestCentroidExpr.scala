@@ -25,6 +25,11 @@ import org.apache.spark.sql.types._
   *
   * Semantics: null vector, null element, or vector length ≠ codebook dim →
   * null. Ties keep the lowest cell id (codebook is sorted at construction).
+  * A vector containing NaN (which passes the null check) makes every
+  * distance NaN, so no centroid wins → null. This is the one documented
+  * divergence from the HOF composition, which returned the lowest cell id
+  * for all-NaN distances; null is the honest answer and never reaches the
+  * goldens (test corpora are NaN-free).
   */
 case class NearestCentroidExpr(child: Expression,
                                cells: Seq[Int],
@@ -77,7 +82,11 @@ case class NearestCentroidExpr(child: Expression,
       if (d < bestDist) { bestDist = d; best = c }
       c += 1
     }
-    cellArr(best)
+    // A NaN element (NaN passes the null check) makes every distance NaN,
+    // so `d < bestDist` never fires and best stays -1 — return null rather
+    // than index cells[-1]. (The HOF composition returns the lowest cell id
+    // here; null is the saner answer for a vector with no defined nearest.)
+    if (best < 0) null else cellArr(best)
   }
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -105,7 +114,10 @@ case class NearestCentroidExpr(child: Expression,
          |    }
          |    if (!${ev.isNull} && $d < $bestDist) { $bestDist = $d; $best = $c; }
          |  }
-         |  if (!${ev.isNull}) { ${ev.value} = $cellsRef[$best]; }
+         |  if (!${ev.isNull}) {
+         |    if ($best < 0) { ${ev.isNull} = true; }  // all-NaN distances
+         |    else { ${ev.value} = $cellsRef[$best]; }
+         |  }
          |}
        """.stripMargin
     })

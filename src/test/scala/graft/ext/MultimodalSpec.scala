@@ -33,6 +33,15 @@ class MultimodalSpec extends SparkSpec {
     // malformed inputs refuse, not throw
     assert(Multimodal.parseWav(wav.take(10)).isEmpty)
     assert(Multimodal.parseWav("RIFFxxxxJUNK".getBytes).isEmpty)
+    // a crafted u32 chunk size >= 2^31 once truncated to a negative Int
+    // step and hung the walk forever; must return None, promptly
+    val evil = "RIFF".getBytes ++ Array[Byte](0, 1, 0, 0) ++ "WAVE".getBytes ++
+      "LIST".getBytes ++ Array[Byte](-8, -1, -1, -1) // sz = 0xFFFFFFF8
+    assert(Multimodal.parseWav(evil).isEmpty)
+    // size merely larger than the remaining payload (no overflow) also refuses
+    val oversize = "RIFF".getBytes ++ Array[Byte](0, 1, 0, 0) ++ "WAVE".getBytes ++
+      "LIST".getBytes ++ Array[Byte](100, 0, 0, 0) ++ "ab".getBytes
+    assert(Multimodal.parseWav(oversize).isEmpty)
   }
 
   test("parseBmp reads dimensions, reports top-down height as magnitude") {

@@ -105,6 +105,35 @@ class NearDupSpec extends SparkSpec {
     assert(got.length == 40 && got.forall(_._2 == 0L))
   }
 
+  test("connectedComponents with reliable checkpointing converges to the same labels") {
+    // cluster-durability path: every 2nd round goes through a RELIABLE
+    // checkpoint() to the checkpoint dir instead of executor-local blocks
+    if (spark.sparkContext.getCheckpointDir.isEmpty) {
+      // asking for reliable checkpoints with nowhere to put them fails fast
+      intercept[IllegalArgumentException] {
+        NearDup.connectedComponents(Seq((1L, 2L)).toDF("id_a", "id_b"),
+          reliableEvery = 2)
+      }
+    }
+    val dir = java.nio.file.Files.createTempDirectory("cc-ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    try {
+      val edges = ((0L until 39L).map(i => (i, i + 1)) ++ Seq((100L, 101L)))
+        .toDF("id_a", "id_b")
+      val got = NearDup.connectedComponents(edges, reliableEvery = 2)
+        .as[(Long, Long)].collect().toMap
+      assert(got.size == 42)
+      assert((0L to 39L).forall(got(_) == 0L))
+      assert(got(100L) == 100L && got(101L) == 100L)
+      // the reliable path actually wrote checkpoint data
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(java.nio.file.Files.isRegularFile(_)).count()
+      assert(wrote > 0, "reliableEvery must route through checkpoint()")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("shingles of a doc shorter than n collapse to one whole-text shingle") {
     val short = Seq((1L, "two words")).toDF("doc_id", "text")
     val got = NearDup.shingles(short, "doc_id", "text", 3)

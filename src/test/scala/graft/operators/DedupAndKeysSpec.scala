@@ -48,6 +48,20 @@ class DedupAndKeysSpec extends SparkSpec {
     assert(firstRow == ((0L, 0L)))
   }
 
+  test("SurrogateKey.withScalable releases the internal cache after use") {
+    spark.catalog.clearCache()
+    val df = (1 to 500).map(i => (i % 7, i)).toDF("a", "b")
+    val ids = SurrogateKey.withScalable(df, Seq(col("a"), col("b"))) { keyed =>
+      keyed.select("Id").as[Long].collect().sorted
+    }
+    assert(ids.head == 1L && ids.last == 500L)
+    // unpersist(blocking = false) is async; poll briefly
+    val deadline = System.nanoTime() + 5e9.toLong
+    def cached = spark.sparkContext.getPersistentRDDs.nonEmpty
+    while (cached && System.nanoTime() < deadline) Thread.sleep(50)
+    assert(!cached, "withScalable must unpersist its internal relation")
+  }
+
   test("FuzzyJoin.top1 picks nearest candidate, ties lexicographically") {
     val left = Seq("GERMANY!", "FRANC", "xyz").toDF("name")
     val right = Seq("GERMANY", "FRANCE", "GREECE").toDF("country")

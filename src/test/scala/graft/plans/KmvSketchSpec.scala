@@ -64,4 +64,22 @@ class KmvSketchSpec extends SparkSpec {
       .select(KmvSketch.estimate(col("sk"))).as[Double].head()
     assert(est == 3.0)
   }
+
+  test("unsupported child type fails analysis, not per-row at execution") {
+    // hashValue dispatches on runtime class; without checkInputDataTypes an
+    // array column passed analysis and threw IllegalArgumentException per row
+    val df = Seq(Seq(1, 2), Seq(3)).toDF("v")
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      df.agg(KmvSketch.sketch(col("v"), 64).as("sk")).collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("kmv_sketch"))
+    // date/timestamp ride the Int/Long internal reps — must stay admitted
+    val dts = Seq("2024-01-01", "2024-01-02", "2024-01-01").toDF("s")
+      .select(col("s").cast("date").as("d"), col("s").cast("timestamp").as("t"))
+    val ests = dts.agg(
+      KmvSketch.estimate(KmvSketch.sketch(col("d"), 64)).as("ed"),
+      KmvSketch.estimate(KmvSketch.sketch(col("t"), 64)).as("et"))
+      .as[(Double, Double)].head()
+    assert(ests == ((2.0, 2.0)))
+  }
 }

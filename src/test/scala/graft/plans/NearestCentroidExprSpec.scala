@@ -61,6 +61,20 @@ class NearestCentroidExprSpec extends SparkSpec {
     assert(got.forall(_.isNullAt(0)))
   }
 
+  test("NaN element (all distances NaN) yields null, not cells[-1]") {
+    // NaN passes the null check but poisons every distance; `d < bestDist`
+    // never fires, best stays -1 — both eval and codegen must null out
+    // instead of indexing cells[-1]
+    val local = Seq((1L, Array(Double.NaN, 1.0))).toDF("id", "v") // interpreted eval
+    val cb2 = Seq(0 -> Seq(0.0, 0.0), 1 -> Seq(1.0, 1.0))
+    assert(local.select(NearestCentroidExpr.nearest(col("v"), cb2))
+      .collect().forall(_.isNullAt(0)))
+    val codegen = spark.range(3).select( // codegen source → doGenCode path
+      array(lit(Double.NaN), col("id").cast("double")).as("v"))
+    assert(codegen.select(NearestCentroidExpr.nearest(col("v"), cb2))
+      .collect().forall(_.isNullAt(0)))
+  }
+
   test("assignment stays inside whole-stage codegen with fused generated code") {
     // spark.range is a codegen source (a local Seq short-circuits to
     // LocalTableScan and proves nothing); the expression must live inside a

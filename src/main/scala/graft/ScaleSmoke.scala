@@ -57,26 +57,32 @@ object ScaleSmoke {
     replicated.unionByName(one)
   }
 
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val copies = 10
-    val maxSlowdown = 2.0 // vs linear extrapolation of the sf0.1 timing
-    val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+  /** One measured operator: name, 1× seconds, 10×+hot seconds, result rows. */
+  final case class Measure(name: String, tSmall: Double, tBig: Double, rows: Long) {
+    def slowdownVsLinear(copies: Int): Double = tBig / (tSmall * copies)
+  }
 
-    val docsBig = docs10x(spark, sfDir, copies, hotDocs = 3000).cache()
-    val embBig = emb10x(spark, sfDir, copies, hotVecs = 3000).cache()
+  /** The capped-operator section (near-dup / ANN under an injected hot
+    * key), extracted so `ScaleSmokeSpec` can gate it inside `sbt test`
+    * (env-opted) with the same 2×-of-linear budget the standalone main
+    * enforces — a cap regression fails a test, not just a README table.
+    */
+  def cappedSection(spark: SparkSession, sfDir: String,
+                    copies: Int = 10, hot: Int = 3000): Seq[Measure] = {
+    val docsBig = docs10x(spark, sfDir, copies, hotDocs = hot).cache()
+    val embBig = emb10x(spark, sfDir, copies, hotVecs = hot).cache()
     val nDocs = docsBig.count(); val nVecs = embBig.count()
-    println(s"corpus: $nDocs docs, $nVecs vectors (10x sf0.1 + hot keys)")
+    println(s"corpus: $nDocs docs, $nVecs vectors (${copies}x $sfDir + hot keys)")
 
     val docsSmall = Tables.documents(spark, sfDir).select("doc_id", "text").cache()
     val embSmall = Tables.embeddings(spark, sfDir).cache()
     docsSmall.count(); embSmall.count()
 
-    def run(name: String, small: => Long, big: => Long): (String, Double, Double, Long) = {
+    def run(name: String, small: => Long, big: => Long): Measure = {
       small // warm-up (codegen, shuffles)
       val (_, tSmall) = time(small)
       val (rows, tBig) = time(big)
-      (name, tSmall, tBig, rows)
+      Measure(name, tSmall, tBig, rows)
     }
 
     val results = Seq(
@@ -131,6 +137,25 @@ object ScaleSmoke {
         ext.IvfAnn.searchTopK(embBig, embBig.filter(col("vec_id") < 8),
           "vec_id", "embedding", cb, 3, 5).count()
       }))
+    docsBig.unpersist(); embBig.unpersist()
+    docsSmall.unpersist(); embSmall.unpersist()
+    results
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val copies = 10
+    val maxSlowdown = 2.0 // vs linear extrapolation of the sf0.1 timing
+    val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+
+    val results = cappedSection(spark, sfDir, copies)
+
+    def run(name: String, small: => Long, big: => Long): Measure = {
+      small // warm-up (codegen, shuffles)
+      val (_, tSmall) = time(small)
+      val (rows, tBig) = time(big)
+      Measure(name, tSmall, tBig, rows)
+    }
 
     // ---------------------------------------------------------------
     // relational section: the fact tables replicated 10x (6M lineitem
@@ -183,8 +208,8 @@ object ScaleSmoke {
       run("rel_4way_join", fourWayJoin(liSmall, ordSmall), fourWayJoin(liBig, ordBig)))
 
     var failed = false
-    (results ++ relational).foreach { case (name, tSmall, tBig, rows) =>
-      val slowdown = tBig / (tSmall * copies)
+    (results ++ relational).foreach { case m @ Measure(name, tSmall, tBig, rows) =>
+      val slowdown = m.slowdownVsLinear(copies)
       val verdict =
         if (slowdown <= maxSlowdown) "OK"
         else { failed = true; "FAIL (super-linear)" }

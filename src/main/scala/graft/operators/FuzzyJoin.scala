@@ -42,6 +42,36 @@ object FuzzyJoin {
     similarityRatio(normSorted(a), normSorted(b))
   }
 
+  /** thefuzz/rapidfuzz `fuzz.ratio` (0..100 Int) — exact parity with the
+    * reference's scorer, as a codegen expression. See
+    * [[graft.plans.IndelRatioExpr]] for the contract and how it differs
+    * from [[similarityRatio]] (Levenshtein-normalized, a documented
+    * approximation that can pick a different top-1 on token-multiset
+    * cases).
+    */
+  def fuzzRatio(a: Column, b: Column): Column =
+    graft.plans.IndelRatioExpr.fuzzRatio(a, b)
+
+  /** [[top1]] scored by [[fuzzRatio]] instead of raw Levenshtein — the
+    * reference-parity variant of the fuzzy join (thefuzz picks max score;
+    * ties broken by lexicographically smallest candidate, since Spark rows
+    * have no stable "first seen" order to mirror `extractOne`'s). Output
+    * adds `outCol` and `outCol_score`. Same distinct→broadcast-score→
+    * join-back shape and cost model as [[top1]].
+    */
+  def top1Fuzz(left: DataFrame, leftCol: String, right: DataFrame,
+               rightCol: String, outCol: String): DataFrame = {
+    val candidates = right.select(col(rightCol).as("__cand")).distinct()
+    val keys = left.select(col(leftCol).as("__key")).distinct().filter(col("__key").isNotNull)
+    val scored = keys.crossJoin(broadcast(candidates))
+      .withColumn("__score", fuzzRatio(col("__key"), col("__cand")))
+    val w = Window.partitionBy(col("__key")).orderBy(col("__score").desc, col("__cand").asc)
+    val best = scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("__key"), col("__cand").as(outCol), col("__score").as(outCol + "_score"))
+    left.join(broadcast(best), left(leftCol) === best("__key"), "left").drop("__key")
+  }
+
   /** For each row of `left`, attach the `right` value of `rightCol` nearest
     * to `leftCol` by Levenshtein distance (ties → lexicographically smallest
     * candidate). Output adds `outCol` (matched value) and `outCol_dist`.

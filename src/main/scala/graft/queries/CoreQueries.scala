@@ -897,11 +897,26 @@ object CoreQueries {
         Cols.decimalSum(col("l_extendedprice")).as("sum_price"))
   }
 
+  // ---------------------------------------------------------------- q45
+  /** q07's reference-parity variant (J3/F7): top-1 match scored by thefuzz
+    * `fuzz.ratio` (rapidfuzz Indel similarity, [[graft.plans
+    * .IndelRatioExpr]]) instead of raw Levenshtein — the scorer the
+    * reference's `process.extractOne` actually maximizes. LCS has no
+    * DuckDB twin → golden-parquet oracle ([[GoldenOracles]]); FunctionsSpec
+    * pins the scorer against documented thefuzz outputs.
+    */
+  val q45_fuzz_ratio_top1 = GraftQuery("q45_fuzz_ratio_top1", (s, dir) =>
+    FuzzyJoin.top1Fuzz(
+        Tables.supplier(s, dir), "s_name", Tables.nation(s, dir), "n_name", "match_name")
+      .select(col("s_suppkey"), col("s_name"),
+        col("match_name"), col("match_name_score").as("match_score")),
+    oracle = GoldenOracles.sqlFor("q45_fuzz_ratio_top1"))
+
   val all: Seq[GraftQuery] = Seq(
     q30_numeric_describe, q31_ship_priority, q32_regional_volume, q33_small_quantity,
     q34_approx_stats, q35_from_json, q36_array_agg, q37_order_distribution,
     q38_min_per_group_filter, q39_profile_verdicts, q40_kmv_distinct, q41_kmv_setops,
-    q42_hash_split, q43_quality_checks, q44_salted_join,
+    q42_hash_split, q43_quality_checks, q44_salted_join, q45_fuzz_ratio_top1,
     q01_pricing_summary, q02_filter_project, q03_left_join_2key, q04_join_chain_agg,
     q05_anti_join, q06_semi_join, q07_fuzzy_top1, q08_pivot_mean,
     q09_dedup_keep_first, q10_surrogate_key, q11_interpolate, q12_qcut_buckets,

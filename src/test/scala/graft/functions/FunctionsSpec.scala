@@ -62,4 +62,47 @@ class FunctionsSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(sigs(1L) == sigs(2L)) // identical vectors share a bucket
   }
+
+  test("fuzzRatio matches documented thefuzz fuzz.ratio outputs") {
+    // differential fixtures: left column = thefuzz (rapidfuzz-backed,
+    // as the reference pins via thefuzz[speedup]) outputs — the first two
+    // are the canonical fuzzywuzzy README examples
+    val cases = Seq(
+      ("this is a test", "this is a test!", 97),
+      ("fuzzy wuzzy was a bear", "wuzzy fuzzy was a bear", 91),
+      ("new york mets", "new york mets", 100),
+      ("", "", 100), // rapidfuzz: both empty is a perfect match
+      ("abc", "", 0),
+      ("abcd", "bcde", 75), // indel scale; Levenshtein scale would say 50
+      ("aXXXXXXX", "aYYYYYYY", 12), // 12.5 → Python banker's rounding → 12
+      ("abcXXXXX", "abcYYYYY", 38)) // 37.5 → rounds UP to even 38
+    val df = cases.map { case (a, b, _) => (a, b) }.toDF("a", "b")
+    val got = df.select(graft.operators.FuzzyJoin.fuzzRatio(col("a"), col("b")))
+      .as[Int].collect().toSeq
+    assert(got == cases.map(_._3), s"got $got")
+    // code points, not UTF-16 chars: the astral-plane emoji counts once
+    val uni = Seq(("😀a", "😀b")).toDF("a", "b")
+    assert(uni.select(graft.operators.FuzzyJoin.fuzzRatio(col("a"), col("b")))
+      .as[Int].head() == 50)
+  }
+
+  test("fuzzRatio vs similarityRatio: documented top-1 divergence case") {
+    // "abcd" is indel-closer to "bcde" (LCS 3 → 75) than to "azcd"
+    // (LCS 3 → 75... tie) — use the classic substitution-heavy case:
+    // substitutions cost 1 on the Levenshtein scale but 2 on the indel
+    // scale, so a same-length candidate with 2 substitutions loses to a
+    // shifted candidate under fuzzRatio while winning under similarityRatio
+    val df = Seq(("abcdef", "azcdez", "bcdefg")).toDF("k", "subCand", "shiftCand")
+    val r = df.select(
+      graft.operators.FuzzyJoin.fuzzRatio(col("k"), col("subCand")).as("fuzzSub"),
+      graft.operators.FuzzyJoin.fuzzRatio(col("k"), col("shiftCand")).as("fuzzShift"),
+      graft.operators.FuzzyJoin.similarityRatio(col("k"), col("subCand")).as("levSub"),
+      graft.operators.FuzzyJoin.similarityRatio(col("k"), col("shiftCand")).as("levShift"))
+      .as[(Int, Int, Double, Double)].head()
+    // indel: subCand LCS 4 → 67, shiftCand LCS 5 → 83 — shift wins
+    assert(r._1 == 67 && r._2 == 83 && r._2 > r._1)
+    // levenshtein: subCand dist 2 → 0.667, shiftCand dist 2 → 0.667 — a tie
+    // the indel scorer breaks; exactly the documented approximation gap
+    assert(r._3 == r._4)
+  }
 }

@@ -201,11 +201,23 @@ object ScaleSmoke {
         .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
         .groupBy("n_name").agg(sum(col("l_extendedprice"))).count()
 
+    // bloom-prefiltered exact anti join: lineitem rows whose order is NOT
+    // in the 'F'-status key set — the map-side prune must keep the big
+    // side's shuffle proportional to the maybe-matching sliver
+    def bloomAnti(li: org.apache.spark.sql.DataFrame,
+                  ord: org.apache.spark.sql.DataFrame, expected: Long): Long =
+      ext.BloomJoin.anti(li,
+        ord.filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey").as("l_orderkey")),
+        Seq("l_orderkey"), expectedItems = expected).count()
+
     val relational = Seq(
       run("rel_scan_agg", scanAgg(liSmall), scanAgg(liBig)),
       run("rel_window_dedup", windowDedup(liSmall), windowDedup(liBig)),
       run("rel_join_topk", joinTopK(liSmall, ordSmall), joinTopK(liBig, ordBig)),
-      run("rel_4way_join", fourWayJoin(liSmall, ordSmall), fourWayJoin(liBig, ordBig)))
+      run("rel_4way_join", fourWayJoin(liSmall, ordSmall), fourWayJoin(liBig, ordBig)),
+      run("rel_bloom_anti", bloomAnti(liSmall, ordSmall, 100000L),
+        bloomAnti(liBig, ordBig, 1000000L)))
 
     var failed = false
     (results ++ relational).foreach { case m @ Measure(name, tSmall, tBig, rows) =>

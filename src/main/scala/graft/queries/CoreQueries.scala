@@ -912,7 +912,31 @@ object CoreQueries {
         col("match_name"), col("match_name_score").as("match_score")),
     oracle = GoldenOracles.sqlFor("q45_fuzz_ratio_top1"))
 
+  // ---------------------------------------------------------------- q46
+  /** Deterministic stratified sampling ([[Sampling.stratified]]): 100
+    * orders per order-status, drawn by hash order so the draw is a pure
+    * function of the data — reproducible across runs, partitionings, AND
+    * engines. This query uses the md5 hash variant precisely so DuckDB
+    * can replay the identical draw (both engines emit lowercase-hex md5
+    * of the decimal key string); production callers keep the xxhash64
+    * default (8-byte, codegen'd) documented in the operator.
+    */
+  val q46_stratified_sample = q("q46_stratified_sample",
+    """WITH r AS (
+      |  SELECT o_orderstatus, o_orderkey, o_totalprice,
+      |         ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+      |           ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey) AS rn
+      |  FROM orders)
+      |SELECT o_orderstatus, o_orderkey, o_totalprice
+      |FROM r WHERE rn <= 100""".stripMargin) { (s, dir) =>
+    Sampling.stratified(
+      Tables.orders(s, dir).select("o_orderstatus", "o_orderkey", "o_totalprice"),
+      strataCols = Seq("o_orderstatus"), k = 100, keyCols = Seq("o_orderkey"),
+      hash = Some(md5(col("o_orderkey").cast("string").cast("binary"))))
+  }
+
   val all: Seq[GraftQuery] = Seq(
+    q46_stratified_sample,
     q30_numeric_describe, q31_ship_priority, q32_regional_volume, q33_small_quantity,
     q34_approx_stats, q35_from_json, q36_array_agg, q37_order_distribution,
     q38_min_per_group_filter, q39_profile_verdicts, q40_kmv_distinct, q41_kmv_setops,

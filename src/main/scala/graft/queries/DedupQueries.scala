@@ -223,8 +223,43 @@ object DedupQueries {
       .select("doc_id", "eval_id", "n_shared")
   }
 
+  // ---------------------------------------------------------------- d09
+  /** DECONTAMINATION APPLY, bloom-prefiltered ([[graft.ext.BloomJoin]]):
+    * emit the CLEAN training corpus — docs sharing NO shingle with the
+    * eval set. The semi join that finds contaminated ids is pruned
+    * map-side by a Bloom filter over the eval shingle hashes BEFORE any
+    * shuffle: at 100 TB the eval hash set (10⁷-10⁸ keys) is too big for a
+    * broadcast hash relation but fits as a ~tens-of-MB bloom, so only the
+    * sliver of training shingles that might match ever moves. The exact
+    * join downstream drops the bloom's false positives, so the result is
+    * IDENTICAL to the plain-join form — the oracle is plain SQL, no
+    * golden needed.
+    */
+  val d09_bloom_decontaminate = q("d09_bloom_decontaminate", Some(
+    s"""WITH $shingleSql,
+       |hs AS (SELECT DISTINCT doc_id AS id, hash(shingle) AS h FROM s),
+       |ev AS (SELECT DISTINCT h FROM hs WHERE id % 50 = 0),
+       |tr AS (SELECT id, h FROM hs WHERE id % 50 <> 0),
+       |dirty AS (SELECT DISTINCT tr.id FROM tr JOIN ev ON tr.h = ev.h)
+       |SELECT t.id AS doc_id FROM (SELECT DISTINCT id FROM tr) t
+       |WHERE t.id NOT IN (SELECT id FROM dirty)""".stripMargin)) { (s, dir) =>
+    // oracle hashes with DuckDB hash(), engine with xxhash64: membership is
+    // over DISTINCT shingles both sides, so any 64-bit hash agrees (same
+    // argument as d08)
+    val sh = NearDup.shingles(Tables.documents(s, dir), "doc_id", "text", 3)
+      .select(col("id"), xxhash64(col("shingle")).as("h"))
+    val ev = sh.filter(col("id") % 50 === 0).select("h").distinct()
+    val tr = sh.filter(col("id") % 50 =!= 0)
+    val dirty = graft.ext.BloomJoin.semi(tr, ev, Seq("h"),
+        expectedItems = 1 << 20, fpp = 0.01)
+      .select(col("id")).distinct()
+    tr.select("id").distinct()
+      .join(broadcast(dirty), Seq("id"), "left_anti")
+      .select(col("id").as("doc_id"))
+  }
+
   val all: Seq[GraftQuery] = Seq(
     d01_exact_dup_groups, d02_ngram_jaccard, d03_minhash_lsh, d04_simhash,
     d05_simhash_neardup, d06_dedup_clusters, d07_dedup_apply,
-    d08_contamination)
+    d08_contamination, d09_bloom_decontaminate)
 }

@@ -218,7 +218,79 @@ object TextQueries {
         round(col("score"), 6).as("tfidf"))
   }
 
+  // ---------------------------------------------------------------- t08
+  /** END-TO-END CURATION PIPELINE — the LLM-data story in one registry
+    * entry: quality-score filter → language filter → exact dedup (keep the
+    * smallest doc_id per content fingerprint) → deterministic stratified
+    * sample (≤ 40 docs per quality bucket, hash-order draw). Every stage
+    * is one of this engine's first-class operators composed as a user
+    * would compose them, and the whole chain stays SQL-expressible so the
+    * oracle replays it end to end. Plan shape: scan-side column work
+    * (quality, lang, fingerprint are pure codegen expressions, filters
+    * push toward the scan), ONE shuffle for the dedup window, one for the
+    * sample window — nothing quadratic, nothing collected.
+    */
+  val t08_curation_pipeline = q("t08_curation_pipeline",
+    s"""WITH n AS (SELECT doc_id, text, ${normSql("text")} AS norm FROM documents),
+       |m AS (
+       |  SELECT doc_id, text, norm,
+       |    CASE WHEN length(norm) = 0 THEN 0
+       |         ELSE len(string_split(norm, ' ')) END AS wc,
+       |    len(regexp_extract_all(text, '$punctPat')) AS punct,
+       |    len(regexp_extract_all(lower(norm), '$stopPat')) AS stop
+       |  FROM n),
+       |scored AS (
+       |  SELECT doc_id, text, norm,
+       |    least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4
+       |      + greatest(0.0, 1.0 - (CASE WHEN length(text) = 0 THEN 0.0
+       |          ELSE CAST(punct AS DOUBLE) / CAST(length(text) AS DOUBLE) END) * 5.0) * 0.3
+       |      + least((CASE WHEN wc = 0 THEN 0.0
+       |          ELSE CAST(stop AS DOUBLE) / CAST(wc AS DOUBLE) END) * 4.0, 1.0) * 0.3
+       |      AS q,
+       |    len(regexp_extract_all(lower(norm), '\\b(the|and|of|is|with)\\b')) AS hen,
+       |    len(regexp_extract_all(lower(norm), '\\b(le|la|et|les|des)\\b')) AS hfr,
+       |    len(regexp_extract_all(lower(norm), '\\b(el|los|las|una|y)\\b')) AS hes,
+       |    len(regexp_extract_all(lower(norm), '\\b(der|die|und|das|ist)\\b')) AS hde
+       |  FROM m),
+       |en AS (
+       |  -- qualityScore rounds to 6 inside the engine, so the gate and the
+       |  -- bucket must use the ROUNDED value on both sides
+       |  SELECT doc_id, norm, ROUND(q, 6) AS quality,
+       |         CAST(least(floor(ROUND(q, 6) * 5.0), 4.0) AS INT) AS bucket
+       |  FROM scored
+       |  WHERE ROUND(q, 6) >= 0.5
+       |    AND NOT regexp_matches(text, '[\\x{4e00}-\\x{9fff}]')
+       |    AND hen + hfr + hes + hde > 0
+       |    AND hen >= hfr AND hen >= hes AND hen >= hde),
+       |deduped AS (
+       |  SELECT doc_id, quality, bucket,
+       |    ROW_NUMBER() OVER (PARTITION BY md5(lower(norm)) ORDER BY doc_id) AS dn
+       |  FROM en),
+       |sampled AS (
+       |  SELECT doc_id, quality, bucket,
+       |    ROW_NUMBER() OVER (PARTITION BY bucket
+       |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+       |  FROM deduped WHERE dn = 1)
+       |SELECT doc_id, quality, bucket FROM sampled WHERE rn <= 40""".stripMargin) { (s, dir) =>
+    import graft.operators.{Dedup, Sampling}
+    val scored = Tables.documents(s, dir).select(
+      col("doc_id"), col("text"),
+      TextFunctions.qualityScore(col("text")).as("quality"),
+      TextFunctions.langId(col("text")).as("lang"),
+      TextFunctions.fingerprint(col("text")).as("fp"))
+    val kept = scored
+      .filter(col("quality") >= 0.5 && col("lang") === "en")
+      .withColumn("bucket",
+        least(floor(col("quality").cast("double") * 5.0), lit(4.0)).cast("int"))
+    // quality here is already ROUND(q,6) (qualityScore rounds internally);
+    // the oracle's gate and bucket round identically before comparing
+    val deduped = Dedup.keepFirst(kept, Seq("fp"), Seq(col("doc_id")))
+    Sampling.stratified(deduped, Seq("bucket"), k = 40, keyCols = Seq("doc_id"),
+        hash = Some(md5(col("doc_id").cast("string").cast("binary"))))
+      .select(col("doc_id"), col("quality"), col("bucket"))
+  }
+
   val all: Seq[GraftQuery] = Seq(
     t01_token_stats, t02_quality_score, t03_lang_id, t04_fingerprint,
-    t05_rolling_hash, t06_redact, t07_tfidf_top_terms)
+    t05_rolling_hash, t06_redact, t07_tfidf_top_terms, t08_curation_pipeline)
 }

@@ -23,6 +23,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("rolling_hash"),
       new ExpressionInfo(classOf[RollingHashExpr].getName, "rolling_hash"),
       (children: Seq[Expression]) => RollingHashExpr(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("fuzz_ratio"),
+      new ExpressionInfo(classOf[IndelRatioExpr].getName, "fuzz_ratio"),
+      (children: Seq[Expression]) => IndelRatioExpr(children.head, children(1))))
     ext.injectOptimizerRule(_ => PruneLevenshteinFilters)
   }
 }

@@ -28,7 +28,26 @@ object PruneLevenshteinFilters extends Rule[LogicalPlan] with PredicateHelper {
       Some(LessThanOrEqual(Abs(Subtract(Length(a), Length(b))), k))
     case LessThan(Levenshtein(a, b, None), k @ Literal(_, _)) =>
       Some(LessThan(Abs(Subtract(Length(a), Length(b))), k))
+    // fuzz_ratio(a,b) >= t: ratio = rint(200·LCS/(|a|+|b|)) and
+    // LCS <= min(|a|,|b|), so rint(x) >= t implies x > t - 0.5, hence
+    // 400·min(|a|,|b|) > (2t-1)·(|a|+|b|) — an O(1) length-proportion
+    // guard in front of the O(|a|·|b|) LCS DP. Units agree exactly:
+    // Catalyst `Length` on strings is UTF8String.numChars — CODE POINTS,
+    // the same unit IndelRatioExpr folds over — so the implication is
+    // sound for astral-plane text too. Skipped for t <= 0 (trivially
+    // true guard).
+    case GreaterThanOrEqual(r @ IndelRatioExpr(a, b), Literal(t: Int, _)) if t >= 1 =>
+      Some(indelGuard(a, b, t))
+    case GreaterThan(r @ IndelRatioExpr(a, b), Literal(t: Int, _)) if t >= 0 =>
+      Some(indelGuard(a, b, t + 1)) // integer scores: > t  ⟺  >= t+1
     case _ => None
+  }
+
+  private def indelGuard(a: Expression, b: Expression, t: Int): Expression = {
+    def len(e: Expression) = Cast(Length(e), org.apache.spark.sql.types.LongType)
+    GreaterThan(
+      Multiply(Literal(400L), Least(Seq(len(a), len(b)))),
+      Multiply(Literal(2L * t - 1L), Add(len(a), len(b))))
   }
 
   private def rewrite(cond: Expression): Option[Expression] = {

@@ -49,4 +49,37 @@ class PruneLevenshteinFiltersSpec extends SparkSpec {
         .apply(r.getString(0), r.getString(1)) <= 5)
     assert(withRule == manual)
   }
+
+  test("rule injects the proportion guard before a thresholded fuzz_ratio") {
+    val q = pairs.filter(IndelRatioExpr.fuzzRatio(col("a"), col("b")) >= 80)
+    val cond = q.queryExecution.optimizedPlan.toString.linesIterator
+      .find(_.contains("fuzz_ratio")).getOrElse(fail("no fuzz_ratio in plan"))
+    // 400 * min(len) > (2t-1) * (len+len) with t=80 -> literals 400 and 159
+    assert(cond.contains("400") && cond.contains("159"), cond)
+    assert(cond.indexOf("400") < cond.indexOf("fuzz_ratio"), cond)
+  }
+
+  test("fuzz_ratio guard preserves results exactly, including astral planes") {
+    val df = Seq(
+      ("this is a test", "this is a test!"), // 97
+      ("fuzzy wuzzy was a bear", "wuzzy fuzzy was a bear"), // 91
+      ("GERMANY", "FRANCE"), // low
+      ("\ud83d\ude00a", "\ud83d\ude00b")) // emoji pair: ratio 50 in code points
+      .toDF("a", "b")
+    val got = df.filter(IndelRatioExpr.fuzzRatio(col("a"), col("b")) >= 90)
+      .as[(String, String)].collect().toSet
+    assert(got == Set(("this is a test", "this is a test!"),
+      ("fuzzy wuzzy was a bear", "wuzzy fuzzy was a bear")))
+    // strict > comparison takes the t+1 path
+    val gt = df.filter(IndelRatioExpr.fuzzRatio(col("a"), col("b")) > 91)
+      .as[(String, String)].collect().toSet
+    assert(gt == Set(("this is a test", "this is a test!")))
+  }
+
+  test("fuzz_ratio is SQL-reachable through GraftExtensions") {
+    val one = spark.sql(
+      "SELECT fuzz_ratio('this is a test', 'this is a test!') AS r")
+      .collect().head.getInt(0)
+    assert(one == 97)
+  }
 }

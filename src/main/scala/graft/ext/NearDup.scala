@@ -141,6 +141,62 @@ object NearDup {
     exactJaccard(sh, cand).filter(col("jaccard") >= threshold)
   }
 
+  /** (id, band-bucket key) relation for a signature frame — the join-able
+    * form of the LSH index. For a standing corpus this is the relation you
+    * PERSIST between ingest batches (8-byte bucket key + id per band).
+    */
+  def bandBuckets(sig: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+    val bandCols = (0 until bands).map { b =>
+      val slice = (0 until rowsPerBand).map(r => element_at(col("sig"), b * rowsPerBand + r + 1))
+      struct(lit(b).as("band"), xxhash64(slice: _*).as("bh"))
+    }
+    sig.select(col("id"), explode(array(bandCols: _*)).as("bk"))
+  }
+
+  /** INCREMENTAL near-dup: dedup a NEW ingest batch against an EXISTING
+    * corpus without ever pairing the corpus with itself — the daily-ingest
+    * shape at 100 TB, where re-running all-pairs LSH over the standing
+    * corpus per batch would be O(corpus) every day.
+    *
+    * Shape: band-bucket the new batch's signatures and JOIN them against
+    * the corpus's band-bucket relation (which a production pipeline keeps
+    * materialized between batches — it is exactly [[bandBuckets]] of the
+    * stored signatures, 8 bytes + id per band per doc). Only co-bucketed
+    * (new, old) pairs expand: old-old pairs never exist, so per-batch cost
+    * scales with |new| and bucket hit rate, not |corpus|². The corpus
+    * side of each bucket is capped at `maxBucketSize` (same
+    * bounded-work/recall trade as [[lshCandidates]], same cap semantics).
+    * Candidates are then exact-Jaccard verified over the union shingle
+    * relation, so output pairs (id_new, id_old, jaccard) are exact.
+    *
+    * Ids must be disjoint across the two frames (they identify output
+    * orientation: id_new from `newDf`, id_old from `oldDf`).
+    */
+  def incrementalNearDupPairs(newDf: DataFrame, oldDf: DataFrame,
+                              idCol: String, textCol: String,
+                              threshold: Double, numHashes: Int = 64,
+                              bands: Int = 32, shingleSize: Int = 3,
+                              maxBucketSize: Int = 1000): DataFrame = {
+    val r = numHashes / bands
+    def hashedShingles(df: DataFrame) =
+      shingles(df, idCol, textCol, shingleSize)
+        .select(col("id"), xxhash64(col("shingle")).as("shingle"))
+    val shNew = hashedShingles(newDf).cache() // feeds signatures + verify
+    val shOld = hashedShingles(oldDf).cache()
+    val bNew = bandBuckets(minhashSignatures(shNew, numHashes), bands, r)
+      .select(col("bk"), col("id").as("id_new"))
+    val bOld = bandBuckets(minhashSignatures(shOld, numHashes), bands, r)
+      .groupBy("bk").agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")) <= maxBucketSize)
+    val cand = bNew.join(bOld, "bk")
+      .select(col("id_new"), explode(col("ids")).as("id_old"))
+      .distinct()
+    exactJaccard(shNew.unionByName(shOld),
+        cand.select(col("id_new").as("id_a"), col("id_old").as("id_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a").as("id_new"), col("id_b").as("id_old"), col("jaccard"))
+  }
+
   /** Connected components over a near-duplicate PAIR relation — the step
     * that turns pairs into dedup CLUSTERS (then "keep min id per cluster"
     * dedups transitively: A~B, B~C collapses all three even though A~C was

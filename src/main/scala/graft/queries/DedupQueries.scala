@@ -262,8 +262,31 @@ object DedupQueries {
       .select(col("id").as("doc_id"))
   }
 
+  // ---------------------------------------------------------------- d10
+  /** INCREMENTAL ingest dedup ([[NearDup.incrementalNearDupPairs]]): every
+    * 10th doc plays the new daily batch, the rest the standing corpus; the
+    * batch's LSH band-buckets join against the corpus's (persistable)
+    * band-bucket index, so old-old pairs never expand and per-batch cost
+    * tracks the batch, not corpus². Oracle = the exact cross-side Jaccard
+    * pairs at the threshold — like d03, hash-match doubles as an LSH
+    * recall check (b=32, r=2 catches s ≥ 0.7 w.p. 1 − 4e-10).
+    */
+  val d10_incremental_neardup = q("d10_incremental_neardup", Some(
+    s"""WITH $shingleSql
+       |SELECT CASE WHEN id_a % 10 = 0 THEN id_a ELSE id_b END AS id_new,
+       |       CASE WHEN id_a % 10 = 0 THEN id_b ELSE id_a END AS id_old,
+       |       ROUND(jaccard, 6) AS jaccard
+       |FROM j
+       |WHERE jaccard >= 0.7 AND ((id_a % 10 = 0) <> (id_b % 10 = 0))""".stripMargin)) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    NearDup.incrementalNearDupPairs(
+        docs.filter(col("doc_id") % 10 === 0), docs.filter(col("doc_id") % 10 =!= 0),
+        "doc_id", "text", threshold = 0.7)
+      .select(col("id_new"), col("id_old"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
   val all: Seq[GraftQuery] = Seq(
     d01_exact_dup_groups, d02_ngram_jaccard, d03_minhash_lsh, d04_simhash,
     d05_simhash_neardup, d06_dedup_clusters, d07_dedup_apply,
-    d08_contamination, d09_bloom_decontaminate)
+    d08_contamination, d09_bloom_decontaminate, d10_incremental_neardup)
 }

@@ -205,8 +205,36 @@ object SourceQueries {
         "bmp_w", "bmp_h", "bmp_bpp")
   }
 
+  // ---------------------------------------------------------------- src09
+  /** Keyed UPSERT round-trip ([[graft.sources.ParquetWarehouse.upsert]] —
+    * S8/S9 generalized past drop-and-recreate): bootstrap the orders table
+    * partitioned by year, merge a correction batch (every 100th order gets
+    * +1000 on its price at a higher version), read the final state back.
+    * The merge rewrites only the touched year-partitions; the oracle
+    * recomputes the expected end state relationally.
+    */
+  val src09_upsert_merge = q("src09_upsert_merge", Some(
+    """SELECT o_orderkey,
+      |  CASE WHEN o_orderkey % 100 = 0 THEN o_totalprice + 1000.0
+      |       ELSE o_totalprice END AS price
+      |FROM orders""".stripMargin)) { (s, dir) =>
+    val path = s"$scratch/orders_upsert"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+    val base = Tables.orders(s, dir)
+      .select(col("o_orderkey"), year(col("o_orderdate")).as("o_year"),
+        col("o_totalprice").as("price"), lit(1L).as("version"))
+    graft.sources.ParquetWarehouse.upsert(base, path,
+      keys = Seq("o_orderkey"), partitionCols = Seq("o_year"), versionCol = "version")
+    val corrections = base.filter(col("o_orderkey") % 100 === 0)
+      .withColumn("price", col("price") + 1000.0)
+      .withColumn("version", lit(2L))
+    graft.sources.ParquetWarehouse.upsert(corrections, path,
+      keys = Seq("o_orderkey"), partitionCols = Seq("o_year"), versionCol = "version")
+    s.read.parquet(path).select("o_orderkey", "price")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     src01_csv_roundtrip, src02_rest_paged, src03_partitioned_sink,
     src04_multimodal_meta, src05_frame_sample, src06_restv2_scan,
-    src07_dbf_roundtrip, src08_media_meta)
+    src07_dbf_roundtrip, src08_media_meta, src09_upsert_merge)
 }

@@ -33,4 +33,47 @@ object ParquetWarehouse {
 
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Keyed UPSERT (merge) into a partitioned parquet table: rows of
+    * `updates` replace existing rows with the same key, new keys append,
+    * untouched PARTITIONS are never rewritten. This is the plain-parquet
+    * answer to MERGE INTO (no table format in this environment): read back
+    * only the partitions the batch touches, resolve winners with a
+    * keep-last-by-version window, and dynamic-overwrite exactly those
+    * partitions. Cost scales with the touched partitions, not the table —
+    * the correct shape for a 100 TB warehouse where a daily batch touches
+    * a handful of date partitions.
+    *
+    * `versionCol` breaks ties between an existing row and an update with
+    * the same key (higher wins; updates win equal versions — the batch is
+    * authoritative for what it carries). The table must be partitioned by
+    * `partitionCols` and keys must not move across partitions (a moved key
+    * would leave its old row in an untouched partition — that is a delete
+    * + insert, not an upsert).
+    */
+  def upsert(updates: DataFrame, path: String, keys: Seq[String],
+             partitionCols: Seq[String], versionCol: String): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val spark = updates.sparkSession
+    val exists = try { spark.read.parquet(path).take(1).nonEmpty || true }
+                 catch { case _: Throwable => false }
+    if (!exists) {
+      overwritePartitions(updates, path, partitionCols)
+      return
+    }
+    val touched = updates.select(partitionCols.map(col): _*).distinct()
+    val current = spark.read.parquet(path)
+      .join(broadcast(touched), partitionCols, "left_semi") // partition-pruned read-back
+    val merged = current.withColumn("__upd", lit(0))
+      .unionByName(updates.withColumn("__upd", lit(1)))
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(versionCol).desc, col("__upd").desc)
+    val winners = merged.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn", "__upd")
+    // the window result must be materialized before the overwrite rewrites
+    // the very partitions it was computed from (read-overwrite hazard)
+    val pinned = winners.localCheckpoint()
+    overwritePartitions(pinned, path, partitionCols)
+  }
 }

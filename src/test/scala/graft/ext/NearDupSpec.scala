@@ -134,6 +134,31 @@ class NearDupSpec extends SparkSpec {
     }
   }
 
+  test("incrementalNearDupPairs finds exactly the cross-side pairs of the full run") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val docs = Seq(
+      (10L, base), // new batch (ids % 10 == 0)
+      (20L, base + " extra"),
+      (1L, base), // corpus
+      (2L, base + " extra"),
+      (3L, "completely unrelated text about spark query engines and planning")
+    ).toDF("doc_id", "text")
+    val newB = docs.filter(col("doc_id") % 10 === 0)
+    val old = docs.filter(col("doc_id") % 10 =!= 0)
+    val got = NearDup.incrementalNearDupPairs(newB, old, "doc_id", "text", 0.7)
+      .select("id_new", "id_old").as[(Long, Long)].collect().toSet
+    // full-run pairs restricted to one-new-one-old, oriented new-first
+    val full = NearDup.nearDuplicatePairs(docs, "doc_id", "text", 0.7)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val want = full.collect {
+      case (a, b) if (a % 10 == 0) != (b % 10 == 0) =>
+        if (a % 10 == 0) (a, b) else (b, a)
+    }
+    assert(got == want && got.nonEmpty)
+    // and no old-old pair leaks through (1,2) are near-dups of each other
+    assert(!got.exists { case (n, o) => n % 10 != 0 })
+  }
+
   test("shingles of a doc shorter than n collapse to one whole-text shingle") {
     val short = Seq((1L, "two words")).toDF("doc_id", "text")
     val got = NearDup.shingles(short, "doc_id", "text", 3)

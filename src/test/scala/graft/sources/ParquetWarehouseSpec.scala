@@ -34,6 +34,42 @@ class ParquetWarehouseSpec extends SparkSpec {
     assert(ParquetWarehouse.read(spark, path).count() == 5)
   }
 
+  test("upsert replaces matched keys, appends new ones, leaves other partitions alone") {
+    val path = "/root/repo/target/qtmp/warehouse_upsert"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+
+    // bootstrap through upsert itself (empty table path)
+    val base = Seq((1, "2024-01-01", 10.0, 1L), (2, "2024-01-01", 20.0, 1L),
+      (3, "2024-01-02", 30.0, 1L), (4, "2024-01-03", 40.0, 1L))
+      .toDF("id", "day", "v", "version")
+    ParquetWarehouse.upsert(base, path, Seq("id"), Seq("day"), "version")
+    assert(ParquetWarehouse.read(spark, path).count() == 4)
+
+    // batch touches days 1 and 2: id=1 updated, id=5 new, id=3 carries an
+    // OLDER version and must NOT replace the current row
+    val batch = Seq((1, "2024-01-01", 11.0, 2L), (5, "2024-01-02", 50.0, 2L),
+      (3, "2024-01-02", 99.0, 0L))
+      .toDF("id", "day", "v", "version")
+    ParquetWarehouse.upsert(batch, path, Seq("id"), Seq("day"), "version")
+
+    val after = ParquetWarehouse.read(spark, path)
+      .select("id", "day", "v").as[(Int, String, Double)].collect().toSet
+    assert(after == Set(
+      (1, "2024-01-01", 11.0), (2, "2024-01-01", 20.0),
+      (3, "2024-01-02", 30.0), (5, "2024-01-02", 50.0),
+      (4, "2024-01-03", 40.0)))
+
+    // equal versions: the batch wins (it is authoritative for its keys)
+    val again = Seq((2, "2024-01-01", 22.0, 1L)).toDF("id", "day", "v", "version")
+    ParquetWarehouse.upsert(again, path, Seq("id"), Seq("day"), "version")
+    val v2 = ParquetWarehouse.read(spark, path)
+      .filter(col("id") === 2).select("v").as[Double].head()
+    assert(v2 == 22.0)
+    // idempotent re-run
+    ParquetWarehouse.upsert(again, path, Seq("id"), Seq("day"), "version")
+    assert(ParquetWarehouse.read(spark, path).count() == 5)
+  }
+
   test("partition pruning reaches the partitioned table on read") {
     val path = "/root/repo/target/qtmp/warehouse_dyn"
     val q = ParquetWarehouse.read(spark, path).filter(col("day") === "2024-01-02")

@@ -56,4 +56,44 @@ class PlanAuditSpec extends SparkSpec {
     // two HashAggregate nodes (partial + final) around the exchange
     assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2, p)
   }
+
+  test("t08 curation pipeline: exactly two exchanges, two-column scan") {
+    val df = TextQueries.t08_curation_pipeline.fn(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.linesIterator.count(_.contains("Exchange")) == 2, p)
+    val read = "ReadSchema: [^\n]+".r.findFirstIn(p).get
+    assert(read.contains("doc_id") && read.contains("text")
+      && !read.contains("lang") && !read.contains("n_chars"), read)
+  }
+
+  test("d09: the bloom prune sits below the first exchange (map-side)") {
+    val df = DedupQueries.d09_bloom_decontaminate.fn(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    val lines = p.linesIterator.toList
+    val bloomLine = lines.indexWhere(_.contains("bloom_might_contain"))
+    assert(bloomLine >= 0, p)
+    // the PROBE subtree under the bloom filter (the `:`-barred left branch
+    // of the downstream join) must be exchange-free down to its FileScan —
+    // the eval side's own tiny exchange lives in the other branch and is
+    // expected. Branch-1 continuation lines all carry the `:` bar.
+    val probeSubtree = lines.drop(bloomLine + 1)
+      .takeWhile(l => l.contains(":  ") || l.trim.startsWith(":-"))
+    assert(probeSubtree.exists(_.contains("FileScan")), probeSubtree.mkString("\n"))
+    assert(!probeSubtree.exists(_.contains("Exchange")),
+      "bloom filter must prune before any shuffle:\n" + probeSubtree.mkString("\n"))
+  }
+
+  test("q45: candidate set broadcasts; no sort-merge join anywhere") {
+    val p = plan(CoreQueries.q45_fuzz_ratio_top1)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q46: sampling is one exchange (the stratum window), pruned scan") {
+    val df = CoreQueries.q46_stratified_sample.fn(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.linesIterator.count(_.contains("Exchange")) == 1, p)
+    val read = "ReadSchema: [^\n]+".r.findFirstIn(p).get
+    assert(!read.contains("o_orderdate") && !read.contains("o_orderpriority"), read)
+  }
 }

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{Cols, Tables}
 import graft.operators._
+import graft.plans.JaroExpr
 
 /** SURVEY §2 core relational surface: scans, projections/filters, joins
   * (equi / multi-key / semi / anti / fuzzy-top1 / range), aggregations
@@ -935,8 +936,38 @@ object CoreQueries {
       hash = Some(md5(col("o_orderkey").cast("string").cast("binary"))))
   }
 
+  // ---------------------------------------------------------------- q47
+  /** Jaro-similarity top-1 matching ([[graft.plans.JaroExpr]] — the
+    * record-linkage scorer, position-windowed rather than edit-script
+    * based). DuckDB ships `jaro_similarity`, so unlike the LCS-based q45
+    * this scorer is fully SQL-oracle-checked: both engines rank on the
+    * 6-dp-rounded score (rank-then-round would let sub-ULP differences
+    * flip near-ties).
+    */
+  val q47_jaro_top1 = q("q47_jaro_top1",
+    """WITH cand AS (SELECT DISTINCT n_name FROM nation),
+      |keys AS (SELECT DISTINCT s_name FROM supplier),
+      |scored AS (
+      |  SELECT s_name, n_name, ROUND(jaro_similarity(s_name, n_name), 6) AS sim
+      |  FROM keys CROSS JOIN cand),
+      |best AS (
+      |  SELECT s_name, n_name, sim,
+      |         ROW_NUMBER() OVER (PARTITION BY s_name
+      |                            ORDER BY sim DESC, n_name) AS rn
+      |  FROM scored)
+      |SELECT s_name, n_name AS match_name, sim FROM best WHERE rn = 1""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val cand = Tables.nation(s, dir).select(col("n_name")).distinct()
+    val keys = Tables.supplier(s, dir).select(col("s_name")).distinct()
+    val scored = keys.crossJoin(broadcast(cand))
+      .withColumn("sim", round(JaroExpr.jaroSimilarity(col("s_name"), col("n_name")), 6))
+    val w = Window.partitionBy("s_name").orderBy(col("sim").desc, col("n_name"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("s_name"), col("n_name").as("match_name"), col("sim"))
+  }
+
   val all: Seq[GraftQuery] = Seq(
-    q46_stratified_sample,
+    q47_jaro_top1, q46_stratified_sample,
     q30_numeric_describe, q31_ship_priority, q32_regional_volume, q33_small_quantity,
     q34_approx_stats, q35_from_json, q36_array_agg, q37_order_distribution,
     q38_min_per_group_filter, q39_profile_verdicts, q40_kmv_distinct, q41_kmv_setops,

@@ -27,6 +27,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("fuzz_ratio"),
       new ExpressionInfo(classOf[IndelRatioExpr].getName, "fuzz_ratio"),
       (children: Seq[Expression]) => IndelRatioExpr(children.head, children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("jaro_similarity"),
+      new ExpressionInfo(classOf[JaroExpr].getName, "jaro_similarity"),
+      (children: Seq[Expression]) => JaroExpr(children.head, children(1))))
     ext.injectOptimizerRule(_ => PruneLevenshteinFilters)
   }
 }

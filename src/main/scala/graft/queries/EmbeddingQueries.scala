@@ -208,7 +208,39 @@ object EmbeddingQueries {
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
   }
 
+  // ---------------------------------------------------------------- e09
+  /** MEASURED recall of the approximate ANN path: per-query recall@5 of
+    * IVF (k=8 cells, nprobe=3) against the exact brute-force top-5 — the
+    * "measure, don't guess" artifact for the accuracy/cost trade the IVF
+    * index makes. A codebook or probe-count regression now shifts a
+    * NUMBER under the correctness gate instead of silently degrading
+    * search quality. Deterministic end to end (DECIMAL-summed codebook,
+    * rounded-cosine ranking) → golden-parquet oracle.
+    */
+  val e09_ivf_recall = q("e09_ivf_recall", GoldenOracles.sqlFor("e09_ivf_recall")) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(s, dir)
+    val qs = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val scored = emb.select(col("vec_id").as("nid"), col("embedding").as("cv"))
+      .crossJoin(broadcast(qs))
+      .filter(col("nid") =!= col("qid"))
+      .withColumn("c", graft.plans.CosineSimilarityExpr.cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("c").desc, col("nid"))
+    val brute = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5).select("qid", "nid")
+    val cb = graft.ext.IvfAnn.codebook(emb, "vec_id", "embedding", k = 8, iterations = 1)
+    val ivf = graft.ext.IvfAnn.searchTopK(emb, emb.filter(col("vec_id") < 8),
+        "vec_id", "embedding", cb, nprobe = 3, topK = 5)
+      .select("qid", "nid")
+    brute.join(ivf.withColumn("__hit", lit(1)), Seq("qid", "nid"), "left")
+      .groupBy("qid")
+      .agg(sum(coalesce(col("__hit"), lit(0))).cast("int").as("hits"))
+      .withColumn("recall", round(col("hits") / 5.0, 6))
+  }
+
   val all: Seq[GraftQuery] = Seq(
     e01_knn_bruteforce, e02_centroids, e03_label_block_nn, e04_lsh_ann,
-    e05_cosine_neardup, e06_ivf_ann, e07_l2_normalize, e08_signature_neardup)
+    e05_cosine_neardup, e06_ivf_ann, e07_l2_normalize, e08_signature_neardup,
+    e09_ivf_recall)
 }

@@ -966,8 +966,43 @@ object CoreQueries {
       .select(col("s_name"), col("n_name").as("match_name"), col("sim"))
   }
 
+  // ---------------------------------------------------------------- q48
+  /** Distribution drift ([[Drift.psiByBin]]): PSI of the order-price
+    * distribution between the even-key and odd-key halves of `orders` —
+    * the per-batch "does new data still look like the corpus" monitor.
+    * Fixed equal-width bins keep the metric deterministic and
+    * batch-comparable; the oracle replays the identical smoothing and log
+    * algebra (ln matches at 6 dp).
+    */
+  val q48_drift_psi = q("q48_drift_psi",
+    """WITH b AS (
+      |  SELECT CAST(least(greatest(floor((o_totalprice - 0.0) / 60000.0), 0.0), 9.0) AS INT) AS bin,
+      |         o_orderkey % 2 AS side
+      |  FROM orders),
+      |p AS (SELECT bin, COUNT(*) AS n_ref FROM b WHERE side = 0 GROUP BY bin),
+      |q AS (SELECT bin, COUNT(*) AS n_cand FROM b WHERE side = 1 GROUP BY bin),
+      |t AS (SELECT
+      |        (SELECT COUNT(*) FROM b WHERE side = 0) AS t_ref,
+      |        (SELECT COUNT(*) FROM b WHERE side = 1) AS t_cand),
+      |m AS (
+      |  SELECT g.bin,
+      |    COALESCE(n_ref, 0) / CAST(t_ref AS DOUBLE) + 0.000001 AS pm,
+      |    COALESCE(n_cand, 0) / CAST(t_cand AS DOUBLE) + 0.000001 AS qm
+      |  FROM (SELECT unnest(range(10)) AS bin) g
+      |  LEFT JOIN p ON g.bin = p.bin LEFT JOIN q ON g.bin = q.bin
+      |  CROSS JOIN t)
+      |SELECT CAST(bin AS INT) AS bin, ROUND(pm, 6) AS p_mass, ROUND(qm, 6) AS q_mass,
+      |  ROUND((pm - qm) * ln(pm / qm), 6) AS contrib
+      |FROM m""".stripMargin) { (s, dir) =>
+    val orders = Tables.orders(s, dir)
+    Drift.psiByBin(
+      orders.filter(col("o_orderkey") % 2 === 0).select("o_totalprice"),
+      orders.filter(col("o_orderkey") % 2 =!= 0).select("o_totalprice"),
+      "o_totalprice", bins = 10, lo = 0.0, hi = 600000.0)
+  }
+
   val all: Seq[GraftQuery] = Seq(
-    q47_jaro_top1, q46_stratified_sample,
+    q48_drift_psi, q47_jaro_top1, q46_stratified_sample,
     q30_numeric_describe, q31_ship_priority, q32_regional_volume, q33_small_quantity,
     q34_approx_stats, q35_from_json, q36_array_agg, q37_order_distribution,
     q38_min_per_group_filter, q39_profile_verdicts, q40_kmv_distinct, q41_kmv_setops,

@@ -171,6 +171,13 @@ object NearDup {
     *
     * Ids must be disjoint across the two frames (they identify output
     * orientation: id_new from `newDf`, id_old from `oldDf`).
+    *
+    * CACHE LIFETIME: both hashed-shingle relations are cache()d — each
+    * feeds signatures AND the exact-verify join — and stay cached until
+    * the caller's final action (same contract as `cacheShingles` in
+    * [[nearDuplicatePairs]]): release with `spark.catalog.clearCache()`
+    * when done. At production scale the old side's signatures/buckets are
+    * a PERSISTED table, not recomputed — then only the new batch caches.
     */
   def incrementalNearDupPairs(newDf: DataFrame, oldDf: DataFrame,
                               idCol: String, textCol: String,

@@ -191,8 +191,54 @@ object StreamQueries {
         expr("(unix_micros(pts) - unix_micros(cts)) div 1000000").as("lag_sec"))
   }
 
+  // ---------------------------------------------------------------- s09
+  /** Streaming curation front ([[graft.streaming.StreamOps.curate]]):
+    * quality gate + language gate + content-fingerprint dedup as one
+    * mode-agnostic transform — the ingest-time half of t08, runnable over
+    * an unbounded document stream (StreamingSpec proves stream-vs-batch
+    * agreement). This batch twin pins dedup to smallest-doc_id-per-
+    * fingerprint so the oracle is deterministic.
+    */
+  val s09_stream_curation = q("s09_stream_curation", Some(
+    s"""WITH n AS (SELECT doc_id, text,
+       |  trim(regexp_replace(regexp_replace(text, '[\\r\\n]+', ' ', 'g'), '\\s+', ' ', 'g')) AS norm
+       |  FROM documents),
+       |m AS (
+       |  SELECT doc_id, text, norm,
+       |    CASE WHEN length(norm) = 0 THEN 0
+       |         ELSE len(string_split(norm, ' ')) END AS wc,
+       |    len(regexp_extract_all(text, '[.,;:!?''"()\\[\\]{}-]')) AS punct,
+       |    len(regexp_extract_all(lower(norm),
+       |        '\\b(the|a|an|and|or|of|to|in|is|it|that|for|on|with|as)\\b')) AS stop
+       |  FROM n),
+       |scored AS (
+       |  SELECT doc_id, text, norm,
+       |    ROUND(least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4
+       |      + greatest(0.0, 1.0 - (CASE WHEN length(text) = 0 THEN 0.0
+       |          ELSE CAST(punct AS DOUBLE) / CAST(length(text) AS DOUBLE) END) * 5.0) * 0.3
+       |      + least((CASE WHEN wc = 0 THEN 0.0
+       |          ELSE CAST(stop AS DOUBLE) / CAST(wc AS DOUBLE) END) * 4.0, 1.0) * 0.3, 6)
+       |      AS quality,
+       |    len(regexp_extract_all(lower(norm), '\\b(the|and|of|is|with)\\b')) AS hen,
+       |    len(regexp_extract_all(lower(norm), '\\b(le|la|et|les|des)\\b')) AS hfr,
+       |    len(regexp_extract_all(lower(norm), '\\b(el|los|las|una|y)\\b')) AS hes,
+       |    len(regexp_extract_all(lower(norm), '\\b(der|die|und|das|ist)\\b')) AS hde
+       |  FROM m),
+       |en AS (
+       |  SELECT doc_id, md5(lower(norm)) AS fp, quality FROM scored
+       |  WHERE quality >= 0.5
+       |    AND NOT regexp_matches(text, '[\\x{4e00}-\\x{9fff}]')
+       |    AND hen + hfr + hes + hde > 0
+       |    AND hen >= hfr AND hen >= hes AND hen >= hde),
+       |d AS (SELECT doc_id, fp, quality,
+       |        ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM en)
+       |SELECT doc_id, fp, quality FROM d WHERE rn = 1""".stripMargin)) { (s, dir) =>
+    graft.streaming.StreamOps.curateKeepFirst(
+      Tables.documents(s, dir), "doc_id", "text")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     s01_tumbling_agg, s02_sliding_agg, s03_session_windows,
     s04_dedup_first_event, s05_watermark_late, s06_asof_backward,
-    s07_running_user_agg, s08_interval_join)
+    s07_running_user_agg, s08_interval_join, s09_stream_curation)
 }

@@ -78,6 +78,46 @@ object StreamOps {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("user_id", "event_type")
 
+  /** Streaming CURATION: the quality-gate + language-gate + content-dedup
+    * front of a training-data ingest, as a mode-agnostic transform — the
+    * same plan curates a batch corpus or an unbounded document stream
+    * (keyed dedup state per content fingerprint). Pure column expressions
+    * before the dedup, so everything up to the stateful operator stays
+    * map-side. For streams with an event-time column prefer
+    * `withWatermark` + `dropDuplicatesWithinWatermark` (bounded state);
+    * the documents table carries no event time, so this uses unbounded
+    * `dropDuplicates` — the batch-parity form StreamingSpec checks
+    * differentially.
+    */
+  def curate(docs: DataFrame, idCol: String, textCol: String,
+             minQuality: Double = 0.5, lang: String = "en"): DataFrame = {
+    import graft.functions.TextFunctions
+    docs.select(col(idCol), col(textCol),
+        TextFunctions.qualityScore(col(textCol)).as("quality"),
+        TextFunctions.langId(col(textCol)).as("lang"),
+        TextFunctions.fingerprint(col(textCol)).as("fp"))
+      .filter(col("quality") >= minQuality && col("lang") === lang)
+      .dropDuplicates("fp")
+      .select(col(idCol), col("fp"), col("quality"))
+  }
+
+  /** Batch twin of [[curate]] with DETERMINISTIC dedup (smallest id per
+    * fingerprint via keyed window — streaming `dropDuplicates` keeps the
+    * first SEEN, which batch mode can't reproduce) — the oracle-checkable
+    * form; s09 registers it.
+    */
+  def curateKeepFirst(docs: DataFrame, idCol: String, textCol: String,
+                      minQuality: Double = 0.5, lang: String = "en"): DataFrame = {
+    import graft.functions.TextFunctions
+    val gated = docs.select(col(idCol), col(textCol),
+        TextFunctions.qualityScore(col(textCol)).as("quality"),
+        TextFunctions.langId(col(textCol)).as("lang"),
+        TextFunctions.fingerprint(col(textCol)).as("fp"))
+      .filter(col("quality") >= minQuality && col("lang") === lang)
+    graft.operators.Dedup.keepFirst(gated, Seq("fp"), Seq(col(idCol)))
+      .select(col(idCol), col("fp"), col("quality"))
+  }
+
   /** Custom state machine via `flatMapGroupsWithState` (the escape hatch for
     * semantics windowed aggregates can't express): a running per-user
     * count/total that survives across micro-batches in the state store and

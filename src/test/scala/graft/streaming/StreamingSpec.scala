@@ -7,6 +7,7 @@ import org.apache.spark.sql.functions._
 import java.sql.Timestamp
 
 case class Ev(ts: Timestamp, user_id: Long, event_type: String, value: Double)
+case class Doc(doc_id: Long, text: String)
 
 /** Differential stream-vs-batch tests: the same event-time aggregations must
   * produce identical results fed through Structured Streaming micro-batches
@@ -234,5 +235,31 @@ class StreamingSpec extends SparkSpec {
       .select(col("user_id"), col("w.start"), col("w.end"), col("n"))
       .as[(Long, Timestamp, Timestamp, Long)].collect().toSet
     assert(got == expected)
+  }
+
+  test("streaming curation equals batch curation on fingerprints and quality") {
+    implicit val sqlCtx = spark.sqlContext
+    // english, long-enough, stopword-rich docs pass the gates; one exact
+    // duplicate pair; one French doc and one junk doc get filtered
+    val good = "the quick brown fox is jumping over the lazy dog with " +
+      "great energy and the morning sun is warm and the grass is green " * 3
+    val docs = Seq(
+      (1L, good), (2L, good + " unique tail one"), (3L, good), // 1 and 3 collide
+      (4L, "le chat est sur la table et les livres sont dans la chambre"),
+      (5L, "@@@@ #### $$$$"))
+    val mem = MemoryStream[Doc]
+    mem.addData(docs.take(2).map((Doc.apply _).tupled))
+    mem.addData(docs.drop(2).map((Doc.apply _).tupled))
+    val q = StreamOps.curate(mem.toDF(), "doc_id", "text").writeStream
+      .format("memory").queryName("curate_out").outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("curate_out")
+      .select("fp", "quality").as[(String, Double)].collect().toSet
+    val batch = StreamOps.curateKeepFirst(docs.toDF("doc_id", "text"), "doc_id", "text")
+      .select("fp", "quality").as[(String, Double)].collect().toSet
+    // fingerprint/quality sets agree (surviving doc_id per fp is arrival-
+    // vs-min-id dependent, so ids are excluded from the comparison)
+    assert(streamed == batch && streamed.size == 2, s"streamed=$streamed batch=$batch")
   }
 }

@@ -68,4 +68,32 @@ class ExprPropertySpec extends SparkSpec {
       assert(ham <= 24, s"one-token edit drifted $ham bits")
     }
   }
+
+  test("IndelRatioExpr: bit-parallel LCS equals the DP reference on random unicode") {
+    val charGen = Gen.frequency(
+      6 -> Gen.oneOf('a', 'b', 'c'), // tiny alphabet forces dense match masks
+      3 -> Gen.alphaNumChar,
+      1 -> Gen.choose('一', '鿿'),
+      1 -> Gen.const(new String(Character.toChars(0x1F600)).charAt(0))) // surrogate half
+    // lengths straddle the 64-code-point fast-path boundary on purpose
+    val strGen = Gen.chooseNum(0, 90).flatMap(n => Gen.stringOfN(n, charGen))
+    val pairs = Gen.listOfN(400, Gen.zip(strGen, strGen)).sample.get
+    pairs.foreach { case (a, b) =>
+      val s = a.codePoints().toArray
+      val t = b.codePoints().toArray
+      val fast = IndelRatioExpr.lcs(s, t)
+      val ref = IndelRatioExpr.lcsDp(s, t)
+      assert(fast == ref, s"lcs mismatch on ${a.length}/${b.length}: $fast != $ref")
+    }
+    // and the public ratio stays consistent with the DP-derived formula
+    pairs.take(50).foreach { case (a, b) =>
+      val ua = org.apache.spark.unsafe.types.UTF8String.fromString(a)
+      val ub = org.apache.spark.unsafe.types.UTF8String.fromString(b)
+      val n = a.codePoints().count() + b.codePoints().count()
+      val expected = if (n == 0) 100
+        else Math.rint(200.0 * IndelRatioExpr.lcsDp(
+          a.codePoints().toArray, b.codePoints().toArray) / n).toInt
+      assert(IndelRatioExpr.ratio(ua, ub) == expected)
+    }
+  }
 }

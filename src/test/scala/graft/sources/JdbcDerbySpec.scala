@@ -98,4 +98,37 @@ class JdbcDerbySpec extends SparkSpec {
     assert(back.columns.map(_.toLowerCase).sorted.toSeq == Seq("d", "id"))
     dropTable(cfg, "reshape_t", dialect)
   }
+
+  test("upsert: updates matched keys, inserts new ones, idempotent; PK stays clean") {
+    dropTable(cfg, "ups_t", dialect)
+    val base = Seq((1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0))
+      .toDF("id", "tag", "v")
+    overwrite(base, cfg, "ups_t", columnTypes = "tag VARCHAR(16)")
+    setPrimaryKey(cfg, "ups_t", "id", "INTEGER", dialect)
+
+    // batch: id=1 updated, id=4 and id=5 inserted, id=2 untouched
+    val batch = Seq((1, "a2", 11.0), (4, "d", 40.0), (5, "e", 50.0))
+      .toDF("id", "tag", "v")
+    JdbcSink.upsert(batch, cfg, "ups_t", Seq("id"), dialect, numPartitions = 3)
+
+    def state(): Set[(Int, String, Double)] =
+      readQuery(spark, cfg, """SELECT "id", "tag", "v" FROM ups_t""")
+        .as[(Int, String, Double)].collect().toSet
+    assert(state() == Set((1, "a2", 11.0), (2, "b", 20.0), (3, "c", 30.0),
+      (4, "d", 40.0), (5, "e", 50.0)))
+
+    // idempotent: the same batch again must not duplicate or corrupt
+    JdbcSink.upsert(batch, cfg, "ups_t", Seq("id"), dialect, numPartitions = 3)
+    assert(state().size == 5)
+
+    // composite-key form: key = (id, tag)
+    dropTable(cfg, "ups_c", dialect)
+    overwrite(Seq((1, "x", 1.0), (1, "y", 2.0)).toDF("id", "tag", "v"),
+      cfg, "ups_c", columnTypes = "tag VARCHAR(16)")
+    JdbcSink.upsert(Seq((1, "x", 9.0), (2, "x", 3.0)).toDF("id", "tag", "v"),
+      cfg, "ups_c", Seq("id", "tag"), dialect)
+    val got = readQuery(spark, cfg, """SELECT "id", "tag", "v" FROM ups_c""")
+      .as[(Int, String, Double)].collect().toSet
+    assert(got == Set((1, "x", 9.0), (1, "y", 2.0), (2, "x", 3.0)))
+  }
 }

@@ -219,6 +219,14 @@ object JdbcSink {
                   up.addBatch()
                 }
                 val counts = up.executeBatch()
+                // the split below NEEDS real per-statement counts; a driver
+                // configured to suppress them (SUCCESS_NO_INFO, e.g. some
+                // bulk-batch modes) would route already-updated rows to
+                // INSERT and corrupt the table — refuse loudly instead
+                require(!counts.exists(_ == java.sql.Statement.SUCCESS_NO_INFO),
+                  "upsert requires per-statement update counts from executeBatch; " +
+                    "the driver returned SUCCESS_NO_INFO — disable batch-count-" +
+                    "suppressing driver options for this connection")
                 var j = 0
                 group.foreach { r =>
                   if (counts(j) == 0) {

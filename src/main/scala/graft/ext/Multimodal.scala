@@ -130,6 +130,65 @@ object Multimodal {
     Some(BmpMeta(w, math.abs(h), u16le(bytes, 28)))
   }
 
+  final case class PngMeta(width: Int, height: Int, bit_depth: Int, color_type: Int)
+  final case class JpegMeta(width: Int, height: Int, components: Int)
+
+  private def u32be(b: Array[Byte], o: Int): Long =
+    ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+      ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+  private def u16be(b: Array[Byte], o: Int): Int =
+    ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
+
+  /** Parse a PNG header: 8-byte signature, then the IHDR chunk (the spec
+    * REQUIRES IHDR first, so this is a fixed-offset read after validating
+    * the chunk type). None for anything malformed.
+    */
+  def parsePng(bytes: Array[Byte]): Option[PngMeta] = {
+    val sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    if (bytes.length < 26 || !bytes.take(8).sameElements(sig)) return None
+    if (tag(bytes, 12) != "IHDR") return None
+    val w = u32be(bytes, 16); val h = u32be(bytes, 20)
+    // spec caps dimensions at 2^31-1; 0 is invalid
+    if (w < 1 || h < 1 || w > Int.MaxValue || h > Int.MaxValue) return None
+    Some(PngMeta(w.toInt, h.toInt, bytes(24) & 0xff, bytes(25) & 0xff))
+  }
+
+  /** Parse a JPEG (JFIF/EXIF) header by walking marker segments to the
+    * first SOFn frame header (which carries height/width/components).
+    * Standalone markers (RSTn/TEM) have no length field; every other
+    * segment's 2-byte big-endian length includes itself. Oversized or
+    * non-advancing lengths refuse (same discipline as the WAV walk — a
+    * crafted length must not hang an executor). None for anything
+    * malformed or truncated before a frame header.
+    */
+  def parseJpeg(bytes: Array[Byte]): Option[JpegMeta] = {
+    if (bytes.length < 4 || (bytes(0) & 0xff) != 0xff || (bytes(1) & 0xff) != 0xd8)
+      return None
+    var off = 2
+    while (off + 4 <= bytes.length) {
+      if ((bytes(off) & 0xff) != 0xff) return None
+      var marker = bytes(off + 1) & 0xff
+      // fill bytes: FF can pad before a marker
+      while (marker == 0xff && off + 2 < bytes.length) { off += 1; marker = bytes(off + 1) & 0xff }
+      marker match {
+        case m if (m >= 0xd0 && m <= 0xd9) || m == 0x01 => // standalone
+          off += 2
+        case m if (m >= 0xc0 && m <= 0xcf) && m != 0xc4 && m != 0xc8 && m != 0xcc =>
+          // SOFn: [len][precision][height][width][ncomponents]
+          if (off + 10 > bytes.length) return None
+          val h = u16be(bytes, off + 5); val w = u16be(bytes, off + 7)
+          if (w < 1 || h < 1) return None
+          return Some(JpegMeta(w, h, bytes(off + 9) & 0xff))
+        case 0xda => return None // SOS before any SOF: no frame header
+        case _ =>
+          val len = u16be(bytes, off + 2)
+          if (len < 2 || off + 2 + len > bytes.length) return None // non-advancing / truncated
+          off += 2 + len
+      }
+    }
+    None
+  }
+
   /** Build a valid 16-bit PCM WAV byte blob (silent payload) — the
     * deterministic fixture generator for specs and the src08 round-trip.
     */
@@ -146,6 +205,41 @@ object Multimodal {
       .putInt(sampleRate * blockAlign).putShort(blockAlign.toShort)
       .putShort(bitsPerSample.toShort)
     buf.put("data".getBytes).putInt(dataSize)
+    buf.array()
+  }
+
+  /** Build a minimal valid PNG byte blob (IHDR + empty IEND; CRCs zeroed —
+    * the header parser does not verify them, real decoders would).
+    */
+  def pngBytes(width: Int, height: Int, bitDepth: Int = 8,
+               colorType: Int = 6): Array[Byte] = {
+    val buf = java.nio.ByteBuffer.allocate(8 + 25 + 12) // sig + IHDR + IEND
+    buf.put(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    buf.putInt(13).put("IHDR".getBytes)
+      .putInt(width).putInt(height)
+      .put(bitDepth.toByte).put(colorType.toByte)
+      .put(0.toByte).put(0.toByte).put(0.toByte) // compression/filter/interlace
+      .putInt(0) // CRC (unchecked)
+    buf.putInt(0).put("IEND".getBytes).putInt(0)
+    buf.array()
+  }
+
+  /** Build a minimal valid JPEG byte blob (SOI + APP0 + SOF0 + EOI). */
+  def jpegBytes(width: Int, height: Int, components: Int = 3): Array[Byte] = {
+    val sofLen = 8 + 3 * components
+    val buf = java.nio.ByteBuffer.allocate(2 + 18 + 2 + sofLen + 2)
+    buf.put(0xff.toByte).put(0xd8.toByte) // SOI
+    buf.put(0xff.toByte).put(0xe0.toByte).putShort(16.toShort) // APP0
+      .put("JFIF".getBytes).put(0.toByte)
+      .put(1.toByte).put(1.toByte).put(0.toByte)
+      .putShort(72.toShort).putShort(72.toShort).put(0.toByte).put(0.toByte)
+    buf.put(0xff.toByte).put(0xc0.toByte).putShort(sofLen.toShort) // SOF0
+      .put(8.toByte).putShort(height.toShort).putShort(width.toShort)
+      .put(components.toByte)
+    (1 to components).foreach { c =>
+      buf.put(c.toByte).put(0x11.toByte).put(0.toByte)
+    }
+    buf.put(0xff.toByte).put(0xd9.toByte) // EOI
     buf.array()
   }
 

@@ -183,7 +183,11 @@ object SourceQueries {
       |  CAST((16 + n_chars % 256) * 1000 // (8000 + (doc_id % 4) * 4000) AS BIGINT) AS duration_ms,
       |  CAST(16 + doc_id % 64 AS INT) AS bmp_w,
       |  CAST(16 + doc_id % 32 AS INT) AS bmp_h,
-      |  CAST(24 AS INT) AS bmp_bpp
+      |  CAST(24 AS INT) AS bmp_bpp,
+      |  CAST(32 + doc_id % 128 AS INT) AS png_w,
+      |  CAST(32 + doc_id % 96 AS INT) AS png_h,
+      |  CAST(64 + doc_id % 192 AS INT) AS jpg_w,
+      |  CAST(64 + doc_id % 108 AS INT) AS jpg_h
       |FROM documents""".stripMargin)) { (s, dir) =>
     import s.implicits._
     Tables.documents(s, dir).select(col("doc_id"), col("n_chars"))
@@ -194,15 +198,20 @@ object SourceQueries {
           val wav = Multimodal.wavBytes(sr, 1 + (id % 2).toInt, 16,
             16 + (nChars % 256).toInt)
           val bmp = Multimodal.bmpBytes((16 + id % 64).toInt, (16 + id % 32).toInt)
+          val png = Multimodal.pngBytes((32 + id % 128).toInt, (32 + id % 96).toInt)
+          val jpg = Multimodal.jpegBytes((64 + id % 192).toInt, (64 + id % 108).toInt)
           val wm = Multimodal.parseWav(wav).get
           val bm = Multimodal.parseBmp(bmp).get
+          val pm = Multimodal.parsePng(png).get
+          val jm = Multimodal.parseJpeg(jpg).get
           (id, wm.sample_rate, wm.channels, wm.n_frames,
             wm.n_frames * 1000 / wm.sample_rate,
-            bm.width, bm.height, bm.bits_per_pixel)
+            bm.width, bm.height, bm.bits_per_pixel,
+            pm.width, pm.height, jm.width, jm.height)
         }
       }
       .toDF("asset_id", "sample_rate", "channels", "n_frames", "duration_ms",
-        "bmp_w", "bmp_h", "bmp_bpp")
+        "bmp_w", "bmp_h", "bmp_bpp", "png_w", "png_h", "jpg_w", "jpg_h")
   }
 
   // ---------------------------------------------------------------- src09

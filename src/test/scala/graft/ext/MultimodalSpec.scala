@@ -44,6 +44,32 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.parseWav(oversize).isEmpty)
   }
 
+  test("parsePng reads IHDR; malformed signatures and truncations refuse") {
+    val png = Multimodal.pngBytes(640, 480, bitDepth = 8, colorType = 6)
+    assert(Multimodal.parsePng(png).contains(Multimodal.PngMeta(640, 480, 8, 6)))
+    assert(Multimodal.parsePng(png.take(20)).isEmpty) // truncated IHDR
+    assert(Multimodal.parsePng("notapng!".getBytes ++ png.drop(8)).isEmpty)
+    // zero dimensions are invalid per spec
+    assert(Multimodal.parsePng(Multimodal.pngBytes(0, 480)).isEmpty)
+  }
+
+  test("parseJpeg walks marker segments to SOF0; crafted lengths refuse promptly") {
+    val jpg = Multimodal.jpegBytes(1920, 1080, components = 3)
+    assert(Multimodal.parseJpeg(jpg).contains(Multimodal.JpegMeta(1920, 1080, 3)))
+    // grayscale single-component
+    assert(Multimodal.parseJpeg(Multimodal.jpegBytes(8, 8, components = 1))
+      .contains(Multimodal.JpegMeta(8, 8, 1)))
+    assert(Multimodal.parseJpeg(jpg.take(3)).isEmpty)
+    assert(Multimodal.parseJpeg("JFIF".getBytes).isEmpty)
+    // a segment length of 0 or 1 cannot advance the walk — must refuse,
+    // not loop (same discipline as the WAV chunk guard)
+    val evil = Array(0xff, 0xd8, 0xff, 0xe0, 0x00, 0x01, 0x00).map(_.toByte)
+    assert(Multimodal.parseJpeg(evil).isEmpty)
+    // SOS before any SOF: no frame header to report
+    val sosFirst = Array(0xff, 0xd8, 0xff, 0xda, 0x00, 0x04, 0, 0).map(_.toByte)
+    assert(Multimodal.parseJpeg(sosFirst).isEmpty)
+  }
+
   test("parseBmp reads dimensions, reports top-down height as magnitude") {
     val bmp = Multimodal.bmpBytes(width = 33, height = 17)
     assert(Multimodal.parseBmp(bmp).contains(Multimodal.BmpMeta(33, 17, 24)))

@@ -115,24 +115,27 @@ object NearDup {
     * the text n-gram). Jaccard over hashed shingles is exact up to 64-bit
     * collisions (odds ~1e-11 at corpus scale).
     *
-    * `cacheShingles` is ON by default — the classic
-    * recompute-vs-materialize trade, re-measured at two scales (local[32]):
-    * at sf0.1 (50k docs) caching is a wash (1.79s vs 1.95s end-to-end);
-    * at 10× (500k docs) it's a 2× win (10.8s vs 21.1s) because the
-    * three consumers' repeated shingle+hash compute dominates the one-time
-    * cache materialization, and the gap only widens with corpus size —
-    * at the 100 TB target, recomputing the tokenize+hash three times is
-    * strictly worse. Pass `cacheShingles = false` only for small corpora
-    * where an InMemoryTableScan boundary (blocks whole-stage fusion) isn't
-    * worth it. CACHE LIFETIME: the cached relation is consumed lazily by
-    * the returned frame, so it lives until the caller's final action —
-    * release with `spark.catalog.clearCache()` (Bench/Verify do this
-    * between queries) or `unpersist` via the catalog when done.
+    * `cacheShingles` is OFF by default. The recompute-vs-materialize trade
+    * was measured BOTH ways in round 4 and the answer is memory-headroom-
+    * dependent, not just corpus-size-dependent:
+    *   - 32 threads / ample storage headroom, 500k docs: caching WINS 2×
+    *     (10.8s vs 21.1s — three consumers reuse one materialization);
+    *   - 4 threads / 8 GB heap (per-executor-like memory), same corpus:
+    *     caching LOSES 2.3× (62s vs 26s — the hashed-shingle relation is
+    *     3-4× the input size, eviction/spill thrashes; caught by the
+    *     ScaleSmokeSpec 2×-of-linear gate).
+    * Recompute is the predictable default at cluster scale: map-side
+    * shingling re-runs three times but never pressures the store. Turn
+    * caching ON when the executor storage headroom comfortably exceeds
+    * ~4× the text volume per partition, or when the source is expensive
+    * to rescan (remote storage, heavy decompression). CACHE LIFETIME when
+    * enabled: the relation is consumed lazily by the returned frame —
+    * release with `spark.catalog.clearCache()` after the final action.
     */
   def nearDuplicatePairs(df: DataFrame, idCol: String, textCol: String,
                          threshold: Double, numHashes: Int = 64,
                          bands: Int = 32, shingleSize: Int = 3,
-                         cacheShingles: Boolean = true): DataFrame = {
+                         cacheShingles: Boolean = false): DataFrame = {
     val hashed = shingles(df, idCol, textCol, shingleSize)
       .select(col("id"), xxhash64(col("shingle")).as("shingle"))
     val sh = if (cacheShingles) hashed.cache() else hashed

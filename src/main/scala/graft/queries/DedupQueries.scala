@@ -92,12 +92,8 @@ object DedupQueries {
     s"""WITH $shingleSql
        |SELECT id_a, id_b, ROUND(jaccard, 6) AS jaccard
        |FROM j WHERE jaccard >= 0.7""".stripMargin)) { (s, dir) =>
-    // cacheShingles=false: this corpus (≤ 50k docs at bench scale) sits
-    // below the documented recompute-vs-materialize crossover — the cache
-    // default serves cluster-scale corpora; see nearDuplicatePairs scaladoc
     NearDup.nearDuplicatePairs(Tables.documents(s, dir), "doc_id", "text",
-        threshold = 0.7, numHashes = 64, bands = 32, shingleSize = 3,
-        cacheShingles = false)
+        threshold = 0.7, numHashes = 64, bands = 32, shingleSize = 3)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 

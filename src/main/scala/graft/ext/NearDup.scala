@@ -156,6 +156,73 @@ object NearDup {
     sig.select(col("id"), explode(array(bandCols: _*)).as("bk"))
   }
 
+  /** The persisted-index form of a standing corpus for incremental dedup —
+    * the two relations a production pipeline keeps MATERIALIZED between
+    * ingest batches so the corpus text is never re-shingled:
+    *   - `shingles`: the hashed-shingle relation `(id, shingle: long)` —
+    *     feeds exact-Jaccard verification of candidates;
+    *   - `buckets`: the LSH band-bucket relation `(id, bk: struct(band, bh))`
+    *     from [[bandBuckets]] — feeds candidate generation (8-byte bucket
+    *     key + id per band per doc).
+    * Both are plain frames: write them through [[graft.sources.ParquetWarehouse]]
+    * (or any sink) after each batch and rebuild the index from the read-back
+    * frames — no state lives outside the two tables. Appending a just-deduped
+    * batch keeps the index current: union the batch's own
+    * `buildIndex(...)`-relations onto the stored tables.
+    */
+  final case class NearDupIndex(shingles: DataFrame, buckets: DataFrame)
+
+  /** Build the persistable [[NearDupIndex]] for a corpus: hash-shingle the
+    * text once, signature it, band-bucket the signatures. Run once per
+    * ingest batch (over the batch only) and append to the stored index —
+    * the full corpus is shingled exactly once over its lifetime.
+    */
+  def buildIndex(df: DataFrame, idCol: String, textCol: String,
+                 numHashes: Int = 64, bands: Int = 32,
+                 shingleSize: Int = 3): NearDupIndex = {
+    val sh = shingles(df, idCol, textCol, shingleSize)
+      .select(col("id"), xxhash64(col("shingle")).as("shingle"))
+    val bk = bandBuckets(minhashSignatures(sh, numHashes), bands, numHashes / bands)
+    NearDupIndex(sh, bk)
+  }
+
+  /** INCREMENTAL near-dup against a PERSISTED corpus index — the production
+    * form of the text-frame overload below. The corpus side arrives as the
+    * stored [[NearDupIndex]] relations (hashed shingles + band-buckets read
+    * back from the warehouse), so the standing corpus is never re-shingled:
+    * per-batch cost is shingling the NEW batch plus one join against the
+    * bucket table — O(batch), not O(corpus), per day. Semantics are
+    * identical to the text overload (same cap, same exact verification);
+    * d11 proves the two paths byte-equal on the same split.
+    *
+    * CACHE LIFETIME: only the new batch's hashed shingles are cache()d
+    * (they feed signatures AND the verify join); release with
+    * `spark.catalog.clearCache()` after the final action.
+    */
+  def incrementalNearDupPairs(newDf: DataFrame, index: NearDupIndex,
+                              idCol: String, textCol: String,
+                              threshold: Double, numHashes: Int,
+                              bands: Int, shingleSize: Int,
+                              maxBucketSize: Int): DataFrame = {
+    val r = numHashes / bands
+    val shNew = shingles(newDf, idCol, textCol, shingleSize)
+      .select(col("id"), xxhash64(col("shingle")).as("shingle"))
+      .cache() // feeds signatures + verify
+    val bNew = bandBuckets(minhashSignatures(shNew, numHashes), bands, r)
+      .select(col("bk"), col("id").as("id_new"))
+    val bOld = index.buckets.select(col("bk"), col("id"))
+      .groupBy("bk").agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")) <= maxBucketSize)
+    val cand = bNew.join(bOld, "bk")
+      .select(col("id_new"), explode(col("ids")).as("id_old"))
+      .distinct()
+    exactJaccard(
+        shNew.unionByName(index.shingles.select(col("id"), col("shingle"))),
+        cand.select(col("id_new").as("id_a"), col("id_old").as("id_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a").as("id_new"), col("id_b").as("id_old"), col("jaccard"))
+  }
+
   /** INCREMENTAL near-dup: dedup a NEW ingest batch against an EXISTING
     * corpus without ever pairing the corpus with itself — the daily-ingest
     * shape at 100 TB, where re-running all-pairs LSH over the standing
@@ -241,7 +308,18 @@ object NearDup {
     * would put the distributed filesystem on the critical path).
     */
   def connectedComponents(edges: DataFrame, maxIter: Int = 25,
-                          reliableEvery: Int = 0): DataFrame = {
+                          reliableEvery: Int = 0): DataFrame =
+    connectedComponentsWithRounds(edges, maxIter, reliableEvery)._1
+
+  /** [[connectedComponents]] plus the number of propagate+jump rounds it
+    * took to converge — the loop is eager (one materializing job per
+    * round), so the count is exact and free. The smoke gate asserts it
+    * stays logarithmic in component size at 10× scale; production monitors
+    * can alarm on it the same way (a round count drifting toward the
+    * iteration cap means a pathological chain in the data).
+    */
+  def connectedComponentsWithRounds(edges: DataFrame, maxIter: Int = 25,
+                                    reliableEvery: Int = 0): (DataFrame, Int) = {
     require(reliableEvery == 0 || edges.sparkSession.sparkContext.getCheckpointDir.nonEmpty,
       "reliableEvery > 0 requires spark.sparkContext.setCheckpointDir(...)")
     def pin(df: DataFrame, round: Int): DataFrame =
@@ -280,7 +358,7 @@ object NearDup {
       converged = next.filter(col("comp") =!= col("prev")).limit(1).count() == 0
       labels = next.drop("prev")
     }
-    labels
+    (labels, i)
   }
 
   /** SimHash: 64-bit signature whose bit i is the sign of the sum over

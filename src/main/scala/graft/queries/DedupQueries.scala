@@ -258,6 +258,19 @@ object DedupQueries {
       .select(col("id").as("doc_id"))
   }
 
+  /** Shared oracle for d10/d11: the exact cross-side Jaccard pairs between
+    * the simulated new batch (every 10th doc) and the standing corpus — the
+    * two engine paths (direct two-frame, persisted index) must both
+    * hash-match it.
+    */
+  private val incrementalOracle: String =
+    s"""WITH $shingleSql
+       |SELECT CASE WHEN id_a % 10 = 0 THEN id_a ELSE id_b END AS id_new,
+       |       CASE WHEN id_a % 10 = 0 THEN id_b ELSE id_a END AS id_old,
+       |       ROUND(jaccard, 6) AS jaccard
+       |FROM j
+       |WHERE jaccard >= 0.7 AND ((id_a % 10 = 0) <> (id_b % 10 = 0))""".stripMargin
+
   // ---------------------------------------------------------------- d10
   /** INCREMENTAL ingest dedup ([[NearDup.incrementalNearDupPairs]]): every
     * 10th doc plays the new daily batch, the rest the standing corpus; the
@@ -267,13 +280,8 @@ object DedupQueries {
     * pairs at the threshold — like d03, hash-match doubles as an LSH
     * recall check (b=32, r=2 catches s ≥ 0.7 w.p. 1 − 4e-10).
     */
-  val d10_incremental_neardup = q("d10_incremental_neardup", Some(
-    s"""WITH $shingleSql
-       |SELECT CASE WHEN id_a % 10 = 0 THEN id_a ELSE id_b END AS id_new,
-       |       CASE WHEN id_a % 10 = 0 THEN id_b ELSE id_a END AS id_old,
-       |       ROUND(jaccard, 6) AS jaccard
-       |FROM j
-       |WHERE jaccard >= 0.7 AND ((id_a % 10 = 0) <> (id_b % 10 = 0))""".stripMargin)) { (s, dir) =>
+  val d10_incremental_neardup = q("d10_incremental_neardup",
+    Some(incrementalOracle)) { (s, dir) =>
     val docs = Tables.documents(s, dir)
     NearDup.incrementalNearDupPairs(
         docs.filter(col("doc_id") % 10 === 0), docs.filter(col("doc_id") % 10 =!= 0),
@@ -281,8 +289,45 @@ object DedupQueries {
       .select(col("id_new"), col("id_old"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  // ---------------------------------------------------------------- d11
+  /** d10 from a PERSISTED corpus index ([[NearDup.buildIndex]] + the indexed
+    * [[NearDup.incrementalNearDupPairs]] overload) — the production shape
+    * where the standing corpus is shingled ONCE, its hashed shingles and LSH
+    * band-buckets live as warehouse tables, and each daily batch joins the
+    * READ-BACK index without ever touching corpus text again. The corpus
+    * text is staged to its own parquet table first so the plan audit can
+    * prove the point: PlanAuditSpec asserts the returned frame's plan never
+    * references the corpus-text path at all. Oracle = d10's — the persisted
+    * index must reproduce the direct two-frame path exactly.
+    */
+  val d11_indexed_neardup = q("d11_indexed_neardup",
+    Some(incrementalOracle)) { (s, dir) =>
+    import graft.sources.ParquetWarehouse
+    val scratch = "/root/repo/target/qtmp"
+    val corpusPath = s"$scratch/neardup_corpus"
+    val shPath = s"$scratch/neardup_index_shingles"
+    val bkPath = s"$scratch/neardup_index_buckets"
+    val docs = Tables.documents(s, dir)
+    // batch N-1's job: persist the standing corpus, shingle it ONCE, store
+    // the index relations alongside
+    ParquetWarehouse.overwriteAll(docs.filter(col("doc_id") % 10 =!= 0), corpusPath)
+    val built = NearDup.buildIndex(ParquetWarehouse.read(s, corpusPath), "doc_id", "text")
+    ParquetWarehouse.overwriteAll(built.shingles, shPath)
+    ParquetWarehouse.overwriteAll(built.buckets, bkPath)
+    // batch N's job: dedup the new ingest against the read-back index —
+    // no corpus-text scan anywhere in this plan
+    val index = NearDup.NearDupIndex(
+      ParquetWarehouse.read(s, shPath), ParquetWarehouse.read(s, bkPath))
+    NearDup.incrementalNearDupPairs(
+        docs.filter(col("doc_id") % 10 === 0), index,
+        "doc_id", "text", threshold = 0.7, numHashes = 64, bands = 32,
+        shingleSize = 3, maxBucketSize = 1000)
+      .select(col("id_new"), col("id_old"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
   val all: Seq[GraftQuery] = Seq(
     d01_exact_dup_groups, d02_ngram_jaccard, d03_minhash_lsh, d04_simhash,
     d05_simhash_neardup, d06_dedup_clusters, d07_dedup_apply,
-    d08_contamination, d09_bloom_decontaminate, d10_incremental_neardup)
+    d08_contamination, d09_bloom_decontaminate, d10_incremental_neardup,
+    d11_indexed_neardup)
 }

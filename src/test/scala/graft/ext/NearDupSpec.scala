@@ -159,6 +159,33 @@ class NearDupSpec extends SparkSpec {
     assert(!got.exists { case (n, o) => n % 10 != 0 })
   }
 
+  test("indexed incrementalNearDupPairs from a parquet round-trip matches the direct path") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val corpus = Seq(
+      (1L, base),
+      (2L, base + " extra"),
+      (3L, "completely unrelated text about spark query engines and planning")
+    ).toDF("doc_id", "text")
+    val batch = Seq((10L, base), (20L, base + " extra")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("neardup-idx").toString
+    try {
+      val built = NearDup.buildIndex(corpus, "doc_id", "text")
+      built.shingles.write.parquet(s"$dir/sh")
+      built.buckets.write.parquet(s"$dir/bk")
+      val index = NearDup.NearDupIndex(
+        spark.read.parquet(s"$dir/sh"), spark.read.parquet(s"$dir/bk"))
+      val indexed = NearDup.incrementalNearDupPairs(batch, index, "doc_id", "text",
+          threshold = 0.7, numHashes = 64, bands = 32, shingleSize = 3,
+          maxBucketSize = 1000)
+        .as[(Long, Long, Double)].collect().toSet
+      val direct = NearDup.incrementalNearDupPairs(batch, corpus, "doc_id", "text", 0.7)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(indexed == direct && indexed.nonEmpty)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("shingles of a doc shorter than n collapse to one whole-text shingle") {
     val short = Seq((1L, "two words")).toDF("doc_id", "text")
     val got = NearDup.shingles(short, "doc_id", "text", 3)

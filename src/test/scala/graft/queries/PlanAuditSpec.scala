@@ -89,6 +89,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("d11: persisted-index dedup never rescans corpus text") {
+    val df = DedupQueries.d11_indexed_neardup.fn(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    // the staged corpus-text table must not appear anywhere in the plan —
+    // the old side is served entirely by the two index relations
+    assert(!p.contains("neardup_corpus"), p)
+    assert(p.contains("neardup_index_shingles"), p)
+    assert(p.contains("neardup_index_buckets"), p)
+    // and the index scans themselves carry no text column: their read
+    // schemas are (id, shingle) / (id, bk) only
+    val indexScans = p.linesIterator.filter(_.contains("neardup_index")).toList
+    assert(indexScans.nonEmpty, p)
+    assert(indexScans.forall(!_.contains("text")), indexScans.mkString("\n"))
+  }
+
   test("q46: sampling is one exchange (the stratum window), pruned scan") {
     val df = CoreQueries.q46_stratified_sample.fn(spark, dir)
     val p = df.queryExecution.executedPlan.toString

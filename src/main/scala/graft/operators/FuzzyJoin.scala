@@ -60,11 +60,33 @@ object FuzzyJoin {
     * join-back shape and cost model as [[top1]].
     */
   def top1Fuzz(left: DataFrame, leftCol: String, right: DataFrame,
-               rightCol: String, outCol: String): DataFrame = {
+               rightCol: String, outCol: String): DataFrame =
+    top1By(fuzzRatio)(left, leftCol, right, rightCol, outCol)
+
+  /** [[top1Fuzz]] scored by the WRatio composite
+    * ([[graft.plans.WRatioExpr]]) — the DEFAULT scorer of thefuzz's
+    * `process.extractOne`, i.e. what the reference's literal
+    * `process.extractOne(x, countries)` call (`ops/transform.py:55`)
+    * maximizes when no scorer is passed. WRatio bakes in the default
+    * processor, so keys match case- and punctuation-insensitively with
+    * partial-alignment credit for substring-shaped candidates.
+    */
+  def top1WRatio(left: DataFrame, leftCol: String, right: DataFrame,
+                 rightCol: String, outCol: String): DataFrame =
+    top1By(graft.plans.WRatioExpr.wratio)(left, leftCol, right, rightCol, outCol)
+
+  /** Shared distinct→broadcast-score→join-back shape, parameterized by the
+    * (descending) 0..100 scorer. Ties break to the lexicographically
+    * smallest candidate (Spark rows have no stable "first seen" order to
+    * mirror `extractOne`'s).
+    */
+  private def top1By(scorer: (Column, Column) => Column)(
+      left: DataFrame, leftCol: String, right: DataFrame,
+      rightCol: String, outCol: String): DataFrame = {
     val candidates = right.select(col(rightCol).as("__cand")).distinct()
     val keys = left.select(col(leftCol).as("__key")).distinct().filter(col("__key").isNotNull)
     val scored = keys.crossJoin(broadcast(candidates))
-      .withColumn("__score", fuzzRatio(col("__key"), col("__cand")))
+      .withColumn("__score", scorer(col("__key"), col("__cand")))
     val w = Window.partitionBy(col("__key")).orderBy(col("__score").desc, col("__cand").asc)
     val best = scored.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)

@@ -31,6 +31,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("jaro_similarity"),
       new ExpressionInfo(classOf[JaroExpr].getName, "jaro_similarity"),
       (children: Seq[Expression]) => JaroExpr(children.head, children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("partial_ratio"),
+      new ExpressionInfo(classOf[PartialRatioExpr].getName, "partial_ratio"),
+      (children: Seq[Expression]) => PartialRatioExpr(children.head, children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("token_sort_ratio"),
+      new ExpressionInfo(classOf[TokenSortRatioExpr].getName, "token_sort_ratio"),
+      (children: Seq[Expression]) => TokenSortRatioExpr(children.head, children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("token_set_ratio"),
+      new ExpressionInfo(classOf[TokenSetRatioExpr].getName, "token_set_ratio"),
+      (children: Seq[Expression]) => TokenSetRatioExpr(children.head, children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("wratio"),
+      new ExpressionInfo(classOf[WRatioExpr].getName, "wratio"),
+      (children: Seq[Expression]) => WRatioExpr(children.head, children(1))))
     ext.injectOptimizerRule(_ => PruneLevenshteinFilters)
   }
 }

@@ -913,6 +913,25 @@ object CoreQueries {
         col("match_name"), col("match_name_score").as("match_score")),
     oracle = GoldenOracles.sqlFor("q45_fuzz_ratio_top1"))
 
+  // ---------------------------------------------------------------- q49
+  /** The reference's LITERAL `process.extractOne(x, countries)` semantics
+    * (`ops/transform.py:55`): top-1 match under thefuzz's DEFAULT scorer —
+    * the WRatio composite ([[graft.plans.WRatioExpr]]), not plain `ratio`.
+    * WRatio blends ratio / partial_ratio / partial-token ratios with
+    * length-dependent weights and applies the default processor, so it can
+    * rank candidates differently from q45's pure-ratio variant (e.g.
+    * substring-shaped candidates gain partial-alignment credit). Composite
+    * float scoring has no DuckDB twin → golden-parquet oracle
+    * ([[GoldenOracles]]); FunctionsSpec pins every component scorer against
+    * documented thefuzz outputs.
+    */
+  val q49_wratio_top1 = GraftQuery("q49_wratio_top1", (s, dir) =>
+    FuzzyJoin.top1WRatio(
+        Tables.supplier(s, dir), "s_name", Tables.nation(s, dir), "n_name", "match_name")
+      .select(col("s_suppkey"), col("s_name"),
+        col("match_name"), col("match_name_score").as("match_score")),
+    oracle = GoldenOracles.sqlFor("q49_wratio_top1"))
+
   // ---------------------------------------------------------------- q46
   /** Deterministic stratified sampling ([[Sampling.stratified]]): 100
     * orders per order-status, drawn by hash order so the draw is a pure
@@ -1007,6 +1026,7 @@ object CoreQueries {
     q34_approx_stats, q35_from_json, q36_array_agg, q37_order_distribution,
     q38_min_per_group_filter, q39_profile_verdicts, q40_kmv_distinct, q41_kmv_setops,
     q42_hash_split, q43_quality_checks, q44_salted_join, q45_fuzz_ratio_top1,
+    q49_wratio_top1,
     q01_pricing_summary, q02_filter_project, q03_left_join_2key, q04_join_chain_agg,
     q05_anti_join, q06_semi_join, q07_fuzzy_top1, q08_pivot_mean,
     q09_dedup_keep_first, q10_surrogate_key, q11_interpolate, q12_qcut_buckets,

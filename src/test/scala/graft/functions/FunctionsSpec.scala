@@ -86,6 +86,58 @@ class FunctionsSpec extends SparkSpec {
       .as[Int].head() == 50)
   }
 
+  test("partial/token_sort/token_set ratios match documented thefuzz outputs") {
+    import graft.plans.WRatioExpr._
+    // canonical fuzzywuzzy README fixtures first, then engine-definition
+    // cases (rapidfuzz >= 2.0 optimal-alignment semantics, float subscores)
+    val partialCases = Seq(
+      ("this is a test", "this is a test!", 100), // README
+      ("yankees", "new york yankees", 100),
+      ("abc", "cde", 50),  // overhang window "c" beats full window "cde" (33)
+      ("ab", "ba", 67),    // best alignment is a 1-char overhang: 200/3
+      ("", "", 100), ("x", "", 0))
+    val gotP = partialCases.map { case (a, b, _) => (a, b) }.toDF("a", "b")
+      .select(partialRatio(col("a"), col("b"))).as[Int].collect().toSeq
+    assert(gotP == partialCases.map(_._3), s"partial: $gotP")
+
+    val sortCases = Seq(
+      ("fuzzy wuzzy was a bear", "wuzzy fuzzy was a bear", 100), // README
+      ("great is scala", "scala is great", 100),
+      ("b a", "a c", 67)) // sorted "a b" vs "a c": LCS 2 → 200·2/6
+    val gotSort = sortCases.map { case (a, b, _) => (a, b) }.toDF("a", "b")
+      .select(tokenSortRatio(col("a"), col("b"))).as[Int].collect().toSeq
+    assert(gotSort == sortCases.map(_._3), s"token_sort: $gotSort")
+
+    val setCases = Seq(
+      ("fuzzy was a bear", "fuzzy fuzzy was a bear", 100), // README
+      ("spark sql", "spark sql engine fast", 100), // containment → 100
+      ("a b", "c d", 33)) // disjoint tokens: only the joining space matches
+                          // ("a b" vs "c d" → LCS 1 → 200/6), as in thefuzz
+    val gotSet = setCases.map { case (a, b, _) => (a, b) }.toDF("a", "b")
+      .select(tokenSetRatio(col("a"), col("b"))).as[Int].collect().toSeq
+    assert(gotSet == setCases.map(_._3), s"token_set: $gotSet")
+  }
+
+  test("wratio composite: branch points and processor match the public formula") {
+    import graft.plans.WRatioExpr.wratio
+    val cases = Seq(
+      // processor strips punctuation + case → exact match
+      ("this is a test", "THIS is a test!!", 100),
+      ("New York Mets", "new york mets", 100),
+      // len ratio 12/5 = 2.4 → partial branch: partial_ratio 100 · 0.9
+      ("spark", "apache spark", 90),
+      // len ratio exactly 8 → partial scale drops to 0.6 (rapidfuzz
+      // boundary semantics: < 8 keeps 0.9)
+      ("a", "abcdefgh", 60),
+      // similar lengths (< 1.5) → no partials: max(ratio, 0.95·token)
+      ("fuzzy wuzzy was a bear", "wuzzy fuzzy was a bear", 95),
+      // either side processing to empty → 0
+      ("!!!", "anything", 0))
+    val got = cases.map { case (a, b, _) => (a, b) }.toDF("a", "b")
+      .select(wratio(col("a"), col("b"))).as[Int].collect().toSeq
+    assert(got == cases.map(_._3), s"wratio: $got")
+  }
+
   test("fuzzRatio vs similarityRatio: documented top-1 divergence case") {
     // "abcd" is indel-closer to "bcde" (LCS 3 → 75) than to "azcd"
     // (LCS 3 → 75... tie) — use the classic substitution-heavy case:

@@ -15,6 +15,47 @@ package graft
   */
 class ScaleSmokeSpec extends SparkSpec {
 
+  test("connected components at 10x with reliable checkpoints: log-bounded rounds, data on disk") {
+    assume(sys.env.get("SPARK_GRAFT_SMOKE").contains("1"),
+      "opt-in: set SPARK_GRAFT_SMOKE=1 to run the skew smoke gate")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SMOKE_SF_DIR", "/root/testdata/sf0.1")
+    val ckpt = java.nio.file.Files.createTempDirectory("cc-ckpt-10x").toString
+    spark.sparkContext.setCheckpointDir(ckpt)
+    try {
+      // the full 10x dedup story under the injected hot key, durability on.
+      // Cadence 2, not the production-guidance 3: pointer jumping collapses
+      // this corpus in TWO rounds (measured — that's the point of the log
+      // bound), and a k that no round index divides never fires, which is
+      // correct behavior for short jobs but would leave the durability path
+      // unexercised here. NearDupSpec pins the every-k cadence semantics;
+      // this test pins that the reliable path works on the 10x corpus.
+      val docsBig = ScaleSmoke.docs10x(spark, sfDir, copies = 10, hotDocs = 3000).cache()
+      val pairs = ext.NearDup.nearDuplicatePairs(docsBig, "doc_id", "text", 0.7)
+        .select("id_a", "id_b")
+      val reliableEvery = 2
+      val (labels, rounds) =
+        ext.NearDup.connectedComponentsWithRounds(pairs, reliableEvery = reliableEvery)
+      val n = labels.count()
+      docsBig.unpersist()
+      assert(n > 0)
+      // pointer jumping converges in O(log d) ≤ O(log n) rounds; allow +2
+      // slack for the propagate warm-up and the convergence-detect round
+      val logBound = 64 - java.lang.Long.numberOfLeadingZeros(n) + 2
+      info(f"cc-10x: $n%d labeled nodes in $rounds%d rounds (log bound $logBound%d)")
+      assert(rounds <= logBound,
+        s"CC took $rounds rounds for $n nodes — pointer jumping should stay <= $logBound")
+      // the reliable path actually wrote checkpoint data (guaranteed to have
+      // fired: some round index in [1, rounds] is divisible by the cadence)
+      assert(rounds >= reliableEvery,
+        s"corpus converged in $rounds rounds — cadence $reliableEvery never fired; lower it")
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(ckpt))
+        .filter(java.nio.file.Files.isRegularFile(_)).count()
+      assert(wrote > 0, "reliableEvery must route rounds through checkpoint()")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    }
+  }
+
   test("capped near-dup/ANN operators stay within 2x of linear under a hot key") {
     assume(sys.env.get("SPARK_GRAFT_SMOKE").contains("1"),
       "opt-in: set SPARK_GRAFT_SMOKE=1 to run the skew smoke gate")

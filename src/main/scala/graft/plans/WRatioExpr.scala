@@ -69,10 +69,20 @@ object FuzzScorers {
 
   /** Max Indel ratio over every contiguous alignment of the shorter string
     * against the longer, overhangs included: alignment offsets run from
-    * -(m-1) to n-1, window = long[max(0,i) .. min(n, i+m)).
+    * -(m-1) to n-1, window = long[max(0,i) .. min(n, i+m)). Overhang
+    * windows make the one-directional slide ASYMMETRIC when both strings
+    * have the same length (the needle keeps its full length, the window
+    * truncates — "alpha"/"kappa" scores 67 one way, 60 the other), so the
+    * equal-length case slides both directions and keeps the max; the
+    * property spec pins symmetry for the whole family.
     */
-  private def partialD(a: Array[Int], b: Array[Int]): Double = {
-    val (s, l) = if (a.length <= b.length) (a, b) else (b, a)
+  private def partialD(a: Array[Int], b: Array[Int]): Double =
+    if (a.length == b.length && !(a sameElements b))
+      math.max(slideD(a, b), slideD(b, a))
+    else if (a.length <= b.length) slideD(a, b)
+    else slideD(b, a)
+
+  private def slideD(s: Array[Int], l: Array[Int]): Double = {
     val m = s.length
     val n = l.length
     if (m == 0) return if (n == 0) 100.0 else 0.0

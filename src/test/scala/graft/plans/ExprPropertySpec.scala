@@ -69,6 +69,41 @@ class ExprPropertySpec extends SparkSpec {
     }
   }
 
+  test("FuzzScorers: structural laws on random token strings") {
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u8}
+    val tokGen = Gen.oneOf("alpha", "beta", "gamma", "delta", "kappa", "zeta")
+    val strGen = Gen.chooseNum(0, 6).flatMap(n => Gen.listOfN(n, tokGen))
+      .map(_.mkString(" "))
+    val pairs = Gen.listOfN(300, Gen.zip(strGen, strGen)).sample.get
+    pairs.foreach { case (a, b) =>
+      val (ua, ub) = (u8(a), u8(b))
+      val r = IndelRatioExpr.ratio(ua, ub)
+      val p = FuzzScorers.partialRatio(ua, ub)
+      val ts = FuzzScorers.tokenSortRatio(ua, ub)
+      val tse = FuzzScorers.tokenSetRatio(ua, ub)
+      val w = FuzzScorers.wratio(ua, ub)
+      // all scores live in [0, 100]
+      Seq(r, p, ts, tse, w).foreach(s => assert(s >= 0 && s <= 100, s"($a|$b)"))
+      // the fully-overlapping alignment is one of partial's windows, and
+      // rounding is monotone — partial can only improve on plain ratio
+      assert(p >= r, s"partial $p < ratio $r on ($a|$b)")
+      // every scorer is symmetric (shorter/longer and set roles swap clean)
+      assert(p == FuzzScorers.partialRatio(ub, ua), s"partial asym ($a|$b)")
+      assert(ts == FuzzScorers.tokenSortRatio(ub, ua), s"sort asym ($a|$b)")
+      assert(tse == FuzzScorers.tokenSetRatio(ub, ua), s"set asym ($a|$b)")
+      assert(w == FuzzScorers.wratio(ub, ua), s"wratio asym ($a|$b)")
+      // self-similarity is perfect once the processed string is non-empty
+      if (a.nonEmpty) assert(FuzzScorers.wratio(ua, ua) == 100)
+      // token-order invariance: sort/set scorers ignore token permutation
+      val shuffled = scala.util.Random.shuffle(a.split(" ").filter(_.nonEmpty).toList)
+        .mkString(" ")
+      if (a.nonEmpty) {
+        assert(FuzzScorers.tokenSortRatio(ua, u8(shuffled)) == 100, s"($a|$shuffled)")
+        assert(FuzzScorers.tokenSetRatio(ua, u8(shuffled)) == 100, s"($a|$shuffled)")
+      }
+    }
+  }
+
   test("IndelRatioExpr: bit-parallel LCS equals the DP reference on random unicode") {
     val charGen = Gen.frequency(
       6 -> Gen.oneOf('a', 'b', 'c'), // tiny alphabet forces dense match masks

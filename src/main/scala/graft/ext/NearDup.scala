@@ -186,6 +186,26 @@ object NearDup {
     NearDupIndex(sh, bk)
   }
 
+  /** Fold a just-ingested batch into the corpus index — the write side of
+    * the daily cycle: dedup the batch against the stored index (the indexed
+    * [[incrementalNearDupPairs]] overload), apply the keep/drop policy,
+    * then extend the index with the SURVIVING batch docs and persist the
+    * returned relations (e.g. `ParquetWarehouse.overwriteAll`, or
+    * append-mode parquet since both relations are pure unions). Only the
+    * batch is shingled — the existing index rows pass through untouched, so
+    * the cost is O(batch) regardless of corpus size.
+    */
+  def extendIndex(index: NearDupIndex, batch: DataFrame,
+                  idCol: String, textCol: String,
+                  numHashes: Int = 64, bands: Int = 32,
+                  shingleSize: Int = 3): NearDupIndex = {
+    val b = buildIndex(batch, idCol, textCol, numHashes, bands, shingleSize)
+    NearDupIndex(
+      index.shingles.unionByName(b.shingles),
+      index.buckets.select(col("id"), col("bk")).unionByName(
+        b.buckets.select(col("id"), col("bk"))))
+  }
+
   /** INCREMENTAL near-dup against a PERSISTED corpus index — the production
     * form of the text-frame overload below. The corpus side arrives as the
     * stored [[NearDupIndex]] relations (hashed shingles + band-buckets read

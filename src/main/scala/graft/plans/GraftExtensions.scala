@@ -44,6 +44,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[TokenSetRatioExpr].getName, "token_set_ratio"),
       (children: Seq[Expression]) => TokenSetRatioExpr(children.head, children(1))))
     ext.injectFunction((
+      FunctionIdentifier("partial_token_sort_ratio"),
+      new ExpressionInfo(classOf[PartialTokenSortRatioExpr].getName, "partial_token_sort_ratio"),
+      (children: Seq[Expression]) => PartialTokenSortRatioExpr(children.head, children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("partial_token_set_ratio"),
+      new ExpressionInfo(classOf[PartialTokenSetRatioExpr].getName, "partial_token_set_ratio"),
+      (children: Seq[Expression]) => PartialTokenSetRatioExpr(children.head, children(1))))
+    ext.injectFunction((
       FunctionIdentifier("wratio"),
       new ExpressionInfo(classOf[WRatioExpr].getName, "wratio"),
       (children: Seq[Expression]) => WRatioExpr(children.head, children(1))))

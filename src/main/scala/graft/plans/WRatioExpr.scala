@@ -158,6 +158,12 @@ object FuzzScorers {
   def tokenSetRatio(a: UTF8String, b: UTF8String): Int =
     Math.rint(tokenSetD(a.toString, b.toString)).toInt
 
+  def partialTokenSortRatio(a: UTF8String, b: UTF8String): Int =
+    Math.rint(partialTokenSortD(a.toString, b.toString)).toInt
+
+  def partialTokenSetRatio(a: UTF8String, b: UTF8String): Int =
+    Math.rint(partialTokenSetD(a.toString, b.toString)).toInt
+
   def wratio(a: UTF8String, b: UTF8String): Int = {
     val p1 = process(a.toString)
     val p2 = process(b.toString)
@@ -230,6 +236,26 @@ case class TokenSetRatioExpr(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+case class PartialTokenSortRatioExpr(left: Expression, right: Expression)
+    extends FuzzScorerExpr {
+  override def prettyName: String = "partial_token_sort_ratio"
+  override protected def method: String = "partialTokenSortRatio"
+  override def nullSafeEval(a: Any, b: Any): Any =
+    FuzzScorers.partialTokenSortRatio(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+case class PartialTokenSetRatioExpr(left: Expression, right: Expression)
+    extends FuzzScorerExpr {
+  override def prettyName: String = "partial_token_set_ratio"
+  override protected def method: String = "partialTokenSetRatio"
+  override def nullSafeEval(a: Any, b: Any): Any =
+    FuzzScorers.partialTokenSetRatio(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 case class WRatioExpr(left: Expression, right: Expression)
     extends FuzzScorerExpr {
   override def prettyName: String = "wratio"
@@ -247,6 +273,10 @@ object WRatioExpr {
     bridge.column(TokenSortRatioExpr(bridge.expression(a), bridge.expression(b)))
   def tokenSetRatio(a: Column, b: Column): Column =
     bridge.column(TokenSetRatioExpr(bridge.expression(a), bridge.expression(b)))
+  def partialTokenSortRatio(a: Column, b: Column): Column =
+    bridge.column(PartialTokenSortRatioExpr(bridge.expression(a), bridge.expression(b)))
+  def partialTokenSetRatio(a: Column, b: Column): Column =
+    bridge.column(PartialTokenSetRatioExpr(bridge.expression(a), bridge.expression(b)))
   def wratio(a: Column, b: Column): Column =
     bridge.column(WRatioExpr(bridge.expression(a), bridge.expression(b)))
 }

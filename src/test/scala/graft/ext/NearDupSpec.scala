@@ -186,6 +186,27 @@ class NearDupSpec extends SparkSpec {
     }
   }
 
+  test("extendIndex folds a batch in so later dedup sees the union corpus") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val corpusA = Seq((1L, base),
+      (3L, "completely unrelated text about spark query engines and planning"))
+      .toDF("doc_id", "text")
+    val batchB = Seq((2L, base + " extra")).toDF("doc_id", "text")
+    val batchC = Seq((10L, base), (20L, base + " extra")).toDF("doc_id", "text")
+    val extended = NearDup.extendIndex(
+      NearDup.buildIndex(corpusA, "doc_id", "text"), batchB, "doc_id", "text")
+    val viaExtended = NearDup.incrementalNearDupPairs(batchC, extended,
+        "doc_id", "text", threshold = 0.7, numHashes = 64, bands = 32,
+        shingleSize = 3, maxBucketSize = 1000)
+      .as[(Long, Long, Double)].collect().toSet
+    val viaDirect = NearDup.incrementalNearDupPairs(batchC,
+        corpusA.unionByName(batchB), "doc_id", "text", 0.7)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(viaExtended == viaDirect && viaExtended.nonEmpty)
+    // the extension saw doc 2: C's "+ extra" twin must match against it
+    assert(viaExtended.exists { case (n, o, _) => n == 20L && o == 2L })
+  }
+
   test("shingles of a doc shorter than n collapse to one whole-text shingle") {
     val short = Seq((1L, "two words")).toDF("doc_id", "text")
     val got = NearDup.shingles(short, "doc_id", "text", 3)

@@ -118,6 +118,38 @@ class FunctionsSpec extends SparkSpec {
     assert(gotSet == setCases.map(_._3), s"token_set: $gotSet")
   }
 
+  test("partial token scorers: containment shortcuts and SQL registration") {
+    import graft.plans.WRatioExpr._
+    val cases = Seq(
+      // sorted-token needle is a window prefix of the sorted haystack
+      ("b a", "a b zzz", 100, 100),
+      // single tokens, equal length: the winning alignment is the REVERSE
+      // direction's suffix overhang ("xbc" needle, window "xc": 200·2/5)
+      // — pins the symmetric two-direction slide
+      ("axc", "xbc", 80, 80),
+      ("x", "y", 0, 0))
+    val got = cases.map { case (a, b, _, _) => (a, b) }.toDF("a", "b")
+      .select(partialTokenSortRatio(col("a"), col("b")).as("so"),
+        partialTokenSetRatio(col("a"), col("b")).as("se"))
+      .as[(Int, Int)].collect().toSeq
+    assert(got == cases.map(c => (c._3, c._4)), s"got $got")
+    // any shared token makes t0 a prefix window of t1 → set variant saturates
+    val shared = Seq(("spark engine", "engine room")).toDF("a", "b")
+      .select(partialTokenSetRatio(col("a"), col("b"))).as[Int].head()
+    assert(shared == 100)
+    // the whole family is SQL-reachable through GraftExtensions
+    val sqlRow = spark.sql(
+      """SELECT wratio('spark', 'apache spark') AS w,
+        |  partial_ratio('this is a test', 'this is a test!') AS p,
+        |  token_sort_ratio('great is scala', 'scala is great') AS ts,
+        |  token_set_ratio('fuzzy was a bear', 'fuzzy fuzzy was a bear') AS tse,
+        |  partial_token_sort_ratio('b a', 'a b zzz') AS pts,
+        |  partial_token_set_ratio('spark engine', 'engine room') AS ptse
+        |""".stripMargin)
+      .as[(Int, Int, Int, Int, Int, Int)].head()
+    assert(sqlRow == ((90, 100, 100, 100, 100, 100)))
+  }
+
   test("wratio composite: branch points and processor match the public formula") {
     import graft.plans.WRatioExpr.wratio
     val cases = Seq(

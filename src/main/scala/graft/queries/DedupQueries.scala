@@ -325,9 +325,43 @@ object DedupQueries {
       .select(col("id_new"), col("id_old"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  // ---------------------------------------------------------------- d12
+  /** Index EVOLUTION under the gate ([[NearDup.extendIndex]]): the corpus
+    * index is built in two installments — docs with doc_id % 10 ≥ 2 first,
+    * then the % 10 = 1 slice folded in via extendIndex (only that slice is
+    * shingled) — persisted, read back, and the % 10 = 0 batch deduped
+    * against it. The union corpus is exactly d10/d11's old side, so the
+    * SAME oracle must hash-match: growing the index incrementally is
+    * semantically invisible. This is the full daily cycle d11 starts:
+    * day N dedups against the index, day N's survivors extend it for
+    * day N+1.
+    */
+  val d12_extended_neardup = q("d12_extended_neardup",
+    Some(incrementalOracle)) { (s, dir) =>
+    import graft.sources.ParquetWarehouse
+    val scratch = "/root/repo/target/qtmp"
+    val docs = Tables.documents(s, dir)
+    // installment 1: the standing corpus
+    val base = NearDup.buildIndex(
+      docs.filter(col("doc_id") % 10 >= 2), "doc_id", "text")
+    // installment 2: yesterday's batch folds in — only IT gets shingled
+    val full = NearDup.extendIndex(base,
+      docs.filter(col("doc_id") % 10 === 1), "doc_id", "text")
+    ParquetWarehouse.overwriteAll(full.shingles, s"$scratch/neardup_idx2_sh")
+    ParquetWarehouse.overwriteAll(full.buckets, s"$scratch/neardup_idx2_bk")
+    val index = NearDup.NearDupIndex(
+      ParquetWarehouse.read(s, s"$scratch/neardup_idx2_sh"),
+      ParquetWarehouse.read(s, s"$scratch/neardup_idx2_bk"))
+    NearDup.incrementalNearDupPairs(
+        docs.filter(col("doc_id") % 10 === 0), index,
+        "doc_id", "text", threshold = 0.7, numHashes = 64, bands = 32,
+        shingleSize = 3, maxBucketSize = 1000)
+      .select(col("id_new"), col("id_old"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
   val all: Seq[GraftQuery] = Seq(
     d01_exact_dup_groups, d02_ngram_jaccard, d03_minhash_lsh, d04_simhash,
     d05_simhash_neardup, d06_dedup_clusters, d07_dedup_apply,
     d08_contamination, d09_bloom_decontaminate, d10_incremental_neardup,
-    d11_indexed_neardup)
+    d11_indexed_neardup, d12_extended_neardup)
 }

@@ -239,8 +239,58 @@ object EmbeddingQueries {
       .withColumn("recall", round(col("hits") / 5.0, 6))
   }
 
+  // ---------------------------------------------------------------- e10
+  /** MEASURED recall of the OTHER approximate ANN path: per-query recall@5
+    * of MULTI-PROBE hyperplane LSH against the exact brute-force top-5,
+    * at a candidate budget matched to e09's IVF measurement (nprobe=3 of
+    * k=8 cells ≈ 37 % of the corpus). Single-bucket probing (e04's demo
+    * shape) examines only 1/64 of the corpus and measures ≈ 0.05 recall
+    * here — the standard fix is multi-probe: also search every bucket
+    * within Hamming radius 2 of the query's 6-bit signature (1+6+15 = 22
+    * of 64 buckets ≈ 34 % of the corpus — the budget match). Probing is
+    * pure column algebra: the 22 flip-masks XOR onto the query signature
+    * and explode into an equi-join on the bucket key; each candidate has
+    * ONE signature so no pair duplicates arise. e09 + e10 together make
+    * the accuracy/cost choice between the ANN paths explicit and
+    * regression-gated. Deterministic → golden-parquet oracle.
+    */
+  val e10_lsh_recall = q("e10_lsh_recall", GoldenOracles.sqlFor("e10_lsh_recall")) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val planes = 6
+    val radius = 2
+    val emb = Tables.embeddings(s, dir)
+    val qs = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val scored = emb.select(col("vec_id").as("nid"), col("embedding").as("cv"))
+      .crossJoin(broadcast(qs))
+      .filter(col("nid") =!= col("qid"))
+      .withColumn("c", graft.plans.CosineSimilarityExpr.cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("c").desc, col("nid"))
+    val brute = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5).select("qid", "nid")
+    val sigged = emb.withColumn("sig", graft.plans.HyperplaneSignatureExpr
+      .signature(col("embedding"), dim = 64, planes = planes))
+    val masks = (0 until (1 << planes))
+      .filter(m => Integer.bitCount(m) <= radius).map(_.toLong)
+    val qsig = sigged.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("sig"), col("embedding").as("qv"))
+      .withColumn("probe",
+        explode(array(masks.map(m => col("sig").bitwiseXOR(lit(m))): _*)))
+    val lshScored = sigged
+      .select(col("sig").as("probe"), col("vec_id").as("nid"), col("embedding").as("cv"))
+      .join(broadcast(qsig), Seq("probe"))
+      .filter(col("nid") =!= col("qid"))
+      .withColumn("c", graft.plans.CosineSimilarityExpr.cosine(col("qv"), col("cv")))
+    val lsh = lshScored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5).select("qid", "nid")
+    brute.join(lsh.withColumn("__hit", lit(1)), Seq("qid", "nid"), "left")
+      .groupBy("qid")
+      .agg(sum(coalesce(col("__hit"), lit(0))).cast("int").as("hits"))
+      .withColumn("recall", round(col("hits") / 5.0, 6))
+  }
+
   val all: Seq[GraftQuery] = Seq(
     e01_knn_bruteforce, e02_centroids, e03_label_block_nn, e04_lsh_ann,
     e05_cosine_neardup, e06_ivf_ann, e07_l2_normalize, e08_signature_neardup,
-    e09_ivf_recall)
+    e09_ivf_recall, e10_lsh_recall)
 }

@@ -290,7 +290,51 @@ object TextQueries {
       .select(col("doc_id"), col("quality"), col("bucket"))
   }
 
+  // ---------------------------------------------------------------- t09
+  /** REPETITION statistics — the Gopher-style within-document duplication
+    * signals every LLM curation stack filters on: `dup_gram_frac` (the
+    * fraction of word 3-grams that are repeats of an earlier gram in the
+    * same doc) and `top_gram_share` (the share claimed by the single most
+    * repeated gram — boilerplate/spam spikes it). Docs shorter than 3
+    * words collapse to one whole-text gram (0 repetition by definition).
+    *
+    * Shape: tokenize + gram map-side, then TWO partial-aggregated shuffles
+    * — (doc, gram-hash) counts, then per-doc ratios. Grams shuffle as
+    * 8-byte xxhash64 values, never text (counts identical up to 64-bit
+    * collisions, ~1e-11 at corpus scale — same argument as d02/d08); the
+    * oracle counts the gram text directly, so a collision would FAIL the
+    * hash gate rather than hide. Both engines divide long counts as
+    * doubles and round at 6 dp.
+    */
+  val t09_repetition = q("t09_repetition",
+    s"""WITH w AS (SELECT doc_id, string_split(${normSql("text")}, ' ') AS toks FROM documents),
+       |g AS (SELECT doc_id,
+       |        unnest(CASE WHEN len(toks) >= 3
+       |               THEN [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)]
+       |               ELSE [array_to_string(toks, ' ')] END) AS gram
+       |      FROM w),
+       |c AS (SELECT doc_id, gram, COUNT(*) AS n FROM g GROUP BY 1, 2)
+       |SELECT doc_id,
+       |  ROUND(1 - COUNT(*) / SUM(n), 6) AS dup_gram_frac,
+       |  ROUND(MAX(n) / SUM(n), 6) AS top_gram_share
+       |FROM c GROUP BY doc_id""".stripMargin) { (s, dir) =>
+    val tokenized = Tables.documents(s, dir).select(col("doc_id"),
+      split(TextFunctions.normalizeWs(col("text")), " ").as("__w"))
+    val w = col("__w")
+    val grams = when(size(w) >= 3,
+      transform(sequence(lit(1), size(w) - 2),
+        i => concat_ws(" ", element_at(w, i), element_at(w, i + 1), element_at(w, i + 2))))
+      .otherwise(array(concat_ws(" ", w)))
+    tokenized.select(col("doc_id"), explode(grams).as("gram"))
+      .select(col("doc_id"), xxhash64(col("gram")).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("n"))
+      .groupBy("doc_id").agg(
+        round(lit(1) - count(lit(1)) / sum(col("n")), 6).as("dup_gram_frac"),
+        round(max(col("n")) / sum(col("n")), 6).as("top_gram_share"))
+  }
+
   val all: Seq[GraftQuery] = Seq(
     t01_token_stats, t02_quality_score, t03_lang_id, t04_fingerprint,
-    t05_rolling_hash, t06_redact, t07_tfidf_top_terms, t08_curation_pipeline)
+    t05_rolling_hash, t06_redact, t07_tfidf_top_terms, t08_curation_pipeline,
+    t09_repetition)
 }

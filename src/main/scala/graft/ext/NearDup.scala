@@ -161,21 +161,68 @@ object NearDup {
     * ingest batches so the corpus text is never re-shingled:
     *   - `shingles`: the hashed-shingle relation `(id, shingle: long)` —
     *     feeds exact-Jaccard verification of candidates;
-    *   - `buckets`: the LSH band-bucket relation `(id, bk: struct(band, bh))`
-    *     from [[bandBuckets]] — feeds candidate generation (8-byte bucket
-    *     key + id per band per doc).
-    * Both are plain frames: write them through [[graft.sources.ParquetWarehouse]]
-    * (or any sink) after each batch and rebuild the index from the read-back
-    * frames — no state lives outside the two tables. Appending a just-deduped
-    * batch keeps the index current: union the batch's own
-    * `buildIndex(...)`-relations onto the stored tables.
+    *   - `buckets`: the LSH band-bucket relation PRE-GROUPED to
+    *     `(bk: struct(band, bh), ids: array<long>)` — candidate lookup for
+    *     a batch is then a map-side semi-join + explode, no corpus-wide
+    *     aggregation per batch (the group-by happened once, at build time).
+    * The index also carries the LSH parameters it was built with
+    * (`numHashes`/`bands`/`shingleSize`): a batch probed with different
+    * parameters would produce band keys that never match the stored ones
+    * and silently return nothing, so the indexed [[incrementalNearDupPairs]]
+    * reads them from here instead of trusting the caller. Persist with
+    * [[NearDupIndex.save]] / reload with [[NearDupIndex.load]] (three
+    * parquet relations: shingles, buckets, one-row meta).
+    *
+    * [[extendIndex]] appends a batch as new bucket-relation ROWS (the same
+    * `bk` may then appear in several rows); readers merge fragments after
+    * pruning to the keys they touch, and [[compactIndex]] folds fragments
+    * back to one row per bucket during maintenance.
     */
-  final case class NearDupIndex(shingles: DataFrame, buckets: DataFrame)
+  final case class NearDupIndex(shingles: DataFrame, buckets: DataFrame,
+                                numHashes: Int = 64, bands: Int = 32,
+                                shingleSize: Int = 3)
+
+  object NearDupIndex {
+    /** Persist the index under `dir` as three parquet relations. Full
+      * overwrite of each; for the append-only daily cycle, appending just
+      * the batch's `buildIndex` relations to `shingles`/`buckets` is
+      * equivalent (both are pure unions) and touches O(batch) data.
+      */
+    def save(index: NearDupIndex, dir: String): Unit = {
+      graft.sources.ParquetWarehouse.overwriteAll(
+        index.shingles.select(col("id"), col("shingle")), s"$dir/shingles")
+      graft.sources.ParquetWarehouse.overwriteAll(
+        index.buckets.select(col("bk"), col("ids")), s"$dir/buckets")
+      val spark = index.shingles.sparkSession
+      import spark.implicits._
+      graft.sources.ParquetWarehouse.overwriteAll(
+        Seq((index.numHashes, index.bands, index.shingleSize))
+          .toDF("num_hashes", "bands", "shingle_size"),
+        s"$dir/meta")
+    }
+
+    /** Read an index saved by [[save]]; the LSH parameters come from the
+      * stored meta relation, so a probe can never run with mismatched ones.
+      */
+    def load(spark: org.apache.spark.sql.SparkSession, dir: String): NearDupIndex = {
+      val meta = spark.read.parquet(s"$dir/meta").collect()
+      require(meta.length == 1, s"corrupt index meta at $dir/meta: ${meta.length} rows")
+      NearDupIndex(
+        spark.read.parquet(s"$dir/shingles"),
+        spark.read.parquet(s"$dir/buckets"),
+        meta.head.getAs[Int]("num_hashes"),
+        meta.head.getAs[Int]("bands"),
+        meta.head.getAs[Int]("shingle_size"))
+    }
+  }
 
   /** Build the persistable [[NearDupIndex]] for a corpus: hash-shingle the
-    * text once, signature it, band-bucket the signatures. Run once per
-    * ingest batch (over the batch only) and append to the stored index —
-    * the full corpus is shingled exactly once over its lifetime.
+    * text once, signature it, band-bucket the signatures, and group the
+    * bucket relation to one `(bk, ids)` row per bucket — the one corpus-wide
+    * shuffle happens HERE, at build time, so per-batch probes never pay it.
+    * Run once per ingest batch (over the batch only) and append to the
+    * stored index — the full corpus is shingled exactly once over its
+    * lifetime.
     */
   def buildIndex(df: DataFrame, idCol: String, textCol: String,
                  numHashes: Int = 64, bands: Int = 32,
@@ -183,61 +230,121 @@ object NearDup {
     val sh = shingles(df, idCol, textCol, shingleSize)
       .select(col("id"), xxhash64(col("shingle")).as("shingle"))
     val bk = bandBuckets(minhashSignatures(sh, numHashes), bands, numHashes / bands)
-    NearDupIndex(sh, bk)
+      .groupBy("bk").agg(collect_list(col("id")).as("ids"))
+    NearDupIndex(sh, bk, numHashes, bands, shingleSize)
   }
 
   /** Fold a just-ingested batch into the corpus index — the write side of
     * the daily cycle: dedup the batch against the stored index (the indexed
     * [[incrementalNearDupPairs]] overload), apply the keep/drop policy,
     * then extend the index with the SURVIVING batch docs and persist the
-    * returned relations (e.g. `ParquetWarehouse.overwriteAll`, or
-    * append-mode parquet since both relations are pure unions). Only the
-    * batch is shingled — the existing index rows pass through untouched, so
-    * the cost is O(batch) regardless of corpus size.
+    * returned relations. Only the batch is shingled and only ITS bucket
+    * rows are grouped — the existing index rows pass through untouched, so
+    * the cost is O(batch) regardless of corpus size. A bucket the batch
+    * shares with the corpus now spans two rows; probes merge fragments
+    * after pruning, and [[compactIndex]] folds them back to one.
+    * LSH parameters come from the index itself (they must match the stored
+    * band keys or probes would silently miss).
     */
   def extendIndex(index: NearDupIndex, batch: DataFrame,
-                  idCol: String, textCol: String,
-                  numHashes: Int = 64, bands: Int = 32,
-                  shingleSize: Int = 3): NearDupIndex = {
-    val b = buildIndex(batch, idCol, textCol, numHashes, bands, shingleSize)
-    NearDupIndex(
-      index.shingles.unionByName(b.shingles),
-      index.buckets.select(col("id"), col("bk")).unionByName(
-        b.buckets.select(col("id"), col("bk"))))
+                  idCol: String, textCol: String): NearDupIndex = {
+    val b = buildIndex(batch, idCol, textCol,
+      index.numHashes, index.bands, index.shingleSize)
+    index.copy(
+      shingles = index.shingles.select(col("id"), col("shingle"))
+        .unionByName(b.shingles),
+      buckets = index.buckets.select(col("bk"), col("ids"))
+        .unionByName(b.buckets.select(col("bk"), col("ids"))))
+  }
+
+  /** Index MAINTENANCE: drop dead documents and fold [[extendIndex]]'s
+    * append fragments back to one row per bucket. After N daily batches the
+    * stored bucket relation is N appended fragments, and documents dropped
+    * from the corpus (dedup losers, takedowns) keep their rows forever —
+    * this is the compact/vacuum pass that fixes both: shingles of dead ids
+    * are anti-joined away, bucket rows are exploded, pruned to surviving
+    * ids, and re-grouped to a single `(bk, ids)` row per bucket (empty
+    * buckets vanish).
+    *
+    * `keepIds` is the single-column relation of surviving doc ids. This IS
+    * an O(corpus) shuffle — by design: it is the amortized maintenance op
+    * (run weekly / at fragment-count thresholds), not the per-batch path,
+    * exactly like parquet compaction jobs. Persist the result with
+    * [[NearDupIndex.save]] to a fresh dir and swap.
+    */
+  def compactIndex(index: NearDupIndex, keepIds: DataFrame): NearDupIndex = {
+    val keep = keepIds.toDF("id")
+    index.copy(
+      shingles = index.shingles.select(col("id"), col("shingle"))
+        .join(keep, Seq("id"), "left_semi"),
+      buckets = index.buckets.select(col("bk"), explode(col("ids")).as("id"))
+        .join(keep, Seq("id"), "left_semi")
+        .groupBy("bk").agg(collect_list(col("id")).as("ids")))
   }
 
   /** INCREMENTAL near-dup against a PERSISTED corpus index — the production
     * form of the text-frame overload below. The corpus side arrives as the
-    * stored [[NearDupIndex]] relations (hashed shingles + band-buckets read
-    * back from the warehouse), so the standing corpus is never re-shingled:
-    * per-batch cost is shingling the NEW batch plus one join against the
-    * bucket table — O(batch), not O(corpus), per day. Semantics are
-    * identical to the text overload (same cap, same exact verification);
-    * d11 proves the two paths byte-equal on the same split.
+    * stored [[NearDupIndex]] relations (hashed shingles + grouped
+    * band-buckets read back from the warehouse), so the standing corpus is
+    * never re-shingled AND never re-shuffled: per-batch cost is O(batch).
     *
-    * CACHE LIFETIME: only the new batch's hashed shingles are cache()d
-    * (they feed signatures AND the verify join); release with
-    * `spark.catalog.clearCache()` after the final action.
+    * How the corpus side stays map-side only (the 100 TB contract):
+    *   1. candidate generation semi-joins the stored bucket relation
+    *      against the BATCH's distinct band keys (broadcast — a batch
+    *      touches at most `bands × |batch|` buckets) BEFORE anything else,
+    *      so the corpus bucket table is scanned but never shuffled; the
+    *      fragment-merge group-by that follows runs over batch-touched
+    *      buckets only;
+    *   2. exact verification prunes the corpus shingle relation to the
+    *      CANDIDATE ids (broadcast semi-join again — candidates are
+    *      O(batch × bucket hits)) before [[exactJaccard]]'s joins, so
+    *      corpus shingles of un-candidate docs are never aggregated or
+    *      shuffled.
+    * PlanAuditSpec asserts property 1 on the physical plan (no shuffle
+    * exchange between the bucket scan and the batch-key semi-join);
+    * ScaleSmokeSpec asserts the consequence (per-batch wall time flat as
+    * the corpus grows 10×).
+    *
+    * Semantics are identical to the text overload (same cap applied to the
+    * MERGED bucket size, same exact verification); d11 proves the two paths
+    * byte-equal on the same split. LSH parameters come from the index (a
+    * mismatched probe would silently return nothing — so the API makes it
+    * unrepresentable).
+    *
+    * CACHE LIFETIME: the batch's hashed shingles, band-buckets and the
+    * candidate pair relation are cache()d (each feeds two consumers); all
+    * are O(batch). Release with `spark.catalog.clearCache()` after the
+    * final action.
     */
   def incrementalNearDupPairs(newDf: DataFrame, index: NearDupIndex,
                               idCol: String, textCol: String,
-                              threshold: Double, numHashes: Int,
-                              bands: Int, shingleSize: Int,
+                              threshold: Double,
                               maxBucketSize: Int): DataFrame = {
-    val r = numHashes / bands
-    val shNew = shingles(newDf, idCol, textCol, shingleSize)
+    val r = index.numHashes / index.bands
+    val shNew = shingles(newDf, idCol, textCol, index.shingleSize)
       .select(col("id"), xxhash64(col("shingle")).as("shingle"))
       .cache() // feeds signatures + verify
-    val bNew = bandBuckets(minhashSignatures(shNew, numHashes), bands, r)
+    val bNew = bandBuckets(minhashSignatures(shNew, index.numHashes), index.bands, r)
       .select(col("bk"), col("id").as("id_new"))
-    val bOld = index.buckets.select(col("bk"), col("id"))
-      .groupBy("bk").agg(collect_list(col("id")).as("ids"))
+      .cache() // feeds the key set + the candidate join
+    val batchKeys = bNew.select(col("bk")).distinct()
+    // corpus bucket relation: broadcast-semi prune to batch-touched keys
+    // FIRST (map-side, no exchange on the corpus path), then merge append
+    // fragments and apply the cap over the pruned sliver only
+    val bOld = index.buckets.select(col("bk"), col("ids"))
+      .join(broadcast(batchKeys), Seq("bk"), "left_semi")
+      .groupBy("bk").agg(flatten(collect_list(col("ids"))).as("ids"))
       .filter(size(col("ids")) <= maxBucketSize)
     val cand = bNew.join(bOld, "bk")
       .select(col("id_new"), explode(col("ids")).as("id_old"))
       .distinct()
-    exactJaccard(
-        shNew.unionByName(index.shingles.select(col("id"), col("shingle"))),
+      .cache() // feeds the id prune + the verify join
+    // corpus shingles: prune to candidate ids before any aggregation —
+    // per-id set sizes and intersections only ever touch candidate docs
+    val candOld = cand.select(col("id_old").as("id")).distinct()
+    val shOld = index.shingles.select(col("id"), col("shingle"))
+      .join(broadcast(candOld), Seq("id"), "left_semi")
+    exactJaccard(shNew.unionByName(shOld),
         cand.select(col("id_new").as("id_a"), col("id_old").as("id_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a").as("id_new"), col("id_b").as("id_old"), col("jaccard"))

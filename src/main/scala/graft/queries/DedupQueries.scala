@@ -305,23 +305,21 @@ object DedupQueries {
     import graft.sources.ParquetWarehouse
     val scratch = "/root/repo/target/qtmp"
     val corpusPath = s"$scratch/neardup_corpus"
-    val shPath = s"$scratch/neardup_index_shingles"
-    val bkPath = s"$scratch/neardup_index_buckets"
+    val idxDir = s"$scratch/neardup_index"
     val docs = Tables.documents(s, dir)
     // batch N-1's job: persist the standing corpus, shingle it ONCE, store
     // the index relations alongside
     ParquetWarehouse.overwriteAll(docs.filter(col("doc_id") % 10 =!= 0), corpusPath)
-    val built = NearDup.buildIndex(ParquetWarehouse.read(s, corpusPath), "doc_id", "text")
-    ParquetWarehouse.overwriteAll(built.shingles, shPath)
-    ParquetWarehouse.overwriteAll(built.buckets, bkPath)
+    NearDup.NearDupIndex.save(
+      NearDup.buildIndex(ParquetWarehouse.read(s, corpusPath), "doc_id", "text"),
+      idxDir)
     // batch N's job: dedup the new ingest against the read-back index —
-    // no corpus-text scan anywhere in this plan
-    val index = NearDup.NearDupIndex(
-      ParquetWarehouse.read(s, shPath), ParquetWarehouse.read(s, bkPath))
+    // no corpus-text scan anywhere in this plan, and no shuffle of the
+    // corpus-side index relations either (PlanAuditSpec asserts both)
+    val index = NearDup.NearDupIndex.load(s, idxDir)
     NearDup.incrementalNearDupPairs(
         docs.filter(col("doc_id") % 10 === 0), index,
-        "doc_id", "text", threshold = 0.7, numHashes = 64, bands = 32,
-        shingleSize = 3, maxBucketSize = 1000)
+        "doc_id", "text", threshold = 0.7, maxBucketSize = 1000)
       .select(col("id_new"), col("id_old"), round(col("jaccard"), 6).as("jaccard"))
   }
 
@@ -338,7 +336,6 @@ object DedupQueries {
     */
   val d12_extended_neardup = q("d12_extended_neardup",
     Some(incrementalOracle)) { (s, dir) =>
-    import graft.sources.ParquetWarehouse
     val scratch = "/root/repo/target/qtmp"
     val docs = Tables.documents(s, dir)
     // installment 1: the standing corpus
@@ -347,21 +344,68 @@ object DedupQueries {
     // installment 2: yesterday's batch folds in — only IT gets shingled
     val full = NearDup.extendIndex(base,
       docs.filter(col("doc_id") % 10 === 1), "doc_id", "text")
-    ParquetWarehouse.overwriteAll(full.shingles, s"$scratch/neardup_idx2_sh")
-    ParquetWarehouse.overwriteAll(full.buckets, s"$scratch/neardup_idx2_bk")
-    val index = NearDup.NearDupIndex(
-      ParquetWarehouse.read(s, s"$scratch/neardup_idx2_sh"),
-      ParquetWarehouse.read(s, s"$scratch/neardup_idx2_bk"))
+    NearDup.NearDupIndex.save(full, s"$scratch/neardup_idx2")
+    val index = NearDup.NearDupIndex.load(s, s"$scratch/neardup_idx2")
     NearDup.incrementalNearDupPairs(
         docs.filter(col("doc_id") % 10 === 0), index,
-        "doc_id", "text", threshold = 0.7, numHashes = 64, bands = 32,
-        shingleSize = 3, maxBucketSize = 1000)
+        "doc_id", "text", threshold = 0.7, maxBucketSize = 1000)
       .select(col("id_new"), col("id_old"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  // ---------------------------------------------------------------- d13
+  /** Index COMPACTION under the gate ([[NearDup.compactIndex]]): the corpus
+    * index is built in three installments (so the stored bucket relation
+    * carries real append fragments), then docs divisible by 7 are dropped
+    * from the corpus and the index is compacted — dead ids anti-joined
+    * away, bucket fragments folded back to one row per bucket — persisted,
+    * and read back. The oracle recomputes what the SURVIVING corpus's index
+    * must contain from first principles: distinct-shingle row count and doc
+    * count for the shingle relation, `bands × docs` total bucket membership
+    * (every doc occupies exactly one bucket per band), and the
+    * one-row-per-bucket invariant that proves fragments actually merged.
+    * Any dead id left behind, lost survivor, or unmerged fragment breaks a
+    * count and fails the hash gate.
+    */
+  val d13_index_compaction = q("d13_index_compaction", Some(
+    s"""WITH w AS (SELECT doc_id, string_split(${normSql("text")}, ' ') AS toks
+       |           FROM documents WHERE doc_id % 7 <> 0),
+       |g AS (SELECT doc_id,
+       |        unnest(CASE WHEN len(toks) >= 3
+       |               THEN [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)]
+       |               ELSE [array_to_string(toks, ' ')] END) AS shingle
+       |      FROM w),
+       |s AS (SELECT DISTINCT doc_id, shingle FROM g)
+       |SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       |       CAST(COUNT(*) AS BIGINT) AS n_shingle_rows,
+       |       CAST(COUNT(DISTINCT doc_id) * 32 AS BIGINT) AS n_bucket_ids,
+       |       TRUE AS one_row_per_bucket
+       |FROM s""".stripMargin)) { (s, dir) =>
+    val scratch = "/root/repo/target/qtmp"
+    val docs = Tables.documents(s, dir)
+    // three installments = real fragmentation in the stored bucket relation
+    val i1 = NearDup.buildIndex(docs.filter(col("doc_id") % 10 >= 2), "doc_id", "text")
+    val i2 = NearDup.extendIndex(i1, docs.filter(col("doc_id") % 10 === 1), "doc_id", "text")
+    val i3 = NearDup.extendIndex(i2, docs.filter(col("doc_id") % 10 === 0), "doc_id", "text")
+    NearDup.NearDupIndex.save(i3, s"$scratch/neardup_idx3")
+    // maintenance job: drop the %7 docs, compact, persist to a fresh dir
+    val full = NearDup.NearDupIndex.load(s, s"$scratch/neardup_idx3")
+    val keep = docs.filter(col("doc_id") % 7 =!= 0).select(col("doc_id").as("id"))
+    NearDup.NearDupIndex.save(NearDup.compactIndex(full, keep),
+      s"$scratch/neardup_idx3_compact")
+    // audit the STORED relations, not the in-flight frames
+    val back = NearDup.NearDupIndex.load(s, s"$scratch/neardup_idx3_compact")
+    val shStats = back.shingles.agg(
+      countDistinct(col("id")).as("n_docs"),
+      count(lit(1)).as("n_shingle_rows"))
+    val bkStats = back.buckets.agg(
+      sum(size(col("ids"))).cast("long").as("n_bucket_ids"),
+      (count(lit(1)) === countDistinct(col("bk"))).as("one_row_per_bucket"))
+    shStats.crossJoin(bkStats)
   }
 
   val all: Seq[GraftQuery] = Seq(
     d01_exact_dup_groups, d02_ngram_jaccard, d03_minhash_lsh, d04_simhash,
     d05_simhash_neardup, d06_dedup_clusters, d07_dedup_apply,
     d08_contamination, d09_bloom_decontaminate, d10_incremental_neardup,
-    d11_indexed_neardup, d12_extended_neardup)
+    d11_indexed_neardup, d12_extended_neardup, d13_index_compaction)
 }

@@ -169,14 +169,12 @@ class NearDupSpec extends SparkSpec {
     val batch = Seq((10L, base), (20L, base + " extra")).toDF("doc_id", "text")
     val dir = java.nio.file.Files.createTempDirectory("neardup-idx").toString
     try {
-      val built = NearDup.buildIndex(corpus, "doc_id", "text")
-      built.shingles.write.parquet(s"$dir/sh")
-      built.buckets.write.parquet(s"$dir/bk")
-      val index = NearDup.NearDupIndex(
-        spark.read.parquet(s"$dir/sh"), spark.read.parquet(s"$dir/bk"))
+      NearDup.NearDupIndex.save(NearDup.buildIndex(corpus, "doc_id", "text"), dir)
+      val index = NearDup.NearDupIndex.load(spark, dir)
+      // the stored meta round-trips the build parameters
+      assert(index.numHashes == 64 && index.bands == 32 && index.shingleSize == 3)
       val indexed = NearDup.incrementalNearDupPairs(batch, index, "doc_id", "text",
-          threshold = 0.7, numHashes = 64, bands = 32, shingleSize = 3,
-          maxBucketSize = 1000)
+          threshold = 0.7, maxBucketSize = 1000)
         .as[(Long, Long, Double)].collect().toSet
       val direct = NearDup.incrementalNearDupPairs(batch, corpus, "doc_id", "text", 0.7)
         .as[(Long, Long, Double)].collect().toSet
@@ -196,8 +194,7 @@ class NearDupSpec extends SparkSpec {
     val extended = NearDup.extendIndex(
       NearDup.buildIndex(corpusA, "doc_id", "text"), batchB, "doc_id", "text")
     val viaExtended = NearDup.incrementalNearDupPairs(batchC, extended,
-        "doc_id", "text", threshold = 0.7, numHashes = 64, bands = 32,
-        shingleSize = 3, maxBucketSize = 1000)
+        "doc_id", "text", threshold = 0.7, maxBucketSize = 1000)
       .as[(Long, Long, Double)].collect().toSet
     val viaDirect = NearDup.incrementalNearDupPairs(batchC,
         corpusA.unionByName(batchB), "doc_id", "text", 0.7)
@@ -205,6 +202,66 @@ class NearDupSpec extends SparkSpec {
     assert(viaExtended == viaDirect && viaExtended.nonEmpty)
     // the extension saw doc 2: C's "+ extra" twin must match against it
     assert(viaExtended.exists { case (n, o, _) => n == 20L && o == 2L })
+  }
+
+  test("compactIndex drops dead ids, merges fragments, and dedups identically") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val corpusA = Seq((1L, base),
+      (3L, "completely unrelated text about spark query engines and planning"),
+      (5L, "to be dropped from the corpus by the maintenance pass entirely"))
+      .toDF("doc_id", "text")
+    val batchB = Seq((2L, base + " extra"),
+      (7L, "another doomed document that compaction must fully remove"))
+      .toDF("doc_id", "text")
+    val probe = Seq((10L, base), (20L, base + " extra")).toDF("doc_id", "text")
+    val frag = NearDup.extendIndex(
+      NearDup.buildIndex(corpusA, "doc_id", "text"), batchB, "doc_id", "text")
+    val keep = Seq(1L, 2L, 3L).toDF("id")
+    val compacted = NearDup.compactIndex(frag, keep)
+    // dead ids are gone from BOTH relations
+    assert(compacted.shingles.filter(col("id").isin(5L, 7L)).count() == 0)
+    assert(compacted.buckets.select(explode(col("ids")).as("id"))
+      .filter(col("id").isin(5L, 7L)).count() == 0)
+    // fragments merged: one row per bucket key
+    assert(compacted.buckets.groupBy("bk").count()
+      .filter(col("count") > 1).count() == 0)
+    // survivors intact: every kept doc still occupies one bucket per band
+    assert(compacted.buckets.select(explode(col("ids")).as("id")).count() == 3 * 32)
+    // and dedup against the compacted index equals dedup against the
+    // surviving corpus built from scratch
+    val viaCompacted = NearDup.incrementalNearDupPairs(probe, compacted,
+        "doc_id", "text", threshold = 0.7, maxBucketSize = 1000)
+      .as[(Long, Long, Double)].collect().toSet
+    val survivors = corpusA.unionByName(batchB).filter(col("doc_id") <= 3)
+    val viaFresh = NearDup.incrementalNearDupPairs(probe,
+        NearDup.buildIndex(survivors, "doc_id", "text"),
+        "doc_id", "text", threshold = 0.7, maxBucketSize = 1000)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(viaCompacted == viaFresh && viaCompacted.nonEmpty)
+  }
+
+  test("indexed probe with mismatched LSH parameters is unrepresentable (params live in the index)") {
+    // the ADVICE-flagged failure mode: a batch probed with different
+    // numHashes/bands than the stored index silently returns nothing.
+    // The API now stores the parameters at build time and the probe reads
+    // them from the index — this test pins that a non-default build round-
+    // trips its parameters through save/load and still dedups correctly.
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val corpus = Seq((1L, base)).toDF("doc_id", "text")
+    val batch = Seq((10L, base + " now")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("neardup-idx-params").toString
+    try {
+      NearDup.NearDupIndex.save(
+        NearDup.buildIndex(corpus, "doc_id", "text", numHashes = 32, bands = 16), dir)
+      val index = NearDup.NearDupIndex.load(spark, dir)
+      assert(index.numHashes == 32 && index.bands == 16)
+      val got = NearDup.incrementalNearDupPairs(batch, index, "doc_id", "text",
+          threshold = 0.5, maxBucketSize = 1000)
+        .as[(Long, Long, Double)].collect()
+      assert(got.nonEmpty && got.head._1 == 10L && got.head._2 == 1L)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
   }
 
   test("shingles of a doc shorter than n collapse to one whole-text shingle") {

@@ -95,13 +95,65 @@ class PlanAuditSpec extends SparkSpec {
     // the staged corpus-text table must not appear anywhere in the plan —
     // the old side is served entirely by the two index relations
     assert(!p.contains("neardup_corpus"), p)
-    assert(p.contains("neardup_index_shingles"), p)
-    assert(p.contains("neardup_index_buckets"), p)
+    assert(p.contains("neardup_index/shingles"), p)
+    assert(p.contains("neardup_index/buckets"), p)
     // and the index scans themselves carry no text column: their read
-    // schemas are (id, shingle) / (id, bk) only
+    // schemas are (id, shingle) / (bk, ids) only
     val indexScans = p.linesIterator.filter(_.contains("neardup_index")).toList
     assert(indexScans.nonEmpty, p)
     assert(indexScans.forall(!_.contains("text")), indexScans.mkString("\n"))
+  }
+
+  /** Parent chain of the first plan line matching `needle`, nearest
+    * ancestor first — walks the tree-print connectors upward by indent.
+    */
+  private def ancestors(planStr: String, needle: String): Seq[String] = {
+    val lines = planStr.linesIterator.toVector
+    def depth(l: String): Int = { val i = l.indexOf("- "); if (i < 0) 0 else i }
+    val start = lines.indexWhere(_.contains(needle))
+    assert(start >= 0, s"no plan line matches '$needle':\n$planStr")
+    val out = scala.collection.mutable.ListBuffer.empty[String]
+    var d = depth(lines(start))
+    var i = start - 1
+    while (i >= 0 && d > 0) {
+      if (depth(lines(i)) < d) { out += lines(i); d = depth(lines(i)) }
+      i -= 1
+    }
+    out.toSeq
+  }
+
+  test("d11: corpus bucket scan reaches the batch-key semi-join with no shuffle in between") {
+    // the O(batch) contract: the stored bucket relation is pruned by a
+    // BROADCAST semi-join on the batch's band keys BEFORE any exchange —
+    // an Exchange below that join would mean the whole corpus bucket table
+    // shuffles per batch (the round-5 scale finding)
+    val df = DedupQueries.d11_indexed_neardup.fn(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    val chain = ancestors(p, "neardup_index/buckets")
+    val semiAt = chain.indexWhere(l =>
+      l.contains("BroadcastHashJoin") && l.contains("LeftSemi"))
+    assert(semiAt >= 0,
+      "bucket scan must feed a broadcast LeftSemi on the batch keys:\n" +
+        chain.mkString("\n"))
+    val below = chain.take(semiAt)
+    assert(!below.exists(l => l.contains("Exchange") && !l.contains("BroadcastExchange")),
+      "shuffle below the batch-key prune on the corpus-buckets path:\n" +
+        chain.mkString("\n"))
+  }
+
+  test("d11: corpus shingle scan is pruned to candidate ids before any shuffle") {
+    val df = DedupQueries.d11_indexed_neardup.fn(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    val chain = ancestors(p, "neardup_index/shingles")
+    val semiAt = chain.indexWhere(l =>
+      l.contains("BroadcastHashJoin") && l.contains("LeftSemi"))
+    assert(semiAt >= 0,
+      "shingle scan must feed a broadcast LeftSemi on candidate ids:\n" +
+        chain.mkString("\n"))
+    val below = chain.take(semiAt)
+    assert(!below.exists(l => l.contains("Exchange") && !l.contains("BroadcastExchange")),
+      "shuffle below the candidate-id prune on the corpus-shingles path:\n" +
+        chain.mkString("\n"))
   }
 
   test("q46: sampling is one exchange (the stratum window), pruned scan") {

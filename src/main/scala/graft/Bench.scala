@@ -15,8 +15,16 @@ import java.nio.file.{Files, Paths}
   * that THROWS is recorded as -1 — round 1 swallowed the error and recorded
   * the elapsed-until-throw as if it were a real timing.
   *
-  * Methodology (round 5): `SPARK_GRAFT_PASSES` (default 3) timed passes of
-  * the WHOLE suite, reported per-query as the MEDIAN across passes. Round 4's
+  * Methodology (round 5, refined round 6): `SPARK_GRAFT_PASSES` (default 3)
+  * timed passes of the WHOLE suite — each pass in a DIFFERENT deterministic
+  * shuffled order (seed = pass number), so sustained box load cannot bias
+  * the same queries every pass — reported per-query as the MEDIAN across
+  * passes, with min/max/ok alongside. The artifact carries two totals:
+  * `value` (sum of medians — load-resistant to transient spikes) and
+  * `value_min` (sum of per-query mins — the steady-state number a clean box
+  * reproduces; round-5 judge re-measurement confirmed the mins, not the
+  * medians, match isolated runs when the box is loaded across all passes).
+  * Round 4's
   * single timed pass had no defense against box noise: one load spike or
   * old-gen GC storm landed on whichever query was running and became the
   * official number (d10 recorded 55.9 s vs 3-5 s on a clean run; q42 10.5 s
@@ -68,7 +76,13 @@ object Bench {
     val perQuery = scala.collection.mutable.LinkedHashMap(
       names.map(n => n -> Vector.empty[Double]): _*)
     for (pass <- 1 to passes) {
-      queries.foreach { case (name, fn) =>
+      // deterministic per-pass shuffle: sustained box load (the round-5
+      // artifact distortion) hits a DIFFERENT run position each pass, so no
+      // query's median is systematically biased by its suite position;
+      // seeded by pass number so runs stay reproducible
+      val order = new scala.util.Random(pass.toLong).shuffle(names)
+      order.foreach { name =>
+        val fn = queries(name)
         val t0 = System.nanoTime()
         val ok =
           try { materialize(fn(spark, sfDir)); true }
@@ -89,13 +103,15 @@ object Bench {
     }
     // Per-query stats over SUCCESSFUL passes; a query with zero successful
     // passes is -1 (and counted in "failed"). A query that failed some but
-    // not all passes still gets honest stats from the passes that ran.
-    case class Stat(med: Double, min: Double, max: Double)
+    // not all passes still gets honest stats from the passes that ran, and
+    // its successful-pass count ("ok") records the partial failure in the
+    // artifact — without it a 1-of-3 flake is indistinguishable from clean.
+    case class Stat(med: Double, min: Double, max: Double, ok: Int)
     val stats = perQuery.map { case (name, ts) =>
       val ok = ts.filter(_ >= 0)
       val st =
-        if (ok.isEmpty) Stat(-1, -1, -1)
-        else Stat(median(ok), ok.min, ok.max)
+        if (ok.isEmpty) Stat(-1, -1, -1, 0)
+        else Stat(median(ok), ok.min, ok.max, ok.length)
       name -> st
     }
     def fmt(v: Double): String =
@@ -104,15 +120,21 @@ object Bench {
       .mkString("{", ",", "}")
     val statsJson = stats.map { case (k, st) =>
       "\"" + k + "\":{\"min\":" + fmt(st.min) + ",\"med\":" + fmt(st.med) +
-        ",\"max\":" + fmt(st.max) + "}"
+        ",\"max\":" + fmt(st.max) + ",\"ok\":" + st.ok + "}"
     }.mkString("{", ",", "}")
     val total = stats.values.map(_.med).filter(_ >= 0).sum
+    // steady-state headline: sum of per-query MINS. The median defends
+    // against transient spikes but not a box loaded across ALL passes
+    // (round-5 judge finding: q25 med 13.6 s vs 1.2 s clean); the min is
+    // the reproducible-on-a-clean-box number, so both totals ship and
+    // README.md documents which is which.
+    val totalMin = stats.values.map(_.min).filter(_ >= 0).sum
     // "materialize":"noop-sink" marks the round-3 methodology change: rounds
     // 1-2 timed count(), which let Catalyst prune un-counted output columns
     // — apparent per-query regressions vs those rounds are previously
     // unmeasured projection work, not plan changes
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","materialize":"noop-sink","passes":$passes,"queries":$qs,"stats":$statsJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"value_min":${fmt(totalMin)},"unit":"sec","materialize":"noop-sink","passes":$passes,"order":"shuffled-per-pass","queries":$qs,"stats":$statsJson,"sf":"$sfDir"}"""
     Files.write(Paths.get(outPath), (line + "\n").getBytes(StandardCharsets.UTF_8))
     // The driver captures only the LAST 2000 bytes of stdout (and sbt appends
     // a ~75-byte "[success]" trailer after us), so the full 93-query line
@@ -125,7 +147,7 @@ object Bench {
       if (v < 0) "-1" else BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
     val failed = stats.count(_._2.med < 0)
     val head =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","nqueries":${stats.size},"failed":$failed,"materialize":"noop-sink","passes":$passes,"detail":"$outPath","queries":{"""
+      s"""{"metric":"total","value":${fmt(total)},"value_min":${fmt(totalMin)},"unit":"sec","sf":"$sfDir","nqueries":${stats.size},"failed":$failed,"materialize":"noop-sink","passes":$passes,"detail":"$outPath","queries":{"""
     val tail = "}}"
     val budget = 1200 - head.length - tail.length
     val slowestFirst = stats.toSeq.sortBy { case (_, st) => -st.med }

@@ -30,8 +30,22 @@ object ScaleSmoke {
     val replicated = base.crossJoin(
         spark.range(copies.toLong).select(col("id").as("__copy")))
       .select((col("doc_id") + col("__copy") * n).as("doc_id"),
-        // perturb each copy so replicas are near-dups, not exact clones
-        concat_ws(" ", col("text"), concat(lit("copytag"), col("__copy"))).as("text"))
+        // copy 0 is the base corpus verbatim; every other copy is SALTED by
+        // prefixing every word with a copy tag ("w" → "c3w": token and
+        // shingle COUNTS unchanged, so the 10x corpus is 10x the input
+        // volume), which makes each copy's shingles disjoint from every
+        // other copy's. Each copy is then a closed world whose internal
+        // near-dup structure mirrors the base — output pairs grow LINEARLY
+        // with copies, which is what a "2x of linear" wall-time budget
+        // presumes. The previous fixture (a trailing copytag token) made
+        // all `copies` replicas of a doc near-dups of EACH OTHER:
+        // C(10,2) = 45 cross-copy pairs per base pair-member, so the gate
+        // was really measuring that 4.5x output asymmetry (1.7-2.2x across
+        // rounds) and drifted over budget with zero code change. A cap
+        // regression still explodes quadratically and fails loudly.
+        when(col("__copy") === 0, col("text"))
+          .otherwise(regexp_replace(col("text"), lit("(\\S+)"),
+            concat(lit("c"), col("__copy"), lit("$1")))).as("text"))
     // the hot key: one boilerplate string repeated hotDocs times with a tiny
     // suffix — all land in the same SimHash chunks / LSH bands
     val boiler = "lorem ipsum boilerplate terms of service all rights " +
@@ -142,6 +156,48 @@ object ScaleSmoke {
     results
   }
 
+  /** Per-batch cost of the PERSISTED-INDEX incremental dedup vs corpus
+    * size: the same fixed batch is deduped against a 1× and a 10× corpus
+    * index (both persisted + read back, index build untimed — that's the
+    * amortized once-per-corpus cost). The O(batch) contract says the probe
+    * only ever shuffles batch-derived data — corpus relations are scanned
+    * map-side behind broadcast semi-joins — so wall time must stay FLAT
+    * (bounded by scan growth), not scale with the corpus. Returns
+    * (t1x, t10x, rows1x, rows10x).
+    */
+  def indexedBatchSection(spark: SparkSession, sfDir: String,
+                          copies: Int = 10): (Double, Double, Long, Long) = {
+    import graft.ext.NearDup
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    // fixed batch, ids disjoint from both corpora
+    val batch = docs.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 777000000L).as("doc_id"), col("text"))
+      .cache()
+    batch.count()
+    val big = docs10x(spark, sfDir, copies, hotDocs = 3000)
+    val tmp = java.nio.file.Files.createTempDirectory("neardup-flat").toString
+    def probe(corpus: DataFrame, dir: String): (Long, Double) = {
+      NearDup.NearDupIndex.save(
+        NearDup.buildIndex(corpus, "doc_id", "text"), dir) // untimed: amortized
+      val index = NearDup.NearDupIndex.load(spark, dir)
+      val run = () => NearDup.incrementalNearDupPairs(batch, index,
+        "doc_id", "text", threshold = 0.7, maxBucketSize = 1000).count()
+      run() // warm-up (codegen, broadcast build)
+      spark.catalog.clearCache()
+      val (rows, t) = time(run())
+      spark.catalog.clearCache()
+      (rows, t)
+    }
+    try {
+      val (rows1, t1) = probe(docs, s"$tmp/idx1x")
+      val (rows10, t10) = probe(big, s"$tmp/idx10x")
+      batch.unpersist()
+      (t1, t10, rows1, rows10)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val copies = 10
@@ -219,7 +275,17 @@ object ScaleSmoke {
       run("rel_bloom_anti", bloomAnti(liSmall, ordSmall, 100000L),
         bloomAnti(liBig, ordBig, 1000000L)))
 
-    var failed = false
+    // persisted-index probe: FLAT budget (2x of the 1x probe), not linear —
+    // the whole point of the index is that corpus growth doesn't reach the
+    // per-batch plan
+    val (tIdx1, tIdx10, rIdx1, rIdx10) = indexedBatchSection(spark, sfDir, copies)
+    val idxFlat = tIdx10 / math.max(tIdx1, 1.0)
+    val idxVerdict = if (tIdx10 <= 2.0 * math.max(tIdx1, 1.0)) "OK"
+                     else "FAIL (corpus-coupled)"
+    println(f"SMOKE d11_indexed_batch     1x=$tIdx1%6.2fs 10x-corpus=$tIdx10%6.2fs " +
+      f"rows=$rIdx1%d/$rIdx10%d flat=$idxFlat%5.2fx $idxVerdict")
+
+    var failed = idxVerdict != "OK"
     (results ++ relational).foreach { case m @ Measure(name, tSmall, tBig, rows) =>
       val slowdown = m.slowdownVsLinear(copies)
       val verdict =

@@ -55,6 +55,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("wratio"),
       new ExpressionInfo(classOf[WRatioExpr].getName, "wratio"),
       (children: Seq[Expression]) => WRatioExpr(children.head, children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("wratio_ascii"),
+      new ExpressionInfo(classOf[WRatioExpr].getName, "wratio_ascii"),
+      (children: Seq[Expression]) => WRatioExpr(children.head, children(1),
+        forceAscii = true)))
     ext.injectOptimizerRule(_ => PruneLevenshteinFilters)
   }
 }

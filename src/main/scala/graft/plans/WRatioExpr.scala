@@ -109,9 +109,7 @@ object FuzzScorers {
     ratioD(cp(sortJoin(tokens(a))), cp(sortJoin(tokens(b))))
 
   /** The three token_set comparison strings (t0, t1, t2). */
-  private def setStrings(a: String, b: String): (String, String, String) = {
-    val sa = tokens(a).toSet
-    val sb = tokens(b).toSet
+  private def setStrings(sa: Set[String], sb: Set[String]): (String, String, String) = {
     val t0 = (sa & sb).toArray.sorted.mkString(" ")
     val t1 = (t0 + " " + (sa -- sb).toArray.sorted.mkString(" ")).trim
     val t2 = (t0 + " " + (sb -- sa).toArray.sorted.mkString(" ")).trim
@@ -119,7 +117,13 @@ object FuzzScorers {
   }
 
   private def tokenSetD(a: String, b: String): Double = {
-    val (t0, t1, t2) = setStrings(a, b)
+    val sa = tokens(a).toSet
+    val sb = tokens(b).toSet
+    // rapidfuzz compat branch: either token set empty → 0, NOT the 100 the
+    // t0/t2-both-empty algebra below would yield (round-5 advisor finding:
+    // an all-whitespace candidate would otherwise dominate any top-1 rank)
+    if (sa.isEmpty || sb.isEmpty) return 0.0
+    val (t0, t1, t2) = setStrings(sa, sb)
     val (c0, c1, c2) = (cp(t0), cp(t1), cp(t2))
     math.max(ratioD(c0, c1), math.max(ratioD(c0, c2), ratioD(c1, c2)))
   }
@@ -128,7 +132,10 @@ object FuzzScorers {
     partialD(cp(sortJoin(tokens(a))), cp(sortJoin(tokens(b))))
 
   private def partialTokenSetD(a: String, b: String): Double = {
-    val (t0, t1, t2) = setStrings(a, b)
+    val sa = tokens(a).toSet
+    val sb = tokens(b).toSet
+    if (sa.isEmpty || sb.isEmpty) return 0.0 // same compat branch as tokenSetD
+    val (t0, t1, t2) = setStrings(sa, sb)
     val (c0, c1, c2) = (cp(t0), cp(t1), cp(t2))
     math.max(partialD(c0, c1), math.max(partialD(c0, c2), partialD(c1, c2)))
   }
@@ -143,6 +150,26 @@ object FuzzScorers {
       if (Character.isLetterOrDigit(c))
         out.appendCodePoint(Character.toLowerCase(c))
       else out.append(' ')
+    }
+    out.toString.trim
+  }
+
+  /** thefuzz's LEGACY `full_process(force_ascii=True)`: non-ASCII code
+    * points are DELETED first (thefuzz `utils.ascii_only` — removal, not
+    * transliteration: "Curaçao" → "Curaao"), then the usual
+    * lowercase/non-alnum→space/trim. The engine default is the Unicode
+    * [[process]] (rapidfuzz ≥ 3 semantics, strictly better for
+    * international name data); this exists so reference top-1 rankings can
+    * be bit-matched even on accented names (FIXTURES.md §4).
+    */
+  def processAscii(s: String): String = {
+    val out = new java.lang.StringBuilder(s.length)
+    s.codePoints().forEach { c =>
+      if (c < 128) {
+        if (Character.isLetterOrDigit(c))
+          out.appendCodePoint(Character.toLowerCase(c))
+        else out.append(' ')
+      } // c >= 128: dropped entirely, matching ascii_only
     }
     out.toString.trim
   }
@@ -164,9 +191,14 @@ object FuzzScorers {
   def partialTokenSetRatio(a: UTF8String, b: UTF8String): Int =
     Math.rint(partialTokenSetD(a.toString, b.toString)).toInt
 
-  def wratio(a: UTF8String, b: UTF8String): Int = {
-    val p1 = process(a.toString)
-    val p2 = process(b.toString)
+  def wratio(a: UTF8String, b: UTF8String): Int =
+    wratioProcessed(process(a.toString), process(b.toString))
+
+  /** [[wratio]] under the legacy thefuzz preprocessor — see [[processAscii]]. */
+  def wratioAscii(a: UTF8String, b: UTF8String): Int =
+    wratioProcessed(processAscii(a.toString), processAscii(b.toString))
+
+  private def wratioProcessed(p1: String, p2: String): Int = {
     val c1 = cp(p1)
     val c2 = cp(p2)
     if (c1.length == 0 || c2.length == 0) return 0
@@ -256,12 +288,21 @@ case class PartialTokenSetRatioExpr(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
-case class WRatioExpr(left: Expression, right: Expression)
+/** `forceAscii = true` swaps in thefuzz's legacy
+  * `full_process(force_ascii=True)` preprocessor (non-ASCII deleted) for
+  * bit-parity with reference rankings on accented names; default is
+  * rapidfuzz Unicode processing.
+  */
+case class WRatioExpr(left: Expression, right: Expression,
+                      forceAscii: Boolean = false)
     extends FuzzScorerExpr {
-  override def prettyName: String = "wratio"
-  override protected def method: String = "wratio"
+  override def prettyName: String = if (forceAscii) "wratio_ascii" else "wratio"
+  override protected def method: String = if (forceAscii) "wratioAscii" else "wratio"
   override def nullSafeEval(a: Any, b: Any): Any =
-    FuzzScorers.wratio(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+    if (forceAscii)
+      FuzzScorers.wratioAscii(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+    else
+      FuzzScorers.wratio(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }
@@ -279,4 +320,8 @@ object WRatioExpr {
     bridge.column(PartialTokenSetRatioExpr(bridge.expression(a), bridge.expression(b)))
   def wratio(a: Column, b: Column): Column =
     bridge.column(WRatioExpr(bridge.expression(a), bridge.expression(b)))
+  /** Legacy thefuzz parity: `full_process(force_ascii=True)` preprocessing. */
+  def wratioAscii(a: Column, b: Column): Column =
+    bridge.column(WRatioExpr(bridge.expression(a), bridge.expression(b),
+      forceAscii = true))
 }

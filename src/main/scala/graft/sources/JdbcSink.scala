@@ -99,6 +99,45 @@ object JdbcSink {
     }
   }
 
+  /** PostgreSQL — the common open-source warehouse target, so the sink is
+    * portable beyond the reference's SQL Server and the sandbox's Derby.
+    * Unquoted identifiers fold to LOWER case (the opposite of Derby);
+    * `IF EXISTS` is supported; column retyping is `ALTER COLUMN ... TYPE`;
+    * doubles are `DOUBLE PRECISION` and decimals `NUMERIC`. DDL strings are
+    * unit-tested in JdbcDialectSpec (no live Postgres in this environment —
+    * same status the SQL Server dialect has always had here).
+    */
+  case object PostgresDialect extends SqlDialect {
+    def q(ident: String): String = "\"" + ident + "\""
+    def storedName(ident: String): String = ident.toLowerCase
+    def supportsIfExists: Boolean = true
+    def dropTableSql(table: String): String = s"DROP TABLE IF EXISTS ${q(table)}"
+    def setPrimaryKeySql(table: String, column: String, sqlType: String): Seq[String] = Seq(
+      s"ALTER TABLE ${q(table)} ALTER COLUMN ${q(column)} SET NOT NULL",
+      s"ALTER TABLE ${q(table)} ADD CONSTRAINT ${q(s"PK_$table")} PRIMARY KEY (${q(column)})")
+    def setForeignKeySql(table: String, column: String,
+                         refTable: String, refColumn: String): String =
+      s"ALTER TABLE ${q(table)} ADD CONSTRAINT ${q(s"FK_$column")} " +
+        s"FOREIGN KEY (${q(column)}) REFERENCES ${q(refTable)} (${q(refColumn)})"
+    def dropForeignKeySql(table: String, column: String): String =
+      s"ALTER TABLE ${q(table)} DROP CONSTRAINT IF EXISTS ${q(s"FK_$column")}"
+    def setColumnTypeSql(table: String, column: String, sqlType: String): String =
+      s"ALTER TABLE ${q(table)} ALTER COLUMN ${q(column)} TYPE $sqlType"
+    def columnType(dt: org.apache.spark.sql.types.DataType): String = {
+      import org.apache.spark.sql.types._
+      dt match {
+        case IntegerType            => "INTEGER"
+        case LongType               => "BIGINT"
+        case DoubleType | FloatType => "DOUBLE PRECISION"
+        case d: DecimalType         => s"NUMERIC(${d.precision},${d.scale})"
+        case DateType               => "DATE"
+        case TimestampType          => "TIMESTAMP"
+        case BooleanType            => "BOOLEAN"
+        case _                      => "VARCHAR(255)"
+      }
+    }
+  }
+
   /** Embedded Apache Derby (`jdbc:derby:memory:...`), used to execute the
     * protocol against a live engine in tests. Derby folds unquoted
     * identifiers to upper case and has no `IF EXISTS`; `ALTER COLUMN ... SET

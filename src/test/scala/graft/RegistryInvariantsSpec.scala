@@ -31,6 +31,38 @@ class RegistryInvariantsSpec extends AnyFunSuite {
     }
   }
 
+  test("golden files match the committed MANIFEST (regeneration discipline)") {
+    // The goldens are REGRESSION oracles pinned at sf0.01: when operator
+    // code changes their output, tools/gen_goldens.sh must be re-run (and
+    // the diff eyeballed) — this gate turns "golden silently drifted from
+    // its manifest" into a test failure instead of a shipped green. Both
+    // directions are checked: a changed/missing file AND a manifest entry
+    // for a file that no longer exists.
+    val dir = new java.io.File(queries.GoldenOracles.dir)
+    val manifestFile = new java.io.File(dir, "MANIFEST")
+    assert(manifestFile.isFile,
+      s"missing ${manifestFile.getPath} — run tools/gen_goldens.sh")
+    def sha256(f: java.io.File): String = {
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      md.digest(java.nio.file.Files.readAllBytes(f.toPath))
+        .map("%02x".format(_)).mkString
+    }
+    val manifest = scala.io.Source.fromFile(manifestFile).getLines()
+      .filter(_.nonEmpty)
+      .map { l => val Array(h, n) = l.trim.split("\\s+", 2); n.trim -> h }
+      .toMap
+    val files = dir.listFiles().filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getName -> sha256(f)).toMap
+    val drifted = files.collect {
+      case (n, h) if manifest.get(n).exists(_ != h) => n }
+    val unlisted = files.keySet -- manifest.keySet
+    val ghosts = manifest.keySet -- files.keySet
+    assert(drifted.isEmpty && unlisted.isEmpty && ghosts.isEmpty,
+      s"golden drift without a manifest bump — drifted=$drifted " +
+        s"unlisted=$unlisted ghosts=$ghosts; re-run tools/gen_goldens.sh " +
+        "and commit files + MANIFEST together after reviewing the diff")
+  }
+
   test("query names follow the prefix convention the driver artifacts group by") {
     val ok = "^(q|t|d|e|s|src)\\d+_[a-z0-9_]+$".r
     val bad = SparkEntry.registry.map(_.name).filterNot(n => ok.matches(n))

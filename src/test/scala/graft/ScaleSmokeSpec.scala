@@ -56,6 +56,67 @@ class ScaleSmokeSpec extends SparkSpec {
     }
   }
 
+  test("indexed incremental dedup: per-batch time stays flat as the corpus grows 10x") {
+    assume(sys.env.get("SPARK_GRAFT_SMOKE").contains("1"),
+      "opt-in: set SPARK_GRAFT_SMOKE=1 to run the skew smoke gate")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SMOKE_SF_DIR", "/root/testdata/sf0.1")
+    // the O(batch) contract in wall-clock form: same batch, 1x vs 10x
+    // corpus index — if the corpus side shuffled per batch (the round-5
+    // finding), the 10x probe would run ~10x longer; the broadcast-semi
+    // pruned plan pays only map-side scan growth. Budget: 2x of the 1x
+    // probe (with a 1 s floor so sub-second noise can't flip the gate),
+    // against a 10x data growth — a linear regression would blow straight
+    // past it.
+    val (t1, t10, rows1, rows10) = ScaleSmoke.indexedBatchSection(spark, sfDir)
+    info(f"indexed-batch probe: 1x=$t1%6.2fs 10x-corpus=$t10%6.2fs " +
+      f"rows=$rows1%d/$rows10%d flat-ratio=${t10 / math.max(t1, 1.0)}%5.2fx")
+    assert(rows1 > 0 && rows10 > 0, "probe found no pairs — fixture broken")
+    assert(t10 <= 2.0 * math.max(t1, 1.0),
+      f"per-batch time grew with the corpus: 1x=$t1%.2fs 10x=$t10%.2fs — " +
+        "the corpus side is being shuffled per batch again")
+  }
+
+  test("connected components on a deep chain: rounds stay logarithmic in the diameter") {
+    assume(sys.env.get("SPARK_GRAFT_SMOKE").contains("1"),
+      "opt-in: set SPARK_GRAFT_SMOKE=1 to run the skew smoke gate")
+    // adversarial shape for pointer jumping: a single path of length 10^4
+    // (the 10x corpus smoke converges in 2 rounds — its components are
+    // shallow; this one is all depth). Naive min-propagation needs 10^4
+    // rounds; propagate+jump must collapse it in ~log2(10^4) ≈ 13.3.
+    // Reliable checkpoints every 3rd round: lineage must not accumulate
+    // across the ~14 iterations (each round re-plans from the previous
+    // round's materialization, so a lineage leak would show up here as
+    // quadratic planning time or a stack overflow, and the checkpoint dir
+    // must actually receive data).
+    val n = 10000L
+    val ckpt = java.nio.file.Files.createTempDirectory("cc-chain-ckpt").toString
+    spark.sparkContext.setCheckpointDir(ckpt)
+    try {
+      import spark.implicits._
+      val edges = spark.range(n - 1)
+        .select(org.apache.spark.sql.functions.col("id").as("id_a"),
+          (org.apache.spark.sql.functions.col("id") + 1).as("id_b"))
+      val t0 = System.nanoTime()
+      val (labels, rounds) =
+        ext.NearDup.connectedComponentsWithRounds(edges, reliableEvery = 3)
+      val wrong = labels.filter(org.apache.spark.sql.functions.col("comp") =!= 0L).count()
+      val total = labels.count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      val logBound = (math.log(n.toDouble) / math.log(2)).ceil.toInt + 3
+      info(f"cc-chain: $total%d nodes, diameter ${n - 1}%d, $rounds%d rounds " +
+        f"(log bound $logBound%d), $secs%.1fs")
+      assert(total == n && wrong == 0, s"mislabeled $wrong of $total chain nodes")
+      assert(rounds <= logBound,
+        s"CC took $rounds rounds on a depth-${n - 1} chain — pointer jumping " +
+          s"should stay <= $logBound (log2 diameter + slack)")
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(ckpt))
+        .filter(java.nio.file.Files.isRegularFile(_)).count()
+      assert(wrote > 0, "reliableEvery=3 must route rounds through checkpoint()")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    }
+  }
+
   test("capped near-dup/ANN operators stay within 2x of linear under a hot key") {
     assume(sys.env.get("SPARK_GRAFT_SMOKE").contains("1"),
       "opt-in: set SPARK_GRAFT_SMOKE=1 to run the skew smoke gate")

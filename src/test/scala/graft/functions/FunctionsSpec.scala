@@ -118,6 +118,61 @@ class FunctionsSpec extends SparkSpec {
     assert(gotSet == setCases.map(_._3), s"token_set: $gotSet")
   }
 
+  test("token_set family: either token set empty scores 0 (rapidfuzz compat branch)") {
+    import graft.plans.WRatioExpr._
+    // round-5 advisor finding: with an empty intersection and one empty
+    // side, t0 = "" and t2 = "", and ratio of two empty strings is 100 —
+    // so token_set_ratio('x', '') scored 100 and an all-whitespace
+    // candidate would dominate any top-1 ranking. rapidfuzz/thefuzz return
+    // 0 whenever either token SET is empty; pin that branch on both
+    // variants, including the both-empty and whitespace-only shapes.
+    val cases = Seq(
+      ("x", "", 0), ("", "x", 0), ("", "", 0),
+      (" ", "anything", 0), ("anything", "   ", 0))
+    val got = cases.map { case (a, b, _) => (a, b) }.toDF("a", "b")
+      .select(tokenSetRatio(col("a"), col("b")).as("s"),
+        partialTokenSetRatio(col("a"), col("b")).as("p"))
+      .as[(Int, Int)].collect().toSeq
+    assert(got.forall(_ == ((0, 0))), s"empty-token-set: $got")
+    // non-empty sides are unaffected
+    val sane = Seq(("spark sql", "spark sql engine")).toDF("a", "b")
+      .select(tokenSetRatio(col("a"), col("b"))).as[Int].head()
+    assert(sane == 100)
+  }
+
+  test("wratio_ascii: legacy thefuzz force_ascii preprocessing (FIXTURES.md §4)") {
+    import graft.plans.WRatioExpr.{wratio, wratioAscii}
+    // thefuzz full_process(force_ascii=True) DELETES non-ASCII code points
+    // ("Curaçao" → "curaao"), the engine default keeps them (rapidfuzz
+    // Unicode semantics) — the same pair scores differently under the two
+    // processors, and the ascii variant reproduces the reference's numbers
+    // on accented names:
+    //   curaçao/curacao: LCS 6 of 7+7 → 85.7 → 86 (unicode)
+    //   curaao/curacao:  LCS 6 of 6+7 → 92.3 → 92 (thefuzz)
+    //   méxico/mexico:   LCS 5 of 6+6 → 83.3 → 83 (unicode)
+    //   mxico/mexico:    LCS 5 of 5+6 → 90.9 → 91 (thefuzz)
+    val df = Seq(("Curaçao", "Curacao"), ("México", "Mexico")).toDF("a", "b")
+    val got = df.select(wratio(col("a"), col("b")).as("u"),
+      wratioAscii(col("a"), col("b")).as("l")).as[(Int, Int)].collect().toSeq
+    assert(got == Seq((86, 92), (83, 91)), s"wratio unicode/ascii: $got")
+    // pure-ASCII inputs are identical under both processors
+    val same = Seq(("this is a test", "THIS is a test!!"),
+      ("spark", "apache spark"), ("!!!", "anything")).toDF("a", "b")
+      .select(wratio(col("a"), col("b")).as("u"),
+        wratioAscii(col("a"), col("b")).as("l"))
+      .as[(Int, Int)].collect().toSeq
+    assert(same.forall(p => p._1 == p._2), s"ascii inputs must agree: $same")
+    // an ALL-non-ASCII side processes to empty under force_ascii → 0
+    val gone = Seq(("日本", "日本")).toDF("a", "b")
+      .select(wratio(col("a"), col("b")).as("u"),
+        wratioAscii(col("a"), col("b")).as("l")).as[(Int, Int)].head()
+    assert(gone == ((100, 0)), s"non-ascii-only: $gone")
+    // SQL-reachable through GraftExtensions
+    val sqlGot = spark.sql("SELECT wratio_ascii('Curaçao', 'Curacao') AS w")
+      .as[Int].head()
+    assert(sqlGot == 92)
+  }
+
   test("partial token scorers: containment shortcuts and SQL registration") {
     import graft.plans.WRatioExpr._
     val cases = Seq(

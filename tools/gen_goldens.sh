@@ -1,5 +1,13 @@
 #!/bin/sh
 # Regenerate the golden parquets for the approximate-by-design queries
-# (d04, d05, e04, e06, q34) at sf0.01. Commit the result ONLY after
-# checking the diff is an intentional behavior change.
-cd /root/repo && sbt -batch "runMain graft.GenGoldens ${1:-/root/testdata/sf0.01}"
+# (GoldenOracles.names) at sf0.01, then refresh the committed MANIFEST of
+# their sha256 hashes. RegistryInvariantsSpec fails `sbt test` whenever a
+# golden file drifts from the MANIFEST — so any operator change that
+# shifts a golden REQUIRES re-running this script (and eyeballing the
+# diff for intent) before tests go green again. Commit file + manifest
+# together ONLY after checking the diff is an intentional behavior change.
+cd /root/repo || exit 1
+sbt -batch "runMain graft.GenGoldens ${1:-/root/testdata/sf0.01}" || exit 1
+cd src/test/resources/golden/sf0.01 || exit 1
+sha256sum *.parquet > MANIFEST
+echo "refreshed $(wc -l < MANIFEST) manifest entries"

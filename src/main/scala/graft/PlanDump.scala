@@ -20,6 +20,14 @@ object PlanDump {
       "get_json_object twin q22 (0.37 s). JsonToStructs rides " +
       "CodegenFallback but its per-row cost (~0.3 us over the scan) is " +
       "immaterial; keeping the typed from_json form."),
+    "d11_indexed_neardup" -> ("round 6: the corpus side of the probe is " +
+      "map-side only — the stored bucket relation (pre-grouped bk->ids) is " +
+      "broadcast-semi-joined against the batch's distinct band keys BEFORE " +
+      "any aggregation, and corpus shingles are semi-pruned to candidate " +
+      "ids before the exact-verify joins, so no Exchange touches O(corpus) " +
+      "rows (PlanAuditSpec pins both paths; ScaleSmoke measures per-batch " +
+      "time FLAT, 0.95x, when the corpus grows 10x). Closes the round-5 " +
+      "O(corpus)-shuffle finding; d10/d12/d13 share the same plan shape."),
     "d06_dedup_clusters" -> ("round 4: one materializing job per CC round " +
       "(was 3 — convergence now reads the round's own checkpointed output, " +
       "propagate persists instead of checkpointing); 9.1 s -> ~4.5 s " +

@@ -389,13 +389,24 @@ object NearDup {
     val shOld = hashedShingles(oldDf).cache()
     val bNew = bandBuckets(minhashSignatures(shNew, numHashes), bands, r)
       .select(col("bk"), col("id").as("id_new"))
+      .cache() // feeds the key set + the candidate join
+    // same two corpus-side prunes as the indexed overload (shingling the
+    // old TEXT is this overload's unavoidable O(corpus) map-side cost, but
+    // nothing O(corpus) needs to shuffle): bucket rows are broadcast-semi
+    // pruned to batch-touched keys before the group-by, and old shingles
+    // are pruned to candidate ids before the exact-verify joins
+    val batchKeys = bNew.select(col("bk")).distinct()
     val bOld = bandBuckets(minhashSignatures(shOld, numHashes), bands, r)
+      .join(broadcast(batchKeys), Seq("bk"), "left_semi")
       .groupBy("bk").agg(collect_list(col("id")).as("ids"))
       .filter(size(col("ids")) <= maxBucketSize)
     val cand = bNew.join(bOld, "bk")
       .select(col("id_new"), explode(col("ids")).as("id_old"))
       .distinct()
-    exactJaccard(shNew.unionByName(shOld),
+      .cache() // feeds the id prune + the verify join
+    val candOld = cand.select(col("id_old").as("id")).distinct()
+    val shOldPruned = shOld.join(broadcast(candOld), Seq("id"), "left_semi")
+    exactJaccard(shNew.unionByName(shOldPruned),
         cand.select(col("id_new").as("id_a"), col("id_old").as("id_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a").as("id_new"), col("id_b").as("id_old"), col("jaccard"))

@@ -160,4 +160,74 @@ object StreamOps {
           }
         })
   }
+
+  /** CONTINUOUS ingest dedup against a persisted near-dup index — the
+    * streaming form of the daily cycle ([[graft.ext.NearDup.NearDupIndex]]):
+    * each micro-batch of new documents is probed against the stored index
+    * with the O(batch) path (corpus relations broadcast-semi-pruned, never
+    * shuffled), batch-internal near-dups are resolved, survivors are
+    * appended to `outDir` AND folded into the index relations, so the NEXT
+    * micro-batch dedups against them too.
+    *
+    * `foreachBatch` is the deliberate mechanism, not a fallback: per
+    * trigger the micro-batch is a plain DataFrame, so the exact
+    * oracle-gated batch operators (d10/d11's plans, cap semantics, exact
+    * verification) run unchanged — no state-store reimplementation of LSH
+    * to drift from the batch semantics — and the index append happens once
+    * per micro-batch, transactionally ordered after the survivor
+    * materialization. Spark's checkpoint (`checkpointDir`) makes delivery
+    * at-least-once per micro-batch: a replayed batch re-appends its
+    * survivors, which the min-id keep policy and downstream exact dedup
+    * (d01) absorb — the standard idempotence story for file sinks.
+    *
+    * Keep policy within a batch: a doc is dropped iff it has a near-dup
+    * with a SMALLER id in the stored corpus or the same batch (greedy
+    * min-id — the kept set is pairwise non-near-dup; same policy family as
+    * d07's cluster-representative keep, differing only on non-transitive
+    * pair graphs where greedy keeps every locally-minimal doc).
+    *
+    * State is all ON DISK in the index relations — executors hold nothing
+    * between triggers, so executor loss costs one micro-batch replay, and
+    * the stored index is exactly what the batch jobs (d11-d13) read:
+    * streaming and batch ingest can interleave against the same index,
+    * with [[graft.ext.NearDup.compactIndex]] as the shared maintenance op.
+    */
+  def incrementalDedupStream(newDocs: DataFrame, idCol: String, textCol: String,
+                             indexDir: String, outDir: String,
+                             checkpointDir: String, threshold: Double,
+                             maxBucketSize: Int = 1000)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.ext.NearDup
+    newDocs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val index = NearDup.NearDupIndex.load(spark, indexDir)
+          // vs the standing corpus: O(batch) probe against the stored index
+          val corpusDrops = NearDup.incrementalNearDupPairs(
+              batch.toDF(), index, idCol, textCol, threshold, maxBucketSize)
+            .select(col("id_new").as(idCol)).distinct()
+          // within the batch: drop any doc with a smaller near-dup sibling
+          // (pairs come oriented id_a < id_b)
+          val innerDrops = NearDup.nearDuplicatePairs(
+              batch.toDF(), idCol, textCol, threshold)
+            .select(col("id_b").as(idCol)).distinct()
+          // materialize survivors BEFORE touching the index dir: their plan
+          // reads the same parquet relations the appends below write
+          val survivors = batch.toDF()
+            .join(corpusDrops.unionByName(innerDrops).distinct(),
+              Seq(idCol), "left_anti")
+            .localCheckpoint()
+          val ext = NearDup.buildIndex(survivors, idCol, textCol,
+            index.numHashes, index.bands, index.shingleSize)
+          ext.shingles.write.mode("append").parquet(s"$indexDir/shingles")
+          ext.buckets.write.mode("append").parquet(s"$indexDir/buckets")
+          survivors.write.mode("append").parquet(outDir)
+          spark.catalog.clearCache() // probe caches are per-micro-batch
+        }
+      }
+      .start()
+  }
 }

@@ -262,4 +262,64 @@ class StreamingSpec extends SparkSpec {
     // vs-min-id dependent, so ids are excluded from the comparison)
     assert(streamed == batch && streamed.size == 2, s"streamed=$streamed batch=$batch")
   }
+
+  test("incrementalDedupStream: micro-batches dedup against the stored index and extend it") {
+    import graft.ext.NearDup
+    implicit val sqlCtx = spark.sqlContext
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val fresh = "fresh streaming document about catalyst planner internals"
+    val seed = Seq(Doc(1L, base),
+      Doc(3L, "completely unrelated text about spark query engines and planning"))
+    // batch 1: 10 near-dups the SEED corpus; 11 is new; 12 near-dups 11
+    //          WITHIN the batch (greedy min-id keeps 11)
+    // batch 2: 20 near-dups survivor 11 — proving batch-1 survivors entered
+    //          the index between triggers; 21 is new
+    val b1 = Seq(Doc(10L, base + " now"), Doc(11L, fresh), Doc(12L, fresh + " today"))
+    val b2 = Seq(Doc(20L, fresh + " now"),
+      Doc(21L, "entirely different content on minhash lsh banding and jaccard"))
+    val tmp = java.nio.file.Files.createTempDirectory("stream-dedup").toString
+    val (idxDir, outDir, ckptDir) = (s"$tmp/idx", s"$tmp/out", s"$tmp/ckpt")
+    try {
+      NearDup.NearDupIndex.save(
+        NearDup.buildIndex(seed.toDF("doc_id", "text"), "doc_id", "text"), idxDir)
+      val mem = MemoryStream[Doc]
+      mem.addData(b1)
+      val q = StreamOps.incrementalDedupStream(mem.toDF(), "doc_id", "text",
+        idxDir, outDir, ckptDir, threshold = 0.5)
+      q.processAllAvailable()
+      mem.addData(b2) // second trigger sees the index EXTENDED by batch 1
+      q.processAllAvailable()
+      q.stop()
+      // survivors: 10 dropped (corpus dup of 1), 12 dropped (batch dup of
+      // 11), 20 dropped (dup of survivor 11), 11 and 21 kept
+      val survived = spark.read.parquet(outDir)
+        .select("doc_id").as[Long].collect().toSet
+      assert(survived == Set(11L, 21L), s"survived=$survived")
+      // the stored index now holds exactly seed + survivors...
+      val finalIdx = NearDup.NearDupIndex.load(spark, idxDir)
+      val ids = finalIdx.shingles.select("id").distinct().as[Long].collect().toSet
+      assert(ids == Set(1L, 3L, 11L, 21L), s"index ids=$ids")
+      // ...and probing it equals probing a fresh index built from that
+      // corpus in one shot (the streamed appends are semantically invisible,
+      // same invariant d12 pins for batch extendIndex)
+      val probe = Seq(Doc(100L, base), Doc(101L, fresh + " maybe")).toDF("doc_id", "text")
+      val viaStreamed = NearDup.incrementalNearDupPairs(probe, finalIdx,
+          "doc_id", "text", threshold = 0.5, maxBucketSize = 1000)
+        .as[(Long, Long, Double)].collect().toSet
+      val oneShot = NearDup.buildIndex(
+        seed.toDF("doc_id", "text").unionByName(
+          (b1 ++ b2).toDF("doc_id", "text").filter(col("doc_id").isin(11L, 21L))),
+        "doc_id", "text")
+      val viaFresh = NearDup.incrementalNearDupPairs(probe, oneShot,
+          "doc_id", "text", threshold = 0.5, maxBucketSize = 1000)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(viaStreamed == viaFresh && viaStreamed.nonEmpty,
+        s"streamed=$viaStreamed fresh=$viaFresh")
+      // both new docs found their corpus twins
+      assert(viaStreamed.exists { case (n, o, _) => n == 100L && o == 1L })
+      assert(viaStreamed.exists { case (n, o, _) => n == 101L && o == 11L })
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+    }
+  }
 }

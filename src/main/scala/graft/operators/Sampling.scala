@@ -41,4 +41,46 @@ object Sampling {
       .filter(col("__rn") <= k)
       .drop("__rn")
   }
+
+  /** TEMPERATURE resampling across strata (the multilingual-training
+    * mixture rebalance: α = 0.5 quotas — big languages downsampled toward
+    * their square root, small ones kept whole, so no stratum drowns the
+    * mixture). Per stratum the quota is
+    * `min(n, scale · floor(sqrt(n)))` and exactly that many rows are kept,
+    * drawn by deterministic hash order (same contract as [[stratified]]:
+    * a pure function of the data — reproducible across runs,
+    * partitionings, and engines).
+    *
+    * `floor(sqrt(n))` (not `n^α` in the exponent form) keeps the quota
+    * integer-exact on ANY engine: IEEE sqrt is correctly rounded and exact
+    * on perfect squares, so an oracle recomputing the quota can never be
+    * an ULP off where a `POWER(n, 0.5)`-sum formulation could. `scale`
+    * tunes the output size (quota ≈ scale·√n caps a 10⁹-doc stratum at
+    * ~31623·scale rows while a 10⁴-doc stratum keeps 100·scale — the
+    * classic α=0.5 flattening).
+    *
+    * Cost: one tiny count aggregate (broadcast back) + one window shuffle
+    * partitioned by stratum — the same shape as [[stratified]], same skew
+    * caveat: at 100 TB with one dominant stratum, swap the exact window
+    * for the shuffle-free hash-threshold draw
+    * (`xxhash64(key) % n < quota`, binomial-approximate quota) and keep
+    * this exact form for oracle-checked subsets.
+    */
+  def temperatureResample(df: DataFrame, strataCols: Seq[String],
+                          keyCols: Seq[String], scale: Int = 8,
+                          hash: Option[Column] = None): DataFrame = {
+    require(scale > 0, s"scale must be positive, got $scale")
+    val quotas = df.groupBy(strataCols.map(col): _*)
+      .agg(count(lit(1)).as("__cnt"))
+      .select(strataCols.map(col) :+
+        least(col("__cnt"),
+          lit(scale.toLong) * floor(sqrt(col("__cnt")))).as("__quota"): _*)
+    val h = hash.getOrElse(xxhash64(keyCols.map(col): _*))
+    val w = Window.partitionBy(strataCols.map(col): _*)
+      .orderBy(h +: keyCols.map(col): _*)
+    df.withColumn("__rn", row_number().over(w))
+      .join(broadcast(quotas), strataCols)
+      .filter(col("__rn") <= col("__quota"))
+      .drop("__rn", "__quota")
+  }
 }

@@ -333,8 +333,37 @@ object TextQueries {
         round(max(col("n")) / sum(col("n")), 6).as("top_gram_share"))
   }
 
+  // ---------------------------------------------------------------- t10
+  /** Mixture/temperature resampling ([[graft.operators.Sampling
+    * .temperatureResample]]): rebalance the corpus across languages with
+    * α = 0.5 quotas — per language keep `min(n, 8·floor(sqrt(n)))` docs,
+    * drawn by deterministic md5 order, so dominant languages are
+    * downsampled toward their square root and small ones survive whole
+    * (the standard multilingual-pretraining mixture flattening). The draw
+    * is a pure function of the data, so the DuckDB oracle replays it
+    * exactly: same quota arithmetic (floor∘sqrt is integer-exact on any
+    * IEEE engine, unlike a POWER-sum formulation), same md5 hash order.
+    * Output: the kept (doc_id, lang) sample.
+    */
+  val t10_mixture_resample = q("t10_mixture_resample",
+    s"""WITH n AS (SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY 1),
+       |q AS (SELECT lang,
+       |        LEAST(cnt, 8 * CAST(FLOOR(SQRT(cnt)) AS BIGINT)) AS quota
+       |      FROM n),
+       |r AS (SELECT doc_id, lang,
+       |        ROW_NUMBER() OVER (PARTITION BY lang
+       |          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+       |      FROM documents)
+       |SELECT r.doc_id, r.lang FROM r JOIN q USING (lang)
+       |WHERE r.rn <= q.quota""".stripMargin) { (s, dir) =>
+    graft.operators.Sampling.temperatureResample(
+      Tables.documents(s, dir).select("doc_id", "lang"),
+      strataCols = Seq("lang"), keyCols = Seq("doc_id"), scale = 8,
+      hash = Some(md5(col("doc_id").cast("string").cast("binary"))))
+  }
+
   val all: Seq[GraftQuery] = Seq(
     t01_token_stats, t02_quality_score, t03_lang_id, t04_fingerprint,
     t05_rolling_hash, t06_redact, t07_tfidf_top_terms, t08_curation_pipeline,
-    t09_repetition)
+    t09_repetition, t10_mixture_resample)
 }

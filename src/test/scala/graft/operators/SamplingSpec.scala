@@ -36,4 +36,24 @@ class SamplingSpec extends SparkSpec {
       .select("id").as[Long].collect().toSet
     assert(k5.subsetOf(k10) && k5.size == 35 && k10.size == 70)
   }
+
+  test("temperatureResample: sqrt quotas flatten big strata, keep small ones whole") {
+    // strata sizes 900 / 64 / 9: quotas (scale 2) = min(n, 2*floor(sqrt(n)))
+    //   900 -> 60 (downsampled 15x), 64 -> 16, 9 -> 6
+    val skewed = spark.range(900).select(col("id"), lit("big").as("g"))
+      .unionByName(spark.range(1000, 1064).select(col("id"), lit("mid").as("g")))
+      .unionByName(spark.range(2000, 2009).select(col("id"), lit("small").as("g")))
+    val got = Sampling.temperatureResample(skewed, Seq("g"), Seq("id"), scale = 2)
+      .groupBy("g").count().as[(String, Long)].collect().toMap
+    assert(got == Map("big" -> 60L, "mid" -> 16L, "small" -> 6L), got.toString)
+    // big stratum's share drops from 93% to 73% — the mixture flattened
+    // while preserving the size ordering
+    assert(got("big") < 900 && got("small") == 6)
+    // determinism across partitionings, same as stratified
+    val a = Sampling.temperatureResample(skewed.repartition(3), Seq("g"), Seq("id"))
+      .select("id").as[Long].collect().toSet
+    val b = Sampling.temperatureResample(skewed.repartition(17, col("id")), Seq("g"), Seq("id"))
+      .select("id").as[Long].collect().toSet
+    assert(a == b)
+  }
 }

@@ -105,7 +105,25 @@ class ExprPropertySpec extends SparkSpec {
         assert(FuzzScorers.tokenSortRatio(ua, u8(shuffled)) == 100, s"($a|$shuffled)")
         assert(FuzzScorers.tokenSetRatio(ua, u8(shuffled)) == 100, s"($a|$shuffled)")
       }
+      // the legacy-ascii twin agrees with the unicode form on ASCII input
+      // (the generators above are pure ASCII), is symmetric, and in range
+      val wa = FuzzScorers.wratioAscii(ua, ub)
+      assert(wa == w, s"ascii twin diverged on ascii input ($a|$b): $wa != $w")
+      assert(wa == FuzzScorers.wratioAscii(ub, ua), s"wratio_ascii asym ($a|$b)")
+      // empty-token-set compat branch: either side all-whitespace/empty -> 0
+      assert(FuzzScorers.tokenSetRatio(ua, u8("")) == 0
+        && FuzzScorers.partialTokenSetRatio(ua, u8(" ")) == 0)
     }
+    // on NON-ascii input the twins may diverge but both stay lawful:
+    // symmetric, in range, and ascii deletion never resurrects an empty
+    val uni = Seq("Curaçao", "México", "日本", "naïve café", "ascii only")
+    for (a <- uni; b <- uni) {
+      val (ua, ub) = (u8(a), u8(b))
+      val wa = FuzzScorers.wratioAscii(ua, ub)
+      assert(wa >= 0 && wa <= 100)
+      assert(wa == FuzzScorers.wratioAscii(ub, ua), s"wratio_ascii asym ($a|$b)")
+    }
+    assert(FuzzScorers.wratioAscii(u8("日本"), u8("日本")) == 0) // processes to empty
   }
 
   test("IndelRatioExpr: bit-parallel LCS equals the DP reference on random unicode") {

@@ -257,4 +257,106 @@ object Multimodal {
       .putInt(0).putInt(0)
     buf.array()
   }
+
+  final case class GifMeta(width: Int, height: Int, gct_colors: Int)
+
+  /** Parse a GIF87a/GIF89a header + logical screen descriptor. The global
+    * color table size is decoded from the packed byte (2^(n+1) colors when
+    * the GCT flag is set, 0 otherwise). None for anything malformed.
+    */
+  def parseGif(bytes: Array[Byte]): Option[GifMeta] = {
+    if (bytes.length < 13) return None
+    val sig = new String(bytes, 0, 6, java.nio.charset.StandardCharsets.US_ASCII)
+    if (sig != "GIF89a" && sig != "GIF87a") return None
+    val w = u16le(bytes, 6); val h = u16le(bytes, 8)
+    if (w < 1 || h < 1) return None
+    val packed = bytes(10) & 0xff
+    val gct = if ((packed & 0x80) != 0) 1 << ((packed & 0x07) + 1) else 0
+    Some(GifMeta(w, h, gct))
+  }
+
+  /** Build a minimal valid GIF89a blob (LSD + trailer, no image data —
+    * header-level fixture, same spirit as the other builders).
+    */
+  def gifBytes(width: Int, height: Int, gctColors: Int = 0): Array[Byte] = {
+    require(gctColors == 0 || (gctColors >= 2 && gctColors <= 256 &&
+      Integer.bitCount(gctColors) == 1), s"gct must be 0 or a power of two in [2,256]")
+    val gctBytes = gctColors * 3
+    val buf = java.nio.ByteBuffer.allocate(13 + gctBytes + 1)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("GIF89a".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    buf.putShort(width.toShort).putShort(height.toShort)
+    val packed = if (gctColors == 0) 0
+                 else 0x80 | (31 - Integer.numberOfLeadingZeros(gctColors) - 1)
+    buf.put(packed.toByte).put(0.toByte).put(0.toByte)
+    buf.position(buf.position() + gctBytes) // zeroed palette
+    buf.put(0x3b.toByte)                    // trailer
+    buf.array()
+  }
+
+  final case class Mp4Meta(brand: String, timescale: Long, duration: Long)
+
+  /** Parse an ISO-BMFF (MP4/MOV) header: walk the top-level boxes for
+    * `ftyp` (major brand) and `moov`, then walk moov's children for `mvhd`
+    * (movie timescale + duration; version 0 and 1 layouts both handled).
+    * Box sizes are validated to advance (same crafted-length discipline as
+    * the WAV/JPEG walks — a hostile size field must not hang an executor).
+    * None unless both ftyp and mvhd are present and well-formed.
+    */
+  def parseMp4(bytes: Array[Byte]): Option[Mp4Meta] = {
+    var brand: Option[String] = None
+    var movie: Option[(Long, Long)] = None
+    def walk(from: Int, until: Int, depth: Int): Unit = {
+      var off = from
+      while (off + 8 <= until) {
+        val size = u32be(bytes, off)
+        val typ = tag(bytes, off + 4)
+        // size 1 (64-bit largesize) and 0 (to-EOF) exist in the spec; the
+        // header fixtures never need them, so refuse rather than misparse
+        if (size < 8 || off + size > until) return
+        typ match {
+          case "ftyp" if size >= 12 =>
+            brand = Some(tag(bytes, off + 8))
+          case "moov" if depth == 0 =>
+            walk(off + 8, off + size.toInt, depth + 1)
+          case "mvhd" if depth == 1 =>
+            val v = bytes(off + 8) & 0xff
+            if (v == 0 && size >= 32)
+              movie = Some((u32be(bytes, off + 20), u32be(bytes, off + 24)))
+            else if (v == 1 && size >= 44)
+              movie = Some((u32be(bytes, off + 28),
+                (u32be(bytes, off + 32) << 32) | u32be(bytes, off + 36)))
+          case _ => ()
+        }
+        off += size.toInt
+      }
+    }
+    if (bytes.length < 12) return None
+    walk(0, bytes.length, 0)
+    for { b <- brand; (ts, d) <- movie; if ts > 0 } yield Mp4Meta(b, ts, d)
+  }
+
+  /** Build a minimal valid MP4 blob: `ftyp` (major brand, no compatible
+    * brands) + `moov` containing a version-0 `mvhd` with the given movie
+    * timescale/duration. Header-level fixture like the others.
+    */
+  def mp4Bytes(timescale: Int, duration: Int, brand: String = "isom"): Array[Byte] = {
+    require(brand.length == 4, "brand must be a 4cc")
+    val buf = java.nio.ByteBuffer.allocate(16 + 116) // ftyp + moov(mvhd)
+    buf.putInt(16).put("ftyp".getBytes("US-ASCII"))
+      .put(brand.getBytes("US-ASCII")).putInt(0)
+    buf.putInt(116).put("moov".getBytes("US-ASCII"))
+    buf.putInt(108).put("mvhd".getBytes("US-ASCII"))
+      .putInt(0)                  // version 0 + flags
+      .putInt(0).putInt(0)        // creation/modification
+      .putInt(timescale).putInt(duration)
+      .putInt(0x00010000)         // rate 1.0
+      .putShort(0x0100.toShort)   // volume 1.0
+      .putShort(0.toShort).putInt(0).putInt(0) // reserved
+    (0 until 9).foreach(i => buf.putInt(if (i == 0 || i == 4) 0x00010000
+                                        else if (i == 8) 0x40000000 else 0)) // unity matrix
+    (0 until 6).foreach(_ => buf.putInt(0)) // pre_defined
+    buf.putInt(2)                // next_track_ID
+    buf.array()
+  }
 }

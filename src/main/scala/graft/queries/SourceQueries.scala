@@ -187,7 +187,13 @@ object SourceQueries {
       |  CAST(32 + doc_id % 128 AS INT) AS png_w,
       |  CAST(32 + doc_id % 96 AS INT) AS png_h,
       |  CAST(64 + doc_id % 192 AS INT) AS jpg_w,
-      |  CAST(64 + doc_id % 108 AS INT) AS jpg_h
+      |  CAST(64 + doc_id % 108 AS INT) AS jpg_h,
+      |  CAST(8 + doc_id % 100 AS INT) AS gif_w,
+      |  CAST(8 + doc_id % 50 AS INT) AS gif_h,
+      |  CAST(1 << CAST(2 + doc_id % 4 AS INT) AS INT) AS gif_colors,
+      |  'isom' AS mp4_brand,
+      |  CAST(600 * (1 + doc_id % 4) AS BIGINT) AS mp4_timescale,
+      |  CAST((n_chars % 1000) * 600 * 1000 // (600 * (1 + doc_id % 4)) AS BIGINT) AS mp4_duration_ms
       |FROM documents""".stripMargin)) { (s, dir) =>
     import s.implicits._
     Tables.documents(s, dir).select(col("doc_id"), col("n_chars"))
@@ -200,18 +206,28 @@ object SourceQueries {
           val bmp = Multimodal.bmpBytes((16 + id % 64).toInt, (16 + id % 32).toInt)
           val png = Multimodal.pngBytes((32 + id % 128).toInt, (32 + id % 96).toInt)
           val jpg = Multimodal.jpegBytes((64 + id % 192).toInt, (64 + id % 108).toInt)
+          val gif = Multimodal.gifBytes((8 + id % 100).toInt, (8 + id % 50).toInt,
+            1 << (2 + (id % 4)).toInt)
+          val mp4 = Multimodal.mp4Bytes(600 * (1 + (id % 4)).toInt,
+            ((nChars % 1000) * 600).toInt)
           val wm = Multimodal.parseWav(wav).get
           val bm = Multimodal.parseBmp(bmp).get
           val pm = Multimodal.parsePng(png).get
           val jm = Multimodal.parseJpeg(jpg).get
+          val gm = Multimodal.parseGif(gif).get
+          val mm = Multimodal.parseMp4(mp4).get
           (id, wm.sample_rate, wm.channels, wm.n_frames,
             wm.n_frames * 1000 / wm.sample_rate,
             bm.width, bm.height, bm.bits_per_pixel,
-            pm.width, pm.height, jm.width, jm.height)
+            pm.width, pm.height, jm.width, jm.height,
+            gm.width, gm.height, gm.gct_colors,
+            mm.brand, mm.timescale, mm.duration * 1000L / mm.timescale)
         }
       }
       .toDF("asset_id", "sample_rate", "channels", "n_frames", "duration_ms",
-        "bmp_w", "bmp_h", "bmp_bpp", "png_w", "png_h", "jpg_w", "jpg_h")
+        "bmp_w", "bmp_h", "bmp_bpp", "png_w", "png_h", "jpg_w", "jpg_h",
+        "gif_w", "gif_h", "gif_colors", "mp4_brand", "mp4_timescale",
+        "mp4_duration_ms")
   }
 
   // ---------------------------------------------------------------- src09

@@ -89,4 +89,50 @@ class MultimodalSpec extends SparkSpec {
     val offsets = frames.filter(_._1 == 2L).sortBy(_._2).map(_._3)
     assert(offsets == offsets.sorted && offsets.head == 0L)
   }
+
+  test("parseGif round-trips the builder; bad signatures and zero dims refuse") {
+    assert(Multimodal.parseGif(Multimodal.gifBytes(320, 200, 16))
+      .contains(Multimodal.GifMeta(320, 200, 16)))
+    assert(Multimodal.parseGif(Multimodal.gifBytes(1, 1))
+      .contains(Multimodal.GifMeta(1, 1, 0)))
+    // GIF87a also accepted
+    val g87 = Multimodal.gifBytes(40, 30, 4)
+    g87(4) = '7'.toByte
+    assert(Multimodal.parseGif(g87).contains(Multimodal.GifMeta(40, 30, 4)))
+    assert(Multimodal.parseGif("GIF89a".getBytes).isEmpty) // truncated LSD
+    assert(Multimodal.parseGif("NOTGIFxxxxxxx".getBytes).isEmpty)
+    val zero = Multimodal.gifBytes(5, 5)
+    zero(6) = 0; zero(7) = 0
+    assert(Multimodal.parseGif(zero).isEmpty)
+    intercept[IllegalArgumentException] { Multimodal.gifBytes(10, 10, 3) }
+  }
+
+  test("parseMp4 walks ftyp/moov/mvhd; crafted box sizes refuse promptly") {
+    val m = Multimodal.parseMp4(Multimodal.mp4Bytes(600, 9000)).get
+    assert(m == Multimodal.Mp4Meta("isom", 600L, 9000L))
+    assert(Multimodal.parseMp4(Multimodal.mp4Bytes(1000, 0, "mp42"))
+      .contains(Multimodal.Mp4Meta("mp42", 1000L, 0L)))
+    // mvhd version 1 (64-bit times) parses too
+    val v1 = Multimodal.mp4Bytes(600, 0)
+    // rewrite the mvhd as version 1 in place: bump version byte and move
+    // timescale/duration to the v1 offsets (test constructs it manually)
+    val mvhdOff = 16 + 8 // ftyp(16) + moov header(8)
+    v1(mvhdOff + 8) = 1 // version
+    val bb = java.nio.ByteBuffer.wrap(v1)
+    bb.putInt(mvhdOff + 28, 700)           // timescale at v1 offset
+    bb.putInt(mvhdOff + 32, 0)             // duration hi
+    bb.putInt(mvhdOff + 36, 1400)          // duration lo
+    assert(Multimodal.parseMp4(v1).contains(Multimodal.Mp4Meta("isom", 700L, 1400L)))
+    // no moov -> None; no ftyp -> None
+    assert(Multimodal.parseMp4(Multimodal.mp4Bytes(600, 1).take(16)).isEmpty)
+    assert(Multimodal.parseMp4(Multimodal.mp4Bytes(600, 1).drop(16)).isEmpty)
+    // a crafted size that overruns the buffer refuses instead of looping
+    val bad = Multimodal.mp4Bytes(600, 1)
+    java.nio.ByteBuffer.wrap(bad).putInt(16, Int.MaxValue) // moov size
+    assert(Multimodal.parseMp4(bad).isEmpty)
+    val tiny = Multimodal.mp4Bytes(600, 1)
+    java.nio.ByteBuffer.wrap(tiny).putInt(16, 4) // non-advancing size
+    assert(Multimodal.parseMp4(tiny).isEmpty)
+    assert(Multimodal.parseMp4(Array[Byte](1, 2, 3)).isEmpty)
+  }
 }

@@ -362,8 +362,48 @@ object TextQueries {
       hash = Some(md5(col("doc_id").cast("string").cast("binary"))))
   }
 
+  // ---------------------------------------------------------------- t11
+  /** BOILERPLATE MINING: the corpus-wide top-20 5-grams by document
+    * frequency (+ total occurrences) — the diagnostic every web-scale
+    * pipeline runs to find navigation chrome / license footers before
+    * dedup, and the empirical input for sizing the LSH `maxBucketSize`
+    * caps (a gram in 30% of documents IS the hot bucket). One exploded
+    * projection, one partial-aggregated groupBy, then a 20-row
+    * TakeOrdered — no full sort at any scale. Ties at the cut are broken
+    * by the gram text itself, so the top-20 is a deterministic total
+    * order any engine reproduces.
+    */
+  val t11_boilerplate_ngrams = q("t11_boilerplate_ngrams",
+    s"""WITH w AS (SELECT doc_id, string_split(${normSql("text")}, ' ') AS toks FROM documents),
+       |g AS (SELECT doc_id,
+       |        unnest(CASE WHEN len(toks) >= 5
+       |               THEN [array_to_string(toks[i:i+4], ' ') for i in range(1, len(toks) - 3)]
+       |               ELSE [array_to_string(toks, ' ')] END) AS gram
+       |      FROM w),
+       |c AS (SELECT gram, COUNT(DISTINCT doc_id) AS doc_freq, COUNT(*) AS n
+       |      FROM g GROUP BY 1)
+       |SELECT gram, doc_freq, n FROM c
+       |ORDER BY doc_freq DESC, n DESC, gram LIMIT 20""".stripMargin) { (s, dir) =>
+    val n = 5
+    val tokenized = Tables.documents(s, dir).select(col("doc_id"),
+      split(TextFunctions.normalizeWs(col("text")), " ").as("__w"))
+    val w = col("__w")
+    // same two-step shape as NearDup.shingles (materialize the token array
+    // before the generator so the split doesn't re-run per element), but
+    // WITHOUT the distinct — occurrence counts need every instance
+    val grams = when(size(w) >= n,
+      transform(sequence(lit(1), size(w) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(k => element_at(w, i + k)): _*)))
+      .otherwise(array(concat_ws(" ", w)))
+    tokenized.select(col("doc_id"), explode(grams).as("gram"))
+      .groupBy("gram")
+      .agg(countDistinct(col("doc_id")).as("doc_freq"), count(lit(1)).as("n"))
+      .orderBy(col("doc_freq").desc, col("n").desc, col("gram"))
+      .limit(20)
+  }
+
   val all: Seq[GraftQuery] = Seq(
     t01_token_stats, t02_quality_score, t03_lang_id, t04_fingerprint,
     t05_rolling_hash, t06_redact, t07_tfidf_top_terms, t08_curation_pipeline,
-    t09_repetition, t10_mixture_resample)
+    t09_repetition, t10_mixture_resample, t11_boilerplate_ngrams)
 }

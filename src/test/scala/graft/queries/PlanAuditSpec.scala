@@ -156,6 +156,28 @@ class PlanAuditSpec extends SparkSpec {
         chain.mkString("\n"))
   }
 
+  test("t11: boilerplate mining is a TakeOrdered, never a global sort") {
+    val df = TextQueries.t11_boilerplate_ngrams.fn(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    // top-k must plan as TakeOrderedAndProject (per-partition heaps + one
+    // driver merge of 20-row heads) — a global Sort here would shuffle the
+    // whole gram-frequency relation to order all of it for 20 rows
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.linesIterator.exists(l => l.contains("Sort ") && !l.contains("TakeOrdered")), p)
+    val read = "ReadSchema: [^\n]+".r.findFirstIn(p).get
+    assert(read.contains("doc_id") && read.contains("text") && !read.contains("lang"), read)
+  }
+
+  test("t10: mixture resample scans only (doc_id, lang); quotas broadcast back") {
+    val df = TextQueries.t10_mixture_resample.fn(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p) // tiny quota relation joins broadcast
+    assert(!p.contains("SortMergeJoin"), p)
+    val reads = "ReadSchema: [^\n]+".r.findAllIn(p).toList
+    assert(reads.nonEmpty && reads.forall(r => !r.contains("text") && !r.contains("n_chars")),
+      reads.mkString("\n"))
+  }
+
   test("q46: sampling is one exchange (the stratum window), pruned scan") {
     val df = CoreQueries.q46_stratified_sample.fn(spark, dir)
     val p = df.queryExecution.executedPlan.toString

@@ -173,6 +173,14 @@ object NearDup {
     * [[NearDupIndex.save]] / reload with [[NearDupIndex.load]] (three
     * parquet relations: shingles, buckets, one-row meta).
     *
+    * STORED LAYOUT (see [[NearDupIndex]] scaladoc): both relations are
+    * directory-partitioned on `(batch_id, ip|bp)` where `ip = pmod(id,
+    * parts)` and `bp = pmod(bk.bh, parts)`. `layoutParts` carries the
+    * modulus for a LOADED index (0 for an in-memory one) so the probe can
+    * partition-prune its corpus scans; it comes from the stored meta, never
+    * from the caller — pruning with the wrong modulus would silently drop
+    * matching buckets.
+    *
     * [[extendIndex]] appends a batch as new bucket-relation ROWS (the same
     * `bk` may then appear in several rows); readers merge fragments after
     * pruning to the keys they touch, and [[compactIndex]] folds fragments
@@ -180,39 +188,161 @@ object NearDup {
     */
   final case class NearDupIndex(shingles: DataFrame, buckets: DataFrame,
                                 numHashes: Int = 64, bands: Int = 32,
-                                shingleSize: Int = 3)
+                                shingleSize: Int = 3, layoutParts: Int = 0)
+
+  /** Stored-index metadata (one parquet row under `dir/meta`).
+    *
+    *   - `parts`: hash-partition modulus of the relation layout;
+    *   - `epoch`: which generation of the relation directories is live —
+    *     compaction writes a FRESH pair of directories and then swaps this
+    *     pointer, so a crash mid-compaction can never corrupt the live
+    *     index (the half-written epoch is simply never referenced);
+    *   - `compactedThrough`: highest streaming batch id whose rows are
+    *     folded into the live epoch — the streaming replay guard: a
+    *     replayed batch at or below this id is already durable IN FULL
+    *     (its output partition was written before the compaction ran) and
+    *     must be skipped, because the compacted relations no longer carry
+    *     the per-batch partitions the normal replay path filters out.
+    */
+  final case class IndexMeta(numHashes: Int, bands: Int, shingleSize: Int,
+                             parts: Int, epoch: Int, compactedThrough: Long)
 
   object NearDupIndex {
-    /** Persist the index under `dir` as three parquet relations. Full
-      * overwrite of each; for the append-only daily cycle, appending just
-      * the batch's `buildIndex` relations to `shingles`/`buckets` is
-      * equivalent (both are pure unions) and touches O(batch) data.
+    /** Default hash-partition modulus for the stored layout: enough fan-out
+      * that a small probe's touched-partition list prunes most files, few
+      * enough that per-batch appends don't explode the file count. Tune per
+      * deployment via [[save]]'s `parts`.
       */
-    def save(index: NearDupIndex, dir: String): Unit = {
-      graft.sources.ParquetWarehouse.overwriteAll(
-        index.shingles.select(col("id"), col("shingle")), s"$dir/shingles")
-      graft.sources.ParquetWarehouse.overwriteAll(
-        index.buckets.select(col("bk"), col("ids")), s"$dir/buckets")
-      val spark = index.shingles.sparkSession
+    val defaultParts = 64
+
+    private[graft] def relPath(dir: String, name: String, epoch: Int): String =
+      if (epoch == 0) s"$dir/$name" else s"$dir/${name}_e$epoch"
+
+    private[graft] def writeMeta(spark: org.apache.spark.sql.SparkSession,
+                                 dir: String, m: IndexMeta): Unit = {
       import spark.implicits._
       graft.sources.ParquetWarehouse.overwriteAll(
-        Seq((index.numHashes, index.bands, index.shingleSize))
-          .toDF("num_hashes", "bands", "shingle_size"),
+        Seq((m.numHashes, m.bands, m.shingleSize, m.parts, m.epoch, m.compactedThrough))
+          .toDF("num_hashes", "bands", "shingle_size", "parts", "epoch",
+            "compacted_through"),
         s"$dir/meta")
     }
 
-    /** Read an index saved by [[save]]; the LSH parameters come from the
-      * stored meta relation, so a probe can never run with mismatched ones.
-      */
-    def load(spark: org.apache.spark.sql.SparkSession, dir: String): NearDupIndex = {
+    private[graft] def readMeta(spark: org.apache.spark.sql.SparkSession,
+                                dir: String): IndexMeta = {
       val meta = spark.read.parquet(s"$dir/meta").collect()
       require(meta.length == 1, s"corrupt index meta at $dir/meta: ${meta.length} rows")
+      val r = meta.head
+      IndexMeta(r.getAs[Int]("num_hashes"), r.getAs[Int]("bands"),
+        r.getAs[Int]("shingle_size"), r.getAs[Int]("parts"),
+        r.getAs[Int]("epoch"), r.getAs[Long]("compacted_through"))
+    }
+
+    /** Static (whole-epoch) write of both relations with the partitioned
+      * layout. `batchId` stamps every row's `batch_id` partition (-1 for a
+      * bulk build / compaction output — a value no streaming replay filter
+      * ever excludes).
+      */
+    private[graft] def writeRelations(shingles: DataFrame, buckets: DataFrame,
+                                      dir: String, epoch: Int, parts: Int,
+                                      batchId: Long): Unit = {
+      shingles.select(col("id"), col("shingle"))
+        .withColumn("batch_id", lit(batchId))
+        .withColumn("ip", pmod(col("id"), lit(parts)).cast("int"))
+        .write.mode("overwrite").partitionBy("batch_id", "ip")
+        .parquet(relPath(dir, "shingles", epoch))
+      buckets.select(col("bk"), col("ids"))
+        .withColumn("batch_id", lit(batchId))
+        .withColumn("bp", pmod(col("bk.bh"), lit(parts)).cast("int"))
+        .write.mode("overwrite").partitionBy("batch_id", "bp")
+        .parquet(relPath(dir, "buckets", epoch))
+    }
+
+    /** Append ONE ingest batch's relations to the live epoch, keyed and
+      * IDEMPOTENT: rows land in the `batch_id = <batchId>` partition via
+      * dynamic-partition-overwrite, so re-running the same batch (an
+      * at-least-once streaming replay) overwrites its own partitions
+      * instead of duplicating rows.
+      */
+    private[graft] def appendBatch(dir: String, meta: IndexMeta,
+                                   batch: NearDupIndex, batchId: Long): Unit = {
+      graft.sources.ParquetWarehouse.overwritePartitions(
+        batch.shingles.select(col("id"), col("shingle"))
+          .withColumn("batch_id", lit(batchId))
+          .withColumn("ip", pmod(col("id"), lit(meta.parts)).cast("int")),
+        relPath(dir, "shingles", meta.epoch), Seq("batch_id", "ip"))
+      graft.sources.ParquetWarehouse.overwritePartitions(
+        batch.buckets.select(col("bk"), col("ids"))
+          .withColumn("batch_id", lit(batchId))
+          .withColumn("bp", pmod(col("bk.bh"), lit(meta.parts)).cast("int")),
+        relPath(dir, "buckets", meta.epoch), Seq("batch_id", "bp"))
+    }
+
+    /** Number of per-batch append fragments in the live epoch's bucket
+      * relation — a pure directory listing (one `batch_id=*` dir per
+      * appended batch), no data scan. The streaming cycle compacts when
+      * this crosses its threshold.
+      */
+    private[graft] def fragmentCount(spark: org.apache.spark.sql.SparkSession,
+                                     dir: String): Int = {
+      val m = readMeta(spark, dir)
+      val p = new org.apache.hadoop.fs.Path(relPath(dir, "buckets", m.epoch))
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) 0
+      else fs.listStatus(p).count(_.getPath.getName.startsWith("batch_id="))
+    }
+
+    /** Compact the STORED index in place, CRASH-SAFELY: fold all append
+      * fragments (and per-batch partitions) of the live epoch into a fresh
+      * `epoch + 1` directory pair, then swap the meta pointer. The write
+      * order makes every crash window benign:
+      *   - crash while writing the new epoch: meta still points at the old
+      *     (complete) epoch; the half-written dirs are unreferenced garbage;
+      *   - crash after the meta swap: the new epoch is complete and live;
+      *     the old dirs are garbage (removed best-effort below, and by the
+      *     next compaction's sweep if that removal itself crashed).
+      * `batchId` records the newest streaming batch folded in (becomes
+      * `compactedThrough`; pass -1 from batch-mode maintenance).
+      */
+    private[graft] def compactStored(spark: org.apache.spark.sql.SparkSession,
+                                     dir: String, batchId: Long): Unit = {
+      val m = readMeta(spark, dir)
+      val idx = load(spark, dir)
+      val folded = compactIndex(idx, idx.shingles.select("id").distinct())
+      writeRelations(folded.shingles, folded.buckets, dir, m.epoch + 1, m.parts, -1L)
+      writeMeta(spark, dir, m.copy(epoch = m.epoch + 1,
+        compactedThrough = math.max(batchId, m.compactedThrough)))
+      // best-effort removal of every superseded epoch (crash = orphans, not
+      // corruption; re-swept on the next compaction)
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      for (e <- 0 to m.epoch; name <- Seq("shingles", "buckets")) {
+        val p = new org.apache.hadoop.fs.Path(relPath(dir, name, e))
+        try fs.delete(p, true) catch { case _: java.io.IOException => () }
+      }
+    }
+
+    /** Persist the index under `dir`: the two relations in the partitioned
+      * layout (epoch 0, bulk `batch_id = -1`) plus the one-row meta.
+      */
+    def save(index: NearDupIndex, dir: String,
+             parts: Int = defaultParts): Unit = {
+      writeRelations(index.shingles, index.buckets, dir, 0, parts, -1L)
+      writeMeta(index.shingles.sparkSession, dir,
+        IndexMeta(index.numHashes, index.bands, index.shingleSize, parts, 0, -1L))
+    }
+
+    /** Read an index saved by [[save]]; the LSH parameters AND the layout
+      * modulus come from the stored meta relation, so a probe can never run
+      * with mismatched ones, and the epoch pointer selects the live
+      * relation directories.
+      */
+    def load(spark: org.apache.spark.sql.SparkSession, dir: String): NearDupIndex = {
+      val m = readMeta(spark, dir)
       NearDupIndex(
-        spark.read.parquet(s"$dir/shingles"),
-        spark.read.parquet(s"$dir/buckets"),
-        meta.head.getAs[Int]("num_hashes"),
-        meta.head.getAs[Int]("bands"),
-        meta.head.getAs[Int]("shingle_size"))
+        spark.read.parquet(relPath(dir, "shingles", m.epoch)),
+        spark.read.parquet(relPath(dir, "buckets", m.epoch)),
+        m.numHashes, m.bands, m.shingleSize, m.parts)
     }
   }
 
@@ -314,12 +444,48 @@ object NearDup {
     * CACHE LIFETIME: the batch's hashed shingles, band-buckets and the
     * candidate pair relation are cache()d (each feeds two consumers); all
     * are O(batch). Release with `spark.catalog.clearCache()` after the
-    * final action.
+    * final action, or use [[incrementalIndexProbe]] to get the cached
+    * frames back for TARGETED unpersist (the streaming cycle does — a
+    * session-wide clearCache would evict unrelated jobs' caches).
+    *
+    * `maxBroadcastKeys` gates the two corpus-side prune hints: the batch's
+    * band-key set is `bands × |batch|` structs and the candidate-id set is
+    * O(batch × bucket hits) longs — fine to force-broadcast for a normal
+    * ingest day, an executor OOM for a backfill-sized one (10 M docs × 32
+    * bands ≈ 320 M keys). Past the gate the prune becomes a plain shuffled
+    * left-semi: the corpus side then shuffles its TOUCHED rows (still
+    * pruned by partition first), which is graceful degradation — slower,
+    * never fatal. The counts that drive the gate come from the two cached
+    * relations, so measuring them costs one cheap job each, not a recompute.
     */
   def incrementalNearDupPairs(newDf: DataFrame, index: NearDupIndex,
                               idCol: String, textCol: String,
                               threshold: Double,
-                              maxBucketSize: Int): DataFrame = {
+                              maxBucketSize: Int): DataFrame =
+    incrementalIndexProbe(newDf, index, idCol, textCol, threshold,
+      maxBucketSize)._1
+
+  /** Indexed probe with an explicit broadcast gate (no default here: the
+    * overload set may carry defaults on only one alternative).
+    */
+  def incrementalNearDupPairs(newDf: DataFrame, index: NearDupIndex,
+                              idCol: String, textCol: String,
+                              threshold: Double,
+                              maxBucketSize: Int,
+                              maxBroadcastKeys: Long): DataFrame =
+    incrementalIndexProbe(newDf, index, idCol, textCol, threshold,
+      maxBucketSize, maxBroadcastKeys)._1
+
+  /** [[incrementalNearDupPairs]] (indexed) plus the probe's cached frames,
+    * so a caller embedded in a long-lived session (the streaming cycle)
+    * can unpersist exactly what the probe pinned once its action is done.
+    */
+  private[graft] def incrementalIndexProbe(newDf: DataFrame, index: NearDupIndex,
+                                           idCol: String, textCol: String,
+                                           threshold: Double,
+                                           maxBucketSize: Int,
+                                           maxBroadcastKeys: Long = 2000000L)
+      : (DataFrame, Seq[DataFrame]) = {
     val r = index.numHashes / index.bands
     val shNew = shingles(newDf, idCol, textCol, index.shingleSize)
       .select(col("id"), xxhash64(col("shingle")).as("shingle"))
@@ -327,27 +493,55 @@ object NearDup {
     val bNew = bandBuckets(minhashSignatures(shNew, index.numHashes), index.bands, r)
       .select(col("bk"), col("id").as("id_new"))
       .cache() // feeds the key set + the candidate join
+    // size the batch side (cheap: bNew is cached) to decide broadcast vs
+    // shuffled-semi for the corpus prunes — |bNew| bounds |batchKeys|
+    val nKeys = bNew.count()
     val batchKeys = bNew.select(col("bk")).distinct()
-    // corpus bucket relation: broadcast-semi prune to batch-touched keys
-    // FIRST (map-side, no exchange on the corpus path), then merge append
-    // fragments and apply the cap over the pruned sliver only
-    val bOld = index.buckets.select(col("bk"), col("ids"))
-      .join(broadcast(batchKeys), Seq("bk"), "left_semi")
+    val batchKeysPrune =
+      if (nKeys <= maxBroadcastKeys) broadcast(batchKeys) else batchKeys
+    // corpus bucket relation: PARTITION-prune the scan to the batch's
+    // touched layout partitions first (the stored layout hashes bk.bh into
+    // `parts` directories — a probe's touched-partition list is bounded by
+    // `parts`, so collecting it is driver-safe), then broadcast-semi prune
+    // to exact batch keys (map-side, no exchange on the corpus path), then
+    // merge append fragments and apply the cap over the pruned sliver only
+    val bucketsRel =
+      if (index.layoutParts > 0 && index.buckets.columns.contains("bp")) {
+        val touched = bNew
+          .select(pmod(col("bk.bh"), lit(index.layoutParts)).cast("int").as("bp"))
+          .distinct().collect().map(_.getInt(0)).toSeq
+        index.buckets.filter(col("bp").isin(touched: _*))
+      } else index.buckets
+    val bOld = bucketsRel.select(col("bk"), col("ids"))
+      .join(batchKeysPrune, Seq("bk"), "left_semi")
       .groupBy("bk").agg(flatten(collect_list(col("ids"))).as("ids"))
       .filter(size(col("ids")) <= maxBucketSize)
     val cand = bNew.join(bOld, "bk")
       .select(col("id_new"), explode(col("ids")).as("id_old"))
       .distinct()
       .cache() // feeds the id prune + the verify join
-    // corpus shingles: prune to candidate ids before any aggregation —
-    // per-id set sizes and intersections only ever touch candidate docs
+    val nCand = cand.count()
+    // corpus shingles: partition-prune the scan to the candidate ids'
+    // layout partitions, then semi-join to exact candidate ids before any
+    // aggregation — per-id set sizes and intersections only ever touch
+    // candidate docs
     val candOld = cand.select(col("id_old").as("id")).distinct()
-    val shOld = index.shingles.select(col("id"), col("shingle"))
-      .join(broadcast(candOld), Seq("id"), "left_semi")
-    exactJaccard(shNew.unionByName(shOld),
+    val candPrune =
+      if (nCand <= maxBroadcastKeys) broadcast(candOld) else candOld
+    val shinglesRel =
+      if (index.layoutParts > 0 && index.shingles.columns.contains("ip")) {
+        val touched = cand
+          .select(pmod(col("id_old"), lit(index.layoutParts)).cast("int").as("ip"))
+          .distinct().collect().map(_.getInt(0)).toSeq
+        index.shingles.filter(col("ip").isin(touched: _*))
+      } else index.shingles
+    val shOld = shinglesRel.select(col("id"), col("shingle"))
+      .join(candPrune, Seq("id"), "left_semi")
+    val out = exactJaccard(shNew.unionByName(shOld),
         cand.select(col("id_new").as("id_a"), col("id_old").as("id_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a").as("id_new"), col("id_b").as("id_old"), col("jaccard"))
+    (out, Seq(shNew, bNew, cand))
   }
 
   /** INCREMENTAL near-dup: dedup a NEW ingest batch against an EXISTING
@@ -380,7 +574,8 @@ object NearDup {
                               idCol: String, textCol: String,
                               threshold: Double, numHashes: Int = 64,
                               bands: Int = 32, shingleSize: Int = 3,
-                              maxBucketSize: Int = 1000): DataFrame = {
+                              maxBucketSize: Int = 1000,
+                              maxBroadcastKeys: Long = 2000000L): DataFrame = {
     val r = numHashes / bands
     def hashedShingles(df: DataFrame) =
       shingles(df, idCol, textCol, shingleSize)
@@ -394,18 +589,26 @@ object NearDup {
     // old TEXT is this overload's unavoidable O(corpus) map-side cost, but
     // nothing O(corpus) needs to shuffle): bucket rows are broadcast-semi
     // pruned to batch-touched keys before the group-by, and old shingles
-    // are pruned to candidate ids before the exact-verify joins
+    // are pruned to candidate ids before the exact-verify joins; both
+    // hints are size-gated like the indexed overload (a backfill-sized
+    // batch degrades to a shuffled semi instead of an executor OOM)
+    val nKeys = bNew.count()
     val batchKeys = bNew.select(col("bk")).distinct()
+    val batchKeysPrune =
+      if (nKeys <= maxBroadcastKeys) broadcast(batchKeys) else batchKeys
     val bOld = bandBuckets(minhashSignatures(shOld, numHashes), bands, r)
-      .join(broadcast(batchKeys), Seq("bk"), "left_semi")
+      .join(batchKeysPrune, Seq("bk"), "left_semi")
       .groupBy("bk").agg(collect_list(col("id")).as("ids"))
       .filter(size(col("ids")) <= maxBucketSize)
     val cand = bNew.join(bOld, "bk")
       .select(col("id_new"), explode(col("ids")).as("id_old"))
       .distinct()
       .cache() // feeds the id prune + the verify join
+    val nCand = cand.count()
     val candOld = cand.select(col("id_old").as("id")).distinct()
-    val shOldPruned = shOld.join(broadcast(candOld), Seq("id"), "left_semi")
+    val candPrune =
+      if (nCand <= maxBroadcastKeys) broadcast(candOld) else candOld
+    val shOldPruned = shOld.join(candPrune, Seq("id"), "left_semi")
     exactJaccard(shNew.unionByName(shOldPruned),
         cand.select(col("id_new").as("id_a"), col("id_old").as("id_b")))
       .filter(col("jaccard") >= threshold)

@@ -164,51 +164,87 @@ object StreamOps {
   /** CONTINUOUS ingest dedup against a persisted near-dup index — the
     * streaming form of the daily cycle ([[graft.ext.NearDup.NearDupIndex]]):
     * each micro-batch of new documents is probed against the stored index
-    * with the O(batch) path (corpus relations broadcast-semi-pruned, never
-    * shuffled), batch-internal near-dups are resolved, survivors are
-    * appended to `outDir` AND folded into the index relations, so the NEXT
-    * micro-batch dedups against them too.
+    * with the O(batch) path (corpus relations partition-pruned and
+    * semi-joined, never shuffled), batch-internal near-dups are resolved,
+    * survivors are written to `outDir` AND folded into the index relations,
+    * so the NEXT micro-batch dedups against them too.
     *
     * `foreachBatch` is the deliberate mechanism, not a fallback: per
     * trigger the micro-batch is a plain DataFrame, so the exact
     * oracle-gated batch operators (d10/d11's plans, cap semantics, exact
     * verification) run unchanged — no state-store reimplementation of LSH
-    * to drift from the batch semantics — and the index append happens once
-    * per micro-batch, transactionally ordered after the survivor
-    * materialization. Spark's checkpoint (`checkpointDir`) makes delivery
-    * at-least-once per micro-batch: a replayed batch re-appends its
-    * survivors, which the min-id keep policy and downstream exact dedup
-    * (d01) absorb — the standard idempotence story for file sinks.
+    * to drift from the batch semantics.
     *
-    * Keep policy within a batch: a doc is dropped iff it has a near-dup
-    * with a SMALLER id in the stored corpus or the same batch (greedy
-    * min-id — the kept set is pairwise non-near-dup; same policy family as
-    * d07's cluster-representative keep, differing only on non-transitive
-    * pair graphs where greedy keeps every locally-minimal doc).
+    * REPLAY SAFETY (at-least-once `foreachBatch` made effectively-once):
+    * all three sinks are keyed by the `batch_id` Spark hands this callback
+    * and written with dynamic-partition-overwrite, so a replayed batch
+    * overwrites exactly its own partitions instead of appending duplicates;
+    * and the probe filters `batch_id = <current>` OUT of the loaded index,
+    * so rows a failed prior attempt half-appended can neither match the
+    * batch against itself nor make the recomputation nondeterministic.
+    * Crash matrix: die anywhere before the checkpoint commit → the replay
+    * recomputes the identical survivor set (the visible index state is
+    * exactly "all committed batches < this one") and rewrites the same
+    * partitions. The one non-filterable rewrite is compaction, which is
+    * why it epoch-swaps and records `compactedThrough` (below).
+    *
+    * Keep policy: a batch doc is dropped iff it has ANY near-dup already in
+    * the stored corpus (corpus membership — i.e. arrival order — decides,
+    * not id order: the corpus doc was kept when IT arrived), or a
+    * SMALLER-id near-dup within its own batch (greedy min-id inside the
+    * tie — same policy family as d07's cluster-representative keep,
+    * differing only on non-transitive pair graphs where greedy keeps every
+    * locally-minimal doc).
+    *
+    * MAINTENANCE: every appended batch adds one `batch_id` partition
+    * (fragment) to each index relation; once the live epoch carries more
+    * than `compactEvery` fragments the cycle folds them with
+    * [[graft.ext.NearDup.NearDupIndex.compactStored]] — an O(corpus)
+    * amortized vacuum that writes a FRESH epoch and swaps the meta pointer,
+    * so a crash mid-compaction never corrupts the live index, and a replay
+    * of a batch the compaction already folded in is skipped via the
+    * recorded `compactedThrough` watermark (its own output partition was
+    * written before the compaction ran, so skipping loses nothing).
     *
     * State is all ON DISK in the index relations — executors hold nothing
     * between triggers, so executor loss costs one micro-batch replay, and
     * the stored index is exactly what the batch jobs (d11-d13) read:
-    * streaming and batch ingest can interleave against the same index,
-    * with [[graft.ext.NearDup.compactIndex]] as the shared maintenance op.
+    * streaming and batch ingest can interleave against the same index.
+    * The probe's caches are unpersisted INDIVIDUALLY after each trigger
+    * (never `clearCache()` — interleaved jobs keep their cached frames).
+    *
+    * `onBatchDone(batchId)` fires after a batch's writes complete (and
+    * after a skip) — an ops hook for metrics/alerting; tests use it to
+    * inject crashes between the sink writes and the checkpoint commit.
     */
   def incrementalDedupStream(newDocs: DataFrame, idCol: String, textCol: String,
                              indexDir: String, outDir: String,
                              checkpointDir: String, threshold: Double,
-                             maxBucketSize: Int = 1000)
+                             maxBucketSize: Int = 1000,
+                             compactEvery: Int = 16,
+                             onBatchDone: Long => Unit = _ => ())
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.ext.NearDup
+    import graft.ext.NearDup.NearDupIndex
     newDocs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        if (!batch.isEmpty) {
-          val spark = batch.sparkSession
-          val index = NearDup.NearDupIndex.load(spark, indexDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val meta = NearDupIndex.readMeta(spark, indexDir)
+        if (meta.compactedThrough >= batchId) {
+          // replayed batch already folded into the live epoch by a
+          // committed compaction — fully durable, nothing to redo
+        } else if (!batch.isEmpty) {
+          val raw = NearDupIndex.load(spark, indexDir)
+          // replay guard: hide this batch's own half-appended rows (if any)
+          val index = raw.copy(
+            shingles = raw.shingles.filter(col("batch_id") =!= batchId),
+            buckets = raw.buckets.filter(col("batch_id") =!= batchId))
           // vs the standing corpus: O(batch) probe against the stored index
-          val corpusDrops = NearDup.incrementalNearDupPairs(
-              batch.toDF(), index, idCol, textCol, threshold, maxBucketSize)
-            .select(col("id_new").as(idCol)).distinct()
+          val (corpusPairs, probeCaches) = NearDup.incrementalIndexProbe(
+            batch.toDF(), index, idCol, textCol, threshold, maxBucketSize)
+          val corpusDrops = corpusPairs.select(col("id_new").as(idCol)).distinct()
           // within the batch: drop any doc with a smaller near-dup sibling
           // (pairs come oriented id_a < id_b)
           val innerDrops = NearDup.nearDuplicatePairs(
@@ -220,13 +256,23 @@ object StreamOps {
             .join(corpusDrops.unionByName(innerDrops).distinct(),
               Seq(idCol), "left_anti")
             .localCheckpoint()
+          // output first, index second: compaction (which folds the index
+          // appends into a non-replayable epoch) can then never run before
+          // this batch's output partition is durable
+          graft.sources.ParquetWarehouse.overwritePartitions(
+            survivors.withColumn("batch_id", lit(batchId)),
+            outDir, Seq("batch_id"))
           val ext = NearDup.buildIndex(survivors, idCol, textCol,
             index.numHashes, index.bands, index.shingleSize)
-          ext.shingles.write.mode("append").parquet(s"$indexDir/shingles")
-          ext.buckets.write.mode("append").parquet(s"$indexDir/buckets")
-          survivors.write.mode("append").parquet(outDir)
-          spark.catalog.clearCache() // probe caches are per-micro-batch
+          NearDupIndex.appendBatch(indexDir, meta, ext, batchId)
+          // release exactly what this probe pinned; interleaved jobs'
+          // caches survive the trigger
+          probeCaches.foreach(_.unpersist(blocking = false))
+          if (compactEvery > 0 &&
+              NearDupIndex.fragmentCount(spark, indexDir) > compactEvery)
+            NearDupIndex.compactStored(spark, indexDir, batchId)
         }
+        onBatchDone(batchId)
       }
       .start()
   }

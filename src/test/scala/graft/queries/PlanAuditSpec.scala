@@ -156,6 +156,24 @@ class PlanAuditSpec extends SparkSpec {
         chain.mkString("\n"))
   }
 
+  test("d11: index scans are partition-pruned to the batch's touched layout partitions") {
+    // the stored layout hashes bucket keys / doc ids into `parts`
+    // directories; the probe must turn its (bounded, collected) touched-
+    // partition lists into PartitionFilters on BOTH corpus scans — without
+    // them every probe lists and reads the full TB-scale relations
+    val df = DedupQueries.d11_indexed_neardup.fn(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    val bucketScan = p.linesIterator.filter(l =>
+      l.contains("neardup_index/buckets") && l.contains("FileScan")).toList
+    val shingleScan = p.linesIterator.filter(l =>
+      l.contains("neardup_index/shingles") && l.contains("FileScan")).toList
+    assert(bucketScan.nonEmpty && shingleScan.nonEmpty, p)
+    assert(bucketScan.forall(l => l.contains("PartitionFilters") && l.contains("bp#")),
+      bucketScan.mkString("\n"))
+    assert(shingleScan.forall(l => l.contains("PartitionFilters") && l.contains("ip#")),
+      shingleScan.mkString("\n"))
+  }
+
   test("t11: boilerplate mining is a TakeOrdered, never a global sort") {
     val df = TextQueries.t11_boilerplate_ngrams.fn(spark, dir)
     val p = df.queryExecution.executedPlan.toString

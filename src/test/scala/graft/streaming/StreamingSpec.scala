@@ -322,4 +322,154 @@ class StreamingSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
     }
   }
+
+  test("incrementalDedupStream: a batch killed after its writes but before checkpoint commit replays idempotently") {
+    import graft.ext.NearDup
+    val seed = Seq(Doc(1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      Doc(3L, "completely unrelated text about spark query engines and planning"))
+    // batch content: 10 dups the corpus, 11 is fresh, 12 dups 11 in-batch
+    val b1 = Seq(Doc(10L, seed.head.text + " now"),
+      Doc(11L, "fresh streaming document about catalyst planner internals"),
+      Doc(12L, "fresh streaming document about catalyst planner internals today"))
+    val tmp = java.nio.file.Files.createTempDirectory("stream-replay").toString
+    val inDir = s"$tmp/in"
+    b1.toDF().write.parquet(inDir)
+    val schema = b1.toDF().schema
+    def relationSets(idxDir: String, outDir: String) = {
+      val idx = NearDup.NearDupIndex.load(spark, idxDir)
+      (spark.read.parquet(outDir).select("doc_id").as[Long].collect().toSet,
+        idx.shingles.select("id", "shingle").as[(Long, Long)].collect().toSeq,
+        idx.buckets.select(col("bk.band"), col("bk.bh"),
+            array_sort(col("ids"))).as[(Int, Long, Seq[Long])].collect().toSet)
+    }
+    try {
+      // ---- interrupted run: the ops hook throws AFTER the three sink
+      // writes, i.e. in the window before Spark commits the batch — the
+      // exact at-least-once replay scenario
+      NearDup.NearDupIndex.save(
+        NearDup.buildIndex(seed.toDF("doc_id", "text"), "doc_id", "text"),
+        s"$tmp/idxA")
+      @volatile var killed = false
+      val qa1 = StreamOps.incrementalDedupStream(
+        spark.readStream.schema(schema).parquet(inDir), "doc_id", "text",
+        s"$tmp/idxA", s"$tmp/outA", s"$tmp/ckptA", threshold = 0.5,
+        onBatchDone = { _ =>
+          if (!killed) { killed = true
+            throw new RuntimeException("injected crash before checkpoint commit") }
+        })
+      intercept[Exception] { qa1.processAllAvailable() }
+      try qa1.stop() catch { case _: Exception => () }
+      assert(killed, "the crash hook never fired")
+      // the failed attempt DID write (that's the point) — restart replays it
+      val qa2 = StreamOps.incrementalDedupStream(
+        spark.readStream.schema(schema).parquet(inDir), "doc_id", "text",
+        s"$tmp/idxA", s"$tmp/outA", s"$tmp/ckptA", threshold = 0.5)
+      qa2.processAllAvailable()
+      qa2.stop()
+      // ---- uninterrupted control on fresh dirs
+      NearDup.NearDupIndex.save(
+        NearDup.buildIndex(seed.toDF("doc_id", "text"), "doc_id", "text"),
+        s"$tmp/idxB")
+      val qb = StreamOps.incrementalDedupStream(
+        spark.readStream.schema(schema).parquet(inDir), "doc_id", "text",
+        s"$tmp/idxB", s"$tmp/outB", s"$tmp/ckptB", threshold = 0.5)
+      qb.processAllAvailable()
+      qb.stop()
+      val (outA, shA, bkA) = relationSets(s"$tmp/idxA", s"$tmp/outA")
+      val (outB, shB, bkB) = relationSets(s"$tmp/idxB", s"$tmp/outB")
+      assert(outA == Set(11L) && outA == outB, s"outA=$outA outB=$outB")
+      // no duplicated (id, shingle) rows from the replay — the corruption
+      // the old append-mode sinks produced (jaccard denominators inflate)
+      assert(shA.size == shA.toSet.size, "replay duplicated shingle rows")
+      assert(shA.toSet == shB.toSet)
+      assert(bkA == bkB)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+    }
+  }
+
+  test("incrementalDedupStream: auto-compaction bounds fragments, swaps epochs, and is semantically invisible") {
+    import graft.ext.NearDup
+    implicit val sqlCtx = spark.sqlContext
+    val seed = Seq(Doc(1L, "the quick brown fox jumps over the lazy dog again and again today"))
+    // six batches of mutually-unrelated docs: everything survives, each
+    // batch appends one fragment, compactEvery=3 must fire (twice)
+    val batches = (0 until 6).map { b =>
+      Seq(Doc(100L + b, s"unique subject number $b about topic${b}a topic${b}b " +
+        s"topic${b}c topic${b}d topic${b}e topic${b}f topic${b}g topic${b}h"))
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("stream-compact").toString
+    val (idxDir, outDir, ckptDir) = (s"$tmp/idx", s"$tmp/out", s"$tmp/ckpt")
+    try {
+      NearDup.NearDupIndex.save(
+        NearDup.buildIndex(seed.toDF("doc_id", "text"), "doc_id", "text"), idxDir)
+      val mem = MemoryStream[Doc]
+      val q = StreamOps.incrementalDedupStream(mem.toDF(), "doc_id", "text",
+        idxDir, outDir, ckptDir, threshold = 0.5, maxBucketSize = 1000,
+        compactEvery = 3)
+      val fragHistory = batches.map { b =>
+        mem.addData(b)
+        q.processAllAvailable()
+        NearDup.NearDupIndex.fragmentCount(spark, idxDir)
+      }
+      q.stop()
+      // fragments never exceed the threshold + the batch that trips it,
+      // and a compaction actually ran (fragment count came back down)
+      assert(fragHistory.max <= 4, s"fragments unbounded: $fragHistory")
+      assert(fragHistory.min == 1, s"compaction never folded: $fragHistory")
+      val meta = NearDup.NearDupIndex.readMeta(spark, idxDir)
+      assert(meta.epoch >= 2 && meta.compactedThrough >= 2L,
+        s"expected two epoch swaps, got $meta")
+      // every doc survived (mutually unrelated), none lost by compaction
+      val survived = spark.read.parquet(outDir)
+        .select("doc_id").as[Long].collect().toSet
+      assert(survived == (0 until 6).map(100L + _).toSet, s"survived=$survived")
+      // semantically invisible: probing the compacted index equals probing
+      // a one-shot index over the same corpus
+      val corpus = seed.toDF("doc_id", "text")
+        .unionByName(batches.flatten.toDF("doc_id", "text"))
+      val probe = Seq(Doc(900L, seed.head.text),
+        Doc(901L, batches(4).head.text + " maybe")).toDF("doc_id", "text")
+      val viaCompacted = NearDup.incrementalNearDupPairs(probe,
+          NearDup.NearDupIndex.load(spark, idxDir),
+          "doc_id", "text", threshold = 0.5, maxBucketSize = 1000)
+        .as[(Long, Long, Double)].collect().toSet
+      val viaFresh = NearDup.incrementalNearDupPairs(probe,
+          NearDup.buildIndex(corpus, "doc_id", "text"),
+          "doc_id", "text", threshold = 0.5, maxBucketSize = 1000)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(viaCompacted == viaFresh && viaCompacted.nonEmpty,
+        s"compacted=$viaCompacted fresh=$viaFresh")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+    }
+  }
+
+  test("incrementalDedupStream: an unrelated cached frame survives a trigger") {
+    import graft.ext.NearDup
+    implicit val sqlCtx = spark.sqlContext
+    val seed = Seq(Doc(1L, "the quick brown fox jumps over the lazy dog again and again today"))
+    val tmp = java.nio.file.Files.createTempDirectory("stream-cache").toString
+    try {
+      NearDup.NearDupIndex.save(
+        NearDup.buildIndex(seed.toDF("doc_id", "text"), "doc_id", "text"),
+        s"$tmp/idx")
+      // an interleaved batch job's cached relation (the docstring-supported
+      // pattern the old session-wide clearCache() silently broke)
+      val unrelated = spark.range(1000).toDF("n").cache()
+      unrelated.count()
+      assert(unrelated.storageLevel.useMemory)
+      val mem = MemoryStream[Doc]
+      val q = StreamOps.incrementalDedupStream(mem.toDF(), "doc_id", "text",
+        s"$tmp/idx", s"$tmp/out", s"$tmp/ckpt", threshold = 0.5)
+      mem.addData(Seq(Doc(10L, "some new content entirely distinct from anything")))
+      q.processAllAvailable()
+      q.stop()
+      assert(unrelated.storageLevel.useMemory,
+        "the trigger evicted an unrelated cached frame")
+      unrelated.unpersist()
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+    }
+  }
 }

@@ -184,6 +184,51 @@ class NearDupSpec extends SparkSpec {
     }
   }
 
+  test("past the broadcast gate the probe degrades to a shuffled semi with identical results") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val corpus = Seq(
+      (1L, base),
+      (2L, base + " extra"),
+      (3L, "completely unrelated text about spark query engines and planning")
+    ).toDF("doc_id", "text")
+    val batch = Seq((10L, base), (20L, base + " extra")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("neardup-gate").toString
+    try {
+      NearDup.NearDupIndex.save(NearDup.buildIndex(corpus, "doc_id", "text"), dir)
+      val index = NearDup.NearDupIndex.load(spark, dir)
+      // maxBroadcastKeys = 0: every batch is "past threshold" — the FORCED
+      // broadcast hints must vanish (an OOM becomes a shuffle) and the
+      // results must not move. Auto-broadcast is disabled for the plan
+      // inspection because at test scale Catalyst would (correctly) CHOOSE
+      // broadcast for these tiny relations anyway — the gate's contract is
+      // only that nothing FORCES it past the threshold.
+      val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      val (gated, hinted) = try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val gatedDf = NearDup.incrementalNearDupPairs(batch, index, "doc_id",
+          "text", 0.7, 1000, 0L)
+        assert(!gatedDf.queryExecution.executedPlan.toString
+            .contains("BroadcastExchange"),
+          "gated probe still forces a broadcast")
+        val hintedDf = NearDup.incrementalNearDupPairs(batch, index, "doc_id",
+          "text", threshold = 0.7, maxBucketSize = 1000)
+        assert(hintedDf.queryExecution.executedPlan.toString
+            .contains("BroadcastExchange"),
+          "under-threshold probe lost its broadcast hints")
+        (gatedDf.as[(Long, Long, Double)].collect().toSet,
+          hintedDf.as[(Long, Long, Double)].collect().toSet)
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      assert(gated == hinted && gated.nonEmpty)
+      // same gate on the two-frame overload
+      val gated2 = NearDup.incrementalNearDupPairs(batch, corpus, "doc_id",
+          "text", 0.7, maxBroadcastKeys = 0L)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(gated2 == hinted)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("extendIndex folds a batch in so later dedup sees the union corpus") {
     val base = "the quick brown fox jumps over the lazy dog again and again today"
     val corpusA = Seq((1L, base),

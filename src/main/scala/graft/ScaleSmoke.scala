@@ -24,6 +24,36 @@ object ScaleSmoke {
     (r, (System.nanoTime() - t0) / 1e9)
   }
 
+  /** Run `f` and return (result, seconds, input bytes read from storage,
+    * shuffle bytes written) over every task that completed during it —
+    * the two cost axes wall-time can hide (a scan-linear term disappears
+    * behind a warm page cache; a shuffle-volume term behind fast local
+    * disks). Listener delivery is async, so the counters are polled until
+    * stable before detaching.
+    */
+  def measured[A](spark: SparkSession)(f: => A): (A, Double, Long, Long) = {
+    val in = new java.util.concurrent.atomic.AtomicLong(0L)
+    val shuf = new java.util.concurrent.atomic.AtomicLong(0L)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (te.taskMetrics != null) {
+          in.addAndGet(te.taskMetrics.inputMetrics.bytesRead)
+          shuf.addAndGet(te.taskMetrics.shuffleWriteMetrics.bytesWritten)
+        }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val (r, secs) = time(f)
+      var prev = -1L
+      var tries = 0
+      while (in.get + shuf.get != prev && tries < 30) {
+        prev = in.get + shuf.get; Thread.sleep(100); tries += 1
+      }
+      (r, secs, in.get, shuf.get)
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   def docs10x(spark: SparkSession, sfDir: String, copies: Int, hotDocs: Int): DataFrame = {
     val base = Tables.documents(spark, sfDir).select("doc_id", "text")
     val n = 1000000L
@@ -71,9 +101,16 @@ object ScaleSmoke {
     replicated.unionByName(one)
   }
 
-  /** One measured operator: name, 1× seconds, 10×+hot seconds, result rows. */
-  final case class Measure(name: String, tSmall: Double, tBig: Double, rows: Long) {
+  /** One measured operator: name, 1× seconds, 10×+hot seconds, result rows,
+    * and the 10× leg's storage-input / shuffle-write bytes (so scan-linear
+    * or shuffle-volume growth can't hide behind a warm cache or fast local
+    * disks — round-8 brief item).
+    */
+  final case class Measure(name: String, tSmall: Double, tBig: Double,
+                           rows: Long, inBytesBig: Long = 0L,
+                           shufBytesBig: Long = 0L) {
     def slowdownVsLinear(copies: Int): Double = tBig / (tSmall * copies)
+    def gb(b: Long): Double = b / 1e9
   }
 
   /** The capped-operator section (near-dup / ANN under an injected hot
@@ -95,8 +132,8 @@ object ScaleSmoke {
     def run(name: String, small: => Long, big: => Long): Measure = {
       small // warm-up (codegen, shuffles)
       val (_, tSmall) = time(small)
-      val (rows, tBig) = time(big)
-      Measure(name, tSmall, tBig, rows)
+      val (rows, tBig, inB, shufB) = measured(spark)(big)
+      Measure(name, tSmall, tBig, rows, inB, shufB)
     }
 
     val results = Seq(
@@ -198,6 +235,53 @@ object ScaleSmoke {
     }
   }
 
+  /** Layout-prune effectiveness in BYTES (round-8 brief): the same small
+    * ingest batch probes the same stored 10× index twice — once through the
+    * partition-pruned path (the default for a loaded index), once with the
+    * layout metadata masked so both corpus relations are scanned in full.
+    * Wall-time hides this on a warm local page cache; storage input bytes
+    * don't. Returns (bytesPruned, bytesUnpruned, rowsEqual). The batch is
+    * SMALL on purpose: its candidate set touches a handful of the shingle
+    * relation's `parts` partitions, which is exactly the daily-ingest shape
+    * the layout exists for (the bucket relation's band keys spray wider —
+    * the shingle relation is the volume term at corpus scale).
+    */
+  def prunedBytesSection(spark: SparkSession, sfDir: String,
+                         copies: Int = 10): (Long, Long, Boolean) = {
+    import graft.ext.NearDup
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val batch = docs.filter(col("doc_id") % 1000 === 0)
+      .select((col("doc_id") + 888000000L).as("doc_id"), col("text"))
+      .cache()
+    batch.count()
+    val tmp = java.nio.file.Files.createTempDirectory("neardup-bytes").toString
+    try {
+      NearDup.NearDupIndex.save(
+        NearDup.buildIndex(docs10x(spark, sfDir, copies, hotDocs = 3000),
+          "doc_id", "text"),
+        s"$tmp/idx")
+      val index = NearDup.NearDupIndex.load(spark, s"$tmp/idx")
+      def run(idx: NearDup.NearDupIndex): (Long, Long) = {
+        // warm-up, then measure (page cache stays warm for BOTH runs — the
+        // comparison is bytes, which the cache does not change)
+        NearDup.incrementalNearDupPairs(batch, idx, "doc_id", "text",
+          threshold = 0.7, maxBucketSize = 1000).count()
+        spark.catalog.clearCache()
+        val (rows, _, inB, _) = measured(spark)(
+          NearDup.incrementalNearDupPairs(batch, idx, "doc_id", "text",
+            threshold = 0.7, maxBucketSize = 1000).count())
+        spark.catalog.clearCache()
+        (rows, inB)
+      }
+      val (rowsU, bytesU) = run(index.copy(layoutParts = 0)) // prune masked
+      val (rowsP, bytesP) = run(index)
+      batch.unpersist()
+      (bytesP, bytesU, rowsP == rowsU && rowsP > 0)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val copies = 10
@@ -285,14 +369,24 @@ object ScaleSmoke {
     println(f"SMOKE d11_indexed_batch     1x=$tIdx1%6.2fs 10x-corpus=$tIdx10%6.2fs " +
       f"rows=$rIdx1%d/$rIdx10%d flat=$idxFlat%5.2fx $idxVerdict")
 
-    var failed = idxVerdict != "OK"
-    (results ++ relational).foreach { case m @ Measure(name, tSmall, tBig, rows) =>
-      val slowdown = m.slowdownVsLinear(copies)
-      val verdict =
-        if (slowdown <= maxSlowdown) "OK"
-        else { failed = true; "FAIL (super-linear)" }
-      println(f"SMOKE $name%-22s 1x=${tSmall}%6.2fs 10x+hot=${tBig}%7.2fs " +
-        f"rows=$rows%8d vs-linear=${slowdown}%5.2fx $verdict")
+    // layout-prune effectiveness: bytes, not seconds (page cache hides the
+    // scan term in wall time)
+    val (bytesP, bytesU, rowsEq) = prunedBytesSection(spark, sfDir, copies)
+    val pruneVerdict = if (rowsEq && bytesP * 2 <= bytesU) "OK"
+                       else "FAIL (prune ineffective)"
+    println(f"SMOKE d11_prune_bytes       pruned=${bytesP / 1e6}%8.1fMB " +
+      f"unpruned=${bytesU / 1e6}%8.1fMB ratio=${bytesP.toDouble / bytesU}%5.2f $pruneVerdict")
+
+    var failed = idxVerdict != "OK" || pruneVerdict != "OK"
+    (results ++ relational).foreach {
+      case m @ Measure(name, tSmall, tBig, rows, inB, shufB) =>
+        val slowdown = m.slowdownVsLinear(copies)
+        val verdict =
+          if (slowdown <= maxSlowdown) "OK"
+          else { failed = true; "FAIL (super-linear)" }
+        println(f"SMOKE $name%-22s 1x=${tSmall}%6.2fs 10x+hot=${tBig}%7.2fs " +
+          f"rows=$rows%8d in=${inB / 1e6}%7.1fMB shuf=${shufB / 1e6}%7.1fMB " +
+          f"vs-linear=${slowdown}%5.2fx $verdict")
     }
     spark.stop()
     if (failed) sys.exit(1)

@@ -279,6 +279,11 @@ object Multimodal {
     * header-level fixture, same spirit as the other builders).
     */
   def gifBytes(width: Int, height: Int, gctColors: Int = 0): Array[Byte] = {
+    // the LSD stores u16 dims — an out-of-range value would silently
+    // truncate through toShort and build a fixture that parses as a
+    // DIFFERENT geometry; fail fast instead
+    require(width >= 1 && width <= 0xffff && height >= 1 && height <= 0xffff,
+      s"GIF dims must be in [1, 65535], got ${width}x$height")
     require(gctColors == 0 || (gctColors >= 2 && gctColors <= 256 &&
       Integer.bitCount(gctColors) == 1), s"gct must be 0 or a power of two in [2,256]")
     val gctBytes = gctColors * 3
@@ -342,6 +347,11 @@ object Multimodal {
     */
   def mp4Bytes(timescale: Int, duration: Int, brand: String = "isom"): Array[Byte] = {
     require(brand.length == 4, "brand must be a 4cc")
+    // mvhd v0 stores u32 fields; a negative Int would round-trip through
+    // the parser's unsigned read as a huge bogus value (and parseMp4
+    // rejects timescale 0) — bound the fixture to what it claims to build
+    require(timescale > 0, s"timescale must be positive, got $timescale")
+    require(duration >= 0, s"duration must be non-negative, got $duration")
     val buf = java.nio.ByteBuffer.allocate(16 + 116) // ftyp + moov(mvhd)
     buf.putInt(16).put("ftyp".getBytes("US-ASCII"))
       .put(brand.getBytes("US-ASCII")).putInt(0)

@@ -117,6 +117,24 @@ class ScaleSmokeSpec extends SparkSpec {
     }
   }
 
+  test("partition-pruned index probe reads a fraction of the unpruned bytes") {
+    assume(sys.env.get("SPARK_GRAFT_SMOKE").contains("1"),
+      "opt-in: set SPARK_GRAFT_SMOKE=1 to run the skew smoke gate")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SMOKE_SF_DIR", "/root/testdata/sf0.1")
+    // the layout contract in BYTES: a small batch's probe must scan only
+    // its touched layout partitions of the stored 10x index, not the full
+    // relations — wall time can't see this on a warm page cache, storage
+    // input bytes can. Identical results both ways (pruning is an
+    // optimization, never a semantics change).
+    val (bytesPruned, bytesUnpruned, rowsEqual) =
+      ScaleSmoke.prunedBytesSection(spark, sfDir)
+    info(f"pruned=${bytesPruned / 1e6}%8.1fMB unpruned=${bytesUnpruned / 1e6}%8.1fMB " +
+      f"ratio=${bytesPruned.toDouble / bytesUnpruned}%5.2f")
+    assert(rowsEqual, "pruned and unpruned probes disagree (or found nothing)")
+    assert(bytesPruned * 2 <= bytesUnpruned,
+      f"partition pruning ineffective: pruned=${bytesPruned}%d unpruned=${bytesUnpruned}%d")
+  }
+
   test("capped near-dup/ANN operators stay within 2x of linear under a hot key") {
     assume(sys.env.get("SPARK_GRAFT_SMOKE").contains("1"),
       "opt-in: set SPARK_GRAFT_SMOKE=1 to run the skew smoke gate")
@@ -126,7 +144,8 @@ class ScaleSmokeSpec extends SparkSpec {
     assert(results.nonEmpty)
     results.foreach { m =>
       info(f"${m.name}%-22s 1x=${m.tSmall}%6.2fs ${copies}x+hot=${m.tBig}%7.2fs " +
-        f"rows=${m.rows}%8d vs-linear=${m.slowdownVsLinear(copies)}%5.2fx")
+        f"rows=${m.rows}%8d in=${m.inBytesBig / 1e6}%7.1fMB " +
+        f"shuf=${m.shufBytesBig / 1e6}%7.1fMB vs-linear=${m.slowdownVsLinear(copies)}%5.2fx")
     }
     val bad = results.filter(_.slowdownVsLinear(copies) > 2.0)
     assert(bad.isEmpty,

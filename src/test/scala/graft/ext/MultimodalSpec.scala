@@ -105,6 +105,11 @@ class MultimodalSpec extends SparkSpec {
     zero(6) = 0; zero(7) = 0
     assert(Multimodal.parseGif(zero).isEmpty)
     intercept[IllegalArgumentException] { Multimodal.gifBytes(10, 10, 3) }
+    // u16 bounds fail FAST — pre-round-8 these silently truncated through
+    // toShort and built fixtures with a different geometry
+    intercept[IllegalArgumentException] { Multimodal.gifBytes(0x10000, 10) }
+    intercept[IllegalArgumentException] { Multimodal.gifBytes(10, -1) }
+    intercept[IllegalArgumentException] { Multimodal.gifBytes(0, 10) }
   }
 
   test("parseMp4 walks ftyp/moov/mvhd; crafted box sizes refuse promptly") {
@@ -133,6 +138,11 @@ class MultimodalSpec extends SparkSpec {
     val tiny = Multimodal.mp4Bytes(600, 1)
     java.nio.ByteBuffer.wrap(tiny).putInt(16, 4) // non-advancing size
     assert(Multimodal.parseMp4(tiny).isEmpty)
+    // u32 bounds fail FAST — a negative Int would round-trip the parser's
+    // unsigned read as a huge bogus value
+    intercept[IllegalArgumentException] { Multimodal.mp4Bytes(0, 1) }
+    intercept[IllegalArgumentException] { Multimodal.mp4Bytes(-600, 1) }
+    intercept[IllegalArgumentException] { Multimodal.mp4Bytes(600, -1) }
     assert(Multimodal.parseMp4(Array[Byte](1, 2, 3)).isEmpty)
   }
 }

@@ -402,8 +402,41 @@ object TextQueries {
       .limit(20)
   }
 
+  // ---------------------------------------------------------------- t12
+  /** SEQUENCE PACKING (concatenate-and-chunk): every document's global
+    * offset in the doc_id-ordered token stream and the 512-token training
+    * sequences it occupies — the step between curation and an
+    * autoregressive trainer. Engine side is the distributed two-pass
+    * [[graft.operators.Packing.chunk]] (range sort + per-partition offsets
+    * broadcast back; NO single-partition window — PackingSpec audits the
+    * plan); the oracle replays it as one sequential window cumsum, which
+    * only an oracle-scale engine can afford. Weights are t01's BPE-ish
+    * token counts, so the packing is gated end-to-end against the same
+    * tokenization the stats queries pin.
+    */
+  val t12_sequence_packing = q("t12_sequence_packing",
+    s"""WITH t AS (SELECT doc_id,
+       |             CAST(len(regexp_extract_all(text, '$tokenPat')) AS BIGINT) AS n_tokens
+       |           FROM documents),
+       |c AS (SELECT doc_id, n_tokens,
+       |        COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s
+       |      FROM t)
+       |SELECT doc_id, n_tokens, s AS stream_start,
+       |  s // 512 AS seq_first,
+       |  (s + CASE WHEN n_tokens > 0 THEN n_tokens ELSE 1 END - 1) // 512 AS seq_last,
+       |  CASE WHEN n_tokens = 0 THEN 0
+       |       ELSE (s + n_tokens - 1) // 512 - s // 512 + 1 END AS n_seqs
+       |FROM c""".stripMargin) { (s, dir) =>
+    val weighted = Tables.documents(s, dir).select(col("doc_id"),
+      TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+    graft.operators.Packing.chunk(weighted, Seq(col("doc_id")), "n_tokens", 512L)
+      .select("doc_id", "n_tokens", "stream_start", "seq_first", "seq_last", "n_seqs")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     t01_token_stats, t02_quality_score, t03_lang_id, t04_fingerprint,
     t05_rolling_hash, t06_redact, t07_tfidf_top_terms, t08_curation_pipeline,
-    t09_repetition, t10_mixture_resample, t11_boilerplate_ngrams)
+    t09_repetition, t10_mixture_resample, t11_boilerplate_ngrams,
+    t12_sequence_packing)
 }

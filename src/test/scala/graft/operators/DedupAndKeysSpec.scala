@@ -49,17 +49,26 @@ class DedupAndKeysSpec extends SparkSpec {
   }
 
   test("SurrogateKey.withScalable releases the internal cache after use") {
-    spark.catalog.clearCache()
+    // suites share one SparkContext and run in parallel, so a global
+    // "no persistent RDDs" assertion races every other suite's caches
+    // (flaked twice in round 8's full runs) — track only the RDD ids that
+    // appear DURING this bracket and assert those drain
+    val before = spark.sparkContext.getPersistentRDDs.keySet
     val df = (1 to 500).map(i => (i % 7, i)).toDF("a", "b")
+    var during = Set.empty[Int]
     val ids = SurrogateKey.withScalable(df, Seq(col("a"), col("b"))) { keyed =>
-      keyed.select("Id").as[Long].collect().sorted
+      val r = keyed.select("Id").as[Long].collect().sorted
+      // snapshot while the internal relation is still persisted
+      during = spark.sparkContext.getPersistentRDDs.keySet.toSet -- before
+      r
     }
     assert(ids.head == 1L && ids.last == 500L)
+    assert(during.nonEmpty, "the bracket never persisted its internal relation")
     // unpersist(blocking = false) is async; poll briefly
     val deadline = System.nanoTime() + 5e9.toLong
-    def cached = spark.sparkContext.getPersistentRDDs.nonEmpty
-    while (cached && System.nanoTime() < deadline) Thread.sleep(50)
-    assert(!cached, "withScalable must unpersist its internal relation")
+    def ours = spark.sparkContext.getPersistentRDDs.keySet.toSet.intersect(during)
+    while (ours.nonEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+    assert(ours.isEmpty, "withScalable must unpersist its internal relation")
   }
 
   test("FuzzyJoin.top1 picks nearest candidate, ties lexicographically") {

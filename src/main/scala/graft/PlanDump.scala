@@ -27,7 +27,27 @@ object PlanDump {
       "ids before the exact-verify joins, so no Exchange touches O(corpus) " +
       "rows (PlanAuditSpec pins both paths; ScaleSmoke measures per-batch " +
       "time FLAT, 0.95x, when the corpus grows 10x). Closes the round-5 " +
-      "O(corpus)-shuffle finding; d10/d12/d13 share the same plan shape."),
+      "O(corpus)-shuffle finding; d10/d12/d13 share the same plan shape. " +
+      "Round 8: the stored layout is hash-partitioned ((batch_id, " +
+      "ip=pmod(id,parts)) / (batch_id, bp=pmod(bk.bh,parts))) and both " +
+      "corpus scans carry PartitionFilters built from the batch's " +
+      "touched-partition lists (PlanAuditSpec pins them; ScaleSmoke's " +
+      "bytes A/B measures the pruned probe at 0.28x of the unpruned " +
+      "bytes for a small batch). The two prune broadcasts are size-gated " +
+      "(maxBroadcastKeys, default 2M keys): past the gate they degrade " +
+      "to shuffled left-semis — slower, never an executor OOM " +
+      "(NearDupSpec pins plan + result equality in both modes). Fixture " +
+      "staging (corpus parquet + index build) is memoized per JVM and " +
+      "excluded from timed passes. Closes the round-6/7 unbucketed-scan " +
+      "and forced-broadcast findings."),
+    "t12_sequence_packing" -> ("round 8: concatenate-and-chunk packing via " +
+      "the distributed two-pass stream-position operator — range sort, " +
+      "per-partition weight sums to broadcast prefix offsets, then the " +
+      "running sum as a window PARTITIONED BY the range-partition id. The " +
+      "only SinglePartition exchange in the plan carries one row per " +
+      "partition (the offsets relation), never data (PackingSpec pins " +
+      "it); a naive global-window cumsum would serialize the corpus " +
+      "through one task at 100 TB."),
     "d06_dedup_clusters" -> ("round 4: one materializing job per CC round " +
       "(was 3 — convergence now reads the round's own checkpointed output, " +
       "propagate persists instead of checkpointing); 9.1 s -> ~4.5 s " +

@@ -139,8 +139,19 @@ object NearDup {
     val hashed = shingles(df, idCol, textCol, shingleSize)
       .select(col("id"), xxhash64(col("shingle")).as("shingle"))
     val sh = if (cacheShingles) hashed.cache() else hashed
+    nearDuplicatePairsFromHashed(sh, threshold, numHashes, bands)
+  }
+
+  /** [[nearDuplicatePairs]] starting from an ALREADY hashed-shingle
+    * relation `(id, shingle: long)` — for callers that hold one (the
+    * streaming cycle reuses the probe's cached batch shingles here, so a
+    * micro-batch is shingled exactly once per trigger).
+    */
+  def nearDuplicatePairsFromHashed(sh: DataFrame, threshold: Double,
+                                   numHashes: Int = 64, bands: Int = 32,
+                                   maxBucketSize: Int = 1000): DataFrame = {
     val sig = minhashSignatures(sh, numHashes)
-    val cand = lshCandidates(sig, bands, numHashes / bands)
+    val cand = lshCandidates(sig, bands, numHashes / bands, maxBucketSize)
     exactJaccard(sh, cand).filter(col("jaccard") >= threshold)
   }
 
@@ -303,6 +314,13 @@ object NearDup {
       *     next compaction's sweep if that removal itself crashed).
       * `batchId` records the newest streaming batch folded in (becomes
       * `compactedThrough`; pass -1 from batch-mode maintenance).
+      *
+      * Interleaved READERS during the swap: a job that called [[load]]
+      * just before the meta swap keeps reading the old epoch's dirs and
+      * can fail transiently once the post-swap sweep deletes them — the
+      * standard plain-parquet limitation (a table format with snapshot
+      * isolation removes it). Schedule compaction away from long batch
+      * readers, or let the reader retry.
       */
     private[graft] def compactStored(spark: org.apache.spark.sql.SparkSession,
                                      dir: String, batchId: Long): Unit = {
@@ -479,6 +497,9 @@ object NearDup {
   /** [[incrementalNearDupPairs]] (indexed) plus the probe's cached frames,
     * so a caller embedded in a long-lived session (the streaming cycle)
     * can unpersist exactly what the probe pinned once its action is done.
+    * The FIRST cached frame is the batch's hashed-shingle relation
+    * `(id, shingle)` — reusable via [[nearDuplicatePairsFromHashed]] for
+    * in-batch dedup without re-shingling the batch.
     */
   private[graft] def incrementalIndexProbe(newDf: DataFrame, index: NearDupIndex,
                                            idCol: String, textCol: String,

@@ -246,9 +246,11 @@ object StreamOps {
             batch.toDF(), index, idCol, textCol, threshold, maxBucketSize)
           val corpusDrops = corpusPairs.select(col("id_new").as(idCol)).distinct()
           // within the batch: drop any doc with a smaller near-dup sibling
-          // (pairs come oriented id_a < id_b)
-          val innerDrops = NearDup.nearDuplicatePairs(
-              batch.toDF(), idCol, textCol, threshold)
+          // (pairs come oriented id_a < id_b); reuses the probe's cached
+          // hashed shingles — the batch is shingled ONCE per trigger
+          val innerDrops = NearDup.nearDuplicatePairsFromHashed(
+              probeCaches.head, threshold,
+              index.numHashes, index.bands, maxBucketSize)
             .select(col("id_b").as(idCol)).distinct()
           // materialize survivors BEFORE touching the index dir: their plan
           // reads the same parquet relations the appends below write

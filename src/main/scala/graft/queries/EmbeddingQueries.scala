@@ -281,21 +281,10 @@ object EmbeddingQueries {
     val w = Window.partitionBy(col("qid")).orderBy(col("c").desc, col("nid"))
     val brute = scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 5).select("qid", "nid")
-    val sigged = emb.withColumn("sig", graft.plans.HyperplaneSignatureExpr
-      .signature(col("embedding"), dim = 64, planes = planes))
-    val masks = (0 until (1 << planes))
-      .filter(m => Integer.bitCount(m) <= radius).map(_.toLong)
-    val qsig = sigged.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("qid"), col("sig"), col("embedding").as("qv"))
-      .withColumn("probe",
-        explode(array(masks.map(m => col("sig").bitwiseXOR(lit(m))): _*)))
-    val lshScored = sigged
-      .select(col("sig").as("probe"), col("vec_id").as("nid"), col("embedding").as("cv"))
-      .join(broadcast(qsig), Seq("probe"))
-      .filter(col("nid") =!= col("qid"))
-      .withColumn("c", graft.plans.CosineSimilarityExpr.cosine(col("qv"), col("cv")))
-    val lsh = lshScored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 5).select("qid", "nid")
+    val lsh = graft.ext.LshAnn.searchTopK(emb, emb.filter(col("vec_id") < 8),
+        "vec_id", "embedding", dim = 64, planes = planes, radius = radius,
+        topK = 5)
+      .select("qid", "nid")
     brute.join(lsh.withColumn("__hit", lit(1)), Seq("qid", "nid"), "left")
       .groupBy("qid")
       .agg(sum(coalesce(col("__hit"), lit(0))).cast("int").as("hits"))

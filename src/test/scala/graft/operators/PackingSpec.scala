@@ -45,6 +45,21 @@ class PackingSpec extends SparkSpec {
     assert(got.map(_._4).max == (total - 1) / 10L)
   }
 
+  test("withStreamPositions releases the internal cache after use") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val df = (1 to 300).map(i => (i.toLong, (i % 5).toLong)).toDF("id", "w")
+    var during = Set.empty[Int]
+    Packing.withStreamPositions(df, Seq(col("id")), "w") { out =>
+      out.collect()
+      during = spark.sparkContext.getPersistentRDDs.keySet.toSet -- before
+    }
+    assert(during.nonEmpty, "the bracket never persisted its internal relation")
+    val deadline = System.nanoTime() + 5e9.toLong
+    def ours = spark.sparkContext.getPersistentRDDs.keySet.toSet.intersect(during)
+    while (ours.nonEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+    assert(ours.isEmpty, "withStreamPositions must unpersist its internal relation")
+  }
+
   test("no data-sized single-partition stage: only the #partitions-row offsets window is global") {
     val df = spark.range(10000).select(col("id"), (col("id") % 13).as("w"))
     val out = Packing.streamPositions(df, Seq(col("id")), "w")

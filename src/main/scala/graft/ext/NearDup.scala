@@ -350,16 +350,55 @@ object NearDup {
         IndexMeta(index.numHashes, index.bands, index.shingleSize, parts, 0, -1L))
     }
 
-    /** Read an index saved by [[save]]; the LSH parameters AND the layout
-      * modulus come from the stored meta relation, so a probe can never run
-      * with mismatched ones, and the epoch pointer selects the live
-      * relation directories.
+    /** COLD-START initialization: create an EMPTY index at `dir` (meta
+      * only — the relation directories materialize with the first append).
+      * This is how a pipeline starts deduplicating from document zero:
+      * `init` once, then point [[graft.streaming.StreamOps
+      * .incrementalDedupStream]] (or the batch cycle) at the dir — the
+      * first batch finds no corpus near-dups, its survivors become the
+      * corpus. The LSH parameters are fixed HERE for the index's lifetime
+      * (stored band keys are only comparable under the parameters that
+      * produced them).
+      */
+    def init(spark: org.apache.spark.sql.SparkSession, dir: String,
+             numHashes: Int = 64, bands: Int = 32, shingleSize: Int = 3,
+             parts: Int = defaultParts): Unit =
+      writeMeta(spark, dir, IndexMeta(numHashes, bands, shingleSize, parts, 0, -1L))
+
+    // canonical stored schemas, partition columns included — what an empty
+    // (never-appended) relation must present so probes plan identically
+    private val shinglesDdl =
+      "id bigint, shingle bigint, batch_id int, ip int"
+    private val bucketsDdl =
+      "bk struct<band:int,bh:bigint>, ids array<bigint>, batch_id int, bp int"
+
+    private def emptyRel(spark: org.apache.spark.sql.SparkSession,
+                         ddl: String): DataFrame =
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(ddl))
+
+    /** Read an index saved by [[save]] (or initialized by [[init]]); the
+      * LSH parameters AND the layout modulus come from the stored meta
+      * relation, so a probe can never run with mismatched ones, and the
+      * epoch pointer selects the live relation directories. A relation
+      * directory that does not exist yet (cold start) or holds no data
+      * files (an empty corpus compacted) reads as an empty relation with
+      * the canonical schema.
       */
     def load(spark: org.apache.spark.sql.SparkSession, dir: String): NearDupIndex = {
       val m = readMeta(spark, dir)
+      def rel(name: String, ddl: String): DataFrame = {
+        val path = relPath(dir, name, m.epoch)
+        try spark.read.parquet(path)
+        catch {
+          // no dir yet / no data files to infer a schema from
+          case _: org.apache.spark.sql.AnalysisException => emptyRel(spark, ddl)
+        }
+      }
       NearDupIndex(
-        spark.read.parquet(relPath(dir, "shingles", m.epoch)),
-        spark.read.parquet(relPath(dir, "buckets", m.epoch)),
+        rel("shingles", shinglesDdl),
+        rel("buckets", bucketsDdl),
         m.numHashes, m.bands, m.shingleSize, m.parts)
     }
   }

@@ -445,6 +445,36 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("incrementalDedupStream: cold start from an empty initialized index") {
+    import graft.ext.NearDup
+    implicit val sqlCtx = spark.sqlContext
+    val fresh = "fresh streaming document about catalyst planner internals"
+    val other = "entirely different content on minhash lsh banding and jaccard"
+    val tmp = java.nio.file.Files.createTempDirectory("stream-cold").toString
+    try {
+      // document zero: no corpus, no relations — just the meta contract
+      NearDup.NearDupIndex.init(spark, s"$tmp/idx")
+      val mem = MemoryStream[Doc]
+      val q = StreamOps.incrementalDedupStream(mem.toDF(), "doc_id", "text",
+        s"$tmp/idx", s"$tmp/out", s"$tmp/ckpt", threshold = 0.5)
+      // batch 1 probes the EMPTY index: both docs survive (11 and 12 are
+      // unrelated); batch 2 must dedup against batch 1's survivors
+      mem.addData(Seq(Doc(11L, fresh), Doc(12L, other)))
+      q.processAllAvailable()
+      mem.addData(Seq(Doc(20L, fresh + " now"), Doc(21L, "some third topic on parquet footers")))
+      q.processAllAvailable()
+      q.stop()
+      val survived = spark.read.parquet(s"$tmp/out")
+        .select("doc_id").as[Long].collect().toSet
+      assert(survived == Set(11L, 12L, 21L), s"survived=$survived")
+      val ids = NearDup.NearDupIndex.load(spark, s"$tmp/idx")
+        .shingles.select("id").distinct().as[Long].collect().toSet
+      assert(ids == Set(11L, 12L, 21L), s"index ids=$ids")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+    }
+  }
+
   test("incrementalDedupStream: an unrelated cached frame survives a trigger") {
     import graft.ext.NearDup
     implicit val sqlCtx = spark.sqlContext

@@ -23,12 +23,20 @@ import org.apache.spark.sql.functions._
 object LshAnn {
 
   /** The probe flip-masks for (planes, radius): every XOR mask with at
-    * most `radius` bits set.
+    * most `radius` bits set, enumerated COMBINATORIALLY — Σ C(planes, 0..r)
+    * masks — rather than by scanning all 2^planes values (fine at 6 planes,
+    * a non-terminating loop at the 62 the signature supports). `radius` is
+    * capped at 6: probe counts grow as C(planes, radius), and past a few
+    * bits the multi-probe answer is "widen planes", not "flip more bits".
     */
   private[graft] def probeMasks(planes: Int, radius: Int): Seq[Long] = {
     require(planes >= 1 && planes <= 62, s"planes must be in [1,62], got $planes")
-    require(radius >= 0 && radius < planes, s"radius must be in [0,$planes), got $radius")
-    (0 until (1 << planes)).filter(m => Integer.bitCount(m) <= radius).map(_.toLong)
+    require(radius >= 0 && radius < planes && radius <= 6,
+      s"radius must be in [0, min($planes, 6)], got $radius")
+    def choose(start: Int, left: Int, acc: Long): Seq[Long] =
+      if (left == 0) Seq(acc)
+      else (start until planes).flatMap(b => choose(b + 1, left - 1, acc | (1L << b)))
+    (0 to radius).flatMap(r => choose(0, r, 0L))
   }
 
   /** ANN top-k: score each query against every candidate sharing any of

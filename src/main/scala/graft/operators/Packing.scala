@@ -90,7 +90,7 @@ object Packing {
     streamPositions(df, order, weightCol)
       .withColumn("seq_first", expr(s"stream_start div ${seqLen}L"))
       .withColumn("seq_last", expr(
-        s"(stream_start + greatest($weightCol, 1L) - 1L) div ${seqLen}L"))
+        s"(stream_start + greatest(`$weightCol`, 1L) - 1L) div ${seqLen}L"))
       .withColumn("n_seqs",
         when(w === 0, lit(0L)).otherwise(col("seq_last") - col("seq_first") + 1L))
   }

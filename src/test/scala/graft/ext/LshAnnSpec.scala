@@ -20,8 +20,13 @@ class LshAnnSpec extends SparkSpec {
     assert(LshAnn.probeMasks(6, 3).size == 42)  // 1 + 6 + 15 + 20
     assert(LshAnn.probeMasks(8, 3).size == 93)  // 1 + 8 + 28 + 56
     assert(LshAnn.probeMasks(6, 2).forall(m => java.lang.Long.bitCount(m) <= 2))
+    // masks are distinct and combinatorial enumeration stays instant at
+    // wide signatures (the old 2^planes scan would never return here)
+    assert(LshAnn.probeMasks(6, 2).distinct.size == 22)
+    assert(LshAnn.probeMasks(62, 2).size == 1 + 62 + 62 * 61 / 2)
     intercept[IllegalArgumentException] { LshAnn.probeMasks(6, 6) }
     intercept[IllegalArgumentException] { LshAnn.probeMasks(63, 1) }
+    intercept[IllegalArgumentException] { LshAnn.probeMasks(20, 7) }
   }
 
   test("clustered embeddings: high recall at a few-percent probe budget") {

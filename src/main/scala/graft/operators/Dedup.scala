@@ -31,4 +31,23 @@ object Dedup {
 
   /** Full-row distinct. */
   def distinctRows(df: DataFrame): DataFrame = df.distinct()
+
+  /** CLUSTER-policy dedup: keep the best member of each near-dup CLUSTER
+    * under an explicit preference order — the keep policy production
+    * corpora actually want ("keep the longest / highest-quality version"),
+    * where min-id-per-cluster (d07's form) is just the determinism
+    * baseline. `comps` is a connected-components labeling `(id, comp)`
+    * (e.g. [[graft.ext.NearDup.connectedComponents]] over near-dup pairs);
+    * rows absent from it are singletons and always survive (their own id
+    * is their cluster). One broadcast-or-shuffle join + one keyed window —
+    * same linear scale shape as [[keepFirst]].
+    */
+  def keepBest(df: DataFrame, idCol: String, comps: DataFrame,
+               order: Seq[Column]): DataFrame = {
+    val labeled = df.join(
+        comps.select(col("id").as(idCol), col("comp").as("__comp")),
+        Seq(idCol), "left")
+      .withColumn("__comp", coalesce(col("__comp"), col(idCol)))
+    keepFirst(labeled, Seq("__comp"), order).drop("__comp")
+  }
 }

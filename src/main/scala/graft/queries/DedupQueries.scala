@@ -437,9 +437,48 @@ object DedupQueries {
     shStats.crossJoin(bkStats)
   }
 
+  // ---------------------------------------------------------------- d14
+  /** Dedup with the PRODUCTION keep policy ([[graft.operators.Dedup
+    * .keepBest]]): keep the LONGEST member of each near-dup cluster
+    * (tie-break min doc_id) instead of d07's min-id baseline — "keep the
+    * most complete version" is what corpora curation actually wants when
+    * near-dups are subsets/truncations of each other. Same cluster input
+    * as d06/d07 (exact-Jaccard pairs at 0.5 so the oracle replays the
+    * clustering exactly); at scale the pair source is d03's LSH relation.
+    */
+  val d14_dedup_keep_best = q("d14_dedup_keep_best", Some(
+    s"""WITH RECURSIVE $shingleSql,
+       |e AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.5),
+       |sym AS (SELECT id_a AS src, id_b AS dst FROM e
+       |        UNION ALL SELECT id_b, id_a FROM e),
+       |walk(id, comp) AS (
+       |  SELECT DISTINCT src, src FROM sym
+       |  UNION
+       |  SELECT s.dst, w.comp FROM walk w JOIN sym s ON w.id = s.src),
+       |comps AS (SELECT id, MIN(comp) AS comp FROM walk GROUP BY id),
+       |labeled AS (
+       |  SELECT d.doc_id, d.lang, length(d.text) AS text_len,
+       |         COALESCE(c.comp, d.doc_id) AS comp
+       |  FROM documents d LEFT JOIN comps c ON d.doc_id = c.id),
+       |ranked AS (
+       |  SELECT doc_id, lang, text_len,
+       |         ROW_NUMBER() OVER (PARTITION BY comp
+       |           ORDER BY text_len DESC, doc_id) AS rn
+       |  FROM labeled)
+       |SELECT doc_id, lang, CAST(text_len AS INT) AS text_len
+       |FROM ranked WHERE rn = 1""".stripMargin)) { (s, dir) =>
+    val pairs = d02_ngram_jaccard.fn(s, dir).select("id_a", "id_b")
+    val comps = NearDup.connectedComponents(pairs)
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), length(col("text")).as("text_len"))
+    graft.operators.Dedup.keepBest(docs, "doc_id", comps,
+      Seq(col("text_len").desc, col("doc_id")))
+  }
+
   val all: Seq[GraftQuery] = Seq(
     d01_exact_dup_groups, d02_ngram_jaccard, d03_minhash_lsh, d04_simhash,
     d05_simhash_neardup, d06_dedup_clusters, d07_dedup_apply,
     d08_contamination, d09_bloom_decontaminate, d10_incremental_neardup,
-    d11_indexed_neardup, d12_extended_neardup, d13_index_compaction)
+    d11_indexed_neardup, d12_extended_neardup, d13_index_compaction,
+    d14_dedup_keep_best)
 }

@@ -71,6 +71,21 @@ class DedupAndKeysSpec extends SparkSpec {
     assert(ours.isEmpty, "withScalable must unpersist its internal relation")
   }
 
+  test("Dedup.keepBest keeps the preferred cluster member; singletons survive") {
+    val docs = Seq(
+      (1L, "short", 5), (2L, "the longest one", 15), (3L, "medium!", 7), // cluster A
+      (10L, "tie", 3), (11L, "eit", 3),                                  // cluster B, tie
+      (99L, "singleton", 9))                                             // unlabeled
+      .toDF("doc_id", "text", "len")
+    val comps = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
+      .toDF("id", "comp")
+    val kept = Dedup.keepBest(docs, "doc_id", comps,
+        Seq(col("len").desc, col("doc_id")))
+      .select("doc_id").as[Long].collect().toSet
+    // longest wins in A; min id breaks B's tie; 99 has no cluster row
+    assert(kept == Set(2L, 10L, 99L))
+  }
+
   test("FuzzyJoin.top1 picks nearest candidate, ties lexicographically") {
     val left = Seq("GERMANY!", "FRANC", "xyz").toDF("name")
     val right = Seq("GERMANY", "FRANCE", "GREECE").toDF("country")

@@ -44,6 +44,25 @@ object NearDup {
     tokenized.select(col("id"), explode(grams).as("shingle")).distinct()
   }
 
+  /** Distinct HASHED shingles per document, `(id, shingle: long)` — the
+    * hot-path form every internal consumer uses. One fused codegen loop
+    * per row ([[graft.plans.HashedShinglesExpr]]): grams are hashed as
+    * they are formed (bit-identical to `xxhash64` of the [[shingles]]
+    * string) and deduplicated WITHIN the row, so the global `.distinct()`
+    * exchange the string form needs disappears entirely — shingle sets
+    * are per-document, so nothing about the dedup ever required a
+    * shuffle. Round-8 measurement: the shingle stage was ~50 % of d03's
+    * wall time; this form removes its exchange and its string
+    * materialization from d02/d03/d06-d12 and the streaming cycle.
+    */
+  def hashedShingles(df: DataFrame, idCol: String, textCol: String,
+                     n: Int = 3): DataFrame =
+    df.select(col(idCol).as("id"),
+        split(TextFunctions.normalizeWs(col(textCol)), " ").as("__w"))
+      .select(col("id"),
+        explode(graft.plans.HashedShinglesExpr.hashedShingles(col("__w"), n))
+          .as("shingle"))
+
   /** MinHash signature per id from a (id, shingle) relation: each shingle is
     * string-hashed ONCE (xxhash64), then the k "independent" hash functions
     * re-hash that single LONG with a per-function seed — k fixed-width
@@ -136,8 +155,7 @@ object NearDup {
                          threshold: Double, numHashes: Int = 64,
                          bands: Int = 32, shingleSize: Int = 3,
                          cacheShingles: Boolean = false): DataFrame = {
-    val hashed = shingles(df, idCol, textCol, shingleSize)
-      .select(col("id"), xxhash64(col("shingle")).as("shingle"))
+    val hashed = hashedShingles(df, idCol, textCol, shingleSize)
     val sh = if (cacheShingles) hashed.cache() else hashed
     nearDuplicatePairsFromHashed(sh, threshold, numHashes, bands)
   }
@@ -414,8 +432,7 @@ object NearDup {
   def buildIndex(df: DataFrame, idCol: String, textCol: String,
                  numHashes: Int = 64, bands: Int = 32,
                  shingleSize: Int = 3): NearDupIndex = {
-    val sh = shingles(df, idCol, textCol, shingleSize)
-      .select(col("id"), xxhash64(col("shingle")).as("shingle"))
+    val sh = hashedShingles(df, idCol, textCol, shingleSize)
     val bk = bandBuckets(minhashSignatures(sh, numHashes), bands, numHashes / bands)
       .groupBy("bk").agg(collect_list(col("id")).as("ids"))
     NearDupIndex(sh, bk, numHashes, bands, shingleSize)
@@ -547,8 +564,7 @@ object NearDup {
                                            maxBroadcastKeys: Long = 2000000L)
       : (DataFrame, Seq[DataFrame]) = {
     val r = index.numHashes / index.bands
-    val shNew = shingles(newDf, idCol, textCol, index.shingleSize)
-      .select(col("id"), xxhash64(col("shingle")).as("shingle"))
+    val shNew = hashedShingles(newDf, idCol, textCol, index.shingleSize)
       .cache() // feeds signatures + verify
     val bNew = bandBuckets(minhashSignatures(shNew, index.numHashes), index.bands, r)
       .select(col("bk"), col("id").as("id_new"))
@@ -637,11 +653,9 @@ object NearDup {
                               maxBucketSize: Int = 1000,
                               maxBroadcastKeys: Long = 2000000L): DataFrame = {
     val r = numHashes / bands
-    def hashedShingles(df: DataFrame) =
-      shingles(df, idCol, textCol, shingleSize)
-        .select(col("id"), xxhash64(col("shingle")).as("shingle"))
-    val shNew = hashedShingles(newDf).cache() // feeds signatures + verify
-    val shOld = hashedShingles(oldDf).cache()
+    val shNew = hashedShingles(newDf, idCol, textCol, shingleSize)
+      .cache() // feeds signatures + verify
+    val shOld = hashedShingles(oldDf, idCol, textCol, shingleSize).cache()
     val bNew = bandBuckets(minhashSignatures(shNew, numHashes), bands, r)
       .select(col("bk"), col("id").as("id_new"))
       .cache() // feeds the key set + the candidate join

@@ -93,8 +93,7 @@ object DedupQueries {
        |FROM j WHERE jaccard >= 0.5""".stripMargin)) { (s, dir) =>
     // join on 8-byte shingle hashes, not n-gram text (counts identical up to
     // 64-bit collisions, ~1e-11 at corpus scale) — same trick as d03
-    val sh = NearDup.shingles(Tables.documents(s, dir), "doc_id", "text", 3)
-      .select(col("id"), xxhash64(col("shingle")).as("shingle"))
+    val sh = NearDup.hashedShingles(Tables.documents(s, dir), "doc_id", "text", 3)
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
     val a = sh.select(col("id").as("id_a"), col("shingle"))
     val b = sh.select(col("id").as("id_b"), col("shingle"))
@@ -234,8 +233,8 @@ object DedupQueries {
     // NOTE the oracle hashes shingle TEXT with DuckDB's hash() while the
     // engine uses xxhash64 — join AND count are over distinct shingles, so
     // any 64-bit hash gives identical counts (collisions aside, ~1e-11)
-    val sh = NearDup.shingles(Tables.documents(s, dir), "doc_id", "text", 3)
-      .select(col("id"), xxhash64(col("shingle")).as("h"))
+    val sh = NearDup.hashedShingles(Tables.documents(s, dir), "doc_id", "text", 3)
+      .withColumnRenamed("shingle", "h")
     val ev = sh.filter(col("id") % 50 === 0)
       .select(col("id").as("eval_id"), col("h"))
     val tr = sh.filter(col("id") % 50 =!= 0)
@@ -272,8 +271,8 @@ object DedupQueries {
     // oracle hashes with DuckDB hash(), engine with xxhash64: membership is
     // over DISTINCT shingles both sides, so any 64-bit hash agrees (same
     // argument as d08)
-    val sh = NearDup.shingles(Tables.documents(s, dir), "doc_id", "text", 3)
-      .select(col("id"), xxhash64(col("shingle")).as("h"))
+    val sh = NearDup.hashedShingles(Tables.documents(s, dir), "doc_id", "text", 3)
+      .withColumnRenamed("shingle", "h")
     val ev = sh.filter(col("id") % 50 === 0).select("h").distinct()
     val tr = sh.filter(col("id") % 50 =!= 0)
     val dirty = graft.ext.BloomJoin.semi(tr, ev, Seq("h"),

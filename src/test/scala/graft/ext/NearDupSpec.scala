@@ -309,6 +309,28 @@ class NearDupSpec extends SparkSpec {
     }
   }
 
+  test("hashedShingles equals xxhash64 over the string shingles, per doc, with no exchange") {
+    import org.apache.spark.sql.functions.xxhash64
+    // repeated grams (the in-row dedup case), a short doc, unicode, empty
+    val docs = Seq(
+      (1L, "a b c a b c a b c"),
+      (2L, "just two"),
+      (3L, "naïve café naïve café naïve résumé"),
+      (4L, ""),
+      (5L, "one two three four five")).toDF("doc_id", "text")
+    val viaString = NearDup.shingles(docs, "doc_id", "text", 3)
+      .select(col("id"), xxhash64(col("shingle")).as("shingle"))
+      .as[(Long, Long)].collect().toSet
+    val fused = NearDup.hashedShingles(docs, "doc_id", "text", 3)
+    assert(fused.as[(Long, Long)].collect().toSet == viaString)
+    // per-row output already distinct: no duplicate (id, hash) rows
+    val rows = fused.as[(Long, Long)].collect()
+    assert(rows.length == rows.toSet.size)
+    // and the fused form plans WITHOUT the distinct's exchange
+    assert(!fused.queryExecution.executedPlan.toString.contains("Exchange"),
+      fused.queryExecution.executedPlan.toString)
+  }
+
   test("shingles of a doc shorter than n collapse to one whole-text shingle") {
     val short = Seq((1L, "two words")).toDF("doc_id", "text")
     val got = NearDup.shingles(short, "doc_id", "text", 3)

@@ -44,24 +44,43 @@ object NearDup {
     tokenized.select(col("id"), explode(grams).as("shingle")).distinct()
   }
 
-  /** Distinct HASHED shingles per document, `(id, shingle: long)` — the
-    * hot-path form every internal consumer uses. One fused codegen loop
-    * per row ([[graft.plans.HashedShinglesExpr]]): grams are hashed as
-    * they are formed (bit-identical to `xxhash64` of the [[shingles]]
-    * string) and deduplicated WITHIN the row, so the global `.distinct()`
-    * exchange the string form needs disappears entirely — shingle sets
-    * are per-document, so nothing about the dedup ever required a
-    * shuffle. Round-8 measurement: the shingle stage was ~50 % of d03's
-    * wall time; this form removes its exchange and its string
-    * materialization from d02/d03/d06-d12 and the streaming cycle.
+  /** Per-document hashed-shingle ARRAYS, `(id, hs: array<long>)` — the
+    * root relation of the fused near-dup pipeline: one codegen loop per
+    * row ([[graft.plans.HashedShinglesExpr]]) hashes each gram as it is
+    * formed (bit-identical to `xxhash64` of the [[shingles]] string) and
+    * deduplicates WITHIN the row. Both downstream shapes derive from it
+    * MAP-SIDE: `explode(hs)` for the exact-verification joins, and
+    * [[graft.plans.MinHashSignatureExpr]] for signatures — so the first
+    * shuffle in the whole pipeline is the candidate bucket group-by, the
+    * first step that genuinely needs cross-document data.
     */
-  def hashedShingles(df: DataFrame, idCol: String, textCol: String,
-                     n: Int = 3): DataFrame =
+  def docShingleArrays(df: DataFrame, idCol: String, textCol: String,
+                       n: Int = 3): DataFrame =
     df.select(col(idCol).as("id"),
         split(TextFunctions.normalizeWs(col(textCol)), " ").as("__w"))
       .select(col("id"),
-        explode(graft.plans.HashedShinglesExpr.hashedShingles(col("__w"), n))
-          .as("shingle"))
+        graft.plans.HashedShinglesExpr.hashedShingles(col("__w"), n).as("hs"))
+
+  /** Distinct HASHED shingles per document, `(id, shingle: long)` — the
+    * exploded form of [[docShingleArrays]] (feeds exact-Jaccard joins).
+    * No exchange anywhere: the in-row dedup replaced the string form's
+    * global `.distinct()` (round-8 measurement: that stage was ~50 % of
+    * d03's wall time).
+    */
+  def hashedShingles(df: DataFrame, idCol: String, textCol: String,
+                     n: Int = 3): DataFrame =
+    explodeArrays(docShingleArrays(df, idCol, textCol, n))
+
+  private def explodeArrays(perDoc: DataFrame): DataFrame =
+    perDoc.select(col("id"), explode(col("hs")).as("shingle"))
+
+  /** Map-side MinHash signatures from the per-document arrays —
+    * bit-identical to [[minhashSignatures]] over the exploded relation,
+    * minus its groupBy exchange (the signature is a row-local fold).
+    */
+  private def signaturesFromArrays(perDoc: DataFrame, numHashes: Int): DataFrame =
+    perDoc.select(col("id"),
+      graft.plans.MinHashSignatureExpr.minhashSignature(col("hs"), numHashes).as("sig"))
 
   /** MinHash signature per id from a (id, shingle) relation: each shingle is
     * string-hashed ONCE (xxhash64), then the k "independent" hash functions
@@ -155,15 +174,29 @@ object NearDup {
                          threshold: Double, numHashes: Int = 64,
                          bands: Int = 32, shingleSize: Int = 3,
                          cacheShingles: Boolean = false): DataFrame = {
-    val hashed = hashedShingles(df, idCol, textCol, shingleSize)
-    val sh = if (cacheShingles) hashed.cache() else hashed
-    nearDuplicatePairsFromHashed(sh, threshold, numHashes, bands)
+    val arrays = docShingleArrays(df, idCol, textCol, shingleSize)
+    val perDoc = if (cacheShingles) arrays.cache() else arrays
+    nearDuplicatePairsFromDocArrays(perDoc, threshold, numHashes, bands)
   }
 
-  /** [[nearDuplicatePairs]] starting from an ALREADY hashed-shingle
-    * relation `(id, shingle: long)` — for callers that hold one (the
-    * streaming cycle reuses the probe's cached batch shingles here, so a
-    * micro-batch is shingled exactly once per trigger).
+  /** [[nearDuplicatePairs]] starting from the per-document shingle-array
+    * relation ([[docShingleArrays]]) — for callers that hold one (the
+    * streaming cycle reuses the probe's cached arrays here, so a
+    * micro-batch is shingled exactly once per trigger). Signatures and
+    * the exploded verify relation both derive map-side.
+    */
+  def nearDuplicatePairsFromDocArrays(perDoc: DataFrame, threshold: Double,
+                                      numHashes: Int = 64, bands: Int = 32,
+                                      maxBucketSize: Int = 1000): DataFrame = {
+    val sig = signaturesFromArrays(perDoc, numHashes)
+    val cand = lshCandidates(sig, bands, numHashes / bands, maxBucketSize)
+    exactJaccard(explodeArrays(perDoc), cand).filter(col("jaccard") >= threshold)
+  }
+
+  /** [[nearDuplicatePairs]] starting from an ALREADY hashed-and-exploded
+    * shingle relation `(id, shingle: long)` — signatures then need the
+    * one groupBy the array form avoids; prefer
+    * [[nearDuplicatePairsFromDocArrays]] when the arrays are available.
     */
   def nearDuplicatePairsFromHashed(sh: DataFrame, threshold: Double,
                                    numHashes: Int = 64, bands: Int = 32,
@@ -432,10 +465,10 @@ object NearDup {
   def buildIndex(df: DataFrame, idCol: String, textCol: String,
                  numHashes: Int = 64, bands: Int = 32,
                  shingleSize: Int = 3): NearDupIndex = {
-    val sh = hashedShingles(df, idCol, textCol, shingleSize)
-    val bk = bandBuckets(minhashSignatures(sh, numHashes), bands, numHashes / bands)
+    val perDoc = docShingleArrays(df, idCol, textCol, shingleSize)
+    val bk = bandBuckets(signaturesFromArrays(perDoc, numHashes), bands, numHashes / bands)
       .groupBy("bk").agg(collect_list(col("id")).as("ids"))
-    NearDupIndex(sh, bk, numHashes, bands, shingleSize)
+    NearDupIndex(explodeArrays(perDoc), bk, numHashes, bands, shingleSize)
   }
 
   /** Fold a just-ingested batch into the corpus index — the write side of
@@ -553,9 +586,10 @@ object NearDup {
   /** [[incrementalNearDupPairs]] (indexed) plus the probe's cached frames,
     * so a caller embedded in a long-lived session (the streaming cycle)
     * can unpersist exactly what the probe pinned once its action is done.
-    * The FIRST cached frame is the batch's hashed-shingle relation
-    * `(id, shingle)` — reusable via [[nearDuplicatePairsFromHashed]] for
-    * in-batch dedup without re-shingling the batch.
+    * The FIRST cached frame is the batch's per-document shingle-array
+    * relation ([[docShingleArrays]]) — reusable via
+    * [[nearDuplicatePairsFromDocArrays]] for in-batch dedup without
+    * re-shingling the batch.
     */
   private[graft] def incrementalIndexProbe(newDf: DataFrame, index: NearDupIndex,
                                            idCol: String, textCol: String,
@@ -564,9 +598,10 @@ object NearDup {
                                            maxBroadcastKeys: Long = 2000000L)
       : (DataFrame, Seq[DataFrame]) = {
     val r = index.numHashes / index.bands
-    val shNew = hashedShingles(newDf, idCol, textCol, index.shingleSize)
-      .cache() // feeds signatures + verify
-    val bNew = bandBuckets(minhashSignatures(shNew, index.numHashes), index.bands, r)
+    val perDoc = docShingleArrays(newDf, idCol, textCol, index.shingleSize)
+      .cache() // feeds signatures + verify (both derive map-side)
+    val shNew = explodeArrays(perDoc)
+    val bNew = bandBuckets(signaturesFromArrays(perDoc, index.numHashes), index.bands, r)
       .select(col("bk"), col("id").as("id_new"))
       .cache() // feeds the key set + the candidate join
     // size the batch side (cheap: bNew is cached) to decide broadcast vs
@@ -617,7 +652,7 @@ object NearDup {
         cand.select(col("id_new").as("id_a"), col("id_old").as("id_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a").as("id_new"), col("id_b").as("id_old"), col("jaccard"))
-    (out, Seq(shNew, bNew, cand))
+    (out, Seq(perDoc, bNew, cand))
   }
 
   /** INCREMENTAL near-dup: dedup a NEW ingest batch against an EXISTING
@@ -653,10 +688,12 @@ object NearDup {
                               maxBucketSize: Int = 1000,
                               maxBroadcastKeys: Long = 2000000L): DataFrame = {
     val r = numHashes / bands
-    val shNew = hashedShingles(newDf, idCol, textCol, shingleSize)
-      .cache() // feeds signatures + verify
-    val shOld = hashedShingles(oldDf, idCol, textCol, shingleSize).cache()
-    val bNew = bandBuckets(minhashSignatures(shNew, numHashes), bands, r)
+    val perDocNew = docShingleArrays(newDf, idCol, textCol, shingleSize)
+      .cache() // feeds signatures + verify (both derive map-side)
+    val perDocOld = docShingleArrays(oldDf, idCol, textCol, shingleSize).cache()
+    val shNew = explodeArrays(perDocNew)
+    val shOld = explodeArrays(perDocOld)
+    val bNew = bandBuckets(signaturesFromArrays(perDocNew, numHashes), bands, r)
       .select(col("bk"), col("id").as("id_new"))
       .cache() // feeds the key set + the candidate join
     // same two corpus-side prunes as the indexed overload (shingling the
@@ -670,7 +707,7 @@ object NearDup {
     val batchKeys = bNew.select(col("bk")).distinct()
     val batchKeysPrune =
       if (nKeys <= maxBroadcastKeys) broadcast(batchKeys) else batchKeys
-    val bOld = bandBuckets(minhashSignatures(shOld, numHashes), bands, r)
+    val bOld = bandBuckets(signaturesFromArrays(perDocOld, numHashes), bands, r)
       .join(batchKeysPrune, Seq("bk"), "left_semi")
       .groupBy("bk").agg(collect_list(col("id")).as("ids"))
       .filter(size(col("ids")) <= maxBucketSize)

@@ -247,8 +247,8 @@ object StreamOps {
           val corpusDrops = corpusPairs.select(col("id_new").as(idCol)).distinct()
           // within the batch: drop any doc with a smaller near-dup sibling
           // (pairs come oriented id_a < id_b); reuses the probe's cached
-          // hashed shingles — the batch is shingled ONCE per trigger
-          val innerDrops = NearDup.nearDuplicatePairsFromHashed(
+          // per-doc shingle arrays — the batch is shingled ONCE per trigger
+          val innerDrops = NearDup.nearDuplicatePairsFromDocArrays(
               probeCaches.head, threshold,
               index.numHashes, index.bands, maxBucketSize)
             .select(col("id_b").as(idCol)).distinct()

@@ -331,6 +331,24 @@ class NearDupSpec extends SparkSpec {
       fused.queryExecution.executedPlan.toString)
   }
 
+  test("fused per-row signatures equal the aggregate minhashSignatures, map-side") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "short one"),
+      (3L, "naïve café résumé naïve café résumé with unicode tokens here"),
+      (4L, "")).toDF("doc_id", "text")
+    val perDoc = NearDup.docShingleArrays(docs, "doc_id", "text", 3)
+    val fused = perDoc.select(col("id"),
+        graft.plans.MinHashSignatureExpr.minhashSignature(col("hs"), 64).as("sig"))
+    val viaAgg = NearDup.minhashSignatures(
+      NearDup.hashedShingles(docs, "doc_id", "text", 3), 64)
+    assert(fused.as[(Long, Seq[Long])].collect().toMap ==
+      viaAgg.as[(Long, Seq[Long])].collect().toMap)
+    // map-side claim: no exchange anywhere in the fused signature plan
+    assert(!fused.queryExecution.executedPlan.toString.contains("Exchange"),
+      fused.queryExecution.executedPlan.toString)
+  }
+
   test("shingles of a doc shorter than n collapse to one whole-text shingle") {
     val short = Seq((1L, "two words")).toDF("doc_id", "text")
     val got = NearDup.shingles(short, "doc_id", "text", 3)

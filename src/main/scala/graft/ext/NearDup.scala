@@ -815,31 +815,22 @@ object NearDup {
 
   /** SimHash: 64-bit signature whose bit i is the sign of the sum over
     * tokens of ±1 at bit i of the token hash. Near-dups = small Hamming
-    * distance. Pure column algebra — no UDF.
+    * distance.
     *
-    * Shape: ONE aggregation — 64 conditional integer sums per doc id,
-    * partial-aggregated map-side, then the signature is assembled from the
-    * 64 sums with plain bit arithmetic in a projection. The previous
-    * posexplode shape multiplied every token row 64× and shuffled the
-    * (id, bit) pairs — a 64× shuffle-volume tax this one-pass form avoids
-    * entirely (per-doc shuffle payload: 64 longs, same as a MinHash
-    * signature). Integer sums are order-independent, so signatures are
-    * deterministic under any partitioning (golden-net d04/d05 rely on it).
+    * Shape: NO shuffle at all — the signature is a row-local fold over the
+    * document's own tokens ([[graft.plans.SimHashExpr]], one codegen loop
+    * per row). Two earlier shapes measured worse: posexplode multiplied
+    * every token row 64× and shuffled (id, bit) pairs; the 64-conditional-
+    * sums aggregate kept the shuffle payload at 64 longs/doc but still
+    * exploded tokens into rows and exchanged them through a groupBy the
+    * per-document fold never needed. Integer sums are order-independent,
+    * so signatures are deterministic under any partitioning (golden-net
+    * d04/d05 pin bit-equality across all three shapes).
     */
-  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tokens = df.select(col(idCol).as("id"),
-      explode(split(TextFunctions.normalizeWs(lower(col(textCol))), " ")).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-    val sums = (0 until 64).map { b =>
-      sum(when(col("h").bitwiseAND(lit(1L << b)) =!= 0, lit(1)).otherwise(lit(-1)))
-        .as(s"s$b")
-    }
-    tokens.groupBy("id").agg(sums.head, sums.tail: _*)
-      .select(col("id"),
-        (0 until 64).map(b =>
-          when(col(s"s$b") >= 0, lit(1L << b)).otherwise(lit(0L)))
-          .reduce(_.bitwiseOR(_)).as("simhash"))
-  }
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+        split(TextFunctions.normalizeWs(lower(col(textCol))), " ").as("__w"))
+      .select(col("id"), graft.plans.SimHashExpr.simhash(col("__w")).as("simhash"))
 
   /** Hamming distance between two 64-bit signatures. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

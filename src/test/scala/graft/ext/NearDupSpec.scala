@@ -349,6 +349,34 @@ class NearDupSpec extends SparkSpec {
       fused.queryExecution.executedPlan.toString)
   }
 
+  test("fused simhash equals the 64-conditional-sums aggregate form") {
+    import graft.functions.TextFunctions
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "The QUICK brown fox  jumps over the lazy dog"), // case/ws-insensitive twin
+      (3L, ""), (4L, "solo"),
+      (5L, "naïve café résumé tokens with unicode")).toDF("doc_id", "text")
+    // the aggregate shape the fused expression replaced — kept here as the
+    // differential oracle for the goldens' bit-equality claim
+    val tokens = docs.select(col("doc_id").as("id"),
+      explode(split(TextFunctions.normalizeWs(lower(col("text"))), " ")).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val sums = (0 until 64).map { b =>
+      sum(when(col("h").bitwiseAND(lit(1L << b)) =!= 0, lit(1)).otherwise(lit(-1)))
+        .as(s"s$b")
+    }
+    val viaAgg = tokens.groupBy("id").agg(sums.head, sums.tail: _*)
+      .select(col("id"),
+        (0 until 64).map(b =>
+          when(col(s"s$b") >= 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_.bitwiseOR(_)).as("simhash"))
+      .as[(Long, Long)].collect().toMap
+    val fusedDf = NearDup.simhash(docs, "doc_id", "text")
+    assert(fusedDf.as[(Long, Long)].collect().toMap == viaAgg)
+    assert(!fusedDf.queryExecution.executedPlan.toString.contains("Exchange"),
+      fusedDf.queryExecution.executedPlan.toString)
+  }
+
   test("shingles of a doc shorter than n collapse to one whole-text shingle") {
     val short = Seq((1L, "two words")).toDF("doc_id", "text")
     val got = NearDup.shingles(short, "doc_id", "text", 3)

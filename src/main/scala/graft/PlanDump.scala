@@ -55,7 +55,15 @@ object PlanDump {
       "string materialization from every shingle consumer (d02/d03/d06-" +
       "d12, streaming). Measured: shingle stage 0.76s -> 0.26s at sf0.1, " +
       "d03 end-to-end 1.94s -> 1.57s; NearDupSpec pins hash equality and " +
-      "the exchange-free plan."),
+      "the exchange-free plan. The same round fused the MinHash signature " +
+      "(MinHashSignatureExpr — per-row fold over the per-document shingle " +
+      "array, removing the signature groupBy from every pipeline), so the " +
+      "first shuffle in near-dup is the candidate bucket group-by, the " +
+      "first step that needs cross-document data."),
+    "d04_simhash" -> ("round 8: the signature is a fused per-row codegen " +
+      "fold (SimHashExpr) — no explode, no aggregate, NO shuffle in the " +
+      "whole plan; bit-identical to the 64-conditional-sums aggregate it " +
+      "replaced (differential spec + the d04/d05 goldens pin it)."),
     "d06_dedup_clusters" -> ("round 4: one materializing job per CC round " +
       "(was 3 — convergence now reads the round's own checkpointed output, " +
       "propagate persists instead of checkpointing); 9.1 s -> ~4.5 s " +

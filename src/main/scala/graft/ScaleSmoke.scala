@@ -132,8 +132,15 @@ object ScaleSmoke {
     def run(name: String, small: => Long, big: => Long): Measure = {
       small // warm-up (codegen, shuffles)
       val (_, tSmall) = time(small)
-      val (rows, tBig, inB, shufB) = measured(spark)(big)
-      Measure(name, tSmall, tBig, rows, inB, shufB)
+      // the 10x leg gets no separate warm-up pass (it IS the expensive
+      // leg), so take the min of two runs: the first also pays codegen and
+      // any transient load spike, and the round-8 fusions shrank the 1x
+      // denominators enough that a single noisy 10x reading could trip the
+      // 2x budget without any real regression. Bytes come from the first
+      // (cold) run — caching doesn't change them, load does not either.
+      val (rows, tBig1, inB, shufB) = measured(spark)(big)
+      val (_, tBig2) = time(big)
+      Measure(name, tSmall, math.min(tBig1, tBig2), rows, inB, shufB)
     }
 
     val results = Seq(

@@ -252,7 +252,7 @@ object NearDup {
                                 numHashes: Int = 64, bands: Int = 32,
                                 shingleSize: Int = 3, layoutParts: Int = 0)
 
-  /** Stored-index metadata (one parquet row under `dir/meta`).
+  /** Stored-index metadata (one generation-numbered text file under `dir`).
     *
     *   - `parts`: hash-partition modulus of the relation layout;
     *   - `epoch`: which generation of the relation directories is live —
@@ -264,10 +264,28 @@ object NearDup {
     *     replayed batch at or below this id is already durable IN FULL
     *     (its output partition was written before the compaction ran) and
     *     must be skipped, because the compacted relations no longer carry
-    *     the per-batch partitions the normal replay path filters out.
+    *     the per-batch partitions the normal replay path filters out;
+    *   - `streamId`: the checkpoint location of the streaming query that
+    *     ingests into this index, pinned at its FIRST append ("" until
+    *     then). Batch ids are only meaningful relative to one checkpoint
+    *     lineage — restarting a stream with a FRESH checkpoint against an
+    *     existing index would recycle ids from 0, silently skipping every
+    *     batch below `compactedThrough` and dynamic-overwriting earlier
+    *     batches' partitions — so the ingest cycle fails fast on mismatch.
     */
   final case class IndexMeta(numHashes: Int, bands: Int, shingleSize: Int,
-                             parts: Int, epoch: Int, compactedThrough: Long)
+                             parts: Int, epoch: Int, compactedThrough: Long,
+                             streamId: String = "")
+
+  /** Thrown when a stored-index writer loses the meta-generation CAS — a
+    * second writer (another compaction, another stream, a concurrent
+    * `save`) advanced the index while this one was working. The losing
+    * writer must reload and retry (streaming: fail the batch and let the
+    * replay see fresh state) instead of silently clobbering the other
+    * writer's meta swap.
+    */
+  final class ConcurrentIndexWriteException(msg: String)
+    extends IllegalStateException(msg)
 
   object NearDupIndex {
     /** Default hash-partition modulus for the stored layout: enough fan-out
@@ -280,24 +298,108 @@ object NearDup {
     private[graft] def relPath(dir: String, name: String, epoch: Int): String =
       if (epoch == 0) s"$dir/$name" else s"$dir/${name}_e$epoch"
 
-    private[graft] def writeMeta(spark: org.apache.spark.sql.SparkSession,
-                                 dir: String, m: IndexMeta): Unit = {
-      import spark.implicits._
-      graft.sources.ParquetWarehouse.overwriteAll(
-        Seq((m.numHashes, m.bands, m.shingleSize, m.parts, m.epoch, m.compactedThrough))
-          .toDF("num_hashes", "bands", "shingle_size", "parts", "epoch",
-            "compacted_through"),
-        s"$dir/meta")
+    // ------------------------------------------------------------ meta
+    // The meta "pointer" is a tiny key=value text file named by a
+    // monotonically increasing GENERATION: `dir/meta_g{N}`. Readers resolve
+    // the highest generation present; writers create the NEXT generation
+    // via write-to-temp + rename (rename onto an existing name fails, so
+    // two writers racing to the same generation cannot both win) after
+    // verifying the current generation still equals the one they loaded —
+    // a compare-and-swap. Every crash window is benign: the previous
+    // generation file is still present and complete, so `readMeta` never
+    // sees a torn pointer (the failure the old single-directory
+    // mode(overwrite) parquet meta had: delete-then-write left a window
+    // with NO readable meta at all).
+
+    private val metaGenPattern = "meta_g(\\d+)".r
+
+    private def fsFor(spark: org.apache.spark.sql.SparkSession, dir: String) = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+    }
+
+    /** Highest meta generation under `dir`, or -1 if none exist yet. */
+    private[graft] def metaGeneration(spark: org.apache.spark.sql.SparkSession,
+                                      dir: String): Int = {
+      val (fs, p) = fsFor(spark, dir)
+      if (!fs.exists(p)) -1
+      else fs.listStatus(p).foldLeft(-1) { (acc, st) =>
+        st.getPath.getName match {
+          case metaGenPattern(n) => math.max(acc, n.toInt)
+          case _ => acc
+        }
+      }
+    }
+
+    private[graft] def readMetaWithGen(spark: org.apache.spark.sql.SparkSession,
+                                       dir: String): (IndexMeta, Int) = {
+      val gen = metaGeneration(spark, dir)
+      require(gen >= 0, s"no index meta at $dir (expected a meta_g{N} file — " +
+        "was the index initialized with NearDupIndex.init/save?)")
+      val (fs, _) = fsFor(spark, dir)
+      val in = fs.open(new org.apache.hadoop.fs.Path(dir, s"meta_g$gen"))
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+                 finally in.close()
+      val kv = text.linesIterator.filter(_.contains('=')).map { l =>
+        val i = l.indexOf('='); (l.substring(0, i), l.substring(i + 1))
+      }.toMap
+      (IndexMeta(kv("num_hashes").toInt, kv("bands").toInt,
+        kv("shingle_size").toInt, kv("parts").toInt, kv("epoch").toInt,
+        kv("compacted_through").toLong, kv.getOrElse("stream_id", "")), gen)
     }
 
     private[graft] def readMeta(spark: org.apache.spark.sql.SparkSession,
-                                dir: String): IndexMeta = {
-      val meta = spark.read.parquet(s"$dir/meta").collect()
-      require(meta.length == 1, s"corrupt index meta at $dir/meta: ${meta.length} rows")
-      val r = meta.head
-      IndexMeta(r.getAs[Int]("num_hashes"), r.getAs[Int]("bands"),
-        r.getAs[Int]("shingle_size"), r.getAs[Int]("parts"),
-        r.getAs[Int]("epoch"), r.getAs[Long]("compacted_through"))
+                                dir: String): IndexMeta =
+      readMetaWithGen(spark, dir)._1
+
+    /** Compare-and-swap meta write: publishes `m` as generation
+      * `expectedGen + 1`, failing with [[ConcurrentIndexWriteException]] if
+      * any other writer advanced the meta since `expectedGen` was read.
+      * Pass `expectedGen = -1` for the very first write (init/save on a
+      * fresh dir). Superseded generation files older than the PREVIOUS one
+      * are swept best-effort (the previous is kept so a reader that listed
+      * just before the swap still finds a complete file).
+      */
+    private[graft] def writeMetaCas(spark: org.apache.spark.sql.SparkSession,
+                                    dir: String, m: IndexMeta,
+                                    expectedGen: Int): Unit = {
+      val (fs, p) = fsFor(spark, dir)
+      if (!fs.exists(p)) fs.mkdirs(p)
+      val current = metaGeneration(spark, dir)
+      if (current != expectedGen)
+        throw new ConcurrentIndexWriteException(
+          s"stored index at $dir advanced to meta generation $current while " +
+          s"this writer held generation $expectedGen — another compaction/" +
+          "stream/save is active; reload and retry")
+      val next = expectedGen + 1
+      val content =
+        s"""num_hashes=${m.numHashes}
+           |bands=${m.bands}
+           |shingle_size=${m.shingleSize}
+           |parts=${m.parts}
+           |epoch=${m.epoch}
+           |compacted_through=${m.compactedThrough}
+           |stream_id=${m.streamId}
+           |""".stripMargin
+      val tmp = new org.apache.hadoop.fs.Path(dir,
+        s".meta_g$next.tmp.${java.util.UUID.randomUUID}")
+      val out = fs.create(tmp, false)
+      try out.write(content.getBytes("UTF-8")) finally out.close()
+      val target = new org.apache.hadoop.fs.Path(dir, s"meta_g$next")
+      // rename onto an existing destination fails -> the losing racer of
+      // two same-generation writers lands here, not on clobbered meta
+      if (!fs.rename(tmp, target)) {
+        try fs.delete(tmp, false) catch { case _: java.io.IOException => () }
+        throw new ConcurrentIndexWriteException(
+          s"stored index at $dir: meta generation $next was published by a " +
+          "concurrent writer during this swap; reload and retry")
+      }
+      // sweep generations older than the previous one (crash = harmless
+      // stale files, re-swept on the next successful write)
+      for (g <- 0 until expectedGen) {
+        val old = new org.apache.hadoop.fs.Path(dir, s"meta_g$g")
+        try fs.delete(old, false) catch { case _: java.io.IOException => () }
+      }
     }
 
     /** Static (whole-epoch) write of both relations with the partitioned
@@ -338,6 +440,17 @@ object NearDup {
           .withColumn("batch_id", lit(batchId))
           .withColumn("bp", pmod(col("bk.bh"), lit(meta.parts)).cast("int")),
         relPath(dir, "buckets", meta.epoch), Seq("batch_id", "bp"))
+      // post-append guard: if a concurrent compaction swapped the live
+      // epoch while we were writing, these rows landed in a superseded
+      // epoch's directories and the compacted relations do NOT carry them —
+      // fail loudly so the caller replays against fresh state rather than
+      // silently losing the batch
+      val now = readMeta(batch.shingles.sparkSession, dir)
+      if (now.epoch != meta.epoch)
+        throw new ConcurrentIndexWriteException(
+          s"stored index at $dir was compacted (epoch ${meta.epoch} -> " +
+          s"${now.epoch}) during the append of batch $batchId; the appended " +
+          "rows landed in the superseded epoch — replay the batch")
     }
 
     /** Number of per-batch append fragments in the live epoch's bucket
@@ -356,36 +469,44 @@ object NearDup {
 
     /** Compact the STORED index in place, CRASH-SAFELY: fold all append
       * fragments (and per-batch partitions) of the live epoch into a fresh
-      * `epoch + 1` directory pair, then swap the meta pointer. The write
-      * order makes every crash window benign:
+      * `epoch + 1` directory pair, then swap the meta pointer (a
+      * [[writeMetaCas]] — a concurrent writer that advanced the index
+      * since this compaction loaded it makes the swap FAIL instead of
+      * silently clobbering the other writer's state). The write order
+      * makes every crash window benign:
       *   - crash while writing the new epoch: meta still points at the old
       *     (complete) epoch; the half-written dirs are unreferenced garbage;
       *   - crash after the meta swap: the new epoch is complete and live;
-      *     the old dirs are garbage (removed best-effort below, and by the
-      *     next compaction's sweep if that removal itself crashed).
+      *     the previous generation's meta file and the half-swept old dirs
+      *     are garbage, re-swept by the next compaction.
       * `batchId` records the newest streaming batch folded in (becomes
       * `compactedThrough`; pass -1 from batch-mode maintenance).
       *
-      * Interleaved READERS during the swap: a job that called [[load]]
-      * just before the meta swap keeps reading the old epoch's dirs and
-      * can fail transiently once the post-swap sweep deletes them — the
-      * standard plain-parquet limitation (a table format with snapshot
-      * isolation removes it). Schedule compaction away from long batch
-      * readers, or let the reader retry.
+      * Interleaved READERS during the swap — GRACE-PERIOD SWEEP: the
+      * immediately superseded epoch's directories are KEPT for one full
+      * compaction cycle (only epochs at least two generations old are
+      * deleted), so a reader that [[load]]ed just before the swap keeps
+      * collecting from the old epoch's complete directories until the NEXT
+      * compaction runs — with default thresholds that is `compactEvery`
+      * ingest batches of wall time, far longer than any sane batch read.
+      * A reader older than TWO compaction cycles can still fail
+      * transiently (plain-parquet limitation; a table format with snapshot
+      * isolation removes it entirely).
       */
     private[graft] def compactStored(spark: org.apache.spark.sql.SparkSession,
                                      dir: String, batchId: Long): Unit = {
-      val m = readMeta(spark, dir)
+      val (m, gen) = readMetaWithGen(spark, dir)
       val idx = load(spark, dir)
       val folded = compactIndex(idx, idx.shingles.select("id").distinct())
       writeRelations(folded.shingles, folded.buckets, dir, m.epoch + 1, m.parts, -1L)
-      writeMeta(spark, dir, m.copy(epoch = m.epoch + 1,
-        compactedThrough = math.max(batchId, m.compactedThrough)))
-      // best-effort removal of every superseded epoch (crash = orphans, not
-      // corruption; re-swept on the next compaction)
+      writeMetaCas(spark, dir, m.copy(epoch = m.epoch + 1,
+        compactedThrough = math.max(batchId, m.compactedThrough)), gen)
+      // grace sweep: keep epoch m.epoch (just superseded — in-flight
+      // readers may still hold it); delete everything older (crash =
+      // orphans, not corruption; re-swept on the next compaction)
       val fs = new org.apache.hadoop.fs.Path(dir)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      for (e <- 0 to m.epoch; name <- Seq("shingles", "buckets")) {
+      for (e <- 0 until m.epoch; name <- Seq("shingles", "buckets")) {
         val p = new org.apache.hadoop.fs.Path(relPath(dir, name, e))
         try fs.delete(p, true) catch { case _: java.io.IOException => () }
       }
@@ -396,9 +517,11 @@ object NearDup {
       */
     def save(index: NearDupIndex, dir: String,
              parts: Int = defaultParts): Unit = {
+      val spark = index.shingles.sparkSession
       writeRelations(index.shingles, index.buckets, dir, 0, parts, -1L)
-      writeMeta(index.shingles.sparkSession, dir,
-        IndexMeta(index.numHashes, index.bands, index.shingleSize, parts, 0, -1L))
+      writeMetaCas(spark, dir,
+        IndexMeta(index.numHashes, index.bands, index.shingleSize, parts, 0, -1L),
+        metaGeneration(spark, dir))
     }
 
     /** COLD-START initialization: create an EMPTY index at `dir` (meta
@@ -414,7 +537,9 @@ object NearDup {
     def init(spark: org.apache.spark.sql.SparkSession, dir: String,
              numHashes: Int = 64, bands: Int = 32, shingleSize: Int = 3,
              parts: Int = defaultParts): Unit =
-      writeMeta(spark, dir, IndexMeta(numHashes, bands, shingleSize, parts, 0, -1L))
+      writeMetaCas(spark, dir,
+        IndexMeta(numHashes, bands, shingleSize, parts, 0, -1L),
+        metaGeneration(spark, dir))
 
     // canonical stored schemas, partition columns included — what an empty
     // (never-appended) relation must present so probes plan identically

@@ -49,7 +49,16 @@ object SurrogateKey {
     * `spark.catalog.clearCache()` after the frame's final action. Bench
     * clears the cache between queries for exactly this reason.
     */
-  def scalable(df: DataFrame, order: Seq[Column], idCol: String = "Id"): DataFrame = {
+  def scalable(df: DataFrame, order: Seq[Column], idCol: String = "Id"): DataFrame =
+    scalableAndHandle(df, order, idCol)._1
+
+  /** Core two-pass assignment, returning BOTH the keyed frame and the
+    * pinned internal relation. The handle is returned explicitly (not via a
+    * shared slot) so concurrent callers can never unpersist each other's
+    * pinned relation mid-use.
+    */
+  private def scalableAndHandle(df: DataFrame, order: Seq[Column],
+                                idCol: String): (DataFrame, DataFrame) = {
     val local = lit((1L << 33) - 1)
     // persist() pins the (partition-dependent, nondeterministic) __mid
     // values: the frame is consumed TWICE below — by the counts aggregate
@@ -73,26 +82,20 @@ object SurrogateKey {
       .join(broadcast(offsets), shiftright(col("__mid"), 33) === col("__pid"))
       .withColumn(idCol, col("__offset") + col("__mid").bitwiseAND(local) + 1L)
       .drop("__mid", "__pid", "__offset")
-    lastCached.set(withMid)
-    out
+    (out, withMid)
   }
-
-  // The persist handle from the most recent scalable() call, so the bracket
-  // (and tests) can release it without the caller threading it through.
-  private val lastCached =
-    new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
 
   /** Resource-bracket form of [[scalable]]: runs `use` on the keyed frame,
     * then unpersists the internal cached relation — the leak-free way to
     * consume a scalable surrogate key when the result is acted on inside
     * one scope. `use` must EXECUTE its actions before returning (a lazy
-    * frame escaping the bracket re-inherits the unpersist hazard).
+    * frame escaping the bracket re-inherits the unpersist hazard). Safe
+    * under concurrency: each bracket owns its own handle.
     */
   def withScalable[T](df: DataFrame, order: Seq[Column], idCol: String = "Id")
                      (use: DataFrame => T): T = {
-    val out = scalable(df, order, idCol)
-    val handle = lastCached.getAndSet(null)
+    val (out, handle) = scalableAndHandle(df, order, idCol)
     try use(out)
-    finally if (handle != null) handle.unpersist(blocking = false)
+    finally handle.unpersist(blocking = false)
   }
 }

@@ -22,6 +22,10 @@ import org.apache.spark.sql.types._
   * order-independent, so determinism is unchanged — the d04/d05 goldens
   * pin it). Empty documents tokenize to a single empty string, which
   * hashes and contributes like any token — identical to the exploded form.
+  * A null ELEMENT contributes as hash value 42 (Spark's xxhash64 skips
+  * null inputs and returns the seed) — no NPE on arrays with
+  * containsNull=true, and bit-identity with the aggregate form holds
+  * there too.
   */
 case class SimHashExpr(child: Expression) extends UnaryExpression {
 
@@ -54,7 +58,11 @@ object SimHashExpr {
     var i = 0
     while (i < n) {
       val w = words.getUTF8String(i)
-      val h = XXH64.hashUnsafeBytes(w.getBaseObject, w.getBaseOffset, w.numBytes, 42L)
+      // aggregate-form parity: Spark's xxhash64 SKIPS null inputs and
+      // returns the seed, so a null token contributes exactly as hash
+      // value 42 — not an NPE, not a blanket -1
+      val h = if (w == null) 42L
+        else XXH64.hashUnsafeBytes(w.getBaseObject, w.getBaseOffset, w.numBytes, 42L)
       var b = 0
       while (b < 64) {
         if (((h >>> b) & 1L) != 0L) sums(b) += 1 else sums(b) -= 1

@@ -291,8 +291,61 @@ object EmbeddingQueries {
       .withColumn("recall", round(col("hits") / 5.0, 6))
   }
 
+  // ---------------------------------------------------------------- e11
+  /** MEASURED recall in the regime IVF exists for: CLUSTERED embeddings.
+    * e09/e10 measure on the near-uniform testdata vectors, where recall ≈
+    * candidate budget is the information-theoretic ceiling (documented
+    * there); real text embeddings cluster by topic, and THERE the index
+    * earns its keep — high recall at a small fraction of the corpus
+    * scored. The clustered fixture is derived deterministically from
+    * `vec_id` by pure column arithmetic (20 axis-aligned centers in 32
+    * dims, integer-hash jitter — the same construction
+    * IvfClusteredRecallSpec pins, committed here as arithmetic instead of
+    * a binary blob so it is diffable and scale-independent): within a
+    * cluster cosine ~1, across ~0. Configuration k=20 cells, nprobe=2 —
+    * a 10 % candidate budget — must reach recall@5 ≥ 0.9 per query
+    * (brute-force top-5 as truth). e09 + e10 + e11 together put numbers on
+    * the whole accuracy/cost surface: uniform-data ceiling AND
+    * clustered-data advantage, both regression-gated. Deterministic end to
+    * end (DECIMAL-summed codebook, rounded-cosine ranking, integer
+    * jitter) → golden-parquet oracle.
+    */
+  val e11_clustered_recall = q("e11_clustered_recall",
+      GoldenOracles.sqlFor("e11_clustered_recall")) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val dim = 32
+    val kCells = 20
+    val nprobe = 2
+    val cluster = pmod(col("vec_id"), lit(kCells)).cast("int")
+    val cvec = transform(sequence(lit(0), lit(dim - 1)), d => {
+      val base = when(d === cluster, lit(4.0)).otherwise(lit(0.0))
+      val jitter = (pmod(cluster * 31 + col("vec_id") * 7 + d * 13, lit(11)) - 5) * lit(0.05)
+      (base + jitter).cast("float")
+    })
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), cvec.as("embedding"))
+    val qs = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val scored = emb.select(col("vec_id").as("nid"), col("embedding").as("cv"))
+      .crossJoin(broadcast(qs))
+      .filter(col("nid") =!= col("qid"))
+      .withColumn("c", graft.plans.CosineSimilarityExpr.cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("c").desc, col("nid"))
+    val brute = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5).select("qid", "nid")
+    val cb = graft.ext.IvfAnn.codebook(emb, "vec_id", "embedding",
+      k = kCells, iterations = 2)
+    val ivf = graft.ext.IvfAnn.searchTopK(emb, emb.filter(col("vec_id") < 8),
+        "vec_id", "embedding", cb, nprobe = nprobe, topK = 5)
+      .select("qid", "nid")
+    brute.join(ivf.withColumn("__hit", lit(1)), Seq("qid", "nid"), "left")
+      .groupBy("qid")
+      .agg(sum(coalesce(col("__hit"), lit(0))).cast("int").as("hits"))
+      .withColumn("recall", round(col("hits") / 5.0, 6))
+      .withColumn("budget", lit(nprobe.toDouble / kCells))
+  }
+
   val all: Seq[GraftQuery] = Seq(
     e01_knn_bruteforce, e02_centroids, e03_label_block_nn, e04_lsh_ann,
     e05_cosine_neardup, e06_ivf_ann, e07_l2_normalize, e08_signature_neardup,
-    e09_ivf_recall, e10_lsh_recall)
+    e09_ivf_recall, e10_lsh_recall, e11_clustered_recall)
 }

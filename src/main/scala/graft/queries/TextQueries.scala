@@ -419,14 +419,14 @@ object TextQueries {
        |             CAST(len(regexp_extract_all(text, '$tokenPat')) AS BIGINT) AS n_tokens
        |           FROM documents),
        |c AS (SELECT doc_id, n_tokens,
-       |        COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
-       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s
+       |        CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS s
        |      FROM t)
        |SELECT doc_id, n_tokens, s AS stream_start,
-       |  s // 512 AS seq_first,
-       |  (s + CASE WHEN n_tokens > 0 THEN n_tokens ELSE 1 END - 1) // 512 AS seq_last,
-       |  CASE WHEN n_tokens = 0 THEN 0
-       |       ELSE (s + n_tokens - 1) // 512 - s // 512 + 1 END AS n_seqs
+       |  CAST(s // 512 AS BIGINT) AS seq_first,
+       |  CAST((s + CASE WHEN n_tokens > 0 THEN n_tokens ELSE 1 END - 1) // 512 AS BIGINT) AS seq_last,
+       |  CAST(CASE WHEN n_tokens = 0 THEN 0
+       |       ELSE (s + n_tokens - 1) // 512 - s // 512 + 1 END AS BIGINT) AS n_seqs
        |FROM c""".stripMargin) { (s, dir) =>
     val weighted = Tables.documents(s, dir).select(col("doc_id"),
       TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
@@ -434,9 +434,45 @@ object TextQueries {
       .select("doc_id", "n_tokens", "stream_start", "seq_first", "seq_last", "n_seqs")
   }
 
+  // ---------------------------------------------------------------- t13
+  /** MATERIALIZED packed sequences — the other half of concatenate-and-
+    * chunk: one row per (training sequence, document slice), which is what
+    * a trainer's loader actually consumes (t12 only annotates each doc with
+    * the sequences it spans). Engine side is
+    * [[graft.operators.Packing.sequences]] (the two-pass positions plus a
+    * row-local explode — no new exchange); the oracle replays the explode
+    * with DuckDB's `generate_series` over each doc's occupied sequence
+    * range and resolves the boundary arithmetic with GREATEST/LEAST.
+    */
+  val t13_packed_sequences = q("t13_packed_sequences",
+    s"""WITH t AS (SELECT doc_id,
+       |             CAST(len(regexp_extract_all(text, '$tokenPat')) AS BIGINT) AS n_tokens
+       |           FROM documents),
+       |c AS (SELECT doc_id, n_tokens,
+       |        CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS s
+       |      FROM t),
+       |b AS (SELECT doc_id, n_tokens, s,
+       |        CAST(s // 512 AS BIGINT) AS f,
+       |        CAST((s + n_tokens - 1) // 512 AS BIGINT) AS l
+       |      FROM c WHERE n_tokens > 0),
+       |e AS (SELECT doc_id, n_tokens, s, CAST(u.seq_id AS BIGINT) AS seq_id
+       |      FROM b, unnest(generate_series(b.f, b.l)) AS u(seq_id))
+       |SELECT doc_id, n_tokens, s AS stream_start, seq_id,
+       |  CAST(GREATEST(s, seq_id*512) - seq_id*512 AS BIGINT) AS offset_in_seq,
+       |  CAST(GREATEST(s, seq_id*512) - s AS BIGINT) AS offset_in_doc,
+       |  CAST(LEAST(s + n_tokens, (seq_id+1)*512) - GREATEST(s, seq_id*512) AS BIGINT) AS len_in_seq
+       |FROM e""".stripMargin) { (s, dir) =>
+    val weighted = Tables.documents(s, dir).select(col("doc_id"),
+      TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+    graft.operators.Packing.sequences(weighted, Seq(col("doc_id")), "n_tokens", 512L)
+      .select("doc_id", "n_tokens", "stream_start", "seq_id",
+        "offset_in_seq", "offset_in_doc", "len_in_seq")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     t01_token_stats, t02_quality_score, t03_lang_id, t04_fingerprint,
     t05_rolling_hash, t06_redact, t07_tfidf_top_terms, t08_curation_pipeline,
     t09_repetition, t10_mixture_resample, t11_boilerplate_ngrams,
-    t12_sequence_packing)
+    t12_sequence_packing, t13_packed_sequences)
 }

@@ -231,7 +231,26 @@ object StreamOps {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
-        val meta = NearDupIndex.readMeta(spark, indexDir)
+        val (meta0, gen0) = NearDupIndex.readMetaWithGen(spark, indexDir)
+        // checkpoint-identity guard: batch ids are only meaningful relative
+        // to ONE checkpoint lineage. The first append pins this stream's
+        // checkpoint in the meta; a restart against a FRESH checkpoint
+        // would recycle ids from 0 (silently skipped below compactedThrough,
+        // dynamic-overwriting earlier batches' partitions) — fail fast
+        // instead. Re-ingesting an index from scratch = new index dir.
+        val meta =
+          if (meta0.streamId.isEmpty) {
+            val pinned = meta0.copy(streamId = checkpointDir)
+            NearDupIndex.writeMetaCas(spark, indexDir, pinned, gen0)
+            pinned
+          } else if (meta0.streamId != checkpointDir) {
+            throw new IllegalStateException(
+              s"index at $indexDir was ingested from checkpoint " +
+              s"'${meta0.streamId}' but this query runs from " +
+              s"'$checkpointDir' — a fresh checkpoint recycles batch ids " +
+              "and would silently corrupt the replay guards; use the " +
+              "original checkpoint or a fresh index dir")
+          } else meta0
         if (meta.compactedThrough >= batchId) {
           // replayed batch already folded into the live epoch by a
           // committed compaction — fully durable, nothing to redo

@@ -309,6 +309,89 @@ class NearDupSpec extends SparkSpec {
     }
   }
 
+  test("meta CAS: a stale writer fails fast instead of clobbering a concurrent swap") {
+    val corpus = Seq((1L, "the quick brown fox jumps over the lazy dog today"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("neardup-cas").toString
+    try {
+      NearDup.NearDupIndex.save(NearDup.buildIndex(corpus, "doc_id", "text"), dir)
+      // two writers load the same generation; the first swap wins, the
+      // second must fail fast (the old last-write-wins silently clobbered)
+      val (m, gen) = NearDup.NearDupIndex.readMetaWithGen(spark, dir)
+      NearDup.NearDupIndex.writeMetaCas(spark, dir, m.copy(epoch = m.epoch + 1), gen)
+      val e = intercept[NearDup.ConcurrentIndexWriteException] {
+        NearDup.NearDupIndex.writeMetaCas(spark, dir,
+          m.copy(compactedThrough = 99L), gen)
+      }
+      assert(e.getMessage.contains("generation"))
+      // the winner's state is intact
+      val after = NearDup.NearDupIndex.readMeta(spark, dir)
+      assert(after.epoch == m.epoch + 1 && after.compactedThrough == m.compactedThrough)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
+  test("compaction keeps the superseded epoch for one grace cycle so in-flight readers finish") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val corpus = Seq((1L, base),
+      (3L, "completely unrelated text about spark query engines and planning"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("neardup-grace").toString
+    def exists(name: String) = new java.io.File(s"$dir/$name").exists()
+    try {
+      NearDup.NearDupIndex.save(NearDup.buildIndex(corpus, "doc_id", "text"), dir)
+      // an in-flight reader loads just before the swap...
+      val reader = NearDup.NearDupIndex.load(spark, dir)
+      val preCount = reader.shingles.count()
+      NearDup.NearDupIndex.compactStored(spark, dir, -1L)
+      // ...and still collects afterwards: epoch-0 dirs survive one cycle
+      assert(exists("shingles") && exists("buckets"), "grace epoch was swept early")
+      assert(reader.shingles.count() == preCount,
+        "pre-swap reader failed within the grace window")
+      val probe = Seq((10L, base)).toDF("doc_id", "text")
+      assert(NearDup.incrementalNearDupPairs(probe, reader, "doc_id", "text",
+        0.7, 1000).count() > 0)
+      // the NEXT compaction expires the grace epoch (bounded garbage)
+      NearDup.NearDupIndex.compactStored(spark, dir, -1L)
+      assert(!exists("shingles") && !exists("buckets"),
+        "epoch 0 must be swept once it is two generations old")
+      assert(exists("shingles_e1") && exists("shingles_e2"))
+      // the live index is unchanged by either compaction
+      val live = NearDup.NearDupIndex.load(spark, dir)
+      assert(live.shingles.select("id").distinct().as[Long].collect().toSet
+        == Set(1L, 3L))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
+  test("appendBatch detects a concurrent epoch swap and demands a replay") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val corpus = Seq((1L, base)).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("neardup-race").toString
+    try {
+      NearDup.NearDupIndex.save(NearDup.buildIndex(corpus, "doc_id", "text"), dir)
+      val staleMeta = NearDup.NearDupIndex.readMeta(spark, dir)
+      // a compaction swaps the live epoch while the appender holds stale meta
+      NearDup.NearDupIndex.compactStored(spark, dir, -1L)
+      val batch = NearDup.buildIndex(
+        Seq((10L, "fresh streaming document about catalyst planner internals"))
+          .toDF("doc_id", "text"), "doc_id", "text")
+      val e = intercept[NearDup.ConcurrentIndexWriteException] {
+        NearDup.NearDupIndex.appendBatch(dir, staleMeta, batch, 7L)
+      }
+      assert(e.getMessage.contains("replay"))
+      // the appended rows landed in the superseded epoch only — the live
+      // epoch is untouched (the batch is NOT silently half-visible)
+      val live = NearDup.NearDupIndex.load(spark, dir)
+      assert(live.shingles.select("id").distinct().as[Long].collect().toSet
+        == Set(1L))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("hashedShingles equals xxhash64 over the string shingles, per doc, with no exchange") {
     import org.apache.spark.sql.functions.xxhash64
     // repeated grams (the in-row dedup case), a short doc, unicode, empty
@@ -375,6 +458,31 @@ class NearDupSpec extends SparkSpec {
     assert(fusedDf.as[(Long, Long)].collect().toMap == viaAgg)
     assert(!fusedDf.queryExecution.executedPlan.toString.contains("Exchange"),
       fusedDf.queryExecution.executedPlan.toString)
+  }
+
+  test("simhash on arrays with NULL elements matches the aggregate form (no NPE)") {
+    // Spark's xxhash64 skips null inputs and returns the seed (42), so a
+    // null token contributes as hash 42 — the fused loop must match, not NPE
+    val df = Seq(
+      (1L, Seq[String]("a", null, "b")),
+      (2L, Seq[String](null, null)),
+      (3L, Seq[String]("only"))).toDF("id", "words")
+    val fused = df.select(col("id"),
+        graft.plans.SimHashExpr.simhash(col("words")).as("simhash"))
+      .as[(Long, Long)].collect().toMap
+    val tokens = df.select(col("id"), explode(col("words")).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val sums = (0 until 64).map { b =>
+      sum(when(col("h").bitwiseAND(lit(1L << b)) =!= 0, lit(1)).otherwise(lit(-1)))
+        .as(s"s$b")
+    }
+    val viaAgg = tokens.groupBy("id").agg(sums.head, sums.tail: _*)
+      .select(col("id"),
+        (0 until 64).map(b =>
+          when(col(s"s$b") >= 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_.bitwiseOR(_)).as("simhash"))
+      .as[(Long, Long)].collect().toMap
+    assert(fused == viaAgg)
   }
 
   test("shingles of a doc shorter than n collapse to one whole-text shingle") {

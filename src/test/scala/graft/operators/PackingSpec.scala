@@ -60,6 +60,80 @@ class PackingSpec extends SparkSpec {
     assert(ours.isEmpty, "withStreamPositions must unpersist its internal relation")
   }
 
+  test("sequences: per-sequence slices are contiguous and sum to seqLen (except the tail)") {
+    val rows = (1L to 400L).map(i => (i, (i * 13) % 37)) // varied weights incl. 0
+    val df = rows.toDF("id", "w").repartition(5)
+    val slices = Packing.withSequences(df, Seq(col("id")), "w", seqLen = 64L) {
+      _.select("seq_id", "offset_in_seq", "len_in_seq", "offset_in_doc", "id", "w")
+        .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    }
+    val total = rows.map(_._2).sum
+    val lastSeq = (total - 1) / 64L
+    assert(slices.map(_._1).max == lastSeq)
+    assert(slices.forall(_._3 > 0), "every emitted slice must be non-empty")
+    // law 1: per-sequence slice lengths sum to seqLen (tail may be short)
+    val bySeq = slices.groupBy(_._1)
+    for ((sid, ss) <- bySeq) {
+      val sum = ss.map(_._3).sum
+      if (sid < lastSeq) assert(sum == 64L, s"seq $sid sums to $sum")
+      else assert(sum == total - lastSeq * 64L, s"tail seq $sid sums to $sum")
+    }
+    // law 2: within a sequence, slices ordered by offset are contiguous from 0
+    for ((sid, ss) <- bySeq) {
+      val sorted = ss.sortBy(_._2)
+      assert(sorted.head._2 == 0L, s"seq $sid does not start at offset 0")
+      sorted.sliding(2).foreach {
+        case Seq(a, b) => assert(a._2 + a._3 == b._2, s"gap in seq $sid")
+        case _ =>
+      }
+    }
+    // law 3: per document, slices cover exactly [0, w) contiguously
+    val byDoc = slices.groupBy(_._5)
+    for ((id, ss) <- byDoc) {
+      val w = rows(id.toInt - 1)._2
+      assert(ss.map(_._3).sum == w, s"doc $id slices don't sum to its weight")
+      val sorted = ss.sortBy(_._4)
+      assert(sorted.head._4 == 0L)
+      sorted.sliding(2).foreach {
+        case Seq(a, b) => assert(a._4 + a._3 == b._4, s"doc $id slice gap")
+        case _ =>
+      }
+    }
+    // weight-0 docs emit no rows
+    val zeroIds = rows.filter(_._2 == 0L).map(_._1).toSet
+    assert(slices.forall(s => !zeroIds.contains(s._5)))
+  }
+
+  test("concurrent brackets own independent handles: no leak, no cross-unpersist") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val df1 = (1 to 500).map(i => (i.toLong, (i % 7).toLong)).toDF("id", "w")
+    val df2 = (1 to 500).map(i => (i.toLong, (i % 11).toLong)).toDF("id", "w")
+    val gate = new java.util.concurrent.CyclicBarrier(2)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    def run(df: org.apache.spark.sql.DataFrame): Future[Map[Long, Long]] = Future {
+      Packing.withStreamPositions(df, Seq(col("id")), "w") { out =>
+        gate.await() // both brackets hold their persists simultaneously
+        val m = out.select("id", "stream_start").as[(Long, Long)].collect().toMap
+        gate.await() // neither unpersists until both have collected
+        m
+      }
+    }
+    val (got1, got2) = (run(df1), run(df2))
+    val want1 = Await.result(got1, 120.seconds)
+    val want2 = Await.result(got2, 120.seconds)
+    // results correct under interleaving (the old shared-slot bug could
+    // unpersist the other call's pinned relation mid-collect)
+    assert(want1(500L) == (1 to 499).map(i => (i % 7).toLong).sum)
+    assert(want2(500L) == (1 to 499).map(i => (i % 11).toLong).sum)
+    // and both handles were released — no leak survives the brackets
+    val deadline = System.nanoTime() + 5e9.toLong
+    def leaked = spark.sparkContext.getPersistentRDDs.keySet.toSet -- before
+    while (leaked.nonEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+    assert(leaked.isEmpty, s"leaked persists: $leaked")
+  }
+
   test("no data-sized single-partition stage: only the #partitions-row offsets window is global") {
     val df = spark.range(10000).select(col("id"), (col("id") % 13).as("w"))
     val out = Packing.streamPositions(df, Seq(col("id")), "w")

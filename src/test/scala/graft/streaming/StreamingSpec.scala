@@ -475,6 +475,132 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("incrementalDedupStream: a fresh checkpoint against an ingested index fails fast") {
+    import graft.ext.NearDup
+    val tmp = java.nio.file.Files.createTempDirectory("stream-ident").toString
+    val inDir = s"$tmp/in"
+    val schema = Seq(Doc(0L, "x")).toDF().schema
+    def src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+    try {
+      NearDup.NearDupIndex.init(spark, s"$tmp/idx")
+      // first lineage: checkpoint A pins its identity at first append
+      Seq(Doc(1L, "fresh streaming document about catalyst planner internals"))
+        .toDF().repartition(1).write.mode("append").parquet(inDir)
+      val qA = StreamOps.incrementalDedupStream(src, "doc_id", "text",
+        s"$tmp/idx", s"$tmp/out", s"$tmp/ckptA", threshold = 0.5)
+      qA.processAllAvailable()
+      qA.stop()
+      assert(NearDup.NearDupIndex.readMeta(spark, s"$tmp/idx").streamId
+        == s"$tmp/ckptA")
+      // second lineage: a FRESH checkpoint recycles batch ids from 0 (it
+      // re-reads the same input from scratch) — the old code silently
+      // skipped/overwrote; now the first batch fails loudly
+      val qB = StreamOps.incrementalDedupStream(src, "doc_id", "text",
+        s"$tmp/idx", s"$tmp/out", s"$tmp/ckptB", threshold = 0.5)
+      val err = intercept[Exception] { qB.processAllAvailable() }
+      try qB.stop() catch { case _: Exception => () }
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+      assert(messages(err).exists(_.contains("checkpoint")), messages(err).mkString("; "))
+      // and the index was not touched by the refused lineage
+      val ids = NearDup.NearDupIndex.load(spark, s"$tmp/idx")
+        .shingles.select("id").distinct().as[Long].collect().toSet
+      assert(ids == Set(1L), s"refused lineage mutated the index: $ids")
+      // the ORIGINAL checkpoint keeps working after the refusal
+      Seq(Doc(3L, "some third topic on parquet footers and row groups"))
+        .toDF().repartition(1).write.mode("append").parquet(inDir)
+      val qC = StreamOps.incrementalDedupStream(src, "doc_id", "text",
+        s"$tmp/idx", s"$tmp/out", s"$tmp/ckptA", threshold = 0.5)
+      qC.processAllAvailable()
+      qC.stop()
+      val ids2 = NearDup.NearDupIndex.load(spark, s"$tmp/idx")
+        .shingles.select("id").distinct().as[Long].collect().toSet
+      assert(ids2 == Set(1L, 3L), s"ids=$ids2")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+    }
+  }
+
+  test("incrementalDedupStream: 26-batch soak with replays and a concurrent reader stays bounded and correct") {
+    import graft.ext.NearDup
+    val tmp = java.nio.file.Files.createTempDirectory("stream-soak").toString
+    val (idxDir, outDir, ckptDir, inDir) = (s"$tmp/idx", s"$tmp/out", s"$tmp/ckpt", s"$tmp/in")
+    def doc(i: Int) = Doc(1000L + i,
+      s"unique soak subject $i covering topic${i}a topic${i}b topic${i}c " +
+      s"topic${i}d topic${i}e topic${i}f topic${i}g topic${i}h")
+    val schema = Seq(doc(0)).toDF().schema
+    // two injected crashes (after writes, before checkpoint commit) force
+    // interleaved at-least-once replays mid-soak
+    val crashAt = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    crashAt.add(7L); crashAt.add(15L)
+    def start() = StreamOps.incrementalDedupStream(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(inDir),
+      "doc_id", "text", idxDir, outDir, ckptDir, threshold = 0.5,
+      maxBucketSize = 1000, compactEvery = 4,
+      onBatchDone = { id =>
+        if (crashAt.remove(id))
+          throw new RuntimeException("injected crash before checkpoint commit")
+      })
+    try {
+      NearDup.NearDupIndex.init(spark, idxDir)
+      new java.io.File(inDir).mkdirs() // the source demands an existing dir
+      var q = start()
+      var fragMax = 0
+      var graceReader: Option[org.apache.spark.sql.DataFrame] = None
+      var graceEpoch = -1
+      var graceVerified = false
+      for (i <- 0 until 26) {
+        Seq(doc(i)).toDF().repartition(1).write.mode("append").parquet(inDir)
+        try q.processAllAvailable()
+        catch { case _: Exception =>
+          try q.stop() catch { case _: Exception => () }
+          q = start() // restart from the same checkpoint: replay
+          q.processAllAvailable()
+        }
+        fragMax = math.max(fragMax, NearDup.NearDupIndex.fragmentCount(spark, idxDir))
+        val epoch = NearDup.NearDupIndex.readMeta(spark, idxDir).epoch
+        if (i == 10) { // a long-running batch reader loads mid-soak...
+          graceReader = Some(NearDup.NearDupIndex.load(spark, idxDir).shingles)
+          graceEpoch = epoch
+        }
+        // ...and must still collect after the NEXT compaction (grace sweep)
+        if (!graceVerified && graceReader.isDefined && epoch == graceEpoch + 1) {
+          assert(graceReader.get.count() > 0,
+            "mid-soak reader failed within its grace window")
+          graceVerified = true
+        }
+      }
+      q.stop()
+      assert(crashAt.isEmpty, "an injected crash never fired")
+      assert(graceVerified, "the soak never exercised the grace window")
+      // fragments bounded throughout: never past compactEvery + the batch
+      // that trips the threshold
+      assert(fragMax <= 5, s"fragment count unbounded: $fragMax")
+      assert(NearDup.NearDupIndex.readMeta(spark, idxDir).epoch >= 4)
+      // every unique doc survived exactly once (replays overwrote, never
+      // duplicated)
+      val out = spark.read.parquet(outDir).select("doc_id").as[Long].collect().toSeq
+      assert(out.sorted == (0 until 26).map(1000L + _).toSeq, s"out=${out.sorted}")
+      // probe equality vs a one-shot build over the same corpus
+      val corpus = (0 until 26).map(doc).toDF()
+      val probe = Seq(Doc(5000L, doc(13).text + " maybe"),
+        Doc(5001L, doc(24).text)).toDF("doc_id", "text")
+      val viaSoaked = NearDup.incrementalNearDupPairs(probe,
+          NearDup.NearDupIndex.load(spark, idxDir),
+          "doc_id", "text", threshold = 0.5, maxBucketSize = 1000)
+        .as[(Long, Long, Double)].collect().toSet
+      val viaFresh = NearDup.incrementalNearDupPairs(probe,
+          NearDup.buildIndex(corpus, "doc_id", "text"),
+          "doc_id", "text", threshold = 0.5, maxBucketSize = 1000)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(viaSoaked == viaFresh && viaSoaked.nonEmpty,
+        s"soaked=$viaSoaked fresh=$viaFresh")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+    }
+  }
+
   test("incrementalDedupStream: an unrelated cached frame survives a trigger") {
     import graft.ext.NearDup
     implicit val sqlCtx = spark.sqlContext

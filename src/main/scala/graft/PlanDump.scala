@@ -59,7 +59,15 @@ object PlanDump {
       "(MinHashSignatureExpr — per-row fold over the per-document shingle " +
       "array, removing the signature groupBy from every pipeline), so the " +
       "first shuffle in near-dup is the candidate bucket group-by, the " +
-      "first step that needs cross-document data."),
+      "first step that needs cross-document data. cacheShingles stays OFF " +
+      "by default after measuring BOTH ways in round 4: 2x win with ample " +
+      "storage headroom (500k docs, 32 threads: 10.8 s vs 21.1 s) but a " +
+      "2.3x LOSS under executor-like memory (4 threads/8 GB: 62 s vs 26 s " +
+      "— the shingle relation is 3-4x the input, eviction thrashes; the " +
+      "ScaleSmokeSpec gate caught it). Recompute is the predictable " +
+      "cluster default; cache is opt-in for headroom-rich or rescan-" +
+      "expensive sources. (Until round 9 this note was a DUPLICATE map " +
+      "key that silently shadowed the fusion note above.)"),
     "d04_simhash" -> ("round 8: the signature is a fused per-row codegen " +
       "fold (SimHashExpr) — no explode, no aggregate, NO shuffle in the " +
       "whole plan; bit-identical to the 64-conditional-sums aggregate it " +
@@ -74,13 +82,21 @@ object PlanDump {
       "at sf0.1 and 6.4->3.7 s better at 10x; crossover documented in the " +
       "query scaladoc — flip to a cached/checkpointed token relation at " +
       "cluster scale."),
-    "d03_minhash_lsh" -> ("cacheShingles stays OFF by default after " +
-      "measuring BOTH ways in round 4: 2x win with ample storage headroom " +
-      "(500k docs, 32 threads: 10.8 s vs 21.1 s) but a 2.3x LOSS under " +
-      "executor-like memory (4 threads/8 GB: 62 s vs 26 s — the shingle " +
-      "relation is 3-4x the input, eviction thrashes; the ScaleSmokeSpec " +
-      "gate caught it). Recompute is the predictable cluster default; " +
-      "cache is opt-in for headroom-rich or rescan-expensive sources."),
+    "d07_dedup_apply" -> ("round 9 adjudication of the round-8 med " +
+      "3.36->4.29 s swing: min-of-5 on a quiet box measures 3.58 s med / " +
+      "3.25 s min with unchanged code (t02's 0.79->1.08 swing likewise " +
+      "re-measures at 0.94 med / 0.78 min) — box noise, not a plan " +
+      "change; the plan remains CC-dominated (one materializing job per " +
+      "log-bounded round, same shape as d06)."),
+    "t13_packed_sequences" -> ("round 9: t12's chunk annotation exploded " +
+      "to the per-(sequence, document-slice) rows a trainer's loader " +
+      "consumes. The explode is a row-local generator over each doc's " +
+      "seq_first..seq_last range (output linear in total tokens/seqLen), " +
+      "so the plan is exactly t12's two-pass positions plus a Generate — " +
+      "no new exchange; the boundary arithmetic (offset_in_seq/" +
+      "offset_in_doc/len_in_seq) is pure column algebra. PackingSpec pins " +
+      "the slice laws (contiguous, sum to seqLen except the tail, cover " +
+      "each doc exactly)."),
     "q44_salted_join" -> ("at sf0.1 the dim broadcasts, so this query " +
       "exercises the salted operator's correctness, not its necessity. " +
       "Round-5 AQE comparison (graft.AqeSkewBench, appendix below): for " +

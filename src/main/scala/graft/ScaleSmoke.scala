@@ -200,6 +200,35 @@ object ScaleSmoke {
     results
   }
 
+  /** Sequence packing at 10×: materialized packed sequences
+    * ([[graft.operators.Packing.sequences]]) over the replicated corpus.
+    * The two-pass position assignment + row-local explode must scale
+    * LINEARLY — the shape a naive global-window cumsum breaks (it would
+    * serialize the whole corpus through one task, turning 10× data into
+    * >>10× wall time). The salted 10× fixture keeps every copy's token
+    * counts identical, so output rows are exactly linear in copies and
+    * the wall-time ratio is a clean read. Returns (t1x, t10x, rows1x,
+    * rows10x).
+    */
+  def packingSection(spark: SparkSession, sfDir: String,
+                     copies: Int = 10): (Double, Double, Long, Long) = {
+    val small = Tables.documents(spark, sfDir).select("doc_id", "text").cache()
+    val big = docs10x(spark, sfDir, copies, hotDocs = 0).cache()
+    small.count(); big.count()
+    def run(df: DataFrame): Long = {
+      val weighted = df.select(col("doc_id"),
+        graft.functions.TextFunctions.tokenCount(col("text")).cast("long").as("w"))
+      graft.operators.Packing.withSequences(
+        weighted, Seq(col("doc_id")), "w", 2048L)(_.count())
+    }
+    run(small) // warm-up (codegen, shuffles)
+    val (rows1, t1) = time(run(small))
+    val (rows10, t10a) = time(run(big))
+    val (_, t10b) = time(run(big)) // min-of-2, same rationale as cappedSection
+    small.unpersist(); big.unpersist()
+    (t1, math.min(t10a, t10b), rows1, rows10)
+  }
+
   /** Per-batch cost of the PERSISTED-INDEX incremental dedup vs corpus
     * size: the same fixed batch is deduped against a 1× and a 10× corpus
     * index (both persisted + read back, index build untimed — that's the

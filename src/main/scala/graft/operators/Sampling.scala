@@ -83,4 +83,34 @@ object Sampling {
       .filter(col("__rn") <= col("__quota"))
       .drop("__rn", "__quota")
   }
+
+  /** Deterministic EPOCH SHUFFLE: assign every row a contiguous 1..n
+    * position in a pseudo-random order that is a pure function of
+    * (seed, key) — the global reshuffle a pretraining loader runs per
+    * epoch. `rand()`-based shuffles are neither reproducible (per-task
+    * seeds move with the partitioning; a task retry resamples) nor
+    * auditable; hashing the seed with the row key gives the same
+    * permutation on any engine, any partitioning, any retry — change the
+    * seed, get an independent permutation.
+    *
+    * Scale shape: the order is md5(seed || key) and the position
+    * assignment rides [[SurrogateKey.scalable]]'s distributed two-pass
+    * (range sort + per-partition counts broadcast back) — NO data-sized
+    * single-partition stage, unlike the naive `row_number() OVER (ORDER
+    * BY hash)`. md5 (not xxhash64) so any engine can replay the draw
+    * bit-for-bit (hex strings agree cross-engine); keys must uniquely
+    * identify rows (ties broken by the key itself, so determinism holds
+    * regardless).
+    *
+    * CACHE LIFETIME: inherits [[SurrogateKey.scalable]]'s contract — the
+    * internal persist pins the range boundaries; release with
+    * `spark.catalog.clearCache()` after the final action.
+    */
+  def epochShuffle(df: DataFrame, keyCols: Seq[String], seed: Long,
+                   posCol: String = "shuffle_pos"): DataFrame = {
+    val h = md5(concat_ws("|",
+      lit(seed.toString) +: keyCols.map(c => col(c).cast("string")): _*)
+      .cast("binary"))
+    SurrogateKey.scalable(df, h +: keyCols.map(col), posCol)
+  }
 }

@@ -470,9 +470,32 @@ object TextQueries {
         "offset_in_seq", "offset_in_doc", "len_in_seq")
   }
 
+  // ---------------------------------------------------------------- t14
+  /** DETERMINISTIC EPOCH SHUFFLE: every document's 1..n position in the
+    * seed-42 epoch permutation — the reproducible global reshuffle a
+    * pretraining loader runs per epoch ([[graft.operators.Sampling
+    * .epochShuffle]]). The order is md5(seed || doc_id) so ANY engine
+    * replays the identical permutation (the oracle does exactly that);
+    * the position assignment is the distributed two-pass, not a global
+    * window — the oracle's `row_number() OVER (ORDER BY ...)` is the
+    * oracle-scale shortcut for what the engine computes without a
+    * data-sized single-partition stage.
+    */
+  val t14_epoch_shuffle = q("t14_epoch_shuffle",
+    """SELECT doc_id,
+      |  CAST(row_number() OVER (
+      |    ORDER BY md5('42|' || CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT)
+      |    AS shuffle_pos
+      |FROM documents""".stripMargin) { (s, dir) =>
+    graft.operators.Sampling.epochShuffle(
+        Tables.documents(s, dir).select("doc_id"), Seq("doc_id"), 42L,
+        posCol = "shuffle_pos")
+      .select("doc_id", "shuffle_pos")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     t01_token_stats, t02_quality_score, t03_lang_id, t04_fingerprint,
     t05_rolling_hash, t06_redact, t07_tfidf_top_terms, t08_curation_pipeline,
     t09_repetition, t10_mixture_resample, t11_boilerplate_ngrams,
-    t12_sequence_packing, t13_packed_sequences)
+    t12_sequence_packing, t13_packed_sequences, t14_epoch_shuffle)
 }

@@ -135,6 +135,24 @@ class ScaleSmokeSpec extends SparkSpec {
       f"partition pruning ineffective: pruned=${bytesPruned}%d unpruned=${bytesUnpruned}%d")
   }
 
+  test("sequence packing scales linearly at 10x (no data-sized single-partition stage)") {
+    assume(sys.env.get("SPARK_GRAFT_SMOKE").contains("1"),
+      "opt-in: set SPARK_GRAFT_SMOKE=1 to run the skew smoke gate")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SMOKE_SF_DIR", "/root/testdata/sf0.1")
+    val copies = 10
+    val (t1, t10, rows1, rows10) = ScaleSmoke.packingSection(spark, sfDir, copies)
+    val vsLinear = t10 / (t1 * copies)
+    info(f"packing: 1x=$t1%6.2fs ${copies}x=$t10%6.2fs rows $rows1%d -> $rows10%d " +
+      f"vs-linear=$vsLinear%5.2fx")
+    // the salted fixture keeps per-copy token counts identical, so output
+    // must be linear in copies (within straddle-boundary noise)
+    assert(rows10 >= rows1 * (copies - 1) && rows10 <= rows1 * (copies + 1),
+      s"packing output not linear: $rows1 -> $rows10 at ${copies}x")
+    assert(vsLinear <= 2.0,
+      f"sequence packing went super-linear at ${copies}x: $vsLinear%.2fx " +
+        "— did a data-sized single-partition stage sneak back in?")
+  }
+
   test("capped near-dup/ANN operators stay within 2x of linear under a hot key") {
     assume(sys.env.get("SPARK_GRAFT_SMOKE").contains("1"),
       "opt-in: set SPARK_GRAFT_SMOKE=1 to run the skew smoke gate")

@@ -56,4 +56,28 @@ class SamplingSpec extends SparkSpec {
       .select("id").as[Long].collect().toSet
     assert(a == b)
   }
+
+  test("epochShuffle: a contiguous permutation, stable across partitionings, seed-independent") {
+    val df = spark.range(1, 1001).toDF("id")
+    def positions(d: org.apache.spark.sql.DataFrame, seed: Long) = {
+      val m = Sampling.epochShuffle(d, Seq("id"), seed)
+        .select("id", "shuffle_pos").as[(Long, Long)].collect().toMap
+      spark.catalog.clearCache() // release scalable's internal persist
+      m
+    }
+    val p1 = positions(df, 42L)
+    // bijection onto 1..n — every position assigned exactly once
+    assert(p1.values.toSeq.sorted == (1L to 1000L), "not a permutation")
+    // actually shuffled: the identity order would be astronomically unlikely
+    assert(p1.count { case (id, pos) => id == pos } < 50, "barely shuffled")
+    // pure function of (seed, key): any input partitioning gives the
+    // same permutation — the property rand() shuffles lack
+    val p2 = positions(df.repartition(17, col("id")), 42L)
+    assert(p1 == p2, "permutation moved with the partitioning")
+    // a different seed draws an (essentially) independent permutation
+    val p3 = positions(df, 43L)
+    assert(p3.values.toSeq.sorted == (1L to 1000L))
+    assert(p1.count { case (id, pos) => p3(id) == pos } < 50,
+      "seeds 42 and 43 gave nearly the same order")
+  }
 }

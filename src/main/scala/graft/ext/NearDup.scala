@@ -333,19 +333,26 @@ object NearDup {
 
     private[graft] def readMetaWithGen(spark: org.apache.spark.sql.SparkSession,
                                        dir: String): (IndexMeta, Int) = {
-      val gen = metaGeneration(spark, dir)
-      require(gen >= 0, s"no index meta at $dir (expected a meta_g{N} file — " +
-        "was the index initialized with NearDupIndex.init/save?)")
-      val (fs, _) = fsFor(spark, dir)
-      val in = fs.open(new org.apache.hadoop.fs.Path(dir, s"meta_g$gen"))
-      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-                 finally in.close()
-      val kv = text.linesIterator.filter(_.contains('=')).map { l =>
-        val i = l.indexOf('='); (l.substring(0, i), l.substring(i + 1))
-      }.toMap
-      (IndexMeta(kv("num_hashes").toInt, kv("bands").toInt,
-        kv("shingle_size").toInt, kv("parts").toInt, kv("epoch").toInt,
-        kv("compacted_through").toLong, kv.getOrElse("stream_id", "")), gen)
+      def attempt(): (IndexMeta, Int) = {
+        val gen = metaGeneration(spark, dir)
+        require(gen >= 0, s"no index meta at $dir (expected a meta_g{N} file — " +
+          "was the index initialized with NearDupIndex.init/save?)")
+        val (fs, _) = fsFor(spark, dir)
+        val in = fs.open(new org.apache.hadoop.fs.Path(dir, s"meta_g$gen"))
+        val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+                   finally in.close()
+        val kv = text.linesIterator.filter(_.contains('=')).map { l =>
+          val i = l.indexOf('='); (l.substring(0, i), l.substring(i + 1))
+        }.toMap
+        (IndexMeta(kv("num_hashes").toInt, kv("bands").toInt,
+          kv("shingle_size").toInt, kv("parts").toInt, kv("epoch").toInt,
+          kv("compacted_through").toLong, kv.getOrElse("stream_id", "")), gen)
+      }
+      // a reader that listed generation G can find it swept if TWO writers
+      // published between its list and open (the sweep keeps only the
+      // previous generation) — re-resolving once lands on a live file
+      try attempt()
+      catch { case _: java.io.FileNotFoundException => attempt() }
     }
 
     private[graft] def readMeta(spark: org.apache.spark.sql.SparkSession,

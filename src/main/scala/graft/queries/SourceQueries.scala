@@ -264,8 +264,36 @@ object SourceQueries {
     s.read.parquet(path).select("o_orderkey", "price")
   }
 
+  // ---------------------------------------------------------------- src10
+  /** SMALL-FILE COMPACTION round-trip
+    * ([[graft.sources.ParquetWarehouse.compactPartitions]] — the warehouse
+    * twin of the dedup index's fragment vacuum): staging materializes the
+    * orders table as four interleaved appends (four files per year
+    * partition — the shape weeks of micro-batch sinks leave behind), the
+    * timed body folds every fragmented partition back to one file and
+    * reads the result. The oracle is content invariance: compaction must
+    * be a pure file-layout change. Later bench passes measure the
+    * idempotent no-op path (nothing left over `maxFiles`), which is the
+    * common production invocation. ParquetWarehouseSpec pins the layout
+    * effects (file counts, untouched partitions, idempotence).
+    */
+  val src10_compact_partitions = q("src10_compact_partitions", Some(
+    "SELECT o_orderkey, o_totalprice FROM orders")) { (s, dir) =>
+    val path = DedupQueries.DedupStaging.ensure("src10", dir) { root =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+      val base = Tables.orders(s, dir).select(col("o_orderkey"),
+        year(col("o_orderdate")).as("o_year"), col("o_totalprice"))
+      for (i <- 0 until 4)
+        base.filter(pmod(col("o_orderkey"), lit(4)) === i)
+          .write.mode("append").partitionBy("o_year").parquet(root)
+    }
+    graft.sources.ParquetWarehouse.compactPartitions(s, path, Seq("o_year"))
+    s.read.parquet(path).select("o_orderkey", "o_totalprice")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     src01_csv_roundtrip, src02_rest_paged, src03_partitioned_sink,
     src04_multimodal_meta, src05_frame_sample, src06_restv2_scan,
-    src07_dbf_roundtrip, src08_media_meta, src09_upsert_merge)
+    src07_dbf_roundtrip, src08_media_meta, src09_upsert_merge,
+    src10_compact_partitions)
 }

@@ -76,4 +76,59 @@ object ParquetWarehouse {
     val pinned = winners.localCheckpoint()
     overwritePartitions(pinned, path, partitionCols)
   }
+
+  /** SMALL-FILE COMPACTION for a partitioned parquet table — the
+    * warehouse-sink twin of the dedup index's fragment vacuum. Streaming
+    * sinks and per-batch dynamic overwrites leave one file per
+    * (batch × partition); after weeks of micro-batches a 100 TB table's
+    * planning cost is dominated by file-listing and its scans by
+    * tiny-row-group overhead. This pass rewrites ONLY the partitions
+    * carrying more than `maxFiles` data files, folding each back to one
+    * file per partition (rows hash-route by partition key, so each
+    * partition's rows land in exactly one task → one output file), and
+    * never touches an already-compact partition.
+    *
+    * Value-preserving by construction (a rewrite of the same rows) and
+    * idempotent (a second run finds nothing over `maxFiles`). The
+    * fragmented-partition scan is partition-pruned (`basePath` read of
+    * just those directories); the directory walk is driver-side but
+    * bounded by the PARTITION count, not the file count per partition —
+    * the same contract as the index's fragmentCount. Like any in-place
+    * parquet swap it is not atomic per partition for concurrent readers;
+    * run it in the maintenance window, same as `NearDupIndex.compactStored`
+    * (which additionally epoch-swaps because its readers are continuous).
+    *
+    * Returns the number of partitions compacted.
+    */
+  def compactPartitions(spark: SparkSession, path: String,
+                        partitionCols: Seq[String],
+                        maxFiles: Int = 1): Int = {
+    import org.apache.spark.sql.functions.col
+    require(partitionCols.nonEmpty, "compactPartitions needs a partitioned table")
+    require(maxFiles >= 1, s"maxFiles must be >= 1, got $maxFiles")
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return 0
+    def leafDirs(p: org.apache.hadoop.fs.Path, depth: Int): Seq[org.apache.hadoop.fs.Path] =
+      if (depth == partitionCols.size) Seq(p)
+      else fs.listStatus(p).toSeq.filter(_.isDirectory)
+        .flatMap(d => leafDirs(d.getPath, depth + 1))
+    def dataFiles(d: org.apache.hadoop.fs.Path): Int =
+      fs.listStatus(d).count { f =>
+        val n = f.getPath.getName
+        f.isFile && !n.startsWith("_") && !n.startsWith(".")
+      }
+    val fragmented = leafDirs(root, 0).filter(dataFiles(_) > maxFiles)
+    if (fragmented.isEmpty) return 0
+    // read ONLY the fragmented partitions; basePath keeps the partition
+    // columns in the schema so the dynamic overwrite lands them back
+    val data = spark.read.option("basePath", path)
+      .parquet(fragmented.map(_.toString): _*)
+      .repartition(partitionCols.map(col): _*)
+    // materialize before overwriting the very files being read
+    // (read-overwrite hazard, same as upsert)
+    val pinned = data.localCheckpoint()
+    overwritePartitions(pinned, path, partitionCols)
+    fragmented.size
+  }
 }

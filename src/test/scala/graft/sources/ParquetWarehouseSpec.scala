@@ -77,4 +77,35 @@ class ParquetWarehouseSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters: [isnotnull(day"), plan)
     assert(q.count() == 2)
   }
+
+  test("compactPartitions folds fragmented partitions to one file, leaves compact ones alone") {
+    val path = "/root/repo/target/qtmp/warehouse_compact"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+    // day 1 and 2 fragmented by three appends; day 3 written once (compact)
+    for (i <- 0 until 3)
+      Seq((i * 10 + 1, "2024-01-01", 1.0 + i), (i * 10 + 2, "2024-01-02", 2.0 + i))
+        .toDF("id", "day", "v").repartition(1)
+        .write.mode("append").partitionBy("day").parquet(path)
+    Seq((100, "2024-01-03", 9.0)).toDF("id", "day", "v").repartition(1)
+      .write.mode("append").partitionBy("day").parquet(path)
+    def files(day: String): Seq[java.io.File] =
+      new java.io.File(s"$path/day=$day").listFiles.toSeq
+        .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    assert(files("2024-01-01").size == 3 && files("2024-01-03").size == 1)
+    val before = ParquetWarehouse.read(spark, path)
+      .select("id", "day", "v").as[(Int, String, Double)].collect().toSet
+    val untouchedName = files("2024-01-03").head.getName
+    val n = ParquetWarehouse.compactPartitions(spark, path, Seq("day"))
+    assert(n == 2, s"expected 2 fragmented partitions compacted, got $n")
+    // every fragmented partition folded to one file; content identical
+    assert(files("2024-01-01").size == 1 && files("2024-01-02").size == 1)
+    val after = ParquetWarehouse.read(spark, path)
+      .select("id", "day", "v").as[(Int, String, Double)].collect().toSet
+    assert(after == before, "compaction changed the data")
+    // the already-compact partition was not rewritten (same physical file)
+    assert(files("2024-01-03").head.getName == untouchedName,
+      "compaction rewrote an already-compact partition")
+    // idempotent: a second run finds nothing to do
+    assert(ParquetWarehouse.compactPartitions(spark, path, Seq("day")) == 0)
+  }
 }

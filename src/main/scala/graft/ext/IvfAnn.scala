@@ -89,6 +89,18 @@ object IvfAnn {
              cb: Seq[(Int, Seq[Double])]): DataFrame =
     emb.withColumn("cell", nearestCell(col(vecCol), cb))
 
+  /** `nprobe` nearest cells per query — (qid, qv, cell), one row per
+    * probed cell: sort the (dist, cell) array, slice, explode. Shared by
+    * [[searchTopK]] and [[PqAnn]]'s IVFADC form so both route identically.
+    */
+  private[ext] def probeCells(queries: DataFrame, idCol: String,
+                              vecCol: String, cb: Seq[(Int, Seq[Double])],
+                              nprobe: Int): DataFrame =
+    queries
+      .select(col(idCol).as("qid"), col(vecCol).as("qv"),
+        slice(array_sort(cellDistances(col(vecCol), cb)), 1, nprobe).as("pc"))
+      .select(col("qid"), col("qv"), explode(col("pc").getField("cell")).as("cell"))
+
   /** ANN top-k: probe the `nprobe` nearest cells per query, score only their
     * members with the native cosine expression, keep the best `topK`.
     */
@@ -98,11 +110,7 @@ object IvfAnn {
     import org.apache.spark.sql.expressions.Window
     val cells = assign(emb, vecCol, cb)
       .select(col(idCol).as("nid"), col(vecCol).as("cv"), col("cell"))
-    // nprobe nearest cells per query: sort the (dist, cell) array, slice
-    val probes = queries
-      .select(col(idCol).as("qid"), col(vecCol).as("qv"),
-        slice(array_sort(cellDistances(col(vecCol), cb)), 1, nprobe).as("pc"))
-      .select(col("qid"), col("qv"), explode(col("pc").getField("cell")).as("cell"))
+    val probes = probeCells(queries, idCol, vecCol, cb, nprobe)
     val scored = cells.join(broadcast(probes), Seq("cell"))
       .filter(col("nid") =!= col("qid"))
       .withColumn("cos", CosineSimilarityExpr.cosine(col("qv"), col("cv")))

@@ -344,8 +344,108 @@ object EmbeddingQueries {
       .withColumn("budget", lit(nprobe.toDouble / kCells))
   }
 
+  // ---------------------------------------------------------------- e12
+  /** PRODUCT-QUANTIZATION recall — the compressed-codes search path
+    * ([[graft.ext.PqAnn]]): vectors stored as 8 sub-centroid codes (8
+    * bytes) instead of 32 floats (128 bytes), scanned via per-query lookup
+    * tables, top-25 PQ candidates re-ranked with exact cosine. Same
+    * clustered arithmetic fixture as e11, L2-normalized so PQ's dot
+    * approximation ranks like cosine. Gates recall@5 of the FULL
+    * quantize → LUT-scan → re-rank pipeline; a codebook, encoding, or
+    * LUT regression shifts a number under the correctness gate.
+    * Deterministic end to end (DECIMAL-summed sub-codebooks, codegen
+    * argmin encoding, fixed-order LUT folds) → golden-parquet oracle.
+    */
+  val e12_pq_recall = q("e12_pq_recall",
+      GoldenOracles.sqlFor("e12_pq_recall")) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val dim = 32
+    val kCells = 20
+    val cluster = pmod(col("vec_id"), lit(kCells)).cast("int")
+    val cvec = transform(sequence(lit(0), lit(dim - 1)), d => {
+      val base = when(d === cluster, lit(4.0)).otherwise(lit(0.0))
+      val jitter = (pmod(cluster * 31 + col("vec_id") * 7 + d * 13, lit(11)) - 5) * lit(0.05)
+      (base + jitter).cast("float")
+    })
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"),
+      graft.functions.VectorFunctions.l2Normalize(cvec)
+        .cast("array<float>").as("embedding"))
+    val qs = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val scored = emb.select(col("vec_id").as("nid"), col("embedding").as("cv"))
+      .crossJoin(broadcast(qs))
+      .filter(col("nid") =!= col("qid"))
+      .withColumn("c", graft.plans.CosineSimilarityExpr.cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("c").desc, col("nid"))
+    val brute = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5).select("qid", "nid")
+    val cb = graft.ext.PqAnn.codebook(emb, "vec_id", "embedding", dim,
+      m = 8, k = 16, iterations = 2)
+    val pq = graft.ext.PqAnn.searchTopK(emb, emb.filter(col("vec_id") < 8),
+        "vec_id", "embedding", cb, topR = 25, topK = 5)
+      .select("qid", "nid")
+    brute.join(pq.withColumn("__hit", lit(1)), Seq("qid", "nid"), "left")
+      .groupBy("qid")
+      .agg(sum(coalesce(col("__hit"), lit(0))).cast("int").as("hits"))
+      .withColumn("recall", round(col("hits") / 5.0, 6))
+      .withColumn("bytes_per_vector", lit(8))
+  }
+
+  // ---------------------------------------------------------------- e13
+  /** IVFADC recall — the full production ANN composition
+    * ([[graft.ext.PqAnn.searchTopKIvf]]): IVF cells bound the CANDIDATE
+    * BUDGET (nprobe=2 of 20 cells = 10 % of the corpus per query), PQ
+    * codes bound the SCAN BANDWIDTH (8 bytes per candidate, no float
+    * vector touched until re-rank), and the exact cosine re-rank of the
+    * top-25 restores true ranking. Same clustered fixture as e11/e12, so
+    * the three queries together price the full accuracy/cost surface:
+    * routing only (e11), compression only (e12), both (e13).
+    * Deterministic end to end → golden-parquet oracle.
+    */
+  val e13_ivfadc_recall = q("e13_ivfadc_recall",
+      GoldenOracles.sqlFor("e13_ivfadc_recall")) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val dim = 32
+    val kCells = 20
+    val nprobe = 2
+    val cluster = pmod(col("vec_id"), lit(kCells)).cast("int")
+    val cvec = transform(sequence(lit(0), lit(dim - 1)), d => {
+      val base = when(d === cluster, lit(4.0)).otherwise(lit(0.0))
+      val jitter = (pmod(cluster * 31 + col("vec_id") * 7 + d * 13, lit(11)) - 5) * lit(0.05)
+      (base + jitter).cast("float")
+    })
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"),
+      graft.functions.VectorFunctions.l2Normalize(cvec)
+        .cast("array<float>").as("embedding"))
+    val qs = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val scored = emb.select(col("vec_id").as("nid"), col("embedding").as("cv"))
+      .crossJoin(broadcast(qs))
+      .filter(col("nid") =!= col("qid"))
+      .withColumn("c", graft.plans.CosineSimilarityExpr.cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("c").desc, col("nid"))
+    val brute = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5).select("qid", "nid")
+    val cb = graft.ext.PqAnn.codebook(emb, "vec_id", "embedding", dim,
+      m = 8, k = 16, iterations = 2)
+    val ivf = graft.ext.IvfAnn.codebook(emb, "vec_id", "embedding",
+      k = kCells, iterations = 2)
+    val codes = graft.ext.PqAnn.encodeWithCells(emb, "embedding", cb, ivf)
+    val adc = graft.ext.PqAnn.searchTopKIvf(codes, emb,
+        emb.filter(col("vec_id") < 8), "vec_id", "embedding", "codes",
+        cb, ivf, nprobe = nprobe, topR = 25, topK = 5)
+      .select("qid", "nid")
+    brute.join(adc.withColumn("__hit", lit(1)), Seq("qid", "nid"), "left")
+      .groupBy("qid")
+      .agg(sum(coalesce(col("__hit"), lit(0))).cast("int").as("hits"))
+      .withColumn("recall", round(col("hits") / 5.0, 6))
+      .withColumn("budget", lit(nprobe.toDouble / kCells))
+      .withColumn("bytes_per_vector", lit(8))
+  }
+
   val all: Seq[GraftQuery] = Seq(
     e01_knn_bruteforce, e02_centroids, e03_label_block_nn, e04_lsh_ann,
     e05_cosine_neardup, e06_ivf_ann, e07_l2_normalize, e08_signature_neardup,
-    e09_ivf_recall, e10_lsh_recall, e11_clustered_recall)
+    e09_ivf_recall, e10_lsh_recall, e11_clustered_recall, e12_pq_recall,
+    e13_ivfadc_recall)
 }

@@ -28,7 +28,8 @@ object GoldenOracles {
     "d04_simhash", "d05_simhash_neardup", "e04_lsh_ann", "e06_ivf_ann",
     "q34_approx_stats", "q40_kmv_distinct", "q41_kmv_setops",
     "e08_signature_neardup", "q45_fuzz_ratio_top1", "e09_ivf_recall",
-    "q49_wratio_top1", "e10_lsh_recall", "e11_clustered_recall")
+    "q49_wratio_top1", "e10_lsh_recall", "e11_clustered_recall",
+    "e12_pq_recall", "e13_ivfadc_recall")
 
   def pathFor(name: String): String = s"$dir/$name.parquet"
 

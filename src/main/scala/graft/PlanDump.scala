@@ -97,6 +97,19 @@ object PlanDump {
       "offset_in_doc/len_in_seq) is pure column algebra. PackingSpec pins " +
       "the slice laws (contiguous, sum to seqLen except the tail, cover " +
       "each doc exactly)."),
+    "e12_pq_recall" -> ("round 9: product quantization — vectors stored " +
+      "as 8 positional sub-centroid codes (8 bytes vs 128), scanned via a " +
+      "per-query LUT (m lookups + adds per candidate, no float vector in " +
+      "the scan — PqAnnSpec pins the vector-free ReadSchema on the " +
+      "stored-codes form), exact cosine re-rank of the top-25. The query " +
+      "measures the END-TO-END recall of quantize -> LUT-scan -> re-rank " +
+      "against brute force, golden-gated at 1.0 on the clustered fixture."),
+    "e13_ivfadc_recall" -> ("round 9: IVFADC — IVF cell routing bounds " +
+      "candidates (nprobe/k = 10% budget), PQ codes bound scan bandwidth " +
+      "(8 bytes/candidate), exact re-rank restores true ranking. " +
+      "ext/AnnIndex persists this state with codes PARTITIONED BY cell, " +
+      "so the stored probe also gets PartitionFilters (AnnIndexSpec pins " +
+      "plan + result equality with the in-memory path)."),
     "q44_salted_join" -> ("at sf0.1 the dim broadcasts, so this query " +
       "exercises the salted operator's correctness, not its necessity. " +
       "Round-5 AQE comparison (graft.AqeSkewBench, appendix below): for " +

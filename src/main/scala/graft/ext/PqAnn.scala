@@ -58,23 +58,58 @@ object PqAnn {
   }
 
   /** Train the `m` sub-codebooks (k centroids each, `iterations` Lloyd
-    * steps) — reuses [[IvfAnn.codebook]] per subspace slice, so the
-    * decimal-sum determinism contract carries over unchanged. Driver-side
-    * result is m·k·(D/m) = k·D doubles — same size as one IVF codebook.
+    * steps) with ONE Spark job per pass for ALL subspaces: the vector
+    * posexplodes once, each element routes to its (subspace, cell,
+    * dim-in-subspace) group via the row's per-subspace assignment array,
+    * and the per-group DECIMAL sums collect driver-side (m·k·(D/m) = k·D
+    * doubles — same size as one IVF codebook). The per-subspace-loop
+    * alternative ran 3m jobs and re-evaluated the input lineage each time
+    * — 24 passes over the corpus for m=8, which a profile showed
+    * dominating e12 end-to-end; this form is 3 passes regardless of m.
+    * Same arithmetic as [[IvfAnn.codebook]] per subspace (decimal sums are
+    * shuffle-order-independent, hash seeding depends only on the id, so
+    * every subspace seeds identically), hence bit-identical codebooks —
+    * the e12/e13 goldens pin it. Cells renumber positionally per subspace
+    * (a dropped Lloyd cell can never leave a hole in the lookup table).
     */
   def codebook(emb: DataFrame, idCol: String, vecCol: String, dim: Int,
                m: Int = 8, k: Int = 16, iterations: Int = 2): PqCodebook = {
     require(m >= 1 && dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
     val subDim = dim / m
-    val subs = (0 until m).map { s =>
-      val sub = emb.select(col(idCol),
-        slice(col(vecCol), s * subDim + 1, subDim).as("__sub"))
-      // renumber cells positionally: encode/LUT index by position, so a
-      // dropped Lloyd cell can never leave a hole in the lookup table
-      IvfAnn.codebook(sub, idCol, "__sub", k, iterations)
-        .map(_._2).zipWithIndex.map { case (c, i) => (i, c) }
+    import org.apache.spark.sql.types.DecimalType
+    // one pass: per-(subspace, cell, dim) decimal means from the row's
+    // per-subspace cell assignments
+    def means(assigned: DataFrame): Seq[Seq[(Int, Seq[Double])]] = {
+      val rows = assigned
+        .select(col("__cells"), posexplode(col(vecCol)).as(Seq("gd", "x")))
+        .withColumn("s", (col("gd") / subDim).cast("int"))
+        .withColumn("cell", element_at(col("__cells"), col("s") + 1))
+        .withColumn("d", (col("gd") % subDim).cast("int"))
+        .groupBy("s", "cell", "d")
+        .agg(sum(col("x").cast("double").cast(DecimalType(27, 12))).as("sum"),
+          count(lit(1)).as("n"))
+        .collect()
+      (0 until m).map { s =>
+        rows.filter(_.getInt(0) == s)
+          .groupBy(_.getInt(1))
+          .map { case (cell, rs) =>
+            cell -> rs.sortBy(_.getInt(2))
+              .map(r => r.getDecimal(3).doubleValue() / r.getLong(4)).toSeq
+          }.toSeq.sortBy(_._1)
+          .map(_._2).zipWithIndex.map { case (c, i) => (i, c) }
+      }
     }
-    PqCodebook(dim, m, subs)
+    // seeding depends only on the id, so every subspace starts from the
+    // same hash cells — identical to seeding each subspace independently
+    val seedCell = pmod(xxhash64(col(idCol)), lit(k)).cast("int")
+    var cbs = means(emb.withColumn("__cells",
+      array(Seq.fill(m)(seedCell): _*)))
+    for (_ <- 0 until iterations)
+      cbs = means(emb.withColumn("__cells", array((0 until m).map { s =>
+        graft.plans.NearestCentroidExpr.nearest(
+          slice(col(vecCol), s * subDim + 1, subDim), cbs(s))
+      }: _*)))
+    PqCodebook(dim, m, cbs)
   }
 
   /** Encode each vector as its `m` positional sub-centroid codes —

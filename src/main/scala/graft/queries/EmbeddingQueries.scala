@@ -322,7 +322,11 @@ object EmbeddingQueries {
       val jitter = (pmod(cluster * 31 + col("vec_id") * 7 + d * 13, lit(11)) - 5) * lit(0.05)
       (base + jitter).cast("float")
     })
+    // materialize the derived fixture ONCE: the codebook training and
+    // search jobs otherwise re-evaluate the arithmetic construction per
+    // pass (released by the harness's per-query clearCache)
     val emb = Tables.embeddings(s, dir).select(col("vec_id"), cvec.as("embedding"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val qs = emb.filter(col("vec_id") < 8)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
     val scored = emb.select(col("vec_id").as("nid"), col("embedding").as("cv"))
@@ -367,9 +371,12 @@ object EmbeddingQueries {
       val jitter = (pmod(cluster * 31 + col("vec_id") * 7 + d * 13, lit(11)) - 5) * lit(0.05)
       (base + jitter).cast("float")
     })
+    // materialize the derived fixture ONCE (see e11's note; released by
+    // the harness's per-query clearCache)
     val emb = Tables.embeddings(s, dir).select(col("vec_id"),
       graft.functions.VectorFunctions.l2Normalize(cvec)
         .cast("array<float>").as("embedding"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val qs = emb.filter(col("vec_id") < 8)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
     val scored = emb.select(col("vec_id").as("nid"), col("embedding").as("cv"))
@@ -414,9 +421,12 @@ object EmbeddingQueries {
       val jitter = (pmod(cluster * 31 + col("vec_id") * 7 + d * 13, lit(11)) - 5) * lit(0.05)
       (base + jitter).cast("float")
     })
+    // materialize the derived fixture ONCE (see e11's note; released by
+    // the harness's per-query clearCache)
     val emb = Tables.embeddings(s, dir).select(col("vec_id"),
       graft.functions.VectorFunctions.l2Normalize(cvec)
         .cast("array<float>").as("embedding"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val qs = emb.filter(col("vec_id") < 8)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
     val scored = emb.select(col("vec_id").as("nid"), col("embedding").as("cv"))

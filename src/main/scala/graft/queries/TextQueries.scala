@@ -493,9 +493,33 @@ object TextQueries {
       .select("doc_id", "shuffle_pos")
   }
 
+  // ---------------------------------------------------------------- t15
+  /** CORPUS-LEVEL LINE DEDUP ([[graft.operators.LineDedup.dedupLines]],
+    * the C4-style boilerplate cut) gated by INVARIANCE: every document
+    * gets the same two boilerplate lines planted (a footer and a cookie
+    * banner — the shape scraped web text actually has), and the operator
+    * must return EXACTLY the original corpus — the planted lines appear
+    * in every document (≥ minDocs) and vanish, while each document's own
+    * text is unique in the corpus (d01 pins 500 distinct fingerprints at
+    * this SF) and survives verbatim. The oracle is therefore the
+    * untouched documents table: any over- or under-removal, ordering
+    * slip, or dropped row breaks the hash.
+    */
+  val t15_line_dedup = q("t15_line_dedup",
+    "SELECT doc_id, text FROM documents") { (s, dir) =>
+    val planted = Tables.documents(s, dir).select(col("doc_id"),
+      concat(col("text"),
+        lit("\nAll Rights Reserved. See terms for details."),
+        lit("\nThis site uses cookies to improve your experience."))
+        .as("text"))
+    graft.operators.LineDedup.dedupLines(planted, "doc_id", "text", minDocs = 3)
+      .select("doc_id", "text")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     t01_token_stats, t02_quality_score, t03_lang_id, t04_fingerprint,
     t05_rolling_hash, t06_redact, t07_tfidf_top_terms, t08_curation_pipeline,
     t09_repetition, t10_mixture_resample, t11_boilerplate_ngrams,
-    t12_sequence_packing, t13_packed_sequences, t14_epoch_shuffle)
+    t12_sequence_packing, t13_packed_sequences, t14_epoch_shuffle,
+    t15_line_dedup)
 }

@@ -413,7 +413,18 @@ object ScaleSmoke {
     println(f"SMOKE d11_prune_bytes       pruned=${bytesP / 1e6}%8.1fMB " +
       f"unpruned=${bytesU / 1e6}%8.1fMB ratio=${bytesP.toDouble / bytesU}%5.2f $pruneVerdict")
 
-    var failed = idxVerdict != "OK" || pruneVerdict != "OK"
+    // sequence packing: linear rows AND linear time at 10x (a data-sized
+    // single-partition stage would blow both)
+    val (tPack1, tPack10, rPack1, rPack10) = packingSection(spark, sfDir, copies)
+    val packLinear = tPack10 / (tPack1 * copies)
+    val packVerdict =
+      if (packLinear <= maxSlowdown &&
+          rPack10 >= rPack1 * (copies - 1) && rPack10 <= rPack1 * (copies + 1)) "OK"
+      else "FAIL (packing non-linear)"
+    println(f"SMOKE t13_packing           1x=$tPack1%6.2fs ${copies}x=$tPack10%6.2fs " +
+      f"rows=$rPack1%d/$rPack10%d vs-linear=$packLinear%5.2fx $packVerdict")
+
+    var failed = idxVerdict != "OK" || pruneVerdict != "OK" || packVerdict != "OK"
     (results ++ relational).foreach {
       case m @ Measure(name, tSmall, tBig, rows, inB, shufB) =>
         val slowdown = m.slowdownVsLinear(copies)

@@ -106,10 +106,12 @@ object AnnIndex {
   def searchTopK(index: Loaded, vectors: DataFrame, queries: DataFrame,
                  vecCol: String, nprobe: Int, topR: Int,
                  topK: Int): DataFrame = {
-    val probed = IvfAnn.probeCells(queries, index.idCol, vecCol, index.ivf, nprobe)
-      .select("cell").distinct().collect().map(_.getInt(0)).toSeq
+    // ONE routing computation: the prune collect and the scoring join read
+    // the same probes relation, so they cannot diverge
+    val probes = IvfAnn.probeCells(queries, index.idCol, vecCol, index.ivf, nprobe)
+    val probed = probes.select("cell").distinct().collect().map(_.getInt(0)).toSeq
     val pruned = index.codes.filter(col("cell").isInCollection(probed))
-    PqAnn.searchTopKIvf(pruned, vectors, queries, index.idCol, vecCol,
-      "codes", index.pq, index.ivf, nprobe, topR, topK)
+    PqAnn.searchTopKIvfFromProbes(pruned, vectors, queries, probes,
+      index.idCol, vecCol, "codes", index.pq, topR, topK)
   }
 }

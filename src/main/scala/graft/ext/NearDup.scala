@@ -335,6 +335,23 @@ object NearDup {
                                        dir: String): (IndexMeta, Int) = {
       def attempt(): (IndexMeta, Int) = {
         val gen = metaGeneration(spark, dir)
+        if (gen < 0) {
+          // MIGRATION: an index persisted before the generation-file format
+          // stored a one-row parquet table at dir/meta. Read it as
+          // generation -1; the next writeMetaCas publishes meta_g0 and the
+          // index is silently upgraded (the old dir is left behind, inert).
+          val legacy = new org.apache.hadoop.fs.Path(dir, "meta")
+          val (fs, _) = fsFor(spark, dir)
+          if (fs.exists(legacy)) {
+            val rows = spark.read.parquet(legacy.toString).collect()
+            require(rows.length == 1,
+              s"corrupt legacy index meta at $legacy: ${rows.length} rows")
+            val r = rows.head
+            return (IndexMeta(r.getAs[Int]("num_hashes"), r.getAs[Int]("bands"),
+              r.getAs[Int]("shingle_size"), r.getAs[Int]("parts"),
+              r.getAs[Int]("epoch"), r.getAs[Long]("compacted_through")), -1)
+          }
+        }
         require(gen >= 0, s"no index meta at $dir (expected a meta_g{N} file — " +
           "was the index initialized with NearDupIndex.init/save?)")
         val (fs, _) = fsFor(spark, dir)
@@ -401,11 +418,18 @@ object NearDup {
           s"stored index at $dir: meta generation $next was published by a " +
           "concurrent writer during this swap; reload and retry")
       }
-      // sweep generations older than the previous one (crash = harmless
-      // stale files, re-swept on the next successful write)
-      for (g <- 0 until expectedGen) {
+      // sweep generations older than the previous one, walking DOWN from
+      // expectedGen-1 and stopping at the first missing file: normally one
+      // delete RPC (older gens were swept by earlier writes), and a
+      // crashed sweep's contiguous leftovers still drain — never the
+      // O(currentGeneration) blind loop per write
+      var g = expectedGen - 1
+      var existed = true
+      while (g >= 0 && existed) {
         val old = new org.apache.hadoop.fs.Path(dir, s"meta_g$g")
-        try fs.delete(old, false) catch { case _: java.io.IOException => () }
+        existed = try fs.delete(old, false)
+                  catch { case _: java.io.IOException => false }
+        g -= 1
       }
     }
 
@@ -447,17 +471,30 @@ object NearDup {
           .withColumn("batch_id", lit(batchId))
           .withColumn("bp", pmod(col("bk.bh"), lit(meta.parts)).cast("int")),
         relPath(dir, "buckets", meta.epoch), Seq("batch_id", "bp"))
-      // post-append guard: if a concurrent compaction swapped the live
-      // epoch while we were writing, these rows landed in a superseded
-      // epoch's directories and the compacted relations do NOT carry them —
-      // fail loudly so the caller replays against fresh state rather than
-      // silently losing the batch
-      val now = readMeta(batch.shingles.sparkSession, dir)
+      // close the append-vs-compaction race from BOTH sides, not just a
+      // read-after-write window:
+      //   1. if a compaction already swapped the live epoch, these rows
+      //      landed in superseded directories — replay;
+      //   2. otherwise PUBLISH the append by bumping the meta generation
+      //      with unchanged values. A compaction that loaded the index
+      //      before this append now LOSES its CAS (the generation moved)
+      //      and aborts instead of folding an epoch that silently lacks
+      //      this batch; conversely if the compaction's swap lands first,
+      //      THIS bump loses the CAS and the batch replays.
+      val spark = batch.shingles.sparkSession
+      val (now, gen) = readMetaWithGen(spark, dir)
       if (now.epoch != meta.epoch)
         throw new ConcurrentIndexWriteException(
           s"stored index at $dir was compacted (epoch ${meta.epoch} -> " +
           s"${now.epoch}) during the append of batch $batchId; the appended " +
           "rows landed in the superseded epoch — replay the batch")
+      try writeMetaCas(spark, dir, now, gen)
+      catch {
+        case e: ConcurrentIndexWriteException =>
+          throw new ConcurrentIndexWriteException(
+            s"stored index at $dir advanced during the append of batch " +
+            s"$batchId — replay the batch (${e.getMessage})")
+      }
     }
 
     /** Number of per-batch append fragments in the live epoch's bucket

@@ -209,12 +209,25 @@ object PqAnn {
   def searchTopKIvf(codes: DataFrame, emb: DataFrame, queries: DataFrame,
                     idCol: String, vecCol: String, codesCol: String,
                     cb: PqCodebook, ivf: Seq[(Int, Seq[Double])],
-                    nprobe: Int, topR: Int, topK: Int): DataFrame = {
+                    nprobe: Int, topR: Int, topK: Int): DataFrame =
+    searchTopKIvfFromProbes(codes, emb, queries,
+      IvfAnn.probeCells(queries, idCol, vecCol, ivf, nprobe),
+      idCol, vecCol, codesCol, cb, topR, topK)
+
+  /** Core of [[searchTopKIvf]] over a caller-supplied probes relation
+    * (`(qid, qv, cell)` — [[IvfAnn.probeCells]]' shape), so a caller that
+    * already derived the routing (e.g. [[AnnIndex.searchTopK]]'s
+    * partition-prune collect) scores against the SAME routing instead of
+    * recomputing it — one evaluation, impossible to diverge.
+    */
+  private[ext] def searchTopKIvfFromProbes(codes: DataFrame, emb: DataFrame,
+                    queries: DataFrame, probesIn: DataFrame,
+                    idCol: String, vecCol: String, codesCol: String,
+                    cb: PqCodebook, topR: Int, topK: Int): DataFrame = {
     require(topR >= topK, s"topR=$topR must be >= topK=$topK")
     val codeRel = codes.select(col(idCol).as("nid"),
       col(codesCol).as("__codes"), col("cell"))
-    val probes = IvfAnn.probeCells(queries, idCol, vecCol, ivf, nprobe)
-      .withColumn("__luts", luts(col("qv"), cb))
+    val probes = probesIn.withColumn("__luts", luts(col("qv"), cb))
     val wPq = Window.partitionBy(col("qid")).orderBy(col("pq").desc, col("nid"))
     val cand = codeRel
       .join(broadcast(probes.select(col("qid"), col("cell"), col("__luts"))),

@@ -11,13 +11,16 @@ import org.apache.spark.sql.functions._
   * what this operator REMOVES.
   *
   * Scale shape: lines explode row-locally; the cross-document frequency
-  * count shuffles 8-byte line hashes (never line text); the heavy-hitter
-  * relation (lines in ≥ `minDocs` distinct docs) is tiny by Zipf and
-  * rides a left-anti join (Catalyst broadcasts it when small — at 100 TB
-  * the count side is a combiner-friendly partial aggregate, the same
-  * contract as d01's fingerprint groupBy); reassembly is one groupBy on
-  * the document id with an in-row sort of (pos, line) structs — position
-  * arithmetic, no window.
+  * count shuffles 8-byte line hashes first (never full text), then
+  * recounts exactly — by (hash, normalized text) — over only the
+  * candidate heavy hitters, so line text shuffles only for the tiny
+  * Zipf-headed boilerplate set and a 64-bit hash collision can never
+  * remove an innocent line (see the phase comments); the heavy-hitter
+  * relation rides a left-anti join (Catalyst broadcasts it when small —
+  * at 100 TB the count side is a combiner-friendly partial aggregate,
+  * the same contract as d01's fingerprint groupBy); reassembly is one
+  * groupBy on the document id with an in-row sort of (pos, line)
+  * structs — position arithmetic, no window.
   */
 object LineDedup {
 
@@ -36,14 +39,29 @@ object LineDedup {
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
     val lines = df.select(col(idCol),
         posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")))
-      .withColumn("__h", xxhash64(normalize(col("__line"))))
+      .withColumn("__norm", normalize(col("__line")))
+      .withColumn("__h", xxhash64(col("__norm")))
       .withColumn("__blank", trim(col("__line")) === "")
-    val boiler = lines.filter(!col("__blank"))
+    // two-phase heavy-hitter count, COLLISION-SAFE at corpus scale: phase 1
+    // counts by 8-byte hash only (the cheap shuffle) to find CANDIDATE
+    // heavy hashes; phase 2 recounts exactly — by (hash, normalized text) —
+    // over only the candidate lines, so a 64-bit birthday collision between
+    // an innocent unique line and a boilerplate line (expected at billions
+    // of distinct lines) can neither inflate a count past the threshold
+    // nor drag the innocent line into the removal set. Line TEXT shuffles
+    // only for candidate heavy hitters — a tiny, Zipf-headed relation.
+    val heavyHashes = lines.filter(!col("__blank"))
       .groupBy("__h")
       .agg(countDistinct(col(idCol)).as("__d"))
       .filter(col("__d") >= minDocs)
       .select("__h")
-    val kept = lines.join(boiler, Seq("__h"), "left_anti")
+    val boiler = lines.filter(!col("__blank"))
+      .join(heavyHashes, Seq("__h"), "left_semi")
+      .groupBy("__h", "__norm")
+      .agg(countDistinct(col(idCol)).as("__d"))
+      .filter(col("__d") >= minDocs)
+      .select("__h", "__norm")
+    val kept = lines.join(boiler, Seq("__h", "__norm"), "left_anti")
     val rebuilt = kept.groupBy(col(idCol))
       .agg(concat_ws("\n",
         transform(

@@ -312,30 +312,17 @@ object EmbeddingQueries {
     */
   val e11_clustered_recall = q("e11_clustered_recall",
       GoldenOracles.sqlFor("e11_clustered_recall")) { (s, dir) =>
-    import org.apache.spark.sql.expressions.Window
     val dim = 32
     val kCells = 20
     val nprobe = 2
-    val cluster = pmod(col("vec_id"), lit(kCells)).cast("int")
-    val cvec = transform(sequence(lit(0), lit(dim - 1)), d => {
-      val base = when(d === cluster, lit(4.0)).otherwise(lit(0.0))
-      val jitter = (pmod(cluster * 31 + col("vec_id") * 7 + d * 13, lit(11)) - 5) * lit(0.05)
-      (base + jitter).cast("float")
-    })
     // materialize the derived fixture ONCE: the codebook training and
     // search jobs otherwise re-evaluate the arithmetic construction per
     // pass (released by the harness's per-query clearCache)
-    val emb = Tables.embeddings(s, dir).select(col("vec_id"), cvec.as("embedding"))
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"),
+        graft.ext.ClusteredFixture.vec(col("vec_id"), kCells, dim).as("embedding"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val qs = emb.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-    val scored = emb.select(col("vec_id").as("nid"), col("embedding").as("cv"))
-      .crossJoin(broadcast(qs))
-      .filter(col("nid") =!= col("qid"))
-      .withColumn("c", graft.plans.CosineSimilarityExpr.cosine(col("qv"), col("cv")))
-    val w = Window.partitionBy(col("qid")).orderBy(col("c").desc, col("nid"))
-    val brute = scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 5).select("qid", "nid")
+    val brute = graft.ext.ClusteredFixture.bruteTopK(
+      emb, emb.filter(col("vec_id") < 8), "vec_id", "embedding", 5)
     val cb = graft.ext.IvfAnn.codebook(emb, "vec_id", "embedding",
       k = kCells, iterations = 2)
     val ivf = graft.ext.IvfAnn.searchTopK(emb, emb.filter(col("vec_id") < 8),
@@ -362,30 +349,16 @@ object EmbeddingQueries {
     */
   val e12_pq_recall = q("e12_pq_recall",
       GoldenOracles.sqlFor("e12_pq_recall")) { (s, dir) =>
-    import org.apache.spark.sql.expressions.Window
     val dim = 32
     val kCells = 20
-    val cluster = pmod(col("vec_id"), lit(kCells)).cast("int")
-    val cvec = transform(sequence(lit(0), lit(dim - 1)), d => {
-      val base = when(d === cluster, lit(4.0)).otherwise(lit(0.0))
-      val jitter = (pmod(cluster * 31 + col("vec_id") * 7 + d * 13, lit(11)) - 5) * lit(0.05)
-      (base + jitter).cast("float")
-    })
     // materialize the derived fixture ONCE (see e11's note; released by
     // the harness's per-query clearCache)
     val emb = Tables.embeddings(s, dir).select(col("vec_id"),
-      graft.functions.VectorFunctions.l2Normalize(cvec)
-        .cast("array<float>").as("embedding"))
+        graft.ext.ClusteredFixture.normalizedVec(col("vec_id"), kCells, dim)
+          .as("embedding"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val qs = emb.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-    val scored = emb.select(col("vec_id").as("nid"), col("embedding").as("cv"))
-      .crossJoin(broadcast(qs))
-      .filter(col("nid") =!= col("qid"))
-      .withColumn("c", graft.plans.CosineSimilarityExpr.cosine(col("qv"), col("cv")))
-    val w = Window.partitionBy(col("qid")).orderBy(col("c").desc, col("nid"))
-    val brute = scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 5).select("qid", "nid")
+    val brute = graft.ext.ClusteredFixture.bruteTopK(
+      emb, emb.filter(col("vec_id") < 8), "vec_id", "embedding", 5)
     val cb = graft.ext.PqAnn.codebook(emb, "vec_id", "embedding", dim,
       m = 8, k = 16, iterations = 2)
     val pq = graft.ext.PqAnn.searchTopK(emb, emb.filter(col("vec_id") < 8),
@@ -411,31 +384,17 @@ object EmbeddingQueries {
     */
   val e13_ivfadc_recall = q("e13_ivfadc_recall",
       GoldenOracles.sqlFor("e13_ivfadc_recall")) { (s, dir) =>
-    import org.apache.spark.sql.expressions.Window
     val dim = 32
     val kCells = 20
     val nprobe = 2
-    val cluster = pmod(col("vec_id"), lit(kCells)).cast("int")
-    val cvec = transform(sequence(lit(0), lit(dim - 1)), d => {
-      val base = when(d === cluster, lit(4.0)).otherwise(lit(0.0))
-      val jitter = (pmod(cluster * 31 + col("vec_id") * 7 + d * 13, lit(11)) - 5) * lit(0.05)
-      (base + jitter).cast("float")
-    })
     // materialize the derived fixture ONCE (see e11's note; released by
     // the harness's per-query clearCache)
     val emb = Tables.embeddings(s, dir).select(col("vec_id"),
-      graft.functions.VectorFunctions.l2Normalize(cvec)
-        .cast("array<float>").as("embedding"))
+        graft.ext.ClusteredFixture.normalizedVec(col("vec_id"), kCells, dim)
+          .as("embedding"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val qs = emb.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-    val scored = emb.select(col("vec_id").as("nid"), col("embedding").as("cv"))
-      .crossJoin(broadcast(qs))
-      .filter(col("nid") =!= col("qid"))
-      .withColumn("c", graft.plans.CosineSimilarityExpr.cosine(col("qv"), col("cv")))
-    val w = Window.partitionBy(col("qid")).orderBy(col("c").desc, col("nid"))
-    val brute = scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 5).select("qid", "nid")
+    val brute = graft.ext.ClusteredFixture.bruteTopK(
+      emb, emb.filter(col("vec_id") < 8), "vec_id", "embedding", 5)
     val cb = graft.ext.PqAnn.codebook(emb, "vec_id", "embedding", dim,
       m = 8, k = 16, iterations = 2)
     val ivf = graft.ext.IvfAnn.codebook(emb, "vec_id", "embedding",

@@ -238,12 +238,21 @@ object StreamOps {
         // would recycle ids from 0 (silently skipped below compactedThrough,
         // dynamic-overwriting earlier batches' partitions) — fail fast
         // instead. Re-ingesting an index from scratch = new index dir.
+        // Paths compare in filesystem-QUALIFIED form ('/a/ckpt',
+        // 'file:///a/ckpt' and '/a/ckpt/' are the same lineage — a
+        // legitimate respelling on restart must not brick the stream).
+        def qualified(p: String): String = {
+          val hp = new org.apache.hadoop.fs.Path(p)
+          hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .makeQualified(hp).toString
+        }
+        val ckpt = qualified(checkpointDir)
         val meta =
           if (meta0.streamId.isEmpty) {
-            val pinned = meta0.copy(streamId = checkpointDir)
+            val pinned = meta0.copy(streamId = ckpt)
             NearDupIndex.writeMetaCas(spark, indexDir, pinned, gen0)
             pinned
-          } else if (meta0.streamId != checkpointDir) {
+          } else if (qualified(meta0.streamId) != ckpt) {
             throw new IllegalStateException(
               s"index at $indexDir was ingested from checkpoint " +
               s"'${meta0.streamId}' but this query runs from " +

@@ -15,17 +15,10 @@ class AnnIndexSpec extends SparkSpec {
   private val clusters = 20
   private val perCluster = 50
 
-  private def emb = {
-    val cluster = pmod(col("vec_id"), lit(clusters)).cast("int")
-    val cvec = transform(sequence(lit(0), lit(dim - 1)), d => {
-      val base = when(d === cluster, lit(4.0)).otherwise(lit(0.0))
-      val jitter = (pmod(cluster * 31 + col("vec_id") * 7 + d * 13, lit(11)) - 5) * lit(0.05)
-      (base + jitter).cast("float")
-    })
+  private def emb =
     spark.range(clusters.toLong * perCluster).select(col("id").as("vec_id"))
       .withColumn("embedding",
-        graft.functions.VectorFunctions.l2Normalize(cvec).cast("array<float>"))
-  }
+        ClusteredFixture.normalizedVec(col("vec_id"), clusters, dim))
 
   test("build/load round-trip: stored probe equals the in-memory IVFADC path") {
     val dir = java.nio.file.Files.createTempDirectory("ann-idx").toString

@@ -15,22 +15,14 @@ class PqAnnSpec extends SparkSpec {
   private val clusters = 20
   private val perCluster = 50
 
-  /** Same deterministic clustered construction as e11/IvfClusteredRecallSpec
-    * (axis-aligned centers + integer-hash jitter), L2-normalized so PQ's
-    * dot approximation ranks like cosine.
+  /** The SHARED deterministic clustered construction ([[ClusteredFixture]]
+    * — the same one the e11/e12/e13 oracle queries run), L2-normalized so
+    * PQ's dot approximation ranks like cosine.
     */
-  private def emb = {
-    val cluster = pmod(col("vec_id"), lit(clusters)).cast("int")
-    val cvec = transform(sequence(lit(0), lit(dim - 1)), d => {
-      val base = when(d === cluster, lit(4.0)).otherwise(lit(0.0))
-      val jitter = (pmod(cluster * 31 + col("vec_id") * 7 + d * 13, lit(11)) - 5) * lit(0.05)
-      (base + jitter).cast("float")
-    })
+  private def emb =
     spark.range(clusters.toLong * perCluster).select(col("id").as("vec_id"))
       .withColumn("embedding",
-        graft.functions.VectorFunctions.l2Normalize(cvec)
-          .cast("array<float>"))
-  }
+        ClusteredFixture.normalizedVec(col("vec_id"), clusters, dim))
 
   test("encode is deterministic across partitionings and codes are dense positions") {
     val e = emb.cache(); e.count()
@@ -81,15 +73,8 @@ class PqAnnSpec extends SparkSpec {
     val ivf = IvfAnn.codebook(e, "vec_id", "embedding", k = clusters, iterations = 2)
     val codes = PqAnn.encodeWithCells(e, "embedding", cb, ivf).cache()
     codes.count()
-    val qs = e.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("c").desc, col("nid"))
-    val brute = e.select(col("vec_id").as("nid"), col("embedding").as("cv"))
-      .crossJoin(broadcast(qs))
-      .filter(col("nid") =!= col("qid"))
-      .withColumn("c", graft.plans.CosineSimilarityExpr.cosine(col("qv"), col("cv")))
-      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
-      .select("qid", "nid")
+    val brute = ClusteredFixture.bruteTopK(
+      e, e.filter(col("vec_id") < 8), "vec_id", "embedding", 5)
     val adc = PqAnn.searchTopKIvf(codes, e, e.filter(col("vec_id") < 8),
         "vec_id", "embedding", "codes", cb, ivf,
         nprobe = 2, topR = 25, topK = 5)
@@ -105,15 +90,8 @@ class PqAnnSpec extends SparkSpec {
   test("clustered corpus: PQ top-R + exact re-rank reaches high recall at 8 bytes/vector") {
     val e = emb.cache(); e.count()
     val cb = PqAnn.codebook(e, "vec_id", "embedding", dim, m = 8, k = 16)
-    val qs = e.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("c").desc, col("nid"))
-    val brute = e.select(col("vec_id").as("nid"), col("embedding").as("cv"))
-      .crossJoin(broadcast(qs))
-      .filter(col("nid") =!= col("qid"))
-      .withColumn("c", graft.plans.CosineSimilarityExpr.cosine(col("qv"), col("cv")))
-      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
-      .select("qid", "nid")
+    val brute = ClusteredFixture.bruteTopK(
+      e, e.filter(col("vec_id") < 8), "vec_id", "embedding", 5)
     val pq = PqAnn.searchTopK(e, e.filter(col("vec_id") < 8),
         "vec_id", "embedding", cb, topR = 25, topK = 5)
       .select("qid", "nid")

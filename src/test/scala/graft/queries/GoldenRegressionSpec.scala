@@ -24,7 +24,10 @@ class GoldenRegressionSpec extends SparkSpec {
       def multiset(df: org.apache.spark.sql.DataFrame) =
         df.select(cols: _*).collect().toSeq
           .groupBy(identity).view.mapValues(_.size).toMap
-      assert(multiset(got) == multiset(golden))
+      try assert(multiset(got) == multiset(golden))
+      // release per-query pinned relations (e11-e13 persist their derived
+      // fixture; the bench/Verify harnesses clear per query — so must we)
+      finally spark.catalog.clearCache()
     }
   }
 }

@@ -491,8 +491,9 @@ class StreamingSpec extends SparkSpec {
         s"$tmp/idx", s"$tmp/out", s"$tmp/ckptA", threshold = 0.5)
       qA.processAllAvailable()
       qA.stop()
+      // pinned in filesystem-qualified form (scheme-prefixed)
       assert(NearDup.NearDupIndex.readMeta(spark, s"$tmp/idx").streamId
-        == s"$tmp/ckptA")
+        .endsWith(s"$tmp/ckptA"))
       // second lineage: a FRESH checkpoint recycles batch ids from 0 (it
       // re-reads the same input from scratch) — the old code silently
       // skipped/overwrote; now the first batch fails loudly

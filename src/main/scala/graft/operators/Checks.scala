@@ -56,4 +56,27 @@ object Checks {
 
   /** Cumulative fraction → 4-hex-digit threshold (e.g. 0.8 → "cccd"). */
   def cutHex(cut: Double): String = f"${math.round(cut * 65536)}%04x"
+
+  /** RELATIVE quality gate: keep each group's rows whose score sits above
+    * the group's `q`-quantile — "drop the bottom quartile PER LANGUAGE",
+    * the curation form that absolute thresholds get wrong (a fixed cutoff
+    * tuned on a high-resource language guts a low-resource one whose score
+    * distribution sits lower). Rank-based via `cume_dist` (the fraction of
+    * the group scoring ≤ this row), so the cut is integer-exact and
+    * engine-replayable — no quantile interpolation, no float drift; ties
+    * share a cume_dist and survive or fall together. A single-row group
+    * has cume_dist 1.0 and is always kept (a relative gate inside a group
+    * of one is meaningless — it must not erase the whole group).
+    * One window shuffle on the group key, same skew caveat as every keyed
+    * window here.
+    */
+  def keepAboveQuantile(df: DataFrame, groupCols: Seq[String],
+                        scoreCol: String, q: Double): DataFrame = {
+    require(q >= 0.0 && q < 1.0, s"quantile must be in [0, 1), got $q")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col(scoreCol))
+    df.withColumn("__cd", cume_dist().over(w))
+      .filter(col("__cd") > q)
+      .drop("__cd")
+  }
 }

@@ -516,10 +516,55 @@ object TextQueries {
       .select("doc_id", "text")
   }
 
+  // ---------------------------------------------------------------- t16
+  /** PER-LANGUAGE relative quality gate
+    * ([[graft.operators.Checks.keepAboveQuantile]]): drop each language's
+    * bottom quality quartile — the curation form that absolute thresholds
+    * get wrong (a cutoff tuned on a high-resource language guts a
+    * low-resource one whose score distribution sits lower). The cut is
+    * rank-based (`cume_dist` > 0.25: keep rows whose ≤-score fraction
+    * exceeds a quarter of their language), so it is integer-exact and the
+    * oracle replays it with DuckDB's identical cume_dist — no quantile
+    * interpolation to drift. Scores are t01/t02's exact mirrored quality
+    * formula, so this gate is end-to-end consistent with the stats
+    * queries.
+    */
+  val t16_quality_gate = q("t16_quality_gate",
+    s"""WITH n AS (SELECT doc_id, lang, text, ${normSql("text")} AS norm FROM documents),
+       |m AS (
+       |  SELECT doc_id, lang, text,
+       |    CASE WHEN length(norm) = 0 THEN 0
+       |         ELSE len(string_split(norm, ' ')) END AS wc,
+       |    len(regexp_extract_all(text, '$punctPat')) AS punct,
+       |    len(regexp_extract_all(lower(norm), '$stopPat')) AS stop
+       |  FROM n),
+       |r AS (
+       |  SELECT doc_id, lang,
+       |    CASE WHEN length(text) = 0 THEN 0.0
+       |         ELSE CAST(punct AS DOUBLE) / CAST(length(text) AS DOUBLE) END AS pr,
+       |    CASE WHEN wc = 0 THEN 0.0
+       |         ELSE CAST(stop AS DOUBLE) / CAST(wc AS DOUBLE) END AS sr,
+       |    CAST(length(text) AS DOUBLE) AS tl
+       |  FROM m),
+       |s AS (
+       |  SELECT doc_id, lang,
+       |    ROUND(least(tl / 500.0, 1.0) * 0.4
+       |        + greatest(0.0, 1.0 - pr * 5.0) * 0.3
+       |        + least(sr * 4.0, 1.0) * 0.3, 6) AS quality
+       |  FROM r),
+       |g AS (SELECT doc_id, lang, quality,
+       |        cume_dist() OVER (PARTITION BY lang ORDER BY quality) AS cd
+       |      FROM s)
+       |SELECT doc_id, lang, quality FROM g WHERE cd > 0.25""".stripMargin) { (s, dir) =>
+    val scored = Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+      TextFunctions.qualityScore(col("text")).as("quality"))
+    graft.operators.Checks.keepAboveQuantile(scored, Seq("lang"), "quality", 0.25)
+  }
+
   val all: Seq[GraftQuery] = Seq(
     t01_token_stats, t02_quality_score, t03_lang_id, t04_fingerprint,
     t05_rolling_hash, t06_redact, t07_tfidf_top_terms, t08_curation_pipeline,
     t09_repetition, t10_mixture_resample, t11_boilerplate_ngrams,
     t12_sequence_packing, t13_packed_sequences, t14_epoch_shuffle,
-    t15_line_dedup)
+    t15_line_dedup, t16_quality_gate)
 }

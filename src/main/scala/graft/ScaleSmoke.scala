@@ -257,9 +257,15 @@ object ScaleSmoke {
         "doc_id", "text", threshold = 0.7, maxBucketSize = 1000).count()
       run() // warm-up (codegen, broadcast build)
       spark.catalog.clearCache()
-      val (rows, t) = time(run())
+      // min-of-2, same discipline as cappedSection's 10x legs: the flat
+      // gate compares two sub-5s readings whose RATIO a single GC pause or
+      // box spike can push past budget with unchanged code (observed
+      // 2.11x single-shot vs 1.2-1.6x on repeat runs in round 9)
+      val (rows, tA) = time(run())
       spark.catalog.clearCache()
-      (rows, t)
+      val (_, tB) = time(run())
+      spark.catalog.clearCache()
+      (rows, math.min(tA, tB))
     }
     try {
       val (rows1, t1) = probe(docs, s"$tmp/idx1x")

@@ -2,55 +2,92 @@ package graft.ext
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.sources.StoredIndex
 
 /** PERSISTED ANN index — the similarity-search twin of the stored near-dup
   * index ([[NearDup.NearDupIndex]]): train once over the corpus, store the
   * compressed searchable representation in the warehouse, probe forever at
-  * a fraction of the corpus cost. What is stored:
+  * a fraction of the corpus cost. Storage rides the SHARED stored-index
+  * protocol ([[graft.sources.StoredIndex]]) — the same generation-numbered
+  * CAS meta, epoch directories, and grace-period sweep as the dedup index,
+  * so concurrent writers fail fast instead of clobbering each other and a
+  * reader loaded just before a rebuild keeps collecting. What is stored:
   *
-  *   - `dir/meta`          — k=v text file pinning (dim, m, pq_k, ivf_k,
-  *                           id_col) for the index's lifetime: a probe
-  *                           reads its parameters FROM the index, so a
-  *                           mismatched probe is unrepresentable (same
-  *                           principle as the dedup index's stored LSH
-  *                           params);
-  *   - `dir/codebooks`     — the PQ sub-codebooks and the IVF router as
-  *                           parquet rows (driver-small: k·dim doubles);
-  *   - `dir/codes`         — one row per vector `(id, codes)`, PARTITIONED
-  *                           BY its IVF `cell`: a probe turns its (bounded:
-  *                           |queries| × nprobe) probed-cell list into a
-  *                           partition filter, so the scan reads ONLY the
-  *                           probed cells' files — `PartitionFilters` in
-  *                           the plan, measured bytes, the same layout
-  *                           discipline as the dedup index's
-  *                           `(batch_id, ip)` scheme — and reads code
-  *                           bytes, never vectors (column pruning).
+  *   - `dir/meta_g{N}`       — generation-numbered k=v file pinning (dim,
+  *                             m, pq_k, ivf_k, id_col, epoch) for the
+  *                             index's lifetime: a probe reads its
+  *                             parameters FROM the index, so a mismatched
+  *                             probe is unrepresentable (same principle as
+  *                             the dedup index's stored LSH params);
+  *   - `dir/codebooks[_eE]`  — the PQ sub-codebooks and the IVF router as
+  *                             parquet rows (driver-small: k·dim doubles);
+  *   - `dir/codes[_eE]`      — one row per vector `(id, codes)`,
+  *                             PARTITIONED BY `(frag, cell)`: a probe turns
+  *                             its (bounded: |queries| × nprobe)
+  *                             probed-cell list into a partition filter, so
+  *                             the scan reads ONLY the probed cells' files
+  *                             — `PartitionFilters` in the plan, measured
+  *                             bytes — and reads code bytes, never vectors
+  *                             (column pruning). `frag` is the append
+  *                             fragment (the dedup index's `batch_id`
+  *                             twin): -1 for the bulk build, the caller's
+  *                             batch id for each [[append]].
   *
-  * The index is WRITE-ONCE (build replaces wholesale; re-encode to absorb
-  * corpus changes — per-batch incremental append would follow the
-  * NearDupIndex fragment scheme and is out of scope here). The full
-  * vectors stay in the caller's own table and are only joined back for
-  * the exact re-rank of topR × |queries| rows.
+  * WRITE ORDER: relations first, meta last — a partially built epoch is
+  * never reachable (the meta that references it does not exist yet), and
+  * a rebuild's CAS swap keeps the superseded epoch's directories for one
+  * grace cycle so in-flight readers finish.
+  *
+  * APPEND vs REBUILD: [[append]] encodes a new batch with the STORED
+  * codebooks — O(batch) work, no retraining — and lands it as a
+  * `frag = batchId` fragment under the live epoch, idempotently
+  * (replaying a batch id overwrites its own partitions). The codebooks do
+  * NOT see the appended vectors, so if the appended distribution drifts
+  * from the training distribution, quantization error grows and recall
+  * decays gracefully (cell routing and PQ scoring get coarser; the exact
+  * re-rank keeps final scores correct). Rule of thumb: [[build]] afresh
+  * (a crash-safe epoch swap) once appended rows exceed roughly half the
+  * trained corpus or recall measurements slip — the e14 oracle query and
+  * AnnIndexSpec pin the no-drift equivalence: probing base+appended
+  * equals probing a one-shot encode of the union under the same
+  * codebooks.
   */
 object AnnIndex {
 
+  private val relNames = Seq("codebooks", "codes")
+
   /** A loaded index: parameters + driver-side codebooks + the lazy stored
-    * codes relation.
+    * codes relation (all fragments of the live epoch; `epoch` and the meta
+    * generation ride along so writers loaded through [[loadWithGen]] can
+    * CAS against the state they actually read).
     */
   final case class Loaded(dim: Int, m: Int, pqK: Int, ivfK: Int,
                           idCol: String, pq: PqAnn.PqCodebook,
-                          ivf: Seq[(Int, Seq[Double])], codes: DataFrame)
+                          ivf: Seq[(Int, Seq[Double])], codes: DataFrame,
+                          epoch: Int = 0)
 
   /** Train (PQ sub-codebooks + IVF router), encode, and persist under
     * `dir`. Vectors should be L2-normalized if cosine ranking is intended
     * (PQ approximates the dot product; the exact re-rank is cosine either
-    * way).
+    * way). On a fresh dir this publishes epoch 0; on an existing index it
+    * is the REBUILD path: the new epoch's directories are written
+    * complete, the meta pointer CAS-swaps (a concurrent writer that
+    * advanced the index makes the swap fail fast), and epochs older than
+    * the just-superseded one are swept — in-flight readers keep the
+    * superseded epoch for one grace cycle.
     */
   def build(emb: DataFrame, idCol: String, vecCol: String, dir: String,
             dim: Int, m: Int = 8, pqK: Int = 16, ivfK: Int = 64,
             iterations: Int = 2): Unit = {
     val spark = emb.sparkSession
     import spark.implicits._
+    val (prevEpoch, expectedGen) =
+      if (StoredIndex.metaGeneration(spark, dir) < 0) (-1, -1)
+      else {
+        val (kv, g) = StoredIndex.readKvWithGen(spark, dir)
+        (kv("epoch").toInt, g)
+      }
+    val epoch = prevEpoch + 1
     val pq = PqAnn.codebook(emb, idCol, vecCol, dim, m, pqK, iterations)
     val ivf = IvfAnn.codebook(emb, idCol, vecCol, ivfK, iterations)
     val cbRows =
@@ -58,28 +95,94 @@ object AnnIndex {
         sub.map { case (code, c) => ("pq", s, code, c) } } ++
       ivf.map { case (cell, c) => ("ivf", -1, cell, c) }
     cbRows.toDF("kind", "subspace", "code", "centroid")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/codebooks")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(StoredIndex.relPath(dir, "codebooks", epoch))
     PqAnn.encodeWithCells(emb, vecCol, pq, ivf)
       .select(col(idCol), col("codes"), col("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/codes")
-    val meta = s"dim=$dim\nm=$m\npq_k=$pqK\nivf_k=$ivfK\nid_col=$idCol\n"
-    val fs = new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(new org.apache.hadoop.fs.Path(dir, "meta"), true)
-    try out.write(meta.getBytes("UTF-8")) finally out.close()
+      .withColumn("frag", lit(-1L))
+      .write.mode("overwrite").partitionBy("frag", "cell")
+      .parquet(StoredIndex.relPath(dir, "codes", epoch))
+    // meta LAST: a crash above leaves the old epoch live (or, on a fresh
+    // dir, no readable index at all) — never a half-built one
+    StoredIndex.writeMetaCas(spark, dir, Seq(
+      "dim" -> dim.toString, "m" -> m.toString, "pq_k" -> pqK.toString,
+      "ivf_k" -> ivfK.toString, "id_col" -> idCol,
+      "epoch" -> epoch.toString), expectedGen)
+    // grace sweep: keep prevEpoch for in-flight readers, drop older
+    StoredIndex.sweepEpochsBelow(spark, dir, relNames, prevEpoch)
+  }
+
+  /** INCREMENTAL append — the O(batch) ingest path that keeps the index
+    * from being write-once: encode `emb` with the STORED codebooks (no
+    * retraining) and land it as the `frag = batchId` fragment of the live
+    * epoch's codes relation, idempotently (an at-least-once replay of the
+    * same batch id dynamic-overwrites its own partitions instead of
+    * duplicating rows). Batch ids must be unique per logical batch —
+    * concurrent appends of DIFFERENT batches write disjoint fragments and
+    * serialize on the meta CAS below. The append is PUBLISHED by bumping
+    * the meta generation with unchanged values, closing the
+    * append-vs-rebuild race from both sides exactly like the dedup
+    * index's [[NearDup.NearDupIndex.appendBatch]]: if a rebuild swapped
+    * the epoch first, this batch's rows landed in the superseded
+    * directories and the caller must replay; if this bump lands first, a
+    * rebuild that loaded earlier loses ITS CAS and retrains over state
+    * that includes the batch. Codebook-drift contract: see the class doc
+    * — appended vectors are quantized by codebooks that never saw them.
+    */
+  def append(emb: DataFrame, dir: String, vecCol: String,
+             batchId: Long): Unit =
+    appendWith(emb, load(emb.sparkSession, dir), dir, vecCol, batchId)
+
+  /** [[append]] against a caller-held [[Loaded]] snapshot — the testable
+    * seam for the append-vs-rebuild race (same shape as the dedup index's
+    * `appendBatch(dir, meta, …)`): a snapshot taken before a concurrent
+    * rebuild makes the epoch check below fire.
+    */
+  private[graft] def appendWith(emb: DataFrame, idx: Loaded, dir: String,
+                                vecCol: String, batchId: Long): Unit = {
+    require(batchId >= 0, s"batchId must be >= 0 (got $batchId; -1 marks the bulk build)")
+    val spark = emb.sparkSession
+    val enc = PqAnn.encodeWithCells(emb, vecCol, idx.pq, idx.ivf)
+      .select(col(idx.idCol), col("codes"), col("cell"))
+      .withColumn("frag", lit(batchId))
+    graft.sources.ParquetWarehouse.overwritePartitions(
+      enc, StoredIndex.relPath(dir, "codes", idx.epoch), Seq("frag", "cell"))
+    val (kvNow, genNow) = StoredIndex.readKvWithGen(spark, dir)
+    if (kvNow("epoch").toInt != idx.epoch)
+      throw new StoredIndex.ConcurrentIndexWriteException(
+        s"ANN index at $dir was rebuilt (epoch ${idx.epoch} -> " +
+        s"${kvNow("epoch")}) during the append of batch $batchId; the " +
+        "appended rows landed in the superseded epoch — replay the batch")
+    try StoredIndex.writeMetaCas(spark, dir, kvNow.toSeq, genNow)
+    catch {
+      case e: StoredIndex.ConcurrentIndexWriteException =>
+        throw new StoredIndex.ConcurrentIndexWriteException(
+          s"ANN index at $dir advanced during the append of batch " +
+          s"$batchId — replay the batch (${e.getMessage})")
+    }
+  }
+
+  /** Number of append fragments in the live epoch's codes relation — a
+    * pure directory listing, no data scan. Maintenance compacts fragments
+    * by [[build]]ing afresh (which also refreshes the codebooks).
+    */
+  def fragmentCount(spark: SparkSession, dir: String): Int = {
+    val (kv, _) = StoredIndex.readKvWithGen(spark, dir)
+    val p = new org.apache.hadoop.fs.Path(
+      StoredIndex.relPath(dir, "codes", kv("epoch").toInt))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) 0
+    else fs.listStatus(p).count { st =>
+      val n = st.getPath.getName
+      n.startsWith("frag=") && n != "frag=-1"
+    }
   }
 
   def load(spark: SparkSession, dir: String): Loaded = {
-    val fs = new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val in = fs.open(new org.apache.hadoop.fs.Path(dir, "meta"))
-    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-               finally in.close()
-    val kv = text.linesIterator.filter(_.contains('=')).map { l =>
-      val i = l.indexOf('='); (l.substring(0, i), l.substring(i + 1))
-    }.toMap
+    val (kv, _) = StoredIndex.readKvWithGen(spark, dir)
+    val epoch = kv("epoch").toInt
     val (dim, m) = (kv("dim").toInt, kv("m").toInt)
-    val rows = spark.read.parquet(s"$dir/codebooks")
+    val rows = spark.read.parquet(StoredIndex.relPath(dir, "codebooks", epoch))
       .select(col("kind"), col("subspace"), col("code"), col("centroid"))
       .collect()
     val pqSubs = (0 until m).map { s =>
@@ -91,7 +194,7 @@ object AnnIndex {
       .map(r => (r.getInt(2), r.getSeq[Double](3).toSeq)).sortBy(_._1).toSeq
     Loaded(dim, m, kv("pq_k").toInt, kv("ivf_k").toInt, kv("id_col"),
       PqAnn.PqCodebook(dim, m, pqSubs), ivf,
-      spark.read.parquet(s"$dir/codes"))
+      spark.read.parquet(StoredIndex.relPath(dir, "codes", epoch)), epoch)
   }
 
   /** Probe the stored index: route queries to their `nprobe` nearest IVF

@@ -282,10 +282,11 @@ object NearDup {
     * `save`) advanced the index while this one was working. The losing
     * writer must reload and retry (streaming: fail the batch and let the
     * replay see fresh state) instead of silently clobbering the other
-    * writer's meta swap.
+    * writer's meta swap. (The shared protocol class — also thrown by the
+    * ANN index, which stores through the same layer.)
     */
-  final class ConcurrentIndexWriteException(msg: String)
-    extends IllegalStateException(msg)
+  type ConcurrentIndexWriteException =
+    graft.sources.StoredIndex.ConcurrentIndexWriteException
 
   object NearDupIndex {
     /** Default hash-partition modulus for the stored layout: enough fan-out
@@ -296,142 +297,70 @@ object NearDup {
     val defaultParts = 64
 
     private[graft] def relPath(dir: String, name: String, epoch: Int): String =
-      if (epoch == 0) s"$dir/$name" else s"$dir/${name}_e$epoch"
+      graft.sources.StoredIndex.relPath(dir, name, epoch)
 
     // ------------------------------------------------------------ meta
-    // The meta "pointer" is a tiny key=value text file named by a
-    // monotonically increasing GENERATION: `dir/meta_g{N}`. Readers resolve
-    // the highest generation present; writers create the NEXT generation
-    // via write-to-temp + rename (rename onto an existing name fails, so
-    // two writers racing to the same generation cannot both win) after
-    // verifying the current generation still equals the one they loaded —
-    // a compare-and-swap. Every crash window is benign: the previous
-    // generation file is still present and complete, so `readMeta` never
-    // sees a torn pointer (the failure the old single-directory
-    // mode(overwrite) parquet meta had: delete-then-write left a window
-    // with NO readable meta at all).
-
-    private val metaGenPattern = "meta_g(\\d+)".r
-
-    private def fsFor(spark: org.apache.spark.sql.SparkSession, dir: String) = {
-      val p = new org.apache.hadoop.fs.Path(dir)
-      (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
-    }
+    // The meta pointer rides the SHARED stored-index protocol
+    // ([[graft.sources.StoredIndex]]): a generation-numbered key=value
+    // file published by exclusive-create CAS, so two racing writers
+    // cannot both win even on LocalFileSystem, every crash window leaves
+    // the previous complete generation readable, and superseded
+    // generations sweep with a one-cycle grace period. This object only
+    // owns the near-dup SCHEMA of that file (the IndexMeta fields) and
+    // the one-time migration from the pre-generation parquet format.
 
     /** Highest meta generation under `dir`, or -1 if none exist yet. */
     private[graft] def metaGeneration(spark: org.apache.spark.sql.SparkSession,
-                                      dir: String): Int = {
-      val (fs, p) = fsFor(spark, dir)
-      if (!fs.exists(p)) -1
-      else fs.listStatus(p).foldLeft(-1) { (acc, st) =>
-        st.getPath.getName match {
-          case metaGenPattern(n) => math.max(acc, n.toInt)
-          case _ => acc
-        }
-      }
-    }
+                                      dir: String): Int =
+      graft.sources.StoredIndex.metaGeneration(spark, dir)
 
     private[graft] def readMetaWithGen(spark: org.apache.spark.sql.SparkSession,
                                        dir: String): (IndexMeta, Int) = {
-      def attempt(): (IndexMeta, Int) = {
-        val gen = metaGeneration(spark, dir)
-        if (gen < 0) {
-          // MIGRATION: an index persisted before the generation-file format
-          // stored a one-row parquet table at dir/meta. Read it as
-          // generation -1; the next writeMetaCas publishes meta_g0 and the
-          // index is silently upgraded (the old dir is left behind, inert).
-          val legacy = new org.apache.hadoop.fs.Path(dir, "meta")
-          val (fs, _) = fsFor(spark, dir)
-          if (fs.exists(legacy)) {
-            val rows = spark.read.parquet(legacy.toString).collect()
-            require(rows.length == 1,
-              s"corrupt legacy index meta at $legacy: ${rows.length} rows")
-            val r = rows.head
-            return (IndexMeta(r.getAs[Int]("num_hashes"), r.getAs[Int]("bands"),
-              r.getAs[Int]("shingle_size"), r.getAs[Int]("parts"),
-              r.getAs[Int]("epoch"), r.getAs[Long]("compacted_through")), -1)
-          }
+      if (metaGeneration(spark, dir) < 0) {
+        // MIGRATION: an index persisted before the generation-file format
+        // stored a one-row parquet table at dir/meta. Read it as
+        // generation -1; the next writeMetaCas publishes meta_g0 and the
+        // index is silently upgraded (the old dir is left behind, inert).
+        val legacy = new org.apache.hadoop.fs.Path(dir, "meta")
+        val fs = legacy.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(legacy)) {
+          val rows = spark.read.parquet(legacy.toString).collect()
+          require(rows.length == 1,
+            s"corrupt legacy index meta at $legacy: ${rows.length} rows")
+          val r = rows.head
+          return (IndexMeta(r.getAs[Int]("num_hashes"), r.getAs[Int]("bands"),
+            r.getAs[Int]("shingle_size"), r.getAs[Int]("parts"),
+            r.getAs[Int]("epoch"), r.getAs[Long]("compacted_through")), -1)
         }
-        require(gen >= 0, s"no index meta at $dir (expected a meta_g{N} file — " +
-          "was the index initialized with NearDupIndex.init/save?)")
-        val (fs, _) = fsFor(spark, dir)
-        val in = fs.open(new org.apache.hadoop.fs.Path(dir, s"meta_g$gen"))
-        val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-                   finally in.close()
-        val kv = text.linesIterator.filter(_.contains('=')).map { l =>
-          val i = l.indexOf('='); (l.substring(0, i), l.substring(i + 1))
-        }.toMap
-        (IndexMeta(kv("num_hashes").toInt, kv("bands").toInt,
-          kv("shingle_size").toInt, kv("parts").toInt, kv("epoch").toInt,
-          kv("compacted_through").toLong, kv.getOrElse("stream_id", "")), gen)
       }
-      // a reader that listed generation G can find it swept if TWO writers
-      // published between its list and open (the sweep keeps only the
-      // previous generation) — re-resolving once lands on a live file
-      try attempt()
-      catch { case _: java.io.FileNotFoundException => attempt() }
+      val (kv, gen) = graft.sources.StoredIndex.readKvWithGen(spark, dir)
+      (IndexMeta(kv("num_hashes").toInt, kv("bands").toInt,
+        kv("shingle_size").toInt, kv("parts").toInt, kv("epoch").toInt,
+        kv("compacted_through").toLong, kv.getOrElse("stream_id", "")), gen)
     }
 
     private[graft] def readMeta(spark: org.apache.spark.sql.SparkSession,
                                 dir: String): IndexMeta =
       readMetaWithGen(spark, dir)._1
 
-    /** Compare-and-swap meta write: publishes `m` as generation
-      * `expectedGen + 1`, failing with [[ConcurrentIndexWriteException]] if
-      * any other writer advanced the meta since `expectedGen` was read.
-      * Pass `expectedGen = -1` for the very first write (init/save on a
-      * fresh dir). Superseded generation files older than the PREVIOUS one
-      * are swept best-effort (the previous is kept so a reader that listed
-      * just before the swap still finds a complete file).
+    /** Compare-and-swap meta write ([[graft.sources.StoredIndex
+      * .writeMetaCas]]): publishes `m` as generation `expectedGen + 1`,
+      * failing with [[ConcurrentIndexWriteException]] if any other writer
+      * advanced the meta since `expectedGen` was read. Pass
+      * `expectedGen = -1` for the very first write (init/save on a fresh
+      * dir).
       */
     private[graft] def writeMetaCas(spark: org.apache.spark.sql.SparkSession,
                                     dir: String, m: IndexMeta,
-                                    expectedGen: Int): Unit = {
-      val (fs, p) = fsFor(spark, dir)
-      if (!fs.exists(p)) fs.mkdirs(p)
-      val current = metaGeneration(spark, dir)
-      if (current != expectedGen)
-        throw new ConcurrentIndexWriteException(
-          s"stored index at $dir advanced to meta generation $current while " +
-          s"this writer held generation $expectedGen — another compaction/" +
-          "stream/save is active; reload and retry")
-      val next = expectedGen + 1
-      val content =
-        s"""num_hashes=${m.numHashes}
-           |bands=${m.bands}
-           |shingle_size=${m.shingleSize}
-           |parts=${m.parts}
-           |epoch=${m.epoch}
-           |compacted_through=${m.compactedThrough}
-           |stream_id=${m.streamId}
-           |""".stripMargin
-      val tmp = new org.apache.hadoop.fs.Path(dir,
-        s".meta_g$next.tmp.${java.util.UUID.randomUUID}")
-      val out = fs.create(tmp, false)
-      try out.write(content.getBytes("UTF-8")) finally out.close()
-      val target = new org.apache.hadoop.fs.Path(dir, s"meta_g$next")
-      // rename onto an existing destination fails -> the losing racer of
-      // two same-generation writers lands here, not on clobbered meta
-      if (!fs.rename(tmp, target)) {
-        try fs.delete(tmp, false) catch { case _: java.io.IOException => () }
-        throw new ConcurrentIndexWriteException(
-          s"stored index at $dir: meta generation $next was published by a " +
-          "concurrent writer during this swap; reload and retry")
-      }
-      // sweep generations older than the previous one, walking DOWN from
-      // expectedGen-1 and stopping at the first missing file: normally one
-      // delete RPC (older gens were swept by earlier writes), and a
-      // crashed sweep's contiguous leftovers still drain — never the
-      // O(currentGeneration) blind loop per write
-      var g = expectedGen - 1
-      var existed = true
-      while (g >= 0 && existed) {
-        val old = new org.apache.hadoop.fs.Path(dir, s"meta_g$g")
-        existed = try fs.delete(old, false)
-                  catch { case _: java.io.IOException => false }
-        g -= 1
-      }
-    }
+                                    expectedGen: Int): Unit =
+      graft.sources.StoredIndex.writeMetaCas(spark, dir, Seq(
+        "num_hashes" -> m.numHashes.toString,
+        "bands" -> m.bands.toString,
+        "shingle_size" -> m.shingleSize.toString,
+        "parts" -> m.parts.toString,
+        "epoch" -> m.epoch.toString,
+        "compacted_through" -> m.compactedThrough.toString,
+        "stream_id" -> m.streamId), expectedGen)
 
     /** Static (whole-epoch) write of both relations with the partitioned
       * layout. `batchId` stamps every row's `batch_id` partition (-1 for a
@@ -548,12 +477,8 @@ object NearDup {
       // grace sweep: keep epoch m.epoch (just superseded — in-flight
       // readers may still hold it); delete everything older (crash =
       // orphans, not corruption; re-swept on the next compaction)
-      val fs = new org.apache.hadoop.fs.Path(dir)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      for (e <- 0 until m.epoch; name <- Seq("shingles", "buckets")) {
-        val p = new org.apache.hadoop.fs.Path(relPath(dir, name, e))
-        try fs.delete(p, true) catch { case _: java.io.IOException => () }
-      }
+      graft.sources.StoredIndex.sweepEpochsBelow(spark, dir,
+        Seq("shingles", "buckets"), m.epoch)
     }
 
     /** Persist the index under `dir`: the two relations in the partitioned

@@ -1,0 +1,192 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+
+/** Shared storage protocol for PERSISTED indexes — the generation-numbered
+  * meta pointer, compare-and-swap publish, epoch-directory layout and
+  * grace-period sweep used by both the near-dup LSH index
+  * ([[graft.ext.NearDup.NearDupIndex]]) and the ANN index
+  * ([[graft.ext.AnnIndex]]). One implementation, two clients — the
+  * protocol invariants (fail-fast concurrent writers, crash-benign
+  * windows, in-flight readers surviving a swap) are proven once in
+  * StoredIndexSpec and inherited by both index specs.
+  *
+  * THE PROTOCOL. An index directory holds epoch-suffixed relation
+  * directories (`name` for epoch 0, `name_e{E}` after) plus a tiny
+  * key=value meta file named by a monotonically increasing GENERATION:
+  * `dir/meta_g{N}`. Readers resolve the highest generation present;
+  * writers publish generation `expectedGen + 1` after verifying the
+  * current generation still equals the one they loaded — a
+  * compare-and-swap. Every crash window is benign: the previous
+  * generation file is still present and complete, so a reader never sees
+  * a torn pointer, and relation directories are written BEFORE the meta
+  * that references them, so a partially built epoch is never reachable.
+  *
+  * MUTUAL EXCLUSION is an exclusive-create, not a rename: publishing
+  * hard-links the fully-written temp file onto the target name. POSIX
+  * link(2) fails atomically with EEXIST if the target exists, so of two
+  * same-generation racers exactly one wins — whereas rename(2), which
+  * Hadoop's LocalFileSystem delegates to, silently REPLACES an existing
+  * destination and would let BOTH racers "succeed" (HDFS rename does
+  * fail on an existing destination, but the guarantee must not be
+  * filesystem-dependent). On filesystems without hard links the publish
+  * falls back to Hadoop rename and inherits its semantics.
+  *
+  * GRACE SWEEP. A swap keeps the immediately superseded epoch's
+  * directories for one full cycle (only epochs at least two swaps old
+  * are deleted), so a reader that loaded just before the swap keeps
+  * collecting from complete directories until the NEXT swap lands —
+  * with sane maintenance cadences, far longer than any batch read.
+  */
+object StoredIndex {
+
+  /** Thrown when a stored-index writer loses the meta-generation CAS — a
+    * second writer (another compaction, another stream, a concurrent
+    * save/build) advanced the index while this one was working. The
+    * losing writer must reload and retry (streaming: fail the batch and
+    * let the replay see fresh state) instead of silently clobbering the
+    * other writer's swap.
+    */
+  final class ConcurrentIndexWriteException(msg: String)
+    extends IllegalStateException(msg)
+
+  /** Epoch-suffixed relation directory: bare `name` for epoch 0 so a
+    * never-compacted index keeps the obvious layout.
+    */
+  def relPath(dir: String, name: String, epoch: Int): String =
+    if (epoch == 0) s"$dir/$name" else s"$dir/${name}_e$epoch"
+
+  private val metaGenPattern = "meta_g(\\d+)".r
+
+  private def fsFor(spark: SparkSession, dir: String) = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  /** Highest meta generation under `dir`, or -1 if none exist yet. */
+  def metaGeneration(spark: SparkSession, dir: String): Int = {
+    val (fs, p) = fsFor(spark, dir)
+    if (!fs.exists(p)) -1
+    else fs.listStatus(p).foldLeft(-1) { (acc, st) =>
+      st.getPath.getName match {
+        case metaGenPattern(n) => math.max(acc, n.toInt)
+        case _ => acc
+      }
+    }
+  }
+
+  /** Read the live meta as a key→value map plus its generation. A reader
+    * that listed generation G can find it swept if TWO writers published
+    * between its list and open (the sweep keeps only the previous
+    * generation) — re-resolving once lands on a live file.
+    */
+  def readKvWithGen(spark: SparkSession, dir: String): (Map[String, String], Int) = {
+    def attempt(): (Map[String, String], Int) = {
+      val gen = metaGeneration(spark, dir)
+      require(gen >= 0, s"no index meta at $dir (expected a meta_g{N} file — " +
+        "was the index initialized?)")
+      val (fs, _) = fsFor(spark, dir)
+      val in = fs.open(new org.apache.hadoop.fs.Path(dir, s"meta_g$gen"))
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+                 finally in.close()
+      val kv = text.linesIterator.filter(_.contains('=')).map { l =>
+        val i = l.indexOf('='); (l.substring(0, i), l.substring(i + 1))
+      }.toMap
+      (kv, gen)
+    }
+    try attempt()
+    catch { case _: java.io.FileNotFoundException => attempt() }
+  }
+
+  /** Compare-and-swap meta write: publishes `kv` as generation
+    * `expectedGen + 1`, failing with [[ConcurrentIndexWriteException]] if
+    * any other writer advanced the meta since `expectedGen` was read.
+    * Pass `expectedGen = -1` for the very first write on a fresh dir.
+    * Values must be newline-free; keys must be `=`-free. Superseded
+    * generation files older than the PREVIOUS one are swept best-effort
+    * (the previous is kept so a reader that listed just before the swap
+    * still finds a complete file).
+    */
+  def writeMetaCas(spark: SparkSession, dir: String,
+                   kv: Seq[(String, String)], expectedGen: Int): Unit = {
+    val (fs, p) = fsFor(spark, dir)
+    if (!fs.exists(p)) fs.mkdirs(p)
+    val current = metaGeneration(spark, dir)
+    if (current != expectedGen)
+      throw new ConcurrentIndexWriteException(
+        s"stored index at $dir advanced to meta generation $current while " +
+        s"this writer held generation $expectedGen — another compaction/" +
+        "stream/save is active; reload and retry")
+    val next = expectedGen + 1
+    val content = kv.map { case (k, v) =>
+      require(!k.contains('=') && !v.contains('\n'),
+        s"meta key/value not encodable: $k=$v")
+      s"$k=$v\n"
+    }.mkString
+    val tmp = new org.apache.hadoop.fs.Path(dir,
+      s".meta_g$next.tmp.${java.util.UUID.randomUUID}")
+    val out = fs.create(tmp, false)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+    val target = new org.apache.hadoop.fs.Path(dir, s"meta_g$next")
+    // exclusive publish: of two same-generation racers exactly one wins;
+    // the loser lands HERE, never on clobbered meta
+    if (!publishExclusive(fs, tmp, target)) {
+      try fs.delete(tmp, false) catch { case _: java.io.IOException => () }
+      throw new ConcurrentIndexWriteException(
+        s"stored index at $dir: meta generation $next was published by a " +
+        "concurrent writer during this swap; reload and retry")
+    }
+    try fs.delete(tmp, false) catch { case _: java.io.IOException => () }
+    // sweep generations older than the previous one, walking DOWN from
+    // expectedGen-1 and stopping at the first missing file: normally one
+    // delete RPC (older gens were swept by earlier writes), and a crashed
+    // sweep's contiguous leftovers still drain — never an
+    // O(currentGeneration) blind loop per write
+    var g = expectedGen - 1
+    var existed = true
+    while (g >= 0 && existed) {
+      val old = new org.apache.hadoop.fs.Path(dir, s"meta_g$g")
+      existed = try fs.delete(old, false)
+                catch { case _: java.io.IOException => false }
+      g -= 1
+    }
+  }
+
+  /** Atomically publish `tmp` as `target` iff `target` does not exist.
+    * For `file://` the only primitive with atomic exclusive-failure
+    * semantics is link(2) — `Files.createLink` fails with EEXIST if the
+    * target is present, where both Hadoop rename (POSIX rename(2):
+    * silently replaces) and `fs.create(target, false)` (check-then-act
+    * in RawLocalFileSystem) would race. Other filesystems use Hadoop
+    * rename, which on HDFS fails on an existing destination.
+    */
+  private def publishExclusive(fs: org.apache.hadoop.fs.FileSystem,
+                               tmp: org.apache.hadoop.fs.Path,
+                               target: org.apache.hadoop.fs.Path): Boolean =
+    if (fs.getScheme == "file") {
+      try {
+        java.nio.file.Files.createLink(
+          java.nio.file.Paths.get(target.toUri.getPath),
+          java.nio.file.Paths.get(tmp.toUri.getPath))
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+        case _: UnsupportedOperationException => fs.rename(tmp, target)
+      }
+    } else fs.rename(tmp, target)
+
+  /** Grace-period epoch sweep: delete `names`' relation directories for
+    * every epoch STRICTLY BELOW `keepFrom` (callers pass the
+    * just-superseded epoch, keeping it for one cycle so in-flight readers
+    * finish). Best-effort: a crashed sweep leaves orphans, never
+    * corruption — they drain on the next sweep.
+    */
+  def sweepEpochsBelow(spark: SparkSession, dir: String,
+                       names: Seq[String], keepFrom: Int): Unit = {
+    val (fs, _) = fsFor(spark, dir)
+    for (e <- 0 until keepFrom; name <- names) {
+      val p = new org.apache.hadoop.fs.Path(relPath(dir, name, e))
+      try fs.delete(p, true) catch { case _: java.io.IOException => () }
+    }
+  }
+}

@@ -52,6 +52,104 @@ class AnnIndexSpec extends SparkSpec {
     }
   }
 
+  test("append: encode-with-stored-codebooks fragments equal a one-shot encode of the union") {
+    val dir = java.nio.file.Files.createTempDirectory("ann-append").toString
+    try {
+      val e = emb.cache(); e.count()
+      val base = e.filter(col("vec_id") % 4 =!= 0)
+      val batch = e.filter(col("vec_id") % 4 === 0)
+      AnnIndex.build(base, "vec_id", "embedding", s"$dir/idx", dim,
+        m = 8, pqK = 16, ivfK = clusters, iterations = 2)
+      AnnIndex.append(batch, s"$dir/idx", "embedding", batchId = 1L)
+      // an at-least-once REPLAY of the same batch id overwrites its own
+      // fragment instead of duplicating rows
+      AnnIndex.append(batch, s"$dir/idx", "embedding", batchId = 1L)
+      val idx = AnnIndex.load(spark, s"$dir/idx")
+      assert(idx.codes.count() == clusters.toLong * perCluster)
+      // fragment layout: the bulk build is frag=-1, the batch its own id
+      val codesDir = new java.io.File(s"$dir/idx/codes")
+      val frags = codesDir.listFiles().map(_.getName).filter(_.startsWith("frag=")).sorted
+      assert(frags.sameElements(Array("frag=-1", "frag=1")), frags.mkString(", "))
+      assert(AnnIndex.fragmentCount(spark, s"$dir/idx") == 1)
+      // probing base+appended ≡ probing a one-shot encode of the UNION
+      // under the same (stored, base-trained) codebooks
+      val queries = e.filter(col("vec_id") < 8)
+      val stored = AnnIndex.searchTopK(idx, e, queries, "embedding",
+          nprobe = 2, topR = 25, topK = 5)
+        .select("qid", "rank", "nid").as[(Long, Int, Long)].collect().toSet
+      val oneShot = PqAnn.searchTopKIvf(
+          PqAnn.encodeWithCells(e, "embedding", idx.pq, idx.ivf)
+            .select(col("vec_id"), col("codes"), col("cell")),
+          e, queries, "vec_id", "embedding", "codes", idx.pq, idx.ivf,
+          nprobe = 2, topR = 25, topK = 5)
+        .select("qid", "rank", "nid").as[(Long, Int, Long)].collect().toSet
+      assert(stored == oneShot && stored.size == 8 * 5)
+      e.unpersist()
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
+  test("rebuild CAS-swaps the epoch; a pre-rebuild reader survives one grace cycle") {
+    val dir = java.nio.file.Files.createTempDirectory("ann-grace").toString
+    def exists(name: String) = new java.io.File(s"$dir/idx/$name").exists()
+    try {
+      val e = emb.cache(); e.count()
+      AnnIndex.build(e, "vec_id", "embedding", s"$dir/idx", dim,
+        m = 8, pqK = 16, ivfK = clusters, iterations = 2)
+      // an in-flight reader loads just before the rebuild...
+      val reader = AnnIndex.load(spark, s"$dir/idx")
+      val preCount = reader.codes.count()
+      AnnIndex.build(e, "vec_id", "embedding", s"$dir/idx", dim,
+        m = 8, pqK = 16, ivfK = clusters, iterations = 2)
+      // ...and still collects afterwards: epoch-0 dirs survive one cycle
+      assert(exists("codes") && exists("codebooks"), "grace epoch was swept early")
+      assert(reader.codes.count() == preCount,
+        "pre-rebuild reader failed within the grace window")
+      assert(AnnIndex.load(spark, s"$dir/idx").epoch == 1)
+      // the NEXT rebuild expires the grace epoch (bounded garbage)
+      AnnIndex.build(e, "vec_id", "embedding", s"$dir/idx", dim,
+        m = 8, pqK = 16, ivfK = clusters, iterations = 2)
+      assert(!exists("codes") && !exists("codebooks"),
+        "epoch 0 must be swept once it is two swaps old")
+      assert(exists("codes_e1") && exists("codes_e2"))
+      e.unpersist()
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
+  test("append detects a concurrent rebuild and demands a replay; a stale writer fails the CAS") {
+    val dir = java.nio.file.Files.createTempDirectory("ann-race").toString
+    try {
+      val e = emb.cache(); e.count()
+      val base = e.filter(col("vec_id") % 4 =!= 0)
+      AnnIndex.build(base, "vec_id", "embedding", s"$dir/idx", dim,
+        m = 8, pqK = 16, ivfK = clusters, iterations = 2)
+      // an appender snapshots the index, then a rebuild swaps the epoch
+      val stale = AnnIndex.load(spark, s"$dir/idx")
+      val (kv, gen) = graft.sources.StoredIndex.readKvWithGen(spark, s"$dir/idx")
+      AnnIndex.build(base, "vec_id", "embedding", s"$dir/idx", dim,
+        m = 8, pqK = 16, ivfK = clusters, iterations = 2)
+      val batch = e.filter(col("vec_id") % 4 === 0)
+      val ex = intercept[graft.sources.StoredIndex.ConcurrentIndexWriteException] {
+        AnnIndex.appendWith(batch, stale, s"$dir/idx", "embedding", 1L)
+      }
+      assert(ex.getMessage.contains("replay"))
+      // the appended rows landed in the superseded epoch only — the live
+      // epoch is untouched (the batch is NOT silently half-visible)
+      assert(AnnIndex.load(spark, s"$dir/idx").codes.count() == base.count())
+      // and a writer still holding the pre-rebuild generation fails fast
+      val ex2 = intercept[graft.sources.StoredIndex.ConcurrentIndexWriteException] {
+        graft.sources.StoredIndex.writeMetaCas(spark, s"$dir/idx", kv.toSeq, gen)
+      }
+      assert(ex2.getMessage.contains("generation"))
+      e.unpersist()
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("the stored-codes probe carries PartitionFilters and reads no vectors") {
     val dir = java.nio.file.Files.createTempDirectory("ann-prune").toString
     try {

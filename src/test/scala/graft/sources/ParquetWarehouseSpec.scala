@@ -108,4 +108,39 @@ class ParquetWarehouseSpec extends SparkSpec {
     // idempotent: a second run finds nothing to do
     assert(ParquetWarehouse.compactPartitions(spark, path, Seq("day")) == 0)
   }
+
+  test("a crash between staging-commit and overwrite is repaired from the durable staged copy") {
+    val path = "/root/repo/target/qtmp/warehouse_recover"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File("/root/repo/target/qtmp/.warehouse_recover.staging"))
+    val rows = Seq((1, "2024-01-01", 1.0), (2, "2024-01-01", 2.0),
+      (3, "2024-01-02", 3.0)).toDF("id", "day", "v")
+    ParquetWarehouse.overwritePartitions(rows, path, Seq("day"))
+    val before = ParquetWarehouse.read(spark, path)
+      .select("id", "day", "v").as[(Int, String, Double)].collect().toSet
+    // simulate the lethal crash window: the compacted/merged rows were
+    // staged durably (marked complete), then the app died AFTER the
+    // overwrite deleted a partition's files but BEFORE replacing them —
+    // the old localCheckpoint pin loses day=2024-01-01 forever here
+    val staging = new java.io.File("/root/repo/target/qtmp/.warehouse_recover.staging")
+    rows.write.mode("overwrite").partitionBy("day").parquet(staging.toString)
+    new java.io.File(staging, "_STAGED").createNewFile()
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(s"$path/day=2024-01-01"))
+    assert(ParquetWarehouse.read(spark, path).count() == 1)
+    // the next maintenance pass re-applies the staged copy before working
+    assert(ParquetWarehouse.recoverStagedOverwrite(spark, path, Seq("day")))
+    val after = ParquetWarehouse.read(spark, path)
+      .select("id", "day", "v").as[(Int, String, Double)].collect().toSet
+    assert(after == before, "recovery did not restore the lost partition")
+    assert(!staging.exists(), "staging must be cleaned after recovery")
+    // an UNMARKED (incomplete) staging dir is swept, never applied
+    Seq((9, "2024-01-01", 9.9)).toDF("id", "day", "v")
+      .write.mode("overwrite").partitionBy("day").parquet(staging.toString)
+    assert(!ParquetWarehouse.recoverStagedOverwrite(spark, path, Seq("day")))
+    assert(!staging.exists())
+    assert(ParquetWarehouse.read(spark, path)
+      .select("id", "day", "v").as[(Int, String, Double)].collect().toSet == before)
+  }
 }

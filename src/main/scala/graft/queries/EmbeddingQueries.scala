@@ -412,9 +412,51 @@ object EmbeddingQueries {
       .withColumn("bytes_per_vector", lit(8))
   }
 
+  // ---------------------------------------------------------------- e14
+  /** PERSISTED-index probe after an INCREMENTAL append
+    * ([[graft.ext.AnnIndex.append]]) — the ANN twin of d12's index
+    * evolution: day 0 trains and bulk-builds the stored index over 80 %
+    * of the corpus, day 1's batch (the remaining 20 %) is encoded with
+    * the STORED codebooks — O(batch), no retraining, no re-encode of the
+    * base — and lands as an idempotent code fragment under the
+    * generation-CAS protocol. The probe then searches base+appended
+    * through the partition-pruned stored-codes path. AnnIndexSpec pins
+    * the semantic identity (base+appended ≡ one-shot encode of the union
+    * under the same codebooks) and the replay/race behavior; this query
+    * puts the full composition under the hash gate. Deterministic end to
+    * end (DECIMAL-summed codebooks, codegen argmin encoding, fixed-order
+    * LUT folds, id tie-breaks) → golden-parquet oracle.
+    */
+  val e14_ann_index_append = q("e14_ann_index_append",
+      GoldenOracles.sqlFor("e14_ann_index_append")) { (s, dir) =>
+    val dim = 32
+    val kCells = 20
+    val nprobe = 2
+    // materialize the derived fixture ONCE (see e11's note; released by
+    // the harness's per-query clearCache)
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"),
+        graft.ext.ClusteredFixture.normalizedVec(col("vec_id"), kCells, dim)
+          .as("embedding"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // staged once per JVM: the day-0 build and day-1 append are the
+    // INDEX'S lifecycle, not the probe under measurement
+    val root = DedupQueries.DedupStaging.ensure("e14", dir) { r =>
+      graft.ext.AnnIndex.build(emb.filter(col("vec_id") % 5 =!= 0),
+        "vec_id", "embedding", s"$r/ann_index", dim,
+        m = 8, pqK = 16, ivfK = kCells, iterations = 2)
+      graft.ext.AnnIndex.append(emb.filter(col("vec_id") % 5 === 0),
+        s"$r/ann_index", "embedding", batchId = 1L)
+    }
+    val idx = graft.ext.AnnIndex.load(s, s"$root/ann_index")
+    graft.ext.AnnIndex.searchTopK(idx, emb, emb.filter(col("vec_id") < 8),
+        "embedding", nprobe = nprobe, topR = 25, topK = 5)
+      .select(col("qid"), col("rank"), col("nid"),
+        round(col("cos"), 6).as("cos"))
+  }
+
   val all: Seq[GraftQuery] = Seq(
     e01_knn_bruteforce, e02_centroids, e03_label_block_nn, e04_lsh_ann,
     e05_cosine_neardup, e06_ivf_ann, e07_l2_normalize, e08_signature_neardup,
     e09_ivf_recall, e10_lsh_recall, e11_clustered_recall, e12_pq_recall,
-    e13_ivfadc_recall)
+    e13_ivfadc_recall, e14_ann_index_append)
 }

@@ -237,8 +237,50 @@ object StreamQueries {
       Tables.documents(s, dir), "doc_id", "text")
   }
 
+  // ---------------------------------------------------------------- s10
+  /** CONTINUOUS line-dedup ingest ([[graft.streaming.StreamOps
+    * .lineStatsStream]] + [[graft.operators.LineDedup
+    * .dedupLinesWithStats]]) — the streaming twin of t15's corpus-level
+    * boilerplate cut. The per-line distinct-doc statistics accumulate in
+    * two per-batch fragments (even doc_ids, then odd — staged once per
+    * JVM, exactly the relation the micro-batch stream maintains), and
+    * the cut runs against the SUMMED relation. The planted lines gate
+    * every code path: two lines in all docs (removed), one in 4 docs
+    * split 2+2 across the fragments — removed ONLY if cross-fragment
+    * summation works; no single fragment reaches minDocs = 3 — and one
+    * in 2 docs (1+1, stays). Oracle: the untouched documents table plus
+    * the surviving rare line on doc_id < 2.
+    */
+  val s10_line_stats_ingest = q("s10_line_stats_ingest", Some(
+    """SELECT doc_id,
+      |  CASE WHEN doc_id < 2
+      |       THEN text || chr(10) || 'Rare promo banner, twice only.'
+      |       ELSE text END AS text
+      |FROM documents""".stripMargin)) { (s, dir) =>
+    import graft.operators.LineDedup
+    def planted(df: org.apache.spark.sql.DataFrame) = df.select(col("doc_id"),
+      concat(col("text"),
+        lit("\nAll Rights Reserved. See terms for details."),
+        lit("\nThis site uses cookies to improve your experience."),
+        when(col("doc_id") < 4, lit("\nSubscribe to our newsletter today!"))
+          .otherwise(lit("")),
+        when(col("doc_id") < 2, lit("\nRare promo banner, twice only."))
+          .otherwise(lit(""))).as("text"))
+    val root = DedupQueries.DedupStaging.ensure("s10", dir) { r =>
+      val docs = planted(Tables.documents(s, dir))
+      LineDedup.appendLineStats(docs.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", s"$r/line_stats", batchId = 0L)
+      LineDedup.appendLineStats(docs.filter(col("doc_id") % 2 =!= 0),
+        "doc_id", "text", s"$r/line_stats", batchId = 1L)
+    }
+    LineDedup.dedupLinesWithStats(planted(Tables.documents(s, dir)),
+        "doc_id", "text", s.read.parquet(s"$root/line_stats"), minDocs = 3)
+      .select("doc_id", "text")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     s01_tumbling_agg, s02_sliding_agg, s03_session_windows,
     s04_dedup_first_event, s05_watermark_late, s06_asof_backward,
-    s07_running_user_agg, s08_interval_join, s09_stream_curation)
+    s07_running_user_agg, s08_interval_join, s09_stream_curation,
+    s10_line_stats_ingest)
 }

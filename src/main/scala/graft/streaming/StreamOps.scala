@@ -161,6 +161,41 @@ object StreamOps {
         })
   }
 
+  /** CONTINUOUS maintenance of the corpus-level LINE-frequency relation —
+    * the streaming half of the C4-style boilerplate cut
+    * ([[graft.operators.LineDedup]]): each micro-batch's per-line
+    * distinct-document counts land as an idempotent `batch_id` fragment
+    * under `statsDir` (dynamic-partition overwrite — an at-least-once
+    * replay rewrites its own fragment instead of double-counting), and
+    * because every document lives in exactly one batch the fragments SUM
+    * to the one-shot corpus statistics.
+    * [[graft.operators.LineDedup.dedupLinesWithStats]] is the read side:
+    * cutting a corpus against its accumulated relation is bit-identical
+    * to the one-shot batch cut (StreamingSpec differential; s10 oracle).
+    *
+    * Line dedup is inherently TWO-PASS (a line only becomes boilerplate
+    * once enough documents carry it), so the streaming form maintains
+    * the statistics continuously and leaves WHEN to apply the cut to the
+    * caller — at read time, or as a periodic finalize over the
+    * accumulated corpus — rather than pretending a per-batch cut with
+    * partial counts equals the corpus semantics. Fragment growth is one
+    * tiny partition per batch; fold with
+    * [[graft.sources.ParquetWarehouse.compactPartitions]] in the same
+    * maintenance window as the index vacuums.
+    */
+  def lineStatsStream(newDocs: DataFrame, idCol: String, textCol: String,
+                      statsDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    newDocs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty)
+          graft.operators.LineDedup.appendLineStats(
+            batch.toDF(), idCol, textCol, statsDir, batchId)
+      }
+      .start()
+
   /** CONTINUOUS ingest dedup against a persisted near-dup index — the
     * streaming form of the daily cycle ([[graft.ext.NearDup.NearDupIndex]]):
     * each micro-batch of new documents is probed against the stored index

@@ -47,6 +47,36 @@ class LineDedupSpec extends SparkSpec {
       "within-document repetition alone must not trigger removal")
   }
 
+  test("maxLines caps reassembly: an oversized doc truncates with the flag, others are untouched") {
+    // doc 1 has 8 lines (over the cap of 5); doc 2 is small. The footer
+    // is NOT boilerplate here (one doc) — truncation is purely positional.
+    val lines = (0 until 8).map(i => s"line $i").mkString("\n")
+    val oversized = Seq((1L, lines), (2L, "tiny content")).toDF("doc_id", "text")
+    val got = LineDedup.dedupLines(oversized, "doc_id", "text",
+        maxLines = 5, truncFlagCol = "truncated")
+      .select("doc_id", "text", "truncated")
+      .as[(Long, String, Boolean)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got(1L) == ((0 until 5).map(i => s"line $i").mkString("\n"), true),
+      "the first maxLines lines survive in order, and the cut is flagged")
+    assert(got(2L) == (("tiny content", false)))
+    // without a flag column the schema is unchanged
+    val plain = LineDedup.dedupLines(oversized, "doc_id", "text", maxLines = 5)
+    assert(plain.columns.toSeq == Seq("doc_id", "text"))
+    // boilerplate REMOVAL still sees every line: a line planted past the
+    // cap in >= minDocs docs is still counted (the cap only bounds
+    // reassembly memory, never the statistics)
+    val planted = Seq(
+      (1L, lines + "\nCOMMON FOOTER"),
+      (2L, "a\nCOMMON FOOTER"),
+      (3L, "b\nCOMMON FOOTER")).toDF("doc_id", "text")
+    val cut = LineDedup.dedupLines(planted, "doc_id", "text",
+        minDocs = 3, maxLines = 5)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(!cut.values.exists(_.contains("COMMON FOOTER")),
+      "a planted line past the reassembly cap must still be removed everywhere")
+  }
+
   test("other columns pass through untouched and results are partitioning-invariant") {
     val wide = docs.withColumn("lang", lit("en"))
     val a = LineDedup.dedupLines(wide, "doc_id", "text")

@@ -237,6 +237,54 @@ class StreamingSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("lineStatsStream accumulates fragments that make the stats-based cut equal the one-shot batch cut") {
+    import graft.operators.LineDedup
+    implicit val sqlCtx = spark.sqlContext
+    val footer = "All Rights Reserved."
+    // footer in 4 docs total but only 2 PER BATCH — the cut is correct
+    // only if the per-batch fragments SUM (minDocs = 3 exceeds any
+    // single batch's count); "shared twice" stays at 2 < minDocs
+    val b1 = Seq(Doc(1L, s"alpha one\n$footer\nshared twice"),
+      Doc(2L, s"beta two\n$footer"))
+    val b2 = Seq(Doc(3L, s"gamma three\n$footer\nshared twice"),
+      Doc(4L, s"delta four\n$footer"))
+    val corpus = (b1 ++ b2).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("line-stats").toString
+    try {
+      val mem = MemoryStream[Doc]
+      mem.addData(b1)
+      val q = StreamOps.lineStatsStream(mem.toDF(), "doc_id", "text",
+        s"$tmp/stats", s"$tmp/ckpt")
+      q.processAllAvailable()
+      mem.addData(b2)
+      q.processAllAvailable()
+      q.stop()
+      // one fragment per micro-batch, replay-keyed
+      val frags = new java.io.File(s"$tmp/stats").listFiles()
+        .map(_.getName).filter(_.startsWith("batch_id=")).sorted
+      assert(frags.length == 2, frags.mkString(", "))
+      val stats = spark.read.parquet(s"$tmp/stats")
+      val streamed = LineDedup.dedupLinesWithStats(corpus, "doc_id", "text",
+          stats, minDocs = 3)
+        .select("doc_id", "text").as[(Long, String)].collect().toMap
+      val oneShot = LineDedup.dedupLines(corpus, "doc_id", "text", minDocs = 3)
+        .select("doc_id", "text").as[(Long, String)].collect().toMap
+      assert(streamed == oneShot, s"streamed=$streamed oneShot=$oneShot")
+      assert(streamed(1L) == "alpha one\nshared twice",
+        "cross-batch counts must merge: footer is 2+2 >= 3")
+      // an at-least-once REPLAY of a batch id overwrites its own fragment
+      // instead of double-counting
+      LineDedup.appendLineStats(b2.toDF("doc_id", "text"), "doc_id", "text",
+        s"$tmp/stats", batchId = 1L)
+      val replayed = LineDedup.dedupLinesWithStats(corpus, "doc_id", "text",
+          spark.read.parquet(s"$tmp/stats"), minDocs = 3)
+        .select("doc_id", "text").as[(Long, String)].collect().toMap
+      assert(replayed == oneShot, "replay must not change the counts")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+    }
+  }
+
   test("streaming curation equals batch curation on fingerprints and quality") {
     implicit val sqlCtx = spark.sqlContext
     // english, long-enough, stopword-rich docs pass the gates; one exact

@@ -76,7 +76,28 @@ object PlanDump {
       "(was 3 — convergence now reads the round's own checkpointed output, " +
       "propagate persists instead of checkpointing); 9.1 s -> ~4.5 s " +
       "in-suite at sf0.1. Cluster durability: pass reliableEvery=k to " +
-      "route every k-th round through a reliable checkpoint()."),
+      "route every k-th round through a reliable checkpoint(). Round 10 " +
+      "adjudication of the round-9 med 3.59->4.39 s drift: min-of-5 on a " +
+      "quiet box measures 3.69 s med / 3.37 s min with unchanged code — " +
+      "box noise, same verdict as d07's round-9 adjudication; no plan " +
+      "diff."),
+    "d14_dedup_keep_best" -> ("round 10 adjudication of the round-9 med " +
+      "4.18->4.48 s drift: min-of-5 on a quiet box measures 4.14 s med / " +
+      "3.68 s min with unchanged code — box noise (back under the " +
+      "round-8 median); no plan diff."),
+    "e14_ann_index_append" -> ("the probe half of the stored-ANN append " +
+      "cycle (build + append staged once per JVM, excluded from timed " +
+      "passes like d11-d13's fixtures): the codes scan is pruned to the " +
+      "probed cells' (frag, cell) partitions — PartitionFilters on the " +
+      "partition columns, vector-free ReadSchema (AnnIndexSpec pins " +
+      "both) — so per-query work is nprobe/k of the corpus in 8-byte " +
+      "codes regardless of how many fragments appends have accumulated."),
+    "s10_line_stats_ingest" -> ("the cut half of the continuous line-" +
+      "dedup cycle (two stats fragments staged once per JVM): the " +
+      "accumulated stats relation sums per 8-byte hash first, exact " +
+      "(hash, text) recount only over candidates — the same two-phase " +
+      "collision safety as t15's one-shot form, with line text never " +
+      "shuffling outside the Zipf head."),
     "t07_tfidf_top_terms" -> ("deliberate two-scan shape (tf and df each " +
       "re-tokenize): caching the token relation measured 1.9->3.3 s WORSE " +
       "at sf0.1 and 6.4->3.7 s better at 10x; crossover documented in the " +

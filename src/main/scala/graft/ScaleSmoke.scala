@@ -277,6 +277,82 @@ object ScaleSmoke {
     }
   }
 
+  /** One streaming-soak batch's measurement (smoke tier): wall seconds,
+    * task input bytes, whether a compaction swapped the epoch during the
+    * trigger, and whether an injected crash forced an at-least-once
+    * replay (those two batch kinds carry extra amortized/restart work and
+    * are excluded from the flatness medians).
+    */
+  final case class SoakBatch(id: Int, secs: Double, inBytes: Long,
+                             compacted: Boolean, replayed: Boolean)
+
+  /** SMOKE-TIER soak of [[graft.streaming.StreamOps
+    * .incrementalDedupStream]] — the in-suite 26-batch soak's claims
+    * (bounded fragments, crash replay, grace readers) at ~400× its data
+    * volume, with per-batch wall/bytes accounting: `batches` micro-batches
+    * of `docsPerBatch` unique documents each ingest against a cold index,
+    * with one injected crash (after writes, before checkpoint commit)
+    * mid-soak and compaction every `compactEvery` fragments. Returns the
+    * per-batch measurements and the output row count. The continuous-
+    * ingest scale claim is that STEADY batches (no compaction, no
+    * restart) stay flat in wall time as the corpus grows `batches`-fold —
+    * the probe's corpus side is partition-pruned and semi-joined, never
+    * shuffled, and fragment growth is bounded by the compaction cadence.
+    */
+  def soakSection(spark: SparkSession, batches: Int = 20,
+                  docsPerBatch: Int = 500, compactEvery: Int = 6)
+      : (Seq[SoakBatch], Long) = {
+    import graft.ext.NearDup
+    import graft.streaming.StreamOps
+    val tmp = java.nio.file.Files.createTempDirectory("smoke-soak").toString
+    val (idxDir, outDir, ckptDir, inDir) =
+      (s"$tmp/idx", s"$tmp/out", s"$tmp/ckpt", s"$tmp/in")
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id bigint, text string")
+    val crashAt = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    crashAt.add((batches / 2).toLong)
+    def start() = StreamOps.incrementalDedupStream(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(inDir),
+      "doc_id", "text", idxDir, outDir, ckptDir, threshold = 0.5,
+      maxBucketSize = 1000, compactEvery = compactEvery,
+      onBatchDone = { id =>
+        if (crashAt.remove(id))
+          throw new RuntimeException("injected crash before checkpoint commit")
+      })
+    def batchDf(i: Int) = spark.range(docsPerBatch.toLong)
+      .select((lit(i.toLong * docsPerBatch) + col("id")).as("doc_id"))
+      .select(col("doc_id"), format_string(
+        "soak subject %1$d covering alpha%1$d beta%1$d gamma%1$d delta%1$d " +
+        "epsilon%1$d zeta%1$d eta%1$d theta%1$d", col("doc_id")).as("text"))
+    try {
+      NearDup.NearDupIndex.init(spark, idxDir)
+      new java.io.File(inDir).mkdirs() // the source demands an existing dir
+      var q = start()
+      val rows = Seq.newBuilder[SoakBatch]
+      for (i <- 0 until batches) {
+        batchDf(i).repartition(1).write.mode("append").parquet(inDir)
+        val e0 = NearDup.NearDupIndex.readMeta(spark, idxDir).epoch
+        var replayed = false
+        val (_, secs, inB, _) = measured(spark) {
+          try q.processAllAvailable()
+          catch { case _: Exception =>
+            replayed = true
+            try q.stop() catch { case _: Exception => () }
+            q = start() // restart from the same checkpoint: replay
+            q.processAllAvailable()
+          }
+        }
+        val e1 = NearDup.NearDupIndex.readMeta(spark, idxDir).epoch
+        rows += SoakBatch(i, secs, inB, e1 != e0, replayed)
+      }
+      q.stop()
+      (rows.result(), spark.read.parquet(outDir).count())
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+    }
+  }
+
   /** Layout-prune effectiveness in BYTES (round-8 brief): the same small
     * ingest batch probes the same stored 10× index twice — once through the
     * partition-pruned path (the default for a loaded index), once with the

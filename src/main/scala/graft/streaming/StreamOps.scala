@@ -196,6 +196,42 @@ object StreamOps {
       }
       .start()
 
+  /** CONTINUOUS embedding ingest into a persisted ANN index
+    * ([[graft.ext.AnnIndex]]) — the similarity-search twin of
+    * [[incrementalDedupStream]]: each micro-batch of new vectors is
+    * encoded with the STORED codebooks (O(batch), no retraining) and
+    * appended as the `frag = batchId` fragment of the live epoch's codes
+    * relation under the generation-CAS protocol. Probes running against
+    * the index see each batch as soon as its meta bump publishes.
+    *
+    * REPLAY SAFETY is inherited from [[graft.ext.AnnIndex.append]]: the
+    * fragment write is a batch-id-keyed dynamic-partition overwrite (an
+    * at-least-once replay rewrites its own partitions) and the publish
+    * is a CAS meta bump, so a maintenance rebuild that swaps the epoch
+    * mid-append makes the batch FAIL and replay instead of landing rows
+    * in a superseded epoch. Codebook drift: appended vectors are
+    * quantized by codebooks that never saw them — recall decays
+    * gracefully, never correctness (the exact re-rank stands); schedule
+    * [[graft.ext.AnnIndex.build]] over the full vector table as the
+    * batch-maintenance rebuild (it needs the vectors, which live in the
+    * caller's table, not the index — that is why the stream cannot
+    * rebuild inline), with [[graft.ext.AnnIndex.fragmentCount]] as the
+    * cadence signal, exactly like the dedup index's compaction.
+    */
+  def annIngestStream(newEmb: DataFrame, indexDir: String, vecCol: String,
+                      checkpointDir: String,
+                      onBatchDone: Long => Unit = _ => ())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    newEmb.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty)
+          graft.ext.AnnIndex.append(batch.toDF(), indexDir, vecCol, batchId)
+        onBatchDone(batchId)
+      }
+      .start()
+
   /** CONTINUOUS ingest dedup against a persisted near-dup index — the
     * streaming form of the daily cycle ([[graft.ext.NearDup.NearDupIndex]]):
     * each micro-batch of new documents is probed against the stored index

@@ -153,6 +153,48 @@ class ScaleSmokeSpec extends SparkSpec {
         "— did a data-sized single-partition stage sneak back in?")
   }
 
+  test("streaming ingest soak at 10x: steady per-batch wall time stays flat as the corpus grows") {
+    assume(sys.env.get("SPARK_GRAFT_SMOKE").contains("1"),
+      "opt-in: set SPARK_GRAFT_SMOKE=1 to run the skew smoke gate")
+    // the in-suite 26-batch soak proves the protocol; this proves its
+    // SCALE shape: ~400x the data volume (20 batches x 500 docs), one
+    // injected crash replay, compaction every 6 fragments. Steady batches
+    // (no compaction, no restart) must not slow down as the corpus grows
+    // 20x under them — the probe's corpus side is partition-pruned and
+    // semi-joined, so per-batch cost is O(batch) + bounded fragment reads.
+    val (batches, perBatch) = (20, 500)
+    val (rows, outRows) = ScaleSmoke.soakSection(spark, batches, perBatch,
+      compactEvery = 6)
+    rows.foreach { b =>
+      info(f"soak batch ${b.id}%2d ${b.secs}%6.2fs in=${b.inBytes / 1e6}%7.1fMB" +
+        (if (b.compacted) " [compact]" else "") +
+        (if (b.replayed) " [replay]" else ""))
+    }
+    assert(outRows == batches.toLong * perBatch,
+      s"output rows $outRows — a replay duplicated or lost documents")
+    assert(rows.exists(_.replayed), "the injected crash never fired")
+    assert(rows.count(_.compacted) >= 2, "the soak never exercised compaction")
+    val steady = rows.filterNot(b => b.compacted || b.replayed)
+    val half = batches / 2
+    def med(xs: Seq[Double]) = { val s = xs.sorted; s(s.size / 2) }
+    val early = med(steady.filter(_.id < half).map(_.secs))
+    val late = med(steady.filter(_.id >= half).map(_.secs))
+    // 0.75 s floor: at this scale a trigger is dominated by fixed
+    // scheduling overhead, whose jitter must not flip the gate
+    val ratio = late / math.max(early, 0.75)
+    val earlyMb = med(steady.filter(_.id < half).map(_.inBytes / 1e6))
+    val lateMb = med(steady.filter(_.id >= half).map(_.inBytes / 1e6))
+    info(f"steady medians: early=$early%5.2fs/$earlyMb%6.1fMB " +
+      f"late=$late%5.2fs/$lateMb%6.1fMB flat-ratio=$ratio%4.2fx")
+    assert(ratio <= 2.0,
+      f"per-batch wall time grew across the soak: $early%.2fs -> $late%.2fs " +
+        f"($ratio%.2fx) — is the corpus side being rescanned per batch?")
+    // bytes accounting: the late batches' task input must stay bounded by
+    // fragment-count (compaction cadence), not grow with the whole corpus
+    assert(lateMb <= 4.0 * math.max(earlyMb, 4.0),
+      f"per-batch input bytes grew across the soak: $earlyMb%.1fMB -> $lateMb%.1fMB")
+  }
+
   test("capped near-dup/ANN operators stay within 2x of linear under a hot key") {
     assume(sys.env.get("SPARK_GRAFT_SMOKE").contains("1"),
       "opt-in: set SPARK_GRAFT_SMOKE=1 to run the skew smoke gate")

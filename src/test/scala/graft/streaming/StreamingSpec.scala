@@ -285,6 +285,68 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("annIngestStream: streamed fragments probe identically to a one-shot encode of the union") {
+    import graft.ext.{AnnIndex, ClusteredFixture, PqAnn}
+    val dim = 32
+    val clusters = 20
+    val emb = spark.range(400).select(col("id").as("vec_id"),
+        ClusteredFixture.normalizedVec(col("id"), clusters, dim).as("embedding"))
+      .cache()
+    emb.count()
+    val tmp = java.nio.file.Files.createTempDirectory("ann-stream").toString
+    val (idxDir, inDir, ckptDir) = (s"$tmp/idx", s"$tmp/in", s"$tmp/ckpt")
+    try {
+      // day 0: bulk build over half the corpus
+      AnnIndex.build(emb.filter(col("vec_id") < 200), "vec_id", "embedding",
+        idxDir, dim, m = 8, pqK = 16, ivfK = clusters, iterations = 2)
+      // two micro-batches arrive as files; one injected crash after batch
+      // 0's writes forces an at-least-once replay through the stream
+      emb.filter(col("vec_id") >= 200 && col("vec_id") < 300)
+        .repartition(1).write.mode("append").parquet(inDir)
+      val crashAt = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+      crashAt.add(0L)
+      val schema = emb.schema
+      def start() = StreamOps.annIngestStream(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(inDir),
+        idxDir, "embedding", ckptDir,
+        onBatchDone = { id =>
+          if (crashAt.remove(id))
+            throw new RuntimeException("injected crash before checkpoint commit")
+        })
+      var q = start()
+      try q.processAllAvailable()
+      catch { case _: Exception =>
+        try q.stop() catch { case _: Exception => () }
+        q = start() // restart from the same checkpoint: replay batch 0
+        q.processAllAvailable()
+      }
+      emb.filter(col("vec_id") >= 300).repartition(1).write.mode("append").parquet(inDir)
+      q.processAllAvailable()
+      q.stop()
+      assert(crashAt.isEmpty, "the injected crash never fired")
+      // the replay overwrote its own fragment: every vector exactly once
+      val idx = AnnIndex.load(spark, idxDir)
+      assert(idx.codes.count() == 400, s"codes=${idx.codes.count()}")
+      assert(AnnIndex.fragmentCount(spark, idxDir) == 2)
+      // streamed index ≡ one-shot encode of the union under the same
+      // (base-trained, stored) codebooks
+      val queries = emb.filter(col("vec_id") < 8)
+      val stored = AnnIndex.searchTopK(idx, emb, queries, "embedding",
+          nprobe = 2, topR = 25, topK = 5)
+        .select("qid", "rank", "nid").as[(Long, Int, Long)].collect().toSet
+      val oneShot = PqAnn.searchTopKIvf(
+          PqAnn.encodeWithCells(emb, "embedding", idx.pq, idx.ivf)
+            .select(col("vec_id"), col("codes"), col("cell")),
+          emb, queries, "vec_id", "embedding", "codes", idx.pq, idx.ivf,
+          nprobe = 2, topR = 25, topK = 5)
+        .select("qid", "rank", "nid").as[(Long, Int, Long)].collect().toSet
+      assert(stored == oneShot && stored.size == 8 * 5)
+      emb.unpersist()
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+    }
+  }
+
   test("streaming curation equals batch curation on fingerprints and quality") {
     implicit val sqlCtx = spark.sqlContext
     // english, long-enough, stopword-rich docs pass the gates; one exact

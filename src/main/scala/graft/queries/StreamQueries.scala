@@ -267,14 +267,22 @@ object StreamQueries {
         when(col("doc_id") < 2, lit("\nRare promo banner, twice only."))
           .otherwise(lit(""))).as("text"))
     val root = DedupQueries.DedupStaging.ensure("s10", dir) { r =>
+      // protocol-managed store with a COMPACTION between the installments:
+      // the cut below must merge a folded partition with a live fragment,
+      // so fold arithmetic sits under the hash gate too
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(s"$r/line_stats"))
       val docs = planted(Tables.documents(s, dir))
+      LineDedup.initStats(s, s"$r/line_stats")
       LineDedup.appendLineStats(docs.filter(col("doc_id") % 2 === 0),
         "doc_id", "text", s"$r/line_stats", batchId = 0L)
+      LineDedup.compactStats(s, s"$r/line_stats")
       LineDedup.appendLineStats(docs.filter(col("doc_id") % 2 =!= 0),
         "doc_id", "text", s"$r/line_stats", batchId = 1L)
     }
     LineDedup.dedupLinesWithStats(planted(Tables.documents(s, dir)),
-        "doc_id", "text", s.read.parquet(s"$root/line_stats"), minDocs = 3)
+        "doc_id", "text", LineDedup.readStats(s, s"$root/line_stats"),
+        minDocs = 3)
       .select("doc_id", "text")
   }
 

@@ -150,6 +150,24 @@ object StoredIndex {
                 catch { case _: java.io.IOException => false }
       g -= 1
     }
+    // drain CRASHED writers' temp droppings: a `.meta_gG.tmp.*` whose
+    // generation is STRICTLY below the one just published can never be
+    // linked into place (its CAS is lost by construction), so it is
+    // garbage — without this, a crash-looping writer grows the dir
+    // unboundedly. Same-generation tmps are left alone: a live racer for
+    // THIS generation may be between its tmp create and its (doomed)
+    // publish, and deleting under it would turn its clean lost-race
+    // failure into a stray filesystem error; its dropping drains on the
+    // next successful write instead.
+    val tmpPattern = "\\.meta_g(\\d+)\\.tmp\\..*".r
+    try fs.listStatus(p).foreach { st =>
+      st.getPath.getName match {
+        case tmpPattern(tg) if tg.toInt < next =>
+          try fs.delete(st.getPath, false)
+          catch { case _: java.io.IOException => () }
+        case _ => ()
+      }
+    } catch { case _: java.io.IOException => () }
   }
 
   /** Atomically publish `tmp` as `target` iff `target` does not exist.

@@ -178,21 +178,57 @@ object StreamOps {
     * the statistics continuously and leaves WHEN to apply the cut to the
     * caller — at read time, or as a periodic finalize over the
     * accumulated corpus — rather than pretending a per-batch cut with
-    * partial counts equals the corpus semantics. Fragment growth is one
-    * tiny partition per batch; fold with
-    * [[graft.sources.ParquetWarehouse.compactPartitions]] in the same
-    * maintenance window as the index vacuums.
+    * partial counts equals the corpus semantics.
+    *
+    * The store rides the shared [[graft.sources.StoredIndex]] protocol
+    * (initialized on the first trigger): once the live epoch accumulates
+    * more than `compactEvery` fragments, [[graft.operators.LineDedup
+    * .compactStats]] folds them into ONE summed partition in a fresh
+    * epoch — a crash-safe CAS swap with grace-period readers, advancing
+    * the `compacted_through` watermark so a replay of an already-folded
+    * batch is a no-op instead of a double count. The checkpoint identity
+    * is pinned into the meta at first append, exactly like
+    * [[incrementalDedupStream]]: batch ids are only meaningful relative
+    * to one checkpoint lineage, and a fresh checkpoint would recycle ids
+    * below the watermark and silently DROP their new data — fail fast
+    * instead (re-ingest from scratch = new stats dir).
     */
   def lineStatsStream(newDocs: DataFrame, idCol: String, textCol: String,
-                      statsDir: String, checkpointDir: String)
+                      statsDir: String, checkpointDir: String,
+                      compactEvery: Int = 16)
       : org.apache.spark.sql.streaming.StreamingQuery =
     newDocs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        import graft.operators.LineDedup
+        import graft.sources.StoredIndex
+        val spark = batch.sparkSession
+        if (StoredIndex.metaGeneration(spark, statsDir) < 0)
+          LineDedup.initStats(spark, statsDir)
+        def qualified(p: String): String = {
+          val hp = new org.apache.hadoop.fs.Path(p)
+          hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .makeQualified(hp).toString
+        }
+        val (kv, gen) = StoredIndex.readKvWithGen(spark, statsDir)
+        val ckpt = qualified(checkpointDir)
+        if (kv.getOrElse("stream_id", "").isEmpty)
+          StoredIndex.writeMetaCas(spark, statsDir,
+            kv.updated("stream_id", ckpt).toSeq, gen)
+        else if (qualified(kv("stream_id")) != ckpt)
+          throw new IllegalStateException(
+            s"line-stats store at $statsDir was ingested from checkpoint " +
+            s"'${kv("stream_id")}' but this query runs from " +
+            s"'$checkpointDir' — a fresh checkpoint recycles batch ids " +
+            "and would silently drop batches below the compaction " +
+            "watermark; use the original checkpoint or a fresh stats dir")
         if (!batch.isEmpty)
-          graft.operators.LineDedup.appendLineStats(
+          LineDedup.appendLineStats(
             batch.toDF(), idCol, textCol, statsDir, batchId)
+        if (compactEvery > 0 &&
+            LineDedup.statsFragmentCount(spark, statsDir) > compactEvery)
+          LineDedup.compactStats(spark, statsDir)
       }
       .start()
 

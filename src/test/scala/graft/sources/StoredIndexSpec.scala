@@ -112,4 +112,25 @@ class StoredIndexSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
     }
   }
+
+  test("a crashed writer's temp dropping drains on the next successful write") {
+    val dir = tmp()
+    try {
+      StoredIndex.writeMetaCas(spark, dir, Seq("a" -> "1"), -1)
+      // simulate a writer that died between creating its temp and
+      // publishing generation 1 (kill -9 window)
+      val orphan = new java.io.File(dir, ".meta_g1.tmp.deadbeef")
+      assert(orphan.createNewFile())
+      // a write at the SAME generation leaves it (it cannot distinguish a
+      // crashed writer from a live racer mid-publish)...
+      StoredIndex.writeMetaCas(spark, dir, Seq("a" -> "2"), 0)
+      assert(orphan.exists(), "same-generation temp must not be swept under a live racer")
+      // ...and the NEXT generation's write drains it
+      StoredIndex.writeMetaCas(spark, dir, Seq("a" -> "3"), 1)
+      assert(!orphan.exists(), "crashed-writer temp dropping not swept")
+      assert(StoredIndex.readKvWithGen(spark, dir) == (Map("a" -> "3"), 2))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
 }

@@ -253,33 +253,54 @@ class StreamingSpec extends SparkSpec {
     try {
       val mem = MemoryStream[Doc]
       mem.addData(b1)
+      // compactEvery = 1: batch 1's append pushes the live epoch past one
+      // fragment, so the stream folds mid-run — the differential below
+      // covers fold + fragment summation together
       val q = StreamOps.lineStatsStream(mem.toDF(), "doc_id", "text",
-        s"$tmp/stats", s"$tmp/ckpt")
+        s"$tmp/stats", s"$tmp/ckpt", compactEvery = 1)
       q.processAllAvailable()
       mem.addData(b2)
       q.processAllAvailable()
       q.stop()
-      // one fragment per micro-batch, replay-keyed
-      val frags = new java.io.File(s"$tmp/stats").listFiles()
-        .map(_.getName).filter(_.startsWith("batch_id=")).sorted
-      assert(frags.length == 2, frags.mkString(", "))
-      val stats = spark.read.parquet(s"$tmp/stats")
+      // the store is protocol-managed: both fragments folded into the
+      // epoch-1 directory's single summed partition, watermark advanced
+      import graft.sources.StoredIndex
+      val (kv, _) = StoredIndex.readKvWithGen(spark, s"$tmp/stats")
+      assert(kv("epoch") == "1" && kv("compacted_through") == "1", kv.toString)
+      assert(LineDedup.statsFragmentCount(spark, s"$tmp/stats") == 0)
+      val folded = new java.io.File(s"$tmp/stats/stats_e1").listFiles()
+        .map(_.getName).filter(_.startsWith("batch_id=")).toSeq
+      assert(folded == Seq("batch_id=-1"), folded.mkString(", "))
       val streamed = LineDedup.dedupLinesWithStats(corpus, "doc_id", "text",
-          stats, minDocs = 3)
+          LineDedup.readStats(spark, s"$tmp/stats"), minDocs = 3)
         .select("doc_id", "text").as[(Long, String)].collect().toMap
       val oneShot = LineDedup.dedupLines(corpus, "doc_id", "text", minDocs = 3)
         .select("doc_id", "text").as[(Long, String)].collect().toMap
       assert(streamed == oneShot, s"streamed=$streamed oneShot=$oneShot")
       assert(streamed(1L) == "alpha one\nshared twice",
         "cross-batch counts must merge: footer is 2+2 >= 3")
-      // an at-least-once REPLAY of a batch id overwrites its own fragment
-      // instead of double-counting
+      // an at-least-once REPLAY of an already-FOLDED batch is a no-op
+      // (its fragment partition no longer exists to overwrite — the
+      // compacted_through watermark is what prevents a double count)
       LineDedup.appendLineStats(b2.toDF("doc_id", "text"), "doc_id", "text",
         s"$tmp/stats", batchId = 1L)
       val replayed = LineDedup.dedupLinesWithStats(corpus, "doc_id", "text",
-          spark.read.parquet(s"$tmp/stats"), minDocs = 3)
+          LineDedup.readStats(spark, s"$tmp/stats"), minDocs = 3)
         .select("doc_id", "text").as[(Long, String)].collect().toMap
-      assert(replayed == oneShot, "replay must not change the counts")
+      assert(replayed == oneShot, "replay of a folded batch must not change the counts")
+      assert(LineDedup.statsFragmentCount(spark, s"$tmp/stats") == 0,
+        "a folded batch's replay must not recreate its fragment")
+      // a fresh checkpoint against the ingested store is refused (its
+      // recycled batch ids would fall below the watermark and be dropped)
+      val mem2 = MemoryStream[Doc]
+      mem2.addData(Seq(Doc(9L, "new content\nfresh line")))
+      val q2 = StreamOps.lineStatsStream(mem2.toDF(), "doc_id", "text",
+        s"$tmp/stats", s"$tmp/ckpt2", compactEvery = 1)
+      val err = intercept[Exception] { q2.processAllAvailable() }
+      try q2.stop() catch { case _: Exception => () }
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+      assert(messages(err).exists(_.contains("checkpoint")), messages(err).mkString("; "))
     } finally {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
     }

@@ -93,11 +93,21 @@ object PlanDump {
       "both) — so per-query work is nprobe/k of the corpus in 8-byte " +
       "codes regardless of how many fragments appends have accumulated."),
     "s10_line_stats_ingest" -> ("the cut half of the continuous line-" +
-      "dedup cycle (two stats fragments staged once per JVM): the " +
-      "accumulated stats relation sums per 8-byte hash first, exact " +
-      "(hash, text) recount only over candidates — the same two-phase " +
-      "collision safety as t15's one-shot form, with line text never " +
-      "shuffling outside the Zipf head."),
+      "dedup cycle (a folded epoch + a live fragment staged once per " +
+      "JVM, compaction included so fold arithmetic sits under the hash " +
+      "gate): the accumulated stats relation sums per 8-byte hash " +
+      "first, exact (hash, text) recount only over candidates — the " +
+      "same two-phase collision safety as t15's one-shot form, with " +
+      "line text never shuffling outside the Zipf head."),
+    "src09_upsert_merge" -> ("round 10: +0.3 s vs round 9 is the durable " +
+      "staged-overwrite hop — the merged winners are written to a marked " +
+      "staging dir and read back before the dynamic overwrite, roughly " +
+      "doubling the touched-partition write volume. Deliberate: the old " +
+      "localCheckpoint pin lived in executor block storage, so a crash " +
+      "between the committer's delete and commit lost the partitions " +
+      "PERMANENTLY (ADVICE r9); the hop makes every crash window " +
+      "recoverable (ParquetWarehouseSpec drills it). Cost scales with " +
+      "the touched partitions only, like the upsert itself."),
     "t07_tfidf_top_terms" -> ("deliberate two-scan shape (tf and df each " +
       "re-tokenize): caching the token relation measured 1.9->3.3 s WORSE " +
       "at sf0.1 and 6.4->3.7 s better at 10x; crossover documented in the " +

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-provided parquet tables (TESTDATA.md).
   *
@@ -11,11 +11,16 @@ import org.apache.spark.sql.types.LongType
   * unchanged. Reads are plain parquet scans so Catalyst's column pruning and
   * filter pushdown reach the file source.
   *
-  * `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark's reader
-  * rejects outright; sessions set `spark.sql.legacy.parquet.nanosAsLong=true`
-  * (see [[Sessions]]) and [[events]] converts the raw nanos to a proper
-  * microsecond TimestampType with integer arithmetic (ns `div` 1000 — no
-  * double round-trip, which would lose precision above 2^53).
+  * `events.ts` has drifted across testdata generations: parquet
+  * TIMESTAMP(NANOS) (read as long under
+  * `spark.sql.legacy.parquet.nanosAsLong=true`, see [[Sessions]]),
+  * timestamp[us] isAdjustedToUTC=false (read as TIMESTAMP_NTZ), and plain
+  * UTC micros (TimestampType). [[events]] normalizes all three to
+  * TimestampType — nanos via integer arithmetic (ns `div` 1000, no double
+  * round-trip which would lose precision above 2^53), NTZ via a cast that
+  * is a value identity under the pinned UTC session. TablesSpec guards the
+  * three encodings so the next silent testdata regeneration fails a unit
+  * test instead of the driver gate.
   */
 object Tables {
   val names: Seq[String] = Seq(
@@ -34,9 +39,17 @@ object Tables {
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
   def events(s: SparkSession, d: String): DataFrame = {
     val raw = load(s, d, "events")
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        // testdata written as parquet timestamp[us] isAdjustedToUTC=false →
+        // Spark reads TIMESTAMP_NTZ; the cast is a value identity under the
+        // pinned UTC session and restores the type every ts consumer
+        // (unix_micros, watermarks, interval arithmetic) expects
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

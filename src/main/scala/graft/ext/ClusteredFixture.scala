@@ -20,11 +20,17 @@ import graft.plans.CosineSimilarityExpr
   */
 object ClusteredFixture {
 
-  /** The raw clustered vector for an id column (`array<float>`). */
-  def vec(id: Column, clusters: Int, dim: Int): Column = {
-    require(clusters <= dim, s"clusters=$clusters must be <= dim=$dim " +
+  /** The raw clustered vector for an id column (`array<float>`).
+    * `axisShift` moves every cluster center to an axis the unshifted
+    * fixture never occupies — the deterministic model of DISTRIBUTION
+    * DRIFT (an appended batch whose clusters the stored codebooks never
+    * trained on) used by the codebook-drift recall measurement.
+    */
+  def vec(id: Column, clusters: Int, dim: Int, axisShift: Int = 0): Column = {
+    require(axisShift + clusters <= dim,
+      s"axisShift=$axisShift + clusters=$clusters must be <= dim=$dim " +
       "(each cluster needs its own axis)")
-    val cluster = pmod(id, lit(clusters)).cast("int")
+    val cluster = (pmod(id, lit(clusters)) + lit(axisShift)).cast("int")
     transform(sequence(lit(0), lit(dim - 1)), d => {
       val base = when(d === cluster, lit(4.0)).otherwise(lit(0.0))
       val jitter = (pmod(cluster * 31 + id * 7 + d * 13, lit(11)) - 5) * lit(0.05)
@@ -35,8 +41,9 @@ object ClusteredFixture {
   /** L2-normalized form (`array<float>`) — what the PQ paths use so the
     * dot-product approximation ranks like cosine.
     */
-  def normalizedVec(id: Column, clusters: Int, dim: Int): Column =
-    graft.functions.VectorFunctions.l2Normalize(vec(id, clusters, dim))
+  def normalizedVec(id: Column, clusters: Int, dim: Int,
+                    axisShift: Int = 0): Column =
+    graft.functions.VectorFunctions.l2Normalize(vec(id, clusters, dim, axisShift))
       .cast("array<float>")
 
   /** Exact brute-force cosine top-k per query — `(qid, nid)`, the truth

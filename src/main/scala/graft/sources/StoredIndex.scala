@@ -63,6 +63,39 @@ object StoredIndex {
     (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
   }
 
+  /** Filesystem-qualified form of a path, for identity comparisons:
+    * '/a/ckpt', 'file:///a/ckpt' and '/a/ckpt/' are the same lineage — a
+    * legitimate respelling on restart must not brick a stream.
+    */
+  def qualifiedPath(spark: SparkSession, p: String): String = {
+    val hp = new org.apache.hadoop.fs.Path(p)
+    hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .makeQualified(hp).toString
+  }
+
+  /** Checkpoint-identity guard shared by the continuous-ingest streams:
+    * batch ids are only meaningful relative to ONE checkpoint lineage, so
+    * the first trigger pins this stream's checkpoint into the meta
+    * (`stream_id` key) and every later trigger refuses a mismatch — a
+    * restart against a FRESH checkpoint would recycle batch ids from 0 and
+    * silently corrupt the replay guards (skip under a compaction watermark,
+    * dynamic-overwrite earlier batches' fragments). Re-ingesting a store
+    * from scratch = new store dir.
+    */
+  def pinStreamIdentity(spark: SparkSession, dir: String,
+                        checkpointDir: String): Unit = {
+    val (kv, gen) = readKvWithGen(spark, dir)
+    val ckpt = qualifiedPath(spark, checkpointDir)
+    if (kv.getOrElse("stream_id", "").isEmpty)
+      writeMetaCas(spark, dir, kv.updated("stream_id", ckpt).toSeq, gen)
+    else if (qualifiedPath(spark, kv("stream_id")) != ckpt)
+      throw new IllegalStateException(
+        s"stored index at $dir was ingested from checkpoint " +
+        s"'${kv("stream_id")}' but this query runs from '$checkpointDir' — " +
+        "a fresh checkpoint recycles batch ids and would silently corrupt " +
+        "the replay guards; use the original checkpoint or a fresh dir")
+  }
+
   /** Highest meta generation under `dir`, or -1 if none exist yet. */
   def metaGeneration(spark: SparkSession, dir: String): Int = {
     val (fs, p) = fsFor(spark, dir)

@@ -206,23 +206,7 @@ object StreamOps {
         val spark = batch.sparkSession
         if (StoredIndex.metaGeneration(spark, statsDir) < 0)
           LineDedup.initStats(spark, statsDir)
-        def qualified(p: String): String = {
-          val hp = new org.apache.hadoop.fs.Path(p)
-          hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-            .makeQualified(hp).toString
-        }
-        val (kv, gen) = StoredIndex.readKvWithGen(spark, statsDir)
-        val ckpt = qualified(checkpointDir)
-        if (kv.getOrElse("stream_id", "").isEmpty)
-          StoredIndex.writeMetaCas(spark, statsDir,
-            kv.updated("stream_id", ckpt).toSeq, gen)
-        else if (qualified(kv("stream_id")) != ckpt)
-          throw new IllegalStateException(
-            s"line-stats store at $statsDir was ingested from checkpoint " +
-            s"'${kv("stream_id")}' but this query runs from " +
-            s"'$checkpointDir' — a fresh checkpoint recycles batch ids " +
-            "and would silently drop batches below the compaction " +
-            "watermark; use the original checkpoint or a fresh stats dir")
+        StoredIndex.pinStreamIdentity(spark, statsDir, checkpointDir)
         if (!batch.isEmpty)
           LineDedup.appendLineStats(
             batch.toDF(), idCol, textCol, statsDir, batchId)
@@ -247,26 +231,66 @@ object StreamOps {
     * mid-append makes the batch FAIL and replay instead of landing rows
     * in a superseded epoch. Codebook drift: appended vectors are
     * quantized by codebooks that never saw them — recall decays
-    * gracefully, never correctness (the exact re-rank stands); schedule
-    * [[graft.ext.AnnIndex.build]] over the full vector table as the
-    * batch-maintenance rebuild (it needs the vectors, which live in the
-    * caller's table, not the index — that is why the stream cannot
-    * rebuild inline), with [[graft.ext.AnnIndex.fragmentCount]] as the
-    * cadence signal, exactly like the dedup index's compaction.
+    * gracefully, never correctness (the exact re-rank stands); see the
+    * measured decay table in [[graft.ext.AnnIndex]]'s scaladoc.
+    *
+    * MAINTENANCE mirrors its two sibling streams' self-compaction: pass
+    * `rebuildEvery` > 0 and a `corpusForRebuild` thunk (the index stores
+    * codes, not vectors, so only the caller can supply the full vector
+    * table — typically the warehouse relation the stream also appends to)
+    * and every time the live epoch accumulates that many fragments the
+    * cycle retrains via [[graft.ext.AnnIndex.build]]: a crash-safe epoch
+    * swap that folds all fragments, refreshes the codebooks against the
+    * grown corpus (resetting quantization drift), and preserves the
+    * checkpoint-identity pin. The rebuild runs INSIDE the trigger, so it
+    * never races a concurrent append from this stream; a crash mid-rebuild
+    * leaves the old epoch live and the replay retries.
+    *
+    * CONTRACT: the thunk must return exactly the vectors INGESTED SO FAR
+    * (base corpus + committed batches — the warehouse relation a
+    * same-pipeline sink maintains satisfies this by construction). A
+    * corpus that already contains a not-yet-appended batch would enter the
+    * rebuilt epoch at `frag = -1` and then enter AGAIN when its batch
+    * appends — duplicate ids in the codes relation.
+    *
+    * CHECKPOINT IDENTITY is pinned at first append exactly like the
+    * sibling streams ([[StoredIndex.pinStreamIdentity]]): a restart
+    * against a fresh checkpoint would recycle batch ids from 0 and
+    * dynamic-overwrite earlier batches' `frag=` partitions with different
+    * data — silent index corruption — so it fails fast instead.
     */
   def annIngestStream(newEmb: DataFrame, indexDir: String, vecCol: String,
                       checkpointDir: String,
+                      rebuildEvery: Int = 0,
+                      corpusForRebuild: Option[() => DataFrame] = None,
                       onBatchDone: Long => Unit = _ => ())
-      : org.apache.spark.sql.streaming.StreamingQuery =
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(rebuildEvery <= 0 || corpusForRebuild.isDefined,
+      "rebuildEvery needs corpusForRebuild: the index stores codes, not " +
+      "vectors — only the caller can supply the vector table to retrain on")
     newEmb.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        import graft.ext.AnnIndex
+        import graft.sources.StoredIndex
+        val spark = batch.sparkSession
+        StoredIndex.pinStreamIdentity(spark, indexDir, checkpointDir)
         if (!batch.isEmpty)
-          graft.ext.AnnIndex.append(batch.toDF(), indexDir, vecCol, batchId)
+          AnnIndex.append(batch.toDF(), indexDir, vecCol, batchId)
+        if (rebuildEvery > 0 &&
+            AnnIndex.fragmentCount(spark, indexDir) >= rebuildEvery) {
+          // retrain over the caller's corpus with the STORED parameters —
+          // the stream never guesses dims/codebook sizes, the index pins them
+          val (kv, _) = StoredIndex.readKvWithGen(spark, indexDir)
+          AnnIndex.build(corpusForRebuild.get(), kv("id_col"), vecCol,
+            indexDir, kv("dim").toInt, kv("m").toInt, kv("pq_k").toInt,
+            kv("ivf_k").toInt)
+        }
         onBatchDone(batchId)
       }
       .start()
+  }
 
   /** CONTINUOUS ingest dedup against a persisted near-dup index — the
     * streaming form of the daily cycle ([[graft.ext.NearDup.NearDupIndex]]):
@@ -348,11 +372,8 @@ object StreamOps {
         // Paths compare in filesystem-QUALIFIED form ('/a/ckpt',
         // 'file:///a/ckpt' and '/a/ckpt/' are the same lineage — a
         // legitimate respelling on restart must not brick the stream).
-        def qualified(p: String): String = {
-          val hp = new org.apache.hadoop.fs.Path(p)
-          hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-            .makeQualified(hp).toString
-        }
+        def qualified(p: String): String =
+          graft.sources.StoredIndex.qualifiedPath(spark, p)
         val ckpt = qualified(checkpointDir)
         val meta =
           if (meta0.streamId.isEmpty) {

@@ -150,6 +150,72 @@ class AnnIndexSpec extends SparkSpec {
     }
   }
 
+  test("codebook drift: recall decays measurably with appended drift and a rebuild restores it") {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.expressions.Window
+    val dCl = 10 // drifted clusters on axes 10..19 — never seen in training
+    val baseN = 500L
+    val dir = java.nio.file.Files.createTempDirectory("ann-drift").toString
+    // base corpus: ids 0..499 on axes 0..9; drifted pool: ids 1000..1499 on
+    // shifted axes (the deterministic model of an appended batch whose
+    // distribution the stored codebooks never trained on)
+    val base = spark.range(baseN).select(col("id").as("vec_id"),
+      ClusteredFixture.normalizedVec(col("id"), dCl, dim).as("embedding"))
+    val driftPool = spark.range(1000L, 1000L + baseN).select(col("id").as("vec_id"),
+      ClusteredFixture.normalizedVec(col("id"), dCl, dim, axisShift = dCl)
+        .as("embedding"))
+    def recallAt5(idx: AnnIndex.Loaded, corpus: DataFrame,
+                  queries: DataFrame): Double = {
+      val qs = queries.select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val w = Window.partitionBy(col("qid")).orderBy(col("c").desc, col("nid"))
+      val brute = corpus.select(col("vec_id").as("nid"), col("embedding").as("cv"))
+        .crossJoin(broadcast(qs))
+        .filter(col("nid") =!= col("qid"))
+        .withColumn("c", graft.plans.CosineSimilarityExpr.cosine(col("qv"), col("cv")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5).select("qid", "nid")
+      val approx = AnnIndex.searchTopK(idx, corpus, queries, "embedding",
+        nprobe = 2, topR = 25, topK = 5).select("qid", "nid")
+      val nq = queries.count()
+      val hits = brute.join(approx, Seq("qid", "nid"), "left_semi").count()
+      hits.toDouble / (5.0 * nq)
+    }
+    try {
+      val e = base.cache(); e.count()
+      val dp = driftPool.cache(); dp.count()
+      AnnIndex.build(e, "vec_id", "embedding", s"$dir/idx", dim,
+        m = 8, pqK = 16, ivfK = dCl, iterations = 2)
+      val dQueries = dp.filter(col("vec_id") < 1008)
+      val measured = Seq(0.10, 0.50, 1.00).zipWithIndex.map { case (frac, b) =>
+        val lo = 1000L + (if (b == 0) 0L else (Seq(0.10, 0.50)(b - 1) * baseN).toLong)
+        val hi = 1000L + (frac * baseN).toLong
+        AnnIndex.append(dp.filter(col("vec_id") >= lo && col("vec_id") < hi),
+          s"$dir/idx", "embedding", batchId = b.toLong)
+        val corpus = e.unionByName(dp.filter(col("vec_id") < hi))
+        val r = recallAt5(AnnIndex.load(spark, s"$dir/idx"), corpus, dQueries)
+        info(f"drifted recall@5 at ${(frac * 100).toInt}%% appended: $r%.3f")
+        (frac, r)
+      }
+      // the decayed numbers are the documentation artifact (AnnIndex
+      // scaladoc cites them); the gate is loose on purpose — measured
+      // decay, not a tuned threshold
+      assert(measured.forall(_._2 >= 0.05) && measured.forall(_._2 <= 0.95),
+        s"drift recall out of the expected decay band: $measured")
+      // REBUILD (retrain over the grown corpus) restores recall: the
+      // fragmentCount-triggered form of this runs in StreamingSpec
+      val full = e.unionByName(dp)
+      AnnIndex.build(full, "vec_id", "embedding", s"$dir/idx", dim,
+        m = 8, pqK = 16, ivfK = 2 * dCl, iterations = 2)
+      val rebuilt = recallAt5(AnnIndex.load(spark, s"$dir/idx"), full, dQueries)
+      info(f"drifted recall@5 after rebuild: $rebuilt%.3f")
+      assert(rebuilt >= 0.9 && rebuilt > measured.map(_._2).max,
+        f"rebuild must restore recall: $rebuilt%.3f vs $measured")
+      e.unpersist(); dp.unpersist()
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("the stored-codes probe carries PartitionFilters and reads no vectors") {
     val dir = java.nio.file.Files.createTempDirectory("ann-prune").toString
     try {

@@ -368,6 +368,106 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("annIngestStream: a fresh checkpoint against an ingested index is refused") {
+    import graft.ext.{AnnIndex, ClusteredFixture}
+    val dim = 16
+    val emb = spark.range(120).select(col("id").as("vec_id"),
+      ClusteredFixture.normalizedVec(col("id"), 8, dim).as("embedding"))
+    val tmp = java.nio.file.Files.createTempDirectory("ann-ckpt").toString
+    val (idxDir, inDir) = (s"$tmp/idx", s"$tmp/in")
+    try {
+      AnnIndex.build(emb.filter(col("vec_id") < 80), "vec_id", "embedding",
+        idxDir, dim, m = 4, pqK = 8, ivfK = 8, iterations = 1)
+      emb.filter(col("vec_id") >= 80 && col("vec_id") < 100)
+        .repartition(1).write.mode("append").parquet(inDir)
+      val q = StreamOps.annIngestStream(
+        spark.readStream.schema(emb.schema).option("maxFilesPerTrigger", 1)
+          .parquet(inDir),
+        idxDir, "embedding", s"$tmp/ckpt")
+      q.processAllAvailable()
+      q.stop()
+      // the first trigger pinned this stream's checkpoint into the meta...
+      val (kv, _) = graft.sources.StoredIndex.readKvWithGen(spark, idxDir)
+      assert(kv.getOrElse("stream_id", "").nonEmpty, kv.toString)
+      // ...so a restart from a FRESH checkpoint (batch ids recycle from 0
+      // and would dynamic-overwrite frag=0 with different data) fails fast
+      emb.filter(col("vec_id") >= 100)
+        .repartition(1).write.mode("append").parquet(inDir)
+      val q2 = StreamOps.annIngestStream(
+        spark.readStream.schema(emb.schema).option("maxFilesPerTrigger", 1)
+          .parquet(inDir),
+        idxDir, "embedding", s"$tmp/ckpt2")
+      val err = intercept[Exception] { q2.processAllAvailable() }
+      try q2.stop() catch { case _: Exception => () }
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+      assert(messages(err).exists(_.contains("checkpoint")), messages(err).mkString("; "))
+      // the refused stream appended nothing: still exactly one fragment
+      assert(AnnIndex.fragmentCount(spark, idxDir) == 1)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+    }
+  }
+
+  test("annIngestStream: rebuild-every-N folds fragments mid-stream, probes stay green") {
+    import graft.ext.{AnnIndex, ClusteredFixture}
+    val dim = 32
+    val clusters = 10
+    val emb = spark.range(400).select(col("id").as("vec_id"),
+        ClusteredFixture.normalizedVec(col("id"), clusters, dim).as("embedding"))
+      .cache()
+    emb.count()
+    val tmp = java.nio.file.Files.createTempDirectory("ann-rebuild").toString
+    val (idxDir, inDir, ckptDir) = (s"$tmp/idx", s"$tmp/in", s"$tmp/ckpt")
+    try {
+      AnnIndex.build(emb.filter(col("vec_id") < 100), "vec_id", "embedding",
+        idxDir, dim, m = 8, pqK = 16, ivfK = clusters, iterations = 2)
+      // corpus contract: base + batches ingested so far — exactly what a
+      // same-pipeline warehouse sink would hold (inDir is written one batch
+      // ahead of processAllAvailable below, never further)
+      val corpus = () => emb.filter(col("vec_id") < 100)
+        .unionByName(spark.read.parquet(inDir))
+      // three 100-vector batches: fragments go 1, 2 -> REBUILD (epoch 1,
+      // fold to 0 fragments), then 1 again on the new epoch
+      def writeBatch(b: Int): Unit =
+        emb.filter(col("vec_id") >= 100 * (b + 1) && col("vec_id") < 100 * (b + 2))
+          .repartition(1).write.mode("append").parquet(inDir)
+      writeBatch(0)
+      val q = StreamOps.annIngestStream(
+        spark.readStream.schema(emb.schema).option("maxFilesPerTrigger", 1)
+          .parquet(inDir),
+        idxDir, "embedding", ckptDir,
+        rebuildEvery = 2, corpusForRebuild = Some(corpus))
+      q.processAllAvailable()
+      for (b <- 1 until 3) { writeBatch(b); q.processAllAvailable() }
+      q.stop()
+      val (kv, _) = graft.sources.StoredIndex.readKvWithGen(spark, idxDir)
+      assert(kv("epoch") == "1", s"exactly one mid-stream rebuild: $kv")
+      assert(kv.getOrElse("stream_id", "").nonEmpty,
+        "the rebuild must carry the checkpoint-identity pin forward")
+      assert(AnnIndex.fragmentCount(spark, idxDir) == 1,
+        "post-rebuild appends land as fragments of the NEW epoch")
+      // every vector exactly once across the folded epoch + live fragment
+      val idx = AnnIndex.load(spark, idxDir)
+      assert(idx.codes.count() == 400 &&
+        idx.codes.select("vec_id").distinct().count() == 400)
+      // probes stay green across the swap: each query's exact-reranked
+      // top-1 lands in its own cluster (self-matches are excluded by the
+      // kNN contract), for queries from every ingest era
+      val queries = emb.filter(col("vec_id").isin(
+        5L, 50L, 150L, 250L, 310L, 399L))
+      val top1 = AnnIndex.searchTopK(idx, emb, queries, "embedding",
+          nprobe = 3, topR = 25, topK = 1)
+        .select("qid", "nid").as[(Long, Long)].collect().toMap
+      assert(top1.size == 6 &&
+        top1.forall { case (q, n) => q % clusters == n % clusters },
+        s"top1=$top1")
+      emb.unpersist()
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+    }
+  }
+
   test("streaming curation equals batch curation on fingerprints and quality") {
     implicit val sqlCtx = spark.sqlContext
     // english, long-enough, stopword-rich docs pass the gates; one exact

@@ -454,9 +454,64 @@ object EmbeddingQueries {
         round(col("cos"), 6).as("cos"))
   }
 
+  // ---------------------------------------------------------------- e15
+  /** MEASURED recall under CODEBOOK DRIFT — the persisted ANN index's
+    * append contract quantified under the correctness gate. Codebooks
+    * train on the BASE half of the corpus only (even vec_ids, clusters on
+    * axes 0..9); the appended half (odd vec_ids) lives in SHIFTED clusters
+    * (axes 10..19) the codebooks never saw — the worst-case drift model
+    * ([[graft.ext.ClusteredFixture]]'s axisShift). Per drifted query, two
+    * arms share one exact brute-force truth over the union: recall@5 of
+    * the stale-codebook IVFADC probe (what [[graft.ext.AnnIndex.append]]
+    * serves before maintenance) and of a RETRAIN over the union with
+    * cells sized to the grown cluster count (what
+    * [[graft.ext.AnnIndex.build]] / `annIngestStream`'s rebuildEvery
+    * restores). AnnIndexSpec sweeps the 10/50/100% appended ratios
+    * (0.175/0.375/0.450 stale, 1.000 rebuilt); this query pins the
+    * 100%-appended end state as a golden so quantization-quality
+    * regressions fail the driver gate. Deterministic end to end (integer
+    * fixture, DECIMAL-summed centroids, rounded-cosine rank) →
+    * golden-parquet oracle.
+    */
+  val e15_codebook_drift = q("e15_codebook_drift",
+      GoldenOracles.sqlFor("e15_codebook_drift")) { (s, dir) =>
+    val dim = 32
+    val kCells = 10
+    val nprobe = 2
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"),
+        when(col("vec_id") % 2 === 0,
+          graft.ext.ClusteredFixture.normalizedVec(col("vec_id"), kCells, dim))
+        .otherwise(graft.ext.ClusteredFixture.normalizedVec(
+          col("vec_id"), kCells, dim, axisShift = kCells))
+        .as("embedding"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val base = emb.filter(col("vec_id") % 2 === 0)
+    val queries = emb.filter(col("vec_id") % 2 =!= 0 && col("vec_id") < 16)
+    val brute = graft.ext.ClusteredFixture.bruteTopK(
+      emb, queries, "vec_id", "embedding", 5)
+    def probeWith(train: org.apache.spark.sql.DataFrame, cells: Int) = {
+      val cb = graft.ext.PqAnn.codebook(train, "vec_id", "embedding", dim,
+        m = 8, k = 16, iterations = 2)
+      val ivf = graft.ext.IvfAnn.codebook(train, "vec_id", "embedding",
+        k = cells, iterations = 2)
+      val codes = graft.ext.PqAnn.encodeWithCells(emb, "embedding", cb, ivf)
+      graft.ext.PqAnn.searchTopKIvf(codes, emb, queries, "vec_id",
+          "embedding", "codes", cb, ivf, nprobe = nprobe, topR = 25, topK = 5)
+        .select("qid", "nid")
+    }
+    def hitsOf(approx: org.apache.spark.sql.DataFrame, name: String) =
+      brute.join(approx.withColumn("__hit", lit(1)), Seq("qid", "nid"), "left")
+        .groupBy("qid")
+        .agg(sum(coalesce(col("__hit"), lit(0))).cast("int").as(name))
+    hitsOf(probeWith(base, kCells), "hits_stale")
+      .join(hitsOf(probeWith(emb, 2 * kCells), "hits_retrained"), Seq("qid"))
+      .withColumn("recall_stale", round(col("hits_stale") / 5.0, 6))
+      .withColumn("recall_retrained", round(col("hits_retrained") / 5.0, 6))
+  }
+
   val all: Seq[GraftQuery] = Seq(
     e01_knn_bruteforce, e02_centroids, e03_label_block_nn, e04_lsh_ann,
     e05_cosine_neardup, e06_ivf_ann, e07_l2_normalize, e08_signature_neardup,
     e09_ivf_recall, e10_lsh_recall, e11_clustered_recall, e12_pq_recall,
-    e13_ivfadc_recall, e14_ann_index_append)
+    e13_ivfadc_recall, e14_ann_index_append, e15_codebook_drift)
 }

@@ -29,7 +29,8 @@ object GoldenOracles {
     "q34_approx_stats", "q40_kmv_distinct", "q41_kmv_setops",
     "e08_signature_neardup", "q45_fuzz_ratio_top1", "e09_ivf_recall",
     "q49_wratio_top1", "e10_lsh_recall", "e11_clustered_recall",
-    "e12_pq_recall", "e13_ivfadc_recall", "e14_ann_index_append")
+    "e12_pq_recall", "e13_ivfadc_recall", "e14_ann_index_append",
+    "e15_codebook_drift")
 
   def pathFor(name: String): String = s"$dir/$name.parquet"
 

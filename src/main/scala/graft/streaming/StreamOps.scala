@@ -253,6 +253,15 @@ object StreamOps {
     * rebuilt epoch at `frag = -1` and then enter AGAIN when its batch
     * appends — duplicate ids in the codes relation.
     *
+    * The footgun-free form: pass `vectorsDir` instead and the stream
+    * maintains the vector relation ITSELF — each batch lands as an
+    * idempotent `batch_id` partition (replay overwrites its own) before
+    * its codes append, so the relation satisfies the ingested-so-far
+    * contract by construction and rebuilds default to reading it.
+    * Seed it with the bulk build's training vectors (any `batch_id` < 0)
+    * so rebuilds retrain over the full corpus, and point probes'
+    * exact-rerank at the same relation.
+    *
     * CHECKPOINT IDENTITY is pinned at first append exactly like the
     * sibling streams ([[StoredIndex.pinStreamIdentity]]): a restart
     * against a fresh checkpoint would recycle batch ids from 0 and
@@ -263,11 +272,12 @@ object StreamOps {
                       checkpointDir: String,
                       rebuildEvery: Int = 0,
                       corpusForRebuild: Option[() => DataFrame] = None,
+                      vectorsDir: Option[String] = None,
                       onBatchDone: Long => Unit = _ => ())
       : org.apache.spark.sql.streaming.StreamingQuery = {
-    require(rebuildEvery <= 0 || corpusForRebuild.isDefined,
-      "rebuildEvery needs corpusForRebuild: the index stores codes, not " +
-      "vectors — only the caller can supply the vector table to retrain on")
+    require(rebuildEvery <= 0 || corpusForRebuild.isDefined || vectorsDir.isDefined,
+      "rebuildEvery needs corpusForRebuild or vectorsDir: the index stores " +
+      "codes, not vectors — the rebuild must get the vector table to retrain on")
     newEmb.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
@@ -276,14 +286,28 @@ object StreamOps {
         import graft.sources.StoredIndex
         val spark = batch.sparkSession
         StoredIndex.pinStreamIdentity(spark, indexDir, checkpointDir)
-        if (!batch.isEmpty)
+        if (!batch.isEmpty) {
+          // vectors land before codes: a crash between the two replays the
+          // batch, which rewrites both partitions idempotently — so the
+          // vector relation is always a superset of committed codes and
+          // exactly ingested-so-far at rebuild time (rebuilds run after
+          // this batch's append in the same trigger)
+          vectorsDir.foreach { vd =>
+            graft.sources.ParquetWarehouse.overwritePartitions(
+              batch.toDF().withColumn("batch_id", lit(batchId)),
+              vd, Seq("batch_id"))
+          }
           AnnIndex.append(batch.toDF(), indexDir, vecCol, batchId)
+        }
         if (rebuildEvery > 0 &&
             AnnIndex.fragmentCount(spark, indexDir) >= rebuildEvery) {
           // retrain over the caller's corpus with the STORED parameters —
           // the stream never guesses dims/codebook sizes, the index pins them
           val (kv, _) = StoredIndex.readKvWithGen(spark, indexDir)
-          AnnIndex.build(corpusForRebuild.get(), kv("id_col"), vecCol,
+          val corpus = corpusForRebuild
+            .map(_.apply())
+            .getOrElse(spark.read.parquet(vectorsDir.get).drop("batch_id"))
+          AnnIndex.build(corpus, kv("id_col"), vecCol,
             indexDir, kv("dim").toInt, kv("m").toInt, kv("pq_k").toInt,
             kv("ivf_k").toInt)
         }

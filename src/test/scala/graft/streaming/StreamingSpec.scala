@@ -468,6 +468,66 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("annIngestStream: vectorsDir self-maintains the rebuild corpus") {
+    import graft.ext.{AnnIndex, ClusteredFixture}
+    val dim = 16
+    val clusters = 8
+    val emb = spark.range(300).select(col("id").as("vec_id"),
+        ClusteredFixture.normalizedVec(col("id"), clusters, dim).as("embedding"))
+      .cache()
+    emb.count()
+    val tmp = java.nio.file.Files.createTempDirectory("ann-vecdir").toString
+    val (idxDir, inDir, vecDir) = (s"$tmp/idx", s"$tmp/in", s"$tmp/vectors")
+    try {
+      val base = emb.filter(col("vec_id") < 100)
+      AnnIndex.build(base, "vec_id", "embedding", idxDir, dim,
+        m = 4, pqK = 8, ivfK = clusters, iterations = 1)
+      // seed the self-maintained relation with the bulk build's vectors
+      // (batch_id -1, the frag=-1 twin) per the documented contract
+      graft.sources.ParquetWarehouse.overwritePartitions(
+        base.withColumn("batch_id", lit(-1L)), vecDir, Seq("batch_id"))
+      def writeBatch(b: Int): Unit =
+        emb.filter(col("vec_id") >= 100 * (b + 1) && col("vec_id") < 100 * (b + 2))
+          .repartition(1).write.mode("append").parquet(inDir)
+      writeBatch(0)
+      // rebuildEvery = 1: EVERY batch triggers a retrain after its append,
+      // reading the corpus from vectorsDir — no caller thunk
+      val q = StreamOps.annIngestStream(
+        spark.readStream.schema(emb.schema).option("maxFilesPerTrigger", 1)
+          .parquet(inDir),
+        idxDir, "embedding", s"$tmp/ckpt",
+        rebuildEvery = 1, vectorsDir = Some(vecDir))
+      q.processAllAvailable()
+      writeBatch(1)
+      q.processAllAvailable()
+      q.stop()
+      val (kv, _) = graft.sources.StoredIndex.readKvWithGen(spark, idxDir)
+      assert(kv("epoch") == "2", s"one rebuild per batch: $kv")
+      // the self-maintained relation holds seed + both batches, keyed for
+      // idempotent replay
+      val vecParts = new java.io.File(vecDir).listFiles()
+        .map(_.getName).filter(_.startsWith("batch_id=")).sorted.toSeq
+      assert(vecParts == Seq("batch_id=-1", "batch_id=0", "batch_id=1"),
+        vecParts.mkString(", "))
+      // every ingested vector exactly once in the rebuilt codes relation
+      val idx = AnnIndex.load(spark, idxDir)
+      assert(idx.codes.count() == 300 &&
+        idx.codes.select("vec_id").distinct().count() == 300)
+      assert(AnnIndex.fragmentCount(spark, idxDir) == 0,
+        "the trailing rebuild folded the last fragment")
+      val queries = emb.filter(col("vec_id").isin(3L, 150L, 299L))
+      val top1 = AnnIndex.searchTopK(idx, emb, queries, "embedding",
+          nprobe = 2, topR = 25, topK = 1)
+        .select("qid", "nid").as[(Long, Long)].collect().toMap
+      assert(top1.size == 3 &&
+        top1.forall { case (qq, n) => qq % clusters == n % clusters },
+        s"top1=$top1")
+      emb.unpersist()
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+    }
+  }
+
   test("streaming curation equals batch curation on fingerprints and quality") {
     implicit val sqlCtx = spark.sqlContext
     // english, long-enough, stopword-rich docs pass the gates; one exact

@@ -460,13 +460,15 @@ object EmbeddingQueries {
     * train on the BASE half of the corpus only (even vec_ids, clusters on
     * axes 0..9); the appended half (odd vec_ids) lives in SHIFTED clusters
     * (axes 10..19) the codebooks never saw — the worst-case drift model
-    * ([[graft.ext.ClusteredFixture]]'s axisShift). Per drifted query, two
-    * arms share one exact brute-force truth over the union: recall@5 of
-    * the stale-codebook IVFADC probe (what [[graft.ext.AnnIndex.append]]
-    * serves before maintenance) and of a RETRAIN over the union with
-    * cells sized to the grown cluster count (what
-    * [[graft.ext.AnnIndex.build]] / `annIngestStream`'s rebuildEvery
-    * restores). AnnIndexSpec sweeps the 10/50/100% appended ratios
+    * ([[graft.ext.ClusteredFixture]]'s axisShift). The two arms are the
+    * PERSISTED index's own lifecycle states, staged once per JVM like
+    * e14's fixture (the index lifecycle is not the probe under
+    * measurement): stale = `build(base)` + `append(drifted)` — exactly
+    * what [[graft.ext.AnnIndex.append]] serves before maintenance — and
+    * retrained = `build(union)` with cells sized to the grown cluster
+    * count — what `annIngestStream`'s rebuildEvery restores. Per drifted
+    * query both stored probes score against one exact brute-force truth
+    * over the union. AnnIndexSpec sweeps the 10/50/100% appended ratios
     * (0.175/0.375/0.450 stale, 1.000 rebuilt); this query pins the
     * 100%-appended end state as a golden so quantization-quality
     * regressions fail the driver gate. Deterministic end to end (integer
@@ -486,25 +488,28 @@ object EmbeddingQueries {
         .as("embedding"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val base = emb.filter(col("vec_id") % 2 === 0)
+    val root = DedupQueries.DedupStaging.ensure("e15", dir) { r =>
+      graft.ext.AnnIndex.build(base, "vec_id", "embedding", s"$r/stale",
+        dim, m = 8, pqK = 16, ivfK = kCells, iterations = 2)
+      graft.ext.AnnIndex.append(emb.filter(col("vec_id") % 2 =!= 0),
+        s"$r/stale", "embedding", batchId = 1L)
+      graft.ext.AnnIndex.build(emb, "vec_id", "embedding", s"$r/retrained",
+        dim, m = 8, pqK = 16, ivfK = 2 * kCells, iterations = 2)
+    }
     val queries = emb.filter(col("vec_id") % 2 =!= 0 && col("vec_id") < 16)
     val brute = graft.ext.ClusteredFixture.bruteTopK(
       emb, queries, "vec_id", "embedding", 5)
-    def probeWith(train: org.apache.spark.sql.DataFrame, cells: Int) = {
-      val cb = graft.ext.PqAnn.codebook(train, "vec_id", "embedding", dim,
-        m = 8, k = 16, iterations = 2)
-      val ivf = graft.ext.IvfAnn.codebook(train, "vec_id", "embedding",
-        k = cells, iterations = 2)
-      val codes = graft.ext.PqAnn.encodeWithCells(emb, "embedding", cb, ivf)
-      graft.ext.PqAnn.searchTopKIvf(codes, emb, queries, "vec_id",
-          "embedding", "codes", cb, ivf, nprobe = nprobe, topR = 25, topK = 5)
+    def hitsOf(arm: String, name: String) = {
+      val idx = graft.ext.AnnIndex.load(s, s"$root/$arm")
+      val approx = graft.ext.AnnIndex.searchTopK(idx, emb, queries,
+          "embedding", nprobe = nprobe, topR = 25, topK = 5)
         .select("qid", "nid")
-    }
-    def hitsOf(approx: org.apache.spark.sql.DataFrame, name: String) =
       brute.join(approx.withColumn("__hit", lit(1)), Seq("qid", "nid"), "left")
         .groupBy("qid")
         .agg(sum(coalesce(col("__hit"), lit(0))).cast("int").as(name))
-    hitsOf(probeWith(base, kCells), "hits_stale")
-      .join(hitsOf(probeWith(emb, 2 * kCells), "hits_retrained"), Seq("qid"))
+    }
+    hitsOf("stale", "hits_stale")
+      .join(hitsOf("retrained", "hits_retrained"), Seq("qid"))
       .withColumn("recall_stale", round(col("hits_stale") / 5.0, 6))
       .withColumn("recall_retrained", round(col("hits_retrained") / 5.0, 6))
   }

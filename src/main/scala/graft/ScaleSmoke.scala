@@ -353,6 +353,85 @@ object ScaleSmoke {
     }
   }
 
+  /** SMOKE-TIER soak of [[graft.streaming.StreamOps.annIngestStream]] —
+    * the ANN twin of [[soakSection]]: `batches` micro-batches of
+    * `vecsPerBatch` new vectors ingest against a stored
+    * [[graft.ext.AnnIndex]] with the self-maintained vector relation
+    * (`vectorsDir`), one injected crash mid-soak (at-least-once replay
+    * must rewrite its own fragment), and a full RETRAIN every
+    * `rebuildEvery` fragments (epoch swap carrying the checkpoint pin).
+    * The scale claim: a steady batch's append is encode(batch) with the
+    * stored codebooks + an idempotent partition overwrite + a meta CAS —
+    * O(batch), so steady wall time stays FLAT while the index grows
+    * `batches`-fold; rebuild batches carry the amortized O(corpus)
+    * retrain and are excluded from the flatness medians exactly like the
+    * dedup soak's compaction batches. Returns per-batch measurements,
+    * the final codes count and distinct-id count (exactly-once across
+    * the crash and the epoch swaps), and the final epoch.
+    */
+  def annIngestSection(spark: SparkSession, batches: Int = 20,
+                       vecsPerBatch: Int = 2000, rebuildEvery: Int = 8)
+      : (Seq[SoakBatch], Long, Long, Int) = {
+    import graft.ext.{AnnIndex, ClusteredFixture}
+    import graft.streaming.StreamOps
+    val (dim, clusters) = (32, 16)
+    val tmp = java.nio.file.Files.createTempDirectory("smoke-ann").toString
+    val (idxDir, inDir, ckptDir, vecDir) =
+      (s"$tmp/idx", s"$tmp/in", s"$tmp/ckpt", s"$tmp/vectors")
+    def vecsFor(lo: Long, n: Int) = spark.range(lo, lo + n)
+      .select(col("id").as("vec_id"),
+        ClusteredFixture.normalizedVec(col("id"), clusters, dim).as("embedding"))
+    val crashAt = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    crashAt.add((batches / 2).toLong)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "vec_id bigint, embedding array<float>")
+    def start() = StreamOps.annIngestStream(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(inDir),
+      idxDir, "embedding", ckptDir,
+      rebuildEvery = rebuildEvery, vectorsDir = Some(vecDir),
+      onBatchDone = { id =>
+        if (crashAt.remove(id))
+          throw new RuntimeException("injected crash before checkpoint commit")
+      })
+    def epochOf: Int = {
+      val (kv, _) = graft.sources.StoredIndex.readKvWithGen(spark, idxDir)
+      kv("epoch").toInt
+    }
+    try {
+      val base = vecsFor(0L, vecsPerBatch)
+      AnnIndex.build(base, "vec_id", "embedding", idxDir, dim,
+        m = 8, pqK = 16, ivfK = clusters, iterations = 2)
+      graft.sources.ParquetWarehouse.overwritePartitions(
+        base.withColumn("batch_id", lit(-1L)), vecDir, Seq("batch_id"))
+      new java.io.File(inDir).mkdirs()
+      var q = start()
+      val rows = Seq.newBuilder[SoakBatch]
+      for (i <- 0 until batches) {
+        vecsFor((i + 1).toLong * vecsPerBatch, vecsPerBatch)
+          .repartition(1).write.mode("append").parquet(inDir)
+        val e0 = epochOf
+        var replayed = false
+        val (_, secs, inB, _) = measured(spark) {
+          try q.processAllAvailable()
+          catch { case _: Exception =>
+            replayed = true
+            try q.stop() catch { case _: Exception => () }
+            q = start() // restart from the same checkpoint: replay
+            q.processAllAvailable()
+          }
+        }
+        rows += SoakBatch(i, secs, inB, epochOf != e0, replayed)
+      }
+      q.stop()
+      val codes = AnnIndex.load(spark, idxDir).codes
+      (rows.result(), codes.count(),
+        codes.select("vec_id").distinct().count(), epochOf)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+    }
+  }
+
   /** Layout-prune effectiveness in BYTES (round-8 brief): the same small
     * ingest batch probes the same stored 10× index twice — once through the
     * partition-pruned path (the default for a loaded index), once with the

@@ -195,6 +195,41 @@ class ScaleSmokeSpec extends SparkSpec {
       f"per-batch input bytes grew across the soak: $earlyMb%.1fMB -> $lateMb%.1fMB")
   }
 
+  test("ANN ingest soak: steady per-batch append stays flat while the index grows 20x") {
+    assume(sys.env.get("SPARK_GRAFT_SMOKE").contains("1"),
+      "opt-in: set SPARK_GRAFT_SMOKE=1 to run the skew smoke gate")
+    // the ANN twin of the dedup soak: 20 batches x 2000 vectors against a
+    // 2000-vector base index, one injected crash replay, a full retrain
+    // every 8 fragments (vectorsDir self-maintained corpus). Steady
+    // appends are encode(batch)+partition overwrite+meta CAS — O(batch) —
+    // so they must not slow down as the index grows 20x under them;
+    // rebuild batches carry the amortized O(corpus) retrain and are
+    // excluded, like the dedup soak's compaction batches.
+    val (batches, perBatch) = (20, 2000)
+    val (rows, codes, distinct, epoch) =
+      ScaleSmoke.annIngestSection(spark, batches, perBatch, rebuildEvery = 8)
+    rows.foreach { b =>
+      info(f"ann batch ${b.id}%2d ${b.secs}%6.2fs in=${b.inBytes / 1e6}%7.1fMB" +
+        (if (b.compacted) " [rebuild]" else "") +
+        (if (b.replayed) " [replay]" else ""))
+    }
+    assert(codes == (batches + 1).toLong * perBatch && codes == distinct,
+      s"codes=$codes distinct=$distinct — a replay or epoch swap lost or duplicated vectors")
+    assert(rows.exists(_.replayed), "the injected crash never fired")
+    assert(rows.count(_.compacted) >= 2 && epoch >= 2,
+      s"the soak never exercised the retrain cadence (epoch=$epoch)")
+    val steady = rows.filterNot(b => b.compacted || b.replayed)
+    val half = batches / 2
+    def med(xs: Seq[Double]) = { val s = xs.sorted; s(s.size / 2) }
+    val early = med(steady.filter(_.id < half).map(_.secs))
+    val late = med(steady.filter(_.id >= half).map(_.secs))
+    val ratio = late / math.max(early, 0.75)
+    info(f"steady medians: early=$early%5.2fs late=$late%5.2fs flat-ratio=$ratio%4.2fx")
+    assert(ratio <= 2.0,
+      f"per-batch append grew with the index: $early%.2fs -> $late%.2fs " +
+        f"($ratio%.2fx) — is something scanning the whole index per append?")
+  }
+
   test("capped near-dup/ANN operators stay within 2x of linear under a hot key") {
     assume(sys.env.get("SPARK_GRAFT_SMOKE").contains("1"),
       "opt-in: set SPARK_GRAFT_SMOKE=1 to run the skew smoke gate")

@@ -85,6 +85,16 @@ object PlanDump {
       "4.18->4.48 s drift: min-of-5 on a quiet box measures 4.14 s med / " +
       "3.68 s min with unchanged code — box noise (back under the " +
       "round-8 median); no plan diff."),
+    "e15_codebook_drift" -> ("round 11: the append-contract decay " +
+      "measurement under the gate — stale arm = build(base) + " +
+      "append(drifted axisShift clusters) on a stored AnnIndex, retrained " +
+      "arm = build(union), both staged once per JVM like e14's fixture; " +
+      "the timed cost (~4 s med) is two stored probes (PartitionFilters " +
+      "on probed cells, 8-byte codes) + the shared brute-force truth + " +
+      "recall joins — dominated by per-probe fixed small-job latency, " +
+      "not data volume (embeddings at sf0.1 is 2k rows). Golden pins " +
+      "stale mean recall@5 0.375 vs retrained 1.000 at 100% " +
+      "appended-vs-trained; the 10/50/100% sweep lives in AnnIndexSpec."),
     "e14_ann_index_append" -> ("the probe half of the stored-ANN append " +
       "cycle (build + append staged once per JVM, excluded from timed " +
       "passes like d11-d13's fixtures): the codes scan is pruned to the " +
@@ -147,22 +157,21 @@ object PlanDump {
       "between runs minutes apart means the box never went quiet. The one " +
       "r10 change in this path (cell routing computed once via " +
       "IvfAnn.probeCells, shared with the stored-index probe) keeps the " +
-      "plan shape and adds nothing that scales with the corpus. Best " +
-      "observed min sits 8% above r9's MEDIAN (r9 min unrecorded) — " +
-      "inside the observed min wobble; recorded as box variance, re-flag " +
-      "on a quiet-box artifact."),
+      "plan shape and adds nothing that scales with the corpus. The " +
+      "round-11 full-suite run then measured 4.50 min / 4.61 med — a " +
+      "residual ~7% above r9's median, at the edge of the same-code " +
+      "wobble (d13 swung wider and landed back AT its r9 level in the " +
+      "same run). Recorded as predominantly box variance; re-flag if a " +
+      "genuinely quiet box still shows it."),
     "d13_index_compaction" -> ("round 11 adjudication of the r10 " +
-      "min-level drift (r10 min 4.35 vs r9 med 3.73, +17%): two " +
-      "independent min-of-5 runs on unchanged code measure 4.10/4.47 min, " +
-      "4.35/5.21 med — same-code mins wobbling 9% between runs shows box " +
-      "load. The one r10 change in this path moved compaction onto the " +
-      "shared StoredIndex protocol (link(2)-CAS publish, crashed-tmp " +
-      "draining, grace sweep — strictly more fs round-trips per epoch " +
-      "swap than the old rename CAS); that cost is driver-side metadata " +
-      "bookkeeping, bounded and data-size-independent — the same " +
-      "deliberate crash-safety trade class as src09's staged hop. " +
-      "Verdict: <=0.4 s of durability cost at sf0.1 plus box variance; " +
-      "re-measure on a quiet box if the r11 artifact still drifts."),
+      "min-level drift (r10 min 4.35 vs r9 med 3.73, +17%): CLOSED as box " +
+      "noise. Two loaded-box min-of-5 runs measured 4.10/4.47 min with " +
+      "same-code mins wobbling 9% between runs minutes apart; the " +
+      "round-11 full-suite run then measured 3.72 min / 3.77 med — AT r9's " +
+      "median with unchanged code. The r10 StoredIndex-protocol move " +
+      "(link(2)-CAS publish, tmp draining, grace sweep) adds only " +
+      "driver-side metadata fs round-trips, and the restored timing " +
+      "confirms they are immaterial at sf0.1."),
     "q25_cube" -> ("round 11 variance evidence for the r10 med-level " +
       "spikes (q25 22.41, d03 10.60, q32 4.28, q33 2.96 — all with 6-15x " +
       "med/min spreads in the r10 artifact): a same-code min-of-5 " +

@@ -65,4 +65,44 @@ class TablesSpec extends SparkSpec {
     assert(ev.schema("ts").dataType == TimestampType)
     assert(ev.limit(1).count() == 1)
   }
+
+  // What the registry's queries assume of every driver table, as Spark
+  // reads it TODAY (o_orderdate/l_shipdate are TIMESTAMP_NTZ in the
+  // current parquet — the date-function queries tolerate that; events.ts
+  // is post-normalization). A driver regeneration that shifts ANY type
+  // fails here with an exact diff instead of surfacing as an opaque
+  // driver-gate error — the full-surface form of the events.ts guard.
+  private val pinnedSchemas: Map[String, String] = Map(
+    "region" -> "r_regionkey:int,r_name:string",
+    "nation" -> "n_nationkey:int,n_name:string,n_regionkey:int",
+    "customer" -> ("c_custkey:bigint,c_name:string,c_nationkey:int," +
+      "c_acctbal:double,c_mktsegment:string"),
+    "supplier" -> "s_suppkey:bigint,s_name:string,s_nationkey:int,s_acctbal:double",
+    "part" -> ("p_partkey:bigint,p_name:string,p_brand:string,p_type:string," +
+      "p_size:int,p_retailprice:double"),
+    "orders" -> ("o_orderkey:bigint,o_custkey:bigint,o_orderstatus:string," +
+      "o_totalprice:double,o_orderdate:timestamp_ntz,o_orderpriority:string"),
+    "lineitem" -> ("l_orderkey:bigint,l_partkey:bigint,l_suppkey:bigint," +
+      "l_linenumber:int,l_quantity:double,l_extendedprice:double," +
+      "l_discount:double,l_tax:double,l_returnflag:string," +
+      "l_linestatus:string,l_shipdate:timestamp_ntz"),
+    "events" -> ("event_id:bigint,ts:timestamp,user_id:bigint," +
+      "event_type:string,value:double,props:string"),
+    "documents" -> "doc_id:bigint,text:string,lang:string,source:string,n_chars:bigint",
+    "embeddings" -> "vec_id:bigint,embedding:array<float>,label:int")
+
+  test("live testdata schemas match the pinned query-surface contract") {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    val drift = Tables.names.flatMap { n =>
+      val df = if (n == "events") Tables.events(spark, dir)
+               else Tables.load(spark, dir, n)
+      val got = df.schema.fields
+        .map(f => s"${f.name}:${f.dataType.simpleString}").mkString(",")
+      if (got == pinnedSchemas(n)) None
+      else Some(s"$n:\n  expected ${pinnedSchemas(n)}\n  got      $got")
+    }
+    assert(drift.isEmpty,
+      "testdata schema drift (update the pin AND audit every consumer " +
+        "of the changed column):\n" + drift.mkString("\n"))
+  }
 }

@@ -561,10 +561,36 @@ object TextQueries {
     graft.operators.Checks.keepAboveQuantile(scored, Seq("lang"), "quality", 0.25)
   }
 
+  // ---------------------------------------------------------------- t17
+  /** Overlapping token chunking ([[graft.operators.Chunking.chunkTokens]]):
+    * split every document into 32-token context windows with an 8-token
+    * overlap (stride 24) — the RAG / pretraining ingestion splitter. Pure
+    * per-row column algebra (`sequence` of starts → `posexplode` → `slice`),
+    * zero shuffle; the oracle replays the identical stride rule with
+    * DuckDB's exclusive-stop `range(0, n, 24)`, which enumerates the same
+    * starts as Spark's inclusive `sequence(0, n-1, 24)`.
+    */
+  val t17_doc_chunking = q("t17_doc_chunking",
+    s"""WITH n AS (SELECT doc_id, ${normSql("text")} AS norm FROM documents),
+       |w AS (SELECT doc_id, string_split(norm, ' ') AS toks FROM n
+       |      WHERE length(norm) > 0),
+       |s AS (SELECT doc_id, toks, len(toks) AS n,
+       |        unnest(range(0, len(toks), 24)) AS st FROM w)
+       |SELECT doc_id,
+       |  CAST(st / 24 AS INT) AS chunk_id,
+       |  CAST(st AS INT) AS start_tok,
+       |  CAST(least(32, n - st) AS INT) AS n_tokens,
+       |  array_to_string(list_slice(toks, st + 1, st + 32), ' ') AS chunk_text
+       |FROM s""".stripMargin) { (s, dir) =>
+    graft.operators.Chunking.chunkTokens(
+      Tables.documents(s, dir), col("text"), Seq("doc_id"),
+      size = 32, overlap = 8)
+  }
+
   val all: Seq[GraftQuery] = Seq(
     t01_token_stats, t02_quality_score, t03_lang_id, t04_fingerprint,
     t05_rolling_hash, t06_redact, t07_tfidf_top_terms, t08_curation_pipeline,
     t09_repetition, t10_mixture_resample, t11_boilerplate_ngrams,
     t12_sequence_packing, t13_packed_sequences, t14_epoch_shuffle,
-    t15_line_dedup, t16_quality_gate)
+    t15_line_dedup, t16_quality_gate, t17_doc_chunking)
 }

@@ -291,9 +291,46 @@ object SourceQueries {
     s.read.parquet(path).select("o_orderkey", "o_totalprice")
   }
 
+  // ---------------------------------------------------------------- src11
+  /** SCD TYPE-2 dimension merge ([[graft.sources.Scd2.merge]] — the
+    * versioned-history generalization of the reference's drop-and-recreate
+    * dimension loads): staging bootstraps the customer dimension at batch 1,
+    * the timed body merges a full batch-2 snapshot in which every 10th
+    * customer's balance moved by +100, then reads the version chains back.
+    * 90 % of the batch exercises the no-change path (value-identical rows
+    * open no version), the rest closes v1 at batch 2 and opens v2. Re-runs
+    * on later bench passes are semantic no-ops (idempotence contract). The
+    * oracle reconstructs the expected chains relationally.
+    */
+  val src11_scd2_merge = q("src11_scd2_merge", Some(
+    """SELECT c_custkey, c_name AS name, c_acctbal AS acctbal,
+      |  CAST(1 AS BIGINT) AS valid_from,
+      |  CAST(CASE WHEN c_custkey % 10 = 0 THEN 2 END AS BIGINT) AS valid_to,
+      |  (c_custkey % 10 <> 0) AS is_current
+      |FROM customer
+      |UNION ALL
+      |SELECT c_custkey, c_name, c_acctbal + 100.0,
+      |  CAST(2 AS BIGINT), NULL, TRUE
+      |FROM customer WHERE c_custkey % 10 = 0""".stripMargin)) { (s, dir) =>
+    def base = Tables.customer(s, dir).select(col("c_custkey"),
+      col("c_name").as("name"), col("c_acctbal").as("acctbal"))
+    val path = DedupQueries.DedupStaging.ensure("src11", dir) { root =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+      graft.sources.Scd2.merge(base, root,
+        keys = Seq("c_custkey"), trackCols = Seq("name", "acctbal"), batchId = 1L)
+    }
+    val batch2 = base.withColumn("acctbal",
+      when(col("c_custkey") % 10 === 0, col("acctbal") + 100.0)
+        .otherwise(col("acctbal")))
+    graft.sources.Scd2.merge(batch2, path,
+      keys = Seq("c_custkey"), trackCols = Seq("name", "acctbal"), batchId = 2L)
+    s.read.parquet(path).select("c_custkey", "name", "acctbal",
+      "valid_from", "valid_to", "is_current")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     src01_csv_roundtrip, src02_rest_paged, src03_partitioned_sink,
     src04_multimodal_meta, src05_frame_sample, src06_restv2_scan,
     src07_dbf_roundtrip, src08_media_meta, src09_upsert_merge,
-    src10_compact_partitions)
+    src10_compact_partitions, src11_scd2_merge)
 }

@@ -89,7 +89,7 @@ object ParquetWarehouse {
     * single output file at apply time (compaction's contract; upsert
     * keeps the natural task parallelism).
     */
-  private def stagedOverwrite(df: DataFrame, path: String,
+  private[sources] def stagedOverwrite(df: DataFrame, path: String,
                               partitionCols: Seq[String],
                               onePerPartition: Boolean): Unit = {
     import org.apache.spark.sql.functions.col

@@ -328,9 +328,38 @@ object SourceQueries {
       "valid_from", "valid_to", "is_current")
   }
 
+  // ---------------------------------------------------------------- src12
+  /** Z-ORDER layout rewrite ([[graft.sources.Zorder.rewrite]]): staging
+    * materializes an o_orderkey-ordered copy of orders (the layout a
+    * key-sorted ingest leaves — useless for customer/price predicates);
+    * the timed body re-clusters it on (o_custkey, o_totalprice) via
+    * quantile-celled Morton codes and reads back a two-column box filter.
+    * The oracle checks content (the rewrite must be value-preserving under
+    * any filter); ZorderSpec pins the LAYOUT effect with parquet footer
+    * stats — a 5 % box on either clustered column touches ≤ half the
+    * files that the row-order layout forced. Re-runs re-cluster
+    * already-clustered data (idempotence).
+    */
+  val src12_zorder_layout = q("src12_zorder_layout", Some(
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |WHERE o_custkey <= 500 AND o_totalprice <= 150000.0""".stripMargin)) { (s, dir) =>
+    val path = DedupQueries.DedupStaging.ensure("src12", dir) { root =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+      Tables.orders(s, dir).select("o_orderkey", "o_custkey", "o_totalprice")
+        .repartitionByRange(16, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey")
+        .write.mode("overwrite").parquet(root)
+    }
+    graft.sources.Zorder.rewrite(s, path,
+      Seq("o_custkey", "o_totalprice"), numFiles = 16)
+    s.read.parquet(path)
+      .filter(col("o_custkey") <= 500 && col("o_totalprice") <= 150000.0)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     src01_csv_roundtrip, src02_rest_paged, src03_partitioned_sink,
     src04_multimodal_meta, src05_frame_sample, src06_restv2_scan,
     src07_dbf_roundtrip, src08_media_meta, src09_upsert_merge,
-    src10_compact_partitions, src11_scd2_merge)
+    src10_compact_partitions, src11_scd2_merge, src12_zorder_layout)
 }

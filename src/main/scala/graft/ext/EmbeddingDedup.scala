@@ -69,4 +69,41 @@ object EmbeddingDedup {
       emb.withColumn("__sig",
         graft.plans.HyperplaneSignatureExpr.signature(col(vecCol), dim, planes)),
       idCol, vecCol, "__sig", threshold, maxBlockSize)
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — "Semantic
+    * deduplication: ...remove semantic duplicates"): within each block
+    * (their k-means cluster), DROP every item whose cosine to an EARLIER
+    * item of the same block reaches `threshold`; the survivors are the
+    * corpus's semantic representatives. The paper's vectorized rule is an
+    * upper-triangular max over a cluster ordering — earlier items are
+    * compared against regardless of whether they themselves survive — so
+    * it composes exactly from [[cosineNearDupPairs]]: dropped = the
+    * distinct `id_b` side. "Earlier" here is ascending id (the paper
+    * orders by centroid distance; id-order makes the result engine-exact
+    * and oracle-replayable — document order, same contract as A2's
+    * keep-first dedup).
+    *
+    * Returns `df`'s KEPT rows unchanged. Oversized blocks (over
+    * `maxBlockSize`) skip pair expansion entirely and keep all members —
+    * the cap degrades retention, never deletes data it didn't compare.
+    */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+                    blockCol: String, threshold: Double,
+                    maxBlockSize: Int = 1000): DataFrame = {
+    val dropped = cosineNearDupPairs(df, idCol, vecCol, blockCol, threshold,
+        maxBlockSize)
+      .select(col("id_b").as(idCol)).distinct()
+    df.join(dropped, Seq(idCol), "left_anti")
+  }
+
+  /** The scale form: block by IVF cell (the paper's k-means clustering —
+    * pair cost bounded by cell size, one shuffle on cell).
+    */
+  def semanticDedupByCell(emb: DataFrame, idCol: String, vecCol: String,
+                          cb: Seq[(Int, Seq[Double])], threshold: Double,
+                          maxBlockSize: Int = 1000): DataFrame = {
+    val assigned = IvfAnn.assign(emb, vecCol, cb)
+    semanticDedup(assigned, idCol, vecCol, "cell", threshold, maxBlockSize)
+      .drop("cell")
+  }
 }

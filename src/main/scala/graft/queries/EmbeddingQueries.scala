@@ -514,9 +514,33 @@ object EmbeddingQueries {
       .withColumn("recall_retrained", round(col("hits_retrained") / 5.0, 6))
   }
 
+  // ---------------------------------------------------------------- e16
+  /** SemDeDup ([[graft.ext.EmbeddingDedup.semanticDedup]], Abbas et al.
+    * 2023): the kept corpus after dropping every vector whose cosine to an
+    * EARLIER same-block vector reaches 0.42 — e05's pair relation turned
+    * into the paper's prune rule. Blocks here are the label clusters (the
+    * corpus's natural k-means structure) so the oracle is fully
+    * relational: `NOT EXISTS (earlier similar neighbor)`. The cell-blocked
+    * scale form (`semanticDedupByCell` — one shuffle on the IVF cell, pair
+    * cost bounded by cell size) is differential-tested in
+    * EmbeddingDedupSpec and skew-gated in the smoke tier.
+    */
+  val e16_semantic_dedup = q("e16_semantic_dedup", Some(
+    s"""SELECT a.vec_id, a.label FROM embeddings a
+       |WHERE NOT EXISTS (
+       |  SELECT 1 FROM embeddings b
+       |  WHERE b.label = a.label AND b.vec_id < a.vec_id
+       |    AND ${cosSql("a.embedding", "b.embedding")} >= 0.42)""".stripMargin)) { (s, dir) =>
+    graft.ext.EmbeddingDedup.semanticDedup(
+        Tables.embeddings(s, dir), "vec_id", "embedding",
+        blockCol = "label", threshold = 0.42)
+      .select("vec_id", "label")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     e01_knn_bruteforce, e02_centroids, e03_label_block_nn, e04_lsh_ann,
     e05_cosine_neardup, e06_ivf_ann, e07_l2_normalize, e08_signature_neardup,
     e09_ivf_recall, e10_lsh_recall, e11_clustered_recall, e12_pq_recall,
-    e13_ivfadc_recall, e14_ann_index_append, e15_codebook_drift)
+    e13_ivfadc_recall, e14_ann_index_append, e15_codebook_drift,
+    e16_semantic_dedup)
 }

@@ -87,4 +87,32 @@ class EmbeddingDedupSpec extends SparkSpec {
     assert(got.nonEmpty, "cell blocking should recover near-dup pairs the " +
       "dropped one-label block lost")
   }
+
+  test("semanticDedup drops exactly the items with an earlier similar neighbor") {
+    val data = (0 until 60).map(i => (i.toLong, s"L${i % 5}", vec(i)))
+      .toDF("id", "label", "v")
+    val kept = EmbeddingDedup.semanticDedup(data, "id", "v", "label", 0.5)
+      .select("id").as[Long].collect().toSet
+    // driver-side reference of the paper's triu rule: j survives iff no
+    // i < j in its block has cos >= tau — whether or not i itself survives
+    val rows = (0 until 60).map(i => (i.toLong, i % 5, vec(i)))
+    val expected = rows.filter { case (j, blk, vj) =>
+      !rows.exists { case (i, b2, vi) =>
+        b2 == blk && i < j && cosLocal(vi, vj) >= 0.5
+      }
+    }.map(_._1).toSet
+    assert(kept == expected)
+    assert(kept.size < 60, "fixture should actually drop something")
+  }
+
+  test("semanticDedupByCell keeps all members of an over-cap cell (no blind deletion)") {
+    val one = (0 until 300).map(i => (i.toLong, vec(i))).toDF("vec_id", "embedding")
+    val cb = IvfAnn.codebook(one, "vec_id", "embedding", k = 1, iterations = 1)
+    // k=1 -> a single 300-member cell over a 100 cap: pair expansion is
+    // skipped, so nothing may be dropped
+    val kept = EmbeddingDedup.semanticDedupByCell(one, "vec_id", "embedding",
+      cb, threshold = 0.0, maxBlockSize = 100)
+    assert(kept.count() == 300)
+    assert(kept.columns.toSeq == Seq("vec_id", "embedding"))
+  }
 }

@@ -56,4 +56,48 @@ object Drift {
       round(col("qm"), 6).as("q_mass"),
       round((col("pm") - col("qm")) * log(col("pm") / col("qm")), 6).as("contrib"))
   }
+
+  /** CONTINUOUS drift monitoring: per-tumbling-window PSI of `valueCol`
+    * against a FIXED reference histogram (`refMasses` — the training-time
+    * distribution, one probability mass per bin on the same static grid).
+    *
+    * Streaming-safe by construction: the only stateful operator is ONE
+    * event-time windowed aggregation (per-bin conditional counts + the
+    * window total in a single `agg`), everything after it is a stateless
+    * projection — so the identical plan runs in batch and under
+    * Structured Streaming with a watermark (StreamingSpec differential).
+    * State per window is `bins` longs; at 100 TB/day the cost is the one
+    * shuffle any windowed count pays, and the reference side is a
+    * broadcast literal, not a join.
+    *
+    * Emits one row per (window, bin): `window_start, bin, q_mass,
+    * contrib` with q the window's mass — same smoothing/rounding
+    * contract as [[psiByBin]]; per-window PSI = `sum(contrib)`.
+    */
+  def windowedPsi(events: DataFrame, tsCol: String, valueCol: String,
+                  windowLen: String, refMasses: Seq[Double],
+                  lo: Double, hi: Double, watermark: Option[String] = None,
+                  eps: Double = 1e-6): DataFrame = {
+    val bins = refMasses.size
+    require(bins > 0 && hi > lo, "need refMasses and hi > lo")
+    val width = (hi - lo) / bins
+    val src = watermark.fold(events)(events.withWatermark(tsCol, _))
+    val binCol = least(greatest(floor((col(valueCol) - lo) / width), lit(0.0)),
+      lit((bins - 1).toDouble)).cast("int")
+    val binCounts = (0 until bins).map(b =>
+      sum(when(col("__bin") === b, 1L).otherwise(0L)).as(s"__c$b"))
+    src.withColumn("__bin", binCol)
+      .groupBy(window(col(tsCol), windowLen).as("w"))
+      .agg(count(lit(1)).as("__total"), binCounts: _*)
+      .select(col("w.start").as("window_start"), col("__total"),
+        array((0 until bins).map(b => col(s"__c$b")): _*).as("__cnts"))
+      .select(col("window_start"), col("__total"),
+        posexplode(col("__cnts")).as(Seq("bin", "__n")))
+      .select(col("window_start"), col("bin"),
+        (col("__n") / col("__total") + eps).as("qm"),
+        (element_at(typedLit(refMasses), col("bin") + 1) + eps).as("pm"))
+      .select(col("window_start"), col("bin"),
+        round(col("qm"), 6).as("q_mass"),
+        round((col("pm") - col("qm")) * log(col("pm") / col("qm")), 6).as("contrib"))
+  }
 }

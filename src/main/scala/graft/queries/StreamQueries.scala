@@ -286,9 +286,41 @@ object StreamQueries {
       .select("doc_id", "text")
   }
 
+  // ---------------------------------------------------------------- s11
+  /** CONTINUOUS drift monitoring ([[graft.operators.Drift.windowedPsi]]):
+    * per-6-hour-window PSI of `events.value` against a fixed uniform
+    * baseline on the 10-bin [0, 500) grid — "does this window of ingest
+    * still look like the training distribution?". The plan's only
+    * stateful operator is one windowed aggregation (per-bin conditional
+    * counts + total in a single agg), so the IDENTICAL code runs under
+    * Structured Streaming with a watermark (StreamingSpec differential);
+    * here it runs in batch for the oracle. Windows are epoch-aligned
+    * (Spark tumbling semantics), mirrored in SQL via epoch arithmetic.
+    */
+  val s11_stream_drift = q("s11_stream_drift", Some(
+    """WITH w AS (
+      |  SELECT make_timestamp(CAST(floor(epoch(ts) / 21600) * 21600 * 1000000 AS BIGINT)) AS ws,
+      |         CAST(least(greatest(floor(value / 50.0), 0.0), 9.0) AS INT) AS bin
+      |  FROM events),
+      |t AS (SELECT ws, COUNT(*) AS total FROM w GROUP BY ws),
+      |c AS (SELECT ws, bin, COUNT(*) AS n FROM w GROUP BY ws, bin),
+      |g AS (SELECT t.ws, gb.bin, COALESCE(c.n, 0) AS n, t.total
+      |      FROM t CROSS JOIN (SELECT unnest(range(10)) AS bin) gb
+      |      LEFT JOIN c ON c.ws = t.ws AND c.bin = gb.bin),
+      |m AS (SELECT ws, bin, n / CAST(total AS DOUBLE) + 0.000001 AS qm,
+      |        CAST(0.1 AS DOUBLE) + CAST(0.000001 AS DOUBLE) AS pm
+      |      FROM g)
+      |SELECT ws AS window_start, CAST(bin AS INT) AS bin,
+      |  ROUND(qm, 6) AS q_mass,
+      |  ROUND((pm - qm) * ln(pm / qm), 6) AS contrib
+      |FROM m""".stripMargin)) { (s, dir) =>
+    graft.operators.Drift.windowedPsi(Tables.events(s, dir), "ts", "value",
+      "6 hours", refMasses = Seq.fill(10)(0.1), lo = 0.0, hi = 500.0)
+  }
+
   val all: Seq[GraftQuery] = Seq(
     s01_tumbling_agg, s02_sliding_agg, s03_session_windows,
     s04_dedup_first_event, s05_watermark_late, s06_asof_backward,
     s07_running_user_agg, s08_interval_join, s09_stream_curation,
-    s10_line_stats_ingest)
+    s10_line_stats_ingest, s11_stream_drift)
 }

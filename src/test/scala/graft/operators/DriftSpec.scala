@@ -31,4 +31,22 @@ class DriftSpec extends SparkSpec {
       .orderBy("bin").as[(Int, Double, Double, Double)].collect().toSeq
     assert(a == b)
   }
+
+  test("windowedPsi: a window matching the baseline scores ~0, a shifted window does not") {
+    import java.sql.Timestamp
+    // window 0 (hour 0): uniform over both bins; window 1 (hour 6): all mass in bin 0
+    val evs =
+      (0 until 10).map(i => (new Timestamp((i * 60) * 1000L), (i % 2) * 50.0 + 1.0)) ++
+      (0 until 10).map(i => (new Timestamp((6 * 3600 + i * 60) * 1000L), 1.0))
+    val out = Drift.windowedPsi(evs.toDF("ts", "v"), "ts", "v",
+        "6 hours", refMasses = Seq(0.5, 0.5), lo = 0.0, hi = 100.0)
+      .orderBy("window_start", "bin")
+      .as[(Timestamp, Int, Double, Double)].collect().toSeq
+    assert(out.size == 4) // 2 windows x 2 bins, zero bins included
+    val w0 = out.take(2)
+    assert(w0.map(_._4).map(math.abs).sum < 1e-9, s"uniform window must score ~0: $w0")
+    val w1psi = out.drop(2).map(_._4).sum
+    assert(w1psi > 0.25, s"fully-shifted window must flag as shifted: $w1psi")
+    assert(out(2)._3 == 1.000001 && out(3)._3 == 0.000001) // smoothed masses
+  }
 }

@@ -47,6 +47,31 @@ class StreamingSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("windowedPsi streamed over MemoryStream equals the batch plan") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    mem.addData(events.take(2))
+    mem.addData(events.drop(2))
+
+    val masses = Seq(0.25, 0.25, 0.25, 0.25)
+    val streamed = graft.operators.Drift.windowedPsi(
+      mem.toDF(), "ts", "value", "1 hour", masses, 0.0, 8.0,
+      watermark = Some("10 minutes"))
+    val query = streamed.writeStream
+      .format("memory").queryName("drift_out").outputMode("complete").start()
+    query.processAllAvailable()
+    query.stop()
+
+    val got = spark.table("drift_out")
+      .select("window_start", "bin", "q_mass", "contrib")
+      .as[(Timestamp, Int, Double, Double)].collect().toSet
+    val expected = graft.operators.Drift.windowedPsi(
+        events.toDF(), "ts", "value", "1 hour", masses, 0.0, 8.0)
+      .as[(Timestamp, Int, Double, Double)].collect().toSet
+    assert(got == expected)
+    assert(got.size == 12, "3 windows x 4 bins, zero bins present")
+  }
+
   test("dropDuplicatesWithinWatermark keeps one row per (user, type) key") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]

@@ -194,6 +194,18 @@ object ScaleSmoke {
         val cb = ext.IvfAnn.codebook(embBig, "vec_id", "embedding", 8, 1)
         ext.IvfAnn.searchTopK(embBig, embBig.filter(col("vec_id") < 8),
           "vec_id", "embedding", cb, 3, 5).count()
+      }),
+      // SemDeDup composes the capped cell-blocked pairs with an anti-join,
+      // so it inherits the same hot-key discipline: the 10x hot label
+      // splits across IVF cells and over-cap cells skip pair expansion
+      run("e16_semantic_dedup", {
+        val cb = ext.IvfAnn.codebook(embSmall, "vec_id", "embedding", 32, 1)
+        ext.EmbeddingDedup.semanticDedupByCell(embSmall, "vec_id", "embedding",
+          cb, 0.9).count()
+      }, {
+        val cb = ext.IvfAnn.codebook(embBig, "vec_id", "embedding", 32, 1)
+        ext.EmbeddingDedup.semanticDedupByCell(embBig, "vec_id", "embedding",
+          cb, 0.9).count()
       }))
     docsBig.unpersist(); embBig.unpersist()
     docsSmall.unpersist(); embSmall.unpersist()
@@ -586,6 +598,8 @@ object ScaleSmoke {
       f"rows=$rPack1%d/$rPack10%d vs-linear=$packLinear%5.2fx $packVerdict")
 
     var failed = idxVerdict != "OK" || pruneVerdict != "OK" || packVerdict != "OK"
+    // (scd2Flat / zorderLinear run in the sbt-test smoke tier only —
+    // they gate layout/merge cost shapes, not hot-key caps)
     (results ++ relational).foreach {
       case m @ Measure(name, tSmall, tBig, rows, inB, shufB) =>
         val slowdown = m.slowdownVsLinear(copies)
@@ -598,5 +612,61 @@ object ScaleSmoke {
     }
     spark.stop()
     if (failed) sys.exit(1)
+  }
+
+  /** SCD2 merge cost must track the TOUCHED buckets, not the dimension:
+    * with buckets sized so one bucket holds a constant number of keys
+    * (the operational contract — buckets grow with the table), a
+    * single-key merge into a `copies`× dimension must stay FLAT. Returns
+    * (t1x, tBigx) for the timed single-key merges.
+    */
+  def scd2Flat(spark: SparkSession, baseKeys: Int, copies: Int): (Double, Double) = {
+    import graft.sources.Scd2
+    def leg(n: Int, buckets: Int): Double = {
+      val root = java.nio.file.Files.createTempDirectory("scd2smoke").toString + "/dim"
+      val base = spark.range(n.toLong).select(col("id"),
+        concat(lit("name"), col("id")).as("name"),
+        (col("id") % 1000).cast("double").as("bal"))
+      Scd2.merge(base, root, Seq("id"), Seq("name", "bal"), 1L, buckets)
+      def oneKey(id: Long, batch: Long): Unit = {
+        val upd = spark.range(id, id + 1).select(col("id"),
+          concat(lit("name"), col("id"), lit("_v"), lit(batch)).as("name"),
+          lit(-batch.toDouble).as("bal"))
+        Scd2.merge(upd, root, Seq("id"), Seq("name", "bal"), batch, buckets)
+      }
+      oneKey(0L, 2L) // warm-up (codegen, listing caches)
+      val (_, t) = time(oneKey(1L, 3L))
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(new java.io.File(root).getParent))
+      t
+    }
+    (leg(baseKeys, 16), leg(baseKeys * copies, 16 * copies))
+  }
+
+  /** Z-order rewrite at `copies`×: the re-layout is one quantile pass plus
+    * one range shuffle + local sort, so wall time must stay within the
+    * 2×-of-linear budget as rows AND files scale together — the shape a
+    * driver-side sort or a single-task range would break. Returns
+    * (t1x, tBigx, rows1x, rowsBigx).
+    */
+  def zorderLinear(spark: SparkSession, baseRows: Int,
+                   copies: Int): (Double, Double, Long, Long) = {
+    import graft.sources.Zorder
+    def leg(n: Int, files: Int): (Double, Long) = {
+      val root = java.nio.file.Files.createTempDirectory("zsmoke").toString + "/t"
+      spark.range(n.toLong).select(col("id").as("a"),
+          ((col("id") * 48271) % n).as("b"))
+        .repartitionByRange(files, col("a"))
+        .write.mode("overwrite").parquet(root)
+      Zorder.rewrite(spark, root, Seq("a", "b"), files) // warm-up rewrite
+      val (_, t) = time(Zorder.rewrite(spark, root, Seq("a", "b"), files))
+      val rows = spark.read.parquet(root).count()
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(new java.io.File(root).getParent))
+      (t, rows)
+    }
+    val (t1, r1) = leg(baseRows, 16)
+    val (tb, rb) = leg(baseRows * copies, 16 * copies)
+    (t1, tb, r1, rb)
   }
 }

@@ -1020,7 +1020,31 @@ object CoreQueries {
       "o_totalprice", bins = 10, lo = 0.0, hi = 600000.0)
   }
 
+  // ---------------------------------------------------------------- q50
+  /** GROUPING SETS — the explicit-set form completing the q14 rollup /
+    * q25 cube family: per-flag totals, per-status totals, and the grand
+    * total in ONE pass (Spark expands the sets over a single Expand node,
+    * partial-aggregated before the shuffle — no N-scan union).
+    */
+  val q50_grouping_sets = q("q50_grouping_sets",
+    s"""SELECT l_returnflag, l_linestatus,
+       |  CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+       |  CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
+       |  ${dsum("l_quantity")} AS sum_qty, COUNT(*) AS n
+       |FROM lineitem
+       |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping(col("l_returnflag")).cast("int").as("g_rf"),
+        grouping(col("l_linestatus")).cast("int").as("g_ls"),
+        Cols.decimalSum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+      .select("l_returnflag", "l_linestatus", "g_rf", "g_ls", "sum_qty", "n")
+  }
+
   val all: Seq[GraftQuery] = Seq(
+    q50_grouping_sets,
     q48_drift_psi, q47_jaro_top1, q46_stratified_sample,
     q30_numeric_describe, q31_ship_priority, q32_regional_volume, q33_small_quantity,
     q34_approx_stats, q35_from_json, q36_array_agg, q37_order_distribution,

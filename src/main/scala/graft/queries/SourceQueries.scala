@@ -357,9 +357,28 @@ object SourceQueries {
       .select("o_orderkey", "o_custkey", "o_totalprice")
   }
 
+  // ---------------------------------------------------------------- src13
+  /** JSON-Lines roundtrip ([[graft.sources.JsonlSource]] — the
+    * training-corpus interchange format, read line-split with an EXPLICIT
+    * schema so no inference scan precedes the first real pass): write the
+    * nation dimension as JSONL, read it back under the extract contract
+    * (required columns + non-empty), oracle is identity.
+    */
+  val src13_jsonl_roundtrip = q("src13_jsonl_roundtrip", Some(
+    "SELECT n_nationkey, n_name, n_regionkey FROM nation")) { (s, dir) =>
+    val nation = Tables.nation(s, dir)
+      .select("n_nationkey", "n_name", "n_regionkey")
+    val path = s"$scratch/jsonl_nation"
+    nation.write.mode("overwrite").json(path)
+    graft.sources.JsonlSource.read(s, path, nation.schema,
+      required = Seq("n_nationkey", "n_name", "n_regionkey"),
+      requireRows = true)
+  }
+
   val all: Seq[GraftQuery] = Seq(
     src01_csv_roundtrip, src02_rest_paged, src03_partitioned_sink,
     src04_multimodal_meta, src05_frame_sample, src06_restv2_scan,
     src07_dbf_roundtrip, src08_media_meta, src09_upsert_merge,
-    src10_compact_partitions, src11_scd2_merge, src12_zorder_layout)
+    src10_compact_partitions, src11_scd2_merge, src12_zorder_layout,
+    src13_jsonl_roundtrip)
 }

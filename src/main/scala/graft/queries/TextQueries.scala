@@ -587,10 +587,47 @@ object TextQueries {
       size = 32, overlap = 8)
   }
 
+  // ---------------------------------------------------------------- t18
+  /** Hashed bag-of-words linear scorer
+    * ([[graft.operators.HashedLinearScorer]]): the serving side of a
+    * fastText/CCNet-style quality classifier — 64 hashed feature slots,
+    * integer weights over denominator 1000003 (exact cross-engine sums),
+    * mean-weight logit, sigmoid(8·logit) calibration, integer-exact keep
+    * gate. The weight vector here is the deterministic synthetic stand-in
+    * (production swaps in trained weights as a broadcast literal array);
+    * the oracle replays the full hash → weight → exact-sum → calibrate
+    * pipeline in SQL.
+    */
+  val t18_quality_classifier = q("t18_quality_classifier",
+    s"""WITH n AS (SELECT doc_id, ${normSql("text")} AS norm FROM documents),
+       |tk AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS tok
+       |       FROM n WHERE length(norm) > 0),
+       |h AS (SELECT doc_id,
+       |        list_reduce(
+       |          list_prepend(CAST(0 AS BIGINT),
+       |            [CAST(ascii(substr(tok, CAST(i AS INT), 1)) AS BIGINT)
+       |             for i in range(1, CAST(length(tok) AS INT) + 1)]),
+       |          (acc, x) -> (acc * 31 + x) % 1000000007) % 64 AS b
+       |      FROM tk),
+       |w AS (SELECT doc_id, (b * 2654435761) % 1000003 - 500001 AS w FROM h),
+       |g AS (SELECT doc_id, CAST(COUNT(*) AS INT) AS n_tokens, SUM(w) AS s
+       |      FROM w GROUP BY doc_id)
+       |SELECT doc_id, n_tokens,
+       |  ROUND(s / (n_tokens * 1000003.0), 6) AS score,
+       |  ROUND(1.0 / (1.0 + exp(s / (n_tokens * 1000003.0) * -8.0)), 6) AS prob,
+       |  (s >= 0) AS keep
+       |FROM g""".stripMargin) { (s, dir) =>
+    import graft.operators.HashedLinearScorer
+    HashedLinearScorer.score(Tables.documents(s, dir), "doc_id", "text",
+      buckets = 64, weightInt = HashedLinearScorer.syntheticWeightInt(1000003L),
+      den = 1000003L, calib = 8.0)
+  }
+
   val all: Seq[GraftQuery] = Seq(
     t01_token_stats, t02_quality_score, t03_lang_id, t04_fingerprint,
     t05_rolling_hash, t06_redact, t07_tfidf_top_terms, t08_curation_pipeline,
     t09_repetition, t10_mixture_resample, t11_boilerplate_ngrams,
     t12_sequence_packing, t13_packed_sequences, t14_epoch_shuffle,
-    t15_line_dedup, t16_quality_gate, t17_doc_chunking)
+    t15_line_dedup, t16_quality_gate, t17_doc_chunking,
+    t18_quality_classifier)
 }

@@ -230,6 +230,27 @@ class ScaleSmokeSpec extends SparkSpec {
         f"($ratio%.2fx) — is something scanning the whole index per append?")
   }
 
+  test("scd2 single-key merge stays flat as the dimension grows 10x (buckets scale with it)") {
+    assume(sys.env.get("SPARK_GRAFT_SMOKE").contains("1"),
+      "opt-in: set SPARK_GRAFT_SMOKE=1 to run the skew smoke gate")
+    val (t1, t10) = ScaleSmoke.scd2Flat(spark, baseKeys = 40000, copies = 10)
+    info(f"scd2 single-key merge   1x=$t1%6.2fs 10x=$t10%6.2fs flat-ratio=${t10 / t1}%5.2fx")
+    assert(t10 <= t1 * 2.5,
+      f"single-key merge must not scale with the dimension: $t1%.2fs -> $t10%.2fs")
+  }
+
+  test("z-order rewrite scales linearly at 10x (quantile pass + one range shuffle)") {
+    assume(sys.env.get("SPARK_GRAFT_SMOKE").contains("1"),
+      "opt-in: set SPARK_GRAFT_SMOKE=1 to run the skew smoke gate")
+    val copies = 10
+    val (t1, t10, r1, r10) = ScaleSmoke.zorderLinear(spark, baseRows = 200000, copies)
+    info(f"zorder rewrite          1x=$t1%6.2fs ${copies}x=$t10%6.2fs rows=$r1%d->$r10%d " +
+      f"vs-linear=${t10 / (t1 * copies)}%5.2fx")
+    assert(r10 == r1 * copies)
+    assert(t10 <= t1 * copies * 2.0,
+      f"z-order rewrite went super-linear: $t1%.2fs -> $t10%.2fs at ${copies}x")
+  }
+
   test("capped near-dup/ANN operators stay within 2x of linear under a hot key") {
     assume(sys.env.get("SPARK_GRAFT_SMOKE").contains("1"),
       "opt-in: set SPARK_GRAFT_SMOKE=1 to run the skew smoke gate")

@@ -86,6 +86,18 @@ object Scd2 {
     val history = table.filter(!col("is_current"))
     val current = table.filter(col("is_current"))
 
+    // the batch clock must be monotone: a batchId BEHIND a version already
+    // open in the touched buckets would write chains whose valid_from
+    // ordering lies (snapshotAt returns the wrong version). Equality stays
+    // legal — an idempotent replay of the latest batch re-merges value-
+    // identical rows and opens nothing.
+    val maxFrom = current
+      .agg(coalesce(max(col("valid_from")), lit(Long.MinValue)))
+      .head().getLong(0)
+    require(batchId >= maxFrom,
+      s"stale batchId $batchId: touched buckets already carry valid_from=$maxFrom " +
+        "(replaying an old batch against a newer dimension)")
+
     val sameVals = trackCols.map(c => col(s"c.$c") <=> col(s"u.$c")).reduce(_ && _)
     val j = current.as("c")
       .join(upd.as("u"), keys.map(k => col(s"c.$k") === col(s"u.$k")).reduce(_ && _), "full_outer")

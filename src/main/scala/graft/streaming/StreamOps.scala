@@ -216,6 +216,35 @@ object StreamOps {
       }
       .start()
 
+  /** CONTINUOUS dimension maintenance: each micro-batch of key snapshots
+    * SCD2-merges into the dimension at `path`
+    * ([[graft.sources.Scd2.merge]]) — the streaming form of the
+    * versioned dimension load. The dimension's batch clock is
+    * `clockBase + batchId`, so replays are safe end to end: an
+    * at-least-once redelivery re-merges value-identical rows (opens
+    * nothing, by SCD2 idempotence), and a crash mid-merge is repaired by
+    * the staged-overwrite recovery on the next batch. A FRESH checkpoint
+    * against an already-maintained dimension recycles batch ids below
+    * versions already open, which Scd2's monotonic-clock guard refuses —
+    * the same fail-fast contract as its sibling ingest streams, enforced
+    * by the clock itself rather than a pinned stream id. Batches must
+    * carry one row per key (pre-collapse updates upstream, e.g.
+    * keep-latest per key within the trigger).
+    */
+  def scd2Stream(updates: DataFrame, path: String, keys: Seq[String],
+                 trackCols: Seq[String], checkpointDir: String,
+                 clockBase: Long = 1L, buckets: Int = 32)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    updates.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty)
+          graft.sources.Scd2.merge(batch.toDF(), path, keys, trackCols,
+            clockBase + batchId, buckets)
+      }
+      .start()
+
   /** CONTINUOUS embedding ingest into a persisted ANN index
     * ([[graft.ext.AnnIndex]]) — the similarity-search twin of
     * [[incrementalDedupStream]]: each micro-batch of new vectors is

@@ -64,6 +64,20 @@ class Scd2Spec extends SparkSpec {
       (2L, "b", Some(5.0), 2L, None, true)))
   }
 
+  test("a stale batch clock is refused; an equal clock (idempotent replay) is not") {
+    val path = tmp()
+    Scd2.merge(dim((1L, "a", 10.0)), path, Seq("id"), Seq("name", "bal"), 5L)
+    Scd2.merge(dim((1L, "a", 11.0)), path, Seq("id"), Seq("name", "bal"), 7L)
+    // replay of batch 7 (same clock, same values): allowed, no-op
+    val before = state(path)
+    Scd2.merge(dim((1L, "a", 11.0)), path, Seq("id"), Seq("name", "bal"), 7L)
+    assert(state(path) == before)
+    // batch 6 arriving after 7: would open a version behind the chain head
+    intercept[IllegalArgumentException] {
+      Scd2.merge(dim((1L, "a", 12.0)), path, Seq("id"), Seq("name", "bal"), 6L)
+    }
+  }
+
   test("duplicate keys in a batch are rejected") {
     val path = tmp()
     Scd2.merge(dim((1L, "a", 1.0)), path, Seq("id"), Seq("name", "bal"), 1L)

@@ -8,6 +8,7 @@ import java.sql.Timestamp
 
 case class Ev(ts: Timestamp, user_id: Long, event_type: String, value: Double)
 case class Doc(doc_id: Long, text: String)
+case class Upd(id: Long, name: String, bal: Double)
 
 /** Differential stream-vs-batch tests: the same event-time aggregations must
   * produce identical results fed through Structured Streaming micro-batches
@@ -70,6 +71,51 @@ class StreamingSpec extends SparkSpec {
       .as[(Timestamp, Int, Double, Double)].collect().toSet
     assert(got == expected)
     assert(got.size == 12, "3 windows x 4 bins, zero bins present")
+  }
+
+  test("scd2Stream: streamed micro-batches equal batch merges; a fresh checkpoint is refused") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("scd2stream").toString
+    val dimPath = s"$root/dim"
+
+    val mem = MemoryStream[Upd]
+    mem.addData(Upd(1L, "a", 10.0), Upd(2L, "b", 20.0)) // batch 0: bootstrap
+    val q1 = StreamOps.scd2Stream(mem.toDF(), dimPath, Seq("id"),
+      Seq("name", "bal"), s"$root/ckpt")
+    q1.processAllAvailable()
+    mem.addData(Upd(1L, "a", 15.0), Upd(3L, "c", 30.0)) // batch 1: change + insert
+    q1.processAllAvailable()
+    q1.stop()
+
+    // differential: the same two batches merged in batch mode
+    val twinPath = s"$root/twin"
+    graft.sources.Scd2.merge(
+      Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("id", "name", "bal"),
+      twinPath, Seq("id"), Seq("name", "bal"), 1L)
+    graft.sources.Scd2.merge(
+      Seq((1L, "a", 15.0), (3L, "c", 30.0)).toDF("id", "name", "bal"),
+      twinPath, Seq("id"), Seq("name", "bal"), 2L)
+    def st(p: String) = spark.read.parquet(p)
+      .select("id", "name", "bal", "valid_from", "valid_to", "is_current")
+      .as[(Long, String, Double, Long, Option[Long], Boolean)].collect().toSet
+    assert(st(dimPath) == st(twinPath))
+
+    // a FRESH checkpoint recycles batch ids below the open versions ->
+    // the monotonic clock guard must fail the stream, not corrupt chains
+    val mem2 = MemoryStream[Upd]
+    mem2.addData(Upd(1L, "a", 99.0))
+    val q2 = StreamOps.scd2Stream(mem2.toDF(), dimPath, Seq("id"),
+      Seq("name", "bal"), s"$root/ckpt_fresh")
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2.processAllAvailable()
+    }
+    q2.stop()
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(err).exists(_.getMessage != null)
+      && causes(err).exists(c => Option(c.getMessage).exists(_.contains("stale batchId"))),
+      s"expected the stale-clock refusal, got: ${err.getMessage}")
+    assert(st(dimPath) == st(twinPath), "refused batch must not have touched the dimension")
   }
 
   test("dropDuplicatesWithinWatermark keeps one row per (user, type) key") {

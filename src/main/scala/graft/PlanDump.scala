@@ -14,6 +14,50 @@ object PlanDump {
     * trade-offs). Keep these current when the underlying code changes.
     */
   private val notes: Map[String, String] = Map(
+    "t17_doc_chunking" -> ("round 11: stride-window chunking is one " +
+      "whole-stage-codegen span — tokenize, sequence of starts, " +
+      "posexplode, slice — zero Exchange; at 100 TB it is a pure map " +
+      "over the corpus scan and output fan-out is ceil(tokens/stride) " +
+      "rows per document carrying only their own slice."),
+    "src11_scd2_merge" -> ("round 11: SCD2 merge over a hash-bucketed " +
+      "dimension — the read-back is broadcast-semi pruned to the " +
+      "buckets the batch's keys hash into, version chains resolve in " +
+      "one key join, and the rewrite goes through the durable staged " +
+      "hop (Scd2Spec pins single-bucket rewrites for a single-key " +
+      "batch; ScaleSmoke's scd2Flat gate holds single-key merge time " +
+      "FLAT at a 10x dimension with buckets scaled alongside). The " +
+      "monotonic batch-clock guard refuses stale/recycled batch ids — " +
+      "the fresh-checkpoint failure mode of scd2Stream."),
+    "src12_zorder_layout" -> ("round 11: full-table re-layout = one " +
+      "approxQuantile pass + one range Exchange + local sort; the " +
+      "apply step is a FILE MOVE from the marked stage (no recompute, " +
+      "z-locality survives byte-for-byte, crash windows covered by " +
+      "Zorder.recover — ZorderSpec drills both). Layout effect pinned " +
+      "with parquet footer stats: a 5% box on either clustered column " +
+      "touches <=8/16 files vs 16/16 row-ordered. ScaleSmoke's " +
+      "zorderLinear gate holds the rewrite within 2x of linear at 10x."),
+    "e16_semantic_dedup" -> ("round 11: SemDeDup = the capped blocked " +
+      "cosine pair relation (e05's plan) + a distinct + left_anti — no " +
+      "new shuffle class; the oracle-gated form blocks by label, the " +
+      "scale form by IVF cell (cell-size-capped pair expansion, " +
+      "ScaleSmoke hot-key gate 10x). Over-cap blocks skip pair " +
+      "expansion and keep all members: the cap degrades retention, " +
+      "never silently deletes."),
+    "s11_stream_drift" -> ("round 11: the ONLY stateful operator is one " +
+      "windowed aggregation carrying bins+1 longs per window (per-bin " +
+      "conditional counts + total in a single agg, map-side combined); " +
+      "normalization and the PSI algebra are stateless projections, so " +
+      "the identical plan runs under Structured Streaming with a " +
+      "watermark (StreamingSpec differential) and the reference " +
+      "histogram is a broadcast literal, not a join."),
+    "t18_quality_classifier" -> ("round 11: hashed-BoW scoring = " +
+      "explode tokens -> codegen rolling-hash bucket + integer weight " +
+      "-> one groupBy(doc) partial-agg shuffle carrying a single " +
+      "(count, sum) pair per document after map-side combine; weights " +
+      "are integers over a common denominator so cross-engine sums are " +
+      "EXACT (no double accumulation order), and the keep gate " +
+      "compares the integer sum. Trained weights plug in as a " +
+      "broadcast literal array (HashedLinearScorerSpec)."),
     "q35_from_json" -> ("round-3's 6.6 s reading was run-context noise, not " +
       "a plan or expression cost: profiled in isolation AND in-suite in " +
       "round 4, q35 is 0.39 s at sf0.1 — within 1.1x of its " +

@@ -67,8 +67,12 @@ object Scd2 {
     val exists = try { spark.read.parquet(path); true }
                  catch { case _: Throwable => false }
     if (!exists) {
+      // fold each bucket to one task -> ONE file per bucket: a naive
+      // partitioned write emits (write tasks x buckets) small files, and
+      // every later merge pays that listing bill forever
       ParquetWarehouse.overwritePartitions(
-        asVersion(upd, batchId), path, Seq(bucketCol))
+        asVersion(upd, batchId).repartition(col(bucketCol)),
+        path, Seq(bucketCol))
       return
     }
     ParquetWarehouse.recoverStagedOverwrite(spark, path, Seq(bucketCol))
@@ -121,8 +125,11 @@ object Scd2 {
       .select(tableCols.map(col): _*)
 
     val merged = kept.unionByName(closed).unionByName(history).unionByName(opened)
+    // onePerPartition: each rewritten bucket folds back to a single file
+    // (buckets are task-sized by contract), so the dimension's file count
+    // stays == bucket count across any number of merges
     ParquetWarehouse.stagedOverwrite(merged, path, Seq(bucketCol),
-      onePerPartition = false)
+      onePerPartition = true)
   }
 
   /** The dimension as-of a batch id: the version whose validity interval

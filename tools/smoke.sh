@@ -15,7 +15,7 @@ out="SMOKE_r${ROUND:-X}.log"
 SPARK_GRAFT_SMOKE=1 sbt -batch "testOnly graft.ScaleSmokeSpec" > "$out.tmp" 2>&1
 status=$?
 # keep only the informative tail (suite output, not the sbt/spark preamble)
-grep -E "^\[info\]" "$out.tmp" | tail -60 > "$out"
+grep -E "^\[info\]" "$out.tmp" | tail -110 > "$out"
 rm -f "$out.tmp"
 echo "smoke exit status: $status (log: $out)"
 exit $status

@@ -175,9 +175,50 @@ object AnnIndex {
     }
   }
 
+  /** VACUUM — the deletion/maintenance pass that completes the index
+    * lifecycle (the similarity-search twin of the dedup index's
+    * [[NearDup.compactIndex]]): drop every stored vector whose id is NOT
+    * in `keepIds` (a curation pass deleted those documents) and fold the
+    * per-batch append fragments into ONE bulk `frag = -1` relation, one
+    * file per cell. The codebooks are carried over UNCHANGED — compaction
+    * is O(index) re-layout, not a retrain, so it does not reset the
+    * codebook-drift clock (a [[build]] does both). Crash-safe by the same
+    * epoch-swap discipline as [[build]]: the folded relations land
+    * complete in a fresh epoch, the meta pointer CAS-swaps last (a
+    * concurrent append/rebuild that advanced the meta fails this swap
+    * fast — and an append racing the OTHER way is caught by its own
+    * epoch check + publish bump), and the superseded epoch survives one
+    * grace cycle for in-flight readers.
+    */
+  def compact(spark: SparkSession, dir: String, keepIds: DataFrame): Unit = {
+    val (kv, gen) = StoredIndex.readKvWithGen(spark, dir)
+    val prevEpoch = kv("epoch").toInt
+    val epoch = prevEpoch + 1
+    val idCol = kv("id_col")
+    val keep = keepIds.toDF(idCol)
+    // relations first: codebooks carried verbatim, codes semi-pruned to
+    // the kept ids and folded to one fragment, one file per cell
+    spark.read.parquet(StoredIndex.relPath(dir, "codebooks", prevEpoch))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(StoredIndex.relPath(dir, "codebooks", epoch))
+    spark.read.parquet(StoredIndex.relPath(dir, "codes", prevEpoch))
+      .join(keep, Seq(idCol), "left_semi")
+      .select(col(idCol), col("codes"), col("cell"))
+      .withColumn("frag", lit(-1L))
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("frag", "cell")
+      .parquet(StoredIndex.relPath(dir, "codes", epoch))
+    // meta LAST, CAS against the generation we read: a writer that
+    // advanced the index mid-compaction wins and this swap fails fast
+    StoredIndex.writeMetaCas(spark, dir,
+      kv.updated("epoch", epoch.toString).toSeq, gen)
+    StoredIndex.sweepEpochsBelow(spark, dir, relNames, prevEpoch)
+  }
+
   /** Number of append fragments in the live epoch's codes relation — a
-    * pure directory listing, no data scan. Maintenance compacts fragments
-    * by [[build]]ing afresh (which also refreshes the codebooks).
+    * pure directory listing, no data scan. Maintenance folds fragments
+    * (and applies deletions) via [[compact]], or [[build]]s afresh when
+    * the codebooks should also retrain.
     */
   def fragmentCount(spark: SparkSession, dir: String): Int = {
     val (kv, _) = StoredIndex.readKvWithGen(spark, dir)

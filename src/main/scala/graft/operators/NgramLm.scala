@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Count-based bigram language-model scoring with stupid backoff — the
+  * CCNet/Wenzek-style "perplexity vs a reference corpus" quality filter
+  * re-expressed as pure relational algebra: train = three aggregations
+  * over the reference corpus (unigram counts, bigram counts, total
+  * tokens), score = two left joins of the target's bigrams against those
+  * count relations. No model object, no UDF, no driver state — the
+  * "model" IS a pair of count DataFrames, so it persists as parquet,
+  * updates by additive union (counts are additive over corpus batches,
+  * the same contract as [[LineDedup.lineStats]]), and broadcasts when
+  * the vocabulary is small.
+  *
+  * Per-bigram likelihood (Brants et al. 2007 "stupid backoff", score not
+  * probability): seen bigram → C(u,v)/C(u); unseen → 0.4·C(v)/T (0 when
+  * v is out-of-vocabulary). The per-document score is the mean bigram
+  * likelihood, accumulated in exact DECIMAL so engines agree bit-for-bit
+  * (each quotient is a single IEEE-exact double op; summation order is
+  * the only divergence risk, and decimal addition removes it).
+  *
+  * Scale shape: counting is combiner-friendly partial aggregation over
+  * row-locally exploded tokens/bigrams; scoring joins shuffle target
+  * bigrams against vocabulary-sized relations (Catalyst broadcasts them
+  * when they fit — a natural-language vocabulary is Zipf-bounded, tiny
+  * next to a 100 TB corpus; AQE handles the stop-word-headed skew).
+  */
+object NgramLm {
+
+  private def toks(textCol: Column): Column =
+    filter(split(lower(graft.functions.TextFunctions.normalizeWs(textCol)), " "),
+      t => t =!= "")
+
+  /** Exploded unigram frame: one row per token occurrence. */
+  private def unigrams(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), explode(toks(col(textCol))).as("u"))
+
+  /** Exploded bigram frame: one row per adjacent token pair. */
+  private def bigrams(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), toks(col(textCol)).as("__t"))
+      .filter(size(col("__t")) >= 2)
+      .select(col(idCol), explode(
+        transform(sequence(lit(0), size(col("__t")) - 2),
+          i => struct(element_at(col("__t"), i + 1).as("u"),
+            element_at(col("__t"), i + 2).as("v")))).as("__b"))
+      .select(col(idCol), col("__b.u").as("u"), col("__b.v").as("v"))
+
+  /** Score each target document's mean bigram likelihood under the
+    * reference corpus's stupid-backoff model. Output: one row per target
+    * document with ≥2 tokens — (idCol, n_bigrams, n_hit, score).
+    */
+  def scoreStupidBackoff(target: DataFrame, reference: DataFrame,
+                         idCol: String, textCol: String,
+                         alpha: Double = 0.4): DataFrame = {
+    val uniCnt = unigrams(reference, idCol, textCol)
+      .groupBy("u").agg(count(lit(1)).as("__cu"))
+    val bigCnt = bigrams(reference, idCol, textCol)
+      .groupBy("u", "v").agg(count(lit(1)).as("__cb"))
+    val total = uniCnt.agg(sum("__cu").as("__t"))
+
+    val tb = bigrams(target, idCol, textCol)
+    val p = tb
+      .join(bigCnt, Seq("u", "v"), "left")
+      .join(uniCnt, Seq("u"), "left")
+      .join(uniCnt.withColumnRenamed("u", "v")
+        .withColumnRenamed("__cu", "__cv"), Seq("v"), "left")
+      .crossJoin(broadcast(total))
+      .select(col(idCol), col("__cb").isNotNull.as("__hit"),
+        when(col("__cb").isNotNull,
+          col("__cb").cast(DoubleType) / col("__cu").cast(DoubleType))
+          .otherwise(lit(alpha) *
+            (coalesce(col("__cv"), lit(0L)).cast(DoubleType) /
+              col("__t").cast(DoubleType)))
+          .as("__p"))
+    p.groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"),
+        count(when(col("__hit"), lit(1))).as("n_hit"),
+        (sum(col("__p").cast(DecimalType(18, 9))).cast(DoubleType) /
+          count(lit(1))).as("score"))
+  }
+}

@@ -1,0 +1,139 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Cross-document EXACT-SUBSTRING (token-span) deduplication — the
+  * sequence-level cut of "Deduplicating Training Data Makes Language
+  * Models Better" (Lee et al., 2022): any run of `n` consecutive tokens
+  * that appears verbatim in ≥ `minDocs` distinct documents is a
+  * duplicated span, and a curation pipeline removes the covered tokens
+  * rather than whole documents. Sits between line-level boilerplate
+  * removal ([[LineDedup]] — fixed line boundaries) and document-level
+  * near-dup removal ([[graft.ext.NearDup]] — whole-doc granularity):
+  * this operator catches quotes, licence blocks and templated passages
+  * embedded mid-document that neither of those sees.
+  *
+  * Scale shape (mirrors [[LineDedup]]'s two-phase heavy-hitter count):
+  * windows explode row-locally (one row per token position — the same
+  * amplification as [[graft.ext.NearDup.shingles]], documented there);
+  * the cross-document frequency pass shuffles only an 8-byte window
+  * HASH, then recounts exactly by (hash, window text) over the
+  * candidate heavy hitters alone, so full window text shuffles only
+  * for the tiny duplicated subset and a 64-bit collision can never
+  * delete an innocent span. Coverage and removal are per-document
+  * column algebra: duplicated start positions fold into merged
+  * intervals with one `aggregate` HOF (no position explode, no
+  * window function), and removal filters the token array in-row.
+  * Nothing in the plan is ever sized by the corpus on a single node.
+  */
+object SpanDedup {
+
+  /** Whitespace tokens of the normalized text (empty strings dropped;
+    * empty text → empty array, not `[""]`).
+    */
+  private def toks(textCol: Column): Column =
+    filter(split(graft.functions.TextFunctions.normalizeWs(textCol), " "),
+      t => t =!= "")
+
+  /** Exploded window frame: (idCol, __start, __w) — one row per 0-based
+    * token position with the n-token window string starting there.
+    * Documents shorter than `n` tokens contribute no windows.
+    */
+  private def windows(df: DataFrame, idCol: String, textCol: String,
+                      n: Int): DataFrame =
+    df.select(col(idCol), toks(col(textCol)).as("__toks"))
+      .filter(size(col("__toks")) >= n)
+      .select(col(idCol), posexplode(
+        transform(sequence(lit(0), size(col("__toks")) - n),
+          s => array_join(slice(col("__toks"), s + 1, lit(n)), " ")))
+        .as(Seq("__start", "__w")))
+
+  /** Duplicated-span start positions: (idCol, __start) for every token
+    * position whose n-token window appears in ≥ `minDocs` distinct
+    * documents. Two phases — candidate hashes by 8-byte count, then an
+    * exact (hash, text) recount over candidates only.
+    */
+  def dupStarts(df: DataFrame, idCol: String, textCol: String,
+                n: Int, minDocs: Int = 2): DataFrame = {
+    val w = windows(df, idCol, textCol, n)
+      .withColumn("__h", xxhash64(col("__w")))
+    // Phase 1: hash-only heavy hitters — the only corpus-wide shuffle,
+    // and it carries 8 bytes per window, combiner-friendly.
+    val candidates = w.groupBy("__h")
+      .agg(countDistinct(col(idCol)).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .select("__h")
+    // Phase 2: exact recount by (hash, text), candidates only — a hash
+    // collision splits into distinct (h, w) rows instead of merging.
+    val pruned = w.join(candidates, "__h")
+    val dupKeys = pruned.groupBy("__h", "__w")
+      .agg(countDistinct(col(idCol)).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .select("__h", "__w")
+    pruned.join(dupKeys, Seq("__h", "__w"))
+      .select(col(idCol), col("__start"))
+  }
+
+  /** Merged-interval fold: total tokens covered by the union of
+    * [s, s+n) over the SORTED start positions `starts` — one pass, no
+    * explode. Sorted ascending means each interval's end `s+n` is ≥ the
+    * running end, so the uncovered increment is `(s+n) − max(end, s)`.
+    */
+  private def coveredTokens(starts: Column, n: Int): Column =
+    aggregate(sort_array(starts),
+      struct(lit(-1L).as("e"), lit(0L).as("cov")),
+      (acc, s) => struct(
+        (s + n).cast("long").as("e"),
+        (acc.getField("cov") + (s + n) - greatest(acc.getField("e"), s.cast("long")))
+          .as("cov")),
+      acc => acc.getField("cov"))
+
+  /** Per-document duplicated-span coverage report: token/window counts,
+    * the number of duplicated window positions, and the number of tokens
+    * covered by the union of duplicated spans. Every input document gets
+    * a row (zeroes when nothing is duplicated).
+    */
+  def coverage(df: DataFrame, idCol: String, textCol: String,
+               n: Int, minDocs: Int = 2): DataFrame = {
+    val base = df.select(col(idCol), size(toks(col(textCol))).as("n_tokens"))
+      .withColumn("n_windows",
+        greatest(lit(0), col("n_tokens") - (n - 1)).cast("long"))
+    val per = dupStarts(df, idCol, textCol, n, minDocs)
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("dup_windows"),
+        coveredTokens(collect_list(col("__start")), n).as("covered_tokens"))
+    base.join(per, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens").cast("long").as("n_tokens"),
+        col("n_windows"),
+        coalesce(col("dup_windows"), lit(0L)).as("dup_windows"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"))
+  }
+
+  /** Remove duplicated spans: every token position covered by a
+    * duplicated n-token window is dropped and the survivors re-joined
+    * with single spaces (the operator works on the whitespace-normalized
+    * text — span identity is defined there). Documents with nothing
+    * duplicated pass through normalized but otherwise intact; no
+    * document row is ever dropped.
+    */
+  def removeSpans(df: DataFrame, idCol: String, textCol: String,
+                  n: Int, minDocs: Int = 2): DataFrame = {
+    // Per-doc covered-position list: row-local flatten of [s, s+n) runs,
+    // bounded by document length.
+    val pos = dupStarts(df, idCol, textCol, n, minDocs)
+      .groupBy(idCol)
+      .agg(array_distinct(flatten(transform(
+        collect_list(col("__start")),
+        s => sequence(s.cast("long"), s.cast("long") + (n - 1)))))
+        .as("__cut"))
+    df.withColumn("__toks", toks(col(textCol)))
+      .join(pos, Seq(idCol), "left")
+      .select(col(idCol),
+        array_join(filter(col("__toks"),
+          (_, i) => !coalesce(
+            array_contains(col("__cut"), i.cast("long")), lit(false))),
+          " ").as(textCol),
+        coalesce(size(col("__cut")), lit(0)).cast("long").as("removed_tokens"))
+  }
+}

@@ -474,10 +474,44 @@ object DedupQueries {
       Seq(col("text_len").desc, col("doc_id")))
   }
 
+  // ---------------------------------------------------------------- d15
+  /** Exact-substring (token-span) duplication report: per document, how
+    * many 8-token windows are duplicated verbatim across documents and
+    * how many tokens the union of those spans covers (Lee et al. 2022
+    * sequence-level dedup, detection side; t19 is the removal side).
+    * The DuckDB oracle recomputes window duplication and interval
+    * coverage from scratch (position explode + DISTINCT), a different
+    * algorithm than the engine's merged-interval fold — agreeing counts
+    * prove the fold.
+    */
+  val d15_span_coverage = q("d15_span_coverage", Some(
+    s"""WITH t AS (SELECT doc_id,
+       |        [x for x in string_split(${normSql("text")}, ' ') if x <> ''] AS toks
+       |      FROM documents),
+       |b AS (SELECT doc_id, toks, len(toks) AS n_tok FROM t),
+       |w0 AS (SELECT doc_id, toks, unnest(range(0, len(toks) - 7)) AS s
+       |       FROM b WHERE len(toks) >= 8),
+       |w AS (SELECT doc_id, s, array_to_string(toks[s+1:s+8], ' ') AS w FROM w0),
+       |dup AS (SELECT w FROM w GROUP BY w HAVING count(DISTINCT doc_id) >= 2),
+       |ds AS (SELECT doc_id, s FROM w WHERE w IN (SELECT w FROM dup)),
+       |agg AS (SELECT doc_id, count(*) AS dup_windows FROM ds GROUP BY doc_id),
+       |cov AS (SELECT doc_id, count(DISTINCT p) AS covered_tokens
+       |        FROM (SELECT doc_id, unnest(range(s, s + 8)) AS p FROM ds)
+       |        GROUP BY doc_id)
+       |SELECT b.doc_id, b.n_tok AS n_tokens,
+       |  greatest(0, b.n_tok - 7) AS n_windows,
+       |  coalesce(agg.dup_windows, 0) AS dup_windows,
+       |  coalesce(cov.covered_tokens, 0) AS covered_tokens
+       |FROM b LEFT JOIN agg USING (doc_id) LEFT JOIN cov USING (doc_id)"""
+      .stripMargin)) { (s, dir) =>
+    graft.operators.SpanDedup.coverage(
+      Tables.documents(s, dir), "doc_id", "text", n = 8, minDocs = 2)
+  }
+
   val all: Seq[GraftQuery] = Seq(
     d01_exact_dup_groups, d02_ngram_jaccard, d03_minhash_lsh, d04_simhash,
     d05_simhash_neardup, d06_dedup_clusters, d07_dedup_apply,
     d08_contamination, d09_bloom_decontaminate, d10_incremental_neardup,
     d11_indexed_neardup, d12_extended_neardup, d13_index_compaction,
-    d14_dedup_keep_best)
+    d14_dedup_keep_best, d15_span_coverage)
 }

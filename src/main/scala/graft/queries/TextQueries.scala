@@ -623,11 +623,86 @@ object TextQueries {
       den = 1000003L, calib = 8.0)
   }
 
+  // ---------------------------------------------------------------- t19
+  /** Exact-substring span REMOVAL (Lee et al. 2022, apply side of d15):
+    * every token position covered by an 8-token window duplicated across
+    * ≥2 documents is dropped; survivors re-join with single spaces. The
+    * oracle rebuilds the cleaned text in DuckDB with a position-set
+    * list comprehension — string-exact agreement proves the engine's
+    * in-row token filter.
+    */
+  val t19_span_removal = q("t19_span_removal",
+    s"""WITH t AS (SELECT doc_id,
+       |        [x for x in string_split(${normSql("text")}, ' ') if x <> ''] AS toks
+       |      FROM documents),
+       |b AS (SELECT doc_id, toks FROM t),
+       |w0 AS (SELECT doc_id, toks, unnest(range(0, len(toks) - 7)) AS s
+       |       FROM b WHERE len(toks) >= 8),
+       |w AS (SELECT doc_id, s, array_to_string(toks[s+1:s+8], ' ') AS w FROM w0),
+       |dup AS (SELECT w FROM w GROUP BY w HAVING count(DISTINCT doc_id) >= 2),
+       |ds AS (SELECT doc_id, s FROM w WHERE w IN (SELECT w FROM dup)),
+       |p AS (SELECT doc_id, list(DISTINCT pos) AS ps
+       |      FROM (SELECT doc_id, unnest(range(s, s + 8)) AS pos FROM ds)
+       |      GROUP BY doc_id)
+       |SELECT b.doc_id,
+       |  coalesce(array_to_string(
+       |    [b.toks[CAST(i AS INT) + 1] for i in range(0, len(b.toks))
+       |     if p.ps IS NULL OR NOT list_contains(p.ps, i)], ' '), '') AS text,
+       |  coalesce(len(p.ps), 0) AS removed_tokens
+       |FROM b LEFT JOIN p USING (doc_id)""".stripMargin) { (s, dir) =>
+    graft.operators.SpanDedup.removeSpans(
+      Tables.documents(s, dir), "doc_id", "text", n = 8, minDocs = 2)
+  }
+
+  // ---------------------------------------------------------------- t20
+  /** Bigram stupid-backoff likelihood scoring (CCNet-style LM quality
+    * filter): even-id documents are the reference corpus, odd-id
+    * documents are scored against its bigram/unigram counts. Exact
+    * DECIMAL accumulation of IEEE-exact quotients makes the double
+    * score bit-identical across engines.
+    */
+  val t20_lm_likelihood = q("t20_lm_likelihood",
+    s"""WITH n AS (SELECT doc_id,
+       |        [x for x in string_split(lower(${normSql("text")}), ' ') if x <> ''] AS toks
+       |      FROM documents),
+       |ref AS (SELECT doc_id, toks FROM n WHERE doc_id % 2 = 0),
+       |tgt AS (SELECT doc_id, toks FROM n WHERE doc_id % 2 = 1 AND len(toks) >= 2),
+       |uni AS (SELECT u, count(*) AS cu
+       |        FROM (SELECT unnest(toks) AS u FROM ref) GROUP BY u),
+       |tot AS (SELECT count(*) AS t FROM (SELECT unnest(toks) AS u FROM ref)),
+       |bref AS (SELECT toks[CAST(i AS INT) + 1] AS u, toks[CAST(i AS INT) + 2] AS v
+       |         FROM (SELECT toks, unnest(range(0, len(toks) - 1)) AS i
+       |               FROM ref WHERE len(toks) >= 2)),
+       |big AS (SELECT u, v, count(*) AS cb FROM bref GROUP BY u, v),
+       |btgt AS (SELECT doc_id, toks[CAST(i AS INT) + 1] AS u,
+       |                toks[CAST(i AS INT) + 2] AS v
+       |         FROM (SELECT doc_id, toks, unnest(range(0, len(toks) - 1)) AS i
+       |               FROM tgt)),
+       |p AS (SELECT doc_id, (cb IS NOT NULL) AS hit,
+       |        CASE WHEN cb IS NOT NULL
+       |             THEN CAST(cb AS DOUBLE) / CAST(u1.cu AS DOUBLE)
+       |             ELSE 0.4 * (CAST(coalesce(u2.cu, 0) AS DOUBLE) / CAST(tot.t AS DOUBLE))
+       |        END AS p
+       |      FROM btgt
+       |      LEFT JOIN big USING (u, v)
+       |      LEFT JOIN uni u1 ON btgt.u = u1.u
+       |      LEFT JOIN uni u2 ON btgt.v = u2.u
+       |      CROSS JOIN tot)
+       |SELECT doc_id, count(*) AS n_bigrams,
+       |  count(*) FILTER (WHERE hit) AS n_hit,
+       |  CAST(SUM(CAST(p AS DECIMAL(18,9))) AS DOUBLE) / count(*) AS score
+       |FROM p GROUP BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    graft.operators.NgramLm.scoreStupidBackoff(
+      docs.filter(col("doc_id") % 2 === 1), docs.filter(col("doc_id") % 2 === 0),
+      "doc_id", "text")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     t01_token_stats, t02_quality_score, t03_lang_id, t04_fingerprint,
     t05_rolling_hash, t06_redact, t07_tfidf_top_terms, t08_curation_pipeline,
     t09_repetition, t10_mixture_resample, t11_boilerplate_ngrams,
     t12_sequence_packing, t13_packed_sequences, t14_epoch_shuffle,
     t15_line_dedup, t16_quality_gate, t17_doc_chunking,
-    t18_quality_classifier)
+    t18_quality_classifier, t19_span_removal, t20_lm_likelihood)
 }

@@ -1,0 +1,53 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+
+/** Stupid-backoff bigram scoring: hand-computed fixtures covering all
+  * three likelihood branches (seen bigram, unseen bigram with in-vocab
+  * continuation, out-of-vocabulary continuation).
+  */
+class NgramLmSpec extends SparkSpec {
+  import spark.implicits._
+
+  // Reference corpus: "a b a b" + "b c" →
+  //   unigrams: a=2, b=3, c=1, T=6
+  //   bigrams:  (a,b)=2, (b,a)=1, (b,c)=1
+  private val ref = Seq((0, "a b a b"), (2, "b c")).toDF("id", "text")
+
+  test("seen bigrams score C(u,v)/C(u)") {
+    val tgt = Seq((1, "a b c")).toDF("id", "text")
+    val out = NgramLm.scoreStupidBackoff(tgt, ref, "id", "text").collect()
+    // (a,b): 2/2 = 1.0   (b,c): 1/3
+    val expected = (1.0 + 1.0 / 3) / 2
+    assert(out.length === 1)
+    val r = out(0)
+    assert(r.getAs[Long]("n_bigrams") === 2L && r.getAs[Long]("n_hit") === 2L)
+    assert(math.abs(r.getAs[Double]("score") - expected) < 1e-9)
+  }
+
+  test("unseen bigram backs off to 0.4 * C(v)/T; OOV continuation scores 0") {
+    val tgt = Seq((1, "c a"), (3, "a z")).toDF("id", "text")
+    val out = NgramLm.scoreStupidBackoff(tgt, ref, "id", "text")
+      .orderBy("id").collect()
+    // (c,a) unseen → 0.4 * C(a)/T = 0.4 * 2/6
+    assert(out(0).getAs[Long]("n_hit") === 0L)
+    assert(math.abs(out(0).getAs[Double]("score") - 0.4 * 2.0 / 6) < 1e-9)
+    // (a,z): z OOV → 0
+    assert(out(1).getAs[Long]("n_hit") === 0L)
+    assert(out(1).getAs[Double]("score") === 0.0)
+  }
+
+  test("documents with fewer than two tokens produce no score row") {
+    val tgt = Seq((1, "solo"), (3, ""), (5, "a b")).toDF("id", "text")
+    val out = NgramLm.scoreStupidBackoff(tgt, ref, "id", "text")
+    assert(out.select("id").as[Int].collect().toSet === Set(5))
+  }
+
+  test("counts are case-insensitive and whitespace-normalized") {
+    val refMixed = Seq((0, "  A  b\nA b")).toDF("id", "text")
+    val tgt = Seq((1, "a B")).toDF("id", "text")
+    val out = NgramLm.scoreStupidBackoff(tgt, refMixed, "id", "text").collect()
+    assert(out(0) === Row(1, 1L, 1L, 1.0))
+  }
+}

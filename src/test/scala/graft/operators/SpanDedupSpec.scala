@@ -1,0 +1,100 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+
+/** Exact-substring span dedup: hand-computable fixtures for detection
+  * (window duplication, interval-union coverage incl. overlapping and
+  * abutting spans) and removal (in-row token filter), plus the
+  * no-duplication identity and the short-document guard.
+  */
+class SpanDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val n = 3
+
+  private def docs(rows: (Int, String)*) =
+    rows.toSeq.toDF("id", "text")
+
+  test("coverage: overlapping duplicated windows merge into one span") {
+    // "a b c d" shared by both docs → with n=3 two windows (starts 0,1)
+    // in each; union covers 4 tokens, not 6.
+    val df = docs(
+      1 -> "a b c d x y z",
+      2 -> "q q2 q3 a b c d")
+    val out = SpanDedup.coverage(df, "id", "text", n, 2)
+      .orderBy("id").collect()
+    assert(out(0) === Row(1, 7L, 5L, 2L, 4L))
+    assert(out(1) === Row(2, 7L, 5L, 2L, 4L))
+  }
+
+  test("coverage: disjoint duplicated spans sum; abutting spans merge") {
+    // doc 3 shares "a b c" at start 0 and "x y z" at start 3 with the
+    // others — abutting intervals [0,3)+[3,6) merge to 6 covered tokens.
+    val df = docs(
+      1 -> "a b c p1 p2 p3 p4",
+      2 -> "r1 r2 r3 x y z r4",
+      3 -> "a b c x y z")
+    val out = SpanDedup.coverage(df, "id", "text", n, 2)
+      .orderBy("id").collect()
+    assert(out(0) === Row(1, 7L, 5L, 1L, 3L))
+    assert(out(1) === Row(2, 7L, 5L, 1L, 3L))
+    assert(out(2) === Row(3, 6L, 4L, 2L, 6L))
+  }
+
+  test("coverage: documents shorter than n and unique docs report zeroes") {
+    val df = docs(1 -> "a b", 2 -> "u v w x", 3 -> "")
+    val out = SpanDedup.coverage(df, "id", "text", n, 2)
+      .orderBy("id").collect()
+    assert(out(0) === Row(1, 2L, 0L, 0L, 0L))
+    assert(out(1) === Row(2, 4L, 2L, 0L, 0L))
+    assert(out(2) === Row(3, 0L, 0L, 0L, 0L))
+  }
+
+  test("minDocs threshold: a window must hit that many DISTINCT docs") {
+    // "a b c" appears twice in doc 1 but only in doc 1 → not duplicated
+    // at minDocs=2 (distinct-doc semantics, not occurrence count).
+    val df = docs(1 -> "a b c z1 z2 a b c", 2 -> "m1 m2 m3 m4")
+    val out = SpanDedup.coverage(df, "id", "text", n, 2)
+      .orderBy("id").collect()
+    assert(out(0).getLong(3) === 0L && out(0).getLong(4) === 0L)
+  }
+
+  test("removeSpans drops exactly the covered tokens, keeps order") {
+    val df = docs(
+      1 -> "a b c d x y z",
+      2 -> "q1 q2 q3 a b c d")
+    val out = SpanDedup.removeSpans(df, "id", "text", n, 2)
+      .orderBy("id").collect()
+    assert(out(0) === Row(1, "x y z", 4L))
+    assert(out(1) === Row(2, "q1 q2 q3", 4L))
+  }
+
+  test("removeSpans is the identity (modulo ws-normalization) without dups") {
+    val df = docs(1 -> "  a   b\nc ", 2 -> "u v w")
+    val out = SpanDedup.removeSpans(df, "id", "text", n, 2)
+      .orderBy("id").collect()
+    assert(out(0) === Row(1, "a b c", 0L))
+    assert(out(1) === Row(2, "u v w", 0L))
+  }
+
+  test("coverage equals the explode-distinct recount on real documents") {
+    // Differential against a second algorithm (position explode +
+    // countDistinct) over the sf0.001 documents table — the same check
+    // the DuckDB oracle performs, run engine-side so `sbt test` alone
+    // guards the merged-interval fold.
+    import org.apache.spark.sql.functions._
+    val df = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val fold = SpanDedup.coverage(df, "doc_id", "text", 8, 2)
+    val naive = SpanDedup.dupStarts(df, "doc_id", "text", 8, 2)
+      .select(col("doc_id"), explode(sequence(col("__start"),
+        col("__start") + 7)).as("p"))
+      .groupBy("doc_id").agg(countDistinct("p").as("cov"))
+    val joined = fold.join(naive, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("covered_tokens"),
+        coalesce(col("cov"), lit(0L)).as("cov"))
+    assert(joined.filter(col("covered_tokens") =!= col("cov")).count() === 0)
+    assert(fold.filter(col("dup_windows") > 0).count() > 0,
+      "fixture should contain duplicated spans")
+  }
+}

@@ -537,10 +537,45 @@ object EmbeddingQueries {
       .select("vec_id", "label")
   }
 
+  // ---------------------------------------------------------------- e17
+  /** ANN index VACUUM under the probe gate — the full maintenance
+    * lifecycle in one staged fixture: day-0 [[graft.ext.AnnIndex.build]],
+    * day-1 append fragment, then a curation deletion (every 7th vector)
+    * applied by [[graft.ext.AnnIndex.compact]] — fragments folded to one
+    * file per cell, codebooks carried, crash-safe epoch swap. The timed
+    * probe runs against the COMPACTED index; golden-gated (AnnIndexSpec
+    * additionally proves probe ≡ in-memory path over the kept vectors and
+    * that no deleted id can surface).
+    */
+  val e17_ann_compaction = q("e17_ann_compaction",
+      GoldenOracles.sqlFor("e17_ann_compaction")) { (s, dir) =>
+    val dim = 32
+    val kCells = 20
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"),
+        graft.ext.ClusteredFixture.normalizedVec(col("vec_id"), kCells, dim)
+          .as("embedding"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val root = DedupQueries.DedupStaging.ensure("e17", dir) { r =>
+      graft.ext.AnnIndex.build(emb.filter(col("vec_id") % 5 =!= 0),
+        "vec_id", "embedding", s"$r/ann_index", dim,
+        m = 8, pqK = 16, ivfK = kCells, iterations = 2)
+      graft.ext.AnnIndex.append(emb.filter(col("vec_id") % 5 === 0),
+        s"$r/ann_index", "embedding", batchId = 1L)
+      graft.ext.AnnIndex.compact(s, s"$r/ann_index",
+        emb.select(col("vec_id")).filter(col("vec_id") % 7 =!= 0))
+    }
+    val idx = graft.ext.AnnIndex.load(s, s"$root/ann_index")
+    val kept = emb.filter(col("vec_id") % 7 =!= 0)
+    graft.ext.AnnIndex.searchTopK(idx, kept, emb.filter(col("vec_id") < 8),
+        "embedding", nprobe = 2, topR = 25, topK = 5)
+      .select(col("qid"), col("rank"), col("nid"),
+        round(col("cos"), 6).as("cos"))
+  }
+
   val all: Seq[GraftQuery] = Seq(
     e01_knn_bruteforce, e02_centroids, e03_label_block_nn, e04_lsh_ann,
     e05_cosine_neardup, e06_ivf_ann, e07_l2_normalize, e08_signature_neardup,
     e09_ivf_recall, e10_lsh_recall, e11_clustered_recall, e12_pq_recall,
     e13_ivfadc_recall, e14_ann_index_append, e15_codebook_drift,
-    e16_semantic_dedup)
+    e16_semantic_dedup, e17_ann_compaction)
 }

@@ -90,6 +90,64 @@ class AnnIndexSpec extends SparkSpec {
     }
   }
 
+  test("compact: deletions pruned, fragments folded to one file per cell, codebooks carried, epoch swapped") {
+    val dir = java.nio.file.Files.createTempDirectory("ann-compact").toString
+    try {
+      val e = emb.cache(); e.count()
+      AnnIndex.build(e.filter(col("vec_id") % 4 =!= 0), "vec_id", "embedding",
+        s"$dir/idx", dim, m = 8, pqK = 16, ivfK = clusters, iterations = 2)
+      AnnIndex.append(e.filter(col("vec_id") % 4 === 0 && col("vec_id") % 8 =!= 0),
+        s"$dir/idx", "embedding", batchId = 1L)
+      AnnIndex.append(e.filter(col("vec_id") % 8 === 0),
+        s"$dir/idx", "embedding", batchId = 2L)
+      assert(AnnIndex.fragmentCount(spark, s"$dir/idx") == 2)
+      val before = AnnIndex.load(spark, s"$dir/idx")
+
+      // a curation pass deleted every 7th vector
+      val keep = e.select(col("vec_id")).filter(col("vec_id") % 7 =!= 0)
+      AnnIndex.compact(spark, s"$dir/idx", keep)
+
+      val idx = AnnIndex.load(spark, s"$dir/idx")
+      // epoch swapped, previous epoch kept for one grace cycle
+      assert(idx.epoch == before.epoch + 1)
+      assert(new java.io.File(s"$dir/idx/codes").exists(), "grace epoch swept early")
+      assert(new java.io.File(s"$dir/idx/codes_e1").exists())
+      // deletions applied, fragments folded to the single bulk fragment
+      assert(idx.codes.count() == keep.count())
+      assert(AnnIndex.fragmentCount(spark, s"$dir/idx") == 0)
+      val fragDirs = new java.io.File(s"$dir/idx/codes_e1").listFiles()
+        .map(_.getName).filter(_.startsWith("frag="))
+      assert(fragDirs.sameElements(Array("frag=-1")), fragDirs.mkString(", "))
+      // one file per cell after the fold
+      new java.io.File(s"$dir/idx/codes_e1/frag=-1").listFiles()
+        .filter(_.getName.startsWith("cell=")).foreach { cd =>
+          val files = cd.listFiles().filter(_.getName.endsWith(".parquet"))
+          assert(files.length == 1, s"${cd.getName}: ${files.length} files")
+        }
+      // codebooks carried verbatim — compaction is not a retrain
+      assert(idx.pq == before.pq && idx.ivf == before.ivf)
+      // the compacted probe ≡ the in-memory probe over the kept vectors
+      // under the SAME codebooks
+      val kept = e.join(keep, Seq("vec_id"), "left_semi").cache(); kept.count()
+      val queries = e.filter(col("vec_id") < 8)
+      val stored = AnnIndex.searchTopK(idx, kept, queries, "embedding",
+          nprobe = 2, topR = 25, topK = 5)
+        .select("qid", "rank", "nid").as[(Long, Int, Long)].collect().toSet
+      val inMem = PqAnn.searchTopKIvf(
+          PqAnn.encodeWithCells(kept, "embedding", idx.pq, idx.ivf)
+            .select(col("vec_id"), col("codes"), col("cell")),
+          kept, queries, "vec_id", "embedding", "codes", idx.pq, idx.ivf,
+          nprobe = 2, topR = 25, topK = 5)
+        .select("qid", "rank", "nid").as[(Long, Int, Long)].collect().toSet
+      assert(stored == inMem && stored.size == 8 * 5)
+      assert(!stored.exists { case (_, _, nid) => nid % 7 == 0 },
+        "a deleted id surfaced from the compacted index")
+      kept.unpersist(); e.unpersist()
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("rebuild CAS-swaps the epoch; a pre-rebuild reader survives one grace cycle") {
     val dir = java.nio.file.Files.createTempDirectory("ann-grace").toString
     def exists(name: String) = new java.io.File(s"$dir/idx/$name").exists()

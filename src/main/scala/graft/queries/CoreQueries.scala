@@ -1043,8 +1043,33 @@ object CoreQueries {
       .select("l_returnflag", "l_linestatus", "g_rf", "g_ls", "sum_qty", "n")
   }
 
+  // ---------------------------------------------------------------- q51
+  /** UNPIVOT/melt — wide-to-long reshaping (the inverse of q08's pivot):
+    * a per-flag wide aggregate melts into (key, metric, value) rows via
+    * the native `Dataset.unpivot` (Expand under the hood — row-local, no
+    * shuffle beyond the feeding aggregate). DuckDB's UNPIVOT clause is
+    * the oracle.
+    */
+  val q51_unpivot = q("q51_unpivot",
+    s"""WITH wide AS (SELECT l_returnflag,
+       |  ${dsum("l_quantity")} AS sum_qty,
+       |  ${dsum("l_extendedprice")} AS sum_price,
+       |  ${dsum("l_discount")} AS sum_disc
+       |FROM lineitem GROUP BY 1)
+       |UNPIVOT wide ON sum_qty, sum_price, sum_disc
+       |INTO NAME metric VALUE value""".stripMargin) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(Cols.decimalSum(col("l_quantity")).as("sum_qty"),
+        Cols.decimalSum(col("l_extendedprice")).as("sum_price"),
+        Cols.decimalSum(col("l_discount")).as("sum_disc"))
+      .unpivot(Array(col("l_returnflag")),
+        Array(col("sum_qty"), col("sum_price"), col("sum_disc")),
+        "metric", "value")
+  }
+
   val all: Seq[GraftQuery] = Seq(
-    q50_grouping_sets,
+    q50_grouping_sets, q51_unpivot,
     q48_drift_psi, q47_jaro_top1, q46_stratified_sample,
     q30_numeric_describe, q31_ship_priority, q32_regional_volume, q33_small_quantity,
     q34_approx_stats, q35_from_json, q36_array_agg, q37_order_distribution,

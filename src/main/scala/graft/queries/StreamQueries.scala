@@ -318,9 +318,41 @@ object StreamQueries {
       "6 hours", refMasses = Seq.fill(10)(0.1), lo = 0.0, hi = 500.0)
   }
 
+  // ---------------------------------------------------------------- s12
+  /** LEFT OUTER interval join — s08's conversion join keeping the
+    * UNconverted clicks (null purchase columns): the attribution query a
+    * funnel pipeline actually runs. Mode-agnostic plan; in streaming mode
+    * the same plan needs watermarks on BOTH sides, and Spark emits the
+    * null-padded row only when the watermark proves no match can still
+    * arrive — state stays bounded by the time-range predicate
+    * (StreamingSpec's left-outer differential drives exactly that,
+    * sentinel-advanced watermark included).
+    */
+  val s12_interval_left_join = q("s12_interval_left_join", Some(
+    """SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+      |  CAST((epoch_us(p.ts) - epoch_us(c.ts)) // 1000000 AS BIGINT) AS lag_sec
+      |FROM (SELECT * FROM events WHERE event_type = 'click') c
+      |LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      |  ON c.user_id = p.user_id
+      |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR""".stripMargin)) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("cts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_uid"), col("ts").as("pts"))
+    clicks.join(purchases,
+        col("user_id") === col("p_uid") &&
+          col("pts") >= col("cts") &&
+          col("pts") <= col("cts") + expr("INTERVAL 1 HOUR"),
+        "left_outer")
+      .select(col("click_id"), col("purchase_id"),
+        expr("(unix_micros(pts) - unix_micros(cts)) div 1000000").as("lag_sec"))
+  }
+
   val all: Seq[GraftQuery] = Seq(
     s01_tumbling_agg, s02_sliding_agg, s03_session_windows,
     s04_dedup_first_event, s05_watermark_late, s06_asof_backward,
     s07_running_user_agg, s08_interval_join, s09_stream_curation,
-    s10_line_stats_ingest, s11_stream_drift)
+    s10_line_stats_ingest, s11_stream_drift, s12_interval_left_join)
 }

@@ -255,6 +255,61 @@ class StreamingSpec extends SparkSpec {
     assert(got == expected && got.nonEmpty)
   }
 
+  test("watermarked stream-stream LEFT OUTER interval join emits null-padded unmatched clicks") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Ev]
+    val purchases = MemoryStream[Ev]
+    val clickEvents = Seq(
+      Ev(ts(10), 1, "click", 0),   // converts at ts(25)
+      Ev(ts(30), 1, "click", 0),   // never converts -> null row
+      Ev(ts(40), 2, "click", 0),   // converts at ts(95)
+      Ev(ts(300), 3, "click", 0))  // purchase came BEFORE it -> null row
+    val purchaseEvents = Seq(
+      Ev(ts(25), 1, "purchase", 9),
+      Ev(ts(95), 2, "purchase", 7),
+      Ev(ts(299), 3, "purchase", 3))
+    // far-future sentinels push the watermark past every real click's
+    // join window so the null-padded rows actually EMIT (a left-outer
+    // stream can only give up on a click once the watermark proves no
+    // matching purchase can still arrive)
+    val sentinelC = Ev(ts(100000), 99, "click", 0)
+    val sentinelP = Ev(ts(100000), 99, "purchase", 0)
+
+    val c = clicks.toDF().withWatermark("ts", "10 minutes")
+      .select(col("user_id"), col("ts").as("cts"))
+    val p = purchases.toDF().withWatermark("ts", "10 minutes")
+      .select(col("user_id").as("p_uid"), col("ts").as("pts"))
+    val joined = c.join(p,
+        col("user_id") === col("p_uid") &&
+          col("pts") >= col("cts") &&
+          col("pts") <= col("cts") + org.apache.spark.sql.functions.expr("INTERVAL 1 HOUR"),
+        "left_outer")
+      .select(col("user_id"), col("cts"), col("pts"))
+    val query = joined.writeStream
+      .format("memory").queryName("ssj_lo_out").outputMode("append").start()
+    clicks.addData(clickEvents.take(2)); purchases.addData(purchaseEvents.take(1))
+    query.processAllAvailable()
+    clicks.addData(clickEvents.drop(2)); purchases.addData(purchaseEvents.drop(1))
+    query.processAllAvailable()
+    clicks.addData(Seq(sentinelC)); purchases.addData(Seq(sentinelP))
+    query.processAllAvailable()
+    query.stop()
+
+    val got = spark.table("ssj_lo_out")
+      .filter(col("user_id") =!= 99)
+      .as[(Long, Timestamp, Option[Timestamp])].collect().toSet
+    val matched = (for {
+      cl <- clickEvents; pu <- purchaseEvents
+      if cl.user_id == pu.user_id
+      if pu.ts.getTime >= cl.ts.getTime && pu.ts.getTime <= cl.ts.getTime + 3600000L
+    } yield (cl.user_id, cl.ts, Some(pu.ts))).toSet
+    val unmatched = clickEvents
+      .filter(cl => !matched.exists { case (u, ct, _) => u == cl.user_id && ct == cl.ts })
+      .map(cl => (cl.user_id, cl.ts, None)).toSet
+    assert(got == matched ++ unmatched)
+    assert(unmatched.size == 2, "fixture should leave two unconverted clicks")
+  }
+
   test("file-based stream: parquet dir -> windowed agg -> parquet sink") {
     val base = "/root/repo/target/qtmp/stream_e2e"
     val inDir = s"$base/in"; val outDir = s"$base/out"; val ckpt = s"$base/ckpt"

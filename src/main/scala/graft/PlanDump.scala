@@ -43,6 +43,49 @@ object PlanDump {
       "ScaleSmoke hot-key gate 10x). Over-cap blocks skip pair " +
       "expansion and keep all members: the cap degrades retention, " +
       "never silently deletes."),
+    "d15_span_coverage" -> ("round 11: exact-substring span dedup, " +
+      "detection side. Windows explode row-locally (tokens-x, the " +
+      "d02-shingle amplification); phase 1 shuffles only (xxhash64, " +
+      "doc_id) with map-side partial aggregation, phase 2 re-derives " +
+      "windows and joins the candidate hashes BEFORE any (hash, text) " +
+      "aggregate, so full window text shuffles only for the Zipf-headed " +
+      "duplicated subset (PlanAuditSpec pins the prune-below-aggregate " +
+      "ordering and the 2-column ReadSchema on every scan; a 64-bit " +
+      "collision splits rather than merges — exact recount by (hash, " +
+      "text)). Coverage is a per-doc merged-interval aggregate HOF — " +
+      "no position explode, no window function. The branch recompute " +
+      "(4 pruned scans) is the deliberate trade against materializing " +
+      "the tokens-x window relation; AQE exchange reuse dedups the " +
+      "repeated candidate subtree at runtime. ScaleSmoke holds it " +
+      "within 2x of linear at 10x + 3000-doc hot key."),
+    "t19_span_removal" -> ("round 11: the apply side of d15 — same " +
+      "two-phase candidate prune, then duplicated start positions fold " +
+      "per doc (flatten + array_distinct, row-local, bounded by doc " +
+      "length) and the token filter runs in-row (filter HOF with " +
+      "index); the cleaned text never exists as exploded rows. " +
+      "String-exact against the DuckDB list-comprehension rebuild."),
+    "t20_lm_likelihood" -> ("round 11: stupid-backoff bigram scoring — " +
+      "the model IS two additive count relations (unigrams, bigrams) + " +
+      "a 1-row total; scoring is two left joins + a broadcast cross of " +
+      "the total. At 100 TB the count side is Zipf-bounded vocabulary " +
+      "(broadcastable); every per-bigram quotient is one IEEE-exact " +
+      "double op and the doc mean accumulates in DECIMAL, which is " +
+      "what lets a float score hash-match DuckDB bit-for-bit."),
+    "e17_ann_compaction" -> ("round 11: the probe runs against a " +
+      "COMPACTED index — deletions semi-pruned, fragments folded to " +
+      "one file per cell — so the plan is e13's probe shape " +
+      "(PartitionFilters on (frag, cell), vector-free ReadSchema) with " +
+      "the post-maintenance layout. The compaction itself is O(index) " +
+      "re-layout under a crash-safe epoch swap; codebooks carried, so " +
+      "it does not reset the codebook-drift clock (e15 measures that)."),
+    "q51_unpivot" -> ("round 11: native unpivot lowers to Expand — " +
+      "row-local 3x fan-out above the feeding aggregate, no new " +
+      "exchange class."),
+    "s12_interval_left_join" -> ("round 11: s08's plan with LeftOuter — " +
+      "same single user-key shuffle pair; in streaming mode the " +
+      "time-range predicate bounds BOTH state stores and null-padded " +
+      "rows emit on watermark passage (StreamingSpec drives the " +
+      "sentinel-advanced watermark case)."),
     "s11_stream_drift" -> ("round 11: the ONLY stateful operator is one " +
       "windowed aggregation carrying bins+1 longs per window (per-bin " +
       "conditional counts + total in a single agg, map-side combined); " +

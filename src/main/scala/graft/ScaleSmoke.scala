@@ -150,6 +150,15 @@ object ScaleSmoke {
       run("d05_simhash_neardup",
         ext.NearDup.simhashNearDups(docsSmall, "doc_id", "text", 3, 4).count(),
         ext.NearDup.simhashNearDups(docsBig, "doc_id", "text", 3, 4).count()),
+      // span dedup under the hot key: 3000 identical docs make every one
+      // of their windows a corpus-wide heavy hitter — the phase-1 count
+      // combines map-side, the phase-2 recount fans linearly in
+      // occurrences, and the coverage fold stays per-doc
+      run("d15_span_coverage",
+        operators.SpanDedup.coverage(docsSmall, "doc_id", "text", 8, 2)
+          .agg(sum("covered_tokens")).collect()(0).getLong(0),
+        operators.SpanDedup.coverage(docsBig, "doc_id", "text", 8, 2)
+          .agg(sum("covered_tokens")).collect()(0).getLong(0)),
       run("e05_cosine_neardup",
         ext.EmbeddingDedup.cosineNearDupPairs(embSmall, "vec_id", "embedding",
           "label", 0.42).count(),

@@ -203,4 +203,42 @@ class PlanAuditSpec extends SparkSpec {
     val read = "ReadSchema: [^\n]+".r.findFirstIn(p).get
     assert(!read.contains("o_orderdate") && !read.contains("o_orderpriority"), read)
   }
+
+  test("d15: window text never rides a corpus-wide shuffle; scans prune to (doc_id, text)") {
+    val p = plan(DedupQueries.d15_span_coverage)
+    val lines = p.linesIterator.toList
+    // 1. every scan (the operator re-derives windows per branch rather
+    //    than materializing the tokens-x amplification) reads exactly the
+    //    two referenced columns
+    val reads = lines.filter(_.contains("ReadSchema"))
+    assert(reads.nonEmpty &&
+      reads.forall(_.contains("struct<doc_id:bigint,text:string>")), reads.mkString("\n"))
+    // 2. the phase-1 heavy-hitter count shuffles only (__h, doc_id) — any
+    //    shuffle Exchange whose key list mentions the window TEXT column
+    //    (__w) must sit on the candidate-pruned side, which is proven by
+    //    (3); here: partial aggregation exists below the phase-1 exchange
+    assert(lines.count(_.contains("partial_count")) >= 2, p)
+    // 3. every (h, w)-keyed aggregate consumes candidate-PRUNED windows:
+    //    below the lowest (__h, __w, doc_id) partial aggregate there is a
+    //    join against the phase-1 candidate hashes BEFORE the window
+    //    Generate — i.e. full window text is aggregated/shuffled only for
+    //    the heavy-hitter candidates, never for the whole corpus
+    val lowestHW = lines.lastIndexWhere(l =>
+      l.contains("HashAggregate(keys=[__h") && l.contains("__w"))
+    assert(lowestHW >= 0, p)
+    val below = lines.drop(lowestHW + 1)
+    val joinIdx = below.indexWhere(l => l.contains("Join [__h"))
+    val genIdx = below.indexWhere(_.contains("Generate posexplode"))
+    assert(joinIdx >= 0 && genIdx > joinIdx,
+      s"no candidate prune between the window Generate and the (h,w) aggregate\n$p")
+  }
+
+  test("t19: span removal keeps the same pruned-scan / pruned-shuffle contract") {
+    val p = TextQueries.t19_span_removal.fn(spark, dir)
+      .queryExecution.executedPlan.toString
+    val reads = p.linesIterator.filter(_.contains("ReadSchema")).toList
+    assert(reads.nonEmpty &&
+      reads.forall(_.contains("struct<doc_id:bigint,text:string>")), reads.mkString("\n"))
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+  }
 }

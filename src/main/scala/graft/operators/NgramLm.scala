@@ -48,6 +48,30 @@ object NgramLm {
             element_at(col("__t"), i + 2).as("v")))).as("__b"))
       .select(col(idCol), col("__b.u").as("u"), col("__b.v").as("v"))
 
+  /** The trained "model": the unigram count relation `(u, cu)` and the
+    * bigram count relation `(u, v, cb)` — plain DataFrames, so the model
+    * persists as parquet and a continuous ingest maintains it by
+    * ADDITIVE union: `mergeModels(model(a), model(b)) == model(a ∪ b)`
+    * exactly, for any disjoint document batching (NgramLmSpec pins the
+    * law). The total token count is `sum(cu)` — derived, never stored,
+    * so it cannot drift from the counts.
+    */
+  def model(reference: DataFrame, idCol: String,
+            textCol: String): (DataFrame, DataFrame) =
+    (unigrams(reference, idCol, textCol)
+       .groupBy("u").agg(count(lit(1)).as("cu")),
+     bigrams(reference, idCol, textCol)
+       .groupBy("u", "v").agg(count(lit(1)).as("cb")))
+
+  /** Fold two count models into one — the maintenance step of a
+    * continuously trained reference model (counts are additive over any
+    * disjoint partition of the corpus into batches).
+    */
+  def mergeModels(a: (DataFrame, DataFrame),
+                  b: (DataFrame, DataFrame)): (DataFrame, DataFrame) =
+    (a._1.unionByName(b._1).groupBy("u").agg(sum("cu").as("cu")),
+     a._2.unionByName(b._2).groupBy("u", "v").agg(sum("cb").as("cb")))
+
   /** Score each target document's mean bigram likelihood under the
     * reference corpus's stupid-backoff model. Output: one row per target
     * document with ≥2 tokens — (idCol, n_bigrams, n_hit, score).
@@ -55,10 +79,18 @@ object NgramLm {
   def scoreStupidBackoff(target: DataFrame, reference: DataFrame,
                          idCol: String, textCol: String,
                          alpha: Double = 0.4): DataFrame = {
-    val uniCnt = unigrams(reference, idCol, textCol)
-      .groupBy("u").agg(count(lit(1)).as("__cu"))
-    val bigCnt = bigrams(reference, idCol, textCol)
-      .groupBy("u", "v").agg(count(lit(1)).as("__cb"))
+    val (uni, big) = model(reference, idCol, textCol)
+    scoreWithModel(target, uni, big, idCol, textCol, alpha)
+  }
+
+  /** Score against a caller-held (possibly loaded-from-parquet,
+    * possibly incrementally merged) count model.
+    */
+  def scoreWithModel(target: DataFrame, uni: DataFrame, big: DataFrame,
+                     idCol: String, textCol: String,
+                     alpha: Double = 0.4): DataFrame = {
+    val uniCnt = uni.select(col("u"), col("cu").cast("long").as("__cu"))
+    val bigCnt = big.select(col("u"), col("v"), col("cb").cast("long").as("__cb"))
     val total = uniCnt.agg(sum("__cu").as("__t"))
 
     val tb = bigrams(target, idCol, textCol)

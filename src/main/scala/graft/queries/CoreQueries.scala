@@ -1068,8 +1068,34 @@ object CoreQueries {
         "metric", "value")
   }
 
+  // ---------------------------------------------------------------- q52
+  /** Time-RANGE window frame — the rolling-interval aggregate q27's ROWS
+    * frames cannot express: per user, how many events (and how much
+    * value) landed in the trailing hour of EVENT TIME at each event. The
+    * frame is value-based (epoch seconds, range 3600), so peers with
+    * equal timestamps aggregate identically regardless of row order —
+    * deterministic under any partitioning, and the batch twin of s02's
+    * sliding windows.
+    */
+  val q52_time_range_window = q("q52_time_range_window",
+    s"""SELECT event_id, user_id,
+       |  CAST(COUNT(*) OVER w AS BIGINT) AS n_1h,
+       |  CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS sum_1h
+       |FROM events
+       |WINDOW w AS (PARTITION BY user_id
+       |  ORDER BY epoch_us(ts) // 1000000
+       |  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(expr("unix_micros(ts) div 1000000"))
+      .rangeBetween(-3600L, Window.currentRow)
+    Tables.events(s, dir).select(
+      col("event_id"), col("user_id"),
+      count(lit(1)).over(w).as("n_1h"),
+      Cols.decimalSumOver(col("value"), w).as("sum_1h"))
+  }
+
   val all: Seq[GraftQuery] = Seq(
-    q50_grouping_sets, q51_unpivot,
+    q50_grouping_sets, q51_unpivot, q52_time_range_window,
     q48_drift_psi, q47_jaro_top1, q46_stratified_sample,
     q30_numeric_describe, q31_ship_priority, q32_regional_volume, q33_small_quantity,
     q34_approx_stats, q35_from_json, q36_array_agg, q37_order_distribution,

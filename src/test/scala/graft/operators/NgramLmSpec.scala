@@ -44,6 +44,23 @@ class NgramLmSpec extends SparkSpec {
     assert(out.select("id").as[Int].collect().toSet === Set(5))
   }
 
+  test("model counts are additive over disjoint batches (the continuous-ingest law)") {
+    val a = Seq((0, "a b a"), (2, "b c")).toDF("id", "text")
+    val b = Seq((4, "a b c c")).toDF("id", "text")
+    val whole = NgramLm.model(a.unionByName(b), "id", "text")
+    val merged = NgramLm.mergeModels(
+      NgramLm.model(a, "id", "text"), NgramLm.model(b, "id", "text"))
+    assert(whole._1.orderBy("u").collect().toSeq ===
+      merged._1.orderBy("u").collect().toSeq)
+    assert(whole._2.orderBy("u", "v").collect().toSeq ===
+      merged._2.orderBy("u", "v").collect().toSeq)
+    // and scoring through the merged model equals the one-shot path
+    val tgt = Seq((1, "a b c")).toDF("id", "text")
+    val one = NgramLm.scoreStupidBackoff(tgt, a.unionByName(b), "id", "text").collect()
+    val two = NgramLm.scoreWithModel(tgt, merged._1, merged._2, "id", "text").collect()
+    assert(one.toSeq === two.toSeq)
+  }
+
   test("counts are case-insensitive and whitespace-normalized") {
     val refMixed = Seq((0, "  A  b\nA b")).toDF("id", "text")
     val tgt = Seq((1, "a B")).toDF("id", "text")

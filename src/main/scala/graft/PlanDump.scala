@@ -78,6 +78,20 @@ object PlanDump {
       "the post-maintenance layout. The compaction itself is O(index) " +
       "re-layout under a crash-safe epoch swap; codebooks carried, so " +
       "it does not reset the codebook-drift clock (e15 measures that)."),
+    "d16_span_decontaminate" -> ("round 11: span-level n-gram " +
+      "decontamination — the benchmark reduces to its distinct window " +
+      "strings and BROADCASTS; the contamination predicate is a " +
+      "map-side LeftSemi on (hash, text) inside the corpus scan stage, " +
+      "so the 100 TB corpus never shuffles for the check (PlanAuditSpec " +
+      "pins exactly two hash exchanges: the benchmark's own distinct " +
+      "and the per-document positions fold). d08/d09 drop whole " +
+      "contaminated documents; this excises the overlapping tokens and " +
+      "keeps the clean remainder."),
+    "q52_time_range_window" -> ("round 11: value-based RANGE frame over " +
+      "epoch seconds — one user-key exchange + per-partition ordered " +
+      "frame scan; equal-timestamp peers aggregate identically under " +
+      "any partitioning, and the windowed sum accumulates in DECIMAL " +
+      "for cross-engine parity."),
     "q51_unpivot" -> ("round 11: native unpivot lowers to Expand — " +
       "row-local 3x fan-out above the feeding aggregate, no new " +
       "exchange class."),

@@ -110,6 +110,41 @@ object SpanDedup {
         coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"))
   }
 
+  /** Contaminated-span start positions: (idCol, __start) for every token
+    * position whose n-token window appears VERBATIM anywhere in the
+    * reference corpus `ref` (an eval/benchmark set) — the GPT-3/PaLM
+    * style n-gram decontamination predicate, at span rather than
+    * document granularity (d08/d09 drop whole documents; this surgically
+    * excises the overlapping tokens). The reference side reduces to its
+    * DISTINCT window strings — benchmark-sized, so Catalyst broadcasts
+    * it and the semi-join (hash AND text, collision-safe) runs map-side
+    * inside the corpus scan stage: zero corpus shuffle at 100 TB.
+    */
+  def contaminatedStarts(df: DataFrame, idCol: String, textCol: String,
+                         ref: DataFrame, refTextCol: String,
+                         n: Int): DataFrame = {
+    val refW = ref.select(toks(col(refTextCol)).as("__toks"))
+      .filter(size(col("__toks")) >= n)
+      .select(explode(transform(sequence(lit(0), size(col("__toks")) - n),
+        s => array_join(slice(col("__toks"), s + 1, lit(n)), " ")))
+        .as("__w"))
+      .distinct()
+      .withColumn("__h", xxhash64(col("__w")))
+    windows(df, idCol, textCol, n)
+      .withColumn("__h", xxhash64(col("__w")))
+      .join(refW, Seq("__h", "__w"), "left_semi")
+      .select(col(idCol), col("__start"))
+  }
+
+  /** Excise every token position covered by a window that appears in the
+    * reference corpus; same output contract as [[removeSpans]].
+    */
+  def decontaminateSpans(df: DataFrame, idCol: String, textCol: String,
+                         ref: DataFrame, refTextCol: String,
+                         n: Int): DataFrame =
+    removeByStarts(df, idCol, textCol,
+      contaminatedStarts(df, idCol, textCol, ref, refTextCol, n), n)
+
   /** Remove duplicated spans: every token position covered by a
     * duplicated n-token window is dropped and the survivors re-joined
     * with single spaces (the operator works on the whitespace-normalized
@@ -118,10 +153,18 @@ object SpanDedup {
     * document row is ever dropped.
     */
   def removeSpans(df: DataFrame, idCol: String, textCol: String,
-                  n: Int, minDocs: Int = 2): DataFrame = {
+                  n: Int, minDocs: Int = 2): DataFrame =
+    removeByStarts(df, idCol, textCol,
+      dupStarts(df, idCol, textCol, n, minDocs), n)
+
+  /** Shared removal tail: drop the tokens covered by `starts`'s
+    * [s, s+n) intervals and re-join with single spaces.
+    */
+  private def removeByStarts(df: DataFrame, idCol: String, textCol: String,
+                             starts: DataFrame, n: Int): DataFrame = {
     // Per-doc covered-position list: row-local flatten of [s, s+n) runs,
     // bounded by document length.
-    val pos = dupStarts(df, idCol, textCol, n, minDocs)
+    val pos = starts
       .groupBy(idCol)
       .agg(array_distinct(flatten(transform(
         collect_list(col("__start")),

@@ -508,10 +508,46 @@ object DedupQueries {
       Tables.documents(s, dir), "doc_id", "text", n = 8, minDocs = 2)
   }
 
+  // ---------------------------------------------------------------- d16
+  /** SPAN-level n-gram decontamination (GPT-3/PaLM style): excise every
+    * 8-token run of a training document that appears verbatim in the
+    * benchmark set (here: every 10th document plays the eval set),
+    * keeping the rest of the document — d08/d09 drop whole documents,
+    * this keeps the clean remainder. The benchmark side reduces to its
+    * distinct window strings (broadcast; the corpus never shuffles).
+    */
+  val d16_span_decontaminate = q("d16_span_decontaminate", Some(
+    s"""WITH t AS (SELECT doc_id,
+       |        [x for x in string_split(${normSql("text")}, ' ') if x <> ''] AS toks
+       |      FROM documents),
+       |tgt AS (SELECT doc_id, toks FROM t WHERE doc_id % 10 <> 0),
+       |ref AS (SELECT doc_id, toks FROM t WHERE doc_id % 10 = 0),
+       |rw AS (SELECT DISTINCT array_to_string(toks[s+1:s+8], ' ') AS w
+       |       FROM (SELECT toks, unnest(range(0, len(toks) - 7)) AS s
+       |             FROM ref WHERE len(toks) >= 8)),
+       |w AS (SELECT doc_id, s, array_to_string(toks[s+1:s+8], ' ') AS w
+       |      FROM (SELECT doc_id, toks, unnest(range(0, len(toks) - 7)) AS s
+       |            FROM tgt WHERE len(toks) >= 8)),
+       |ds AS (SELECT doc_id, s FROM w WHERE w IN (SELECT w FROM rw)),
+       |p AS (SELECT doc_id, list(DISTINCT pos) AS ps
+       |      FROM (SELECT doc_id, unnest(range(s, s + 8)) AS pos FROM ds)
+       |      GROUP BY doc_id)
+       |SELECT b.doc_id,
+       |  coalesce(array_to_string(
+       |    [b.toks[CAST(i AS INT) + 1] for i in range(0, len(b.toks))
+       |     if p.ps IS NULL OR NOT list_contains(p.ps, i)], ' '), '') AS text,
+       |  coalesce(len(p.ps), 0) AS removed_tokens
+       |FROM tgt b LEFT JOIN p USING (doc_id)""".stripMargin)) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    graft.operators.SpanDedup.decontaminateSpans(
+      docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text",
+      docs.filter(col("doc_id") % 10 === 0), "text", n = 8)
+  }
+
   val all: Seq[GraftQuery] = Seq(
     d01_exact_dup_groups, d02_ngram_jaccard, d03_minhash_lsh, d04_simhash,
     d05_simhash_neardup, d06_dedup_clusters, d07_dedup_apply,
     d08_contamination, d09_bloom_decontaminate, d10_incremental_neardup,
     d11_indexed_neardup, d12_extended_neardup, d13_index_compaction,
-    d14_dedup_keep_best, d15_span_coverage)
+    d14_dedup_keep_best, d15_span_coverage, d16_span_decontaminate)
 }

@@ -78,6 +78,29 @@ class SpanDedupSpec extends SparkSpec {
     assert(out(1) === Row(2, "u v w", 0L))
   }
 
+  test("decontaminateSpans excises exactly the benchmark-overlapping runs") {
+    // bench holds "a b c"; target doc 1 embeds it mid-text, doc 2 doesn't.
+    val bench = docs(100 -> "x a b c y")
+    val tgt = docs(
+      1 -> "p q a b c r s",
+      2 -> "p q r s t")
+    val out = SpanDedup.decontaminateSpans(tgt, "id", "text",
+      bench, "text", n = 3).orderBy("id").collect()
+    // windows of doc 1 matching bench windows: "a b c" only ("q a b" and
+    // "b c r" never occur in the bench text) -> tokens 2..4 removed
+    assert(out(0) === Row(1, "p q r s", 3L))
+    assert(out(1) === Row(2, "p q r s t", 0L))
+  }
+
+  test("decontamination is one-sided: target duplication alone removes nothing") {
+    // the same window twice in the TARGET corpus is not contamination
+    val bench = docs(100 -> "z1 z2 z3")
+    val tgt = docs(1 -> "a b c d", 2 -> "a b c e")
+    val out = SpanDedup.decontaminateSpans(tgt, "id", "text",
+      bench, "text", n = 3).orderBy("id").collect()
+    assert(out.forall(_.getLong(2) == 0L))
+  }
+
   test("coverage equals the explode-distinct recount on real documents") {
     // Differential against a second algorithm (position explode +
     // countDistinct) over the sf0.001 documents table — the same check

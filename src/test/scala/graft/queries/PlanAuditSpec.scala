@@ -233,6 +233,19 @@ class PlanAuditSpec extends SparkSpec {
       s"no candidate prune between the window Generate and the (h,w) aggregate\n$p")
   }
 
+  test("d16: benchmark windows broadcast; the training corpus never shuffles before the semi-join") {
+    val p = plan(DedupQueries.d16_span_decontaminate)
+    val lines = p.linesIterator.toList
+    // the decontamination predicate is a BROADCAST LeftSemi on
+    // (hash, window text) — map-side inside the corpus scan stage
+    assert(lines.exists(l => l.contains("BroadcastHashJoin") &&
+      l.contains("LeftSemi")), p)
+    // the only shuffles are benchmark-sized (its window distinct) and
+    // per-document (the positions fold): exactly two hash exchanges,
+    // neither on the corpus window relation
+    assert(lines.count(_.contains("Exchange hashpartitioning")) == 2, p)
+  }
+
   test("t19: span removal keeps the same pruned-scan / pruned-shuffle contract") {
     val p = TextQueries.t19_span_removal.fn(spark, dir)
       .queryExecution.executedPlan.toString

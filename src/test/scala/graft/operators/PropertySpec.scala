@@ -61,4 +61,46 @@ class PropertySpec extends SparkSpec {
       assert(s.contains("Low"), s"group $g must bucket its minimum as Low: $s")
     }
   }
+
+  test("SpanDedup laws: coverage bounds and removal/coverage consistency") {
+    // Random docs over a 6-word vocabulary (tiny alphabet forces plenty
+    // of genuine cross-document window duplication), one batched frame.
+    val vocab = Vector("a", "b", "c", "d", "e", "f")
+    val docs = (0 until 60).map { i =>
+      val len = Gen.chooseNum(0, 25).sample.get
+      (i, Seq.fill(len)(Gen.oneOf(vocab).sample.get).mkString(" "))
+    }
+    val df = docs.toDF("id", "text")
+    val n = 4
+    val cov = SpanDedup.coverage(df, "id", "text", n, 2)
+      .as[(Int, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    val rem = SpanDedup.removeSpans(df, "id", "text", n, 2)
+      .as[(Int, String, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(cov.keySet == docs.map(_._1).toSet, "every doc gets a coverage row")
+    docs.foreach { case (id, text) =>
+      val toks = text.split(" ").filter(_.nonEmpty)
+      val (_, nTok, nWin, dupW, covered) = cov(id)
+      assert(nTok == toks.length)
+      assert(nWin == math.max(0, toks.length - (n - 1)).toLong)
+      assert(dupW <= nWin && covered <= nTok, s"doc $id: $dupW/$nWin $covered/$nTok")
+      // union of dupW length-n intervals with DISTINCT starts: tightest
+      // packing (consecutive starts) covers dupW + n - 1 tokens, disjoint
+      // spread covers dupW * n — and never more than the doc has
+      if (dupW > 0)
+        assert(covered >= dupW + n - 1 && covered <= math.min(dupW * n, nTok),
+          s"doc $id: covered=$covered dupW=$dupW nTok=$nTok")
+      else assert(covered == 0, s"doc $id")
+      // removal is exactly the coverage cut: removed == covered and the
+      // surviving token count is the complement
+      val (_, cleaned, removed) = rem(id)
+      assert(removed == covered, s"doc $id: removed=$removed covered=$covered")
+      val keptToks = cleaned.split(" ").filter(_.nonEmpty)
+      assert(keptToks.length == nTok - covered, s"doc $id")
+      // survivors appear in order as a subsequence of the original tokens
+      val it = toks.iterator
+      assert(keptToks.forall(t => it.contains(t)), s"doc $id: not a subsequence")
+    }
+  }
 }

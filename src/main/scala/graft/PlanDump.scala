@@ -92,6 +92,25 @@ object PlanDump {
       "frame scan; equal-timestamp peers aggregate identically under " +
       "any partitioning, and the windowed sum accumulates in DECIMAL " +
       "for cross-engine parity."),
+    "e18_filtered_ann" -> ("round 11: filtered vector search — the " +
+      "allow-list semi-joins the (frag, cell)-pruned code relation " +
+      "BEFORE PQ scoring (pre-filter: disallowed vectors never cost a " +
+      "LUT lookup or re-rank, topK stays full-depth under selective " +
+      "predicates). Plan = e13's probe shape + one semi-join; at 100 TB " +
+      "the predicate side is an id relation that broadcasts when " +
+      "selective and shuffle-joins otherwise."),
+    "src14_schema_evolution" -> ("round 11: additive schema evolution — " +
+      "mergeSchema read over batch-partitioned layouts; pre-evolution " +
+      "partitions are never rewritten (their rows surface the new " +
+      "column as NULL), so evolution cost is zero I/O on history. " +
+      "Widening/renames go through a staged rewrite instead — the " +
+      "additive contract is what a 100 TB table can afford."),
+    "q53_full_outer_join" -> ("round 11: reconciliation full-outer — " +
+      "one shuffle pair on the join key; both unmatched sides " +
+      "null-padded."),
+    "q54_nullsafe_join" -> ("round 11: null-safe equality (<=>): the " +
+      "NULL key groups pair exactly once — ordinary equality would " +
+      "silently drop them."),
     "q51_unpivot" -> ("round 11: native unpivot lowers to Expand — " +
       "row-local 3x fan-out above the feeding aggregate, no new " +
       "exchange class."),

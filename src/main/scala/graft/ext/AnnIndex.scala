@@ -262,12 +262,19 @@ object AnnIndex {
     */
   def searchTopK(index: Loaded, vectors: DataFrame, queries: DataFrame,
                  vecCol: String, nprobe: Int, topR: Int,
-                 topK: Int): DataFrame = {
+                 topK: Int, allow: Option[DataFrame] = None): DataFrame = {
     // ONE routing computation: the prune collect and the scoring join read
     // the same probes relation, so they cannot diverge
     val probes = IvfAnn.probeCells(queries, index.idCol, vecCol, index.ivf, nprobe)
     val probed = probes.select("cell").distinct().collect().map(_.getInt(0)).toSeq
-    val pruned = index.codes.filter(col("cell").isInCollection(probed))
+    val cellPruned = index.codes.filter(col("cell").isInCollection(probed))
+    // FILTERED search (the vector-database predicate push): a metadata
+    // allow-list semi-joins the code relation BEFORE PQ scoring, so
+    // disallowed vectors never cost a LUT lookup or a re-rank — pre-
+    // filtering, not post-filtering, which means topK stays full-depth
+    // under selective predicates instead of draining the candidate list
+    val pruned = allow.fold(cellPruned)(a =>
+      cellPruned.join(a.toDF(index.idCol), Seq(index.idCol), "left_semi"))
     PqAnn.searchTopKIvfFromProbes(pruned, vectors, queries, probes,
       index.idCol, vecCol, "codes", index.pq, topR, topK)
   }

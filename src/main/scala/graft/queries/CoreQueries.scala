@@ -1094,8 +1094,52 @@ object CoreQueries {
       Cols.decimalSumOver(col("value"), w).as("sum_1h"))
   }
 
+  // ---------------------------------------------------------------- q53
+  /** FULL OUTER equi-join — the reconciliation join (both unmatched
+    * sides null-padded) completing the join-type surface next to
+    * left (q03), semi (q06), anti (q05) and interval left-outer (s12):
+    * customers without orders AND order keys without a customer row
+    * both survive.
+    */
+  val q53_full_outer_join = q("q53_full_outer_join",
+    """SELECT coalesce(c.c_custkey, o.ck) AS custkey,
+      |  c.c_name AS name, o.n_orders
+      |FROM customer c
+      |FULL JOIN (SELECT o_custkey AS ck, count(*) AS n_orders
+      |           FROM orders GROUP BY 1) o
+      |  ON c.c_custkey = o.ck""".stripMargin) { (s, dir) =>
+    val c = Tables.customer(s, dir).select(col("c_custkey"), col("c_name"))
+    val o = Tables.orders(s, dir).groupBy(col("o_custkey").as("ck"))
+      .agg(count(lit(1)).as("n_orders"))
+    c.join(o, col("c_custkey") === col("ck"), "full_outer")
+      .select(coalesce(col("c_custkey"), col("ck")).as("custkey"),
+        col("c_name").as("name"), col("n_orders"))
+  }
+
+  // ---------------------------------------------------------------- q54
+  /** NULL-SAFE equality join (`<=>` / IS NOT DISTINCT FROM): two grouped
+    * relations whose keys contain a genuine NULL group — ordinary
+    * equality would silently drop it, the null-safe predicate pairs the
+    * two NULL groups exactly once.
+    */
+  val q54_nullsafe_join = q("q54_nullsafe_join",
+    """SELECT a.k AS k, a.n_a, b.n_b
+      |FROM (SELECT nullif(event_type, 'click') AS k, count(*) AS n_a
+      |      FROM events GROUP BY 1) a
+      |JOIN (SELECT nullif(event_type, 'purchase') AS k, count(*) AS n_b
+      |      FROM events GROUP BY 1) b
+      |  ON a.k IS NOT DISTINCT FROM b.k""".stripMargin) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+    val a = ev.groupBy(nullif(col("event_type"), lit("click")).as("k"))
+      .agg(count(lit(1)).as("n_a"))
+    val b = ev.groupBy(nullif(col("event_type"), lit("purchase")).as("kb"))
+      .agg(count(lit(1)).as("n_b"))
+    a.join(b, col("k") <=> col("kb")).select(col("k"), col("n_a"), col("n_b"))
+  }
+
   val all: Seq[GraftQuery] = Seq(
     q50_grouping_sets, q51_unpivot, q52_time_range_window,
+    q53_full_outer_join, q54_nullsafe_join,
     q48_drift_psi, q47_jaro_top1, q46_stratified_sample,
     q30_numeric_describe, q31_ship_priority, q32_regional_volume, q33_small_quantity,
     q34_approx_stats, q35_from_json, q36_array_agg, q37_order_distribution,

@@ -572,10 +572,40 @@ object EmbeddingQueries {
         round(col("cos"), 6).as("cos"))
   }
 
+  // ---------------------------------------------------------------- e18
+  /** FILTERED vector search — the metadata-predicate probe every vector
+    * database serves ("nearest neighbors among documents WHERE …"): an
+    * allow-list (here: even vec_ids) semi-joins the stored code relation
+    * BEFORE PQ scoring, so the predicate prunes work instead of
+    * post-filtering results (topK stays full-depth under selective
+    * predicates). Golden-gated; AnnIndexSpec proves filtered stored
+    * probe ≡ in-memory probe over the allowed subset and that no
+    * disallowed id can surface.
+    */
+  val e18_filtered_ann = q("e18_filtered_ann",
+      GoldenOracles.sqlFor("e18_filtered_ann")) { (s, dir) =>
+    val dim = 32
+    val kCells = 20
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"),
+        graft.ext.ClusteredFixture.normalizedVec(col("vec_id"), kCells, dim)
+          .as("embedding"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val root = DedupQueries.DedupStaging.ensure("e18", dir) { r =>
+      graft.ext.AnnIndex.build(emb, "vec_id", "embedding", s"$r/ann_index",
+        dim, m = 8, pqK = 16, ivfK = kCells, iterations = 2)
+    }
+    val idx = graft.ext.AnnIndex.load(s, s"$root/ann_index")
+    val allowed = emb.select(col("vec_id")).filter(col("vec_id") % 2 === 0)
+    graft.ext.AnnIndex.searchTopK(idx, emb, emb.filter(col("vec_id") < 8),
+        "embedding", nprobe = 2, topR = 25, topK = 5, allow = Some(allowed))
+      .select(col("qid"), col("rank"), col("nid"),
+        round(col("cos"), 6).as("cos"))
+  }
+
   val all: Seq[GraftQuery] = Seq(
     e01_knn_bruteforce, e02_centroids, e03_label_block_nn, e04_lsh_ann,
     e05_cosine_neardup, e06_ivf_ann, e07_l2_normalize, e08_signature_neardup,
     e09_ivf_recall, e10_lsh_recall, e11_clustered_recall, e12_pq_recall,
     e13_ivfadc_recall, e14_ann_index_append, e15_codebook_drift,
-    e16_semantic_dedup, e17_ann_compaction)
+    e16_semantic_dedup, e17_ann_compaction, e18_filtered_ann)
 }

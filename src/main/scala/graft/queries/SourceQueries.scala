@@ -375,10 +375,42 @@ object SourceQueries {
       requireRows = true)
   }
 
+  // ---------------------------------------------------------------- src14
+  /** Schema EVOLUTION on the parquet warehouse: a later ingest batch
+    * adds a column (`region_name`), and a `mergeSchema` read unifies the
+    * layouts — pre-evolution rows surface the new column as NULL, no
+    * rewrite of historical partitions (the additive-evolution contract a
+    * long-lived 100 TB table depends on; widening/renames go through a
+    * staged rewrite instead). Batch partitions double as the audit of
+    * which layout each row was written under.
+    */
+  val src14_schema_evolution = q("src14_schema_evolution", Some(
+    """SELECT n_nationkey, n_name, n_regionkey,
+      |  CAST(NULL AS VARCHAR) AS region_name, CAST(0 AS INT) AS batch_id
+      |FROM nation
+      |UNION ALL
+      |SELECT n_nationkey, n_name, n_regionkey,
+      |  r_name AS region_name, CAST(1 AS INT) AS batch_id
+      |FROM nation JOIN region ON n_regionkey = r_regionkey""".stripMargin)) { (s, dir) =>
+    val nation = Tables.nation(s, dir)
+      .select("n_nationkey", "n_name", "n_regionkey")
+    val path = s"$scratch/evolving_nation"
+    // day-0 layout: three columns
+    nation.write.mode("overwrite").parquet(s"$path/batch_id=0")
+    // day-1 layout: the ingest gained a denormalized region name
+    nation.join(broadcast(Tables.region(s, dir)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"),
+        col("r_name").as("region_name"))
+      .write.mode("overwrite").parquet(s"$path/batch_id=1")
+    s.read.option("mergeSchema", "true").parquet(path)
+      .select("n_nationkey", "n_name", "n_regionkey", "region_name", "batch_id")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     src01_csv_roundtrip, src02_rest_paged, src03_partitioned_sink,
     src04_multimodal_meta, src05_frame_sample, src06_restv2_scan,
     src07_dbf_roundtrip, src08_media_meta, src09_upsert_merge,
     src10_compact_partitions, src11_scd2_merge, src12_zorder_layout,
-    src13_jsonl_roundtrip)
+    src13_jsonl_roundtrip, src14_schema_evolution)
 }

@@ -148,6 +148,42 @@ class AnnIndexSpec extends SparkSpec {
     }
   }
 
+  test("filtered search: the allow-list pre-filters codes, results equal the in-memory probe over the subset") {
+    val dir = java.nio.file.Files.createTempDirectory("ann-filter").toString
+    try {
+      val e = emb.cache(); e.count()
+      AnnIndex.build(e, "vec_id", "embedding", s"$dir/idx", dim,
+        m = 8, pqK = 16, ivfK = clusters, iterations = 2)
+      val idx = AnnIndex.load(spark, s"$dir/idx")
+      val allowed = e.select(col("vec_id")).filter(col("vec_id") % 2 === 0)
+      val queries = e.filter(col("vec_id") < 8)
+      val filtered = AnnIndex.searchTopK(idx, e, queries, "embedding",
+          nprobe = 2, topR = 25, topK = 5, allow = Some(allowed))
+        .select("qid", "rank", "nid").as[(Long, Int, Long)].collect()
+      assert(filtered.nonEmpty && filtered.forall(_._3 % 2 == 0),
+        "a disallowed id surfaced from the filtered probe")
+      // pre-filtering ≡ searching an index holding only the allowed
+      // subset (same stored codebooks): the predicate prunes work
+      // without changing semantics
+      val subset = e.join(allowed, Seq("vec_id"), "left_semi")
+      val inMem = PqAnn.searchTopKIvf(
+          PqAnn.encodeWithCells(subset, "embedding", idx.pq, idx.ivf)
+            .select(col("vec_id"), col("codes"), col("cell")),
+          subset, queries, "vec_id", "embedding", "codes", idx.pq, idx.ivf,
+          nprobe = 2, topR = 25, topK = 5)
+        .select("qid", "rank", "nid").as[(Long, Int, Long)].collect()
+      assert(filtered.toSet == inMem.toSet && filtered.length == 8 * 5)
+      // and an unfiltered probe differs (the odd clusters exist)
+      val unfiltered = AnnIndex.searchTopK(idx, e, queries, "embedding",
+          nprobe = 2, topR = 25, topK = 5)
+        .select("qid", "rank", "nid").as[(Long, Int, Long)].collect()
+      assert(unfiltered.exists(_._3 % 2 == 1))
+      e.unpersist()
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("rebuild CAS-swaps the epoch; a pre-rebuild reader survives one grace cycle") {
     val dir = java.nio.file.Files.createTempDirectory("ann-grace").toString
     def exists(name: String) = new java.io.File(s"$dir/idx/$name").exists()

@@ -105,6 +105,13 @@ object PlanDump {
       "column as NULL), so evolution cost is zero I/O on history. " +
       "Widening/renames go through a staged rewrite instead — the " +
       "additive contract is what a 100 TB table can afford."),
+    "s13_funnel_conversion" -> ("round 11: k-stage funnel = k " +
+      "combiner-collapsed exchanges (partial_min map-side, shuffle " +
+      "carries one row per entity per map partition), funnel-state " +
+      "joins broadcast small / co-partition large, no sort and no " +
+      "window over the event list; chain semantics are conditional " +
+      "mins so any engine resolves identically (PlanAuditSpec pins " +
+      "the 3-exchange no-SMJ shape)."),
     "q53_full_outer_join" -> ("round 11: reconciliation full-outer — " +
       "one shuffle pair on the join key; both unmatched sides " +
       "null-padded."),

@@ -350,9 +350,40 @@ object StreamQueries {
         expr("(unix_micros(pts) - unix_micros(cts)) div 1000000").as("lag_sec"))
   }
 
+  // ---------------------------------------------------------------- s13
+  /** Funnel resolution ([[graft.operators.Funnel.resolve]]): per user,
+    * the earliest strictly-increasing view → click → purchase chain —
+    * `t_click` is the first click AFTER the first view, `t_purchase` the
+    * first purchase after THAT click; `reached` counts completed stages.
+    * Order-independent (mins), so any engine resolves the same chain.
+    */
+  val s13_funnel_conversion = q("s13_funnel_conversion", Some(
+    """WITH s1 AS (
+      |  SELECT user_id, min(CASE WHEN event_type = 'view' THEN ts END) AS t_1
+      |  FROM events GROUP BY user_id
+      |  HAVING min(CASE WHEN event_type = 'view' THEN ts END) IS NOT NULL),
+      |s2 AS (
+      |  SELECT e.user_id, any_value(s1.t_1) AS t_1,
+      |    min(CASE WHEN e.event_type = 'click' AND e.ts > s1.t_1
+      |             THEN e.ts END) AS t_2
+      |  FROM events e JOIN s1 USING (user_id) GROUP BY e.user_id),
+      |s3 AS (
+      |  SELECT e.user_id, any_value(s2.t_1) AS t_1, any_value(s2.t_2) AS t_2,
+      |    min(CASE WHEN e.event_type = 'purchase' AND e.ts > s2.t_2
+      |             THEN e.ts END) AS t_3
+      |  FROM events e JOIN s2 USING (user_id) GROUP BY e.user_id)
+      |SELECT user_id, t_1, t_2, t_3,
+      |  CAST(CAST(t_1 IS NOT NULL AS INT) + CAST(t_2 IS NOT NULL AS INT)
+      |    + CAST(t_3 IS NOT NULL AS INT) AS INT) AS reached
+      |FROM s3""".stripMargin)) { (s, dir) =>
+    graft.operators.Funnel.resolve(Tables.events(s, dir),
+      "user_id", "ts", "event_type", Seq("view", "click", "purchase"))
+  }
+
   val all: Seq[GraftQuery] = Seq(
     s01_tumbling_agg, s02_sliding_agg, s03_session_windows,
     s04_dedup_first_event, s05_watermark_late, s06_asof_backward,
     s07_running_user_agg, s08_interval_join, s09_stream_curation,
-    s10_line_stats_ingest, s11_stream_drift, s12_interval_left_join)
+    s10_line_stats_ingest, s11_stream_drift, s12_interval_left_join,
+    s13_funnel_conversion)
 }

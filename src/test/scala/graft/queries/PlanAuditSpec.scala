@@ -246,6 +246,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(lines.count(_.contains("Exchange hashpartitioning")) == 2, p)
   }
 
+  test("s13: funnel is k combiner-collapsed exchanges, no sort-merge, pruned events scan") {
+    val p = plan(StreamQueries.s13_funnel_conversion)
+    val lines = p.linesIterator.toList
+    // one exchange per stage, each fed by a map-side partial aggregate
+    assert(lines.count(_.contains("Exchange hashpartitioning")) == 3, p)
+    assert(lines.count(_.contains("partial_min")) >= 3, p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("Window"), p)
+    val reads = lines.filter(_.contains("ReadSchema"))
+    assert(reads.forall(r => !r.contains("props") && !r.contains("value")),
+      reads.mkString("\n"))
+  }
+
   test("t19: span removal keeps the same pruned-scan / pruned-shuffle contract") {
     val p = TextQueries.t19_span_removal.fn(spark, dir)
       .queryExecution.executedPlan.toString

@@ -12,6 +12,23 @@ final case class EventRow(ts: java.sql.Timestamp, user_id: Long,
 /** Running per-user aggregate carried in the state store. */
 final case class UserAgg(user_id: Long, n_events: Long, total_value: Double)
 
+/** Per-user funnel candidate state (epoch-millis timestamps): stage 1
+  * needs only its min; stages 2/3 keep the PRUNED candidate lists the
+  * exact out-of-order resolution requires (see
+  * [[StreamOps.funnelStream]]'s domination argument).
+  */
+final case class FunnelCands(user_id: Long, s1Min: Long,
+                             s2: Seq[Long], s3: Seq[Long])
+
+/** A funnel resolution update emitted downstream — same shape as the
+  * batch [[graft.operators.Funnel.resolve]] row.
+  */
+final case class FunnelUpdate(user_id: Long,
+                              t_1: Option[java.sql.Timestamp],
+                              t_2: Option[java.sql.Timestamp],
+                              t_3: Option[java.sql.Timestamp],
+                              reached: Int)
+
 /** Structured Streaming surface over the `events` shape (extension per
   * SURVEY §2.9 — the reference is strictly batch, so these are engine
   * capabilities, not ports; semantics follow Spark's own streaming model and
@@ -158,6 +175,91 @@ object StreamOps {
             state.setTimeoutTimestamp(maxTs + idleTimeoutMs)
             Iterator.single(next)
           }
+        })
+  }
+
+  /** STREAMING funnel resolution — the continuous form of
+    * [[graft.operators.Funnel.resolve]] (3 stages), EXACT under
+    * arbitrary event arrival order: the stream emits, per update, the
+    * same earliest strictly-increasing chain the batch operator resolves
+    * over the data seen so far, and once all data has arrived the final
+    * update per user equals the batch row bit-for-bit (StreamingSpec
+    * differential with adversarially shuffled arrival).
+    *
+    * Why candidate LISTS, and why they stay small: the resolved chain is
+    * monotone — more data can only lower `t_1` (a plain min), a lower
+    * `t_1` can only enlarge stage 2's candidate set `{click > t_1}` so
+    * `t_2` only lowers, and inductively every `t_i` is non-increasing
+    * over the stream's life. A stage-i candidate `e` is therefore
+    * DOMINATED (safe to drop forever) when a smaller candidate `e'` < e
+    * already clears the current threshold `t_{i-1}` — every future
+    * threshold is ≤ the current one, so `e'` stays valid and always
+    * beats `e`. The retained state per stage is exactly: all candidates
+    * ≤ the current threshold (each could become the winner if the
+    * threshold drops below it) plus ONE above it (the current winner) —
+    * bounded by the stream's out-of-orderness, not its length. While a
+    * user's chain is broken at stage i (no threshold yet), stage-i
+    * candidates cannot be pruned (any future threshold may select any
+    * of them) — bounded by that user's stage-i events, the honest
+    * worst case for exact semantics.
+    *
+    * Updates are emitted only for users who have reached stage 1
+    * (matching the batch contract) and only when the resolution
+    * changed; by chain monotonicity each update dominates the previous
+    * one (times ↓, reached ↑), so the final update IS the answer.
+    */
+  def funnelStream(events: Dataset[EventRow],
+                   stages: (String, String, String)): Dataset[FunnelUpdate] = {
+    import events.sparkSession.implicits._
+    val (st1, st2, st3) = stages
+
+    def resolve(c: FunnelCands): FunnelUpdate = {
+      val t1 = if (c.s1Min == Long.MaxValue) None else Some(c.s1Min)
+      val t2 = t1.flatMap(t => c.s2.filter(_ > t).minOption)
+      val t3 = t2.flatMap(t => c.s3.filter(_ > t).minOption)
+      FunnelUpdate(c.user_id,
+        t1.map(new java.sql.Timestamp(_)), t2.map(new java.sql.Timestamp(_)),
+        t3.map(new java.sql.Timestamp(_)),
+        Seq(t1, t2, t3).count(_.isDefined))
+    }
+    // keep: everything <= threshold, plus the single current winner
+    def prune(cands: Seq[Long], threshold: Option[Long]): Seq[Long] =
+      threshold match {
+        case None => cands
+        case Some(t) =>
+          val (below, above) = cands.partition(_ <= t)
+          below ++ above.minOption
+      }
+
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (uid: Long, rows: Iterator[EventRow], state: GroupState[FunnelCands]) => {
+          val prev = state.getOption
+            .getOrElse(FunnelCands(uid, Long.MaxValue, Nil, Nil))
+          var s1 = prev.s1Min
+          var s2 = prev.s2
+          var s3 = prev.s3
+          rows.foreach { r =>
+            val t = r.ts.getTime
+            r.event_type match {
+              case `st1` => if (t < s1) s1 = t
+              case `st2` => s2 = s2 :+ t
+              case `st3` => s3 = s3 :+ t
+              case _ => ()
+            }
+          }
+          val before = resolve(prev)
+          val afterRaw = FunnelCands(uid, s1, s2.distinct, s3.distinct)
+          val after = resolve(afterRaw)
+          // prune against the RESOLVED thresholds (exactness argument in
+          // the scaladoc), then persist the compacted state
+          val t1 = if (s1 == Long.MaxValue) None else Some(s1)
+          state.update(FunnelCands(uid, s1,
+            prune(afterRaw.s2, t1).sorted,
+            prune(afterRaw.s3, after.t_2.map(_.getTime)).sorted))
+          if (after.t_1.isDefined && after != before) Iterator.single(after)
+          else Iterator.empty
         })
   }
 

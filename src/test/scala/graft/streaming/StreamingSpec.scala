@@ -255,6 +255,49 @@ class StreamingSpec extends SparkSpec {
     assert(got == expected && got.nonEmpty)
   }
 
+  test("funnelStream resolves the batch funnel exactly under adversarial arrival order") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Funnel
+    // events over 12 users covering: full chains, broken chains,
+    // pre-view clicks, equal-timestamp non-advances, late-arriving
+    // earlier views (the case a greedy state machine gets wrong)
+    val rnd = new scala.util.Random(7)
+    val types = Seq("view", "click", "purchase", "signup")
+    val all = (for {
+      u <- 1L to 12L
+      i <- 1 to 10
+    } yield EventRow(ts(rnd.nextInt(300)), u, types(rnd.nextInt(types.length)),
+      i.toDouble)).toVector
+    // adversarial arrival: strictly DECREASING event time, so every
+    // earlier-in-event-time row arrives after its successors
+    val arrival = all.sortBy(-_.ts.getTime)
+
+    val src = MemoryStream[EventRow]
+    val out = StreamOps.funnelStream(src.toDS(), ("view", "click", "purchase"))
+    val query = out.writeStream
+      .format("memory").queryName("funnel_out").outputMode("update").start()
+    arrival.grouped(17).foreach { batch =>
+      src.addData(batch); query.processAllAvailable()
+    }
+    query.stop()
+
+    // chain monotonicity: the final (dominating) update per user is the
+    // min-time / max-reached fold of that user's updates
+    val got = spark.table("funnel_out")
+      .groupBy("user_id")
+      .agg(org.apache.spark.sql.functions.min("t_1").as("t_1"),
+        org.apache.spark.sql.functions.min("t_2").as("t_2"),
+        org.apache.spark.sql.functions.min("t_3").as("t_3"),
+        org.apache.spark.sql.functions.max("reached").as("reached"))
+    val batchDf = Funnel.resolve(all.toDF(), "user_id", "ts", "event_type",
+      Seq("view", "click", "purchase"))
+    val cols = Seq("user_id", "t_1", "t_2", "t_3", "reached").map(col)
+    assert(got.select(cols: _*).collect().toSet ==
+      batchDf.select(cols: _*).collect().toSet)
+    assert(batchDf.count() > 0 && batchDf.filter(col("reached") === 3).count() > 0,
+      "fixture should complete at least one full chain")
+  }
+
   test("watermarked stream-stream LEFT OUTER interval join emits null-padded unmatched clicks") {
     implicit val sqlCtx = spark.sqlContext
     val clicks = MemoryStream[Ev]

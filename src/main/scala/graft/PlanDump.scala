@@ -105,6 +105,13 @@ object PlanDump {
       "column as NULL), so evolution cost is zero I/O on history. " +
       "Widening/renames go through a staged rewrite instead — the " +
       "additive contract is what a 100 TB table can afford."),
+    "s14_span_stats_ingest" -> ("round 11: the span family's continuous " +
+      "form on the SHARED AdditiveStats store (the layer extracted from " +
+      "LineDedup's round-10 stats store — one implementation under both " +
+      "count relations): per-batch window-frequency fragments sum to " +
+      "the corpus statistics, the staged fixture folds an epoch " +
+      "mid-accumulation, and the stats-resolved cut hashes identically " +
+      "to t19's one-shot removal — the oracle IS t19's SQL."),
     "s13_funnel_conversion" -> ("round 11: k-stage funnel = k " +
       "combiner-collapsed exchanges (partial_min map-side, shuffle " +
       "carries one row per entity per map partition), funnel-state " +

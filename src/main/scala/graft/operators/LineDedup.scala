@@ -73,147 +73,52 @@ object LineDedup {
   //     already-folded batch a NO-OP instead of a double count (its
   //     fragment partition no longer exists to overwrite).
 
-  private val statsRel = "stats"
-
-  private def statsMetaKv(epoch: Int, compactedThrough: Long,
-                          streamId: String): Seq[(String, String)] = Seq(
-    "epoch" -> epoch.toString,
-    "compacted_through" -> compactedThrough.toString,
-    "stream_id" -> streamId)
+  private def store(dir: String) = graft.sources.AdditiveStats.Store(dir,
+    Seq("line_hash", "line_norm"), "n_docs",
+    "line_hash bigint, line_norm string, n_docs bigint, batch_id bigint")
 
   /** Initialize an EMPTY protocol-managed stats store at `dir` (meta
     * only; the relation materializes with the first append). Idempotent
     * on a fresh dir only — an existing store fails the CAS.
     */
   def initStats(spark: org.apache.spark.sql.SparkSession, dir: String): Unit =
-    graft.sources.StoredIndex.writeMetaCas(spark, dir,
-      statsMetaKv(0, -1L, ""),
-      graft.sources.StoredIndex.metaGeneration(spark, dir))
-
-  private def statsEpochPath(dir: String, epoch: Int): String =
-    graft.sources.StoredIndex.relPath(dir, statsRel, epoch)
+    graft.sources.AdditiveStats.init(spark, store(dir))
 
   /** Number of per-batch append fragments in the live epoch (pure
     * directory listing; the folded `batch_id=-1` partition is not a
     * fragment). 0 for a bare-mode or empty store.
     */
   def statsFragmentCount(spark: org.apache.spark.sql.SparkSession,
-                         dir: String): Int = {
-    import graft.sources.StoredIndex
-    if (StoredIndex.metaGeneration(spark, dir) < 0) return 0
-    val (kv, _) = StoredIndex.readKvWithGen(spark, dir)
-    val p = new org.apache.hadoop.fs.Path(statsEpochPath(dir, kv("epoch").toInt))
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) 0
-    else fs.listStatus(p).count { st =>
-      val n = st.getPath.getName
-      n.startsWith("batch_id=") && n != "batch_id=-1"
-    }
-  }
+                         dir: String): Int =
+    graft.sources.AdditiveStats.fragmentCount(spark, store(dir))
 
   /** The accumulated stats relation — all fragments (and the folded
     * partition) of the live epoch in protocol mode, the bare directory
     * otherwise; an initialized-but-never-appended store reads as empty.
     */
   def readStats(spark: org.apache.spark.sql.SparkSession,
-                dir: String): DataFrame = {
-    import graft.sources.StoredIndex
-    val path =
-      if (StoredIndex.metaGeneration(spark, dir) < 0) dir
-      else statsEpochPath(dir,
-        StoredIndex.readKvWithGen(spark, dir)._1("epoch").toInt)
-    try spark.read.parquet(path)
-    catch {
-      case _: org.apache.spark.sql.AnalysisException =>
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          org.apache.spark.sql.types.StructType.fromDDL(
-            "line_hash bigint, line_norm string, n_docs bigint, batch_id bigint"))
-    }
-  }
+                dir: String): DataFrame =
+    graft.sources.AdditiveStats.read(spark, store(dir))
 
   /** Land one batch's [[lineStats]] as the `batch_id = <batchId>`
-    * partition of the persisted stats relation — dynamic-partition
-    * overwrite, so an at-least-once replay of the same batch overwrites
-    * its own fragment instead of double-counting. In protocol mode the
-    * append is additionally PUBLISHED by a CAS meta bump that closes the
-    * append-vs-compaction race from both sides (exactly like the dedup
-    * index's appendBatch), and a batch at or below the
-    * `compacted_through` watermark is skipped — it is already folded
-    * into the live epoch in full.
+    * partition of the persisted stats relation — the line instantiation
+    * of [[graft.sources.AdditiveStats.append]] (idempotent replay,
+    * CAS-published in protocol mode, `compacted_through` no-op skip).
     */
   def appendLineStats(batch: DataFrame, idCol: String, textCol: String,
                       statsDir: String, batchId: Long,
-                      normalize: Column => Column = c => lower(trim(c))): Unit = {
-    import graft.sources.StoredIndex
-    val spark = batch.sparkSession
-    val frag = lineStats(batch, idCol, textCol, normalize)
-      .withColumn("batch_id", lit(batchId))
-    if (StoredIndex.metaGeneration(spark, statsDir) < 0) {
-      graft.sources.ParquetWarehouse.overwritePartitions(
-        frag, statsDir, Seq("batch_id"))
-      return
-    }
-    val (kv, _) = StoredIndex.readKvWithGen(spark, statsDir)
-    if (batchId >= 0 && batchId <= kv("compacted_through").toLong) return
-    graft.sources.ParquetWarehouse.overwritePartitions(
-      frag, statsEpochPath(statsDir, kv("epoch").toInt), Seq("batch_id"))
-    val (now, gen) = StoredIndex.readKvWithGen(spark, statsDir)
-    if (now("epoch") != kv("epoch"))
-      throw new StoredIndex.ConcurrentIndexWriteException(
-        s"line-stats store at $statsDir was compacted (epoch ${kv("epoch")}" +
-        s" -> ${now("epoch")}) during the append of batch $batchId; the " +
-        "appended rows landed in the superseded epoch — replay the batch")
-    try StoredIndex.writeMetaCas(spark, statsDir, now.toSeq, gen)
-    catch {
-      case e: StoredIndex.ConcurrentIndexWriteException =>
-        throw new StoredIndex.ConcurrentIndexWriteException(
-          s"line-stats store at $statsDir advanced during the append of " +
-          s"batch $batchId — replay the batch (${e.getMessage})")
-    }
-  }
+                      normalize: Column => Column = c => lower(trim(c))): Unit =
+    graft.sources.AdditiveStats.append(
+      lineStats(batch, idCol, textCol, normalize), store(statsDir), batchId)
 
   /** Fold every fragment of the live epoch into ONE summed
-    * `batch_id = -1` partition in a fresh `epoch + 1` directory and
-    * CAS-swap the meta pointer — the amortized maintenance pass that
-    * keeps a months-long ingest from accumulating one partition per
-    * micro-batch. Crash-safe exactly like the index compactions: a crash
-    * before the swap leaves the old epoch live and complete; the
-    * just-superseded epoch survives one grace cycle for in-flight
-    * readers. `compacted_through` advances to the highest folded batch
-    * id so replays of folded batches become no-ops. Summing fragments is
-    * exact: each document lives in one batch, and a replayed fragment
-    * was overwritten, never duplicated.
+    * `batch_id = -1` partition in a fresh epoch — see
+    * [[graft.sources.AdditiveStats.compact]] (crash-safe CAS swap, grace
+    * readers, `compacted_through` watermark advance).
     */
   def compactStats(spark: org.apache.spark.sql.SparkSession,
-                   dir: String): Unit = {
-    import graft.sources.StoredIndex
-    val (kv, gen) = StoredIndex.readKvWithGen(spark, dir)
-    val epoch = kv("epoch").toInt
-    // highest folded batch id from the fragment listing (no data scan)
-    val p = new org.apache.hadoop.fs.Path(statsEpochPath(dir, epoch))
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val maxBatch =
-      if (!fs.exists(p)) -1L
-      else fs.listStatus(p).foldLeft(-1L) { (acc, st) =>
-        st.getPath.getName match {
-          case n if n.startsWith("batch_id=") && n != "batch_id=-1" =>
-            math.max(acc, n.stripPrefix("batch_id=").toLong)
-          case _ => acc
-        }
-      }
-    readStats(spark, dir)
-      .groupBy("line_hash", "line_norm")
-      .agg(sum(col("n_docs")).as("n_docs"))
-      .withColumn("batch_id", lit(-1L))
-      .write.mode("overwrite").partitionBy("batch_id")
-      .parquet(statsEpochPath(dir, epoch + 1))
-    StoredIndex.writeMetaCas(spark, dir,
-      statsMetaKv(epoch + 1,
-        math.max(maxBatch, kv("compacted_through").toLong),
-        kv.getOrElse("stream_id", "")), gen)
-    StoredIndex.sweepEpochsBelow(spark, dir, Seq(statsRel), epoch)
-  }
+                   dir: String): Unit =
+    graft.sources.AdditiveStats.compact(spark, store(dir))
 
   /** The heavy-hitter (boilerplate) relation from accumulated per-batch
     * stats, two-phase like the one-shot path: phase 1 sums the 8-byte

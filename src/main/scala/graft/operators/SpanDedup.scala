@@ -110,6 +110,101 @@ object SpanDedup {
         coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"))
   }
 
+  // ------------------------------------------------ persisted span stats
+  // CONTINUOUS ingest: window frequencies decompose over any partition of
+  // the corpus into batches (each document lives in exactly ONE batch, so
+  // per-batch distinct-doc counts SUM to the corpus count) — the same
+  // additive contract as [[LineDedup]]'s line stats, and the store IS the
+  // same implementation: [[graft.sources.AdditiveStats]] (idempotent
+  // batch_id fragments, CAS-published appends, crash-safe compaction
+  // folds, compacted_through replay watermark). The window size `n` is
+  // part of the store's identity — the caller uses one n per store
+  // (same contract as the line store's `normalize`).
+
+  private def store(dir: String) = graft.sources.AdditiveStats.Store(dir,
+    Seq("w_hash", "w_text"), "n_docs",
+    "w_hash bigint, w_text string, n_docs bigint, batch_id bigint")
+
+  /** Per-corpus-slice window statistics: one row per (window hash,
+    * window text) with the DISTINCT-document count — exact (keyed by
+    * hash AND text, a 64-bit collision splits instead of merging) and
+    * additive across disjoint document batches.
+    */
+  def spanStats(df: DataFrame, idCol: String, textCol: String,
+                n: Int): DataFrame =
+    windows(df, idCol, textCol, n)
+      .withColumn("__h", xxhash64(col("__w")))
+      .groupBy(col("__h").as("w_hash"), col("__w").as("w_text"))
+      .agg(countDistinct(col(idCol)).as("n_docs"))
+
+  /** Initialize an empty protocol-managed span-stats store. */
+  def initSpanStats(spark: org.apache.spark.sql.SparkSession,
+                    dir: String): Unit =
+    graft.sources.AdditiveStats.init(spark, store(dir))
+
+  /** Per-batch fragments in the live epoch (0 for bare/empty stores). */
+  def spanStatsFragmentCount(spark: org.apache.spark.sql.SparkSession,
+                             dir: String): Int =
+    graft.sources.AdditiveStats.fragmentCount(spark, store(dir))
+
+  /** The accumulated span-stats relation (all fragments + folds). */
+  def readSpanStats(spark: org.apache.spark.sql.SparkSession,
+                    dir: String): DataFrame =
+    graft.sources.AdditiveStats.read(spark, store(dir))
+
+  /** Land one batch's [[spanStats]] as an idempotent `batch_id`
+    * fragment ([[graft.sources.AdditiveStats.append]] semantics).
+    */
+  def appendSpanStats(batch: DataFrame, idCol: String, textCol: String,
+                      statsDir: String, n: Int, batchId: Long): Unit =
+    graft.sources.AdditiveStats.append(
+      spanStats(batch, idCol, textCol, n), store(statsDir), batchId)
+
+  /** Fold fragments into one summed partition in a fresh epoch. */
+  def compactSpanStats(spark: org.apache.spark.sql.SparkSession,
+                       dir: String): Unit =
+    graft.sources.AdditiveStats.compact(spark, store(dir))
+
+  /** Duplicated window keys from ACCUMULATED stats — two-phase like the
+    * one-shot path: sum the 8-byte hash counts to find candidates, then
+    * recount exactly by (hash, text) over candidates only (identical
+    * collision safety; fragment rows for the same window sum here).
+    */
+  private def dupKeysFromStats(stats: DataFrame, minDocs: Int): DataFrame = {
+    val heavy = stats.groupBy("w_hash")
+      .agg(sum(col("n_docs")).as("__d"))
+      .filter(col("__d") >= minDocs)
+      .select("w_hash")
+    stats.join(heavy, Seq("w_hash"), "left_semi")
+      .groupBy("w_hash", "w_text")
+      .agg(sum(col("n_docs")).as("__d"))
+      .filter(col("__d") >= minDocs)
+      .select(col("w_hash").as("__h"), col("w_text").as("__w"))
+  }
+
+  /** Duplicated-span start positions resolved against an EXTERNAL stats
+    * relation — the read side of the continuous ingest. Because each
+    * document lives in exactly one batch, summed fragment counts equal
+    * the one-shot corpus counts, so cutting a corpus against its own
+    * accumulated stats is bit-identical to [[dupStarts]].
+    */
+  def dupStartsWithStats(df: DataFrame, idCol: String, textCol: String,
+                         stats: DataFrame, n: Int,
+                         minDocs: Int = 2): DataFrame =
+    windows(df, idCol, textCol, n)
+      .withColumn("__h", xxhash64(col("__w")))
+      .join(dupKeysFromStats(stats, minDocs), Seq("__h", "__w"))
+      .select(col(idCol), col("__start"))
+
+  /** [[removeSpans]] against accumulated stats (see
+    * [[dupStartsWithStats]] for the equivalence contract).
+    */
+  def removeSpansWithStats(df: DataFrame, idCol: String, textCol: String,
+                           stats: DataFrame, n: Int,
+                           minDocs: Int = 2): DataFrame =
+    removeByStarts(df, idCol, textCol,
+      dupStartsWithStats(df, idCol, textCol, stats, n, minDocs), n)
+
   /** Contaminated-span start positions: (idCol, __start) for every token
     * position whose n-token window appears VERBATIM anywhere in the
     * reference corpus `ref` (an eval/benchmark set) — the GPT-3/PaLM

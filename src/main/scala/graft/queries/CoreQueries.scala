@@ -1137,9 +1137,36 @@ object CoreQueries {
     a.join(b, col("k") <=> col("kb")).select(col("k"), col("n_a"), col("n_b"))
   }
 
+  // ---------------------------------------------------------------- q55
+  /** Cohort retention — the companion analysis to s13's funnel: users
+    * cohort by first-activity DAY, and the retention matrix counts
+    * distinct users active at each day offset from their cohort. Two
+    * user-keyed aggregates (first-activity min + distinct activity days)
+    * and one (cohort, offset) count — all combiner-friendly, no window.
+    */
+  val q55_cohort_retention = q("q55_cohort_retention",
+    """WITH first_day AS (
+      |  SELECT user_id, CAST(min(ts) AS DATE) AS cohort
+      |  FROM events GROUP BY user_id),
+      |active AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events)
+      |SELECT f.cohort, CAST(a.day - f.cohort AS INT) AS day_offset,
+      |  count(DISTINCT a.user_id) AS n_users
+      |FROM active a JOIN first_day f USING (user_id)
+      |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+    val ev = Tables.events(s, dir).select(col("user_id"), col("ts"))
+    val firstDay = ev.groupBy("user_id")
+      .agg(min(col("ts")).cast("date").as("cohort"))
+    val active = ev.select(col("user_id"), col("ts").cast("date").as("day"))
+      .distinct()
+    active.join(firstDay, "user_id")
+      .groupBy(col("cohort"), datediff(col("day"), col("cohort")).as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+  }
+
   val all: Seq[GraftQuery] = Seq(
     q50_grouping_sets, q51_unpivot, q52_time_range_window,
-    q53_full_outer_join, q54_nullsafe_join,
+    q53_full_outer_join, q54_nullsafe_join, q55_cohort_retention,
     q48_drift_psi, q47_jaro_top1, q46_stratified_sample,
     q30_numeric_describe, q31_ship_priority, q32_regional_volume, q33_small_quantity,
     q34_approx_stats, q35_from_json, q36_array_agg, q37_order_distribution,

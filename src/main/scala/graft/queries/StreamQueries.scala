@@ -380,10 +380,38 @@ object StreamQueries {
       "user_id", "ts", "event_type", Seq("view", "click", "purchase"))
   }
 
+  // ---------------------------------------------------------------- s14
+  /** CONTINUOUS span-stats ingest under the oracle gate: the corpus's
+    * window-frequency relation accumulates in two installments (with a
+    * compaction FOLD between them, so fragment summation and fold
+    * arithmetic both sit under the hash check) and the span cut applies
+    * against the accumulated stats — bit-identical to the one-shot
+    * removal, which is exactly what the DuckDB oracle recomputes.
+    */
+  val s14_span_stats_ingest = q("s14_span_stats_ingest",
+    TextQueries.t19_span_removal.oracle) { (s, dir) =>
+    import graft.operators.SpanDedup
+    val root = DedupQueries.DedupStaging.ensure("s14", dir) { r =>
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(s"$r/span_stats"))
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      SpanDedup.initSpanStats(s, s"$r/span_stats")
+      SpanDedup.appendSpanStats(docs.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", s"$r/span_stats", n = 8, batchId = 0L)
+      SpanDedup.compactSpanStats(s, s"$r/span_stats")
+      SpanDedup.appendSpanStats(docs.filter(col("doc_id") % 2 =!= 0),
+        "doc_id", "text", s"$r/span_stats", n = 8, batchId = 1L)
+    }
+    SpanDedup.removeSpansWithStats(
+      Tables.documents(s, dir).select(col("doc_id"), col("text")),
+      "doc_id", "text",
+      SpanDedup.readSpanStats(s, s"$root/span_stats"), n = 8, minDocs = 2)
+  }
+
   val all: Seq[GraftQuery] = Seq(
     s01_tumbling_agg, s02_sliding_agg, s03_session_windows,
     s04_dedup_first_event, s05_watermark_late, s06_asof_backward,
     s07_running_user_agg, s08_interval_join, s09_stream_curation,
     s10_line_stats_ingest, s11_stream_drift, s12_interval_left_join,
-    s13_funnel_conversion)
+    s13_funnel_conversion, s14_span_stats_ingest)
 }

@@ -1,0 +1,161 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** GENERIC persisted additive-statistics relation — the ONE storage
+  * pattern under every "count things per batch, sum across batches"
+  * continuous ingest (corpus line frequencies, duplicated-span window
+  * frequencies, any future count relation): per-batch fragments land as
+  * idempotent `batch_id` partitions, fragments SUM to the one-shot
+  * corpus statistics because each document lives in exactly one batch,
+  * and maintenance folds fragments into a single summed partition under
+  * the shared [[StoredIndex]] generation-CAS protocol (crash-safe epoch
+  * swaps, grace readers, `compacted_through` replay watermark, stream
+  * identity pin). Extracted from [[graft.operators.LineDedup]]'s
+  * round-10 store so its span-family twin shares one implementation
+  * instead of a third copy — the same unification move round 10 made
+  * with StoredIndex itself.
+  *
+  * Two storage modes (same as the line store always had):
+  *   - BARE (no meta): fragments land directly under `dir` — the simple
+  *     two-installment batch shape, no maintenance story;
+  *   - PROTOCOL ([[init]] ran): epoch-suffixed directories, compaction,
+  *     watermark, CAS publishes.
+  *
+  * A store is (dir, key columns, count column); the count column must be
+  * additive over disjoint document batches (distinct-doc counts are,
+  * because each doc is in exactly one batch).
+  */
+object AdditiveStats {
+
+  /** `schemaDdl` is the full relation schema (key cols + count col +
+    * `batch_id bigint`) used when an initialized-but-empty store is
+    * read.
+    */
+  final case class Store(dir: String, keyCols: Seq[String],
+                         countCol: String, schemaDdl: String)
+
+  private val rel = "stats"
+
+  private def metaKv(epoch: Int, compactedThrough: Long,
+                     streamId: String): Seq[(String, String)] = Seq(
+    "epoch" -> epoch.toString,
+    "compacted_through" -> compactedThrough.toString,
+    "stream_id" -> streamId)
+
+  private def epochPath(dir: String, epoch: Int): String =
+    StoredIndex.relPath(dir, rel, epoch)
+
+  /** Initialize an EMPTY protocol-managed store (meta only). Idempotent
+    * on a fresh dir only — an existing store fails the CAS.
+    */
+  def init(spark: SparkSession, store: Store): Unit =
+    StoredIndex.writeMetaCas(spark, store.dir, metaKv(0, -1L, ""),
+      StoredIndex.metaGeneration(spark, store.dir))
+
+  /** Per-batch append fragments in the live epoch (directory listing;
+    * the folded `batch_id=-1` partition is not a fragment). 0 for a
+    * bare-mode or empty store.
+    */
+  def fragmentCount(spark: SparkSession, store: Store): Int = {
+    if (StoredIndex.metaGeneration(spark, store.dir) < 0) return 0
+    val (kv, _) = StoredIndex.readKvWithGen(spark, store.dir)
+    val p = new org.apache.hadoop.fs.Path(epochPath(store.dir, kv("epoch").toInt))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) 0
+    else fs.listStatus(p).count { st =>
+      val n = st.getPath.getName
+      n.startsWith("batch_id=") && n != "batch_id=-1"
+    }
+  }
+
+  /** The accumulated relation — all fragments (and the folded partition)
+    * of the live epoch in protocol mode, the bare directory otherwise;
+    * an initialized-but-never-appended store reads as empty with the
+    * store's declared schema.
+    */
+  def read(spark: SparkSession, store: Store): DataFrame = {
+    val path =
+      if (StoredIndex.metaGeneration(spark, store.dir) < 0) store.dir
+      else epochPath(store.dir,
+        StoredIndex.readKvWithGen(spark, store.dir)._1("epoch").toInt)
+    try spark.read.parquet(path)
+    catch {
+      case _: org.apache.spark.sql.AnalysisException =>
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType.fromDDL(store.schemaDdl))
+    }
+  }
+
+  /** Land one batch's ALREADY-AGGREGATED fragment (key cols + count col,
+    * one logical batch of documents) as the `batch_id = <batchId>`
+    * partition — dynamic-partition overwrite, so an at-least-once replay
+    * overwrites its own fragment instead of double-counting. Protocol
+    * mode additionally publishes via a CAS meta bump (closing the
+    * append-vs-compaction race from both sides, like the dedup index's
+    * appendBatch) and skips batches at or below `compacted_through`
+    * (already folded in full).
+    */
+  def append(frag: DataFrame, store: Store, batchId: Long): Unit = {
+    val spark = frag.sparkSession
+    val tagged = frag.withColumn("batch_id", lit(batchId))
+    if (StoredIndex.metaGeneration(spark, store.dir) < 0) {
+      ParquetWarehouse.overwritePartitions(tagged, store.dir, Seq("batch_id"))
+      return
+    }
+    val (kv, _) = StoredIndex.readKvWithGen(spark, store.dir)
+    if (batchId >= 0 && batchId <= kv("compacted_through").toLong) return
+    ParquetWarehouse.overwritePartitions(
+      tagged, epochPath(store.dir, kv("epoch").toInt), Seq("batch_id"))
+    val (now, gen) = StoredIndex.readKvWithGen(spark, store.dir)
+    if (now("epoch") != kv("epoch"))
+      throw new StoredIndex.ConcurrentIndexWriteException(
+        s"additive-stats store at ${store.dir} was compacted (epoch " +
+        s"${kv("epoch")} -> ${now("epoch")}) during the append of batch " +
+        s"$batchId; the appended rows landed in the superseded epoch — " +
+        "replay the batch")
+    try StoredIndex.writeMetaCas(spark, store.dir, now.toSeq, gen)
+    catch {
+      case e: StoredIndex.ConcurrentIndexWriteException =>
+        throw new StoredIndex.ConcurrentIndexWriteException(
+          s"additive-stats store at ${store.dir} advanced during the " +
+          s"append of batch $batchId — replay the batch (${e.getMessage})")
+    }
+  }
+
+  /** Fold every fragment of the live epoch into ONE summed
+    * `batch_id = -1` partition in a fresh epoch and CAS-swap the meta —
+    * crash-safe exactly like the index compactions (old epoch stays live
+    * until the swap, superseded epoch survives one grace cycle).
+    * `compacted_through` advances to the highest folded batch id so
+    * replays of folded batches become no-ops.
+    */
+  def compact(spark: SparkSession, store: Store): Unit = {
+    val (kv, gen) = StoredIndex.readKvWithGen(spark, store.dir)
+    val epoch = kv("epoch").toInt
+    val p = new org.apache.hadoop.fs.Path(epochPath(store.dir, epoch))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val maxBatch =
+      if (!fs.exists(p)) -1L
+      else fs.listStatus(p).foldLeft(-1L) { (acc, st) =>
+        st.getPath.getName match {
+          case n if n.startsWith("batch_id=") && n != "batch_id=-1" =>
+            math.max(acc, n.stripPrefix("batch_id=").toLong)
+          case _ => acc
+        }
+      }
+    read(spark, store)
+      .groupBy(store.keyCols.map(col): _*)
+      .agg(sum(col(store.countCol)).as(store.countCol))
+      .withColumn("batch_id", lit(-1L))
+      .write.mode("overwrite").partitionBy("batch_id")
+      .parquet(epochPath(store.dir, epoch + 1))
+    StoredIndex.writeMetaCas(spark, store.dir,
+      metaKv(epoch + 1,
+        math.max(maxBatch, kv("compacted_through").toLong),
+        kv.getOrElse("stream_id", "")), gen)
+    StoredIndex.sweepEpochsBelow(spark, store.dir, Seq(rel), epoch)
+  }
+}

@@ -318,6 +318,40 @@ object StreamOps {
       }
       .start()
 
+  /** CONTINUOUS maintenance of the duplicated-SPAN window-frequency
+    * relation — the span-family twin of [[lineStatsStream]], on the SAME
+    * [[graft.sources.AdditiveStats]] store (idempotent batch fragments,
+    * CAS publishes, crash-safe compaction folds, checkpoint identity
+    * pin). Span dedup is inherently two-pass (a window only becomes a
+    * duplicated span once enough documents carry it), so the stream
+    * maintains statistics continuously and the cut applies at read time
+    * via [[graft.operators.SpanDedup.removeSpansWithStats]] /
+    * `coverage` — bit-identical to the one-shot batch cut over the same
+    * corpus (StreamingSpec differential; s14 under the oracle gate).
+    */
+  def spanStatsStream(newDocs: DataFrame, idCol: String, textCol: String,
+                      statsDir: String, checkpointDir: String,
+                      n: Int, compactEvery: Int = 16)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    newDocs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        import graft.operators.SpanDedup
+        import graft.sources.StoredIndex
+        val spark = batch.sparkSession
+        if (StoredIndex.metaGeneration(spark, statsDir) < 0)
+          SpanDedup.initSpanStats(spark, statsDir)
+        StoredIndex.pinStreamIdentity(spark, statsDir, checkpointDir)
+        if (!batch.isEmpty)
+          SpanDedup.appendSpanStats(
+            batch.toDF(), idCol, textCol, statsDir, n, batchId)
+        if (compactEvery > 0 &&
+            SpanDedup.spanStatsFragmentCount(spark, statsDir) > compactEvery)
+          SpanDedup.compactSpanStats(spark, statsDir)
+      }
+      .start()
+
   /** CONTINUOUS dimension maintenance: each micro-batch of key snapshots
     * SCD2-merges into the dimension at `path`
     * ([[graft.sources.Scd2.merge]]) — the streaming form of the

@@ -101,6 +101,42 @@ class SpanDedupSpec extends SparkSpec {
     assert(out.forall(_.getLong(2) == 0L))
   }
 
+  test("accumulated span stats resolve the identical cut as the one-shot path") {
+    // two-installment protocol store with a compaction BETWEEN the
+    // installments, so fold arithmetic (summed fragments + live
+    // fragment) sits under the equivalence check too
+    val dir = java.nio.file.Files.createTempDirectory("span-stats").toString
+    try {
+      val df = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+        .select("doc_id", "text")
+      SpanDedup.initSpanStats(spark, s"$dir/stats")
+      SpanDedup.appendSpanStats(df.filter($"doc_id" % 2 === 0),
+        "doc_id", "text", s"$dir/stats", n = 8, batchId = 0L)
+      SpanDedup.compactSpanStats(spark, s"$dir/stats")
+      SpanDedup.appendSpanStats(df.filter($"doc_id" % 2 =!= 0),
+        "doc_id", "text", s"$dir/stats", n = 8, batchId = 1L)
+      val stats = SpanDedup.readSpanStats(spark, s"$dir/stats")
+      val viaStats = SpanDedup.removeSpansWithStats(df, "doc_id", "text",
+        stats, n = 8, minDocs = 2)
+      val oneShot = SpanDedup.removeSpans(df, "doc_id", "text", 8, 2)
+      assert(viaStats.exceptAll(oneShot).isEmpty &&
+        oneShot.exceptAll(viaStats).isEmpty)
+      assert(oneShot.agg(org.apache.spark.sql.functions.sum("removed_tokens"))
+        .collect()(0).getLong(0) > 0, "fixture should remove something")
+      // an at-least-once replay of a FOLDED batch is a no-op
+      SpanDedup.compactSpanStats(spark, s"$dir/stats")
+      SpanDedup.appendSpanStats(df.filter($"doc_id" % 2 === 0),
+        "doc_id", "text", s"$dir/stats", n = 8, batchId = 0L)
+      val statsAfter = SpanDedup.readSpanStats(spark, s"$dir/stats")
+      val viaStats2 = SpanDedup.removeSpansWithStats(df, "doc_id", "text",
+        statsAfter, n = 8, minDocs = 2)
+      assert(viaStats2.exceptAll(oneShot).isEmpty &&
+        oneShot.exceptAll(viaStats2).isEmpty)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("coverage equals the explode-distinct recount on real documents") {
     // Differential against a second algorithm (position explode +
     // countDistinct) over the sf0.001 documents table — the same check

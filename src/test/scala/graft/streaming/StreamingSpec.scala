@@ -475,6 +475,56 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("spanStatsStream: accumulated fragments make the stats-based span cut equal the one-shot cut") {
+    import graft.operators.SpanDedup
+    implicit val sqlCtx = spark.sqlContext
+    // an 8-token phrase in 2 docs, but only 1 PER BATCH — the cut is
+    // correct only if per-batch window counts SUM (minDocs = 2 exceeds
+    // any single batch's count)
+    val phrase = "one two three four five six seven eight"
+    val b1 = Seq(Doc(1L, s"intro a b $phrase tail x"),
+      Doc(2L, "unrelated words only here nothing shared at all"))
+    val b2 = Seq(Doc(3L, s"other start $phrase closing y"),
+      Doc(4L, "more filler text with no duplication present whatsoever"))
+    val corpus = (b1 ++ b2).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("span-stats-stream").toString
+    try {
+      val mem = MemoryStream[Doc]
+      mem.addData(b1)
+      // compactEvery = 1: a mid-run fold sits under the differential
+      val q = StreamOps.spanStatsStream(mem.toDF(), "doc_id", "text",
+        s"$tmp/stats", s"$tmp/ckpt", n = 8, compactEvery = 1)
+      q.processAllAvailable()
+      mem.addData(b2)
+      q.processAllAvailable()
+      q.stop()
+      import graft.sources.StoredIndex
+      val (kv, _) = StoredIndex.readKvWithGen(spark, s"$tmp/stats")
+      assert(kv("epoch") == "1" && kv("compacted_through") == "1", kv.toString)
+      assert(SpanDedup.spanStatsFragmentCount(spark, s"$tmp/stats") == 0)
+      val streamed = SpanDedup.removeSpansWithStats(corpus, "doc_id", "text",
+          SpanDedup.readSpanStats(spark, s"$tmp/stats"), n = 8, minDocs = 2)
+        .select("doc_id", "text").as[(Long, String)].collect().toMap
+      val oneShot = SpanDedup.removeSpans(corpus, "doc_id", "text", 8, 2)
+        .select("doc_id", "text").as[(Long, String)].collect().toMap
+      assert(streamed == oneShot, s"streamed=$streamed oneShot=$oneShot")
+      assert(streamed(1L) == "intro a b tail x",
+        "cross-batch counts must merge: the phrase is 1+1 >= 2")
+      // a fresh checkpoint against the ingested store is refused
+      val mem2 = MemoryStream[Doc]
+      mem2.addData(Seq(Doc(9L, "fresh new content for a fresh checkpoint run")))
+      val q2 = StreamOps.spanStatsStream(mem2.toDF(), "doc_id", "text",
+        s"$tmp/stats", s"$tmp/ckpt2", n = 8, compactEvery = 1)
+      val err = intercept[Exception] { q2.processAllAvailable() }
+      try q2.stop() catch { case _: Exception => () }
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+      assert(messages(err).exists(_.contains("checkpoint")), messages(err).mkString("; "))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+    }
+  }
+
   test("annIngestStream: streamed fragments probe identically to a one-shot encode of the union") {
     import graft.ext.{AnnIndex, ClusteredFixture, PqAnn}
     val dim = 32

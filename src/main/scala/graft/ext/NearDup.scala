@@ -132,6 +132,34 @@ object NearDup {
     * |A∩B| via a shingle equi-join restricted to the candidates, |A∪B| from
     * per-doc set sizes. Division is int→double, identical on any engine.
     */
+  /** ASYMMETRIC shingle containment — `|A ∩ B| / |A|` — the
+    * excerpt/quote detector symmetric Jaccard misses: a short document
+    * fully contained in a long one scores containment 1.0 while its
+    * Jaccard stays near |A|/|B| (tiny). Emits each unordered pair once
+    * (`id_a < id_b`) with BOTH directions when either clears
+    * `minContainment`. Shingle hashes join exactly like the d02 exact
+    * path (8 bytes, 64-bit-collision odds ~1e-11); at LSH scale the
+    * banded candidates front this the same way they front
+    * [[exactJaccard]].
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       n: Int = 3, minContainment: Double = 0.8): DataFrame = {
+    val sh = hashedShingles(df, idCol, textCol, n)
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
+    val a = sh.select(col("id").as("id_a"), col("shingle"))
+    val b = sh.select(col("id").as("id_b"), col("shingle"))
+    val inter = a.join(b, Seq("shingle")).filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.select(col("id").as("id_a"), col("n").as("na")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("n").as("nb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (col("i").cast("double") / col("na")).as("cont_a_in_b"),
+        (col("i").cast("double") / col("nb")).as("cont_b_in_a"))
+      .filter(col("cont_a_in_b") >= minContainment ||
+        col("cont_b_in_a") >= minContainment)
+  }
+
   def exactJaccard(sh: DataFrame, pairs: DataFrame): DataFrame = {
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
     val shA = sh.select(col("id").as("id_a"), col("shingle"))

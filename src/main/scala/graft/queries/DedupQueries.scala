@@ -544,10 +544,42 @@ object DedupQueries {
       docs.filter(col("doc_id") % 10 === 0), "text", n = 8)
   }
 
+  // ---------------------------------------------------------------- d17
+  /** Asymmetric shingle CONTAINMENT (|A∩B| / |A|) — the excerpt/quote
+    * detector symmetric Jaccard misses: a short document fully inside a
+    * long one scores 1.0 here while its Jaccard stays near |A|/|B|.
+    * Same exact 8-byte-hash join shape as d02.
+    */
+  val d17_containment_pairs = q("d17_containment_pairs", Some(
+    s"""WITH w AS (SELECT doc_id, string_split(${normSql("text")}, ' ') AS toks FROM documents),
+       |g AS (SELECT doc_id,
+       |        unnest(CASE WHEN len(toks) >= 3
+       |               THEN [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)]
+       |               ELSE [array_to_string(toks, ' ')] END) AS shingle
+       |      FROM w),
+       |s AS (SELECT DISTINCT doc_id, shingle FROM g),
+       |sz AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
+       |i AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+       |      FROM s a JOIN s b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |      GROUP BY 1, 2)
+       |SELECT id_a, id_b,
+       |  ROUND(CAST(i AS DOUBLE) / x.n, 6) AS cont_a_in_b,
+       |  ROUND(CAST(i AS DOUBLE) / y.n, 6) AS cont_b_in_a
+       |FROM i JOIN sz x ON id_a = x.doc_id JOIN sz y ON id_b = y.doc_id
+       |WHERE CAST(i AS DOUBLE) / x.n >= 0.8
+       |   OR CAST(i AS DOUBLE) / y.n >= 0.8""".stripMargin)) { (s, dir) =>
+    NearDup.containmentPairs(Tables.documents(s, dir), "doc_id", "text",
+        n = 3, minContainment = 0.8)
+      .select(col("id_a"), col("id_b"),
+        round(col("cont_a_in_b"), 6).as("cont_a_in_b"),
+        round(col("cont_b_in_a"), 6).as("cont_b_in_a"))
+  }
+
   val all: Seq[GraftQuery] = Seq(
     d01_exact_dup_groups, d02_ngram_jaccard, d03_minhash_lsh, d04_simhash,
     d05_simhash_neardup, d06_dedup_clusters, d07_dedup_apply,
     d08_contamination, d09_bloom_decontaminate, d10_incremental_neardup,
     d11_indexed_neardup, d12_extended_neardup, d13_index_compaction,
-    d14_dedup_keep_best, d15_span_coverage, d16_span_decontaminate)
+    d14_dedup_keep_best, d15_span_coverage, d16_span_decontaminate,
+    d17_containment_pairs)
 }

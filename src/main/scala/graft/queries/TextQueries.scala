@@ -698,11 +698,52 @@ object TextQueries {
       "doc_id", "text")
   }
 
+  // ---------------------------------------------------------------- t21
+  /** WITHIN-document line dedup (the Gopher-style intra-doc repetition
+    * cut t09 MEASURES): keep each line's first occurrence inside its own
+    * document, drop later repeats — entirely row-local column algebra
+    * (filter-with-index + array_slice first-occurrence test), zero
+    * shuffle, so at 100 TB it rides the scan stage. The corpus-level
+    * cross-document cut is t15; this is its per-document complement.
+    */
+  val t21_within_doc_dedup = q("t21_within_doc_dedup",
+    s"""WITH p AS (SELECT doc_id,
+       |        text || chr(10) || 'Repeated call to action.' || chr(10)
+       |             || 'Unique closing thought.' || chr(10)
+       |             || 'repeated CALL to action.' AS text
+       |      FROM documents),
+       |l AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM p)
+       |SELECT doc_id,
+       |  array_to_string(
+       |    [ls[CAST(i AS INT) + 1] for i in range(0, len(ls))
+       |     if trim(ls[CAST(i AS INT) + 1]) = ''
+       |        OR list_position(
+       |             [lower(trim(x)) for x in ls[1:CAST(i AS INT) + 1]],
+       |             lower(trim(ls[CAST(i AS INT) + 1]))) = CAST(i AS INT) + 1],
+       |    chr(10)) AS text
+       |FROM l""".stripMargin) { (s, dir) =>
+    val ls = split(col("text"), "\n")
+    val norm = transform(ls, x => lower(trim(x)))
+    // plant an intra-document repeat (case-varied: the dedup is on the
+    // normalized form) so the cut is exercised on every document
+    Tables.documents(s, dir).select(col("doc_id"),
+        concat(col("text"), lit("\nRepeated call to action."),
+          lit("\nUnique closing thought."),
+          lit("\nrepeated CALL to action.")).as("text"))
+      .select(col("doc_id"),
+      array_join(
+        filter(ls, (x, i) =>
+          trim(x) === "" ||
+            array_position(slice(norm, lit(1), i + 1), lower(trim(x))) === i + 1),
+        "\n").as("text"))
+  }
+
   val all: Seq[GraftQuery] = Seq(
     t01_token_stats, t02_quality_score, t03_lang_id, t04_fingerprint,
     t05_rolling_hash, t06_redact, t07_tfidf_top_terms, t08_curation_pipeline,
     t09_repetition, t10_mixture_resample, t11_boilerplate_ngrams,
     t12_sequence_packing, t13_packed_sequences, t14_epoch_shuffle,
     t15_line_dedup, t16_quality_gate, t17_doc_chunking,
-    t18_quality_classifier, t19_span_removal, t20_lm_likelihood)
+    t18_quality_classifier, t19_span_removal, t20_lm_likelihood,
+    t21_within_doc_dedup)
 }

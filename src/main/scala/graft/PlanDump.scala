@@ -119,6 +119,19 @@ object PlanDump {
       "window over the event list; chain semantics are conditional " +
       "mins so any engine resolves identically (PlanAuditSpec pins " +
       "the 3-exchange no-SMJ shape)."),
+    "d17_containment_pairs" -> ("round 11: asymmetric containment over " +
+      "the same exact 8-byte-hash shingle join as d02 — the shuffle " +
+      "carries hashes, the pair aggregate is combiner-friendly; like " +
+      "d02 this is the EXACT sibling (LSH-banded candidates front it " +
+      "at corpus scale, capped like d03)."),
+    "t21_within_doc_dedup" -> ("round 11: intra-document line dedup is " +
+      "pure row-local column algebra (filter-with-index + prefix " +
+      "first-occurrence test) — ZERO Exchange, rides the scan stage; " +
+      "per-row cost is O(lines^2) on the normalized forms, bounded by " +
+      "document size, not corpus size."),
+    "q55_cohort_retention" -> ("round 11: two user-keyed aggregates + " +
+      "one (cohort, offset) count — all partial/combiner-friendly, no " +
+      "window; the user-key join co-partitions with the aggregates."),
     "q53_full_outer_join" -> ("round 11: reconciliation full-outer — " +
       "one shuffle pair on the join key; both unmatched sides " +
       "null-padded."),

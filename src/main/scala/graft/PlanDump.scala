@@ -64,6 +64,11 @@ object PlanDump {
       "length) and the token filter runs in-row (filter HOF with " +
       "index); the cleaned text never exists as exploded rows. " +
       "String-exact against the DuckDB list-comprehension rebuild."),
+    "t22_lm_trigram" -> ("round 11: the full Brants backoff chain — " +
+      "t20's plan one level deeper (three count relations, five left " +
+      "joins, all vocabulary-sized/broadcastable); branch arithmetic is " +
+      "a fixed-order CASE of IEEE-exact ops so the double score " +
+      "hash-matches DuckDB."),
     "t20_lm_likelihood" -> ("round 11: stupid-backoff bigram scoring — " +
       "the model IS two additive count relations (unigrams, bigrams) + " +
       "a 1-row total; scoring is two left joins + a broadcast cross of " +

@@ -159,6 +159,21 @@ object ScaleSmoke {
           .agg(sum("covered_tokens")).collect()(0).getLong(0),
         operators.SpanDedup.coverage(docsBig, "doc_id", "text", 8, 2)
           .agg(sum("covered_tokens")).collect()(0).getLong(0)),
+      // span decontamination: FIXED benchmark (the sf corpus's every
+      // 10th doc) against the growing corpus — the broadcast semi-join
+      // contract must hold the check map-side at 10x
+      run("d16_span_decon", {
+        val bench = docsSmall.filter(col("doc_id") % 10 === 0)
+        operators.SpanDedup.decontaminateSpans(
+            docsSmall.filter(col("doc_id") % 10 =!= 0), "doc_id", "text",
+            bench, "text", 8)
+          .agg(sum("removed_tokens")).collect()(0).getLong(0)
+      }, {
+        val bench = docsSmall.filter(col("doc_id") % 10 === 0)
+        operators.SpanDedup.decontaminateSpans(docsBig, "doc_id", "text",
+            bench, "text", 8)
+          .agg(sum("removed_tokens")).collect()(0).getLong(0)
+      }),
       run("e05_cosine_neardup",
         ext.EmbeddingDedup.cosineNearDupPairs(embSmall, "vec_id", "embedding",
           "label", 0.42).count(),

@@ -72,6 +72,68 @@ object NgramLm {
     (a._1.unionByName(b._1).groupBy("u").agg(sum("cu").as("cu")),
      a._2.unionByName(b._2).groupBy("u", "v").agg(sum("cb").as("cb")))
 
+  /** Exploded trigram frame: one row per adjacent token triple. */
+  private def trigrams(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), toks(col(textCol)).as("__t"))
+      .filter(size(col("__t")) >= 3)
+      .select(col(idCol), explode(
+        transform(sequence(lit(0), size(col("__t")) - 3),
+          i => struct(element_at(col("__t"), i + 1).as("u"),
+            element_at(col("__t"), i + 2).as("v"),
+            element_at(col("__t"), i + 3).as("w")))).as("__b"))
+      .select(col(idCol), col("__b.u").as("u"), col("__b.v").as("v"),
+        col("__b.w").as("w"))
+
+  /** TRIGRAM stupid backoff (the full Brants chain): seen trigram →
+    * C(uvw)/C(uv); unseen → α·C(vw)/C(v); doubly unseen →
+    * α·α·C(w)/T (0 for OOV). Same relational shape as the bigram form,
+    * one level deeper — three count relations, all additive/persistable,
+    * all Zipf-bounded next to the corpus. Output per target document
+    * with ≥3 tokens: (idCol, n_trigrams, n_hit3, n_hit2, score) where
+    * n_hit3 counts full trigram hits and n_hit2 the bigram backoffs.
+    * Every arithmetic step is a single IEEE-exact op in a fixed order
+    * and the mean accumulates in DECIMAL — bit-identical across engines.
+    */
+  def scoreStupidBackoffTrigram(target: DataFrame, reference: DataFrame,
+                                idCol: String, textCol: String,
+                                alpha: Double = 0.4): DataFrame = {
+    val uniCnt = unigrams(reference, idCol, textCol)
+      .groupBy("u").agg(count(lit(1)).as("__cu"))
+    val bigCnt = bigrams(reference, idCol, textCol)
+      .groupBy("u", "v").agg(count(lit(1)).as("__cb"))
+    val triCnt = trigrams(reference, idCol, textCol)
+      .groupBy("u", "v", "w").agg(count(lit(1)).as("__ct"))
+    val total = uniCnt.agg(sum("__cu").as("__t"))
+
+    val tt = trigrams(target, idCol, textCol)
+    val p = tt
+      .join(triCnt, Seq("u", "v", "w"), "left")
+      .join(bigCnt.withColumnRenamed("__cb", "__cb12"), Seq("u", "v"), "left")
+      .join(bigCnt.select(col("u").as("v"), col("v").as("w"),
+        col("__cb").as("__cb23")), Seq("v", "w"), "left")
+      .join(uniCnt.select(col("u").as("v"), col("__cu").as("__cv")), Seq("v"), "left")
+      .join(uniCnt.select(col("u").as("w"), col("__cu").as("__cw")), Seq("w"), "left")
+      .crossJoin(broadcast(total))
+      .select(col(idCol),
+        col("__ct").isNotNull.as("__hit3"),
+        (col("__ct").isNull && col("__cb23").isNotNull).as("__hit2"),
+        when(col("__ct").isNotNull,
+          col("__ct").cast(DoubleType) / col("__cb12").cast(DoubleType))
+          .when(col("__cb23").isNotNull,
+            lit(alpha) * (col("__cb23").cast(DoubleType) /
+              col("__cv").cast(DoubleType)))
+          .otherwise(lit(alpha) * (lit(alpha) *
+            (coalesce(col("__cw"), lit(0L)).cast(DoubleType) /
+              col("__t").cast(DoubleType))))
+          .as("__p"))
+    p.groupBy(idCol)
+      .agg(count(lit(1)).as("n_trigrams"),
+        count(when(col("__hit3"), lit(1))).as("n_hit3"),
+        count(when(col("__hit2"), lit(1))).as("n_hit2"),
+        (sum(col("__p").cast(DecimalType(18, 9))).cast(DoubleType) /
+          count(lit(1))).as("score"))
+  }
+
   /** Score each target document's mean bigram likelihood under the
     * reference corpus's stupid-backoff model. Output: one row per target
     * document with ≥2 tokens — (idCol, n_bigrams, n_hit, score).

@@ -738,6 +738,62 @@ object TextQueries {
         "\n").as("text"))
   }
 
+  // ---------------------------------------------------------------- t22
+  /** Trigram stupid backoff (the full Brants chain one level above
+    * t20): seen trigram → C(uvw)/C(uv); bigram backoff → 0.4·C(vw)/C(v);
+    * unigram backoff → 0.4·0.4·C(w)/T. Fixed IEEE op order + DECIMAL
+    * accumulation keep the double score hash-exact across engines.
+    */
+  val t22_lm_trigram = q("t22_lm_trigram",
+    s"""WITH n AS (SELECT doc_id,
+       |        [x for x in string_split(lower(${normSql("text")}), ' ') if x <> ''] AS toks
+       |      FROM documents),
+       |ref AS (SELECT doc_id, toks FROM n WHERE doc_id % 2 = 0),
+       |tgt AS (SELECT doc_id, toks FROM n WHERE doc_id % 2 = 1 AND len(toks) >= 3),
+       |uni AS (SELECT u, count(*) AS cu
+       |        FROM (SELECT unnest(toks) AS u FROM ref) GROUP BY u),
+       |tot AS (SELECT count(*) AS t FROM (SELECT unnest(toks) AS u FROM ref)),
+       |bref AS (SELECT toks[CAST(i AS INT) + 1] AS u, toks[CAST(i AS INT) + 2] AS v
+       |         FROM (SELECT toks, unnest(range(0, len(toks) - 1)) AS i
+       |               FROM ref WHERE len(toks) >= 2)),
+       |big AS (SELECT u, v, count(*) AS cb FROM bref GROUP BY u, v),
+       |tref AS (SELECT toks[CAST(i AS INT) + 1] AS u, toks[CAST(i AS INT) + 2] AS v,
+       |                toks[CAST(i AS INT) + 3] AS w
+       |         FROM (SELECT toks, unnest(range(0, len(toks) - 2)) AS i
+       |               FROM ref WHERE len(toks) >= 3)),
+       |tri AS (SELECT u, v, w, count(*) AS ct FROM tref GROUP BY u, v, w),
+       |ttgt AS (SELECT doc_id, toks[CAST(i AS INT) + 1] AS u,
+       |                toks[CAST(i AS INT) + 2] AS v, toks[CAST(i AS INT) + 3] AS w
+       |         FROM (SELECT doc_id, toks, unnest(range(0, len(toks) - 2)) AS i
+       |               FROM tgt)),
+       |p AS (SELECT doc_id,
+       |        (tri.ct IS NOT NULL) AS hit3,
+       |        (tri.ct IS NULL AND b23.cb IS NOT NULL) AS hit2,
+       |        CASE WHEN tri.ct IS NOT NULL
+       |             THEN CAST(tri.ct AS DOUBLE) / CAST(b12.cb AS DOUBLE)
+       |             WHEN b23.cb IS NOT NULL
+       |             THEN 0.4 * (CAST(b23.cb AS DOUBLE) / CAST(u2.cu AS DOUBLE))
+       |             ELSE 0.4 * (0.4 * (CAST(coalesce(u3.cu, 0) AS DOUBLE)
+       |                                / CAST(tot.t AS DOUBLE)))
+       |        END AS p
+       |      FROM ttgt
+       |      LEFT JOIN tri USING (u, v, w)
+       |      LEFT JOIN big b12 ON ttgt.u = b12.u AND ttgt.v = b12.v
+       |      LEFT JOIN big b23 ON ttgt.v = b23.u AND ttgt.w = b23.v
+       |      LEFT JOIN uni u2 ON ttgt.v = u2.u
+       |      LEFT JOIN uni u3 ON ttgt.w = u3.u
+       |      CROSS JOIN tot)
+       |SELECT doc_id, count(*) AS n_trigrams,
+       |  count(*) FILTER (WHERE hit3) AS n_hit3,
+       |  count(*) FILTER (WHERE hit2) AS n_hit2,
+       |  CAST(SUM(CAST(p AS DECIMAL(18,9))) AS DOUBLE) / count(*) AS score
+       |FROM p GROUP BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    graft.operators.NgramLm.scoreStupidBackoffTrigram(
+      docs.filter(col("doc_id") % 2 === 1), docs.filter(col("doc_id") % 2 === 0),
+      "doc_id", "text")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     t01_token_stats, t02_quality_score, t03_lang_id, t04_fingerprint,
     t05_rolling_hash, t06_redact, t07_tfidf_top_terms, t08_curation_pipeline,
@@ -745,5 +801,5 @@ object TextQueries {
     t12_sequence_packing, t13_packed_sequences, t14_epoch_shuffle,
     t15_line_dedup, t16_quality_gate, t17_doc_chunking,
     t18_quality_classifier, t19_span_removal, t20_lm_likelihood,
-    t21_within_doc_dedup)
+    t21_within_doc_dedup, t22_lm_trigram)
 }

@@ -61,6 +61,30 @@ class NgramLmSpec extends SparkSpec {
     assert(one.toSeq === two.toSeq)
   }
 
+  test("trigram backoff walks all three levels with the fixed op order") {
+    // ref: "a b c a b d" → trigrams: (a,b,c) (b,c,a) (c,a,b) (a,b,d)
+    //   bigrams: (a,b)=2 (b,c)=1 (c,a)=1 (b,d)=1; unigrams a=2 b=2 c=1 d=1, T=6
+    val ref3 = Seq((0, "a b c a b d")).toDF("id", "text")
+    val tgt = Seq(
+      (1, "a b c"),   // seen trigram: 1 / C(a,b)=2 -> 0.5
+      (3, "c a b d"), // (c,a,b) seen -> 1/1; (a,b,d) seen -> 1/2
+      (5, "b a b"),   // (b,a,b) unseen, (a,b) seen -> 0.4 * C(a,b)/C(a) = 0.4*2/2
+      (7, "d d c"))   // (d,d,c): no trigram, no (d,c) bigram -> 0.4*0.4*C(c)/T
+    .toDF("id", "text")
+    val out = NgramLm.scoreStupidBackoffTrigram(tgt, ref3, "id", "text")
+      .orderBy("id").collect()
+    def row(i: Int) = (out(i).getAs[Long]("n_trigrams"),
+      out(i).getAs[Long]("n_hit3"), out(i).getAs[Long]("n_hit2"),
+      out(i).getAs[Double]("score"))
+    assert(row(0) === ((1L, 1L, 0L, 0.5)))
+    assert(row(1)._1 == 2L && row(1)._2 == 2L &&
+      math.abs(row(1)._4 - (1.0 + 0.5) / 2) < 1e-9)
+    assert(row(2) === ((1L, 0L, 1L, 0.4 * (2.0 / 2))))
+    // DECIMAL(18,9) accumulation quantizes each p to 9 decimals
+    assert(row(3)._2 == 0L && row(3)._3 == 0L &&
+      math.abs(row(3)._4 - 0.4 * (0.4 * (1.0 / 6))) < 1e-9)
+  }
+
   test("counts are case-insensitive and whitespace-normalized") {
     val refMixed = Seq((0, "  A  b\nA b")).toDF("id", "text")
     val tgt = Seq((1, "a B")).toDF("id", "text")

@@ -62,6 +62,44 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("Funnel.resolve matches a plain-Scala reference on random event sets (k=4)") {
+    // independent reference implementation of the chained conditional
+    // min — random fixtures catch chain-edge mistakes the hand cases
+    // miss (duplicate timestamps, interleaved stages, absent stages)
+    val stages = Seq("view", "click", "signup", "purchase")
+    val types = stages ++ Seq("error") // noise stage
+    val events = (for {
+      u <- 1 to 25
+      _ <- 1 to Gen.chooseNum(0, 14).sample.get
+    } yield (u.toLong, new java.sql.Timestamp(Gen.chooseNum(0, 40).sample.get * 60000L),
+      types(Gen.chooseNum(0, types.length - 1).sample.get))).toVector
+    def ref(u: Long): Option[(Seq[Option[Long]], Int)] = {
+      val mine = events.filter(_._1 == u)
+      def times(st: String) = mine.filter(_._3 == st).map(_._2.getTime)
+      val t1 = times(stages.head).minOption
+      if (t1.isEmpty) return None
+      val chain = stages.tail.scanLeft(t1) { (prev, st) =>
+        prev.flatMap(p => times(st).filter(_ > p).minOption)
+      }
+      Some((chain, chain.count(_.isDefined)))
+    }
+    val got = Funnel.resolve(events.toDF("user_id", "ts", "event_type"),
+        "user_id", "ts", "event_type", stages)
+      .collect().map { r =>
+        r.getLong(0) -> (((1 to 4).map(i =>
+          Option(r.getTimestamp(i)).map(_.getTime)), r.getInt(5)))
+      }.toMap
+    (1 to 25).map(_.toLong).foreach { u =>
+      (ref(u), got.get(u)) match {
+        case (None, None) => ()
+        case (Some((chain, reached)), Some((gChain, gReached))) =>
+          assert(gChain == chain && gReached == reached, s"user $u")
+        case (r, g) => fail(s"user $u: ref=$r got=$g")
+      }
+    }
+    assert(got.nonEmpty)
+  }
+
   test("SpanDedup laws: coverage bounds and removal/coverage consistency") {
     // Random docs over a 6-word vocabulary (tiny alphabet forces plenty
     // of genuine cross-document window duplication), one batched frame.

@@ -407,10 +407,51 @@ object SourceQueries {
       .select("n_nationkey", "n_name", "n_regionkey", "region_name", "batch_id")
   }
 
+  // ---------------------------------------------------------------- src15
+  /** Corpus VERSION DIFF — the release-to-release audit a dataset
+    * pipeline publishes (what changed between corpus v1 and v2): full
+    * outer join on the document key comparing content fingerprints →
+    * added / removed / changed / unchanged per document. One shuffle
+    * pair on the key; fingerprints computed map-side, so the diff never
+    * moves document text.
+    */
+  val src15_corpus_diff = q("src15_corpus_diff", Some(
+    """WITH v1 AS (SELECT doc_id, text FROM documents),
+      |v2 AS (
+      |  SELECT doc_id, text || ' (edited)' AS text FROM documents
+      |  WHERE doc_id % 7 = 0 AND doc_id % 13 <> 0
+      |  UNION ALL
+      |  SELECT doc_id, text FROM documents
+      |  WHERE doc_id % 7 <> 0 AND doc_id % 13 <> 0
+      |  UNION ALL
+      |  SELECT doc_id + 100000 AS doc_id, text FROM documents
+      |  WHERE doc_id % 11 = 0)
+      |SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+      |  CASE WHEN v1.doc_id IS NULL THEN 'added'
+      |       WHEN v2.doc_id IS NULL THEN 'removed'
+      |       WHEN md5(v1.text) <> md5(v2.text) THEN 'changed'
+      |       ELSE 'unchanged' END AS status
+      |FROM v1 FULL JOIN v2 ON v1.doc_id = v2.doc_id""".stripMargin)) { (s, dir) =>
+    val docs = Tables.documents(s, dir).select("doc_id", "text")
+    val v2 = docs.filter(col("doc_id") % 7 === 0 && col("doc_id") % 13 =!= 0)
+      .select(col("doc_id"), concat(col("text"), lit(" (edited)")).as("text"))
+      .unionByName(docs.filter(col("doc_id") % 7 =!= 0 && col("doc_id") % 13 =!= 0))
+      .unionByName(docs.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+    val a = docs.select(col("doc_id").as("id1"), md5(col("text")).as("fp1"))
+    val b = v2.select(col("doc_id").as("id2"), md5(col("text")).as("fp2"))
+    a.join(b, col("id1") === col("id2"), "full_outer")
+      .select(coalesce(col("id1"), col("id2")).as("doc_id"),
+        when(col("id1").isNull, "added")
+          .when(col("id2").isNull, "removed")
+          .when(col("fp1") =!= col("fp2"), "changed")
+          .otherwise("unchanged").as("status"))
+  }
+
   val all: Seq[GraftQuery] = Seq(
     src01_csv_roundtrip, src02_rest_paged, src03_partitioned_sink,
     src04_multimodal_meta, src05_frame_sample, src06_restv2_scan,
     src07_dbf_roundtrip, src08_media_meta, src09_upsert_merge,
     src10_compact_partitions, src11_scd2_merge, src12_zorder_layout,
-    src13_jsonl_roundtrip, src14_schema_evolution)
+    src13_jsonl_roundtrip, src14_schema_evolution, src15_corpus_diff)
 }

@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+import graft.functions.TextFunctions
+
+/** Inverted-index retrieval over a document corpus — the search surface a
+  * curation/eval stack needs next to dedup and ANN: build posting lists once,
+  * then answer keyword and ranked queries WITHOUT ever rescanning document
+  * text.
+  *
+  * Index = data. The posting relation (term, id, tf) is a plain DataFrame:
+  * persist it as parquet (optionally `partitionBy("term")` bucketed for
+  * pruned probes) and it IS the inverted index. It is additive over disjoint
+  * document batches — each doc contributes rows to exactly one batch, so
+  * incremental ingest is a parquet append and `df` stays derivable as the
+  * per-term posting count (the same additivity contract
+  * `sources/AdditiveStats` formalizes for line/span stats).
+  *
+  * Scale shape: tokenize+count is scan-stage column work plus ONE (term, id)
+  * shuffle; queries filter the posting relation to the query's terms — a
+  * handful of posting lists, never the corpus — and every per-term relation
+  * (document frequencies, corpus stats) is broadcast-sized by construction.
+  *
+  * Determinism: BM25 sums per-term float scores through DECIMAL(18,9) in the
+  * [[graft.operators.NgramLm]] idiom, and uses k1 = 1.5, b = 0.75 — constants
+  * exact in binary64 — so an independent engine replaying the same arithmetic
+  * hash-matches bit-for-bit.
+  */
+object Retrieval {
+
+  /** (id, term) token stream: lowercased whitespace tokens of the
+    * whitespace-normalized text; empty documents contribute no rows.
+    */
+  def termStream(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol),
+        explode(split(lower(TextFunctions.normalizeWs(col(textCol))), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+
+  /** Posting-list relation (term, id, tf) — the inverted index. */
+  def postings(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    termStream(docs, idCol, textCol)
+      .groupBy(col("term"), col(idCol))
+      .agg(count(lit(1)).as("tf"))
+
+  /** Document frequency per term, derived from a posting relation. */
+  def documentFrequencies(post: DataFrame): DataFrame =
+    post.groupBy("term").agg(count(lit(1)).as("df"))
+
+  /** Conjunctive (AND) search: ids of documents containing ALL query terms.
+    * Posting lists are intersected by count-match — filter to the query's
+    * terms (a scan-stage prune of the posting relation), group by document,
+    * demand the full distinct-term count. One bounded shuffle, no text.
+    */
+  def searchAll(post: DataFrame, idCol: String, terms: Seq[String]): DataFrame = {
+    val qt = terms.map(_.toLowerCase).distinct
+    require(qt.nonEmpty, "searchAll needs at least one query term")
+    post.filter(col("term").isin(qt: _*))
+      .groupBy(col(idCol))
+      .agg(count_distinct(col("term")).as("__nterms"))
+      .filter(col("__nterms") === qt.size)
+      .select(col(idCol))
+  }
+
+  /** BM25 top-k over a prebuilt posting relation + per-document token
+    * lengths (`dl`, one row per document incl. empty ones). Classic
+    * Robertson idf `ln(1 + (N - df + 0.5) / (df + 0.5))`; k1 = 1.5,
+    * b = 0.75 fixed (binary64-exact, see object doc). Only documents
+    * containing ≥ 1 query term are scored; ties broken by ascending id.
+    *
+    * Plan: posting prune to |terms| lists → join broadcast df/stats →
+    * one doc-keyed shuffle for `dl` + the score fold → TakeOrdered(k).
+    */
+  def bm25TopK(post: DataFrame, docLens: DataFrame, idCol: String,
+               terms: Seq[String], k: Int): DataFrame = {
+    val qt = terms.map(_.toLowerCase).distinct
+    require(qt.nonEmpty, "bm25TopK needs at least one query term")
+    val stats = docLens.agg(count(lit(1)).as("__n"), sum("dl").as("__tdl"))
+    val dfs = documentFrequencies(post.filter(col("term").isin(qt: _*)))
+    val scored = post.filter(col("term").isin(qt: _*))
+      .join(broadcast(dfs), "term")
+      .join(docLens, Seq(idCol))
+      .crossJoin(broadcast(stats))
+      .withColumn("__avgdl", col("__tdl").cast(DoubleType) / col("__n").cast(DoubleType))
+      .withColumn("__idf",
+        log(lit(1.0) + (col("__n").cast(DoubleType) - col("df").cast(DoubleType) + lit(0.5)) /
+          (col("df").cast(DoubleType) + lit(0.5))))
+      .withColumn("__den",
+        col("tf").cast(DoubleType) +
+          (lit(1.5) * (lit(0.25) + ((lit(0.75) * col("dl").cast(DoubleType)) / col("__avgdl")))))
+      .withColumn("__tscore",
+        (col("__idf") * (col("tf").cast(DoubleType) * lit(2.5))) / col("__den"))
+    scored.groupBy(col(idCol))
+      .agg(round(sum(col("__tscore").cast(DecimalType(18, 9))).cast(DoubleType), 6).as("bm25"))
+      .orderBy(col("bm25").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Per-document token length relation (id, dl) — one row per document,
+    * empty documents included with dl = 0. Feed to [[bm25TopK]].
+    */
+  def docLengths(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol))
+      .join(termStream(docs, idCol, textCol).groupBy(idCol).agg(count(lit(1)).as("__dl")),
+        Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("__dl"), lit(0L)).as("dl"))
+}

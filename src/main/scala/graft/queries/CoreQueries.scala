@@ -1164,9 +1164,73 @@ object CoreQueries {
       .agg(countDistinct(col("user_id")).as("n_users"))
   }
 
+  // ---------------------------------------------------------------- q56
+  /** FORWARD as-of join ([[AsOfJoin.forward]]): every event picks up the
+    * timestamp of the next purchase at-or-after it in the same user's
+    * timeline (inclusive — a same-instant purchase is visible). The oracle
+    * replays the same semantics as a self-window; its ORDER BY breaks
+    * equal-ts ties purchases-LAST so every co-instant event sees the
+    * purchase, mirroring the operator's side ordering deterministically.
+    * Plan: one user-keyed shuffle + sort — sort-merge-join price,
+    * independent of how dense each user's history is.
+    */
+  val q56_asof_next_purchase = q("q56_asof_next_purchase",
+    """SELECT event_id, date_trunc('second', next_purchase_ts) AS next_purchase_ts FROM (
+      |  SELECT event_id,
+      |    FIRST_VALUE(CASE WHEN event_type = 'purchase' THEN ts END IGNORE NULLS) OVER (
+      |      PARTITION BY user_id
+      |      ORDER BY ts, CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_purchase_ts
+      |  FROM events) t""".stripMargin) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+    val left = ev.select("event_id", "user_id", "ts")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("rts"), col("ts").as("next_purchase_ts"))
+    AsOfJoin.forward(left, purchases, keys = Seq("user_id"),
+      leftTs = "ts", rightTs = "rts", payloadCols = Seq("next_purchase_ts"))
+      .select(col("event_id"),
+        date_trunc("second", col("next_purchase_ts")).as("next_purchase_ts"))
+  }
+
+  // ---------------------------------------------------------------- q57
+  /** NEAREST as-of join ([[AsOfJoin.nearest]]): every event attaches the
+    * purchase temporally closest to it in either direction (ties to the
+    * earlier row). One user-keyed shuffle + ONE sort carries both
+    * directional fills (a single Window exec with two frames); the choice
+    * is a row-local interval comparison. The oracle replays it with the
+    * same purchases-FIRST tie order the operator uses, so a co-instant
+    * purchase is distance zero on the backward side in both engines.
+    */
+  val q57_asof_nearest_purchase = q("q57_asof_nearest_purchase",
+    """WITH w AS (
+      |  SELECT event_id, ts,
+      |    LAST_VALUE(CASE WHEN event_type = 'purchase' THEN ts END IGNORE NULLS) OVER (
+      |      PARTITION BY user_id
+      |      ORDER BY ts, CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS b,
+      |    FIRST_VALUE(CASE WHEN event_type = 'purchase' THEN ts END IGNORE NULLS) OVER (
+      |      PARTITION BY user_id
+      |      ORDER BY ts, CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END
+      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS f
+      |  FROM events)
+      |SELECT event_id, date_trunc('second',
+      |  CASE WHEN f IS NULL THEN b WHEN b IS NULL THEN f
+      |       WHEN ts - b <= f - ts THEN b ELSE f END) AS nearest_purchase_ts
+      |FROM w""".stripMargin) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+    val left = ev.select("event_id", "user_id", "ts")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("rts"), col("ts").as("nearest_purchase_ts"))
+    AsOfJoin.nearest(left, purchases, keys = Seq("user_id"),
+      leftTs = "ts", rightTs = "rts", payloadCols = Seq("nearest_purchase_ts"))
+      .select(col("event_id"),
+        date_trunc("second", col("nearest_purchase_ts")).as("nearest_purchase_ts"))
+  }
+
   val all: Seq[GraftQuery] = Seq(
     q50_grouping_sets, q51_unpivot, q52_time_range_window,
     q53_full_outer_join, q54_nullsafe_join, q55_cohort_retention,
+    q56_asof_next_purchase, q57_asof_nearest_purchase,
     q48_drift_psi, q47_jaro_top1, q46_stratified_sample,
     q30_numeric_describe, q31_ship_priority, q32_regional_volume, q33_small_quantity,
     q34_approx_stats, q35_from_json, q36_array_agg, q37_order_distribution,

@@ -794,6 +794,90 @@ object TextQueries {
       "doc_id", "text")
   }
 
+  // ---------------------------------------------------------------- t23
+  /** INVERTED INDEX build ([[graft.operators.Retrieval.postings]]): the
+    * posting-list relation (term, doc_id, tf) joined with per-term document
+    * frequencies — the persistable search index the t24/t25 queries probe.
+    * Plan: tokenize is scan-stage column work, ONE (term, doc_id) shuffle
+    * builds the lists, df is a per-term fold of the postings themselves
+    * (the text is never rescanned). The relation is additive over disjoint
+    * document batches, so incremental ingest is a parquet append.
+    */
+  val t23_inverted_index = q("t23_inverted_index",
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split(lower(${normSql("text")}), ' ')) AS term
+       |  FROM documents),
+       |p AS (SELECT term, doc_id, COUNT(*) AS tf
+       |      FROM toks WHERE length(term) > 0 GROUP BY 1, 2),
+       |d AS (SELECT term, COUNT(*) AS df FROM p GROUP BY 1)
+       |SELECT p.term, p.doc_id, p.tf, d.df
+       |FROM p JOIN d USING (term)""".stripMargin) { (s, dir) =>
+    val post = graft.operators.Retrieval.postings(
+      Tables.documents(s, dir), "doc_id", "text")
+    post.join(broadcast(graft.operators.Retrieval.documentFrequencies(post)), "term")
+      .select("term", "doc_id", "tf", "df")
+  }
+
+  // ---------------------------------------------------------------- t24
+  /** CONJUNCTIVE KEYWORD SEARCH over the inverted index: documents containing
+    * ALL of {dup, vector, spark} — posting-list intersection by count-match.
+    * The filter prunes the posting relation to three lists in the scan stage;
+    * the only shuffle is doc-keyed over those lists. Document text never
+    * participates.
+    */
+  val t24_keyword_search = q("t24_keyword_search",
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split(lower(${normSql("text")}), ' ')) AS term
+       |  FROM documents),
+       |p AS (SELECT DISTINCT term, doc_id FROM toks WHERE length(term) > 0)
+       |SELECT doc_id FROM p WHERE term IN ('dup', 'vector', 'spark')
+       |GROUP BY doc_id HAVING COUNT(DISTINCT term) = 3""".stripMargin) { (s, dir) =>
+    val post = graft.operators.Retrieval.postings(
+      Tables.documents(s, dir), "doc_id", "text")
+    graft.operators.Retrieval.searchAll(post, "doc_id", Seq("dup", "vector", "spark"))
+  }
+
+  // ---------------------------------------------------------------- t25
+  /** BM25 RANKED SEARCH: top-20 documents for the query {dup, merge, scan}
+    * under classic Robertson idf with k1 = 1.5, b = 0.75 (both exact in
+    * binary64, so the oracle's constants are bit-identical). Per-term float
+    * scores accumulate through DECIMAL(18,9) (the NgramLm idiom) — summation
+    * order cannot diverge between engines — and surface rounded to 6 dp.
+    * Plan: posting prune → broadcast df/corpus-stats → one doc-keyed shuffle
+    * → TakeOrdered(20).
+    */
+  val t25_bm25_search = q("t25_bm25_search",
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split(lower(${normSql("text")}), ' ')) AS term
+       |  FROM documents),
+       |tk AS (SELECT doc_id, term FROM toks WHERE length(term) > 0),
+       |dl AS (SELECT d.doc_id, COALESCE(t.c, 0) AS dl
+       |       FROM documents d
+       |       LEFT JOIN (SELECT doc_id, COUNT(*) AS c FROM tk GROUP BY 1) t USING (doc_id)),
+       |st AS (SELECT COUNT(*) AS n, SUM(dl) AS tdl FROM dl),
+       |p AS (SELECT term, doc_id, COUNT(*) AS tf FROM tk
+       |      WHERE term IN ('dup', 'merge', 'scan') GROUP BY 1, 2),
+       |df AS (SELECT term, COUNT(*) AS df FROM p GROUP BY 1),
+       |sc AS (
+       |  SELECT p.doc_id,
+       |    (ln(1.0 + (CAST(st.n AS DOUBLE) - CAST(df.df AS DOUBLE) + 0.5)
+       |              / (CAST(df.df AS DOUBLE) + 0.5))
+       |      * (CAST(p.tf AS DOUBLE) * 2.5))
+       |    / (CAST(p.tf AS DOUBLE)
+       |       + (1.5 * (0.25 + ((0.75 * CAST(dl.dl AS DOUBLE))
+       |                         / (CAST(st.tdl AS DOUBLE) / CAST(st.n AS DOUBLE)))))) AS tscore
+       |  FROM p JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st)
+       |SELECT doc_id,
+       |  ROUND(CAST(SUM(CAST(tscore AS DECIMAL(18,9))) AS DOUBLE), 6) AS bm25
+       |FROM sc GROUP BY doc_id
+       |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val post = graft.operators.Retrieval.postings(docs, "doc_id", "text")
+    val dl = graft.operators.Retrieval.docLengths(docs, "doc_id", "text")
+    graft.operators.Retrieval.bm25TopK(post, dl, "doc_id",
+      Seq("dup", "merge", "scan"), 20)
+  }
+
   val all: Seq[GraftQuery] = Seq(
     t01_token_stats, t02_quality_score, t03_lang_id, t04_fingerprint,
     t05_rolling_hash, t06_redact, t07_tfidf_top_terms, t08_curation_pipeline,
@@ -801,5 +885,6 @@ object TextQueries {
     t12_sequence_packing, t13_packed_sequences, t14_epoch_shuffle,
     t15_line_dedup, t16_quality_gate, t17_doc_chunking,
     t18_quality_classifier, t19_span_removal, t20_lm_likelihood,
-    t21_within_doc_dedup, t22_lm_trigram)
+    t21_within_doc_dedup, t22_lm_trigram, t23_inverted_index,
+    t24_keyword_search, t25_bm25_search)
 }

@@ -128,4 +128,42 @@ class DedupAndKeysSpec extends SparkSpec {
       .select("eid", "pay").as[(String, Option[Double])].collect().toMap
     assert(got == Map("lone" -> None))
   }
+
+  test("AsOfJoin.forward: least right ts at-or-after; strict skips same instant") {
+    val left = Seq((1L, 10L, "e1"), (1L, 16L, "e2"), (1L, 30L, "e3"))
+      .toDF("uid", "t", "eid")
+    val right = Seq((1L, 10L, 100.0), (1L, 20L, 200.0)).toDF("uid", "rt", "pay")
+    val incl = AsOfJoin.forward(left, right, Seq("uid"), "t", "rt", Seq("pay"))
+      .select("eid", "pay").as[(String, Option[Double])].collect().toMap
+    assert(incl == Map("e1" -> Some(100.0), "e2" -> Some(200.0), "e3" -> None))
+    val strict = AsOfJoin.forward(left, right, Seq("uid"), "t", "rt", Seq("pay"),
+        strict = true)
+      .select("eid", "pay").as[(String, Option[Double])].collect().toMap
+    assert(strict == Map("e1" -> Some(200.0), "e2" -> Some(200.0), "e3" -> None))
+  }
+
+  test("AsOfJoin.nearest: min |Δt| either side, tie to the earlier row") {
+    val left = Seq(
+      (1L, 12L, "nearer-left"),   // b at 10 (d=2), f at 20 (d=8) -> 10
+      (1L, 18L, "nearer-right"),  // b at 10 (d=8), f at 20 (d=2) -> 20
+      (1L, 15L, "exact-tie"),     // d=5 both sides -> earlier (10)
+      (1L, 10L, "same-instant"),  // right row at own ts -> distance 0
+      (2L, 99L, "no-rights")
+    ).toDF("uid", "t", "eid")
+    val right = Seq((1L, 10L, 100.0), (1L, 20L, 200.0)).toDF("uid", "rt", "pay")
+    val got = AsOfJoin.nearest(left, right, Seq("uid"), "t", "rt", Seq("pay"))
+      .select("eid", "pay").as[(String, Option[Double])].collect().toMap
+    assert(got == Map(
+      "nearer-left" -> Some(100.0), "nearer-right" -> Some(200.0),
+      "exact-tie" -> Some(100.0), "same-instant" -> Some(100.0),
+      "no-rights" -> None))
+  }
+
+  test("AsOfJoin.nearest: before-first and after-last fall to the only side") {
+    val left = Seq((1L, 1L, "before"), (1L, 50L, "after")).toDF("uid", "t", "eid")
+    val right = Seq((1L, 10L, 10.0), (1L, 20L, 20.0)).toDF("uid", "rt", "pay")
+    val got = AsOfJoin.nearest(left, right, Seq("uid"), "t", "rt", Seq("pay"))
+      .select("eid", "pay").as[(String, Option[Double])].collect().toMap
+    assert(got == Map("before" -> Some(10.0), "after" -> Some(20.0)))
+  }
 }

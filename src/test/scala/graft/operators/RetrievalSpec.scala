@@ -1,0 +1,99 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Inverted-index retrieval: posting correctness, conjunctive intersection,
+  * BM25 ranking laws, and the batch-additivity contract that makes the
+  * posting relation an incrementally maintainable index.
+  */
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "spark shuffles data fast"),
+    (2L, "spark spark joins data"),
+    (3L, "slow   scans\nread data"),
+    (4L, ""), // empty doc: no postings, dl = 0
+    (5L, "Spark SPARK spark") // case folding, tf = 3
+  ).toDF("doc_id", "text")
+
+  test("postings carry exact per-document term frequencies; empty docs absent") {
+    val p = Retrieval.postings(docs, "doc_id", "text")
+      .as[(String, Long, Long)].collect().toSet
+    assert(p.contains(("spark", 2L, 2L)))
+    assert(p.contains(("spark", 5L, 3L)))
+    assert(p.contains(("data", 3L, 1L)))
+    assert(!p.exists(_._2 == 4L))
+    // normalization folds the newline/extra-space run in doc 3
+    assert(p.contains(("scans", 3L, 1L)))
+  }
+
+  test("document frequencies count documents, not occurrences") {
+    val dfs = Retrieval.documentFrequencies(
+      Retrieval.postings(docs, "doc_id", "text"))
+      .as[(String, Long)].collect().toMap
+    assert(dfs("spark") == 3L) // docs 1, 2, 5 — not tf-weighted
+    assert(dfs("data") == 3L)
+    assert(dfs("slow") == 1L)
+  }
+
+  test("conjunctive search returns exactly the docs containing ALL terms") {
+    val p = Retrieval.postings(docs, "doc_id", "text")
+    assert(Retrieval.searchAll(p, "doc_id", Seq("spark", "data"))
+      .as[Long].collect().toSet == Set(1L, 2L))
+    // case-insensitive query side; duplicate query terms collapse
+    assert(Retrieval.searchAll(p, "doc_id", Seq("SPARK", "spark"))
+      .as[Long].collect().toSet == Set(1L, 2L, 5L))
+    assert(Retrieval.searchAll(p, "doc_id", Seq("spark", "slow"))
+      .as[Long].collect().isEmpty)
+  }
+
+  test("docLengths includes empty documents with dl = 0") {
+    val dl = Retrieval.docLengths(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(dl(4L) == 0L && dl(1L) == 4L && dl(5L) == 3L && dl.size == 5)
+  }
+
+  test("bm25: only matching docs scored, ranked desc, tf monotone, k honored") {
+    val p = Retrieval.postings(docs, "doc_id", "text")
+    val dl = Retrieval.docLengths(docs, "doc_id", "text")
+    val top = Retrieval.bm25TopK(p, dl, "doc_id", Seq("spark"), 10)
+      .as[(Long, Double)].collect()
+    assert(top.map(_._1).toSet == Set(1L, 2L, 5L))
+    assert(top.map(_._2).toSeq == top.map(_._2).sorted(Ordering[Double].reverse).toSeq)
+    val byId = top.toMap
+    // same dl (docs 2 and 5 differ) — instead check the clean pair: doc 5
+    // (tf=3, dl=3) must outscore doc 1 (tf=1, dl=4): higher tf AND shorter.
+    assert(byId(5L) > byId(1L))
+    assert(Retrieval.bm25TopK(p, dl, "doc_id", Seq("spark"), 2).count() == 2)
+  }
+
+  test("bm25 multi-term score is the sum of single-term scores (decimal-exact)") {
+    val p = Retrieval.postings(docs, "doc_id", "text")
+    val dl = Retrieval.docLengths(docs, "doc_id", "text")
+    def scores(ts: Seq[String]) =
+      Retrieval.bm25TopK(p, dl, "doc_id", ts, 10).as[(Long, Double)].collect().toMap
+    val both = scores(Seq("spark", "fast"))
+    val spark1 = scores(Seq("spark"))
+    val fast1 = scores(Seq("fast"))
+    // doc 1 contains both terms; decimal accumulation makes the sum exact
+    // up to the final 6-dp rounding of each side
+    assert(math.abs(both(1L) - (spark1(1L) + fast1(1L))) < 3e-6)
+  }
+
+  test("postings are additive over disjoint document batches (index append contract)") {
+    val a = docs.filter(col("doc_id") <= 2)
+    val b = docs.filter(col("doc_id") > 2)
+    val unioned = Retrieval.postings(a, "doc_id", "text")
+      .unionByName(Retrieval.postings(b, "doc_id", "text"))
+    val oneShot = Retrieval.postings(docs, "doc_id", "text")
+    assert(unioned.as[(String, Long, Long)].collect().toSet ==
+      oneShot.as[(String, Long, Long)].collect().toSet)
+    // df derived from the appended relation matches the one-shot build
+    assert(Retrieval.documentFrequencies(unioned)
+      .as[(String, Long)].collect().toSet ==
+      Retrieval.documentFrequencies(oneShot)
+        .as[(String, Long)].collect().toSet)
+  }
+}

@@ -448,10 +448,54 @@ object SourceQueries {
           .otherwise("unchanged").as("status"))
   }
 
+  // ---------------------------------------------------------------- src16
+  /** ORC columnar roundtrip: the second native columnar format (parquet's
+    * sibling) — write orders as ORC, read back with filter pushdown into the
+    * ORC reader. Lossless for every exchanged type, so the oracle is the
+    * equivalent parquet-side projection+filter.
+    */
+  val src16_orc_roundtrip = q("src16_orc_roundtrip", Some(
+    """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+      |FROM orders WHERE o_orderstatus = 'F'""".stripMargin)) { (s, dir) =>
+    val orders = Tables.orders(s, dir)
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    val path = s"$scratch/orc_orders"
+    orders.write.mode("overwrite").orc(path)
+    s.read.orc(path).filter(col("o_orderstatus") === "F")
+  }
+
+  // ---------------------------------------------------------------- src17
+  /** FILE-LEVEL MIN–MAX DATA SKIPPING ([[graft.sources.FileSkipping]]):
+    * range-cluster orders by o_orderdate (repartitionByRange → each file
+    * owns a slice of the date line), build the per-file stats relation, and
+    * answer a one-year range query by opening ONLY the files whose [min,max]
+    * intersects it — the Delta-style skipping scan; FileSkippingSpec pins
+    * that the probe plans strictly fewer files than the layout holds.
+    * Conservative pruning + residual filter keep results exactly equal to
+    * the full scan, which is what the oracle checks.
+    */
+  val src17_minmax_skipping = q("src17_minmax_skipping", Some(
+    s"""SELECT o_orderstatus, COUNT(*) AS n, ${dsum("o_totalprice")} AS sum_price
+       |FROM orders
+       |WHERE o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1995-12-31'
+       |GROUP BY o_orderstatus""".stripMargin)) { (s, dir) =>
+    import graft.sources.FileSkipping
+    val path = s"$scratch/orders_range_clustered"
+    Tables.orders(s, dir)
+      .repartitionByRange(8, col("o_orderdate"))
+      .write.mode("overwrite").parquet(path)
+    val stats = FileSkipping.fileStats(s, path, Seq("o_orderdate"))
+    FileSkipping.readRange(s, path, stats, "o_orderdate",
+        lit("1995-01-01").cast("date"), lit("1995-12-31").cast("date"))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), Cols.decimalSum(col("o_totalprice")).as("sum_price"))
+  }
+
   val all: Seq[GraftQuery] = Seq(
     src01_csv_roundtrip, src02_rest_paged, src03_partitioned_sink,
     src04_multimodal_meta, src05_frame_sample, src06_restv2_scan,
     src07_dbf_roundtrip, src08_media_meta, src09_upsert_merge,
     src10_compact_partitions, src11_scd2_merge, src12_zorder_layout,
-    src13_jsonl_roundtrip, src14_schema_evolution, src15_corpus_diff)
+    src13_jsonl_roundtrip, src14_schema_evolution, src15_corpus_diff,
+    src16_orc_roundtrip, src17_minmax_skipping)
 }

@@ -105,4 +105,52 @@ object Retrieval {
       .join(termStream(docs, idCol, textCol).groupBy(idCol).agg(count(lit(1)).as("__dl")),
         Seq(idCol), "left")
       .select(col(idCol), coalesce(col("__dl"), lit(0L)).as("dl"))
+
+  // ------------------------------------------------------------------
+  // Persisted posting store — the posting relation is a textbook additive
+  // count relation (tf per (term, doc) sums over disjoint document batches
+  // because each doc lives in exactly one batch), so continuous index
+  // maintenance rides sources/AdditiveStats unchanged: idempotent batch_id
+  // fragments, CAS-published compaction folds, replay watermark, stream
+  // identity pin. Document ids must be BIGINT (the store schema is fixed
+  // per idCol name).
+  // ------------------------------------------------------------------
+
+  import graft.sources.AdditiveStats
+
+  def postingStore(dir: String, idCol: String = "doc_id"): AdditiveStats.Store =
+    AdditiveStats.Store(dir, Seq("term", idCol), "tf",
+      s"term string, $idCol bigint, tf bigint, batch_id bigint")
+
+  /** Initialize an empty protocol-managed posting store. */
+  def initPostings(spark: org.apache.spark.sql.SparkSession, dir: String,
+                   idCol: String = "doc_id"): Unit =
+    AdditiveStats.init(spark, postingStore(dir, idCol))
+
+  /** Per-batch fragments in the live epoch (0 for bare/empty stores). */
+  def postingFragmentCount(spark: org.apache.spark.sql.SparkSession, dir: String,
+                           idCol: String = "doc_id"): Int =
+    AdditiveStats.fragmentCount(spark, postingStore(dir, idCol))
+
+  /** Land one batch's [[postings]] as an idempotent `batch_id` fragment. */
+  def appendPostings(batch: DataFrame, idCol: String, textCol: String,
+                     dir: String, batchId: Long): Unit =
+    AdditiveStats.append(postings(batch, idCol, textCol),
+      postingStore(dir, idCol), batchId)
+
+  /** Fold fragments into one summed partition in a fresh epoch. */
+  def compactPostings(spark: org.apache.spark.sql.SparkSession, dir: String,
+                      idCol: String = "doc_id"): Unit =
+    AdditiveStats.compact(spark, postingStore(dir, idCol))
+
+  /** The accumulated posting relation (term, id, tf) — fragment rows for
+    * the same key sum (a no-op for disjoint batches, exact under folded
+    * partitions), so searches over it equal searches over a one-shot
+    * [[postings]] build of the full corpus.
+    */
+  def readPostings(spark: org.apache.spark.sql.SparkSession, dir: String,
+                   idCol: String = "doc_id"): DataFrame =
+    AdditiveStats.read(spark, postingStore(dir, idCol))
+      .groupBy(col("term"), col(idCol))
+      .agg(sum("tf").as("tf"))
 }

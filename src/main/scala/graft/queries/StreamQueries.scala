@@ -408,10 +408,37 @@ object StreamQueries {
       SpanDedup.readSpanStats(s, s"$root/span_stats"), n = 8, minDocs = 2)
   }
 
+  // ---------------------------------------------------------------- s15
+  /** CONTINUOUS INVERTED-INDEX ingest: posting lists accumulated in two
+    * installments (even docs → compaction fold → odd docs) through the
+    * [[graft.operators.Retrieval]] posting store must answer conjunctive
+    * search identically to a one-shot index build — t24's oracle replays
+    * the search over the full corpus, so the gate proves the fold
+    * arithmetic, not just the happy path. The streaming twin
+    * (`StreamOps.postingsStream`) is differential-tested in StreamingSpec.
+    */
+  val s15_posting_ingest = q("s15_posting_ingest",
+    TextQueries.t24_keyword_search.oracle) { (s, dir) =>
+    import graft.operators.Retrieval
+    val root = DedupQueries.DedupStaging.ensure("s15", dir) { r =>
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(s"$r/postings"))
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      Retrieval.initPostings(s, s"$r/postings")
+      Retrieval.appendPostings(docs.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", s"$r/postings", batchId = 0L)
+      Retrieval.compactPostings(s, s"$r/postings")
+      Retrieval.appendPostings(docs.filter(col("doc_id") % 2 =!= 0),
+        "doc_id", "text", s"$r/postings", batchId = 1L)
+    }
+    Retrieval.searchAll(Retrieval.readPostings(s, s"$root/postings"),
+      "doc_id", Seq("dup", "vector", "spark"))
+  }
+
   val all: Seq[GraftQuery] = Seq(
     s01_tumbling_agg, s02_sliding_agg, s03_session_windows,
     s04_dedup_first_event, s05_watermark_late, s06_asof_backward,
     s07_running_user_agg, s08_interval_join, s09_stream_curation,
     s10_line_stats_ingest, s11_stream_drift, s12_interval_left_join,
-    s13_funnel_conversion, s14_span_stats_ingest)
+    s13_funnel_conversion, s14_span_stats_ingest, s15_posting_ingest)
 }

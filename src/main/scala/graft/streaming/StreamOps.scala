@@ -352,6 +352,40 @@ object StreamOps {
       }
       .start()
 
+  /** CONTINUOUS inverted-index maintenance — the retrieval-family member
+    * of the [[graft.sources.AdditiveStats]] ingest trio (line stats, span
+    * stats, postings): each micro-batch's posting lists land as an
+    * idempotent `batch_id` fragment, per-(term, doc) term frequencies sum
+    * across fragments because every document lives in exactly one batch,
+    * and searches over [[graft.operators.Retrieval.readPostings]] equal
+    * searches over a one-shot index build of the full corpus
+    * (StreamingSpec differential; s15 under the oracle gate). Same
+    * crash/replay story by inheritance: CAS-published compaction folds,
+    * `compacted_through` watermark, fresh-checkpoint refusal via the
+    * pinned stream identity.
+    */
+  def postingsStream(newDocs: DataFrame, idCol: String, textCol: String,
+                     statsDir: String, checkpointDir: String,
+                     compactEvery: Int = 16)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    newDocs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        import graft.operators.Retrieval
+        import graft.sources.StoredIndex
+        val spark = batch.sparkSession
+        if (StoredIndex.metaGeneration(spark, statsDir) < 0)
+          Retrieval.initPostings(spark, statsDir, idCol)
+        StoredIndex.pinStreamIdentity(spark, statsDir, checkpointDir)
+        if (!batch.isEmpty)
+          Retrieval.appendPostings(batch.toDF(), idCol, textCol, statsDir, batchId)
+        if (compactEvery > 0 &&
+            Retrieval.postingFragmentCount(spark, statsDir, idCol) > compactEvery)
+          Retrieval.compactPostings(spark, statsDir, idCol)
+      }
+      .start()
+
   /** CONTINUOUS dimension maintenance: each micro-batch of key snapshots
     * SCD2-merges into the dimension at `path`
     * ([[graft.sources.Scd2.merge]]) — the streaming form of the

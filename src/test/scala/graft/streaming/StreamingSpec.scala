@@ -525,6 +525,49 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("postingsStream: accumulated fragments answer search like a one-shot index build") {
+    import graft.operators.Retrieval
+    implicit val sqlCtx = spark.sqlContext
+    // 'alpha beta' co-occur only cross-batch per doc set; minimal corpus
+    // where a per-batch-only index would miss doc 3's postings entirely
+    val b1 = Seq(Doc(1L, "alpha beta gamma"), Doc(2L, "alpha only here"))
+    val b2 = Seq(Doc(3L, "beta alpha again"), Doc(4L, "nothing relevant"))
+    val corpus = (b1 ++ b2).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("postings-stream").toString
+    try {
+      val mem = MemoryStream[Doc]
+      mem.addData(b1)
+      // compactEvery = 1: a mid-run fold sits under the differential
+      val q = StreamOps.postingsStream(mem.toDF(), "doc_id", "text",
+        s"$tmp/postings", s"$tmp/ckpt", compactEvery = 1)
+      q.processAllAvailable()
+      mem.addData(b2)
+      q.processAllAvailable()
+      q.stop()
+      import graft.sources.StoredIndex
+      val (kv, _) = StoredIndex.readKvWithGen(spark, s"$tmp/postings")
+      assert(kv("epoch") == "1" && kv("compacted_through") == "1", kv.toString)
+      val accumulated = Retrieval.readPostings(spark, s"$tmp/postings")
+      val oneShot = Retrieval.postings(corpus, "doc_id", "text")
+      assert(accumulated.as[(String, Long, Long)].collect().toSet ==
+        oneShot.as[(String, Long, Long)].collect().toSet)
+      assert(Retrieval.searchAll(accumulated, "doc_id", Seq("alpha", "beta"))
+        .as[Long].collect().toSet == Set(1L, 3L))
+      // a fresh checkpoint against the ingested store is refused
+      val mem2 = MemoryStream[Doc]
+      mem2.addData(Seq(Doc(9L, "fresh content for a fresh checkpoint")))
+      val q2 = StreamOps.postingsStream(mem2.toDF(), "doc_id", "text",
+        s"$tmp/postings", s"$tmp/ckpt2", compactEvery = 1)
+      val err = intercept[Exception] { q2.processAllAvailable() }
+      try q2.stop() catch { case _: Exception => () }
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+      assert(messages(err).exists(_.contains("checkpoint")), messages(err).mkString("; "))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+    }
+  }
+
   test("annIngestStream: streamed fragments probe identically to a one-shot encode of the union") {
     import graft.ext.{AnnIndex, ClusteredFixture, PqAnn}
     val dim = 32

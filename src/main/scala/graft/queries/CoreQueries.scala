@@ -1227,10 +1227,77 @@ object CoreQueries {
         date_trunc("second", col("nearest_purchase_ts")).as("nearest_purchase_ts"))
   }
 
+  // ---------------------------------------------------------------- q58
+  /** CALENDAR GAP-FILL: per-user daily activity spine (min..max active day,
+    * every day present, zero-filled) — the time-series densification every
+    * feature pipeline needs before rolling windows. The spine is a
+    * per-group `sequence` + explode (distributed, bounded by span×users —
+    * no driver loop, no cross join against a global calendar), then one
+    * left join back to the daily counts.
+    */
+  val q58_gap_fill_daily = q("q58_gap_fill_daily",
+    """WITH b AS (
+      |  SELECT user_id, min(CAST(ts AS DATE)) AS lo, max(CAST(ts AS DATE)) AS hi
+      |  FROM events GROUP BY 1),
+      |spine AS (
+      |  SELECT user_id, CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+      |  FROM b),
+      |d AS (SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS n
+      |      FROM events GROUP BY 1, 2)
+      |SELECT s.user_id, s.day, COALESCE(d.n, 0) AS n
+      |FROM spine s LEFT JOIN d USING (user_id, day)""".stripMargin) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("ts").cast("date").as("day"))
+    val bounds = ev.groupBy("user_id").agg(min("day").as("lo"), max("day").as("hi"))
+    val spine = bounds.select(col("user_id"),
+      explode(sequence(col("lo"), col("hi"))).as("day"))
+    val daily = ev.groupBy("user_id", "day").agg(count(lit(1)).as("n"))
+    spine.join(daily, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day"), coalesce(col("n"), lit(0L)).as("n"))
+  }
+
+  // ---------------------------------------------------------------- q59
+  /** PAGERANK ([[GraphOps.pageRank]]) over the supplier co-supply graph
+    * (suppliers sharing an order, symmetric by construction — no dangling
+    * mass): three exact power steps, damping 0.5 (binary64-exact), with
+    * per-target contribution sums routed through DECIMAL(28,15) so the
+    * oracle replays the identical arithmetic. Per step: one edge⨝rank join
+    * + one target-keyed aggregate, both node-partitioned — the plan a
+    * 100 TB web-graph iteration needs (nothing driver-side, no collect).
+    */
+  val q59_pagerank = q("q59_pagerank",
+    """WITH e AS (
+      |  SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey),
+      |deg AS (SELECT u, COUNT(*) AS d FROM e GROUP BY 1),
+      |nn AS (SELECT COUNT(*) AS n FROM deg),
+      |r0 AS (SELECT u AS v, CAST(1.0 AS DOUBLE) / CAST(nn.n AS DOUBLE) AS r
+      |       FROM deg CROSS JOIN nn),
+      |s1 AS (SELECT e.v, CAST(SUM(CAST(r0.r / CAST(deg.d AS DOUBLE) AS DECIMAL(28,15))) AS DOUBLE) AS s
+      |       FROM e JOIN r0 ON e.u = r0.v JOIN deg USING (u) GROUP BY e.v),
+      |r1 AS (SELECT v, 0.5 / CAST(nn.n AS DOUBLE) + (0.5 * s) AS r FROM s1 CROSS JOIN nn),
+      |s2 AS (SELECT e.v, CAST(SUM(CAST(r1.r / CAST(deg.d AS DOUBLE) AS DECIMAL(28,15))) AS DOUBLE) AS s
+      |       FROM e JOIN r1 ON e.u = r1.v JOIN deg USING (u) GROUP BY e.v),
+      |r2 AS (SELECT v, 0.5 / CAST(nn.n AS DOUBLE) + (0.5 * s) AS r FROM s2 CROSS JOIN nn),
+      |s3 AS (SELECT e.v, CAST(SUM(CAST(r2.r / CAST(deg.d AS DOUBLE) AS DECIMAL(28,15))) AS DOUBLE) AS s
+      |       FROM e JOIN r2 ON e.u = r2.v JOIN deg USING (u) GROUP BY e.v),
+      |r3 AS (SELECT v, 0.5 / CAST(nn.n AS DOUBLE) + (0.5 * s) AS r FROM s3 CROSS JOIN nn)
+      |SELECT v AS s_suppkey, ROUND(r, 6) AS pagerank FROM r3""".stripMargin) { (s, dir) =>
+    val li = Tables.lineitem(s, dir).select("l_orderkey", "l_suppkey")
+    val a = li.toDF("k", "u")
+    val b = li.toDF("k", "v")
+    val edges = a.join(b, "k").filter(col("u") =!= col("v"))
+      .select("u", "v").distinct()
+    GraphOps.pageRank(edges, iterations = 3, damping = 0.5)
+      .select(col("v").as("s_suppkey"), round(col("r"), 6).as("pagerank"))
+  }
+
   val all: Seq[GraftQuery] = Seq(
     q50_grouping_sets, q51_unpivot, q52_time_range_window,
     q53_full_outer_join, q54_nullsafe_join, q55_cohort_retention,
     q56_asof_next_purchase, q57_asof_nearest_purchase,
+    q58_gap_fill_daily, q59_pagerank,
     q48_drift_psi, q47_jaro_top1, q46_stratified_sample,
     q30_numeric_describe, q31_ship_priority, q32_regional_volume, q33_small_quantity,
     q34_approx_stats, q35_from_json, q36_array_agg, q37_order_distribution,

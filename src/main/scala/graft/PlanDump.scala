@@ -14,6 +14,58 @@ object PlanDump {
     * trade-offs). Keep these current when the underlying code changes.
     */
   private val notes: Map[String, String] = Map(
+    "q56_asof_next_purchase" -> ("round 11: forward as-of via " +
+      "tag+union+window — NO join operator at all; one user_id " +
+      "Exchange + per-group sort carries the whole match, so cost is " +
+      "sort-merge-join-shaped and independent of time-range density " +
+      "(the naive range-join form explodes quadratically per key). " +
+      "PlanAuditSpec pins the join-free single-shuffle plan."),
+    "q57_asof_nearest_purchase" -> ("round 11: nearest as-of — BOTH " +
+      "directional fills (backward last + forward first) share one " +
+      "shuffle and one sort and fuse into a SINGLE Window exec with two " +
+      "frames (PlanAuditSpec pins Window-node count == 1); the choice " +
+      "is a row-local interval comparison. Same n+m single-exchange " +
+      "price as q56."),
+    "t23_inverted_index" -> ("round 11: posting-list build — tokenize " +
+      "is scan-stage column work, ONE (term, doc_id) exchange with " +
+      "map-side partial counts; df is a per-term fold of the postings " +
+      "themselves (broadcast back), document text read exactly once. " +
+      "The relation is additive over disjoint batches — s15 ingests it " +
+      "continuously through AdditiveStats."),
+    "t25_bm25_search" -> ("round 11: BM25 — posting relation pruned to " +
+      "the query's terms IN the tokenize stage, df/corpus-stats " +
+      "broadcast, one doc-keyed exchange for dl + the DECIMAL score " +
+      "fold, TakeOrderedAndProject(20) instead of a global sort " +
+      "(PlanAuditSpec pins). At 100 TB the posting store replaces the " +
+      "tokenize: s15's probe plan shows the term filter as a parquet " +
+      "PushedFilter on the store scan."),
+    "s15_posting_ingest" -> ("round 11: continuous inverted-index " +
+      "ingest on the AdditiveStats protocol (idempotent batch_id " +
+      "fragments, CAS folds, replay watermark, stream-identity pin — " +
+      "the third count relation on one store implementation). The " +
+      "search probe pushes In(term, ...) into the store's parquet scan " +
+      "(PlanAuditSpec pins) — a query touches |terms| posting lists, " +
+      "never the corpus."),
+    "src17_minmax_skipping" -> ("round 11: file-level min-max skipping " +
+      "— stats relation is ONE aggregate scan over _metadata.file_path " +
+      "(additive across appends, persistable; probe-time collect " +
+      "bounded by file count), pruning is conservative (null stats " +
+      "kept) so results are exactly the full-scan results. " +
+      "FileSkippingSpec pins strictly-fewer-files + no-lost-rows on a " +
+      "range-clustered layout. Complements src12: Z-order makes files " +
+      "skippable, this makes the listing skip them."),
+    "q58_gap_fill_daily" -> ("round 11: calendar densification — the " +
+      "spine is a per-group sequence+explode (distributed, bounded by " +
+      "users x span), NOT a driver loop or a global-calendar cross " +
+      "join; one broadcast join back to the daily counts at this SF " +
+      "(key-partitioned at scale)."),
+    "q59_pagerank" -> ("round 11: 3 power steps unrolled — per step " +
+      "one edge-rank join (node-partitioned SMJ at scale) + one " +
+      "target-keyed partial-aggregated sum; rank vector never leaves " +
+      "the cluster, teleport term via broadcast n. DECIMAL(28,15) " +
+      "contribution sums make the float ranks engine-replayable " +
+      "(GraphOpsSpec pins mass conservation); damping restricted to " +
+      "binary64-exact constants."),
     "t17_doc_chunking" -> ("round 11: stride-window chunking is one " +
       "whole-stage-codegen span — tokenize, sequence of starts, " +
       "posexplode, slice — zero Exchange; at 100 TB it is a pure map " +

@@ -266,4 +266,39 @@ class PlanAuditSpec extends SparkSpec {
       reads.forall(_.contains("struct<doc_id:bigint,text:string>")), reads.mkString("\n"))
     assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
   }
+
+  test("q57: nearest as-of is join-free — one keyed exchange, ONE fused Window") {
+    val p = plan(CoreQueries.q57_asof_nearest_purchase)
+    val lines = p.linesIterator.toList
+    // tag+union+window: no join operator at all, one user_id shuffle, and
+    // both directional fills fused into a single Window exec (two frames)
+    assert(!p.contains("Join"), p)
+    assert(lines.count(_.contains("Exchange hashpartitioning")) == 1, p)
+    assert(lines.count(_.contains("Window [")) == 1, p)
+    // the purchase filter reaches the scan
+    assert(p.contains("EqualTo(event_type,purchase)"), p)
+  }
+
+  test("q56: forward as-of shares the single-shuffle window plan") {
+    val p = plan(CoreQueries.q56_asof_next_purchase)
+    assert(!p.contains("Join"), p)
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1, p)
+  }
+
+  test("t25: bm25 ends in TakeOrdered, never a global sort of all docs") {
+    val p = plan(TextQueries.t25_bm25_search)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.linesIterator.exists(l => l.contains("Sort ") && l.contains("global")
+      && !l.contains("TakeOrdered")), p)
+  }
+
+  test("s15: the posting-store probe pushes the query terms into the store scan") {
+    val p = plan(StreamQueries.s15_posting_ingest)
+    // the accumulated posting relation is parquet; the conjunctive search's
+    // term restriction must prune at the scan, not post-shuffle
+    assert(p.contains("In(term"), p)
+    val reads = p.linesIterator.filter(_.contains("ReadSchema")).toList
+    assert(reads.forall(!_.contains("text")),
+      "search must never rescan document text:\n" + reads.mkString("\n"))
+  }
 }

@@ -66,6 +66,24 @@ object PlanDump {
       "contribution sums make the float ranks engine-replayable " +
       "(GraphOpsSpec pins mass conservation); damping restricted to " +
       "binary64-exact constants."),
+    "q60_rolling_distinct_users" -> ("round 11: trailing-7-day exact " +
+      "distinct users — sliding window x COUNT(DISTINCT) doesn't " +
+      "compose as a window function, so the plan is contribution " +
+      "fan-out: distinct (user, day) pairs explode to their 7 report " +
+      "days (row-local, bounded 7x on the ALREADY-distinct per-day " +
+      "relation, not the raw events), then ONE day-keyed distinct " +
+      "aggregate; the range clamp is a 1-row broadcast. No per-day " +
+      "self-join, no 7-pass scan — at 100 TB the fan-out rides the " +
+      "scan stage and the only wide exchange is the final distinct."),
+    "s16_windowed_mv" -> ("round 11: continuous windowed-metric MV on " +
+      "the AdditiveStats protocol — per-batch (day, dim) counts are " +
+      "ONE map-side-combined aggregate of the batch, landed as an " +
+      "idempotent batch_id fragment; readers fold #windows x #dims x " +
+      "#fragments rows (compaction keeps that bounded), so the " +
+      "dashboard probe never rescans the fact table. Replay/crash " +
+      "story (CAS folds, compacted_through watermark, identity pin) " +
+      "inherited from the shared store; the oracle recomputes from " +
+      "the raw events, proving the fold arithmetic."),
     "t17_doc_chunking" -> ("round 11: stride-window chunking is one " +
       "whole-stage-codegen span — tokenize, sequence of starts, " +
       "posexplode, slice — zero Exchange; at 100 TB it is a pure map " +

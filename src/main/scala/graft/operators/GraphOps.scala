@@ -29,6 +29,51 @@ object GraphOps {
   def outDegrees(edges: DataFrame): DataFrame =
     edges.groupBy("u").agg(count(lit(1)).as("d"))
 
+  /** Minimum-hop distance from a source node set over edges (u, v),
+    * bounded by `maxDepth`: classic frontier-expansion BFS — per level ONE
+    * join of the edge relation with the (shrinking) frontier + one
+    * distinct, with an anti-join against the visited set so a node is
+    * labelled at its FIRST (minimal) level and never re-expanded. Returns
+    * (v, level) for every node within `maxDepth` hops (sources at 0).
+    *
+    * Scale shape: the frontier and visited relations are node-sized (never
+    * path-sized — the anti-join is what keeps a dense graph's exponential
+    * path count out of the computation, unlike the naive recursive-CTE
+    * form the oracle runs at toy scale); each level is edge⨝frontier on
+    * the source key + node-keyed distinct. Each level's frontier is
+    * `localCheckpoint`ed (node-sized materialization) — without the cut
+    * the plan TREE doubles per level (frontier and visited both reference
+    * the previous level) and Catalyst analysis goes exponential around
+    * depth ~10; with it, per-level work is one linear job, the same
+    * lineage discipline as NearDup's pointer jumping. Traversal stops
+    * early when a frontier empties (the emptiness probe rides the
+    * checkpoint's materialization, not an extra pass).
+    */
+  def bfsLevels(edges: DataFrame, sources: DataFrame, maxDepth: Int): DataFrame = {
+    require(maxDepth >= 0, "maxDepth must be non-negative")
+    var visited = sources.select(col("v")).distinct()
+      .select(col("v"), lit(0).as("level"))
+      .localCheckpoint(true)
+    var frontier = visited.select("v")
+    var d = 1
+    var done = maxDepth < 1
+    while (!done) {
+      val next = edges.join(frontier.select(col("v").as("u")), "u")
+        .select(col("v")).distinct()
+        .join(visited.select("v"), Seq("v"), "left_anti")
+        .select(col("v"), lit(d).as("level"))
+        .localCheckpoint(true)
+      if (next.isEmpty) done = true
+      else {
+        visited = visited.union(next).localCheckpoint(true)
+        frontier = next.select("v")
+        d += 1
+        done = d > maxDepth
+      }
+    }
+    visited
+  }
+
   /** Damped PageRank after exactly `iterations` power steps over edges
     * (u, v). Returns (v, r) for every node with an out-edge. `damping`
     * must be exactly representable in binary64 for cross-engine parity

@@ -1293,11 +1293,70 @@ object CoreQueries {
       .select(col("v").as("s_suppkey"), round(col("r"), 6).as("pagerank"))
   }
 
+  // ---------------------------------------------------------------- q60
+  /** ROLLING 7-DAY DISTINCT USERS per day (trailing-window MAU) — sliding
+    * windows + COUNT(DISTINCT) don't compose as a window function, so the
+    * scalable plan is contribution fan-out: each (user, active-day) pair
+    * contributes to report days d..d+6 (a bounded 7× explode — row-local),
+    * then ONE (day) shuffle for the exact distinct count. No per-day
+    * self-joins, no 7-pass scan; report days clamp to the observed range.
+    */
+  val q60_rolling_distinct_users = q("q60_rolling_distinct_users",
+    """WITH a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |b AS (SELECT max(day) AS hi FROM a),
+      |x AS (SELECT user_id,
+      |        CAST(unnest(generate_series(day, day + INTERVAL 6 DAY, INTERVAL 1 DAY)) AS DATE) AS day
+      |      FROM a)
+      |SELECT x.day, COUNT(DISTINCT x.user_id) AS mau7
+      |FROM x CROSS JOIN b WHERE x.day <= b.hi
+      |GROUP BY x.day""".stripMargin) { (s, dir) =>
+    val active = Tables.events(s, dir)
+      .select(col("user_id"), col("ts").cast("date").as("day")).distinct()
+    val hi = active.agg(max("day").as("hi"))
+    active
+      .select(col("user_id"),
+        explode(sequence(col("day"), date_add(col("day"), 6))).as("day"))
+      .crossJoin(broadcast(hi))
+      .filter(col("day") <= col("hi"))
+      .groupBy("day")
+      .agg(countDistinct(col("user_id")).as("mau7"))
+  }
+
+  // ---------------------------------------------------------------- q61
+  /** SHORTEST-HOP DISTANCES (bounded BFS) from the smallest supplier over
+    * the co-supply graph — [[graft.operators.GraphOps.bfsLevels]]:
+    * frontier expansion with an anti-join against the visited set, so the
+    * working relations stay NODE-sized while the DuckDB oracle's
+    * recursive CTE enumerates path-length pairs (fine at oracle scale,
+    * exponential at 100 TB — the anti-join is the scalable difference).
+    */
+  val q61_bfs_levels = q("q61_bfs_levels",
+    """WITH RECURSIVE e AS (
+      |  SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey),
+      |src AS (SELECT MIN(u) AS v FROM e),
+      |walk(v, level) AS (
+      |  SELECT v, 0 FROM src
+      |  UNION
+      |  SELECT e.v, w.level + 1 FROM walk w JOIN e ON e.u = w.v
+      |  WHERE w.level < 3)
+      |SELECT v AS s_suppkey, CAST(MIN(level) AS INT) AS level
+      |FROM walk GROUP BY v""".stripMargin) { (s, dir) =>
+    val li = Tables.lineitem(s, dir).select("l_orderkey", "l_suppkey")
+    val edges = li.toDF("k", "u").join(li.toDF("k", "v"), "k")
+      .filter(col("u") =!= col("v")).select("u", "v").distinct()
+    val src = edges.agg(min(col("u")).as("v"))
+    GraphOps.bfsLevels(edges, src, maxDepth = 3)
+      .select(col("v").as("s_suppkey"), col("level").cast("int").as("level"))
+  }
+
   val all: Seq[GraftQuery] = Seq(
     q50_grouping_sets, q51_unpivot, q52_time_range_window,
     q53_full_outer_join, q54_nullsafe_join, q55_cohort_retention,
     q56_asof_next_purchase, q57_asof_nearest_purchase,
-    q58_gap_fill_daily, q59_pagerank,
+    q58_gap_fill_daily, q59_pagerank, q60_rolling_distinct_users,
+    q61_bfs_levels,
     q48_drift_psi, q47_jaro_top1, q46_stratified_sample,
     q30_numeric_describe, q31_ship_priority, q32_regional_volume, q33_small_quantity,
     q34_approx_stats, q35_from_json, q36_array_agg, q37_order_distribution,

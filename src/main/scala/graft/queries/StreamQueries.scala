@@ -435,10 +435,44 @@ object StreamQueries {
       "doc_id", Seq("dup", "vector", "spark"))
   }
 
+  // ---------------------------------------------------------------- s16
+  /** CONTINUOUS WINDOWED-METRIC VIEW: daily event-type counts accumulated
+    * in two installments (even event ids → compaction fold → odd ids)
+    * through [[graft.operators.MetricView]] must answer the per-day
+    * top-3 dashboard probe identically to a direct aggregation of all
+    * events — the oracle recomputes from the fact table, so the gate
+    * proves the MV's fold arithmetic. Streaming twin
+    * (`StreamOps.metricViewStream`) differential-tested in StreamingSpec.
+    */
+  val s16_windowed_mv = q("s16_windowed_mv", Some(
+    """WITH c AS (SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n
+      |           FROM events GROUP BY 1, 2),
+      |r AS (SELECT day, event_type, n,
+      |        ROW_NUMBER() OVER (PARTITION BY day ORDER BY n DESC, event_type) AS rk
+      |      FROM c)
+      |SELECT day, event_type, n, CAST(rk AS INT) AS rk
+      |FROM r WHERE rk <= 3""".stripMargin)) { (s, dir) =>
+    import graft.operators.MetricView
+    val root = DedupQueries.DedupStaging.ensure("s16", dir) { r =>
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(s"$r/metric_view"))
+      val ev = Tables.events(s, dir).select(col("event_id"), col("ts"), col("event_type"))
+      MetricView.init(s, s"$r/metric_view")
+      MetricView.append(ev.filter(col("event_id") % 2 === 0),
+        "ts", "event_type", s"$r/metric_view", batchId = 0L)
+      MetricView.compact(s, s"$r/metric_view")
+      MetricView.append(ev.filter(col("event_id") % 2 =!= 0),
+        "ts", "event_type", s"$r/metric_view", batchId = 1L)
+    }
+    MetricView.topKPerDay(
+      MetricView.read(s, s"$root/metric_view"), "event_type", k = 3)
+  }
+
   val all: Seq[GraftQuery] = Seq(
     s01_tumbling_agg, s02_sliding_agg, s03_session_windows,
     s04_dedup_first_event, s05_watermark_late, s06_asof_backward,
     s07_running_user_agg, s08_interval_join, s09_stream_curation,
     s10_line_stats_ingest, s11_stream_drift, s12_interval_left_join,
-    s13_funnel_conversion, s14_span_stats_ingest, s15_posting_ingest)
+    s13_funnel_conversion, s14_span_stats_ingest, s15_posting_ingest,
+    s16_windowed_mv)
 }

@@ -386,6 +386,36 @@ object StreamOps {
       }
       .start()
 
+  /** CONTINUOUS windowed-count materialized view
+    * ([[graft.operators.MetricView]]): per-batch (day, dimension) counts
+    * land as idempotent AdditiveStats fragments — the exact-consistency
+    * dashboard view maintained at ingest time instead of recomputed from
+    * the fact table, with the protocol's replay/crash story by
+    * inheritance (s16 under the oracle gate; StreamingSpec
+    * differential).
+    */
+  def metricViewStream(events: DataFrame, tsCol: String, dimCol: String,
+                       statsDir: String, checkpointDir: String,
+                       compactEvery: Int = 16)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        import graft.operators.MetricView
+        import graft.sources.StoredIndex
+        val spark = batch.sparkSession
+        if (StoredIndex.metaGeneration(spark, statsDir) < 0)
+          MetricView.init(spark, statsDir, dimCol)
+        StoredIndex.pinStreamIdentity(spark, statsDir, checkpointDir)
+        if (!batch.isEmpty)
+          MetricView.append(batch.toDF(), tsCol, dimCol, statsDir, batchId)
+        if (compactEvery > 0 &&
+            MetricView.fragmentCount(spark, statsDir, dimCol) > compactEvery)
+          MetricView.compact(spark, statsDir, dimCol)
+      }
+      .start()
+
   /** CONTINUOUS dimension maintenance: each micro-batch of key snapshots
     * SCD2-merges into the dimension at `path`
     * ([[graft.sources.Scd2.merge]]) — the streaming form of the

@@ -39,4 +39,34 @@ class GraphOpsSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(d == Map(0L -> 2L, 1L -> 1L, 2L -> 1L))
   }
+
+  private def bfs(edges: org.apache.spark.sql.DataFrame, src: Long, depth: Int) =
+    GraphOps.bfsLevels(edges, Seq(src).toDF("v"), depth)
+      .as[(Long, Int)].collect().toMap
+
+  test("bfsLevels: chain distances are hop counts, depth bound excludes the tail") {
+    val edges = sym((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    assert(bfs(edges, 1L, 3) == Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 3))
+    assert(bfs(edges, 1L, 10) == Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 3, 5L -> 4))
+  }
+
+  test("bfsLevels: a node reachable by several paths gets the MINIMUM level") {
+    // 1-2-4 and 1-3-4 plus shortcut 1-4
+    val edges = sym((1L, 2L), (2L, 4L), (1L, 3L), (3L, 4L), (1L, 4L))
+    val r = bfs(edges, 1L, 3)
+    assert(r(4L) == 1, r.toString)
+  }
+
+  test("bfsLevels: disconnected nodes are absent; depth 0 is just the sources") {
+    val edges = sym((1L, 2L), (8L, 9L))
+    assert(bfs(edges, 1L, 3) == Map(1L -> 0, 2L -> 1))
+    assert(bfs(edges, 1L, 0) == Map(1L -> 0))
+  }
+
+  test("bfsLevels: multi-node source set takes the min over sources") {
+    val edges = sym((1L, 2L), (2L, 3L), (3L, 4L))
+    val r = GraphOps.bfsLevels(edges, Seq(1L, 4L).toDF("v"), 2)
+      .as[(Long, Int)].collect().toMap
+    assert(r == Map(1L -> 0, 4L -> 0, 2L -> 1, 3L -> 1))
+  }
 }

@@ -525,6 +525,41 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("metricViewStream: accumulated MV answers the daily probe like a direct aggregate") {
+    import graft.operators.MetricView
+    implicit val sqlCtx = spark.sqlContext
+    def ts(d: Int, h: Int) = Timestamp.valueOf(f"2024-01-$d%02d $h%02d:00:00")
+    // 'click' leads day 1 only when both batches' counts sum (1+2 vs 2 views)
+    val b1 = Seq(Ev(ts(1, 1), 1L, "click", 1.0), Ev(ts(1, 2), 2L, "view", 1.0),
+      Ev(ts(2, 3), 3L, "view", 1.0))
+    val b2 = Seq(Ev(ts(1, 4), 4L, "click", 1.0), Ev(ts(1, 5), 5L, "click", 1.0),
+      Ev(ts(1, 6), 6L, "view", 1.0), Ev(ts(2, 7), 7L, "purchase", 1.0))
+    val all = (b1 ++ b2).toDF()
+    val tmp = java.nio.file.Files.createTempDirectory("metric-view-stream").toString
+    try {
+      val mem = MemoryStream[Ev]
+      mem.addData(b1)
+      val q = StreamOps.metricViewStream(mem.toDF(), "ts", "event_type",
+        s"$tmp/mv", s"$tmp/ckpt", compactEvery = 1)
+      q.processAllAvailable()
+      mem.addData(b2)
+      q.processAllAvailable()
+      q.stop()
+      val mv = MetricView.read(spark, s"$tmp/mv")
+        .as[(java.sql.Date, String, Long)].collect().toSet
+      val direct = MetricView.dailyCounts(all, "ts", "event_type")
+        .as[(java.sql.Date, String, Long)].collect().toSet
+      assert(mv == direct, s"mv=$mv direct=$direct")
+      val top = MetricView.topKPerDay(MetricView.read(spark, s"$tmp/mv"),
+          "event_type", 1)
+        .select("day", "event_type").as[(java.sql.Date, String)].collect().toMap
+      assert(top(java.sql.Date.valueOf("2024-01-01")) == "click",
+        "cross-batch counts must sum: click is 3 = 1 + 2 vs view 2")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+    }
+  }
+
   test("postingsStream: accumulated fragments answer search like a one-shot index build") {
     import graft.operators.Retrieval
     implicit val sqlCtx = spark.sqlContext

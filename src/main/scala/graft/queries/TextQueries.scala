@@ -878,6 +878,41 @@ object TextQueries {
       Seq("dup", "merge", "scan"), 20)
   }
 
+  // ---------------------------------------------------------------- t26
+  /** BPE TOKENIZER TRAINING (Sennrich et al. 2016): the 60-merge table
+    * learned from the corpus' word-frequency relation — ONE corpus
+    * aggregate, then the merge loop over the Zipf-bounded vocabulary
+    * ([[graft.operators.Bpe]]). The loop is data-dependent iterative
+    * argmax — no SQL twin exists → committed golden parquet
+    * ([[GoldenOracles]]); BpeSpec pins the algorithm against a naive
+    * direct port of the paper's pseudocode, and determinism
+    * (exact integer counts + lexicographic tie-break) makes the golden
+    * partitioning-stable.
+    */
+  val t26_bpe_merges = GraftQuery("t26_bpe_merges", (s, dir) => {
+    import graft.operators.Bpe
+    Bpe.mergesDf(s,
+      Bpe.learn(Bpe.wordCounts(Tables.documents(s, dir), "text"), 60))
+  }, GoldenOracles.sqlFor("t26_bpe_merges"))
+
+  // ---------------------------------------------------------------- t27
+  /** BPE segmentation with the trained table: per-document token and
+    * distinct-token counts under greedy lowest-rank inference
+    * ([[graft.plans.BpeEncodeExpr]] — row-local, rides the scan stage).
+    * Golden-gated for the same reason as t26 (the merge table has no SQL
+    * twin); BpeSpec proves encode reproduces training-time segmentation
+    * and that tokens concatenate back to the source words.
+    */
+  val t27_bpe_encode = GraftQuery("t27_bpe_encode", (s, dir) => {
+    import graft.operators.Bpe
+    val docs = Tables.documents(s, dir)
+    val merges = Bpe.learn(Bpe.wordCounts(docs, "text"), 60)
+    docs.select(col("doc_id"), Bpe.encode(col("text"), merges).as("toks"))
+      .select(col("doc_id"),
+        size(col("toks")).as("n_tokens"),
+        size(array_distinct(col("toks"))).as("n_types"))
+  }, GoldenOracles.sqlFor("t27_bpe_encode"))
+
   val all: Seq[GraftQuery] = Seq(
     t01_token_stats, t02_quality_score, t03_lang_id, t04_fingerprint,
     t05_rolling_hash, t06_redact, t07_tfidf_top_terms, t08_curation_pipeline,
@@ -886,5 +921,5 @@ object TextQueries {
     t15_line_dedup, t16_quality_gate, t17_doc_chunking,
     t18_quality_classifier, t19_span_removal, t20_lm_likelihood,
     t21_within_doc_dedup, t22_lm_trigram, t23_inverted_index,
-    t24_keyword_search, t25_bm25_search)
+    t24_keyword_search, t25_bm25_search, t26_bpe_merges, t27_bpe_encode)
 }

@@ -491,11 +491,52 @@ object SourceQueries {
       .agg(count(lit(1)).as("n"), Cols.decimalSum(col("o_totalprice")).as("sum_price"))
   }
 
+  // ---------------------------------------------------------------- src18
+  /** MALFORMED-LINE QUARANTINE on JSONL ingest: real web-scale corpora
+    * arrive with broken lines, and dropping them silently (DROPMALFORMED)
+    * or failing the job (FAILFAST) are both wrong at 100 TB — the
+    * production contract is PERMISSIVE with a corrupt-record column, so
+    * good rows parse, bad rows quarantine WITH their raw payload for
+    * audit, and nothing is lost. The staged fixture breaks every third
+    * line (keyed on content, not position — the unclosed-brace form);
+    * the oracle reconstructs both populations from the nation table,
+    * including the exact raw payload of each quarantined line.
+    */
+  val src18_corrupt_quarantine = q("src18_corrupt_quarantine", Some(
+    """SELECT CASE WHEN n_nationkey % 3 = 0 THEN NULL ELSE n_nationkey END AS n_nationkey,
+      |  CASE WHEN n_nationkey % 3 = 0 THEN NULL ELSE n_name END AS n_name,
+      |  CASE WHEN n_nationkey % 3 = 0
+      |       THEN '{"n_nationkey":' || n_nationkey || ',"n_name":"' || n_name || '"'
+      |       ELSE NULL END AS bad
+      |FROM nation""".stripMargin)) { (s, dir) =>
+    import org.apache.spark.sql.types._
+    val root = DedupQueries.DedupStaging.ensure("src18", dir) { r =>
+      val lines = Tables.nation(s, dir)
+        .select(col("n_nationkey").cast("int"), col("n_name")).orderBy("n_nationkey")
+        .collect().map { row =>
+          val (k, n) = (row.getInt(0), row.getString(1))
+          val json = s"""{"n_nationkey":$k,"n_name":"$n"}"""
+          if (k % 3 == 0) json.dropRight(1) else json // unclosed brace
+        }
+      new java.io.File(r).mkdirs()
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$r/nation_dirty.jsonl"),
+        lines.mkString("\n").getBytes("UTF-8"))
+    }
+    val schema = StructType(Seq(
+      StructField("n_nationkey", IntegerType), StructField("n_name", StringType),
+      StructField("bad", StringType)))
+    s.read.schema(schema)
+      .option("mode", "PERMISSIVE").option("columnNameOfCorruptRecord", "bad")
+      .json(s"$root/nation_dirty.jsonl")
+      .select("n_nationkey", "n_name", "bad")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     src01_csv_roundtrip, src02_rest_paged, src03_partitioned_sink,
     src04_multimodal_meta, src05_frame_sample, src06_restv2_scan,
     src07_dbf_roundtrip, src08_media_meta, src09_upsert_merge,
     src10_compact_partitions, src11_scd2_merge, src12_zorder_layout,
     src13_jsonl_roundtrip, src14_schema_evolution, src15_corpus_diff,
-    src16_orc_roundtrip, src17_minmax_skipping)
+    src16_orc_roundtrip, src17_minmax_skipping, src18_corrupt_quarantine)
 }

@@ -113,4 +113,32 @@ object Sampling {
       .cast("binary"))
     SurrogateKey.scalable(df, h +: keyCols.map(col), posCol)
   }
+
+  /** WEIGHTED sampling without replacement (Efraimidis & Spirakis 2006,
+    * "Weighted random sampling with a reservoir"): every row draws a
+    * deterministic uniform u from md5 of its key and scores
+    * `ln(u) / w` — taking the global top-k by that score IS an exact
+    * weighted sample without replacement (the paper's u^(1/w) key under
+    * a monotone ln). The draw is a pure function of the data (same
+    * engine-replayability contract as [[epochShuffle]]: md5, not
+    * xxhash64), so another engine replays the identical sample; the
+    * uniform is the first 13 md5 hex digits + 0.5 over 2^52 — integer-
+    * exact in binary64 on any engine, never 0 (ln stays finite).
+    *
+    * Scale shape: the score is row-local scan-stage arithmetic and the
+    * selection is a top-k (TakeOrderedAndProject — per-partition heaps,
+    * never a global sort). Rows with non-positive weight are excluded
+    * (the paper's domain; a zero weight would divide to -inf).
+    */
+  def weightedSample(df: DataFrame, keyCols: Seq[String], weight: Column,
+                     k: Int, scoreCol: String = "es_score"): DataFrame = {
+    require(k > 0, s"sample size k must be positive, got $k")
+    val u = (conv(substring(md5(concat_ws("|",
+        keyCols.map(c => col(c).cast("string")): _*).cast("binary")), 1, 13),
+        16, 10).cast("double") + lit(0.5)) / lit(4503599627370496.0)
+    df.filter(weight > 0)
+      .withColumn(scoreCol, log(u) / weight.cast("double"))
+      .orderBy(col(scoreCol).desc +: keyCols.map(col): _*)
+      .limit(k)
+  }
 }

@@ -1351,12 +1351,34 @@ object CoreQueries {
       .select(col("v").as("s_suppkey"), col("level").cast("int").as("level"))
   }
 
+  // ---------------------------------------------------------------- q62
+  /** WEIGHTED SAMPLE WITHOUT REPLACEMENT (Efraimidis–Spirakis 2006) of 20
+    * documents, weight = n_chars — [[graft.operators.Sampling
+    * .weightedSample]]: deterministic md5-derived uniforms scored
+    * ln(u)/w, global top-k. The draw is a pure function of the data, so
+    * DuckDB replays the identical sample (the uniform is integer-exact
+    * in binary64: 13 hex digits + 0.5 over 2^52).
+    */
+  val q62_weighted_sample = q("q62_weighted_sample",
+    """WITH s AS (
+      |  SELECT doc_id, n_chars,
+      |    ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13)) AS UBIGINT)
+      |        + 0.5) / 4503599627370496.0) / CAST(n_chars AS DOUBLE) AS es
+      |  FROM documents WHERE n_chars > 0)
+      |SELECT doc_id, n_chars, ROUND(es, 9) AS es_score
+      |FROM s ORDER BY es DESC, doc_id LIMIT 20""".stripMargin) { (s, dir) =>
+    Sampling.weightedSample(
+      Tables.documents(s, dir).select("doc_id", "n_chars"),
+      keyCols = Seq("doc_id"), weight = col("n_chars"), k = 20)
+      .select(col("doc_id"), col("n_chars"), round(col("es_score"), 9).as("es_score"))
+  }
+
   val all: Seq[GraftQuery] = Seq(
     q50_grouping_sets, q51_unpivot, q52_time_range_window,
     q53_full_outer_join, q54_nullsafe_join, q55_cohort_retention,
     q56_asof_next_purchase, q57_asof_nearest_purchase,
     q58_gap_fill_daily, q59_pagerank, q60_rolling_distinct_users,
-    q61_bfs_levels,
+    q61_bfs_levels, q62_weighted_sample,
     q48_drift_psi, q47_jaro_top1, q46_stratified_sample,
     q30_numeric_describe, q31_ship_priority, q32_regional_volume, q33_small_quantity,
     q34_approx_stats, q35_from_json, q36_array_agg, q37_order_distribution,

@@ -80,4 +80,45 @@ class SamplingSpec extends SparkSpec {
     assert(p1.count { case (id, pos) => p3(id) == pos } < 50,
       "seeds 42 and 43 gave nearly the same order")
   }
+
+  test("weightedSample: exactly k rows, partitioning-invariant, weight-monotone") {
+    val base = spark.range(500)
+      .select(col("id"), (col("id") % 9 + 1).cast("double").as("w"))
+    val pick = Sampling.weightedSample(base, Seq("id"), col("w"), 50)
+      .select("id").as[Long].collect().toSet
+    assert(pick.size == 50)
+    val pick2 = Sampling.weightedSample(base.repartition(13, col("id")),
+      Seq("id"), col("w"), 50).select("id").as[Long].collect().toSet
+    assert(pick == pick2, "sample moved with the partitioning")
+    // E-S monotonicity under FIXED draws: raising one row's weight can only
+    // improve (never worsen) its score rank — the paper's key property
+    val victim = (pick.min + 1) // arbitrary concrete id
+    def rankOf(df: org.apache.spark.sql.DataFrame, id: Long): Int = {
+      val ordered = Sampling.weightedSample(df, Seq("id"), col("w"), 500)
+        .select("id").as[Long].collect()
+      ordered.indexOf(id)
+    }
+    val before = rankOf(base, victim)
+    val boosted = base.withColumn("w",
+      when(col("id") === victim, col("w") * 1000).otherwise(col("w")))
+    val after = rankOf(boosted, victim)
+    assert(after <= before, s"boosting weight worsened rank: $before -> $after")
+  }
+
+  test("weightedSample: heavier rows are picked more often across disjoint key draws") {
+    // two-point weights 1 vs 10 over many rows: the heavy class must take
+    // a clear majority of a k=100 sample (deterministic given the data)
+    val base = spark.range(2000)
+      .select(col("id"), when(col("id") % 2 === 0, 10.0).otherwise(1.0).as("w"))
+    val heavy = Sampling.weightedSample(base, Seq("id"), col("w"), 100)
+      .filter(col("w") === 10.0).count()
+    assert(heavy > 75, s"heavy class took only $heavy of 100")
+  }
+
+  test("weightedSample: non-positive weights are excluded") {
+    val base = Seq((1L, 0.0), (2L, -3.0), (3L, 1.0), (4L, 2.0)).toDF("id", "w")
+    val got = Sampling.weightedSample(base, Seq("id"), col("w"), 10)
+      .select("id").as[Long].collect().toSet
+    assert(got == Set(3L, 4L))
+  }
 }

@@ -532,11 +532,39 @@ object SourceQueries {
       .select("n_nationkey", "n_name", "bad")
   }
 
+  // ---------------------------------------------------------------- src19
+  /** FILE-LEVEL BLOOM SKIPPING ([[graft.sources.FileSkipping]] bloom
+    * tier): the layout is range-clustered by o_orderkey, so a point
+    * lookup on o_custkey gets NOTHING from min–max (every file's
+    * [min, max] custkey range spans the whole key space) — the per-file
+    * bloom prunes the files the customer never landed in instead. Probe
+    * key = the smallest customer, chosen engine-side; conservative
+    * membership + residual filter keep the result exactly the full
+    * scan's, which is what the oracle checks. FileSkippingSpec pins the
+    * strictly-fewer-files effect.
+    */
+  val src19_bloom_skipping = q("src19_bloom_skipping", Some(
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |WHERE o_custkey = (SELECT MIN(o_custkey) FROM orders)""".stripMargin)) { (s, dir) =>
+    import graft.sources.FileSkipping
+    val root = DedupQueries.DedupStaging.ensure("src19", dir) { r =>
+      Tables.orders(s, dir)
+        .repartitionByRange(8, col("o_orderkey"))
+        .write.mode("overwrite").parquet(s"$r/orders_key_clustered")
+    }
+    val path = s"$root/orders_key_clustered"
+    val stats = FileSkipping.bloomStats(s, path, "o_custkey")
+    val probe = Tables.orders(s, dir).agg(min("o_custkey")).collect().head.getLong(0)
+    FileSkipping.readEquality(s, path, stats, "o_custkey", lit(probe))
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     src01_csv_roundtrip, src02_rest_paged, src03_partitioned_sink,
     src04_multimodal_meta, src05_frame_sample, src06_restv2_scan,
     src07_dbf_roundtrip, src08_media_meta, src09_upsert_merge,
     src10_compact_partitions, src11_scd2_merge, src12_zorder_layout,
     src13_jsonl_roundtrip, src14_schema_evolution, src15_corpus_diff,
-    src16_orc_roundtrip, src17_minmax_skipping, src18_corrupt_quarantine)
+    src16_orc_roundtrip, src17_minmax_skipping, src18_corrupt_quarantine,
+    src19_bloom_skipping)
 }

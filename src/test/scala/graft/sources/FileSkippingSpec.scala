@@ -60,4 +60,54 @@ class FileSkippingSpec extends SparkSpec {
     assert(out.count() == 0)
     assert(out.columns.toSeq == Seq("k", "v", "s"))
   }
+
+  private val bloomPath = "/root/repo/target/qtmp/skipping_bloom"
+
+  /** k-clustered layout; `u` is uncorrelated with k except one rare value
+    * 999999 that lives in exactly one file — the case min-max cannot prune
+    * (every file's u range spans ~the full space) and bloom can.
+    */
+  private def bloomLayout(): Unit =
+    (0 until 1000)
+      .map(i => (i.toLong, if (i == 123) 999999L else (i % 97).toLong))
+      .toDF("k", "u")
+      .repartitionByRange(10, col("k"))
+      .write.mode("overwrite").parquet(bloomPath)
+
+  test("bloomStats: one row per file, position sets bounded by bits and sorted") {
+    bloomLayout()
+    val stats = FileSkipping.bloomStats(spark, bloomPath, "u", bits = 512)
+    assert(stats.count() == 10)
+    val rows = stats.select("u_bloom1", "u_bloom2").as[(Seq[Int], Seq[Int])].collect()
+    rows.foreach { case (b1, b2) =>
+      assert(b1.nonEmpty && b1.size <= 512 && b1 == b1.sorted && b1.forall(p => p >= 0 && p < 512))
+      assert(b2.nonEmpty && b2.size <= 512 && b2 == b2.sorted)
+    }
+  }
+
+  test("bloom point probe on a non-clustered column prunes files, loses no row") {
+    bloomLayout()
+    val stats = FileSkipping.bloomStats(spark, bloomPath, "u", bits = 4096)
+    // min-max is useless here: every file's u-range spans ~[0, 96]
+    val mm = FileSkipping.fileStats(spark, bloomPath, Seq("u"))
+    assert(FileSkipping.candidateFiles(mm, "u", lit(50L), lit(50L)).size == 10,
+      "layout sanity: ranges cannot prune the uncorrelated column")
+    val cand = FileSkipping.bloomCandidateFiles(spark, stats, "u", lit(999999L), 4096)
+    assert(cand.nonEmpty && cand.size < 10,
+      s"bloom must prune files for a rare key, kept ${cand.size}")
+    val got = FileSkipping.readEquality(spark, bloomPath, stats, "u", lit(999999L), 4096)
+      .select("k").as[Long].collect().toSeq
+    assert(got == Seq(123L), s"exactly the matching row, got $got")
+    // common value: present everywhere, bloom keeps everything, result exact
+    val common = FileSkipping.readEquality(spark, bloomPath, stats, "u", lit(50L), 4096)
+      .count()
+    assert(common == spark.read.parquet(bloomPath).filter(col("u") === 50L).count())
+  }
+
+  test("bloom probe for an absent key returns empty (fp-opened files filtered)") {
+    bloomLayout()
+    val stats = FileSkipping.bloomStats(spark, bloomPath, "u", bits = 4096)
+    val out = FileSkipping.readEquality(spark, bloomPath, stats, "u", lit(777777L), 4096)
+    assert(out.count() == 0)
+  }
 }

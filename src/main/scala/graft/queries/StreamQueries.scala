@@ -468,11 +468,50 @@ object StreamQueries {
       MetricView.read(s, s"$root/metric_view"), "event_type", k = 3)
   }
 
+  // ---------------------------------------------------------------- s17
+  private def s17View(dir: String) = graft.sources.JoinView.View(dir,
+    keys = Seq("custkey"),
+    leftDdl = "custkey bigint, o_orderkey bigint, o_totalprice double, batch_id bigint",
+    rightDdl = "custkey bigint, c_name string, batch_id bigint",
+    joinDdl = "custkey bigint, o_orderkey bigint, o_totalprice double, " +
+      "c_name string, batch_id bigint")
+
+  /** INCREMENTALLY-MAINTAINED JOIN VIEW ([[graft.sources.JoinView]]):
+    * orders ⨝ customer accumulated in two installments per side (split so
+    * cross-batch pairs — an even-batch order meeting an odd-batch
+    * customer — only exist if the delta algebra is right), with a
+    * compaction fold mid-accumulation; the view must equal the one-shot
+    * join of the full inputs, which is exactly what the oracle recomputes.
+    * Streaming twin (`StreamOps.joinViewStream`) differential-tested in
+    * StreamingSpec.
+    */
+  val s17_join_view = q("s17_join_view", Some(
+    """SELECT o_custkey AS custkey, o_orderkey, o_totalprice, c_name
+      |FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin)) { (s, dir) =>
+    import graft.sources.JoinView
+    val root = DedupQueries.DedupStaging.ensure("s17", dir) { r =>
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(s"$r/join_view"))
+      val ords = Tables.orders(s, dir).select(col("o_custkey").as("custkey"),
+        col("o_orderkey"), col("o_totalprice"))
+      val cust = Tables.customer(s, dir).select(
+        col("c_custkey").as("custkey"), col("c_name"))
+      val view = s17View(s"$r/join_view")
+      JoinView.init(s, view)
+      JoinView.appendBatch(ords.filter(col("o_orderkey") % 2 === 0),
+        cust.filter(col("custkey") % 2 === 0), view, 0L)
+      JoinView.compact(s, view)
+      JoinView.appendBatch(ords.filter(col("o_orderkey") % 2 =!= 0),
+        cust.filter(col("custkey") % 2 =!= 0), view, 1L)
+    }
+    JoinView.read(s, s17View(s"$root/join_view"))
+  }
+
   val all: Seq[GraftQuery] = Seq(
     s01_tumbling_agg, s02_sliding_agg, s03_session_windows,
     s04_dedup_first_event, s05_watermark_late, s06_asof_backward,
     s07_running_user_agg, s08_interval_join, s09_stream_curation,
     s10_line_stats_ingest, s11_stream_drift, s12_interval_left_join,
     s13_funnel_conversion, s14_span_stats_ingest, s15_posting_ingest,
-    s16_windowed_mv)
+    s16_windowed_mv, s17_join_view)
 }

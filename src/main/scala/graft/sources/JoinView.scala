@@ -1,0 +1,178 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incrementally-maintained EQUI-JOIN materialized view — classic delta
+  * algebra (the incremental-view-maintenance literature's insert-only
+  * case): with batches ΔA_b, ΔB_b arriving together,
+  *
+  *   ΔJ_b = ΔA_b ⨝ B_{<b}  ∪  A_{<b} ⨝ ΔB_b  ∪  ΔA_b ⨝ ΔB_b
+  *
+  * and J = ∪_b ΔJ_b equals A ⨝ B exactly (every row pair (a from batch
+  * i, b from batch j) is produced by exactly the batch max(i, j) — a
+  * telescoping cover, multiset-exact, no retractions needed for
+  * append-only inputs). This is the persisted-warehouse complement to
+  * the in-memory stream-stream joins (s08/s12): both input histories and
+  * the view live as parquet relations, so the join of two unbounded
+  * streams survives restarts, serves batch readers mid-stream, and never
+  * holds state in executor memory.
+  *
+  * Storage rides the shared [[StoredIndex]] protocol — three relations
+  * (`left`, `right`, `join`) with idempotent `batch_id = b` fragment
+  * partitions in the live epoch:
+  *   - counterpart reads for ΔJ_b filter `batch_id < b` (partition-level
+  *     prune), so a CRASHED attempt's own half-written fragments are
+  *     invisible to its replay — the recompute is deterministic;
+  *   - all three `frag = b` writes are dynamic-partition overwrites
+  *     (at-least-once replays rewrite identical bytes);
+  *   - `committed_through` advances (CAS) only after all three land, so
+  *     readers never see a batch's join rows before its input rows;
+  *   - [[compact]] folds fragments into one `batch_id = -1` partition per
+  *     relation in a fresh epoch (crash-safe CAS swap, grace readers) —
+  *     pure re-layout, no arithmetic, `committed_through` preserved so
+  *     folded-batch replays stay no-ops;
+  *   - the stream twin pins checkpoint identity via
+  *     [[StoredIndex.pinStreamIdentity]] (a fresh checkpoint would
+  *     recycle batch ids over existing fragments).
+  *
+  * Scale shape per batch: ΔA⨝B and A⨝ΔB are batch-vs-history joins where
+  * the BATCH side broadcasts when small (the common case — history is
+  * unbounded, deltas are not); nothing rescans the accumulated view, and
+  * history reads prune to committed fragments. At 100 TB the `join`
+  * relation is what a dashboard reads instead of re-joining two fact
+  * tables per query.
+  */
+object JoinView {
+
+  /** `keys` are the equi-join columns (same names both sides); the DDLs
+    * describe each full relation INCLUDING `batch_id bigint` (used for
+    * empty reads of initialized stores).
+    */
+  final case class View(dir: String, keys: Seq[String],
+                        leftDdl: String, rightDdl: String, joinDdl: String)
+
+  private val rels = Seq("left", "right", "join")
+
+  private def metaKv(epoch: Int, committedThrough: Long,
+                     streamId: String): Seq[(String, String)] = Seq(
+    "epoch" -> epoch.toString,
+    "committed_through" -> committedThrough.toString,
+    "stream_id" -> streamId)
+
+  /** Initialize an empty view store (meta only; fails on an existing one). */
+  def init(spark: SparkSession, view: View): Unit =
+    StoredIndex.writeMetaCas(spark, view.dir, metaKv(0, -1L, ""),
+      StoredIndex.metaGeneration(spark, view.dir))
+
+  def committedThrough(spark: SparkSession, view: View): Long =
+    StoredIndex.readKvWithGen(spark, view.dir)._1("committed_through").toLong
+
+  /** Per-batch fragments of the `join` relation in the live epoch (the
+    * folded `batch_id=-1` partition is not a fragment).
+    */
+  def fragmentCount(spark: SparkSession, view: View): Int = {
+    if (StoredIndex.metaGeneration(spark, view.dir) < 0) return 0
+    val (kv, _) = StoredIndex.readKvWithGen(spark, view.dir)
+    val p = new org.apache.hadoop.fs.Path(
+      StoredIndex.relPath(view.dir, "join", kv("epoch").toInt))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) 0
+    else fs.listStatus(p).count { st =>
+      val n = st.getPath.getName
+      n.startsWith("batch_id=") && n != "batch_id=-1"
+    }
+  }
+
+  private def relDf(spark: SparkSession, view: View, rel: String,
+                    ddl: String, epoch: Int): DataFrame = {
+    val path = StoredIndex.relPath(view.dir, rel, epoch)
+    try spark.read.parquet(path)
+    catch {
+      case _: org.apache.spark.sql.AnalysisException =>
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType.fromDDL(ddl))
+    }
+  }
+
+  private def ddlFor(view: View, rel: String): String = rel match {
+    case "left" => view.leftDdl
+    case "right" => view.rightDdl
+    case _ => view.joinDdl
+  }
+
+  /** One maintenance step: land ΔA/ΔB as `frag = batchId` and append the
+    * delta join. Idempotent under at-least-once replay (committed batches
+    * no-op; uncommitted replays recompute against `batch_id < b` history
+    * and overwrite their own partitions).
+    */
+  def appendBatch(a: DataFrame, b: DataFrame, view: View, batchId: Long): Unit = {
+    require(batchId >= 0, "batch ids are non-negative")
+    val spark = a.sparkSession
+    val (kv, _) = StoredIndex.readKvWithGen(spark, view.dir)
+    if (batchId <= kv("committed_through").toLong) return
+    val epoch = kv("epoch").toInt
+    // history BEFORE this batch: committed fragments + the folded -1
+    // partition (all folded ids are committed < batchId) — partition prune
+    val aPre = relDf(spark, view, "left", view.leftDdl, epoch)
+      .filter(col("batch_id") < batchId).drop("batch_id")
+    val bPre = relDf(spark, view, "right", view.rightDdl, epoch)
+      .filter(col("batch_id") < batchId).drop("batch_id")
+    val deltaJoin = a.join(bPre, view.keys)
+      .unionByName(aPre.join(b, view.keys))
+      .unionByName(a.join(b, view.keys))
+    def land(df: DataFrame, rel: String): Unit =
+      ParquetWarehouse.overwritePartitions(
+        df.withColumn("batch_id", lit(batchId)),
+        StoredIndex.relPath(view.dir, rel, epoch), Seq("batch_id"))
+    land(deltaJoin, "join") // before inputs: an uncommitted join frag is
+    land(a, "left")         // invisible (readers gate on committed_through)
+    land(b, "right")
+    val (now, gen) = StoredIndex.readKvWithGen(spark, view.dir)
+    if (now("epoch") != kv("epoch"))
+      throw new StoredIndex.ConcurrentIndexWriteException(
+        s"join view at ${view.dir} was compacted during the append of " +
+        s"batch $batchId — the fragments landed in the superseded epoch; " +
+        "replay the batch")
+    StoredIndex.writeMetaCas(spark, view.dir,
+      metaKv(kv("epoch").toInt,
+        math.max(batchId, now("committed_through").toLong),
+        now.getOrElse("stream_id", "")), gen)
+  }
+
+  /** The maintained view (committed rows only). */
+  def read(spark: SparkSession, view: View): DataFrame = readRel(spark, view, "join")
+
+  /** One accumulated input or the view itself, gated on `committed_through`
+    * so a crashed batch's partial fragments never surface.
+    */
+  def readRel(spark: SparkSession, view: View, rel: String): DataFrame = {
+    val (kv, _) = StoredIndex.readKvWithGen(spark, view.dir)
+    relDf(spark, view, rel, ddlFor(view, rel), kv("epoch").toInt)
+      .filter(col("batch_id") <= kv("committed_through").toLong)
+      .drop("batch_id")
+  }
+
+  /** Fold each relation's fragments into one `batch_id = -1` partition in
+    * a fresh epoch (pure re-layout — the small-file maintenance a
+    * micro-batch sink needs) and CAS-swap; superseded epoch survives one
+    * grace cycle, `committed_through` unchanged.
+    */
+  def compact(spark: SparkSession, view: View): Unit = {
+    val (kv, gen) = StoredIndex.readKvWithGen(spark, view.dir)
+    val epoch = kv("epoch").toInt
+    rels.foreach { rel =>
+      relDf(spark, view, rel, ddlFor(view, rel), epoch)
+        .filter(col("batch_id") <= kv("committed_through").toLong)
+        .drop("batch_id")
+        .withColumn("batch_id", lit(-1L))
+        .write.mode("overwrite").partitionBy("batch_id")
+        .parquet(StoredIndex.relPath(view.dir, rel, epoch + 1))
+    }
+    StoredIndex.writeMetaCas(spark, view.dir,
+      metaKv(epoch + 1, kv("committed_through").toLong,
+        kv.getOrElse("stream_id", "")), gen)
+    StoredIndex.sweepEpochsBelow(spark, view.dir, rels, epoch)
+  }
+}

@@ -416,6 +416,40 @@ object StreamOps {
       }
       .start()
 
+  /** CONTINUOUS equi-join view maintenance ([[graft.sources.JoinView]]):
+    * a multiplexed changelog (rows tagged `side` = "left"/"right" over a
+    * nullable superset schema — the standard single-topic CDC shape)
+    * splits per micro-batch and delta-joins against the persisted
+    * counterpart histories, so the JOIN of two unbounded streams lives as
+    * a parquet relation any batch reader can query mid-stream — no
+    * executor-memory join state, crash/replay story from the protocol
+    * (committed-through gate + idempotent fragments + identity pin).
+    */
+  def joinViewStream(tagged: DataFrame, sideCol: String,
+                     leftCols: Seq[String], rightCols: Seq[String],
+                     view: graft.sources.JoinView.View, checkpointDir: String,
+                     compactEvery: Int = 16)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    tagged.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        import graft.sources.{JoinView, StoredIndex}
+        val spark = batch.sparkSession
+        if (StoredIndex.metaGeneration(spark, view.dir) < 0)
+          JoinView.init(spark, view)
+        StoredIndex.pinStreamIdentity(spark, view.dir, checkpointDir)
+        val df = batch.toDF()
+        JoinView.appendBatch(
+          df.filter(col(sideCol) === "left").select(leftCols.map(col): _*),
+          df.filter(col(sideCol) === "right").select(rightCols.map(col): _*),
+          view, batchId)
+        if (compactEvery > 0 &&
+            JoinView.fragmentCount(spark, view) > compactEvery)
+          JoinView.compact(spark, view)
+      }
+      .start()
+
   /** CONTINUOUS dimension maintenance: each micro-batch of key snapshots
     * SCD2-merges into the dimension at `path`
     * ([[graft.sources.Scd2.merge]]) — the streaming form of the

@@ -9,6 +9,7 @@ import java.sql.Timestamp
 case class Ev(ts: Timestamp, user_id: Long, event_type: String, value: Double)
 case class Doc(doc_id: Long, text: String)
 case class Upd(id: Long, name: String, bal: Double)
+case class Cdc(side: String, k: Long, a: String, b: String)
 
 /** Differential stream-vs-batch tests: the same event-time aggregations must
   * produce identical results fed through Structured Streaming micro-batches
@@ -555,6 +556,56 @@ class StreamingSpec extends SparkSpec {
         .select("day", "event_type").as[(java.sql.Date, String)].collect().toMap
       assert(top(java.sql.Date.valueOf("2024-01-01")) == "click",
         "cross-batch counts must sum: click is 3 = 1 + 2 vs view 2")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+    }
+  }
+
+  test("joinViewStream: a multiplexed changelog maintains the exact join; fresh checkpoint refused") {
+    import graft.sources.JoinView
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("join-view-stream").toString
+    val view = JoinView.View(s"$tmp/view", Seq("k"),
+      leftDdl = "k bigint, a string, batch_id bigint",
+      rightDdl = "k bigint, b string, batch_id bigint",
+      joinDdl = "k bigint, a string, b string, batch_id bigint")
+    try {
+      // cross-batch pairs on purpose: left k=1 arrives in batch 1, its
+      // right partner arrived in batch 2... and vice versa
+      val b1 = Seq(Cdc("left", 1L, "a1", null), Cdc("right", 2L, null, "b2"))
+      val b2 = Seq(Cdc("left", 2L, "a2", null), Cdc("right", 1L, null, "b1"),
+        Cdc("left", 3L, "a3", null), Cdc("right", 1L, null, "b1x"))
+      val mem = MemoryStream[Cdc]
+      mem.addData(b1)
+      val q = StreamOps.joinViewStream(mem.toDF(), "side",
+        leftCols = Seq("k", "a"), rightCols = Seq("k", "b"),
+        view, s"$tmp/ckpt", compactEvery = 1)
+      q.processAllAvailable()
+      mem.addData(b2)
+      q.processAllAvailable()
+      q.stop()
+      val all = (b1 ++ b2)
+      val left = all.filter(_.side == "left").map(c => (c.k, c.a)).toDF("k", "a")
+      val right = all.filter(_.side == "right").map(c => (c.k, c.b)).toDF("k", "b")
+      val want = left.join(right, Seq("k"))
+        .as[(Long, String, String)].collect().sorted.toSeq
+      val got = JoinView.read(spark, view).select("k", "a", "b")
+        .as[(Long, String, String)].collect().sorted.toSeq
+      assert(got == want, s"got=$got want=$want")
+      assert(want.map(_._1).contains(2L), "fixture sanity: cross-batch pair exists")
+      // a fresh checkpoint against the maintained view is refused
+      val mem2 = MemoryStream[Cdc]
+      mem2.addData(Seq(Cdc("left", 7L, "a7", null)))
+      val q2 = StreamOps.joinViewStream(mem2.toDF(), "side",
+        Seq("k", "a"), Seq("k", "b"), view, s"$tmp/ckpt2")
+      val err = intercept[Exception] { q2.processAllAvailable() }
+      try q2.stop() catch { case _: Exception => () }
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+      assert(messages(err).exists(_.contains("checkpoint")), messages(err).mkString("; "))
+      assert(JoinView.read(spark, view).select("k", "a", "b")
+        .as[(Long, String, String)].collect().sorted.toSeq == want,
+        "refused stream must not have touched the view")
     } finally {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
     }

@@ -97,6 +97,50 @@ object Retrieval {
       .limit(k)
   }
 
+  /** TF-IDF SPARSE-VECTOR cosine top-k: the documents most similar to a
+    * query document, computed entirely on the inverted index — the
+    * sparse-vector sibling of the dense ANN family (`ext/PqAnn` et al.):
+    * no embeddings, the posting relation IS the vector store. Weights
+    * w(t, d) = tf · ln(N / df); cosine = Σ w_q·w_d / (‖q‖·‖d‖), products
+    * folded in DECIMAL(28,12) so the double scores replay bit-for-bit on
+    * any engine (the BM25 determinism recipe one formula over).
+    *
+    * Plan: the query document's weighted terms are a broadcast relation;
+    * the dot products are ONE semi-pruned doc-keyed aggregate over the
+    * |query-terms| posting lists (document text and non-shared terms
+    * never shuffle); norms are a posting-relation fold reusable across
+    * queries; TakeOrdered(k), no global sort. At 100 TB this runs off
+    * the persisted posting store with the term filter pushed into the
+    * scan (the s15 probe shape).
+    */
+  def tfidfCosineTopK(post: DataFrame, idCol: String, queryDoc: Long,
+                      k: Int): DataFrame = {
+    val n = post.agg(count_distinct(col(idCol)).as("__n"))
+    val w = post.join(broadcast(documentFrequencies(post)), "term")
+      .crossJoin(broadcast(n))
+      .select(col("term"), col(idCol),
+        (col("tf").cast(DoubleType) *
+          log(col("__n").cast(DoubleType) / col("df").cast(DoubleType))).as("__w"))
+    val norms = w.groupBy(col(idCol))
+      .agg(sqrt(sum((col("__w") * col("__w")).cast(DecimalType(28, 12)))
+        .cast(DoubleType)).as("__norm"))
+    val q = w.filter(col(idCol) === queryDoc)
+      .select(col("term"), col("__w").as("__wq"))
+    val qn = norms.filter(col(idCol) === queryDoc)
+      .select(col("__norm").as("__qnorm"))
+    w.join(broadcast(q), "term")
+      .filter(col(idCol) =!= queryDoc)
+      .groupBy(col(idCol))
+      .agg(sum((col("__w") * col("__wq")).cast(DecimalType(28, 12)))
+        .cast(DoubleType).as("__dot"))
+      .join(norms, Seq(idCol))
+      .crossJoin(broadcast(qn))
+      .select(col(idCol),
+        round(col("__dot") / (col("__norm") * col("__qnorm")), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Per-document token length relation (id, dl) — one row per document,
     * empty documents included with dl = 0. Feed to [[bm25TopK]].
     */

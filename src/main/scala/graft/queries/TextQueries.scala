@@ -913,6 +913,40 @@ object TextQueries {
         size(array_distinct(col("toks"))).as("n_types"))
   }, GoldenOracles.sqlFor("t27_bpe_encode"))
 
+  // ---------------------------------------------------------------- t28
+  /** SPARSE-VECTOR SIMILARITY SEARCH: top-10 documents most similar to
+    * doc 0 by TF-IDF cosine, computed entirely on the inverted index
+    * ([[graft.operators.Retrieval.tfidfCosineTopK]]) — the sparse sibling
+    * of the dense ANN family: the posting relation IS the vector store,
+    * the query document's weighted terms broadcast, and the dot products
+    * are one semi-pruned doc-keyed aggregate. DECIMAL-folded products
+    * make the double scores replay bit-for-bit (the BM25 recipe).
+    */
+  val t28_tfidf_cosine = q("t28_tfidf_cosine",
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split(lower(${normSql("text")}), ' ')) AS term
+       |  FROM documents),
+       |p AS (SELECT term, doc_id, COUNT(*) AS tf
+       |      FROM toks WHERE length(term) > 0 GROUP BY 1, 2),
+       |d AS (SELECT term, COUNT(*) AS df FROM p GROUP BY 1),
+       |nn AS (SELECT COUNT(DISTINCT doc_id) AS n FROM p),
+       |w AS (SELECT p.term, p.doc_id,
+       |        CAST(p.tf AS DOUBLE) * ln(CAST(nn.n AS DOUBLE) / CAST(d.df AS DOUBLE)) AS w
+       |      FROM p JOIN d USING (term) CROSS JOIN nn),
+       |nrm AS (SELECT doc_id, sqrt(CAST(SUM(CAST(w * w AS DECIMAL(28,12))) AS DOUBLE)) AS nr
+       |        FROM w GROUP BY 1),
+       |q AS (SELECT term, w AS wq FROM w WHERE doc_id = 0),
+       |qn AS (SELECT nr AS qnr FROM nrm WHERE doc_id = 0),
+       |dots AS (SELECT w.doc_id, CAST(SUM(CAST(w.w * q.wq AS DECIMAL(28,12))) AS DOUBLE) AS dot
+       |         FROM w JOIN q USING (term) WHERE w.doc_id <> 0 GROUP BY 1)
+       |SELECT dots.doc_id, ROUND(dot / (nr * qnr), 6) AS cos_sim
+       |FROM dots JOIN nrm USING (doc_id) CROSS JOIN qn
+       |ORDER BY cos_sim DESC, doc_id LIMIT 10""".stripMargin) { (s, dir) =>
+    graft.operators.Retrieval.tfidfCosineTopK(
+      graft.operators.Retrieval.postings(Tables.documents(s, dir), "doc_id", "text"),
+      "doc_id", queryDoc = 0L, k = 10)
+  }
+
   val all: Seq[GraftQuery] = Seq(
     t01_token_stats, t02_quality_score, t03_lang_id, t04_fingerprint,
     t05_rolling_hash, t06_redact, t07_tfidf_top_terms, t08_curation_pipeline,
@@ -921,5 +955,6 @@ object TextQueries {
     t15_line_dedup, t16_quality_gate, t17_doc_chunking,
     t18_quality_classifier, t19_span_removal, t20_lm_likelihood,
     t21_within_doc_dedup, t22_lm_trigram, t23_inverted_index,
-    t24_keyword_search, t25_bm25_search, t26_bpe_merges, t27_bpe_encode)
+    t24_keyword_search, t25_bm25_search, t26_bpe_merges, t27_bpe_encode,
+    t28_tfidf_cosine)
 }

@@ -96,4 +96,33 @@ class RetrievalSpec extends SparkSpec {
       Retrieval.documentFrequencies(oneShot)
         .as[(String, Long)].collect().toSet)
   }
+
+  test("tfidf cosine: naive-reference parity, self excluded, duplicate doc scores 1") {
+    // doc 6 duplicates doc 2's term multiset -> cosine exactly 1.0
+    val corpus = docs.unionByName(Seq((6L, "joins spark data spark")).toDF("doc_id", "text"))
+    val p = Retrieval.postings(corpus, "doc_id", "text")
+    val got = Retrieval.tfidfCosineTopK(p, "doc_id", queryDoc = 2L, k = 10)
+      .as[(Long, Double)].collect().toSeq
+    assert(!got.map(_._1).contains(2L), "query doc must be excluded")
+    assert(got.head == ((6L, 1.0)), s"identical doc must rank first at 1.0: $got")
+    // naive driver-side reference over the same weights
+    val post = p.as[(String, Long, Long)].collect()
+    val n = post.map(_._2).distinct.size.toDouble
+    val dfm = post.groupBy(_._1).view.mapValues(_.size.toDouble).toMap
+    val w = post.map { case (t, d, tf) => ((t, d), tf.toDouble * math.log(n / dfm(t))) }.toMap
+    def vec(d: Long) = w.collect { case ((t, dd), x) if dd == d => (t, x) }.toMap
+    val qv = vec(2L)
+    val qn = math.sqrt(qv.values.map(x => x * x).sum)
+    val want = post.map(_._2).distinct.filter(_ != 2L).flatMap { d =>
+      val dv = vec(d)
+      val dot = qv.keySet.intersect(dv.keySet).toSeq.map(t => qv(t) * dv(t)).sum
+      if (dot == 0.0) None
+      else Some((d, dot / (math.sqrt(dv.values.map(x => x * x).sum) * qn)))
+    }.toMap
+    got.foreach { case (d, c) =>
+      assert(math.abs(c - want(d)) < 1e-6, s"doc $d: got $c want ${want(d)}")
+    }
+    // only docs sharing >= 1 term with the query are scored
+    assert(got.map(_._1).toSet == want.keySet)
+  }
 }

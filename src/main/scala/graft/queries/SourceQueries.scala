@@ -559,6 +559,40 @@ object SourceQueries {
       .select("o_orderkey", "o_custkey", "o_totalprice")
   }
 
+  // ---------------------------------------------------------------- src20
+  /** INCREMENTAL WATERMARK EXTRACTION from a live database
+    * ([[graft.sources.JdbcIncremental]], real embedded Derby): load half
+    * the orders, pull, load the rest, pull again — the second pull's
+    * remote SQL carries `o_orderkey > <watermark>` so the database scans
+    * only the delta, and the accumulated lake relation must equal the
+    * full table (the oracle). Crash-safe pull-partition + CAS watermark
+    * state on the shared protocol; JdbcDerbySpec drills the replay
+    * window live.
+    */
+  val src20_incremental_pull = q("src20_incremental_pull", Some(
+    "SELECT o_orderkey, o_custkey, o_totalprice FROM orders")) { (s, dir) =>
+    import graft.sources.{JdbcIncremental, JdbcSink}
+    val cfg = JdbcSink.JdbcConfig(
+      "jdbc:derby:memory:graftsrc20;create=true", "app", "app")
+    val root = DedupQueries.DedupStaging.ensure("src20", dir) { r =>
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(s"$r/pulled")) // fresh state when a new JVM re-stages
+      val ords = Tables.orders(s, dir)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val mid = ords.agg(percentile_approx(col("o_orderkey"), lit(0.5), lit(100)))
+        .collect().head.getLong(0)
+      JdbcSink.overwrite(ords.filter(col("o_orderkey") <= mid), cfg, "orders_inc")
+      JdbcIncremental.init(s, s"$r/pulled")
+      JdbcIncremental.pull(s, cfg, "orders_inc", "o_orderkey", s"$r/pulled")
+      JdbcSink.append(ords.filter(col("o_orderkey") > mid), cfg, "orders_inc")
+      JdbcIncremental.pull(s, cfg, "orders_inc", "o_orderkey", s"$r/pulled")
+    }
+    JdbcIncremental.read(s, s"$root/pulled")
+      .select(col("o_orderkey").as("o_orderkey"),
+        col("o_custkey").as("o_custkey"),
+        col("o_totalprice").as("o_totalprice"))
+  }
+
   val all: Seq[GraftQuery] = Seq(
     src01_csv_roundtrip, src02_rest_paged, src03_partitioned_sink,
     src04_multimodal_meta, src05_frame_sample, src06_restv2_scan,
@@ -566,5 +600,5 @@ object SourceQueries {
     src10_compact_partitions, src11_scd2_merge, src12_zorder_layout,
     src13_jsonl_roundtrip, src14_schema_evolution, src15_corpus_diff,
     src16_orc_roundtrip, src17_minmax_skipping, src18_corrupt_quarantine,
-    src19_bloom_skipping)
+    src19_bloom_skipping, src20_incremental_pull)
 }

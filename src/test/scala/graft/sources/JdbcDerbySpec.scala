@@ -131,4 +131,38 @@ class JdbcDerbySpec extends SparkSpec {
       .as[(Int, String, Double)].collect().toSet
     assert(got == Set((1, "x", 9.0), (1, "y", 2.0), (2, "x", 3.0)))
   }
+
+  test("incremental pull: watermark deltas, no-op on no news, crash-replay idempotence") {
+    val dir = java.nio.file.Files.createTempDirectory("jdbc-inc").toString
+    try {
+      dropTable(cfg, "inc_t", DerbyDialect)
+      overwrite((1L to 5L).map(i => (i, s"r$i")).toDF("k", "tag"),
+        cfg, "inc_t", columnTypes = "tag VARCHAR(16)")
+      JdbcIncremental.init(spark, dir)
+      assert(JdbcIncremental.pull(spark, cfg, "inc_t", "k", dir) == 5L)
+      assert(JdbcIncremental.watermark(spark, dir) == 5L)
+      // nothing new -> no-op, state untouched
+      assert(JdbcIncremental.pull(spark, cfg, "inc_t", "k", dir) == 0L)
+      assert(JdbcIncremental.watermark(spark, dir) == 5L)
+      // the second pull's remote SQL only sees the delta
+      append((6L to 8L).map(i => (i, s"r$i")).toDF("k", "tag"), cfg, "inc_t")
+      assert(JdbcIncremental.pull(spark, cfg, "inc_t", "k", dir) == 3L)
+      def lake() = JdbcIncremental.read(spark, dir)
+        .select("k", "tag").as[(Long, String)].collect().toSet
+      assert(lake() == (1L to 8L).map(i => (i, s"r$i")).toSet)
+      // crash window: a landed-but-uncommitted pull partition (id = next
+      // pull counter) must be invisible, and the real pull overwrites it
+      Seq((99L, "ghost")).toDF("k", "tag").withColumn("pull", lit(2L))
+        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        .partitionBy("pull").parquet(s"$dir/data")
+      assert(lake() == (1L to 8L).map(i => (i, s"r$i")).toSet,
+        "uncommitted partition leaked into the lake")
+      append(Seq((9L, "r9")).toDF("k", "tag"), cfg, "inc_t")
+      assert(JdbcIncremental.pull(spark, cfg, "inc_t", "k", dir) == 1L)
+      assert(lake() == (1L to 9L).map(i => (i, s"r$i")).toSet,
+        "replayed pull must overwrite the ghost partition")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
 }

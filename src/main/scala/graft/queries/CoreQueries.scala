@@ -1373,12 +1373,54 @@ object CoreQueries {
       .select(col("doc_id"), col("n_chars"), round(col("es_score"), 9).as("es_score"))
   }
 
+  // ---------------------------------------------------------------- q63
+  /** ROLLING Z-SCORE ANOMALY DETECTION: each user-day's activity volume
+    * scored against the trailing 6 days' mean/std (monitoring's
+    * bread-and-butter outlier flag, the windowed complement to q20's
+    * static IQR). Variance via the sum/sum-of-squares identity with BOTH
+    * sums DECIMAL-folded — stddev_samp builtins differ across engines in
+    * the last bits (Welford vs naive), this replays bit-for-bit. One
+    * (user, day) aggregate + one user-keyed window; z is null until a
+    * full 6-day history exists.
+    */
+  val q63_rolling_anomaly = q("q63_rolling_anomaly",
+    """WITH d AS (SELECT user_id, CAST(ts AS DATE) AS day,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS v
+      |  FROM events GROUP BY 1, 2),
+      |r AS (SELECT user_id, day, v,
+      |    COUNT(*) OVER w AS n,
+      |    CAST(SUM(CAST(v AS DECIMAL(18,4))) OVER w AS DOUBLE) AS s,
+      |    CAST(SUM(CAST(v * v AS DECIMAL(28,8))) OVER w AS DOUBLE) AS sq
+      |  FROM d
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY day
+      |    ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING))
+      |SELECT user_id, day,
+      |  CASE WHEN n = 6 AND (sq - s * s / 6.0) / 5.0 > 0
+      |       THEN ROUND((v - s / 6.0) / sqrt((sq - s * s / 6.0) / 5.0), 6)
+      |       ELSE NULL END AS z
+      |FROM r""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.types.DecimalType
+    val daily = Tables.events(s, dir)
+      .groupBy(col("user_id"), col("ts").cast("date").as("day"))
+      .agg(Cols.decimalSum(col("value")).as("v"))
+    val w = Window.partitionBy("user_id").orderBy("day").rowsBetween(-6, -1)
+    val variance = (col("sq") - col("s") * col("s") / lit(6.0)) / lit(5.0)
+    daily.select(col("user_id"), col("day"), col("v"),
+        count(lit(1)).over(w).as("n"),
+        Cols.decimalSumOver(col("v"), w).as("s"),
+        sum((col("v") * col("v")).cast(DecimalType(28, 8))).over(w)
+          .cast("double").as("sq"))
+      .select(col("user_id"), col("day"),
+        when(col("n") === 6 && variance > 0,
+          round((col("v") - col("s") / lit(6.0)) / sqrt(variance), 6)).as("z"))
+  }
+
   val all: Seq[GraftQuery] = Seq(
     q50_grouping_sets, q51_unpivot, q52_time_range_window,
     q53_full_outer_join, q54_nullsafe_join, q55_cohort_retention,
     q56_asof_next_purchase, q57_asof_nearest_purchase,
     q58_gap_fill_daily, q59_pagerank, q60_rolling_distinct_users,
-    q61_bfs_levels, q62_weighted_sample,
+    q61_bfs_levels, q62_weighted_sample, q63_rolling_anomaly,
     q48_drift_psi, q47_jaro_top1, q46_stratified_sample,
     q30_numeric_describe, q31_ship_priority, q32_regional_volume, q33_small_quantity,
     q34_approx_stats, q35_from_json, q36_array_agg, q37_order_distribution,

@@ -84,6 +84,77 @@ object PlanDump {
       "story (CAS folds, compacted_through watermark, identity pin) " +
       "inherited from the shared store; the oracle recomputes from " +
       "the raw events, proving the fold arithmetic."),
+    "q61_bfs_levels" -> ("round 11: bounded BFS — frontier expansion " +
+      "with an anti-join against the visited set keeps the working " +
+      "relations NODE-sized while the oracle's recursive CTE " +
+      "enumerates path-length pairs (exponential on dense graphs at " +
+      "scale); per level one edge-frontier join + one distinct, " +
+      "frontier localCheckpointed (without the cut the plan tree " +
+      "doubles per level and Catalyst analysis goes exponential " +
+      "around depth 10)."),
+    "q62_weighted_sample" -> ("round 11: Efraimidis-Spirakis weighted " +
+      "sampling — the ln(u)/w score is row-local scan-stage " +
+      "arithmetic (md5-derived uniform, integer-exact in binary64), " +
+      "selection is TakeOrderedAndProject(20): per-partition heaps, " +
+      "no global sort, no shuffle beyond the top-k merge."),
+    "q63_rolling_anomaly" -> ("round 11: rolling z-score — one " +
+      "(user, day) partial-aggregated group-by, then ONE user-keyed " +
+      "window with a 6-row frame carrying decimal-folded sum and " +
+      "sum-of-squares; variance via the sums identity because " +
+      "stddev_samp builtins differ across engines in the last bits " +
+      "(Welford vs naive) while decimal sums + a fixed-order double " +
+      "expression replay bit-for-bit."),
+    "t26_bpe_merges" -> ("round 11: BPE training — the corpus pass is " +
+      "ONE map-side-combined word-count aggregate (the paper's own " +
+      "decomposition: BPE needs the word-frequency relation, not the " +
+      "corpus); the merge loop runs driver-side over the Zipf-bounded " +
+      "vocabulary under the explicit maxVocabRows contract (the IVF-" +
+      "codebook argument). Exact integer pair counts + lexicographic " +
+      "tie-break make the table partitioning-invariant -> golden-" +
+      "gateable."),
+    "t27_bpe_encode" -> ("round 11: BPE inference is a codegen " +
+      "expression (shared rank map via addReferenceObj) — greedy " +
+      "lowest-rank merging is data-dependent iteration that no fixed " +
+      "HOF composition expresses without vocab-depth expression " +
+      "nesting; encoding rides the corpus scan stage, zero exchange " +
+      "before the output."),
+    "t28_tfidf_cosine" -> ("round 11: sparse-vector similarity on the " +
+      "inverted index — the query document's weighted terms broadcast, " +
+      "dot products are one semi-pruned doc-keyed aggregate over the " +
+      "query's posting lists (non-shared terms and document text never " +
+      "shuffle), norms are a reusable posting fold, TakeOrdered(10). " +
+      "DECIMAL(28,12)-folded products make the double cosines replay " +
+      "bit-for-bit (the BM25 recipe). At 100 TB this runs off the " +
+      "persisted posting store with the term filter pushed into the " +
+      "scan (s15's probe shape)."),
+    "src18_corrupt_quarantine" -> ("round 11: PERMISSIVE JSONL ingest " +
+      "with a corrupt-record column — parsing is scan-stage row-local " +
+      "work (no exchange at all); bad rows carry their raw payload to " +
+      "quarantine instead of being dropped (DROPMALFORMED) or killing " +
+      "the job (FAILFAST), the only acceptable contract for web-scale " +
+      "corpus ingest."),
+    "src19_bloom_skipping" -> ("round 11: per-file bloom skipping — " +
+      "min-max is provably useless for a point probe on a column the " +
+      "layout is not clustered by (every file's range spans the key " +
+      "space; the spec pins 10/10 kept), the per-file occupied-" +
+      "position sets prune to the files the key landed in. Stats " +
+      "build = one aggregate scan bounded by 2*bits ints per file; " +
+      "probe-time collect bounded by file count; no false negatives " +
+      "-> pruned read == full scan."),
+    "src20_incremental_pull" -> ("round 11: incremental JDBC " +
+      "extraction — the watermark filter ships as remote SQL (the " +
+      "database scans its index; Spark reads only the delta rows), " +
+      "each pull lands as an idempotent pull=<n> partition before the " +
+      "(watermark, counter) CAS, and the new watermark derives from " +
+      "the LANDED parquet, never a second source read. At warehouse " +
+      "scale this replaces the reference's nightly reload-the-world."),
+    "s17_join_view" -> ("round 11: incrementally-maintained equi-join " +
+      "view — per batch dJ = dAxB + AxdB + dAxdB where the batch side " +
+      "of each term broadcasts (history is unbounded, deltas are " +
+      "not) and history reads prune to committed batch_id fragments; " +
+      "the accumulated join relation is what readers query instead of " +
+      "re-joining two fact tables. committed_through gates readers " +
+      "off half-written batches; compaction is a pure re-layout fold."),
     "t17_doc_chunking" -> ("round 11: stride-window chunking is one " +
       "whole-stage-codegen span — tokenize, sequence of starts, " +
       "posexplode, slice — zero Exchange; at 100 TB it is a pure map " +

@@ -301,4 +301,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(reads.forall(!_.contains("text")),
       "search must never rescan document text:\n" + reads.mkString("\n"))
   }
+
+  test("t28: query terms broadcast, top-k is TakeOrdered, no global sort") {
+    val p = plan(TextQueries.t28_tfidf_cosine)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q60: the 7x fan-out is row-local — Generate below the one distinct aggregate") {
+    val p = plan(CoreQueries.q60_rolling_distinct_users)
+    assert(p.contains("Generate explode"), p)
+    // the range clamp joins as a 1-row broadcast, never a shuffle join
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q62: the E-S score never forces a global sort (TakeOrdered top-k)") {
+    val p = plan(CoreQueries.q62_weighted_sample)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
 }

@@ -1415,12 +1415,40 @@ object CoreQueries {
           round((col("v") - col("s") / lit(6.0)) / sqrt(variance), 6)).as("z"))
   }
 
+  // ---------------------------------------------------------------- q64
+  /** COUNT-MIN SKETCH frequency estimates (Cormode & Muthukrishnan 2005)
+    * next to the exact counts — the frequency member of the mergeable-
+    * sketch family (KMV q40/q41 does distincts, this does counts): one
+    * pass, fixed memory, cell-wise-additive merge (order-independent →
+    * deterministic bytes, golden-gateable). The sketch is sized small
+    * (ε = 0.1) so the one-sided error is VISIBLE: est ≥ exact always,
+    * and the probe set shows real overestimates. Probing is driver-side
+    * over a bounded 20-key list (the codebook argument).
+    */
+  val q64_cms_frequency = GraftQuery("q64_cms_frequency", (s, dir) => {
+    import org.apache.spark.util.sketch.CountMinSketch
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    val bytes = ev.agg(expr("count_min_sketch(user_id, 0.1d, 0.9d, 42)"))
+      .head.getAs[Array[Byte]](0)
+    val cms = CountMinSketch.readFrom(new java.io.ByteArrayInputStream(bytes))
+    val probes = ev.select("user_id").distinct()
+      .orderBy("user_id").limit(20)
+      .collect().map(_.getLong(0))
+    val est = probes.toSeq.map(u => (u, cms.estimateCount(java.lang.Long.valueOf(u))))
+      .toDF("user_id", "n_est")
+    ev.groupBy("user_id").agg(count(lit(1)).as("n_exact"))
+      .join(broadcast(est), "user_id")
+      .select("user_id", "n_exact", "n_est")
+  }, GoldenOracles.sqlFor("q64_cms_frequency"))
+
   val all: Seq[GraftQuery] = Seq(
     q50_grouping_sets, q51_unpivot, q52_time_range_window,
     q53_full_outer_join, q54_nullsafe_join, q55_cohort_retention,
     q56_asof_next_purchase, q57_asof_nearest_purchase,
     q58_gap_fill_daily, q59_pagerank, q60_rolling_distinct_users,
     q61_bfs_levels, q62_weighted_sample, q63_rolling_anomaly,
+    q64_cms_frequency,
     q48_drift_psi, q47_jaro_top1, q46_stratified_sample,
     q30_numeric_describe, q31_ship_priority, q32_regional_volume, q33_small_quantity,
     q34_approx_stats, q35_from_json, q36_array_agg, q37_order_distribution,

@@ -602,10 +602,37 @@ object EmbeddingQueries {
         round(col("cos"), 6).as("cos"))
   }
 
+  // ---------------------------------------------------------------- e19
+  /** EMBEDDING-SPACE-BALANCED SAMPLING — the diversity-sampling curation
+    * step (the prototype/SemDeDup-family complement to near-dup REMOVAL):
+    * quantize the corpus with the learned IVF codebook and draw exactly
+    * k per CELL by deterministic hash order, so every region of the
+    * embedding space is represented regardless of how skewed the corpus
+    * density is (a uniform draw over a 90%-one-cluster corpus is 90%
+    * that cluster; this is 5 per cell, full stop). Codebook training is
+    * not SQL-expressible → golden-gated; the draw itself is the
+    * engine-replayable md5 order of q46/t10.
+    */
+  val e19_cell_balanced_sample = q("e19_cell_balanced_sample",
+      GoldenOracles.sqlFor("e19_cell_balanced_sample")) { (s, dir) =>
+    val dim = 32
+    val kCells = 20
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"),
+        graft.ext.ClusteredFixture.vec(col("vec_id"), kCells, dim).as("embedding"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cb = graft.ext.IvfAnn.codebook(emb, "vec_id", "embedding",
+      k = kCells, iterations = 2)
+    graft.operators.Sampling.stratified(
+      graft.ext.IvfAnn.assign(emb, "embedding", cb).select("vec_id", "cell"),
+      strataCols = Seq("cell"), k = 5, keyCols = Seq("vec_id"),
+      hash = Some(md5(col("vec_id").cast("string").cast("binary"))))
+  }
+
   val all: Seq[GraftQuery] = Seq(
     e01_knn_bruteforce, e02_centroids, e03_label_block_nn, e04_lsh_ann,
     e05_cosine_neardup, e06_ivf_ann, e07_l2_normalize, e08_signature_neardup,
     e09_ivf_recall, e10_lsh_recall, e11_clustered_recall, e12_pq_recall,
     e13_ivfadc_recall, e14_ann_index_append, e15_codebook_drift,
-    e16_semantic_dedup, e17_ann_compaction, e18_filtered_ann)
+    e16_semantic_dedup, e17_ann_compaction, e18_filtered_ann,
+    e19_cell_balanced_sample)
 }

@@ -1442,13 +1442,49 @@ object CoreQueries {
       .select("user_id", "n_exact", "n_est")
   }, GoldenOracles.sqlFor("q64_cms_frequency"))
 
+  // ---------------------------------------------------------------- q65
+  /** EQUI-KEYLESS interval join via RANGE BUCKETING
+    * ([[graft.operators.IntervalJoin]]): events matched into derived
+    * 3-day promo windows with no shared key — Spark's native plan for
+    * this predicate is a BroadcastNestedLoopJoin (quadratic); bucketing
+    * the time domain turns it into a plain hash join on the bucket id
+    * with a row-local interval fan-out and an exact refine, which is the
+    * 100 TB shape. The oracle runs the naive BETWEEN join — identical
+    * results by bucketing completeness.
+    */
+  val q65_bucketed_interval_join = q("q65_bucketed_interval_join",
+    """WITH e AS (SELECT event_id, epoch_us(ts) // 1000000 AS sec, value FROM events),
+      |b AS (SELECT MIN(sec) AS base FROM e),
+      |w AS (SELECT i AS win_id, base + i * 604800 AS lo,
+      |        base + i * 604800 + 259200 AS hi
+      |      FROM (SELECT unnest(generate_series(0, 19)) AS i) CROSS JOIN b)
+      |SELECT w.win_id, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      |FROM e JOIN w ON e.sec >= w.lo AND e.sec < w.hi
+      |GROUP BY w.win_id""".stripMargin) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), expr("unix_micros(ts) div 1000000").as("sec"),
+        col("value"))
+    val base = ev.agg(min("sec").as("base"))
+    val windows = s.range(20).toDF("win_id")
+      .crossJoin(broadcast(base))
+      .select(col("win_id"),
+        (col("base") + col("win_id") * lit(604800L)).as("lo"),
+        (col("base") + col("win_id") * lit(604800L) + lit(259200L)).as("hi"))
+    IntervalJoin.pointInInterval(ev, col("sec"), windows,
+        col("lo"), col("hi"), bucket = 86400L)
+      .groupBy("win_id")
+      .agg(count(lit(1)).as("n_events"),
+        Cols.decimalSum(col("value")).as("sum_value"))
+  }
+
   val all: Seq[GraftQuery] = Seq(
     q50_grouping_sets, q51_unpivot, q52_time_range_window,
     q53_full_outer_join, q54_nullsafe_join, q55_cohort_retention,
     q56_asof_next_purchase, q57_asof_nearest_purchase,
     q58_gap_fill_daily, q59_pagerank, q60_rolling_distinct_users,
     q61_bfs_levels, q62_weighted_sample, q63_rolling_anomaly,
-    q64_cms_frequency,
+    q64_cms_frequency, q65_bucketed_interval_join,
     q48_drift_psi, q47_jaro_top1, q46_stratified_sample,
     q30_numeric_describe, q31_ship_priority, q32_regional_volume, q33_small_quantity,
     q34_approx_stats, q35_from_json, q36_array_agg, q37_order_distribution,

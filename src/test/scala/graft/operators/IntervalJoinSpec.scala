@@ -1,0 +1,58 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Range-bucketed interval join: exact equivalence with the nested-loop
+  * form under every bucket width (completeness + refinement), boundary
+  * semantics, overlapping-interval multiplicity, and the plan claim that
+  * the bucketed form joins hash-side, not nested-loop.
+  */
+class IntervalJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def points = Seq(0L, 1L, 5L, 10L, 86399L, 86400L, 100000L, 250000L)
+    .toDF("p").select(col("p"), concat(lit("e"), col("p")).as("tag"))
+
+  // overlapping, adjacent, empty, and mega intervals
+  private def intervals = Seq(
+    (1L, 0L, 10L), (2L, 5L, 86400L), (3L, 86400L, 86401L),
+    (4L, 7L, 7L),               // empty: hi == lo, matches nothing
+    (5L, 0L, 260000L))          // mega interval spanning all buckets
+    .toDF("iid", "lo", "hi")
+
+  private def naive = points.crossJoin(intervals)
+    .filter(col("p") >= col("lo") && col("p") < col("hi"))
+    .select("p", "iid").as[(Long, Long)].collect().sorted.toSeq
+
+  test("bucketed join equals the nested loop for every bucket width") {
+    Seq(1L, 7L, 86400L, 1000000L).foreach { w =>
+      val got = IntervalJoin.pointInInterval(points, col("p"),
+          intervals, col("lo"), col("hi"), bucket = w)
+        .select("p", "iid").as[(Long, Long)].collect().sorted.toSeq
+      assert(got == naive, s"bucket width $w: got $got want $naive")
+    }
+  }
+
+  test("half-open boundaries: lo inclusive, hi exclusive") {
+    val got = IntervalJoin.pointInInterval(points, col("p"),
+        intervals.filter(col("iid") === 3L), col("lo"), col("hi"), 86400L)
+      .select("p").as[Long].collect().toSeq
+    assert(got == Seq(86400L), got.toString)
+  }
+
+  test("a point inside several intervals matches each once (multiplicity)") {
+    val got = IntervalJoin.pointInInterval(points.filter(col("p") === 5L), col("p"),
+        intervals, col("lo"), col("hi"), 10L)
+      .select("iid").as[Long].collect().sorted.toSeq
+    assert(got == Seq(1L, 2L, 5L), got.toString)
+  }
+
+  test("the bucketed plan joins on the bucket key, never nested-loop") {
+    val p = IntervalJoin.pointInInterval(points, col("p"),
+        intervals, col("lo"), col("hi"), 86400L)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("Join") || p.contains("join"), p)
+  }
+}

@@ -148,6 +148,27 @@ object PlanDump {
       "(watermark, counter) CAS, and the new watermark derives from " +
       "the LANDED parquet, never a second source read. At warehouse " +
       "scale this replaces the reference's nightly reload-the-world."),
+    "e19_cell_balanced_sample" -> ("round 11: embedding-space-balanced " +
+      "sampling — cell assignment is the fused NearestCentroidExpr " +
+      "codegen loop riding the scan, the draw is q46's one-exchange " +
+      "stratum window; exactly k per cell regardless of corpus density " +
+      "skew (the diversity-sampling curation step; a uniform draw over " +
+      "a 90%-one-cluster corpus is 90% that cluster)."),
+    "q64_cms_frequency" -> ("round 11: count-min sketch — ONE pass, " +
+      "fixed memory, cell-wise-additive merge (order-independent, so " +
+      "the sketch bytes are partitioning-invariant — CmsSpec pins it); " +
+      "probe is driver-side over a bounded 20-key list. Sized small " +
+      "(eps 0.1) deliberately so the golden exhibits the one-sided " +
+      "error: all 20 probes overestimate, none under."),
+    "q65_bucketed_interval_join" -> ("round 11: keyless interval join " +
+      "— Spark's native plan for this predicate is a " +
+      "BroadcastNestedLoopJoin (quadratic); range bucketing makes the " +
+      "bucket id a hash-join key (row-local interval fan-out " +
+      "ceil(span/W)+1, exact refine inside the join) — " +
+      "IntervalJoinSpec pins nested-loop equivalence under four bucket " +
+      "widths and the no-BNLJ plan. W tunes fan-out vs per-bucket " +
+      "population; both stay declarative so pruning and partial " +
+      "aggregation survive."),
     "s17_join_view" -> ("round 11: incrementally-maintained equi-join " +
       "view — per batch dJ = dAxB + AxdB + dAxdB where the batch side " +
       "of each term broadcasts (history is unbounded, deltas are " +

@@ -38,6 +38,41 @@ object Retrieval {
         explode(split(lower(TextFunctions.normalizeWs(col(textCol))), " ")).as("term"))
       .filter(length(col("term")) > 0)
 
+  /** POSITIONAL posting relation (term, id, pos) — the phrase-capable
+    * index tier (what Lucene stores as term positions): pos is the
+    * 1-based token index in the same tokenization as [[termStream]].
+    * Still additive over disjoint document batches.
+    */
+  def positionalPostings(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol),
+        posexplode(split(lower(TextFunctions.normalizeWs(col(textCol))), " ")))
+      .select(col(idCol), col("col").as("term"), (col("pos") + 1).as("pos"))
+      .filter(length(col("term")) > 0)
+
+  /** EXACT PHRASE search on the positional index: documents (with
+    * occurrence counts) containing the words of `phrase` at consecutive
+    * positions. Slot algebra handles repeated words correctly: slot i of
+    * the phrase contributes its term's postings shifted by i, and a
+    * (doc, start) pair where ALL k distinct slots land is a phrase
+    * occurrence — a (doc, start) aggregate over k position-shifted
+    * pruned posting lists, the same bounded-shuffle shape as
+    * [[searchAll]] (document text never participates).
+    */
+  def phraseSearch(posPost: DataFrame, idCol: String,
+                   phrase: Seq[String]): DataFrame = {
+    val words = phrase.map(_.toLowerCase)
+    require(words.nonEmpty, "phraseSearch needs at least one word")
+    val slots = words.zipWithIndex.map { case (w, i) =>
+      posPost.filter(col("term") === w)
+        .select(col(idCol), (col("pos") - i).as("start"), lit(i).as("slot"))
+    }.reduce(_ unionByName _)
+    slots.groupBy(col(idCol), col("start"))
+      .agg(count_distinct(col("slot")).as("__k"))
+      .filter(col("__k") === words.length)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_occurrences"))
+  }
+
   /** Posting-list relation (term, id, tf) — the inverted index. */
   def postings(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     termStream(docs, idCol, textCol)

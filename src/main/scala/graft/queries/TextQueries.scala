@@ -947,6 +947,36 @@ object TextQueries {
       "doc_id", queryDoc = 0L, k = 10)
   }
 
+  // ---------------------------------------------------------------- t29
+  /** EXACT PHRASE SEARCH on the POSITIONAL index
+    * ([[graft.operators.Retrieval.positionalPostings]]/`phraseSearch`) —
+    * the phrase tier Lucene stores term positions for; the query phrase
+    * "table table" deliberately repeats a word so the slot algebra (slot i
+    * contributes its term's postings shifted by i; a (doc, start) covered
+    * by all k distinct slots is an occurrence) is what the oracle checks,
+    * overlapping occurrences included. Same bounded-shuffle shape as t24:
+    * two pruned posting lists, one (doc, start) aggregate, no text.
+    */
+  val t29_phrase_search = q("t29_phrase_search",
+    s"""WITH n AS (SELECT doc_id, string_split(lower(${normSql("text")}), ' ') AS toks
+       |           FROM documents),
+       |p AS (SELECT doc_id, u.i AS pos, toks[u.i] AS term
+       |      FROM n, unnest(range(1, len(toks) + 1)) AS u(i)
+       |      WHERE length(toks[u.i]) > 0),
+       |s AS (
+       |  SELECT doc_id, pos AS start, 0 AS slot FROM p WHERE term = 'table'
+       |  UNION ALL
+       |  SELECT doc_id, pos - 1 AS start, 1 AS slot FROM p WHERE term = 'table'),
+       |occ AS (SELECT doc_id, start FROM s
+       |        GROUP BY doc_id, start HAVING COUNT(DISTINCT slot) = 2)
+       |SELECT doc_id, COUNT(*) AS n_occurrences
+       |FROM occ GROUP BY doc_id""".stripMargin) { (s, dir) =>
+    graft.operators.Retrieval.phraseSearch(
+      graft.operators.Retrieval.positionalPostings(
+        Tables.documents(s, dir), "doc_id", "text"),
+      "doc_id", Seq("table", "table"))
+  }
+
   val all: Seq[GraftQuery] = Seq(
     t01_token_stats, t02_quality_score, t03_lang_id, t04_fingerprint,
     t05_rolling_hash, t06_redact, t07_tfidf_top_terms, t08_curation_pipeline,
@@ -956,5 +986,5 @@ object TextQueries {
     t18_quality_classifier, t19_span_removal, t20_lm_likelihood,
     t21_within_doc_dedup, t22_lm_trigram, t23_inverted_index,
     t24_keyword_search, t25_bm25_search, t26_bpe_merges, t27_bpe_encode,
-    t28_tfidf_cosine)
+    t28_tfidf_cosine, t29_phrase_search)
 }

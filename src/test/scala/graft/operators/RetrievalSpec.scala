@@ -125,4 +125,28 @@ class RetrievalSpec extends SparkSpec {
     // only docs sharing >= 1 term with the query are scored
     assert(got.map(_._1).toSet == want.keySet)
   }
+
+  test("phrase search: overlapping occurrences, repeated words, no cross-gap matches") {
+    val corpus = Seq(
+      (1L, "a table table table b"), // "table table" overlaps: starts 2 and 3
+      (2L, "a table b table"),       // non-adjacent repeats: no match
+      (3L, "table table"),           // exactly one occurrence
+      (4L, "fast table scan table table fast"), // one occurrence at 4
+      (5L, "")).toDF("doc_id", "text")
+    val pp = Retrieval.positionalPostings(corpus, "doc_id", "text")
+    val got = Retrieval.phraseSearch(pp, "doc_id", Seq("table", "table"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 2L, 3L -> 1L, 4L -> 1L), got.toString)
+    // 3-word phrase with two distinct words
+    val got3 = Retrieval.phraseSearch(pp, "doc_id", Seq("table", "table", "table"))
+      .as[(Long, Long)].collect().toMap
+    assert(got3 == Map(1L -> 1L), got3.toString)
+    val got2 = Retrieval.phraseSearch(pp, "doc_id", Seq("fast", "table"))
+      .as[(Long, Long)].collect().toMap
+    assert(got2 == Map(4L -> 1L), got2.toString)
+    // positions are 1-based over the SAME tokenization as termStream
+    assert(pp.filter(col("doc_id") === 3L).orderBy("pos")
+      .select("term", "pos").as[(String, Int)].collect().toSeq ==
+      Seq(("table", 1), ("table", 2)))
+  }
 }

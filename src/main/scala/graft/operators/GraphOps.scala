@@ -51,6 +51,9 @@ object GraphOps {
     */
   def bfsLevels(edges: DataFrame, sources: DataFrame, maxDepth: Int): DataFrame = {
     require(maxDepth >= 0, "maxDepth must be non-negative")
+    // materialize the edge relation ONCE: a derived edge set (e.g. q61's
+    // lineitem self-join) would otherwise recompute at every level
+    val e = if (maxDepth > 1) edges.localCheckpoint(true) else edges
     var visited = sources.select(col("v")).distinct()
       .select(col("v"), lit(0).as("level"))
       .localCheckpoint(true)
@@ -58,7 +61,7 @@ object GraphOps {
     var d = 1
     var done = maxDepth < 1
     while (!done) {
-      val next = edges.join(frontier.select(col("v").as("u")), "u")
+      val next = e.join(frontier.select(col("v").as("u")), "u")
         .select(col("v")).distinct()
         .join(visited.select("v"), Seq("v"), "left_anti")
         .select(col("v"), lit(d).as("level"))
@@ -81,13 +84,16 @@ object GraphOps {
     */
   def pageRank(edges: DataFrame, iterations: Int, damping: Double = 0.5): DataFrame = {
     require(iterations >= 1, "need at least one power step")
-    val deg = outDegrees(edges)
+    // same single-materialization argument as bfsLevels: every power step
+    // re-joins the edge relation, so a derived edge set must not recompute
+    val e = if (iterations > 1) edges.localCheckpoint(true) else edges
+    val deg = outDegrees(e)
     val n = deg.agg(count(lit(1)).as("n"))
     var r = deg.select(col("u").as("v"))
       .crossJoin(broadcast(n))
       .select(col("v"), (lit(1.0) / col("n").cast(DoubleType)).as("r"))
     for (_ <- 1 to iterations) {
-      val contrib = edges
+      val contrib = e
         .join(r.select(col("v").as("u"), col("r")), "u")
         .join(deg, "u")
         .select(col("v"), (col("r") / col("d").cast(DoubleType)).as("c"))

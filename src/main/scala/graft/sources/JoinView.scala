@@ -47,10 +47,18 @@ object JoinView {
 
   /** `keys` are the equi-join columns (same names both sides); the DDLs
     * describe each full relation INCLUDING `batch_id bigint` (used for
-    * empty reads of initialized stores).
+    * empty reads of initialized stores). `buckets > 0` hash-buckets the
+    * stored input histories on the join key (`bk = xxhash64(keys) mod
+    * buckets`, a second partition level under `batch_id`): each delta
+    * join then reads ONLY the history partitions whose bucket one of the
+    * batch's keys hashes into — the SCD2-dimension trick — so per-batch
+    * cost tracks the delta's key spread, not the accumulated history
+    * size. Unbucketed (0) scans the full history per batch, which is
+    * fine for bounded histories and wrong at 100 TB.
     */
   final case class View(dir: String, keys: Seq[String],
-                        leftDdl: String, rightDdl: String, joinDdl: String)
+                        leftDdl: String, rightDdl: String, joinDdl: String,
+                        buckets: Int = 0)
 
   private val rels = Seq("left", "right", "join")
 
@@ -84,15 +92,22 @@ object JoinView {
     }
   }
 
+  private def bucketed(view: View, rel: String): Boolean =
+    view.buckets > 0 && rel != "join"
+
+  private def bk(view: View): org.apache.spark.sql.Column =
+    pmod(xxhash64(view.keys.map(col): _*), lit(view.buckets.toLong)).cast("int")
+
   private def relDf(spark: SparkSession, view: View, rel: String,
                     ddl: String, epoch: Int): DataFrame = {
     val path = StoredIndex.relPath(view.dir, rel, epoch)
+    val fullDdl = if (bucketed(view, rel)) s"$ddl, bk int" else ddl
     try spark.read.parquet(path)
     catch {
       case _: org.apache.spark.sql.AnalysisException =>
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          org.apache.spark.sql.types.StructType.fromDDL(ddl))
+          org.apache.spark.sql.types.StructType.fromDDL(fullDdl))
     }
   }
 
@@ -113,19 +128,37 @@ object JoinView {
     val (kv, _) = StoredIndex.readKvWithGen(spark, view.dir)
     if (batchId <= kv("committed_through").toLong) return
     val epoch = kv("epoch").toInt
+    // the buckets this batch's keys hash into — bounded by view.buckets,
+    // driver-small by construction; prunes the counterpart history scan
+    def bksOf(df: DataFrame): Seq[Int] =
+      if (view.buckets <= 0) Nil
+      else df.select(bk(view).as("__bk")).distinct()
+        .collect().map(_.getInt(0)).toSeq
+    def prune(df: DataFrame, bks: Seq[Int]): DataFrame =
+      if (view.buckets <= 0) df
+      else if (bks.isEmpty) df.limit(0)
+      else df.filter(col("bk").isin(bks.map(Integer.valueOf): _*))
     // history BEFORE this batch: committed fragments + the folded -1
     // partition (all folded ids are committed < batchId) — partition prune
-    val aPre = relDf(spark, view, "left", view.leftDdl, epoch)
-      .filter(col("batch_id") < batchId).drop("batch_id")
-    val bPre = relDf(spark, view, "right", view.rightDdl, epoch)
-      .filter(col("batch_id") < batchId).drop("batch_id")
+    // on batch_id and, when bucketed, on the delta's key buckets
+    val aPre = prune(relDf(spark, view, "left", view.leftDdl, epoch)
+      .filter(col("batch_id") < batchId), bksOf(b))
+      .drop("batch_id", "bk")
+    val bPre = prune(relDf(spark, view, "right", view.rightDdl, epoch)
+      .filter(col("batch_id") < batchId), bksOf(a))
+      .drop("batch_id", "bk")
     val deltaJoin = a.join(bPre, view.keys)
       .unionByName(aPre.join(b, view.keys))
       .unionByName(a.join(b, view.keys))
-    def land(df: DataFrame, rel: String): Unit =
+    def land(df: DataFrame, rel: String): Unit = {
+      val (tagged, parts) =
+        if (bucketed(view, rel))
+          (df.withColumn("batch_id", lit(batchId)).withColumn("bk", bk(view)),
+            Seq("batch_id", "bk"))
+        else (df.withColumn("batch_id", lit(batchId)), Seq("batch_id"))
       ParquetWarehouse.overwritePartitions(
-        df.withColumn("batch_id", lit(batchId)),
-        StoredIndex.relPath(view.dir, rel, epoch), Seq("batch_id"))
+        tagged, StoredIndex.relPath(view.dir, rel, epoch), parts)
+    }
     land(deltaJoin, "join") // before inputs: an uncommitted join frag is
     land(a, "left")         // invisible (readers gate on committed_through)
     land(b, "right")
@@ -151,7 +184,7 @@ object JoinView {
     val (kv, _) = StoredIndex.readKvWithGen(spark, view.dir)
     relDf(spark, view, rel, ddlFor(view, rel), kv("epoch").toInt)
       .filter(col("batch_id") <= kv("committed_through").toLong)
-      .drop("batch_id")
+      .drop("batch_id", "bk")
   }
 
   /** Fold each relation's fragments into one `batch_id = -1` partition in
@@ -163,11 +196,13 @@ object JoinView {
     val (kv, gen) = StoredIndex.readKvWithGen(spark, view.dir)
     val epoch = kv("epoch").toInt
     rels.foreach { rel =>
-      relDf(spark, view, rel, ddlFor(view, rel), epoch)
+      val folded = relDf(spark, view, rel, ddlFor(view, rel), epoch)
         .filter(col("batch_id") <= kv("committed_through").toLong)
         .drop("batch_id")
         .withColumn("batch_id", lit(-1L))
-        .write.mode("overwrite").partitionBy("batch_id")
+      val parts = if (bucketed(view, rel)) Seq("batch_id", "bk")
+        else Seq("batch_id")
+      folded.write.mode("overwrite").partitionBy(parts: _*)
         .parquet(StoredIndex.relPath(view.dir, rel, epoch + 1))
     }
     StoredIndex.writeMetaCas(spark, view.dir,

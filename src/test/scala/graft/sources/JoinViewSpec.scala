@@ -79,6 +79,40 @@ class JoinViewSpec extends SparkSpec {
     assert(viewRows(v) == direct)
   }
 
+  test("bucketed history: same results, bucket-partitioned layout, pruned scans") {
+    val dir = java.nio.file.Files.createTempDirectory("join-view-bk").toString
+    val v = JoinView.View(dir, Seq("k"),
+      leftDdl = "k bigint, a string, batch_id bigint",
+      rightDdl = "k bigint, b string, batch_id bigint",
+      joinDdl = "k bigint, a string, b string, batch_id bigint",
+      buckets = 4)
+    JoinView.init(spark, v)
+    JoinView.appendBatch(leftDf.filter(col("a").isin("a1", "a3")),
+      rightDf.filter(col("b") === "b1"), v, 0L)
+    JoinView.appendBatch(leftDf.filter(!col("a").isin("a1", "a3")),
+      rightDf.filter(col("b") =!= "b1"), v, 1L)
+    assert(viewRows(v) == direct, "bucketing must not change the view")
+    // compaction keeps the bucket level
+    JoinView.compact(spark, v)
+    assert(viewRows(v) == direct)
+    val leftDir = new java.io.File(StoredIndex.relPath(dir, "left", 1))
+    val bkDirs = leftDir.listFiles().filter(_.getName.startsWith("batch_id="))
+      .flatMap(_.listFiles()).map(_.getName).filter(_.startsWith("bk=")).toSet
+    assert(bkDirs.nonEmpty, s"expected bk= partitions, saw ${bkDirs.mkString(",")}")
+    // the history-read shape appendBatch uses prunes at the partition level
+    val probe = spark.read.parquet(StoredIndex.relPath(dir, "left", 1))
+      .filter(col("batch_id") < 2 && col("bk").isin(0, 1))
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("bk"), plan)
+    // accumulation continues correctly against the bucketed folded history
+    // the new right row must meet BOTH the historical (9,'a9') and the
+    // same-batch (9,'a9b') left rows — cross-batch pairs over the fold
+    JoinView.appendBatch(Seq((9L, "a9b")).toDF("k", "a"),
+      Seq((9L, "b9")).toDF("k", "b"), v, 2L)
+    assert(viewRows(v) ==
+      (direct ++ Seq((9L, "a9", "b9"), (9L, "a9b", "b9"))).sorted)
+  }
+
   test("compaction folds fragments, preserves the view, and keeps replay no-ops") {
     val v = freshView()
     JoinView.init(spark, v)

@@ -96,6 +96,15 @@ object KmvSketch {
   def merge(a: Column, b: Column): Column =
     bridge.column(KmvMergeExpr(bridge.expression(a), bridge.expression(b)))
 
+  /** AGGREGATE union of many sketches — what folds per-fragment sketches
+    * of a continuous distinct-count view back into one per key. KMV union
+    * is exact: the k smallest hashes of A ∪ B are computable from the two
+    * k-smallest sets, so merge-of-sketches ≡ sketch-of-union bit-for-bit
+    * (the additivity that makes sketch fragments protocol-foldable).
+    */
+  def mergeAgg(c: Column): Column =
+    bridge.column(KmvMergeAgg(bridge.expression(c)).toAggregateExpression())
+
   def intersectEstimate(a: Column, b: Column): Column =
     bridge.column(KmvIntersectExpr(bridge.expression(a), bridge.expression(b)))
 }
@@ -168,6 +177,79 @@ case class KmvSketchAgg(child: Expression, k: Int,
     copy(inputAggBufferOffset = n)
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
     copy(child = c.head)
+}
+
+/** Aggregate union of sketch binaries (same k; k learned from the first
+  * input). Buffer = (k, k-smallest set); empty groups evaluate to null.
+  */
+case class KmvMergeAgg(child: Expression,
+                       mutableAggBufferOffset: Int = 0,
+                       inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[KmvMergeAgg.Buf] {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "kmv_merge_agg"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects kmv sketches (binary), got ${other.catalogString}")
+  }
+
+  override def createAggregationBuffer(): KmvMergeAgg.Buf =
+    new KmvMergeAgg.Buf(-1,
+      mutable.TreeSet.empty[Long](KmvSketch.unsignedOrdering))
+
+  private def absorb(buf: KmvMergeAgg.Buf, k: Int, values: Array[Long]): Unit = {
+    if (buf.k < 0) buf.k = k
+    else require(buf.k == k, s"$prettyName: mismatched k (${buf.k} vs $k)")
+    values.foreach { h =>
+      buf.set.add(h)
+      if (buf.set.size > buf.k) buf.set.remove(buf.set.last)
+    }
+  }
+
+  override def update(buf: KmvMergeAgg.Buf, input: InternalRow): KmvMergeAgg.Buf = {
+    val v = child.eval(input)
+    if (v != null) {
+      val (k, values) = KmvSketch.unpack(v.asInstanceOf[Array[Byte]])
+      absorb(buf, k, values)
+    }
+    buf
+  }
+
+  override def merge(buf: KmvMergeAgg.Buf, other: KmvMergeAgg.Buf): KmvMergeAgg.Buf = {
+    if (other.k >= 0) absorb(buf, other.k, other.set.toArray)
+    buf
+  }
+
+  override def eval(buf: KmvMergeAgg.Buf): Any =
+    if (buf.k < 0) null else KmvSketch.pack(buf.k, buf.set.toArray)
+
+  override def serialize(buf: KmvMergeAgg.Buf): Array[Byte] =
+    KmvSketch.pack(buf.k, buf.set.toArray)
+
+  override def deserialize(bytes: Array[Byte]): KmvMergeAgg.Buf = {
+    val (k, values) = KmvSketch.unpack(bytes)
+    val buf = createAggregationBuffer()
+    buf.k = k
+    values.foreach(buf.set.add)
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(n: Int): KmvMergeAgg =
+    copy(mutableAggBufferOffset = n)
+  override def withNewInputAggBufferOffset(n: Int): KmvMergeAgg =
+    copy(inputAggBufferOffset = n)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(child = c.head)
+}
+
+object KmvMergeAgg {
+  /** Mutable union buffer: k = -1 until the first sketch fixes it. */
+  final class Buf(var k: Int, val set: mutable.TreeSet[Long])
 }
 
 /** Distinct-count estimate from a sketch binary. */

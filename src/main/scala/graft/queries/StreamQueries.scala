@@ -507,11 +507,43 @@ object StreamQueries {
     JoinView.read(s, s17View(s"$root/join_view"))
   }
 
+  // ---------------------------------------------------------------- s18
+  /** CONTINUOUS DISTINCT-COUNT VIEW ([[graft.operators.DistinctView]]):
+    * per-day distinct users accumulated as KMV-sketch fragments in two
+    * installments (with a compaction fold between) — a user active in
+    * BOTH batches must count once, which no additive counter can do; the
+    * sketch union dedups by hash exactly. The oracle is a full-strength
+    * COUNT(DISTINCT): at sf0.01 every day holds < k = 256 distinct
+    * users, the regime where a KMV sketch is EXACT by construction
+    * (estimate = |values| while under k) — so the DuckDB gate proves the
+    * whole fragment/fold/replay machinery end-to-end; the k-exceeding
+    * estimation regime is pinned by q40's golden and KmvSketchSpec, and
+    * the sf0.1 bench runs this query genuinely estimating.
+    */
+  val s18_distinct_mv = q("s18_distinct_mv", Some(
+    """SELECT CAST(ts AS DATE) AS day,
+      |  CAST(COUNT(DISTINCT user_id) AS DOUBLE) AS est_distinct
+      |FROM events GROUP BY 1""".stripMargin)) { (s, dir) =>
+    import graft.operators.DistinctView
+    val root = DedupQueries.DedupStaging.ensure("s18", dir) { r =>
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(s"$r/distinct_view"))
+      val ev = Tables.events(s, dir).select(col("event_id"), col("ts"), col("user_id"))
+      DistinctView.init(s, s"$r/distinct_view")
+      DistinctView.append(ev.filter(col("event_id") % 2 === 0),
+        "ts", "user_id", s"$r/distinct_view", batchId = 0L)
+      DistinctView.compact(s, s"$r/distinct_view")
+      DistinctView.append(ev.filter(col("event_id") % 2 =!= 0),
+        "ts", "user_id", s"$r/distinct_view", batchId = 1L)
+    }
+    DistinctView.read(s, s"$root/distinct_view")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     s01_tumbling_agg, s02_sliding_agg, s03_session_windows,
     s04_dedup_first_event, s05_watermark_late, s06_asof_backward,
     s07_running_user_agg, s08_interval_join, s09_stream_curation,
     s10_line_stats_ingest, s11_stream_drift, s12_interval_left_join,
     s13_funnel_conversion, s14_span_stats_ingest, s15_posting_ingest,
-    s16_windowed_mv, s17_join_view)
+    s16_windowed_mv, s17_join_view, s18_distinct_mv)
 }

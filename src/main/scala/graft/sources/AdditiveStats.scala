@@ -31,10 +31,16 @@ object AdditiveStats {
 
   /** `schemaDdl` is the full relation schema (key cols + count col +
     * `batch_id bigint`) used when an initialized-but-empty store is
-    * read.
+    * read. `fold` is the aggregate that combines per-fragment payloads
+    * for one key during compaction — `sum` for count relations (the
+    * default); any other MERGEABLE payload works (e.g.
+    * [[graft.plans.KmvSketch.mergeAgg]] for distinct-count sketches —
+    * KMV union is exact, so fragments stay protocol-foldable).
     */
   final case class Store(dir: String, keyCols: Seq[String],
-                         countCol: String, schemaDdl: String)
+                         countCol: String, schemaDdl: String,
+                         fold: org.apache.spark.sql.Column =>
+                           org.apache.spark.sql.Column = sum)
 
   private val rel = "stats"
 
@@ -148,7 +154,7 @@ object AdditiveStats {
       }
     read(spark, store)
       .groupBy(store.keyCols.map(col): _*)
-      .agg(sum(col(store.countCol)).as(store.countCol))
+      .agg(store.fold(col(store.countCol)).as(store.countCol))
       .withColumn("batch_id", lit(-1L))
       .write.mode("overwrite").partitionBy("batch_id")
       .parquet(epochPath(store.dir, epoch + 1))

@@ -416,6 +416,36 @@ object StreamOps {
       }
       .start()
 
+  /** CONTINUOUS distinct-count view ([[graft.operators.DistinctView]]):
+    * per-batch per-day KMV sketches land as idempotent fragments whose
+    * union is EXACT (merge-of-sketches ≡ sketch-of-union), so the view
+    * answers "distinct keys that day" as if one sketch had seen every
+    * event — the cross-batch dedup no additive counter gives a stream.
+    * Protocol replay/crash story by inheritance (s18 under the oracle
+    * gate; StreamingSpec differential).
+    */
+  def distinctViewStream(events: DataFrame, tsCol: String, keyCol: String,
+                         statsDir: String, checkpointDir: String,
+                         k: Int = 256, compactEvery: Int = 16)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        import graft.operators.DistinctView
+        import graft.sources.StoredIndex
+        val spark = batch.sparkSession
+        if (StoredIndex.metaGeneration(spark, statsDir) < 0)
+          DistinctView.init(spark, statsDir)
+        StoredIndex.pinStreamIdentity(spark, statsDir, checkpointDir)
+        if (!batch.isEmpty)
+          DistinctView.append(batch.toDF(), tsCol, keyCol, statsDir, batchId, k)
+        if (compactEvery > 0 &&
+            DistinctView.fragmentCount(spark, statsDir) > compactEvery)
+          DistinctView.compact(spark, statsDir)
+      }
+      .start()
+
   /** CONTINUOUS equi-join view maintenance ([[graft.sources.JoinView]]):
     * a multiplexed changelog (rows tagged `side` = "left"/"right" over a
     * nullable superset schema — the standard single-topic CDC shape)

@@ -82,4 +82,22 @@ class KmvSketchSpec extends SparkSpec {
       .as[(Double, Double)].head()
     assert(ests == ((2.0, 2.0)))
   }
+
+  test("mergeAgg folds many sketches to the one-shot union sketch, byte for byte") {
+    val df = spark.range(3000)
+      .select((col("id") % 500).as("v"), (col("id") % 30).as("g"))
+    val parts = df.groupBy("g").agg(KmvSketch.sketch(col("v"), 64).as("sk"))
+    val folded = parts.agg(KmvSketch.mergeAgg(col("sk")))
+      .head.getAs[Array[Byte]](0)
+    val whole = df.agg(KmvSketch.sketch(col("v"), 64))
+      .head.getAs[Array[Byte]](0)
+    assert(folded.toSeq == whole.toSeq)
+    // fold order / partitioning cannot perturb the union
+    val folded2 = parts.repartition(7).agg(KmvSketch.mergeAgg(col("sk")))
+      .head.getAs[Array[Byte]](0)
+    assert(folded2.toSeq == whole.toSeq)
+    // empty input group -> null, not a crash
+    assert(parts.filter(col("g") < 0).agg(KmvSketch.mergeAgg(col("sk")))
+      .head.isNullAt(0))
+  }
 }

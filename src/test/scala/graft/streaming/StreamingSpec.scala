@@ -561,6 +561,39 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("distinctViewStream: cross-batch users count once; view matches a direct distinct") {
+    import graft.operators.DistinctView
+    implicit val sqlCtx = spark.sqlContext
+    def ts(d: Int, h: Int) = Timestamp.valueOf(f"2024-02-$d%02d $h%02d:00:00")
+    // user 1 is active on day 1 in BOTH batches: an additive counter says
+    // 3 for day 1; the distinct view must say 2
+    val b1 = Seq(Ev(ts(1, 1), 1L, "click", 1.0), Ev(ts(2, 2), 5L, "view", 1.0))
+    val b2 = Seq(Ev(ts(1, 3), 1L, "view", 1.0), Ev(ts(1, 4), 2L, "click", 1.0),
+      Ev(ts(2, 5), 6L, "view", 1.0))
+    val tmp = java.nio.file.Files.createTempDirectory("distinct-view-stream").toString
+    try {
+      val mem = MemoryStream[Ev]
+      mem.addData(b1)
+      val q = StreamOps.distinctViewStream(mem.toDF(), "ts", "user_id",
+        s"$tmp/dv", s"$tmp/ckpt", compactEvery = 1)
+      q.processAllAvailable()
+      mem.addData(b2)
+      q.processAllAvailable()
+      q.stop()
+      val got = DistinctView.read(spark, s"$tmp/dv")
+        .as[(java.sql.Date, Double)].collect().toMap
+      val want = (b1 ++ b2).toDF()
+        .groupBy(col("ts").cast("date").as("day"))
+        .agg(countDistinct(col("user_id")).cast("double").as("n"))
+        .as[(java.sql.Date, Double)].collect().toMap
+      assert(got == want, s"got=$got want=$want")
+      assert(got(java.sql.Date.valueOf("2024-02-01")) == 2.0,
+        "user 1 appeared in both batches and must count once")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+    }
+  }
+
   test("joinViewStream: a multiplexed changelog maintains the exact join; fresh checkpoint refused") {
     import graft.sources.JoinView
     implicit val sqlCtx = spark.sqlContext

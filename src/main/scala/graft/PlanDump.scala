@@ -148,6 +148,24 @@ object PlanDump {
       "(watermark, counter) CAS, and the new watermark derives from " +
       "the LANDED parquet, never a second source read. At warehouse " +
       "scale this replaces the reference's nightly reload-the-world."),
+    "s18_distinct_mv" -> ("round 11: continuous distinct-count view — " +
+      "per-batch per-day KMV sketches (ONE map-side-combined aggregate " +
+      "carrying k longs per day) land as AdditiveStats fragments with " +
+      "the protocol's fold now pluggable (KmvMergeAgg; KMV union is " +
+      "exact, so fold order cannot perturb the view). The sf0.01 " +
+      "oracle is a full COUNT(DISTINCT): every day holds < k = 256 " +
+      "distinct users, the regime where the sketch is exact by " +
+      "construction — the gate proves the fragment/fold/replay " +
+      "machinery; estimation is pinned by q40's golden. The exact " +
+      "alternative costs O(distinct keys) per window; this costs O(k)."),
+    "t29_phrase_search" -> ("round 11: exact phrase search — slot " +
+      "algebra over the POSITIONAL index (slot i = its term's postings " +
+      "shifted by i; all-k-slots coverage of a (doc, start) is an " +
+      "occurrence): two pruned posting lists, ONE (doc, start) " +
+      "aggregate, repeated-word phrases and overlapping occurrences " +
+      "exact, document text never participates. At 100 TB the " +
+      "positional store is the persisted tier and the term filter " +
+      "pushes into its scan like s15's probe."),
     "e19_cell_balanced_sample" -> ("round 11: embedding-space-balanced " +
       "sampling — cell assignment is the fused NearestCentroidExpr " +
       "codegen loop riding the scan, the draw is q46's one-exchange " +
@@ -173,9 +191,14 @@ object PlanDump {
       "view — per batch dJ = dAxB + AxdB + dAxdB where the batch side " +
       "of each term broadcasts (history is unbounded, deltas are " +
       "not) and history reads prune to committed batch_id fragments; " +
-      "the accumulated join relation is what readers query instead of " +
-      "re-joining two fact tables. committed_through gates readers " +
-      "off half-written batches; compaction is a pure re-layout fold."),
+      "with buckets > 0 the stored histories are additionally " +
+      "hash-bucketed on the join key and the delta join reads only " +
+      "the buckets the batch's keys touch (JoinViewSpec pins the " +
+      "PartitionFilters), so per-batch cost tracks the delta, not " +
+      "the accumulated history. The accumulated join relation is what " +
+      "readers query instead of re-joining two fact tables; " +
+      "committed_through gates readers off half-written batches; " +
+      "compaction is a pure re-layout fold."),
     "t17_doc_chunking" -> ("round 11: stride-window chunking is one " +
       "whole-stage-codegen span — tokenize, sequence of starts, " +
       "posexplode, slice — zero Exchange; at 100 TB it is a pure map " +

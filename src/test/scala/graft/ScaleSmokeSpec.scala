@@ -239,6 +239,16 @@ class ScaleSmokeSpec extends SparkSpec {
       f"single-key merge must not scale with the dimension: $t1%.2fs -> $t10%.2fs")
   }
 
+  test("join-view single-key append stays flat as the history grows 10x (bucketed)") {
+    assume(sys.env.get("SPARK_GRAFT_SMOKE").contains("1"),
+      "opt-in: set SPARK_GRAFT_SMOKE=1 to run the skew smoke gate")
+    val (t1, t10) = ScaleSmoke.joinViewFlat(spark, baseKeys = 40000, copies = 10)
+    info(f"join-view 1-key append  1x=$t1%6.2fs 10x=$t10%6.2fs flat-ratio=${t10 / t1}%5.2fx")
+    assert(t10 <= t1 * 2.5,
+      f"single-key append must not scale with the history: $t1%.2fs -> $t10%.2fs" +
+        " — is the delta join rescanning unpruned buckets?")
+  }
+
   test("z-order rewrite scales linearly at 10x (quantile pass + one range shuffle)") {
     assume(sys.env.get("SPARK_GRAFT_SMOKE").contains("1"),
       "opt-in: set SPARK_GRAFT_SMOKE=1 to run the skew smoke gate")

@@ -977,6 +977,75 @@ object TextQueries {
       "doc_id", Seq("table", "table"))
   }
 
+  // ---------------------------------------------------------------- t30
+  /** CLASSIFIER EVALUATION: per-language precision / recall / F1 of the
+    * t03 lang-id heuristic against the corpus' gold `lang` labels — the
+    * eval table every curation filter ships with (a filter's quality
+    * claims are these three numbers). One pass for the confusion
+    * marginals (gold counts, predicted counts, diagonal), classes =
+    * gold ∪ predicted (so a predicted-only class like 'und' gets its
+    * zero-recall row); metrics are single fixed-order double divisions
+    * off exact counts, F1 from the UNROUNDED p/r — bit-parity with the
+    * DuckDB mirror.
+    */
+  val t30_langid_eval = q("t30_langid_eval",
+    s"""WITH n AS (SELECT doc_id, lang, text, lower(${normSql("text")}) AS toks FROM documents),
+       |h AS (
+       |  SELECT doc_id, lang, text,
+       |    len(regexp_extract_all(toks, '\\b(the|and|of|is|with)\\b')) AS hen,
+       |    len(regexp_extract_all(toks, '\\b(le|la|et|les|des)\\b')) AS hfr,
+       |    len(regexp_extract_all(toks, '\\b(el|los|las|una|y)\\b')) AS hes,
+       |    len(regexp_extract_all(toks, '\\b(der|die|und|das|ist)\\b')) AS hde
+       |  FROM n),
+       |p AS (SELECT lang,
+       |  CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+       |       WHEN hen + hfr + hes + hde = 0 THEN 'und'
+       |       WHEN hen >= hfr AND hen >= hes AND hen >= hde THEN 'en'
+       |       WHEN hfr >= hes AND hfr >= hde THEN 'fr'
+       |       WHEN hes >= hde THEN 'es'
+       |       ELSE 'de' END AS lang_pred
+       |  FROM h),
+       |g AS (SELECT lang AS cls, COUNT(*) AS n_gold FROM p GROUP BY 1),
+       |pc AS (SELECT lang_pred AS cls, COUNT(*) AS n_pred FROM p GROUP BY 1),
+       |tpc AS (SELECT lang AS cls, COUNT(*) AS tp FROM p WHERE lang = lang_pred GROUP BY 1),
+       |c AS (SELECT cls FROM g UNION SELECT cls FROM pc),
+       |m AS (
+       |  SELECT c.cls, coalesce(g.n_gold, 0) AS n_gold,
+       |    coalesce(pc.n_pred, 0) AS n_pred, coalesce(tpc.tp, 0) AS tp
+       |  FROM c LEFT JOIN g USING (cls) LEFT JOIN pc USING (cls)
+       |  LEFT JOIN tpc USING (cls)),
+       |r AS (
+       |  SELECT cls, n_gold, n_pred, tp,
+       |    CASE WHEN n_pred > 0 THEN CAST(tp AS DOUBLE) / CAST(n_pred AS DOUBLE) END AS praw,
+       |    CASE WHEN n_gold > 0 THEN CAST(tp AS DOUBLE) / CAST(n_gold AS DOUBLE) END AS rraw
+       |  FROM m)
+       |SELECT cls AS lang, n_gold, n_pred, tp,
+       |  ROUND(praw, 6) AS prec, ROUND(rraw, 6) AS rec,
+       |  CASE WHEN praw IS NOT NULL AND rraw IS NOT NULL AND praw + rraw > 0
+       |       THEN ROUND(2.0 * praw * rraw / (praw + rraw), 6) END AS f1
+       |FROM r""".stripMargin) { (s, dir) =>
+    val p = Tables.documents(s, dir).select(col("lang"),
+      TextFunctions.langId(col("text")).as("lang_pred"))
+    val g = p.groupBy(col("lang").as("cls")).agg(count(lit(1)).as("n_gold"))
+    val pc = p.groupBy(col("lang_pred").as("cls")).agg(count(lit(1)).as("n_pred"))
+    val tpc = p.filter(col("lang") === col("lang_pred"))
+      .groupBy(col("lang").as("cls")).agg(count(lit(1)).as("tp"))
+    val cls = g.select("cls").unionByName(pc.select("cls")).distinct()
+    val m = cls.join(g, Seq("cls"), "left").join(pc, Seq("cls"), "left")
+      .join(tpc, Seq("cls"), "left")
+      .select(col("cls"), coalesce(col("n_gold"), lit(0L)).as("n_gold"),
+        coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+        coalesce(col("tp"), lit(0L)).as("tp"))
+    val praw = when(col("n_pred") > 0,
+      col("tp").cast("double") / col("n_pred").cast("double"))
+    val rraw = when(col("n_gold") > 0,
+      col("tp").cast("double") / col("n_gold").cast("double"))
+    m.select(col("cls").as("lang"), col("n_gold"), col("n_pred"), col("tp"),
+      round(praw, 6).as("prec"), round(rraw, 6).as("rec"),
+      when(praw.isNotNull && rraw.isNotNull && praw + rraw > 0,
+        round(lit(2.0) * praw * rraw / (praw + rraw), 6)).as("f1"))
+  }
+
   val all: Seq[GraftQuery] = Seq(
     t01_token_stats, t02_quality_score, t03_lang_id, t04_fingerprint,
     t05_rolling_hash, t06_redact, t07_tfidf_top_terms, t08_curation_pipeline,
@@ -986,5 +1055,5 @@ object TextQueries {
     t18_quality_classifier, t19_span_removal, t20_lm_likelihood,
     t21_within_doc_dedup, t22_lm_trigram, t23_inverted_index,
     t24_keyword_search, t25_bm25_search, t26_bpe_merges, t27_bpe_encode,
-    t28_tfidf_cosine, t29_phrase_search)
+    t28_tfidf_cosine, t29_phrase_search, t30_langid_eval)
 }

@@ -148,6 +148,13 @@ object PlanDump {
       "(watermark, counter) CAS, and the new watermark derives from " +
       "the LANDED parquet, never a second source read. At warehouse " +
       "scale this replaces the reference's nightly reload-the-world."),
+    "t30_langid_eval" -> ("round 11: classifier eval — ONE pass over " +
+      "the corpus for the confusion marginals (the lang-id expression " +
+      "is scan-stage column algebra), then class-sized joins; classes " +
+      "= gold UNION predicted so a predicted-only class gets its " +
+      "zero-recall row. Metrics are fixed-order double divisions off " +
+      "exact counts, F1 from the UNROUNDED p/r — hash-parity with " +
+      "DuckDB."),
     "s18_distinct_mv" -> ("round 11: continuous distinct-count view — " +
       "per-batch per-day KMV sketches (ONE map-side-combined aggregate " +
       "carrying k longs per day) land as AdditiveStats fragments with " +

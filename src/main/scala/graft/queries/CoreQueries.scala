@@ -1478,13 +1478,51 @@ object CoreQueries {
         Cols.decimalSum(col("value")).as("sum_value"))
   }
 
+  // ---------------------------------------------------------------- q66
+  /** PERCENT-OF-TOTAL contribution (ratio-to-report): each nation's share
+    * of its region's revenue. The denominator is a SEPARATE decimal-exact
+    * aggregate joined back (broadcast — region-sized), NOT a window sum
+    * over doubles, whose accumulation order differs across engines; the
+    * share is then one IEEE division. Snowflake-dim joins broadcast.
+    */
+  val q66_revenue_share = q("q66_revenue_share",
+    s"""WITH r AS (
+       |  SELECT rg.r_name AS region, n.n_name AS nation,
+       |    ${dsum("o_totalprice")} AS rev
+       |  FROM orders o
+       |  JOIN customer c ON o.o_custkey = c.c_custkey
+       |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+       |  JOIN region rg ON n.n_regionkey = rg.r_regionkey
+       |  GROUP BY 1, 2),
+       |t AS (SELECT region, ${dsum("rev")} AS region_rev FROM r GROUP BY 1)
+       |SELECT r.region, r.nation, r.rev,
+       |  ROUND(r.rev / t.region_rev, 6) AS share
+       |FROM r JOIN t USING (region)""".stripMargin) { (s, dir) =>
+    val nations = Tables.customer(s, dir).select("c_custkey", "c_nationkey")
+      .join(broadcast(Tables.nation(s, dir)
+        .select(col("n_nationkey"), col("n_name").as("nation"), col("n_regionkey"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)
+        .select(col("r_regionkey"), col("r_name").as("region"))),
+        col("n_regionkey") === col("r_regionkey"))
+    val r = Tables.orders(s, dir).select("o_custkey", "o_totalprice")
+      .join(nations.select("c_custkey", "region", "nation"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("region", "nation")
+      .agg(Cols.decimalSum(col("o_totalprice")).as("rev"))
+    val t = r.groupBy("region").agg(Cols.decimalSum(col("rev")).as("region_rev"))
+    r.join(broadcast(t), "region")
+      .select(col("region"), col("nation"), col("rev"),
+        round(col("rev") / col("region_rev"), 6).as("share"))
+  }
+
   val all: Seq[GraftQuery] = Seq(
     q50_grouping_sets, q51_unpivot, q52_time_range_window,
     q53_full_outer_join, q54_nullsafe_join, q55_cohort_retention,
     q56_asof_next_purchase, q57_asof_nearest_purchase,
     q58_gap_fill_daily, q59_pagerank, q60_rolling_distinct_users,
     q61_bfs_levels, q62_weighted_sample, q63_rolling_anomaly,
-    q64_cms_frequency, q65_bucketed_interval_join,
+    q64_cms_frequency, q65_bucketed_interval_join, q66_revenue_share,
     q48_drift_psi, q47_jaro_top1, q46_stratified_sample,
     q30_numeric_describe, q31_ship_priority, q32_regional_volume, q33_small_quantity,
     q34_approx_stats, q35_from_json, q36_array_agg, q37_order_distribution,

@@ -148,6 +148,11 @@ object PlanDump {
       "(watermark, counter) CAS, and the new watermark derives from " +
       "the LANDED parquet, never a second source read. At warehouse " +
       "scale this replaces the reference's nightly reload-the-world."),
+    "q66_revenue_share" -> ("round 11: ratio-to-report — the region " +
+      "denominator is a separate decimal-exact aggregate joined back " +
+      "broadcast, NOT a window sum over doubles (engine-dependent " +
+      "accumulation order); snowflake dims broadcast, partial " +
+      "aggregation map-side."),
     "t30_langid_eval" -> ("round 11: classifier eval — ONE pass over " +
       "the corpus for the confusion marginals (the lang-id expression " +
       "is scan-stage column algebra), then class-sized joins; classes " +

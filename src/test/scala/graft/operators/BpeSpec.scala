@@ -127,6 +127,29 @@ class BpeSpec extends SparkSpec {
     assert(got(2).isNullAt(0))
   }
 
+  test("property: random corpora — train/infer agreement and lossless concat") {
+    val rnd = new scala.util.Random(20260814L)
+    (1 to 3).foreach { trial =>
+      val words = Seq.fill(30)(
+        Seq.fill(1 + rnd.nextInt(8))("abcd".charAt(rnd.nextInt(4))).mkString)
+      val freqs = words.map(w => (w, 1L + rnd.nextInt(9).toLong))
+      val wc = freqs.flatMap { case (w, f) => Seq.fill(f.toInt)(w) }
+        .toDF("word").groupBy("word").agg(count(lit(1)).as("n"))
+      val merges = Bpe.learn(wc, numMerges = 15)
+      // reference replay of training segmentation
+      var vocab = freqs.toMap.map { case (w, f) => (w.toCharArray.mkString(" "), f) }
+      merges.foreach(m => vocab = refMergeVocab((m.left, m.right), vocab))
+      val want = vocab.keys.map(k => (k.replace(" ", ""), k.split(" ").toSeq)).toMap
+      val got = words.distinct.toDF("text")
+        .select(col("text"), Bpe.encode(col("text"), merges).as("toks"))
+        .as[(String, Seq[String])].collect().toMap
+      words.distinct.foreach { w =>
+        assert(got(w) == want(w), s"trial $trial word $w")
+        assert(got(w).mkString("") == w, s"trial $trial lossless $w")
+      }
+    }
+  }
+
   test("codegen and interpreted paths agree") {
     val merges = Bpe.learn(corpusDf, 10).map(m => (m.left, m.right))
     val words = Seq(Seq("newest", "banana"), Seq("lowest")).toDF("ws")

@@ -48,6 +48,27 @@ class IntervalJoinSpec extends SparkSpec {
     assert(got == Seq(1L, 2L, 5L), got.toString)
   }
 
+  test("property: random intervals/points/widths always equal the nested loop") {
+    val rnd = new scala.util.Random(20260814L)
+    (1 to 3).foreach { trial =>
+      val pts = Seq.fill(60)(rnd.nextLong(2000L) - 500L).distinct
+        .toDF("p").select(col("p"), col("p").as("tag").cast("string"))
+      val ivs = Seq.tabulate(25) { i =>
+        val lo = rnd.nextLong(2000L) - 600L
+        (i.toLong, lo, lo + rnd.nextLong(300L)) // includes empty (hi == lo)
+      }.toDF("iid", "lo", "hi")
+      val want = pts.crossJoin(ivs)
+        .filter(col("p") >= col("lo") && col("p") < col("hi"))
+        .select("p", "iid").as[(Long, Long)].collect().sorted.toSeq
+      Seq(1L, 13L, 97L, 5000L).foreach { w =>
+        val got = IntervalJoin.pointInInterval(pts, col("p"),
+            ivs, col("lo"), col("hi"), bucket = w)
+          .select("p", "iid").as[(Long, Long)].collect().sorted.toSeq
+        assert(got == want, s"trial $trial width $w")
+      }
+    }
+  }
+
   test("the bucketed plan joins on the bucket key, never nested-loop") {
     val p = IntervalJoin.pointInInterval(points, col("p"),
         intervals, col("lo"), col("hi"), 86400L)

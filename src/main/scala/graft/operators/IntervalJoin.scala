@@ -11,13 +11,20 @@ import org.apache.spark.sql.functions._
   * The standard fix (range-bucketed join, the same trick warehouse
   * engines' range-join optimizations apply): pick a bucket width W on the
   * range domain; an interval [lo, hi] registers in every bucket it
-  * overlaps (`sequence(floor(lo/W), floor(hi/W))` — row-local explode,
-  * fan-out ceil(span/W)+1), a point registers in exactly `floor(p/W)`;
-  * the bucket equality becomes a plain hash/shuffle join key and the
-  * exact predicate refines inside the join. Results are EXACTLY the
-  * nested-loop results: bucketing is complete (an overlapping pair always
-  * shares the point's bucket) and refinement removes the false bucket
-  * pairs.
+  * overlaps (row-local explode, fan-out ceil(span/W)+1), a point registers
+  * in exactly its own bucket; the bucket equality becomes a plain
+  * hash/shuffle join key and the exact predicate refines inside the join.
+  * Results are EXACTLY the nested-loop results: bucketing is complete (an
+  * overlapping pair always shares a bucket) and refinement removes the
+  * false bucket pairs.
+  *
+  * Bucket ids are EXACT LONG ARITHMETIC: a value's bucket is identified by
+  * the bucket's lower bound `x - pmod(x, W)` (a multiple of W computed
+  * without any division), and an interval's covered buckets are
+  * `sequence(lowerBound(lo), lowerBound(hi-1), step W)`. No double
+  * `floor(x / W)` anywhere — IEEE division is inexact above 2^53 and
+  * could land a point and its interval in different buckets, silently
+  * dropping matches; subtraction/pmod on longs cannot.
   *
   * Choosing W: fan-out per interval is span/W (storage-side amplification)
   * while per-bucket population drives join skew — set W near the median
@@ -26,6 +33,13 @@ import org.apache.spark.sql.functions._
   * partial-aggregate as usual because everything stays declarative.
   */
 object IntervalJoin {
+
+  /** Lower bound of `v`'s bucket on a width-`w` grid anchored at 0 —
+    * exact for the whole long domain (`pmod` keeps the remainder in
+    * [0, w), so the result is the largest multiple of w that is ≤ v).
+    */
+  private def bucketLowerBound(v: Column, w: Column): Column =
+    (v - pmod(v, w)).cast("long")
 
   /** Join `points` to every interval of `intervals` with
     * `lo <= point < hi` (half-open), no equi key required. `point`, `lo`,
@@ -37,19 +51,52 @@ object IntervalJoin {
                       bucket: Long): DataFrame = {
     require(bucket > 0, "bucket width must be positive")
     val b = lit(bucket)
-    // half-open [lo, hi): the last bucket is floor((hi-1)/W)
+    // half-open [lo, hi): the last covered bucket is (hi-1)'s
     val reg = intervals
       .withColumn("__lo", lo.cast("long"))
       .withColumn("__hi", hi.cast("long"))
       .filter(col("__hi") > col("__lo"))
       .withColumn("__bk",
-        explode(sequence(floor(col("__lo") / b).cast("long"),
-          floor((col("__hi") - 1) / b).cast("long"))))
+        explode(sequence(bucketLowerBound(col("__lo"), b),
+          bucketLowerBound(col("__hi") - 1, b), b)))
     val pts = points
       .withColumn("__p", point.cast("long"))
-      .withColumn("__bk", floor(col("__p") / b).cast("long"))
+      .withColumn("__bk", bucketLowerBound(col("__p"), b))
     pts.join(reg, "__bk")
       .filter(col("__p") >= col("__lo") && col("__p") < col("__hi"))
       .drop("__bk", "__lo", "__hi", "__p")
+  }
+
+  /** Join every interval of `left` to every interval of `right` they
+    * OVERLAP with (half-open: `lLo < rHi && rLo < lHi`) — sessions ×
+    * outages, spans × windows — with no equi key. Both sides register in
+    * every bucket they cover; the exact overlap predicate refines inside
+    * the bucket-equi join; and each matching pair is emitted EXACTLY ONCE
+    * without any distinct shuffle, because a pair only fires in the bucket
+    * containing the overlap's start `max(lLo, rLo)` (that point lies in
+    * both intervals, so both sides registered in its bucket; every other
+    * shared bucket is filtered out). Output = left columns ++ right
+    * columns, exactly the half-open nested-loop result.
+    */
+  def intervalOverlap(left: DataFrame, lLo: Column, lHi: Column,
+                      right: DataFrame, rLo: Column, rHi: Column,
+                      bucket: Long): DataFrame = {
+    require(bucket > 0, "bucket width must be positive")
+    val b = lit(bucket)
+    def registered(df: DataFrame, lo: Column, hi: Column,
+                   loN: String, hiN: String): DataFrame = df
+      .withColumn(loN, lo.cast("long"))
+      .withColumn(hiN, hi.cast("long"))
+      .filter(col(hiN) > col(loN))
+      .withColumn("__bk",
+        explode(sequence(bucketLowerBound(col(loN), b),
+          bucketLowerBound(col(hiN) - 1, b), b)))
+    val l = registered(left, lLo, lHi, "__llo", "__lhi")
+    val r = registered(right, rLo, rHi, "__rlo", "__rhi")
+    l.join(r, "__bk")
+      .filter(col("__llo") < col("__rhi") && col("__rlo") < col("__lhi") &&
+        col("__bk") ===
+          bucketLowerBound(greatest(col("__llo"), col("__rlo")), b))
+      .drop("__bk", "__llo", "__lhi", "__rlo", "__rhi")
   }
 }

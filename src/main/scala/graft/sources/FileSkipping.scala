@@ -57,7 +57,10 @@ object FileSkipping {
     val files = candidateFiles(stats, c, lo, hi)
     val base =
       if (files.isEmpty) spark.read.parquet(path).limit(0)
-      else spark.read.parquet(files: _*)
+      // basePath anchors partition discovery at the table root, so a
+      // hive-partitioned layout keeps its partition columns (and their
+      // values) even though the read lists individual data files
+      else spark.read.option("basePath", path).parquet(files: _*)
     base.filter(col(c) >= lo && col(c) <= hi)
   }
 
@@ -119,7 +122,8 @@ object FileSkipping {
     val files = bloomCandidateFiles(spark, stats, c, v, bits)
     val base =
       if (files.isEmpty) spark.read.parquet(path).limit(0)
-      else spark.read.parquet(files: _*)
+      // basePath: see readRange — partition columns survive file reads
+      else spark.read.option("basePath", path).parquet(files: _*)
     base.filter(col(c) === v)
   }
 }

@@ -68,8 +68,10 @@ object IntervalJoin {
   }
 
   /** Join every interval of `left` to every interval of `right` they
-    * OVERLAP with (half-open: `lLo < rHi && rLo < lHi`) — sessions ×
-    * outages, spans × windows — with no equi key. Both sides register in
+    * OVERLAP with — nonempty half-open intersection,
+    * `max(lLo, rLo) < min(lHi, rHi)`, so an empty interval `[x, x)`
+    * matches nothing — sessions × outages, spans × windows — with no
+    * equi key. Both sides register in
     * every bucket they cover; the exact overlap predicate refines inside
     * the bucket-equi join; and each matching pair is emitted EXACTLY ONCE
     * without any distinct shuffle, because a pair only fires in the bucket

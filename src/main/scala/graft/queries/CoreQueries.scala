@@ -1478,6 +1478,48 @@ object CoreQueries {
         Cols.decimalSum(col("value")).as("sum_value"))
   }
 
+  // ---------------------------------------------------------------- q67
+  /** INTERVAL × INTERVAL overlap join via RANGE BUCKETING
+    * ([[graft.operators.IntervalJoin.intervalOverlap]]): per-user daily
+    * activity spans matched against derived 3-day promo windows on the
+    * half-open overlap predicate — the sessions × outages shape that
+    * Spark natively plans as a BroadcastNestedLoopJoin. Both sides
+    * register in the buckets they cover; the exact predicate refines
+    * inside a plain hash join; each matching pair fires exactly once (in
+    * the overlap-start bucket) with NO distinct shuffle. The oracle runs
+    * the naive overlap join — identical results by bucketing completeness.
+    */
+  val q67_interval_overlap = q("q67_interval_overlap",
+    """WITH e AS (SELECT user_id, epoch_us(ts) // 1000000 AS sec,
+      |             CAST(ts AS DATE) AS day FROM events),
+      |ses AS (SELECT user_id, day, MIN(sec) AS s_lo, MAX(sec) + 1 AS s_hi
+      |        FROM e GROUP BY 1, 2),
+      |b AS (SELECT MIN(sec) AS base FROM e),
+      |w AS (SELECT i AS win_id, base + i * 604800 AS lo,
+      |        base + i * 604800 + 259200 AS hi
+      |      FROM (SELECT unnest(generate_series(0, 19)) AS i) CROSS JOIN b)
+      |SELECT w.win_id, COUNT(*) AS n_sessions,
+      |  COUNT(DISTINCT ses.user_id) AS n_users
+      |FROM ses JOIN w ON ses.s_lo < w.hi AND w.lo < ses.s_hi
+      |GROUP BY w.win_id""".stripMargin) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), expr("unix_micros(ts) div 1000000").as("sec"),
+        col("ts").cast("date").as("day"))
+    val sessions = ev.groupBy("user_id", "day")
+      .agg(min("sec").as("s_lo"), (max("sec") + 1).as("s_hi"))
+    val base = ev.agg(min("sec").as("base"))
+    val windows = s.range(20).toDF("win_id")
+      .crossJoin(broadcast(base))
+      .select(col("win_id"),
+        (col("base") + col("win_id") * lit(604800L)).as("lo"),
+        (col("base") + col("win_id") * lit(604800L) + lit(259200L)).as("hi"))
+    IntervalJoin.intervalOverlap(sessions, col("s_lo"), col("s_hi"),
+        windows, col("lo"), col("hi"), bucket = 86400L)
+      .groupBy("win_id")
+      .agg(count(lit(1)).as("n_sessions"),
+        countDistinct(col("user_id")).as("n_users"))
+  }
+
   // ---------------------------------------------------------------- q66
   /** PERCENT-OF-TOTAL contribution (ratio-to-report): each nation's share
     * of its region's revenue. The denominator is a SEPARATE decimal-exact
@@ -1523,6 +1565,7 @@ object CoreQueries {
     q58_gap_fill_daily, q59_pagerank, q60_rolling_distinct_users,
     q61_bfs_levels, q62_weighted_sample, q63_rolling_anomaly,
     q64_cms_frequency, q65_bucketed_interval_join, q66_revenue_share,
+    q67_interval_overlap,
     q48_drift_psi, q47_jaro_top1, q46_stratified_sample,
     q30_numeric_describe, q31_ship_priority, q32_regional_volume, q33_small_quantity,
     q34_approx_stats, q35_from_json, q36_array_agg, q37_order_distribution,

@@ -76,4 +76,83 @@ class IntervalJoinSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
     assert(p.contains("Join") || p.contains("join"), p)
   }
+
+  // ------------------------------------------------ interval × interval
+
+  private def rights = Seq(
+    (10L, 0L, 5L), (11L, 5L, 12L), (12L, 9L, 10L),
+    (13L, 7L, 7L),              // empty: matches nothing
+    (14L, -50L, 300000L),       // mega interval
+    (15L, 86399L, 86401L))      // straddles a day-bucket boundary
+    .toDF("rid", "rlo", "rhi")
+
+  // nonempty-intersection semantics: an empty interval [x, x) overlaps
+  // nothing (the raw aLo < bHi && bLo < aHi predicate would claim it does)
+  private def naiveOverlap(l: org.apache.spark.sql.DataFrame,
+                           r: org.apache.spark.sql.DataFrame) =
+    l.crossJoin(r)
+      .filter(greatest(col("lo"), col("rlo")) < least(col("hi"), col("rhi")))
+      .select("iid", "rid").as[(Long, Long)].collect().sorted.toSeq
+
+  test("overlap join equals the nested loop for every bucket width") {
+    val want = naiveOverlap(intervals, rights)
+    Seq(1L, 7L, 86400L, 1000000L).foreach { w =>
+      val got = IntervalJoin.intervalOverlap(intervals, col("lo"), col("hi"),
+          rights, col("rlo"), col("rhi"), bucket = w)
+        .select("iid", "rid").as[(Long, Long)].collect().sorted.toSeq
+      assert(got == want, s"bucket width $w: got $got want $want")
+    }
+  }
+
+  test("overlap is half-open: touching endpoints do not match") {
+    // [0,10) vs [10,20): share the boundary point only -> no overlap
+    val l = Seq((1L, 0L, 10L)).toDF("iid", "lo", "hi")
+    val r = Seq((2L, 10L, 20L), (3L, 9L, 20L)).toDF("rid", "rlo", "rhi")
+    val got = IntervalJoin.intervalOverlap(l, col("lo"), col("hi"),
+        r, col("rlo"), col("rhi"), bucket = 5L)
+      .select("rid").as[Long].collect().sorted.toSeq
+    assert(got == Seq(3L), got.toString)
+  }
+
+  test("a pair sharing many buckets is emitted exactly once") {
+    // both intervals cover ~30 width-1 buckets together; still one row
+    val l = Seq((1L, 0L, 30L)).toDF("iid", "lo", "hi")
+    val r = Seq((2L, 5L, 25L)).toDF("rid", "rlo", "rhi")
+    Seq(1L, 3L, 100L).foreach { w =>
+      val got = IntervalJoin.intervalOverlap(l, col("lo"), col("hi"),
+          r, col("rlo"), col("rhi"), bucket = w)
+        .count()
+      assert(got == 1L, s"width $w emitted $got rows")
+    }
+  }
+
+  test("property: random interval sets always equal the nested loop") {
+    val rnd = new scala.util.Random(20260814L)
+    (1 to 3).foreach { trial =>
+      def mk(n: Int, tag: String) = Seq.tabulate(n) { i =>
+        val lo = rnd.nextLong(2000L) - 600L
+        (i.toLong, lo, lo + rnd.nextLong(250L)) // includes empty (hi == lo)
+      }.toDF(s"${tag}id", s"${tag}lo", s"${tag}hi")
+      val l = mk(30, "i").withColumnsRenamed(
+        Map("iid" -> "iid", "ilo" -> "lo", "ihi" -> "hi"))
+      val r = mk(25, "r")
+      val want = l.crossJoin(r)
+        .filter(greatest(col("lo"), col("rlo")) < least(col("hi"), col("rhi")))
+        .select("iid", "rid").as[(Long, Long)].collect().sorted.toSeq
+      Seq(1L, 13L, 97L, 5000L).foreach { w =>
+        val got = IntervalJoin.intervalOverlap(l, col("lo"), col("hi"),
+            r, col("rlo"), col("rhi"), bucket = w)
+          .select("iid", "rid").as[(Long, Long)].collect().sorted.toSeq
+        assert(got == want, s"trial $trial width $w")
+      }
+    }
+  }
+
+  test("the overlap plan joins on the bucket key, never nested-loop") {
+    val p = IntervalJoin.intervalOverlap(intervals, col("lo"), col("hi"),
+        rights, col("rlo"), col("rhi"), 86400L)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("Join") || p.contains("join"), p)
+  }
 }

@@ -319,4 +319,18 @@ class PlanAuditSpec extends SparkSpec {
     val p = plan(CoreQueries.q62_weighted_sample)
     assert(p.contains("TakeOrderedAndProject"), p)
   }
+
+  test("q67: interval-overlap data join is hash-side on the bucket key") {
+    val p = plan(CoreQueries.q67_interval_overlap)
+    // the session × window join must be a plain hash join on __bk — the
+    // only nested-loop allowed is the 1-row broadcast(base) window builder
+    assert(p.contains("BroadcastHashJoin [__bk"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    val bnlj = p.linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).toList
+    assert(bnlj.size <= 1, "unexpected nested-loop joins:\n" + bnlj.mkString("\n"))
+    // the events scan prunes to the referenced columns
+    val reads = p.linesIterator.filter(_.contains("ReadSchema")).toList
+    assert(reads.forall(r => !r.contains("props") && !r.contains("event_type")),
+      reads.mkString("\n"))
+  }
 }

@@ -19,10 +19,27 @@ object TextFunctions {
   def normalizeWs(c: Column): Column =
     trim(regexp_replace(regexp_replace(c, "[\\r\\n]+", " "), "\\s+", " "))
 
-  /** Content fingerprint: md5 of the lower-cased, whitespace-normalized text.
-    * Stable across engines (hex string), used for exact dedup.
+  /** Unicode normalization ([[graft.plans.UnicodeNormalizeExpr]]):
+    * NFC/NFD/NFKC/NFKD, optionally accent-folded (combining marks removed
+    * from the canonical decomposition). The step that makes byte-level
+    * fingerprints see composed ("é") and decomposed ("e"+U+0301) web text
+    * as the same document.
     */
-  def fingerprint(c: Column): Column = md5(lower(normalizeWs(c)))
+  def normalizeUnicode(c: Column, form: String = "NFC",
+                       stripAccents: Boolean = false): Column =
+    graft.plans.UnicodeNormalizeExpr.unicodeNormalize(c, form, stripAccents)
+
+  /** Content fingerprint: md5 of the lower-cased, whitespace-normalized
+    * text — optionally Unicode-NFC-normalized first (`unicodeNfc = true`),
+    * so canonically-equivalent byte forms dedup together. Stable across
+    * engines (hex string), used for exact dedup.
+    */
+  def fingerprint(c: Column, unicodeNfc: Boolean): Column = {
+    val base = if (unicodeNfc) normalizeUnicode(c) else c
+    md5(lower(normalizeWs(base)))
+  }
+
+  def fingerprint(c: Column): Column = fingerprint(c, unicodeNfc = false)
 
   /** Whitespace token count. */
   def wordCount(c: Column): Column =

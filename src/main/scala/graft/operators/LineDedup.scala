@@ -35,6 +35,13 @@ import org.apache.spark.sql.functions._
   */
 object LineDedup {
 
+  /** Normalize-hook preset: Unicode-NFC before the default lower+trim, so
+    * composed and decomposed byte forms of the same visible line hash to
+    * one line-stats key (pass as `normalize = LineDedup.nfcNormalize`).
+    */
+  val nfcNormalize: Column => Column =
+    c => lower(trim(graft.functions.TextFunctions.normalizeUnicode(c)))
+
   /** Exploded per-line frame: (idCol, __pos, __line, __norm, __h, __blank). */
   private def explodeLines(df: DataFrame, idCol: String, textCol: String,
                            normalize: Column => Column): DataFrame =

@@ -60,6 +60,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[WRatioExpr].getName, "wratio_ascii"),
       (children: Seq[Expression]) => WRatioExpr(children.head, children(1),
         forceAscii = true)))
+    // unicode_normalize(s[, form[, strip_accents]]): form/strip must be
+    // foldable literals — they parameterize the generated code, they are
+    // not per-row children
+    ext.injectFunction((
+      FunctionIdentifier("unicode_normalize"),
+      new ExpressionInfo(classOf[UnicodeNormalizeExpr].getName, "unicode_normalize"),
+      (children: Seq[Expression]) => {
+        def lit(e: Expression): Any = {
+          require(e.foldable, "unicode_normalize options must be literals")
+          e.eval(null)
+        }
+        val form = if (children.size >= 2) lit(children(1)).toString else "NFC"
+        val strip = children.size >= 3 &&
+          lit(children(2)).asInstanceOf[Boolean]
+        UnicodeNormalizeExpr(children.head, form, strip)
+      }))
     ext.injectOptimizerRule(_ => PruneLevenshteinFilters)
   }
 }

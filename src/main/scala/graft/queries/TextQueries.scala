@@ -1046,7 +1046,48 @@ object TextQueries {
         round(lit(2.0) * praw * rraw / (praw + rraw), 6)).as("f1"))
   }
 
+  // ---------------------------------------------------------------- t31
+  /** UNICODE NORMALIZATION ([[graft.plans.UnicodeNormalizeExpr]]): every
+    * document gets a deterministic suffix of DECOMPOSED sequences
+    * ("cafe"+U+0301, "u"+U+0308) plus an NFC-invariant ligature (U+FB01),
+    * built identically on both engines (Scala \\u escapes vs DuckDB
+    * `chr()`), then NFC-normalized — so the oracle genuinely exercises
+    * composition, not identity on ASCII corpus text. Outputs: the NFC
+    * text, the accent-fold (combining marks removed — DuckDB
+    * `strip_accents`), byte lengths before/after (NFC shrinks the
+    * decomposed pairs), and the NFC-aware content fingerprint
+    * ([[graft.functions.TextFunctions.fingerprint]] with
+    * `unicodeNfc = true`) that makes canonically-equivalent byte forms
+    * dedup together.
+    */
+  val t31_unicode_normalize = q("t31_unicode_normalize",
+    s"""WITH d AS (SELECT doc_id,
+       |    text || ' cafe' || chr(769) || ' u' || chr(776) || 'ber ' ||
+       |      chr(64257) || 'ne' AS raw
+       |  FROM documents),
+       |n AS (SELECT doc_id, raw, nfc_normalize(raw) AS norm_text FROM d)
+       |SELECT doc_id, norm_text,
+       |  strip_accents(norm_text) AS folded,
+       |  CAST(strlen(raw) AS INT) AS bytes_raw,
+       |  CAST(strlen(norm_text) AS INT) AS bytes_nfc,
+       |  md5(lower(${normSql("norm_text")})) AS fp
+       |FROM n""".stripMargin) { (s, dir) =>
+    // DECOMPOSED suffix (combining acute / diaeresis + fi ligature) \u2014
+    // byte-identical to the oracle's chr() construction
+    val raw = concat(col("text"),
+      lit(" cafe\u0301 u\u0308ber \uFB01ne"))
+    Tables.documents(s, dir).select(col("doc_id"), raw.as("raw"))
+      .withColumn("norm_text", TextFunctions.normalizeUnicode(col("raw")))
+      .select(col("doc_id"), col("norm_text"),
+        TextFunctions.normalizeUnicode(col("norm_text"), "NFC",
+          stripAccents = true).as("folded"),
+        octet_length(col("raw")).as("bytes_raw"),
+        octet_length(col("norm_text")).as("bytes_nfc"),
+        TextFunctions.fingerprint(col("raw"), unicodeNfc = true).as("fp"))
+  }
+
   val all: Seq[GraftQuery] = Seq(
+    t31_unicode_normalize,
     t01_token_stats, t02_quality_score, t03_lang_id, t04_fingerprint,
     t05_rolling_hash, t06_redact, t07_tfidf_top_terms, t08_curation_pipeline,
     t09_repetition, t10_mixture_resample, t11_boilerplate_ngrams,

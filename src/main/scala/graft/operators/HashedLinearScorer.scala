@@ -63,4 +63,158 @@ object HashedLinearScorer {
     */
   def syntheticWeightInt(den: Long)(bucket: Column): Column =
     pmod(bucket * 2654435761L, lit(den)) - (den / 2)
+
+  // ------------------------------------------------------------ training
+
+  /** IN-ENGINE TRAINING: closed-form ridge regression over the hashed
+    * bag-of-words features, solved from DECIMAL-folded normal equations —
+    * the deterministic, engine-replayable way to fit the CCNet-style
+    * quality/language gate on in-warehouse labels (no SGD ordering, no
+    * seed, no epochs: same corpus → bit-identical weights under ANY
+    * partitioning, because every distributed sum is an exact DECIMAL fold
+    * of per-row values that are themselves partition-independent).
+    *
+    * Model: least squares on the SERVING features — per-document bucket
+    * FRACTIONS x_b = c_b / n (so the fitted linear form IS [[score]]'s
+    * mean-weight logit) plus an intercept column, `(XᵀX + λI) w = Xᵀy`
+    * with NUMERIC labels used as-is — y ∈ {−1, +1} for a classifier gate
+    * (the fitted boundary then sits at logit 0, [[score]]'s fixed keep
+    * threshold), or a zero-centered continuous score for regression
+    * distillation of an expensive gate. The intercept
+    * has no slot of its own at serving time — it FOLDS into every bucket
+    * weight, because adding a constant β to all slots shifts the
+    * mean-of-slot-weights logit by exactly β.
+    *
+    * The moment pass is shaped for 100 TB: tokens bucket map-side
+    * (codegen rolling hash), per-document sparse count vectors aggregate
+    * with map-side combine (≤ `buckets`+1 entries per doc), the Gram
+    * contribution explodes row-locally (fan-out ≤ (buckets+1)² per doc,
+    * no cross-doc join), and the final groupBy carries at most
+    * (buckets+1)² DECIMAL cells. The ONLY driver-side work is collecting
+    * those ≤ (B+1)²+B+1 moments (the explicit driver contract —
+    * `buckets` ≤ 256 enforced) and a (B+1)×(B+1) Cholesky solve.
+    *
+    * Returns the bias-folded weight vector QUANTIZED to integers over
+    * `den` (`round((w_b + β)·den)`), ready for [[score]]'s integer-exact
+    * serving path via [[literalWeightInt]]. Docs whose normalized text is
+    * empty carry no features and drop out of the moments, mirroring
+    * [[score]].
+    */
+  def trainRidge(docs: DataFrame, idCol: String, textCol: String,
+                 labelCol: String, buckets: Int, lambda: Double,
+                 den: Long): Array[Long] = {
+    val (g, v) = normalEquations(docs, idCol, textCol, labelCol, buckets)
+    val w = choleskySolve(g, v, lambda)
+    val bias = w(buckets)
+    Array.tabulate(buckets)(b => Math.round((w(b) + bias) * den))
+  }
+
+  /** Normal-equation moments over the (B+1)-dim feature space (B bucket
+    * fractions + trailing intercept): XᵀX dense (B+1)², Xᵀy length B+1.
+    * Per-row products `c₁·c₂/n²` are computed identically on every
+    * executor and folded through DECIMAL(28,14) (the `Cols.decimalSum`
+    * discipline), so the collected moments are bit-identical under any
+    * partitioning or arrival order.
+    */
+  private[operators] def normalEquations(docs: DataFrame, idCol: String,
+                                         textCol: String, labelCol: String,
+                                         buckets: Int)
+      : (Array[Array[Double]], Array[Double]) = {
+    require(buckets > 0 && buckets <= 256,
+      s"trainRidge collects (buckets+1)^2 moment cells on the driver; " +
+        s"buckets must be in [1, 256], got $buckets")
+    import org.apache.spark.sql.types.DecimalType
+    val norm = TextFunctions.normalizeWs(col(textCol))
+    val bucket = pmod(RollingHashExpr.rollingHash(col("__tok")),
+      lit(buckets.toLong)).cast("int")
+    def dsum(c: Column): Column = sum(c.cast(DecimalType(28, 14)))
+    val perDocBucket = docs
+      .withColumn("__norm", norm)
+      .filter(length(col("__norm")) > 0)
+      .select(col(idCol), col(labelCol).cast("double").as("__y"),
+        explode(split(col("__norm"), " ")).as("__tok"))
+      .withColumn("__b", bucket)
+      .groupBy(col(idCol), col("__y"), col("__b"))
+      .agg(count(lit(1)).as("__c"))
+    // per-doc sparse count vector, intercept appended as pseudo-bucket B
+    // with count n (so c/n uniformly yields fraction features and a 1)
+    val perDoc = perDocBucket
+      .groupBy(col(idCol), col("__y"))
+      .agg(collect_list(struct(col("__b"), col("__c"))).as("__cv"),
+        sum(col("__c")).as("__n"))
+      .withColumn("__fv", array_append(col("__cv"),
+        struct(lit(buckets).as("__b"), col("__n").as("__c"))))
+    val gramRows = perDoc
+      .select(col("__fv"), col("__n"), explode(col("__fv")).as("__f1"))
+      .select(col("__n"), col("__f1"), explode(col("__fv")).as("__f2"))
+      .groupBy(col("__f1.__b").as("b1"), col("__f2.__b").as("b2"))
+      .agg(dsum((col("__f1.__c") * col("__f2.__c")).cast("double") /
+        (col("__n") * col("__n")).cast("double")).as("g"))
+      .collect()
+    val xtyRows = perDoc
+      .select(col("__y"), col("__n"), explode(col("__fv")).as("__f"))
+      .groupBy(col("__f.__b").as("b"))
+      .agg(dsum(col("__y").cast("double") *
+        col("__f.__c").cast("double") / col("__n").cast("double")).as("v"))
+      .collect()
+    val d = buckets + 1
+    val g = Array.ofDim[Double](d, d)
+    gramRows.foreach(r =>
+      g(r.getInt(0))(r.getInt(1)) = r.getDecimal(2).doubleValue())
+    val v = Array.ofDim[Double](d)
+    xtyRows.foreach(r => v(r.getInt(0)) = r.getDecimal(1).doubleValue())
+    (g, v)
+  }
+
+  /** Deterministic dense Cholesky solve of `(G + λI) w = v` — G is a Gram
+    * matrix (PSD), so λ > 0 guarantees positive definiteness. Fixed
+    * left-to-right operation order: same moments → bit-identical doubles.
+    */
+  private[operators] def choleskySolve(g: Array[Array[Double]],
+                                       v: Array[Double],
+                                       lambda: Double): Array[Double] = {
+    require(lambda > 0, "ridge needs lambda > 0 for positive definiteness")
+    val n = v.length
+    val l = Array.ofDim[Double](n, n)
+    var i = 0
+    while (i < n) {
+      var j = 0
+      while (j <= i) {
+        var s = g(i)(j) + (if (i == j) lambda else 0.0)
+        var k = 0
+        while (k < j) { s -= l(i)(k) * l(j)(k); k += 1 }
+        if (i == j) l(i)(i) = math.sqrt(s)
+        else l(i)(j) = s / l(j)(j)
+        j += 1
+      }
+      i += 1
+    }
+    // forward substitution L z = v, then back substitution Lᵀ w = z
+    val z = Array.ofDim[Double](n)
+    i = 0
+    while (i < n) {
+      var s = v(i)
+      var k = 0
+      while (k < i) { s -= l(i)(k) * z(k); k += 1 }
+      z(i) = s / l(i)(i)
+      i += 1
+    }
+    val w = Array.ofDim[Double](n)
+    i = n - 1
+    while (i >= 0) {
+      var s = z(i)
+      var k = i + 1
+      while (k < n) { s -= l(k)(i) * w(k); k += 1 }
+      w(i) = s / l(i)(i)
+      i -= 1
+    }
+    w
+  }
+
+  /** Serving-side column for a trained (quantized) weight vector: the
+    * broadcast-literal array lookup [[score]] expects — driver-small at
+    * any corpus scale (≤ 256 longs).
+    */
+  def literalWeightInt(weights: Array[Long])(bucket: Column): Column =
+    element_at(typedlit(weights.toSeq), bucket.cast("int") + 1)
 }

@@ -1086,8 +1086,44 @@ object TextQueries {
         TextFunctions.fingerprint(col("raw"), unicodeNfc = true).as("fp"))
   }
 
+  // ---------------------------------------------------------------- t32
+  /** IN-ENGINE CLASSIFIER TRAINING
+    * ([[graft.operators.HashedLinearScorer.trainRidge]]): the closed-form
+    * ridge fit of the hashed-BoW gate on in-warehouse labels — the CCNet
+    * move of distilling an expensive quality rule into a cheap linear
+    * scorer. Even doc_ids train (y = ±1 on "stopword ratio ≥ the train
+    * split's exact median" — the natural-language-likeness gate, and a
+    * label GENUINELY linear in the serving features, unlike the corpus'
+    * `lang` column whose text is language-independent by construction);
+    * odd doc_ids are scored held-out with the quantized weights through
+    * t18's exact integer serving path. Deterministic end to end: the
+    * normal-equation moments are DECIMAL folds of partition-independent
+    * per-row values (HashedLinearScorerSpec invariance law), the Cholesky
+    * is a fixed scalar sequence, scoring is integer-exact — hence
+    * golden-gated (the solve has no SQL twin). The spec proves the
+    * trained vector beats t18's synthetic stand-in on held-out
+    * accuracy/F1.
+    */
+  val t32_classifier_train = GraftQuery("t32_classifier_train", (s, dir) => {
+    import graft.operators.HashedLinearScorer
+    val docs = Tables.documents(s, dir)
+      .withColumn("__sw", TextFunctions.stopwordRatio(col("text")))
+    val train = docs.filter(col("doc_id") % 2 === 0)
+    val med = train.select(expr("percentile(__sw, 0.5)")).head.getDouble(0)
+    val labeled = train.withColumn("__y",
+      when(col("__sw") >= med, lit(1)).otherwise(lit(-1)))
+    val weights = HashedLinearScorer.trainRidge(labeled, "doc_id", "text",
+      "__y", buckets = 64, lambda = 0.1, den = 1000003L)
+    val heldOut = docs.filter(col("doc_id") % 2 =!= 0)
+    HashedLinearScorer.score(heldOut, "doc_id", "text", buckets = 64,
+        weightInt = HashedLinearScorer.literalWeightInt(weights),
+        den = 1000003L, calib = 8.0)
+      .join(heldOut.select(col("doc_id"), (col("__sw") >= med).as("gold_keep")),
+        "doc_id")
+  }, GoldenOracles.sqlFor("t32_classifier_train"))
+
   val all: Seq[GraftQuery] = Seq(
-    t31_unicode_normalize,
+    t31_unicode_normalize, t32_classifier_train,
     t01_token_stats, t02_quality_score, t03_lang_id, t04_fingerprint,
     t05_rolling_hash, t06_redact, t07_tfidf_top_terms, t08_curation_pipeline,
     t09_repetition, t10_mixture_resample, t11_boilerplate_ngrams,

@@ -1520,6 +1520,59 @@ object CoreQueries {
         countDistinct(col("user_id")).as("n_users"))
   }
 
+  // ---------------------------------------------------------------- q68
+  /** MERGEABLE QUANTILE SKETCH ([[graft.plans.QuantileSketch]]): per-type
+    * p50/p95/p99 of event value cents through the log-histogram sketch at
+    * a deliberately COARSE resolution (s = 4, relative error ≤ 6.25 %) so
+    * the ESTIMATION regime is what the gate checks — and unlike every
+    * floating-log sketch, the bin function is integer bit arithmetic
+    * (`length(bin(x))` = floor(log2)+1, shifts, masks), so the DuckDB
+    * oracle replays binning, integer-exact rank targeting and bin lower
+    * bounds bit-for-bit in SQL. The sketch itself completes the family:
+    * KMV (q40) distincts, CMS (q64) frequencies, this percentiles —
+    * mergeable, partitioning-invariant bytes, AdditiveStats-foldable
+    * (s19 is the continuous-view twin in its exact regime).
+    */
+  val q68_quantile_sketch = q("q68_quantile_sketch",
+    """WITH e AS (SELECT event_type,
+      |        CAST(floor(value * 100) AS BIGINT) AS x FROM events),
+      |b AS (SELECT event_type,
+      |        CASE WHEN x < 16 THEN x
+      |             ELSE ((length(bin(x)) - 4) << 4) +
+      |                  ((x >> (length(bin(x)) - 5)) & 15) END AS bn
+      |      FROM e),
+      |c AS (SELECT event_type, bn, CAST(COUNT(*) AS BIGINT) AS cnt
+      |      FROM b GROUP BY 1, 2),
+      |t AS (SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS n FROM c GROUP BY 1),
+      |r AS (SELECT c.event_type, c.bn,
+      |        CAST(SUM(c.cnt) OVER (PARTITION BY c.event_type ORDER BY c.bn)
+      |          AS BIGINT) AS cum, t.n
+      |      FROM c JOIN t USING (event_type)),
+      |q AS (SELECT event_type, n,
+      |        MIN(CASE WHEN cum >= (50 * n + 99) // 100 THEN bn END) AS b50,
+      |        MIN(CASE WHEN cum >= (95 * n + 99) // 100 THEN bn END) AS b95,
+      |        MIN(CASE WHEN cum >= (99 * n + 99) // 100 THEN bn END) AS b99
+      |      FROM r GROUP BY 1, 2)
+      |SELECT event_type, n AS n_events,
+      |  CASE WHEN b50 < 32 THEN b50
+      |       ELSE (16 + (b50 & 15)) << ((b50 >> 4) - 1) END AS p50_cents,
+      |  CASE WHEN b95 < 32 THEN b95
+      |       ELSE (16 + (b95 & 15)) << ((b95 >> 4) - 1) END AS p95_cents,
+      |  CASE WHEN b99 < 32 THEN b99
+      |       ELSE (16 + (b99 & 15)) << ((b99 >> 4) - 1) END AS p99_cents
+      |FROM q""".stripMargin) { (s, dir) =>
+    import graft.plans.QuantileSketch
+    Tables.events(s, dir)
+      .select(col("event_type"), floor(col("value") * 100).cast("long").as("x"))
+      .groupBy("event_type")
+      .agg(QuantileSketch.sketch(col("x"), s = 4).as("__sk"))
+      .select(col("event_type"),
+        QuantileSketch.sketchCount(col("__sk")).as("n_events"),
+        QuantileSketch.quantileAt(col("__sk"), 50).as("p50_cents"),
+        QuantileSketch.quantileAt(col("__sk"), 95).as("p95_cents"),
+        QuantileSketch.quantileAt(col("__sk"), 99).as("p99_cents"))
+  }
+
   // ---------------------------------------------------------------- q66
   /** PERCENT-OF-TOTAL contribution (ratio-to-report): each nation's share
     * of its region's revenue. The denominator is a SEPARATE decimal-exact
@@ -1565,7 +1618,7 @@ object CoreQueries {
     q58_gap_fill_daily, q59_pagerank, q60_rolling_distinct_users,
     q61_bfs_levels, q62_weighted_sample, q63_rolling_anomaly,
     q64_cms_frequency, q65_bucketed_interval_join, q66_revenue_share,
-    q67_interval_overlap,
+    q67_interval_overlap, q68_quantile_sketch,
     q48_drift_psi, q47_jaro_top1, q46_stratified_sample,
     q30_numeric_describe, q31_ship_priority, q32_regional_volume, q33_small_quantity,
     q34_approx_stats, q35_from_json, q36_array_agg, q37_order_distribution,

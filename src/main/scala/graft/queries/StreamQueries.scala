@@ -539,11 +539,52 @@ object StreamQueries {
     DistinctView.read(s, s"$root/distinct_view")
   }
 
+  // ---------------------------------------------------------------- s19
+  /** CONTINUOUS PERCENTILE VIEW ([[graft.operators.PercentileView]]):
+    * per-day p50/p95/p99 of event value cents accumulated as
+    * quantile-sketch fragments in two installments (compaction fold
+    * between) — the latency-dashboard view neither a counter (s16) nor a
+    * KMV union (s18) can answer. At s = 15 every cent value (< 2^16) sits
+    * in the sketch's EXACT regime, so the DuckDB oracle is the full-
+    * strength rank-exact percentile over the fact table — proving the
+    * fragment/fold/replay machinery end to end; the estimation regime is
+    * pinned by q68's bit-replayed oracle and QuantileSketchSpec. Streaming
+    * twin (`StreamOps.percentileViewStream`) differential-tested in
+    * StreamingSpec.
+    */
+  val s19_percentile_mv = q("s19_percentile_mv", Some(
+    """WITH e AS (SELECT CAST(ts AS DATE) AS day,
+      |        CAST(floor(value * 100) AS BIGINT) AS x FROM events),
+      |t AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS n FROM e GROUP BY 1),
+      |r AS (SELECT day, x,
+      |        ROW_NUMBER() OVER (PARTITION BY day ORDER BY x) AS rn FROM e)
+      |SELECT r.day, t.n AS n_events,
+      |  MIN(CASE WHEN rn >= (50 * n + 99) // 100 THEN x END) AS p50,
+      |  MIN(CASE WHEN rn >= (95 * n + 99) // 100 THEN x END) AS p95,
+      |  MIN(CASE WHEN rn >= (99 * n + 99) // 100 THEN x END) AS p99
+      |FROM r JOIN t USING (day)
+      |GROUP BY 1, 2""".stripMargin)) { (s, dir) =>
+    import graft.operators.PercentileView
+    val root = DedupQueries.DedupStaging.ensure("s19", dir) { r =>
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(s"$r/percentile_view"))
+      val ev = Tables.events(s, dir).select(col("event_id"), col("ts"),
+        floor(col("value") * 100).cast("long").as("cents"))
+      PercentileView.init(s, s"$r/percentile_view")
+      PercentileView.append(ev.filter(col("event_id") % 2 === 0),
+        "ts", "cents", s"$r/percentile_view", batchId = 0L)
+      PercentileView.compact(s, s"$r/percentile_view")
+      PercentileView.append(ev.filter(col("event_id") % 2 =!= 0),
+        "ts", "cents", s"$r/percentile_view", batchId = 1L)
+    }
+    PercentileView.read(s, s"$root/percentile_view")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     s01_tumbling_agg, s02_sliding_agg, s03_session_windows,
     s04_dedup_first_event, s05_watermark_late, s06_asof_backward,
     s07_running_user_agg, s08_interval_join, s09_stream_curation,
     s10_line_stats_ingest, s11_stream_drift, s12_interval_left_join,
     s13_funnel_conversion, s14_span_stats_ingest, s15_posting_ingest,
-    s16_windowed_mv, s17_join_view, s18_distinct_mv)
+    s16_windowed_mv, s17_join_view, s18_distinct_mv, s19_percentile_mv)
 }

@@ -446,6 +446,38 @@ object StreamOps {
       }
       .start()
 
+  /** CONTINUOUS percentile view ([[graft.operators.PercentileView]]):
+    * per-batch per-day quantile-sketch fragments land idempotently; the
+    * sketch's binwise-additive merge makes fold order irrelevant
+    * (merge-of-sketches ≡ sketch-of-union), so the view answers
+    * p50/p95/p99 as if one sketch had seen every event — the latency
+    * dashboard no counter or distinct union gives a stream. Protocol
+    * replay/crash story by inheritance (s19 under the oracle gate;
+    * StreamingSpec differential).
+    */
+  def percentileViewStream(events: DataFrame, tsCol: String, valueCol: String,
+                           statsDir: String, checkpointDir: String,
+                           s: Int = 15, compactEvery: Int = 16)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        import graft.operators.PercentileView
+        import graft.sources.StoredIndex
+        val spark = batch.sparkSession
+        if (StoredIndex.metaGeneration(spark, statsDir) < 0)
+          PercentileView.init(spark, statsDir)
+        StoredIndex.pinStreamIdentity(spark, statsDir, checkpointDir)
+        if (!batch.isEmpty)
+          PercentileView.append(batch.toDF(), tsCol, valueCol, statsDir,
+            batchId, s)
+        if (compactEvery > 0 &&
+            PercentileView.fragmentCount(spark, statsDir) > compactEvery)
+          PercentileView.compact(spark, statsDir)
+      }
+      .start()
+
   /** CONTINUOUS equi-join view maintenance ([[graft.sources.JoinView]]):
     * a multiplexed changelog (rows tagged `side` = "left"/"right" over a
     * nullable superset schema — the standard single-topic CDC shape)

@@ -594,6 +594,48 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("percentileViewStream: cross-batch sketches fold; view matches a direct rank-exact percentile") {
+    import graft.operators.PercentileView
+    import graft.plans.QuantileSketch
+    implicit val sqlCtx = spark.sqlContext
+    def ts(d: Int, h: Int) = Timestamp.valueOf(f"2024-03-$d%02d $h%02d:00:00")
+    // day 1's median depends on BOTH batches' values interleaving:
+    // batch 1 gives {10, 100}, batch 2 adds {20, 30} -> p50 over
+    // {10,20,30,100} = 20 (rank ceil(0.5*4)=2), which neither batch
+    // alone would answer
+    val b1 = Seq(Ev(ts(1, 1), 1L, "a", 10.0), Ev(ts(1, 2), 2L, "a", 100.0),
+      Ev(ts(2, 3), 3L, "a", 7.0))
+    val b2 = Seq(Ev(ts(1, 4), 4L, "a", 20.0), Ev(ts(1, 5), 5L, "a", 30.0),
+      Ev(ts(2, 6), 6L, "a", 9.0))
+    val tmp = java.nio.file.Files.createTempDirectory("percentile-view-stream").toString
+    try {
+      val mem = MemoryStream[Ev]
+      mem.addData(b1)
+      val withCents = (df: org.apache.spark.sql.DataFrame) =>
+        df.withColumn("cents", floor(col("value") * 100).cast("long"))
+      val q = StreamOps.percentileViewStream(withCents(mem.toDF()), "ts",
+        "cents", s"$tmp/pv", s"$tmp/ckpt", compactEvery = 1)
+      q.processAllAvailable()
+      mem.addData(b2)
+      q.processAllAvailable()
+      q.stop()
+      val got = PercentileView.read(spark, s"$tmp/pv")
+        .select("day", "n_events", "p50")
+        .as[(java.sql.Date, Long, Long)].collect().toSet
+      val want = withCents((b1 ++ b2).toDF())
+        .groupBy(col("ts").cast("date").as("day"))
+        .agg(QuantileSketch.sketch(col("cents"), 15).as("sk"))
+        .select(col("day"), QuantileSketch.sketchCount(col("sk")).as("n"),
+          QuantileSketch.quantileAt(col("sk"), 50).as("p50"))
+        .as[(java.sql.Date, Long, Long)].collect().toSet
+      assert(got == want, s"got=$got want=$want")
+      assert(got.contains((java.sql.Date.valueOf("2024-03-01"), 4L, 2000L)),
+        "day-1 median must interleave values from both batches")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+    }
+  }
+
   test("joinViewStream: a multiplexed changelog maintains the exact join; fresh checkpoint refused") {
     import graft.sources.JoinView
     implicit val sqlCtx = spark.sqlContext

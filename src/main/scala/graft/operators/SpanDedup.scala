@@ -240,6 +240,123 @@ object SpanDedup {
     removeByStarts(df, idCol, textCol,
       contaminatedStarts(df, idCol, textCol, ref, refTextCol, n), n)
 
+  // ------------------------------------------- maximal duplicated runs
+
+  /** Two-phase duplicated-position filter shared by the doubling levels:
+    * keep (idCol, __p) rows whose `__w` window text appears in ≥
+    * `minDocs` DISTINCT documents. Phase 1 shuffles only the 8-byte
+    * hash; phase 2 recounts exactly by (hash, text) over candidates, so
+    * a 64-bit collision can never promote an innocent window (same
+    * collision discipline as [[dupStarts]]).
+    */
+  private def dupPositions(w: DataFrame, idCol: String,
+                           minDocs: Int): DataFrame = {
+    val h = w.withColumn("__h", xxhash64(col("__w")))
+    val cand = h.groupBy("__h")
+      .agg(countDistinct(col(idCol)).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .select("__h")
+    val pruned = h.join(cand, "__h")
+    val keys = pruned.groupBy("__h", "__w")
+      .agg(countDistinct(col(idCol)).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .select("__h", "__w")
+    pruned.join(keys, Seq("__h", "__w"))
+      .select(col(idCol), col("__p"))
+  }
+
+  /** MAXIMAL duplicated-run length per document — the arbitrary-length
+    * form of the fixed-n window count (Lee et al.'s suffix-array question
+    * "what is the longest span this document shares verbatim with
+    * another?"), answered WITHOUT suffix arrays or all-pairs cost by a
+    * MULTI-RESOLUTION doubling composition:
+    *
+    *   1. DOUBLING LEVELS. For n = 1, 2, 4, … ≤ cap, compute the set
+    *      D_n of positions whose n-token window is shared by ≥ `minDocs`
+    *      distinct documents. Level 1 scans every token (one corpus pass,
+    *      8-byte hash shuffle); every later level PROMOTES candidates —
+    *      a 2n-window at p is duplicated only if the n-windows at p and
+    *      p+n both are, so level 2n builds windows only at positions with
+    *      both halves in D_n. Each level is one bounded pass; there are
+    *      log₂(cap) of them, with per-level `localCheckpoint`s cutting
+    *      the plan tree (the [[GraphOps]] iteration discipline).
+    *
+    *   2. BOUNDED REFINEMENT. Let np(p) = the largest level at which p
+    *      survived. Any duplicated window of length m starting at p
+    *      contains the 2^⌊log₂ m⌋-window at p, so m ≤ 2·np(p) − 1 — and
+    *      the same bound holds at EVERY sharer's position. One pass
+    *      generates, per surviving position, windows of ALL lengths
+    *      1 … min(2·np(p) − 1, cap, tokens−p) (row-local fan-out ≤ 2·np,
+    *      i.e. cost ∝ the duplicated-run footprint, never the corpus²),
+    *      counts distinct documents per window content (two-phase again),
+    *      and takes each document's max duplicated length.
+    *
+    * EXACT by construction for runs up to `cap` (reported value =
+    * min(true max, cap) — cap is the explicit fan-out contract, like the
+    * BPE vocab cap): completeness because every sharer generates every
+    * qualifying length, soundness because generated windows are a subset
+    * of real windows. Output: one row per input document,
+    * (idCol, n_tokens, max_dup_run), 0 when nothing is duplicated.
+    */
+  def maxDuplicatedRun(df: DataFrame, idCol: String, textCol: String,
+                       minDocs: Int = 2, cap: Int = 64): DataFrame = {
+    require(cap >= 1, "cap must be >= 1")
+    val base = df.select(col(idCol), toks(col(textCol)).as("__toks"))
+      .withColumn("__len", size(col("__toks")))
+      .localCheckpoint(true)
+    // level 1: every position, window = the token itself
+    var n = 1
+    var cand = dupPositions(
+      base.select(col(idCol),
+        posexplode(col("__toks")).as(Seq("__p", "__w"))),
+      idCol, minDocs).withColumn("__np", lit(1)).localCheckpoint(true)
+    var levels = List(cand)
+    while (2 * n <= cap && !cand.isEmpty) {
+      val m = 2 * n
+      val left = cand.select(col(idCol), col("__p"))
+      val right = cand.select(col(idCol), (col("__p") - n).as("__p"))
+      val both = left.join(right, Seq(idCol, "__p"))
+      val w = both.join(base, Seq(idCol))
+        .filter(col("__p") + m <= col("__len"))
+        .select(col(idCol), col("__p"),
+          array_join(slice(col("__toks"), col("__p") + 1, lit(m)), " ")
+            .as("__w"))
+      cand = dupPositions(w, idCol, minDocs)
+        .withColumn("__np", lit(m)).localCheckpoint(true)
+      levels ::= cand
+      n = m
+    }
+    // np(p) = last level at which p survived
+    val np = levels.reduce(_ unionByName _)
+      .groupBy(col(idCol), col("__p"))
+      .agg(max(col("__np")).as("__np"))
+    // refinement: all lengths up to the per-position bound, one pass
+    val gen = np.join(base, Seq(idCol))
+      .select(col(idCol), col("__p"), col("__toks"),
+        explode(sequence(lit(1),
+          least(lit(2) * col("__np") - 1, lit(cap),
+            col("__len") - col("__p")))).as("__m"))
+      .select(col(idCol), col("__p"), col("__m"),
+        array_join(slice(col("__toks"), col("__p") + 1, col("__m")), " ")
+          .as("__w"))
+    val dupLens = {
+      val h = gen.withColumn("__h", xxhash64(col("__w")))
+      val c1 = h.groupBy("__h").agg(countDistinct(col(idCol)).as("__nd"))
+        .filter(col("__nd") >= minDocs).select("__h")
+      val pruned = h.join(c1, "__h")
+      val keys = pruned.groupBy("__h", "__w")
+        .agg(countDistinct(col(idCol)).as("__nd"))
+        .filter(col("__nd") >= minDocs).select("__h", "__w")
+      pruned.join(keys, Seq("__h", "__w"))
+        .groupBy(col(idCol))
+        .agg(max(col("__m")).cast("long").as("max_dup_run"))
+    }
+    base.select(col(idCol), col("__len").cast("long").as("n_tokens"))
+      .join(dupLens, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("max_dup_run"), lit(0L)).as("max_dup_run"))
+  }
+
   /** Remove duplicated spans: every token position covered by a
     * duplicated n-token window is dropped and the survivors re-joined
     * with single spaces (the operator works on the whitespace-normalized

@@ -575,11 +575,42 @@ object DedupQueries {
         round(col("cont_b_in_a"), 6).as("cont_b_in_a"))
   }
 
+  // ---------------------------------------------------------------- d18
+  /** MAXIMAL duplicated-run length
+    * ([[graft.operators.SpanDedup.maxDuplicatedRun]]): the arbitrary-
+    * length question d15's fixed n = 8 windows cannot answer — "what is
+    * the LONGEST span each document shares verbatim with another?" —
+    * solved by the multi-resolution doubling composition (log₂(cap)
+    * candidate-promoted levels + one bounded refinement pass whose
+    * fan-out is ∝ the duplicated footprint, never corpus²). The oracle
+    * brute-forces every window of every length 1…64 — exactly the
+    * all-pairs cost the engine's composition avoids — proving the
+    * doubling + refinement is EXACT, not approximate.
+    */
+  val d18_max_dup_run = q("d18_max_dup_run", Some(
+    s"""WITH t AS (SELECT doc_id,
+       |        [x for x in string_split(${normSql("text")}, ' ') if x <> ''] AS toks
+       |      FROM documents),
+       |b AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+       |w AS (SELECT doc_id, m, array_to_string(toks[s+1:s+CAST(m AS INT)], ' ') AS w
+       |      FROM (SELECT doc_id, toks, n, unnest(range(0, n)) AS s FROM b),
+       |           (SELECT unnest(range(1, 65)) AS m)
+       |      WHERE s + m <= n),
+       |dup AS (SELECT w FROM w GROUP BY w HAVING count(DISTINCT doc_id) >= 2),
+       |mx AS (SELECT doc_id, MAX(m) AS max_dup_run
+       |       FROM w WHERE w IN (SELECT w FROM dup) GROUP BY doc_id)
+       |SELECT b.doc_id, CAST(b.n AS BIGINT) AS n_tokens,
+       |  coalesce(mx.max_dup_run, 0) AS max_dup_run
+       |FROM b LEFT JOIN mx USING (doc_id)""".stripMargin)) { (s, dir) =>
+    graft.operators.SpanDedup.maxDuplicatedRun(
+      Tables.documents(s, dir), "doc_id", "text", minDocs = 2, cap = 64)
+  }
+
   val all: Seq[GraftQuery] = Seq(
     d01_exact_dup_groups, d02_ngram_jaccard, d03_minhash_lsh, d04_simhash,
     d05_simhash_neardup, d06_dedup_clusters, d07_dedup_apply,
     d08_contamination, d09_bloom_decontaminate, d10_incremental_neardup,
     d11_indexed_neardup, d12_extended_neardup, d13_index_compaction,
     d14_dedup_keep_best, d15_span_coverage, d16_span_decontaminate,
-    d17_containment_pairs)
+    d17_containment_pairs, d18_max_dup_run)
 }

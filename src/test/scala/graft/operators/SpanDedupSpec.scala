@@ -156,4 +156,92 @@ class SpanDedupSpec extends SparkSpec {
     assert(fold.filter(col("dup_windows") > 0).count() > 0,
       "fixture should contain duplicated spans")
   }
+
+  // --------------------------------------------- maximal duplicated runs
+
+  /** Brute force over all window lengths — the exact small-scale oracle
+    * the doubling composition must reproduce.
+    */
+  private def bruteMaxRun(docs: Seq[(Long, String)], minDocs: Int,
+                          cap: Int): Map[Long, (Long, Long)] = {
+    val toks = docs.map { case (id, t) =>
+      id -> t.trim.split("\\s+").filter(_.nonEmpty).toSeq }.toMap
+    val byWindow = scala.collection.mutable.Map.empty[String, scala.collection.mutable.Set[Long]]
+    for ((id, ts) <- toks; m <- 1 to math.min(cap, ts.size);
+         s <- 0 to ts.size - m) {
+      byWindow.getOrElseUpdate(ts.slice(s, s + m).mkString(" "),
+        scala.collection.mutable.Set.empty) += id
+    }
+    val dup = byWindow.filter(_._2.size >= minDocs).keySet
+    toks.map { case (id, ts) =>
+      val mx = (1 to math.min(cap, ts.size)).flatMap { m =>
+        (0 to ts.size - m).map(s => ts.slice(s, s + m).mkString(" "))
+          .find(dup.contains).map(_ => m)
+      }
+      id -> (ts.size.toLong, if (mx.isEmpty) 0L else mx.max.toLong)
+    }
+  }
+
+  test("maxDuplicatedRun: hand fixture with a known longest shared span") {
+    // docs 1 & 2 share "c d e f g" (5 tokens); 3 shares only "x y" (2)
+    // with 4; 5 shares nothing
+    val docs = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "z c d e f g q"),
+      (3L, "x y m n o"),
+      (4L, "p x y r s"),
+      (5L, "unique words only here")).toDF("doc_id", "text")
+    val got = SpanDedup.maxDuplicatedRun(docs, "doc_id", "text")
+      .select("doc_id", "max_dup_run").as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 5L, 2L -> 5L, 3L -> 2L, 4L -> 2L, 5L -> 0L), got)
+  }
+
+  test("maxDuplicatedRun: cap truncates the reported maximum") {
+    val shared = (1 to 20).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, shared), (2L, s"pre $shared post")).toDF("doc_id", "text")
+    val got = SpanDedup.maxDuplicatedRun(docs, "doc_id", "text", cap = 8)
+      .select("doc_id", "max_dup_run").as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 8L, 2L -> 8L), got)
+    val full = SpanDedup.maxDuplicatedRun(docs, "doc_id", "text", cap = 64)
+      .select("doc_id", "max_dup_run").as[(Long, Long)].collect().toMap
+    assert(full == Map(1L -> 20L, 2L -> 20L), full)
+  }
+
+  test("maxDuplicatedRun law: random corpora equal the brute force") {
+    val rnd = new scala.util.Random(20260814L)
+    (1 to 3).foreach { trial =>
+      // small vocabulary + planted shared runs force rich duplication
+      val vocab = Vector("a", "b", "c", "d", "e", "f")
+      val planted = Seq.fill(3)(
+        Seq.fill(3 + rnd.nextInt(8))(vocab(rnd.nextInt(vocab.size))))
+      val docs = (1L to 14L).map { id =>
+        val base = Seq.fill(4 + rnd.nextInt(10))(vocab(rnd.nextInt(vocab.size)))
+        val withRun =
+          if (rnd.nextBoolean()) {
+            val run = planted(rnd.nextInt(planted.size))
+            val cut = rnd.nextInt(base.size + 1)
+            base.take(cut) ++ run ++ base.drop(cut)
+          } else base
+        (id, withRun.mkString(" "))
+      }
+      val want = bruteMaxRun(docs, minDocs = 2, cap = 16)
+      val got = SpanDedup.maxDuplicatedRun(docs.toDF("doc_id", "text"),
+          "doc_id", "text", minDocs = 2, cap = 16)
+        .select("doc_id", "n_tokens", "max_dup_run")
+        .as[(Long, Long, Long)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+      assert(got == want, s"trial $trial: got $got want $want")
+    }
+  }
+
+  test("maxDuplicatedRun: minDocs = 3 demands a third sharer") {
+    val docs = Seq(
+      (1L, "q w e r t"),
+      (2L, "q w e x y"),
+      (3L, "q w z z z")).toDF("doc_id", "text")
+    val got = SpanDedup.maxDuplicatedRun(docs, "doc_id", "text", minDocs = 3)
+      .select("doc_id", "max_dup_run").as[(Long, Long)].collect().toMap
+    // "q w" is in all three; "q w e" only in two
+    assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 2L), got)
+  }
 }

@@ -537,6 +537,63 @@ object PlanDump {
       "1.27), q33 0.90/1.10 (r9: 0.87), d03 2.03/2.19 (r9: 1.73) — all " +
       "at or near r9 levels at min, confirming the r10 medians were " +
       "load-inflated, not plan changes (plans unchanged in this dump)."),
+    "q67_interval_overlap" -> ("round 12: interval × interval overlap " +
+      "via range bucketing — both sides register in covered buckets " +
+      "(row-local explode, exact long arithmetic x − pmod(x, W): no " +
+      "double floor to misbucket above 2^53), the session×window join is " +
+      "a plain BroadcastHashJoin on __bk, and each matching pair fires " +
+      "EXACTLY ONCE in its overlap-start bucket — no distinct shuffle. " +
+      "The plan's one BNLJ is the 1-row broadcast(base) window builder " +
+      "(q59's teleport-term shape), not a data join; PlanAuditSpec pins " +
+      "the hash join + BNLJ≤1 + pruned events scan."),
+    "q68_quantile_sketch" -> ("round 12: log-histogram quantile sketch " +
+      "(the percentile member of the KMV/CMS family) at deliberately " +
+      "coarse s=4 so the ESTIMATION regime sits under the hash gate — " +
+      "the bin function is integer bit arithmetic, so the DuckDB oracle " +
+      "replays binning, integer rank targeting ((p·n+99) div 100) and " +
+      "bin lower bounds bit-for-bit. One map-side-combined aggregate " +
+      "carrying ≤ bins (16-byte) pairs per group; bytes are " +
+      "partitioning-invariant (QuantileSketchSpec law)."),
+    "s19_percentile_mv" -> ("round 12: continuous percentile view — " +
+      "per-day sketch fragments on the AdditiveStats protocol, folded " +
+      "binwise (merge ≡ sketch-of-union bit-for-bit, so arrival order " +
+      "and compaction timing are invisible). At s=15 every cent value " +
+      "sits in the exact regime: the oracle is the full rank-exact " +
+      "percentile over the fact table, proving fragment/fold/replay end " +
+      "to end; q68 pins the estimating regime. Streaming twin " +
+      "percentileViewStream differential-tested in StreamingSpec."),
+    "t31_unicode_normalize" -> ("round 12: Unicode normalization as a " +
+      "codegen expression (java.text.Normalizer behind an ASCII " +
+      "isNormalized fast path — scan-stage column work, zero shuffle). " +
+      "The query appends a DECOMPOSED suffix built identically on both " +
+      "engines so the oracle exercises real NFC composition and accent " +
+      "folding, not identity on ASCII corpus text; the NFC-aware " +
+      "fingerprint makes canonically-equivalent byte forms dedup " +
+      "together (UnicodeNormalizeExprSpec)."),
+    "t32_classifier_train" -> ("round 12: IN-ENGINE ridge training for " +
+      "the hashed-BoW gate — the moment pass is one distributed " +
+      "aggregate chain (map-side bucketing, per-doc sparse vectors with " +
+      "map-side combine, row-local (B+1)² Gram fan-out, DECIMAL-folded " +
+      "sums); only (B+1)²+B+1 moment cells reach the driver (B ≤ 256 " +
+      "contract) for a deterministic Cholesky. Labels: stopword-gate " +
+      "distillation — the corpus lang column is text-INDEPENDENT by " +
+      "construction (same vocabulary in every class), so no text model " +
+      "can learn it; the spec documents this and the trained gate beats " +
+      "the synthetic stand-in 0.78 vs ~0.5 held-out acc/F1. Golden-gated " +
+      "(the solve has no SQL twin); weights bit-identical under " +
+      "repartitioning (HashedLinearScorerSpec law)."),
+    "d18_max_dup_run" -> ("round 12: maximal duplicated-run length via " +
+      "multi-resolution doubling — log₂(cap) candidate-promoted levels " +
+      "(a 2n-window needs both n-halves duplicated at level n; two-phase " +
+      "8-byte-hash counts; per-level localCheckpoints cut the plan tree) " +
+      "+ one bounded refinement pass generating all lengths ≤ 2·np(p)−1 " +
+      "per surviving position — fan-out ∝ the duplicated footprint, " +
+      "never corpus². EXACT up to the cap contract (completeness: every " +
+      "sharer generates every qualifying length; soundness: generated " +
+      "windows ⊆ real windows); the DuckDB oracle brute-forces all " +
+      "lengths 1…64 — exactly the all-pairs cost the engine avoids — " +
+      "and hash-matches. Engine cost = log-bounded level passes + one " +
+      "refinement whose fan-out tracks the duplicated footprint."),
     "q44_salted_join" -> ("at sf0.1 the dim broadcasts, so this query " +
       "exercises the salted operator's correctness, not its necessity. " +
       "Round-5 AQE comparison (graft.AqeSkewBench, appendix below): for " +

@@ -647,10 +647,15 @@ object ScaleSmoke {
   /** SCD2 merge cost must track the TOUCHED buckets, not the dimension:
     * with buckets sized so one bucket holds a constant number of keys
     * (the operational contract — buckets grow with the table), a
-    * single-key merge into a `copies`× dimension must stay FLAT. Returns
-    * (t1x, tBigx) for the timed single-key merges.
+    * single-key merge into a growing dimension must stay SUB-LINEAR
+    * (constant touched-bucket work + per-pass overhead). Returns the
+    * min-of-2 single-key merge time at each requested scale multiple —
+    * MULTIPLE points so the TREND carries the claim (a single 10× ratio
+    * cannot distinguish constant per-pass overhead from O(historyᵉ)
+    * creep; the round-11 verdict's gate-strengthening ask).
     */
-  def scd2Flat(spark: SparkSession, baseKeys: Int, copies: Int): (Double, Double) = {
+  def scd2Flat(spark: SparkSession, baseKeys: Int,
+               multiples: Seq[Int]): Seq[Double] = {
     import graft.sources.Scd2
     def leg(n: Int, buckets: Int): Double = {
       val root = java.nio.file.Files.createTempDirectory("scd2smoke").toString + "/dim"
@@ -665,23 +670,28 @@ object ScaleSmoke {
         Scd2.merge(upd, root, Seq("id"), Seq("name", "bal"), batch, buckets)
       }
       oneKey(0L, 2L) // warm-up (codegen, listing caches)
-      val (_, t) = time(oneKey(1L, 3L))
+      // min-of-2 — the cappedSection noise discipline (a ~1 s single-key
+      // merge swings enough under box load to flap a ratio gate alone)
+      val (_, tA) = time(oneKey(1L, 3L))
+      val (_, tB) = time(oneKey(2L, 4L))
       org.apache.commons.io.FileUtils.deleteQuietly(
         new java.io.File(new java.io.File(root).getParent))
-      t
+      math.min(tA, tB)
     }
-    (leg(baseKeys, 16), leg(baseKeys * copies, 16 * copies))
+    multiples.map(m => leg(baseKeys * m, 16 * m))
   }
 
   /** JoinView single-key append cost must track the delta's touched
     * buckets, not the accumulated input history: with buckets scaled so
     * one bucket holds a constant number of keys (the operational
     * contract, same as [[scd2Flat]]), a one-key-per-side batch into a
-    * `copies`× history must stay FLAT — the gate that catches a delta
-    * join quietly rescanning the whole history per batch. Returns
-    * (t1x, tBigx) for the timed single-key appends.
+    * growing history must stay SUB-LINEAR — the gate that catches a
+    * delta join quietly rescanning the whole history per batch. Returns
+    * the min-of-2 append time at each requested scale multiple (trend
+    * over multiple points, same rationale as [[scd2Flat]]).
     */
-  def joinViewFlat(spark: SparkSession, baseKeys: Int, copies: Int): (Double, Double) = {
+  def joinViewFlat(spark: SparkSession, baseKeys: Int,
+                   multiples: Seq[Int]): Seq[Double] = {
     import graft.sources.JoinView
     def leg(n: Int, buckets: Int): Double = {
       val root = java.nio.file.Files.createTempDirectory("jvsmoke").toString + "/v"
@@ -714,7 +724,7 @@ object ScaleSmoke {
         new java.io.File(new java.io.File(root).getParent))
       math.min(tA, tB)
     }
-    (leg(baseKeys, 16), leg(baseKeys * copies, 16 * copies))
+    multiples.map(m => leg(baseKeys * m, 16 * m))
   }
 
   /** Z-order rewrite at `copies`×: the re-layout is one quantile pass plus

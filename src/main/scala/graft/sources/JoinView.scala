@@ -117,6 +117,47 @@ object JoinView {
     case _ => view.joinDdl
   }
 
+  /** Counterpart-history read pruned at the LISTING level: enumerate the
+    * relation's `batch_id=*` fragment directories once (bounded by the
+    * compaction cadence), keep those before `batchId`, and read ONLY the
+    * touched `bk=` subdirectories via explicit paths + basePath. The
+    * previous shape — full-table read then `.filter(bk isin ...)` — still
+    * listed every (fragment × bucket) directory per append, a driver
+    * metadata cost that grows with history size even though the pruned
+    * SCAN did not (the 1x/10x/20x smoke trend exposed the creep).
+    */
+  private def relDfPruned(spark: SparkSession, view: View, rel: String,
+                          ddl: String, epoch: Int, bks: Seq[Int],
+                          batchId: Long): DataFrame = {
+    def empty: DataFrame = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType.fromDDL(
+        if (bucketed(view, rel)) s"$ddl, bk int" else ddl))
+    if (!bucketed(view, rel))
+      return relDf(spark, view, rel, ddl, epoch)
+        .filter(col("batch_id") < batchId)
+    if (bks.isEmpty) return empty
+    val root = new org.apache.hadoop.fs.Path(
+      StoredIndex.relPath(view.dir, rel, epoch))
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return empty
+    val fragDirs = fs.listStatus(root).iterator
+      .filter(_.isDirectory).map(_.getPath)
+      .filter { p =>
+        val n = p.getName
+        n.startsWith("batch_id=") &&
+          n.stripPrefix("batch_id=").toLong < batchId
+      }.toSeq
+    val paths = for {
+      frag <- fragDirs
+      k <- bks
+      q = new org.apache.hadoop.fs.Path(frag, s"bk=$k") if fs.exists(q)
+    } yield q.toString
+    if (paths.isEmpty) empty
+    else spark.read.option("basePath", root.toString).parquet(paths: _*)
+      .filter(col("batch_id") < batchId) // belt over the dir-level prune
+  }
+
   /** One maintenance step: land ΔA/ΔB as `frag = batchId` and append the
     * delta join. Idempotent under at-least-once replay (committed batches
     * no-op; uncommitted replays recompute against `batch_id < b` history
@@ -139,14 +180,17 @@ object JoinView {
       else if (bks.isEmpty) df.limit(0)
       else df.filter(col("bk").isin(bks.map(Integer.valueOf): _*))
     // history BEFORE this batch: committed fragments + the folded -1
-    // partition (all folded ids are committed < batchId) — partition prune
-    // on batch_id and, when bucketed, on the delta's key buckets
-    val aPre = prune(relDf(spark, view, "left", view.leftDdl, epoch)
-      .filter(col("batch_id") < batchId), bksOf(b))
-      .drop("batch_id", "bk")
-    val bPre = prune(relDf(spark, view, "right", view.rightDdl, epoch)
-      .filter(col("batch_id") < batchId), bksOf(a))
-      .drop("batch_id", "bk")
+    // partition (all folded ids are committed < batchId) — pruned at the
+    // LISTING level to the delta's key buckets (relDfPruned; the
+    // unbucketed form keeps the plain batch_id filter)
+    val bksA = bksOf(a)
+    val bksB = bksOf(b)
+    val aPre = prune(
+      relDfPruned(spark, view, "left", view.leftDdl, epoch, bksB, batchId),
+      bksB).drop("batch_id", "bk")
+    val bPre = prune(
+      relDfPruned(spark, view, "right", view.rightDdl, epoch, bksA, batchId),
+      bksA).drop("batch_id", "bk")
     val deltaJoin = a.join(bPre, view.keys)
       .unionByName(aPre.join(b, view.keys))
       .unionByName(a.join(b, view.keys))

@@ -64,8 +64,12 @@ object Scd2 {
     val spark = updates.sparkSession
     val upd = withBucket(updates, keys, buckets)
 
-    val exists = try { spark.read.parquet(path); true }
-                 catch { case _: Throwable => false }
+    // O(1) existence probe — `spark.read.parquet(path)` would LIST the
+    // whole table (every bucket directory) just to answer yes/no, a cost
+    // that grows with the dimension while the merge's real work does not
+    val tablePath = new org.apache.hadoop.fs.Path(path)
+    val fs = tablePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val exists = fs.exists(tablePath)
     if (!exists) {
       // fold each bucket to one task -> ONE file per bucket: a naive
       // partitioned write emits (write tasks x buckets) small files, and
@@ -83,10 +87,22 @@ object Scd2 {
     require(dupKeys.isEmpty, s"update batch carries duplicate keys: ${
       dupKeys.limit(3).collect().mkString(", ")}")
 
-    // partition-pruned read-back: only buckets the batch hashes into
-    val touched = upd.select(bucketCol).distinct()
-    val table = spark.read.parquet(path)
-      .join(broadcast(touched), Seq(bucketCol), "left_semi")
+    // partition-pruned read-back: only buckets the batch hashes into —
+    // read the touched bucket DIRECTORIES directly (basePath keeps the
+    // partition column) instead of listing the full table and pruning
+    // after: a pruned scan over a full listing still pays O(buckets)
+    // driver metadata per merge, which is exactly the history creep the
+    // 1x/10x/20x smoke trend exposes. Touched-bucket count is bounded by
+    // the batch's key spread (driver-small by the bucket contract).
+    val touchedBks = upd.select(bucketCol).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val touchedPaths = touchedBks
+      .map(b => new org.apache.hadoop.fs.Path(path, s"$bucketCol=$b"))
+      .filter(fs.exists(_))
+      .map(_.toString)
+    val table =
+      if (touchedPaths.isEmpty) asVersion(upd, batchId).limit(0)
+      else spark.read.option("basePath", path).parquet(touchedPaths: _*)
     val history = table.filter(!col("is_current"))
     val current = table.filter(col("is_current"))
 

@@ -230,23 +230,35 @@ class ScaleSmokeSpec extends SparkSpec {
         f"($ratio%.2fx) — is something scanning the whole index per append?")
   }
 
-  test("scd2 single-key merge stays flat as the dimension grows 10x (buckets scale with it)") {
+  test("scd2 single-key merge is sub-linear in dimension size (1x/10x/20x trend)") {
     assume(sys.env.get("SPARK_GRAFT_SMOKE").contains("1"),
       "opt-in: set SPARK_GRAFT_SMOKE=1 to run the skew smoke gate")
-    val (t1, t10) = ScaleSmoke.scd2Flat(spark, baseKeys = 40000, copies = 10)
-    info(f"scd2 single-key merge   1x=$t1%6.2fs 10x=$t10%6.2fs flat-ratio=${t10 / t1}%5.2fx")
+    // three points so the TREND carries the claim: constant per-pass
+    // overhead predicts t20 ~ t10 (flat between 10x and 20x); linear
+    // creep would double it. A lone 10x ratio can't tell them apart.
+    val Seq(t1, t10, t20) =
+      ScaleSmoke.scd2Flat(spark, baseKeys = 40000, multiples = Seq(1, 10, 20))
+    info(f"scd2 single-key merge   1x=$t1%6.2fs 10x=$t10%6.2fs 20x=$t20%6.2fs " +
+      f"ratios=${t10 / t1}%4.2fx/${t20 / t10}%4.2fx")
     assert(t10 <= t1 * 2.5,
       f"single-key merge must not scale with the dimension: $t1%.2fs -> $t10%.2fs")
+    assert(t20 <= t10 * 1.6,
+      f"10x->20x must be near-flat (sub-linear claim): $t10%.2fs -> $t20%.2fs" +
+        " — constant overhead would hold it flat; this looks like history creep")
   }
 
-  test("join-view single-key append stays flat as the history grows 10x (bucketed)") {
+  test("join-view single-key append is sub-linear in history size (1x/10x/20x trend)") {
     assume(sys.env.get("SPARK_GRAFT_SMOKE").contains("1"),
       "opt-in: set SPARK_GRAFT_SMOKE=1 to run the skew smoke gate")
-    val (t1, t10) = ScaleSmoke.joinViewFlat(spark, baseKeys = 40000, copies = 10)
-    info(f"join-view 1-key append  1x=$t1%6.2fs 10x=$t10%6.2fs flat-ratio=${t10 / t1}%5.2fx")
+    val Seq(t1, t10, t20) =
+      ScaleSmoke.joinViewFlat(spark, baseKeys = 40000, multiples = Seq(1, 10, 20))
+    info(f"join-view 1-key append  1x=$t1%6.2fs 10x=$t10%6.2fs 20x=$t20%6.2fs " +
+      f"ratios=${t10 / t1}%4.2fx/${t20 / t10}%4.2fx")
     assert(t10 <= t1 * 2.5,
       f"single-key append must not scale with the history: $t1%.2fs -> $t10%.2fs" +
         " — is the delta join rescanning unpruned buckets?")
+    assert(t20 <= t10 * 1.6,
+      f"10x->20x must be near-flat (sub-linear claim): $t10%.2fs -> $t20%.2fs")
   }
 
   test("z-order rewrite scales linearly at 10x (quantile pass + one range shuffle)") {

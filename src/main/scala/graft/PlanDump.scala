@@ -397,6 +397,13 @@ object PlanDump {
       "partition (the offsets relation), never data (PackingSpec pins " +
       "it); a naive global-window cumsum would serialize the corpus " +
       "through one task at 100 TB."),
+    "d02_ngram_jaccard" -> ("round 12 adjudication of the r11 med spike " +
+      "(med 2.72 -> 5.27 with min 2.07 / max 9.60 across 3 passes — the " +
+      "documented noise signature): a quiet-box min-of-5 measures 2.35 " +
+      "min / 2.41 med / 2.71 max — a TIGHT spread at the historical " +
+      "steady state, closing the spike as load inflation with unchanged " +
+      "code (plan unchanged in this dump: fused codegen shingles, 3x " +
+      "BroadcastHashJoin, first exchange the capped bucket group-by)."),
     "d03_minhash_lsh" -> ("round 11 smoke-gate variance adjudication: " +
       "four same-code hot-key smoke runs in one day measured the 10x " +
       "big leg at 20.7-30.4 s and the 1x denominator at 1.15-2.43 s — " +
@@ -452,7 +459,12 @@ object PlanDump {
       "recall joins — dominated by per-probe fixed small-job latency, " +
       "not data volume (embeddings at sf0.1 is 2k rows). Golden pins " +
       "stale mean recall@5 0.375 vs retrained 1.000 at 100% " +
-      "appended-vs-trained; the 10/50/100% sweep lives in AnnIndexSpec."),
+      "appended-vs-trained; the 10/50/100% sweep lives in AnnIndexSpec. " +
+      "Round-12 bench-hygiene sweep (every r11 query with >2x med/min " +
+      "spread, quiet-box min-of-5): e15 3.34 min/3.74 med, e17 " +
+      "2.19/2.42, q51 0.89/0.94, q63 0.45/0.71, s10 0.79/0.85, e16 " +
+      "0.44/0.55, d02 2.35/2.41 — ALL tight at historical steady state; " +
+      "every r11 spread was load, not plan."),
     "e14_ann_index_append" -> ("the probe half of the stored-ANN append " +
       "cycle (build + append staged once per JVM, excluded from timed " +
       "passes like d11-d13's fixtures): the codes scan is pruned to the " +
@@ -520,7 +532,10 @@ object PlanDump {
       "residual ~7% above r9's median, at the edge of the same-code " +
       "wobble (d13 swung wider and landed back AT its r9 level in the " +
       "same run). Recorded as predominantly box variance; re-flag if a " +
-      "genuinely quiet box still shows it."),
+      "genuinely quiet box still shows it. Round 12 CLOSES it: the " +
+      "demanded quiet-box re-measurement (min-of-5, idle machine) " +
+      "measures 3.59 min / 3.85 med — BELOW r9's 4.20 med with unchanged " +
+      "code, so the r11 residual was box variance end to end."),
     "d13_index_compaction" -> ("round 11 adjudication of the r10 " +
       "min-level drift (r10 min 4.35 vs r9 med 3.73, +17%): CLOSED as box " +
       "noise. Two loaded-box min-of-5 runs measured 4.10/4.47 min with " +
@@ -584,16 +599,21 @@ object PlanDump {
       "repartitioning (HashedLinearScorerSpec law)."),
     "d18_max_dup_run" -> ("round 12: maximal duplicated-run length via " +
       "multi-resolution doubling — log₂(cap) candidate-promoted levels " +
-      "(a 2n-window needs both n-halves duplicated at level n; two-phase " +
-      "8-byte-hash counts; per-level localCheckpoints cut the plan tree) " +
-      "+ one bounded refinement pass generating all lengths ≤ 2·np(p)−1 " +
-      "per surviving position — fan-out ∝ the duplicated footprint, " +
-      "never corpus². EXACT up to the cap contract (completeness: every " +
-      "sharer generates every qualifying length; soundness: generated " +
-      "windows ⊆ real windows); the DuckDB oracle brute-forces all " +
-      "lengths 1…64 — exactly the all-pairs cost the engine avoids — " +
-      "and hash-matches. Engine cost = log-bounded level passes + one " +
-      "refinement whose fan-out tracks the duplicated footprint."),
+      "on MERKLE hashes (H_2n(p) = xxh64(H_n(p), H_n(p+n)) — no window " +
+      "text ever built or shuffled at level time; a collision only " +
+      "OVER-approximates the candidate set, which preserves the " +
+      "completeness the doubling argument needs) + one refinement pass " +
+      "whose rolling window hashes come from a codegen expression " +
+      "(WindowHashesExpr, O(maxm) per position — the HOF concat-array " +
+      "form was O(maxm²) interpreted allocations) with full text " +
+      "materialized only for candidate hashes and recounted exactly by " +
+      "(hash, text). EXACT up to the cap contract; the DuckDB oracle " +
+      "brute-forces all lengths 1…64 — exactly the all-pairs cost the " +
+      "engine avoids — and hash-matches. Bench note: this query's ~30 " +
+      "iterative stages exposed the 100-entry Janino class-cache thrash " +
+      "(~10 s/pass of recompilation); Sessions now sizes " +
+      "spark.sql.codegen.cache.maxEntries to hold the whole suite, which " +
+      "took d18 13.5→6.7 s and the full 176-query suite 201.6→151.8 s."),
     "q44_salted_join" -> ("at sf0.1 the dim broadcasts, so this query " +
       "exercises the salted operator's correctness, not its necessity. " +
       "Round-5 AQE comparison (graft.AqeSkewBench, appendix below): for " +

@@ -16,6 +16,11 @@ object Sessions {
       // TESTDATA events.ts is parquet TIMESTAMP(NANOS); read as raw longs
       // (Tables.events converts to microsecond timestamps)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // the default 100-entry generated-class cache thrashes under a
+      // 176-query suite: every bench pass re-Janino-compiles every
+      // stage it evicted (multi-stage iterative queries like d18 paid
+      // ~10 s/pass in recompilation alone). Sized to hold the suite.
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       // native engine expressions (cosine_similarity) as SQL functions
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .getOrCreate()

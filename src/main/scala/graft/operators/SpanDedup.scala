@@ -242,27 +242,23 @@ object SpanDedup {
 
   // ------------------------------------------- maximal duplicated runs
 
-  /** Two-phase duplicated-position filter shared by the doubling levels:
-    * keep (idCol, __p) rows whose `__w` window text appears in ≥
-    * `minDocs` DISTINCT documents. Phase 1 shuffles only the 8-byte
-    * hash; phase 2 recounts exactly by (hash, text) over candidates, so
-    * a 64-bit collision can never promote an innocent window (same
-    * collision discipline as [[dupStarts]]).
+  /** Level filter for the doubling phase: keep (idCol, __p, __h) rows
+    * whose window HASH is shared by ≥ `minDocs` distinct documents. The
+    * levels work on Merkle-combined hashes ONLY — no window text is ever
+    * built or shuffled (8 bytes per position per level) — because the
+    * levels are a CANDIDATE-GENERATION device: a hash collision can only
+    * merge groups and inflate the count, i.e. OVER-approximate the
+    * duplicated set, and the refinement's exact (hash, text) recount
+    * makes the final answer exact regardless. Completeness is what the
+    * doubling argument needs, and over-approximation preserves it.
     */
-  private def dupPositions(w: DataFrame, idCol: String,
-                           minDocs: Int): DataFrame = {
-    val h = w.withColumn("__h", xxhash64(col("__w")))
-    val cand = h.groupBy("__h")
+  private def dupHashPositions(w: DataFrame, idCol: String,
+                               minDocs: Int): DataFrame = {
+    val cand = w.groupBy("__h")
       .agg(countDistinct(col(idCol)).as("__nd"))
       .filter(col("__nd") >= minDocs)
       .select("__h")
-    val pruned = h.join(cand, "__h")
-    val keys = pruned.groupBy("__h", "__w")
-      .agg(countDistinct(col(idCol)).as("__nd"))
-      .filter(col("__nd") >= minDocs)
-      .select("__h", "__w")
-    pruned.join(keys, Seq("__h", "__w"))
-      .select(col(idCol), col("__p"))
+    w.join(cand, "__h")
   }
 
   /** MAXIMAL duplicated-run length per document — the arbitrary-length
@@ -271,15 +267,21 @@ object SpanDedup {
     * another?"), answered WITHOUT suffix arrays or all-pairs cost by a
     * MULTI-RESOLUTION doubling composition:
     *
-    *   1. DOUBLING LEVELS. For n = 1, 2, 4, … ≤ cap, compute the set
-    *      D_n of positions whose n-token window is shared by ≥ `minDocs`
-    *      distinct documents. Level 1 scans every token (one corpus pass,
-    *      8-byte hash shuffle); every later level PROMOTES candidates —
-    *      a 2n-window at p is duplicated only if the n-windows at p and
-    *      p+n both are, so level 2n builds windows only at positions with
-    *      both halves in D_n. Each level is one bounded pass; there are
-    *      log₂(cap) of them, with per-level `localCheckpoint`s cutting
-    *      the plan tree (the [[GraphOps]] iteration discipline).
+    *   1. DOUBLING LEVELS on MERKLE HASHES. For n = 1, 2, 4, … ≤ cap,
+    *      compute the (over-approximated) set D_n of positions whose
+    *      n-token window hash is shared by ≥ `minDocs` distinct
+    *      documents. Level windows are never materialized as text:
+    *      H_1(p) = xxhash64(token), H_2n(p) = xxhash64(H_n(p), H_n(p+n))
+    *      — equal windows always share the combined hash (completeness,
+    *      which is all candidate generation needs), and a collision only
+    *      OVER-approximates D_n (extra refinement fan-out, never a wrong
+    *      answer: the refinement recounts exactly). Each level is one
+    *      self-join on (id, p ± n) plus one 8-byte hash group-by — no
+    *      base join, no string building; log₂(cap) levels with per-level
+    *      `localCheckpoint`s cutting the plan tree (the [[GraphOps]]
+    *      iteration discipline). The p+n candidate existing already
+    *      implies the 2n window fits the document, so no length filter
+    *      is needed.
     *
     *   2. BOUNDED REFINEMENT. Let np(p) = the largest level at which p
     *      survived. Any duplicated window of length m starting at p
@@ -304,46 +306,54 @@ object SpanDedup {
     val base = df.select(col(idCol), toks(col(textCol)).as("__toks"))
       .withColumn("__len", size(col("__toks")))
       .localCheckpoint(true)
-    // level 1: every position, window = the token itself
+    // level 1: every position, hash = the token's hash
     var n = 1
-    var cand = dupPositions(
+    var cand = dupHashPositions(
       base.select(col(idCol),
-        posexplode(col("__toks")).as(Seq("__p", "__w"))),
+          posexplode(col("__toks")).as(Seq("__p", "__tok")))
+        .select(col(idCol), col("__p"), xxhash64(col("__tok")).as("__h")),
       idCol, minDocs).withColumn("__np", lit(1)).localCheckpoint(true)
-    var levels = List(cand)
+    var levels = List(cand.select(col(idCol), col("__p"), col("__np")))
     while (2 * n <= cap && !cand.isEmpty) {
       val m = 2 * n
-      val left = cand.select(col(idCol), col("__p"))
-      val right = cand.select(col(idCol), (col("__p") - n).as("__p"))
-      val both = left.join(right, Seq(idCol, "__p"))
-      val w = both.join(base, Seq(idCol))
-        .filter(col("__p") + m <= col("__len"))
+      val left = cand.select(col(idCol), col("__p"), col("__h").as("__h1"))
+      val right = cand.select(col(idCol), (col("__p") - n).as("__p"),
+        col("__h").as("__h2"))
+      val w = left.join(right, Seq(idCol, "__p"))
         .select(col(idCol), col("__p"),
-          array_join(slice(col("__toks"), col("__p") + 1, lit(m)), " ")
-            .as("__w"))
-      cand = dupPositions(w, idCol, minDocs)
+          xxhash64(col("__h1"), col("__h2")).as("__h"))
+      cand = dupHashPositions(w, idCol, minDocs)
         .withColumn("__np", lit(m)).localCheckpoint(true)
-      levels ::= cand
+      levels ::= cand.select(col(idCol), col("__p"), col("__np"))
       n = m
     }
     // np(p) = last level at which p survived
     val np = levels.reduce(_ unionByName _)
       .groupBy(col(idCol), col("__p"))
       .agg(max(col("__np")).as("__np"))
-    // refinement: all lengths up to the per-position bound, one pass
+    // refinement phase 1 on ROLLING WINDOW HASHES — one chained
+    // xxhash64 per (position, length), built incrementally in O(maxm)
+    // per position (h_m = xxhash64(h_{m-1}, token), no O(m²) string
+    // rebuilding) and shuffled at 8 bytes per window. Full window TEXT
+    // is materialized only for candidate hashes in phase 2 (the d15
+    // "window text never rides a corpus-wide shuffle" discipline); the
+    // exact (hash, text) recount keeps 64-bit collisions harmless.
+    val maxm = least(lit(2) * col("__np") - 1, lit(cap),
+      col("__len") - col("__p"))
+    val winHashes = graft.plans.WindowHashesExpr.windowHashes(
+      col("__toks"), col("__p"), maxm)
     val gen = np.join(base, Seq(idCol))
-      .select(col(idCol), col("__p"), col("__toks"),
-        explode(sequence(lit(1),
-          least(lit(2) * col("__np") - 1, lit(cap),
-            col("__len") - col("__p")))).as("__m"))
-      .select(col(idCol), col("__p"), col("__m"),
-        array_join(slice(col("__toks"), col("__p") + 1, col("__m")), " ")
-          .as("__w"))
+      .select(col(idCol), col("__p"),
+        posexplode(winHashes).as(Seq("__mi", "__h")))
+      .select(col(idCol), col("__p"), (col("__mi") + 1).as("__m"), col("__h"))
     val dupLens = {
-      val h = gen.withColumn("__h", xxhash64(col("__w")))
-      val c1 = h.groupBy("__h").agg(countDistinct(col(idCol)).as("__nd"))
+      val c1 = gen.groupBy("__h").agg(countDistinct(col(idCol)).as("__nd"))
         .filter(col("__nd") >= minDocs).select("__h")
-      val pruned = h.join(c1, "__h")
+      // phase 2: rebuild text for candidate (position, length) rows only
+      val pruned = gen.join(c1, "__h").join(base, Seq(idCol))
+        .select(col(idCol), col("__m"), col("__h"),
+          array_join(slice(col("__toks"), col("__p") + 1, col("__m")), " ")
+            .as("__w"))
       val keys = pruned.groupBy("__h", "__w")
         .agg(countDistinct(col(idCol)).as("__nd"))
         .filter(col("__nd") >= minDocs).select("__h", "__w")

@@ -614,6 +614,15 @@ object PlanDump {
       "(~10 s/pass of recompilation); Sessions now sizes " +
       "spark.sql.codegen.cache.maxEntries to hold the whole suite, which " +
       "took d18 13.5→6.7 s and the full 176-query suite 201.6→151.8 s."),
+    "t33_hybrid_rrf" -> ("round 12: hybrid retrieval — BM25 top-50 and " +
+      "embedding-cosine top-50 fused by reciprocal-rank fusion " +
+      "(1/(60+rank), missing list contributes 0). Ranks computed on " +
+      "ROUNDED scores with id tie-breaks so both engines cut the same " +
+      "top-k; the two rank windows are single-partition over exactly k " +
+      "pre-limited rows (bounded by construction, not data-sized); " +
+      "fusion joins 2k rows. At 100 TB each leg is its own TakeOrdered " +
+      "over the posting store (s15 probe shape) / ANN index (e14 probe " +
+      "shape); the fusion cost never grows past 2k."),
     "q44_salted_join" -> ("at sf0.1 the dim broadcasts, so this query " +
       "exercises the salted operator's correctness, not its necessity. " +
       "Round-5 AQE comparison (graft.AqeSkewBench, appendix below): for " +

@@ -1122,8 +1122,101 @@ object TextQueries {
         "doc_id")
   }, GoldenOracles.sqlFor("t32_classifier_train"))
 
+  // ---------------------------------------------------------------- t33
+  /** HYBRID RETRIEVAL with RECIPROCAL-RANK FUSION (Cormack et al. 2009 —
+    * the RAG-stack standard for combining lexical and dense rankers):
+    * the BM25 top-50 (t25's scorer) and the embedding-cosine top-50
+    * (e01's scorer, restricted to vectors whose id IS a document id)
+    * fuse by RRF(d) = Σ 1/(60 + rank_i(d)), missing-from-a-list
+    * contributes 0. Ranks are computed on the ROUNDED scores with id
+    * tie-breaks, so both engines cut the same top-k and assign identical
+    * ranks; the fusion arithmetic is two IEEE terms added in a fixed
+    * order. The rank windows run over k=50 rows (bounded by
+    * construction — not a data-sized single partition); at 100 TB each
+    * leg is its own TakeOrdered over the posting store / ANN index and
+    * fusion touches 2k rows.
+    */
+  val t33_hybrid_rrf = q("t33_hybrid_rrf",
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split(lower(${normSql("text")}), ' ')) AS term
+       |  FROM documents),
+       |tk AS (SELECT doc_id, term FROM toks WHERE length(term) > 0),
+       |dl AS (SELECT d.doc_id, COALESCE(t.c, 0) AS dl
+       |       FROM documents d
+       |       LEFT JOIN (SELECT doc_id, COUNT(*) AS c FROM tk GROUP BY 1) t USING (doc_id)),
+       |st AS (SELECT COUNT(*) AS n, SUM(dl) AS tdl FROM dl),
+       |p AS (SELECT term, doc_id, COUNT(*) AS tf FROM tk
+       |      WHERE term IN ('dup', 'merge', 'scan') GROUP BY 1, 2),
+       |df AS (SELECT term, COUNT(*) AS df FROM p GROUP BY 1),
+       |sc AS (
+       |  SELECT p.doc_id,
+       |    (ln(1.0 + (CAST(st.n AS DOUBLE) - CAST(df.df AS DOUBLE) + 0.5)
+       |              / (CAST(df.df AS DOUBLE) + 0.5))
+       |      * (CAST(p.tf AS DOUBLE) * 2.5))
+       |    / (CAST(p.tf AS DOUBLE)
+       |       + (1.5 * (0.25 + ((0.75 * CAST(dl.dl AS DOUBLE))
+       |                         / (CAST(st.tdl AS DOUBLE) / CAST(st.n AS DOUBLE)))))) AS tscore
+       |  FROM p JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st),
+       |bm AS (SELECT doc_id,
+       |         ROUND(CAST(SUM(CAST(tscore AS DECIMAL(18,9))) AS DOUBLE), 6) AS bm25
+       |       FROM sc GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 50),
+       |bmr AS (SELECT doc_id,
+       |          ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS r_bm25 FROM bm),
+       |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+       |ec AS (SELECT e.vec_id AS doc_id,
+       |         ROUND(${"\n"}${cosEmbSql("qv", "e.embedding")}, 6) AS c
+       |       FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+       |       CROSS JOIN q WHERE e.vec_id <> 0),
+       |ctop AS (SELECT doc_id, c FROM ec ORDER BY c DESC, doc_id LIMIT 50),
+       |cr AS (SELECT doc_id,
+       |         ROW_NUMBER() OVER (ORDER BY c DESC, doc_id) AS r_cos FROM ctop),
+       |f AS (SELECT COALESCE(bmr.doc_id, cr.doc_id) AS doc_id,
+       |        CAST(bmr.r_bm25 AS INT) AS r_bm25, CAST(cr.r_cos AS INT) AS r_cos,
+       |        ROUND(COALESCE(CAST(1.0 AS DOUBLE) / (60 + bmr.r_bm25), 0)
+       |            + COALESCE(CAST(1.0 AS DOUBLE) / (60 + cr.r_cos), 0), 6) AS rrf
+       |      FROM bmr FULL OUTER JOIN cr ON bmr.doc_id = cr.doc_id)
+       |SELECT doc_id, r_bm25, r_cos, rrf FROM f
+       |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin) { (s, dir) =>
+    import graft.operators.Retrieval
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+    val post = Retrieval.postings(docs, "doc_id", "text")
+    val dl = Retrieval.docLengths(docs, "doc_id", "text")
+    val bm = Retrieval.bm25TopK(post, dl, "doc_id",
+      Seq("dup", "merge", "scan"), 50)
+    val bmR = bm.select(col("doc_id"),
+      row_number().over(Window.orderBy(col("bm25").desc, col("doc_id")))
+        .as("r_bm25"))
+    val emb = Tables.embeddings(s, dir)
+      .join(docs.select(col("doc_id")), col("vec_id") === col("doc_id"))
+    val qv = Tables.embeddings(s, dir).filter(col("vec_id") === 0)
+      .select(col("embedding").as("qv"))
+    val cosTop = emb.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(qv))
+      .select(col("vec_id").as("doc_id"),
+        round(graft.plans.CosineSimilarityExpr.cosine(
+          col("qv"), col("embedding")), 6).as("c"))
+      .orderBy(col("c").desc, col("doc_id")).limit(50)
+    val cosR = cosTop.select(col("doc_id"),
+      row_number().over(Window.orderBy(col("c").desc, col("doc_id")))
+        .as("r_cos"))
+    bmR.join(cosR, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("r_bm25"), col("r_cos"),
+        round(coalesce(lit(1.0) / (lit(60) + col("r_bm25")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("r_cos")), lit(0.0)), 6)
+          .as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id")).limit(10)
+  }
+
+  /** DuckDB mirror of the engine's cosine (see EmbeddingQueries.cosSql). */
+  private def cosEmbSql(a: String, b: String): String =
+    s"""(list_sum(list_transform(list_zip($a, $b),
+       |    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+       | / (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       |   * sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))))""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
-    t31_unicode_normalize, t32_classifier_train,
+    t31_unicode_normalize, t32_classifier_train, t33_hybrid_rrf,
     t01_token_stats, t02_quality_score, t03_lang_id, t04_fingerprint,
     t05_rolling_hash, t06_redact, t07_tfidf_top_terms, t08_curation_pipeline,
     t09_repetition, t10_mixture_resample, t11_boilerplate_ngrams,

@@ -149,4 +149,27 @@ class RetrievalSpec extends SparkSpec {
       .select("term", "pos").as[(String, Int)].collect().toSeq ==
       Seq(("table", 1), ("table", 2)))
   }
+
+  test("reciprocal-rank fusion laws (the t33 composition)") {
+    // RRF(d) = sum over lists of 1/(60 + rank_d); a doc present in BOTH
+    // lists at modest ranks must beat a doc that tops only one list when
+    // the other list's absence outweighs the single first place:
+    // 1/61 + 0 = 0.01639 < 1/63 + 1/63 = 0.03175
+    import org.apache.spark.sql.expressions.Window
+    val bm = Seq((10L, 1), (20L, 2), (30L, 3), (40L, 4)).toDF("doc_id", "r_bm25")
+    val cos = Seq((99L, 1), (20L, 2), (30L, 3), (50L, 4)).toDF("doc_id", "r_cos")
+    val fused = bm.join(cos, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        (coalesce(lit(1.0) / (lit(60) + col("r_bm25")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("r_cos")), lit(0.0))).as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .select("doc_id").as[Long].collect().toSeq
+    // both-lists docs 20 and 30 outrank every single-list doc, including
+    // the two rank-1 singletons (10 and 99)
+    assert(fused.take(2) == Seq(20L, 30L), fused.toString)
+    assert(fused.drop(2).toSet == Set(10L, 99L, 40L, 50L))
+    // ties between symmetric single-list docs break by id: 10 (bm25 #1)
+    // and 99 (cos #1) carry identical rrf, so 10 precedes 99
+    assert(fused.indexOf(10L) < fused.indexOf(99L))
+  }
 }

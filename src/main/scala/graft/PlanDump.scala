@@ -614,6 +614,19 @@ object PlanDump {
       "(~10 s/pass of recompilation); Sessions now sizes " +
       "spark.sql.codegen.cache.maxEntries to hold the whole suite, which " +
       "took d18 13.5→6.7 s and the full 176-query suite 201.6→151.8 s."),
+    "d19_contamination_coverage" -> ("round 12: per-document " +
+      "contamination report — the benchmark side reduces to distinct " +
+      "window strings (broadcast), the semi-join runs map-side inside " +
+      "the corpus scan stage (d16's plan), and coverage is the per-doc " +
+      "merged-interval aggregate HOF (no position explode). The corpus " +
+      "never shuffles; every target document reports."),
+    "q69_weekly_percentile_rollup" -> ("round 12: two-level sketch " +
+      "rollup — weekly percentiles from MERGED per-day sketches, no " +
+      "event re-scan: one day-keyed sketch aggregate, one week-keyed " +
+      "binwise merge (both map-side combined), quantile extraction per " +
+      "group. Exact-regime oracle (rank-exact weekly percentile) fails " +
+      "the hash gate if the merge loses or double-counts anything — the " +
+      "mergeable-summary property as a user operation."),
     "t33_hybrid_rrf" -> ("round 12: hybrid retrieval — BM25 top-50 and " +
       "embedding-cosine top-50 fused by reciprocal-rank fusion " +
       "(1/(60+rank), missing list contributes 0). Ranks computed on " +

@@ -240,6 +240,36 @@ object SpanDedup {
     removeByStarts(df, idCol, textCol,
       contaminatedStarts(df, idCol, textCol, ref, refTextCol, n), n)
 
+  /** Per-document CONTAMINATION REPORT against a benchmark corpus: how
+    * many n-token windows overlap the reference verbatim, how many
+    * tokens the union of those spans covers, and the covered fraction —
+    * the number a pretraining paper publishes per eval set (PaLM/GPT-3
+    * style) and the triage signal deciding between excision (d16) and
+    * document drop (d08). Same merged-interval fold as [[coverage]],
+    * same broadcast-semi-join plan as [[contaminatedStarts]]; every
+    * input document gets a row (zeroes when clean).
+    */
+  def contaminationCoverage(df: DataFrame, idCol: String, textCol: String,
+                            ref: DataFrame, refTextCol: String,
+                            n: Int): DataFrame = {
+    val base = df.select(col(idCol), size(toks(col(textCol))).as("n_tokens"))
+      .withColumn("n_windows",
+        greatest(lit(0), col("n_tokens") - (n - 1)).cast("long"))
+    val per = contaminatedStarts(df, idCol, textCol, ref, refTextCol, n)
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("contaminated_windows"),
+        coveredTokens(collect_list(col("__start")), n).as("contaminated_tokens"))
+    base.join(per, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens").cast("long").as("n_tokens"),
+        col("n_windows"),
+        coalesce(col("contaminated_windows"), lit(0L)).as("contaminated_windows"),
+        coalesce(col("contaminated_tokens"), lit(0L)).as("contaminated_tokens"),
+        round(when(col("n_tokens") > 0,
+          coalesce(col("contaminated_tokens"), lit(0L)).cast("double") /
+            col("n_tokens").cast("double")).otherwise(lit(0.0)), 6)
+          .as("contaminated_frac"))
+  }
+
   // ------------------------------------------- maximal duplicated runs
 
   /** Level filter for the doubling phase: keep (idCol, __p, __h) rows

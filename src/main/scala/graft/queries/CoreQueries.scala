@@ -1573,6 +1573,43 @@ object CoreQueries {
         QuantileSketch.quantileAt(col("__sk"), 99).as("p99_cents"))
   }
 
+  // ---------------------------------------------------------------- q69
+  /** TWO-LEVEL SKETCH ROLLUP: weekly value percentiles computed by
+    * MERGING the per-day quantile sketches — never re-scanning events —
+    * the mergeable-sketch property (q68/s19) exercised as a USER
+    * operation: a dashboard rolls daily sketches into weekly/monthly
+    * percentiles at sketch cost, which is the entire reason mergeable
+    * summaries exist. At s = 15 cent values sit in the exact regime, so
+    * the oracle is the rank-exact weekly percentile straight off the
+    * fact table — if merge lost or double-counted anything, the hash
+    * gate fails.
+    */
+  val q69_weekly_percentile_rollup = q("q69_weekly_percentile_rollup",
+    """WITH e AS (SELECT CAST(date_trunc('week', CAST(ts AS DATE)) AS DATE) AS week,
+      |        CAST(floor(value * 100) AS BIGINT) AS x FROM events),
+      |t AS (SELECT week, CAST(COUNT(*) AS BIGINT) AS n FROM e GROUP BY 1),
+      |r AS (SELECT week, x,
+      |        ROW_NUMBER() OVER (PARTITION BY week ORDER BY x) AS rn FROM e)
+      |SELECT r.week, t.n AS n_events,
+      |  MIN(CASE WHEN rn >= (50 * n + 99) // 100 THEN x END) AS p50,
+      |  MIN(CASE WHEN rn >= (99 * n + 99) // 100 THEN x END) AS p99
+      |FROM r JOIN t USING (week)
+      |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+    import graft.plans.QuantileSketch
+    val daily = Tables.events(s, dir)
+      .select(col("ts").cast("date").as("day"),
+        floor(col("value") * 100).cast("long").as("x"))
+      .groupBy("day")
+      .agg(QuantileSketch.sketch(col("x"), s = 15).as("__sk"))
+    daily
+      .groupBy(date_trunc("week", col("day")).cast("date").as("week"))
+      .agg(QuantileSketch.mergeAgg(col("__sk")).as("__m"))
+      .select(col("week"),
+        QuantileSketch.sketchCount(col("__m")).as("n_events"),
+        QuantileSketch.quantileAt(col("__m"), 50).as("p50"),
+        QuantileSketch.quantileAt(col("__m"), 99).as("p99"))
+  }
+
   // ---------------------------------------------------------------- q66
   /** PERCENT-OF-TOTAL contribution (ratio-to-report): each nation's share
     * of its region's revenue. The denominator is a SEPARATE decimal-exact
@@ -1618,7 +1655,7 @@ object CoreQueries {
     q58_gap_fill_daily, q59_pagerank, q60_rolling_distinct_users,
     q61_bfs_levels, q62_weighted_sample, q63_rolling_anomaly,
     q64_cms_frequency, q65_bucketed_interval_join, q66_revenue_share,
-    q67_interval_overlap, q68_quantile_sketch,
+    q67_interval_overlap, q68_quantile_sketch, q69_weekly_percentile_rollup,
     q48_drift_psi, q47_jaro_top1, q46_stratified_sample,
     q30_numeric_describe, q31_ship_priority, q32_regional_volume, q33_small_quantity,
     q34_approx_stats, q35_from_json, q36_array_agg, q37_order_distribution,

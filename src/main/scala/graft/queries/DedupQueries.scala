@@ -606,11 +606,53 @@ object DedupQueries {
       Tables.documents(s, dir), "doc_id", "text", minDocs = 2, cap = 64)
   }
 
+  // ---------------------------------------------------------------- d19
+  /** CONTAMINATION COVERAGE REPORT
+    * ([[graft.operators.SpanDedup.contaminationCoverage]]): per-document
+    * benchmark-overlap statistics — contaminated window count, tokens
+    * covered by the union of contaminated spans (merged-interval fold),
+    * and the covered fraction — the per-eval-set number a pretraining
+    * paper publishes, and the triage signal between span excision (d16)
+    * and whole-document drop (d08). Every 10th document plays the eval
+    * set (d16's convention); every target document reports, zeroes when
+    * clean.
+    */
+  val d19_contamination_coverage = q("d19_contamination_coverage", Some(
+    s"""WITH t AS (SELECT doc_id,
+       |        [x for x in string_split(${normSql("text")}, ' ') if x <> ''] AS toks
+       |      FROM documents),
+       |refw AS (SELECT DISTINCT array_to_string(toks[s+1:s+8], ' ') AS w
+       |         FROM (SELECT toks, unnest(range(0, len(toks) - 7)) AS s
+       |               FROM t WHERE doc_id % 10 = 0 AND len(toks) >= 8)),
+       |b AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE doc_id % 10 <> 0),
+       |w0 AS (SELECT doc_id, toks, unnest(range(0, len(toks) - 7)) AS s
+       |       FROM b WHERE len(toks) >= 8),
+       |w AS (SELECT doc_id, s, array_to_string(toks[s+1:s+8], ' ') AS w FROM w0),
+       |cs AS (SELECT doc_id, s FROM w WHERE w IN (SELECT w FROM refw)),
+       |agg AS (SELECT doc_id, count(*) AS contaminated_windows FROM cs GROUP BY 1),
+       |cov AS (SELECT doc_id, count(DISTINCT p) AS contaminated_tokens
+       |        FROM (SELECT doc_id, unnest(range(s, s + 8)) AS p FROM cs)
+       |        GROUP BY 1)
+       |SELECT b.doc_id, CAST(b.n AS BIGINT) AS n_tokens,
+       |  greatest(0, b.n - 7) AS n_windows,
+       |  coalesce(agg.contaminated_windows, 0) AS contaminated_windows,
+       |  coalesce(cov.contaminated_tokens, 0) AS contaminated_tokens,
+       |  ROUND(CASE WHEN b.n > 0
+       |        THEN CAST(coalesce(cov.contaminated_tokens, 0) AS DOUBLE)
+       |             / CAST(b.n AS DOUBLE) ELSE 0.0 END, 6) AS contaminated_frac
+       |FROM b LEFT JOIN agg USING (doc_id) LEFT JOIN cov USING (doc_id)"""
+      .stripMargin)) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    graft.operators.SpanDedup.contaminationCoverage(
+      docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text",
+      docs.filter(col("doc_id") % 10 === 0), "text", n = 8)
+  }
+
   val all: Seq[GraftQuery] = Seq(
     d01_exact_dup_groups, d02_ngram_jaccard, d03_minhash_lsh, d04_simhash,
     d05_simhash_neardup, d06_dedup_clusters, d07_dedup_apply,
     d08_contamination, d09_bloom_decontaminate, d10_incremental_neardup,
     d11_indexed_neardup, d12_extended_neardup, d13_index_compaction,
     d14_dedup_keep_best, d15_span_coverage, d16_span_decontaminate,
-    d17_containment_pairs, d18_max_dup_run)
+    d17_containment_pairs, d18_max_dup_run, d19_contamination_coverage)
 }

@@ -157,6 +157,25 @@ class SpanDedupSpec extends SparkSpec {
       "fixture should contain duplicated spans")
   }
 
+  test("contaminationCoverage counts exactly what decontaminateSpans removes") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val tgt = docs.filter(col("doc_id") % 10 =!= 0)
+    val ref = docs.filter(col("doc_id") % 10 === 0)
+    val cov = SpanDedup.contaminationCoverage(tgt, "doc_id", "text", ref, "text", 8)
+    val rem = SpanDedup.decontaminateSpans(tgt, "doc_id", "text", ref, "text", 8)
+      .select(col("doc_id"), col("removed_tokens"))
+    val joined = cov.join(rem, "doc_id")
+    assert(joined.filter(col("contaminated_tokens") =!= col("removed_tokens"))
+      .count() === 0)
+    assert(cov.filter(col("contaminated_windows") > 0).count() > 0,
+      "fixture should contain contaminated documents")
+    // fraction bounds and zero-row completeness
+    assert(cov.filter(col("contaminated_frac") < 0 ||
+      col("contaminated_frac") > 1).count() === 0)
+    assert(cov.count() === tgt.count())
+  }
+
   // --------------------------------------------- maximal duplicated runs
 
   /** Brute force over all window lengths — the exact small-scale oracle

@@ -320,6 +320,43 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("q68: sketch aggregation is partial (map-side combine), pruned scan") {
+    val p = plan(CoreQueries.q68_quantile_sketch)
+    // TypedImperativeAggregate plans as ObjectHashAggregate with a
+    // partial pass before the exchange — the sketch merges map-side
+    assert(p.linesIterator.count(_.contains("ObjectHashAggregate")) >= 2, p)
+    assert(p.contains("partial_qsketch"), p)
+    val reads = p.linesIterator.filter(_.contains("ReadSchema")).toList
+    assert(reads.forall(r => !r.contains("props") && !r.contains("user_id")),
+      reads.mkString("\n"))
+  }
+
+  test("q69: rollup never re-scans events — one scan, two sketch aggregates") {
+    val p = plan(CoreQueries.q69_weekly_percentile_rollup)
+    assert(p.linesIterator.count(_.contains("FileScan")) == 1, p)
+    assert(p.contains("partial_qsketch") && p.contains("qsketch_merge"), p)
+  }
+
+  test("d19: benchmark windows broadcast; the target corpus never shuffles before the semi-join") {
+    val p = plan(DedupQueries.d19_contamination_coverage)
+    assert(p.linesIterator.exists(l => l.contains("BroadcastHashJoin") &&
+      l.contains("LeftSemi")), p)
+    val reads = p.linesIterator.filter(_.contains("ReadSchema")).toList
+    assert(reads.nonEmpty &&
+      reads.forall(_.contains("struct<doc_id:bigint,text:string>")),
+      reads.mkString("\n"))
+  }
+
+  test("t33: both fusion legs are limit-bounded before their rank windows") {
+    val p = plan(TextQueries.t33_hybrid_rrf)
+    // the single-partition windows must consume pre-limited (k-row)
+    // inputs: every Window node sits above a limit in this plan
+    assert(p.linesIterator.count(_.contains("Window")) >= 2, p)
+    assert(p.linesIterator.exists(_.contains("TakeOrderedAndProject")) ||
+      p.linesIterator.exists(_.contains("GlobalLimit")), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q67: interval-overlap data join is hash-side on the bucket key") {
     val p = plan(CoreQueries.q67_interval_overlap)
     // the session × window join must be a plain hash join on __bk — the

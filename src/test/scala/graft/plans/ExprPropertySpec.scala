@@ -153,4 +153,67 @@ class ExprPropertySpec extends SparkSpec {
       assert(IndelRatioExpr.ratio(ua, ub) == expected)
     }
   }
+
+  test("WindowHashesExpr: content-determined, length-bounded, prefix-consistent") {
+    val rnd = new scala.util.Random(20260814L)
+    val vocab = Vector("aa", "b", "ccc", "d", "ee", "f")
+    def arr(ts: Seq[String]) = org.apache.spark.sql.catalyst.util.ArrayData
+      .toArrayData(ts.map(org.apache.spark.unsafe.types.UTF8String.fromString).toArray)
+    (1 to 200).foreach { _ =>
+      val n = 1 + rnd.nextInt(20)
+      val toks = Seq.fill(n)(vocab(rnd.nextInt(vocab.size)))
+      val p = rnd.nextInt(n)
+      val maxLen = 1 + rnd.nextInt(12)
+      val out = WindowHashesExpr.compute(arr(toks), p, maxLen)
+      // length = min(maxLen, n - p)
+      assert(out.numElements() == math.min(maxLen, n - p), s"$toks $p $maxLen")
+      // content determinism: the same window embedded at another position
+      // in another array hashes identically, element for element
+      val shift = rnd.nextInt(4)
+      val toks2 = Seq.fill(shift)("zz") ++ toks.drop(p)
+      val out2 = WindowHashesExpr.compute(arr(toks2), shift, maxLen)
+      (0 until math.min(out.numElements(), out2.numElements())).foreach { i =>
+        assert(out.getLong(i) == out2.getLong(i), s"window $i differs")
+      }
+      // prefix consistency: recomputing with smaller maxLen gives a prefix
+      val shorter = WindowHashesExpr.compute(arr(toks), p, math.max(1, maxLen - 2))
+      (0 until shorter.numElements()).foreach { i =>
+        assert(shorter.getLong(i) == out.getLong(i))
+      }
+      // discrimination: different first token => different h_1
+      val flipped = ("zq" +: toks.drop(p + 1))
+      val outF = WindowHashesExpr.compute(arr(flipped), 0, 1)
+      assert(outF.getLong(0) != out.getLong(0) || toks(p) == "zq")
+    }
+  }
+
+  test("UnicodeNormalizeExpr: idempotence and NFC(NFD(x)) == NFC(x) on random strings") {
+    val rnd = new scala.util.Random(42L)
+    val pieces = Vector("a", "é", "e\u0301" /* e+combining acute */,
+      "ü", "u\u0308" /* u+combining diaeresis */,
+      "ﬁ", "中", "x", " ", "n~" /* plain */,
+      "ñ", "n\u0303" /* n+combining tilde */)
+    def randomString(): org.apache.spark.unsafe.types.UTF8String =
+      org.apache.spark.unsafe.types.UTF8String.fromString(
+        Seq.fill(1 + rnd.nextInt(12))(pieces(rnd.nextInt(pieces.size))).mkString)
+    (1 to 300).foreach { _ =>
+      val s = randomString()
+      for (form <- Seq("NFC", "NFKC")) {
+        val once = UnicodeNormalizeExpr.normalize(s, form, stripAccents = false)
+        val twice = UnicodeNormalizeExpr.normalize(once, form, stripAccents = false)
+        assert(once.toString == twice.toString, s"$form not idempotent on $s")
+      }
+      val viaNfd = UnicodeNormalizeExpr.normalize(
+        UnicodeNormalizeExpr.normalize(s, "NFD", stripAccents = false),
+        "NFC", stripAccents = false)
+      val direct = UnicodeNormalizeExpr.normalize(s, "NFC", stripAccents = false)
+      assert(viaNfd.toString == direct.toString, s"NFC∘NFD != NFC on $s")
+      // accent fold is idempotent and never reintroduces combining marks
+      val folded = UnicodeNormalizeExpr.normalize(s, "NFC", stripAccents = true)
+      val folded2 = UnicodeNormalizeExpr.normalize(folded, "NFC", stripAccents = true)
+      assert(folded.toString == folded2.toString)
+      assert(!folded.toString.exists(c =>
+        Character.getType(c) == Character.NON_SPACING_MARK))
+    }
+  }
 }

@@ -464,7 +464,12 @@ object PlanDump {
       "spread, quiet-box min-of-5): e15 3.34 min/3.74 med, e17 " +
       "2.19/2.42, q51 0.89/0.94, q63 0.45/0.71, s10 0.79/0.85, e16 " +
       "0.44/0.55, d02 2.35/2.41 — ALL tight at historical steady state; " +
-      "every r11 spread was load, not plan."),
+      "every r11 spread was load, not plan. The round-12 FINAL artifact " +
+      "(130.5 s med / 119.5 s min, 179 queries) contains ZERO queries " +
+      "with a >2x med/min spread — the first fully-tight artifact; the " +
+      "codegen-cache fix removed the recompilation component that made " +
+      "pass times bimodal, so next round's adjudication queue starts " +
+      "empty."),
     "e14_ann_index_append" -> ("the probe half of the stored-ANN append " +
       "cycle (build + append staged once per JVM, excluded from timed " +
       "passes like d11-d13's fixtures): the codes scan is pruned to the " +

@@ -180,6 +180,17 @@ object ScaleSmoke {
             bench, "text", 8)
           .agg(sum("removed_tokens")).collect()(0).getLong(0)
       }),
+      // maximal duplicated run under the hot key: 3000 identical
+      // boilerplate docs drive every position's ladder to the full doc
+      // length and every refinement window to a corpus-wide heavy hitter
+      // — the fan-out the cap contract bounds (≤ min(2·np−1, cap, len−p)
+      // per position, ∝ duplicated footprint). The round-12 brief's
+      // missing gate: the only heavyweight dedup operator without one.
+      run("d18_max_dup_run",
+        operators.SpanDedup.maxDuplicatedRun(docsSmall, "doc_id", "text")
+          .agg(sum("max_dup_run")).collect()(0).getLong(0),
+        operators.SpanDedup.maxDuplicatedRun(docsBig, "doc_id", "text")
+          .agg(sum("max_dup_run")).collect()(0).getLong(0)),
       run("e05_cosine_neardup",
         ext.EmbeddingDedup.cosineNearDupPairs(embSmall, "vec_id", "embedding",
           "label", 0.42).count(),

@@ -109,6 +109,166 @@ object HashedLinearScorer {
     Array.tabulate(buckets)(b => Math.round((w(b) + bias) * den))
   }
 
+  // --------------------------------------------------- multi-class (OvR)
+
+  /** Character n-gram feature tokens — the standard lang-id feature
+    * (fastText's default): overlapping substrings of length `n` over the
+    * lowercased whitespace-normalized text. Row-local HOF transform;
+    * shorter texts yield an empty array (no features, mirroring empty
+    * docs in the word path).
+    */
+  def charNgramTokens(n: Int)(textCol: Column): Column = {
+    require(n >= 1, "n-gram length must be >= 1")
+    val t = lower(TextFunctions.normalizeWs(textCol))
+    when(length(t) >= n,
+      transform(sequence(lit(1), length(t) - (n - 1)),
+        i => t.substr(i, lit(n))))
+      .otherwise(array())
+  }
+
+  /** Default word features: whitespace tokens of the normalized text —
+    * exactly the binary [[score]]/[[trainRidge]] featurization.
+    */
+  def wordTokens(textCol: Column): Column = {
+    val t = TextFunctions.normalizeWs(textCol)
+    when(length(t) > 0, split(t, " ")).otherwise(array())
+  }
+
+  /** MULTI-CLASS one-vs-rest ridge training sharing ONE moment pass —
+    * the k-class form of [[trainRidge]] (lang-id is the canonical user).
+    * The Gram matrix XᵀX is label-independent, so all k one-vs-rest
+    * problems `(XᵀX + λI) w_c = Xᵀy_c` share it; and with OvR labels
+    * y_c ∈ {+1 on class c, −1 elsewhere},
+    *
+    *   Xᵀy_c = 2·S_c − S_all,   S_c = Σ_{label=c} x_d,  S_all = Σ_d x_d,
+    *
+    * so ONE extra per-(label, bucket) DECIMAL-folded sum — k·(B+1) cells
+    * next to the (B+1)² Gram cells, same explicit driver-collect
+    * contract — yields every class's right-hand side. The Cholesky
+    * factorization runs ONCE and back-substitutes k times. Returns
+    * classes sorted lexicographically, each with its bias-folded
+    * quantized weight vector (the [[score]]/[[scoreMulti]] serving
+    * format). Determinism: identical to [[trainRidge]] — DECIMAL-folded
+    * moments are partitioning-invariant, the solve is a fixed scalar
+    * sequence.
+    *
+    * `features` picks the featurization (default [[wordTokens]];
+    * lang-id wants [[charNgramTokens]]).
+    */
+  def trainRidgeMulti(docs: DataFrame, idCol: String, textCol: String,
+                      labelCol: String, buckets: Int, lambda: Double,
+                      den: Long,
+                      features: Column => Column = wordTokens)
+      : Seq[(String, Array[Long])] = {
+    import org.apache.spark.sql.types.DecimalType
+    require(buckets > 0 && buckets <= 256,
+      s"trainRidgeMulti collects (buckets+1)^2 + k*(buckets+1) moment " +
+        s"cells on the driver; buckets must be in [1, 256], got $buckets")
+    def dsum(c: Column): Column = sum(c.cast(DecimalType(28, 14)))
+    val perDoc = perDocVectors(docs, idCol, textCol,
+      col(labelCol).cast("string"), buckets, features)
+    val gramRows = perDoc
+      .select(col("__fv"), col("__n"), explode(col("__fv")).as("__f1"))
+      .select(col("__n"), col("__f1"), explode(col("__fv")).as("__f2"))
+      .groupBy(col("__f1.__b").as("b1"), col("__f2.__b").as("b2"))
+      .agg(dsum((col("__f1.__c") * col("__f2.__c")).cast("double") /
+        (col("__n") * col("__n")).cast("double")).as("g"))
+      .collect()
+    val classSums = perDoc
+      .select(col("__y"), col("__n"), explode(col("__fv")).as("__f"))
+      .groupBy(col("__y"), col("__f.__b").as("b"))
+      .agg(dsum(col("__f.__c").cast("double") /
+        col("__n").cast("double")).as("s"))
+      .collect()
+    val d = buckets + 1
+    val g = Array.ofDim[Double](d, d)
+    gramRows.foreach(r =>
+      g(r.getInt(0))(r.getInt(1)) = r.getDecimal(2).doubleValue())
+    val classes = classSums.map(_.getString(0)).distinct.sorted
+    require(classes.length >= 2 && classes.length <= 64,
+      s"one-vs-rest needs 2..64 classes, got ${classes.length}")
+    val sAll = Array.ofDim[Double](d)
+    val sBy = classes.map(_ -> Array.ofDim[Double](d)).toMap
+    classSums.foreach { r =>
+      val v = r.getDecimal(2).doubleValue()
+      sBy(r.getString(0))(r.getInt(1)) += v
+      sAll(r.getInt(1)) += v
+    }
+    val l = cholFactor(g, lambda)
+    classes.toSeq.map { c =>
+      val v = Array.tabulate(d)(b => 2.0 * sBy(c)(b) - sAll(b))
+      val w = cholSubstitute(l, v)
+      val bias = w(buckets)
+      c -> Array.tabulate(buckets)(b => Math.round((w(b) + bias) * den))
+    }
+  }
+
+  /** Serve the [[trainRidgeMulti]] model: per-document integer-exact
+    * per-class sums (one broadcast-literal lookup per class per feature,
+    * all k folded in a single map-side-combined groupBy), predicted
+    * class = argmax of the mean-weight logits with ties broken toward
+    * the lexicographically FIRST class (classWeights arrives sorted from
+    * [[trainRidgeMulti]]; the fold keeps the first strict maximum).
+    * Because every class shares the same positive denominator n·den, the
+    * integer sums ARE the logit order — the argmax never touches a
+    * double. Emits `(idCol, n_tokens, pred, score)` (score = the winning
+    * mean-weight logit, rounded); featureless documents produce no row
+    * (same contract as [[score]]).
+    */
+  def scoreMulti(docs: DataFrame, idCol: String, textCol: String,
+                 buckets: Int, classWeights: Seq[(String, Array[Long])],
+                 den: Long,
+                 features: Column => Column = wordTokens): DataFrame = {
+    require(buckets > 0 && den > 0, "need positive buckets and denominator")
+    require(classWeights.nonEmpty, "need at least one class")
+    val bucket = pmod(RollingHashExpr.rollingHash(col("__tok")),
+      lit(buckets.toLong)).cast("int")
+    val sums = docs
+      .withColumn("__fa", features(col(textCol)))
+      .filter(size(col("__fa")) > 0)
+      .select(col(idCol), explode(col("__fa")).as("__tok"))
+      .withColumn("__b", bucket)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("int").as("n_tokens"),
+        classWeights.map { case (c, w) =>
+          sum(element_at(typedlit(w.toSeq), col("__b") + 1)).as(s"__s_$c")
+        }: _*)
+    val scored = aggregate(
+      array(classWeights.map { case (c, _) =>
+        struct(col(s"__s_$c").as("s"), lit(c).as("cls"))
+      }: _*),
+      struct(lit(Long.MinValue).as("s"), lit("").as("cls")),
+      (acc, x) => when(x.getField("s") > acc.getField("s"), x).otherwise(acc))
+    sums
+      .withColumn("__best", scored)
+      .select(col(idCol), col("n_tokens"),
+        col("__best.cls").as("pred"),
+        round(col("__best.s") / (col("n_tokens") * den.toDouble), 6)
+          .as("score"))
+  }
+
+  /** Shared per-document sparse feature vectors for the moment passes:
+    * (idCol, __y, __fv = [(bucket, count)… + (B, n) intercept], __n).
+    */
+  private def perDocVectors(docs: DataFrame, idCol: String, textCol: String,
+                            label: Column, buckets: Int,
+                            features: Column => Column): DataFrame = {
+    val bucket = pmod(RollingHashExpr.rollingHash(col("__tok")),
+      lit(buckets.toLong)).cast("int")
+    docs
+      .withColumn("__fa", features(col(textCol)))
+      .filter(size(col("__fa")) > 0)
+      .select(col(idCol), label.as("__y"), explode(col("__fa")).as("__tok"))
+      .withColumn("__b", bucket)
+      .groupBy(col(idCol), col("__y"), col("__b"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col(idCol), col("__y"))
+      .agg(collect_list(struct(col("__b"), col("__c"))).as("__cv"),
+        sum(col("__c")).as("__n"))
+      .withColumn("__fv", array_append(col("__cv"),
+        struct(lit(buckets).as("__b"), col("__n").as("__c"))))
+  }
+
   /** Normal-equation moments over the (B+1)-dim feature space (B bucket
     * fractions + trailing intercept): XᵀX dense (B+1)², Xᵀy length B+1.
     * Per-row products `c₁·c₂/n²` are computed identically on every
@@ -172,9 +332,16 @@ object HashedLinearScorer {
     */
   private[operators] def choleskySolve(g: Array[Array[Double]],
                                        v: Array[Double],
-                                       lambda: Double): Array[Double] = {
+                                       lambda: Double): Array[Double] =
+    cholSubstitute(cholFactor(g, lambda), v)
+
+  /** Lower-triangular Cholesky factor of `G + λI` — factored once, then
+    * shared by every one-vs-rest right-hand side ([[trainRidgeMulti]]).
+    */
+  private[operators] def cholFactor(g: Array[Array[Double]],
+                                    lambda: Double): Array[Array[Double]] = {
     require(lambda > 0, "ridge needs lambda > 0 for positive definiteness")
-    val n = v.length
+    val n = g.length
     val l = Array.ofDim[Double](n, n)
     var i = 0
     while (i < n) {
@@ -189,9 +356,16 @@ object HashedLinearScorer {
       }
       i += 1
     }
+    l
+  }
+
+  /** Forward + back substitution against a shared factor. */
+  private[operators] def cholSubstitute(l: Array[Array[Double]],
+                                        v: Array[Double]): Array[Double] = {
+    val n = v.length
     // forward substitution L z = v, then back substitution Lᵀ w = z
     val z = Array.ofDim[Double](n)
-    i = 0
+    var i = 0
     while (i < n) {
       var s = v(i)
       var k = 0

@@ -41,6 +41,44 @@ object IntervalJoin {
   private def bucketLowerBound(v: Column, w: Column): Column =
     (v - pmod(v, w)).cast("long")
 
+  /** AUTO bucket width: the median interval span, by the scaladoc's own
+    * W rule — per-interval fan-out `span/W` lands at O(1) for the
+    * typical interval, while per-bucket population is refined exactly
+    * either way. One tiny aggregate + a scalar collect (the explicit
+    * driver contract class of a watermark read); approximate percentile
+    * is fine because W affects COST only, never results — bucketing is
+    * complete at any width. Empty/degenerate inputs fall back to 1.
+    * A caller-supplied W remains the right tool when the span
+    * distribution is known (q65 keeps its domain-derived day width);
+    * this closes the operator's one footgun — a guessed W orders of
+    * magnitude off the span scale (round-12 brief #5).
+    */
+  def autoBucket(intervals: DataFrame, lo: Column, hi: Column): Long = {
+    val m = intervals
+      .select((hi.cast("long") - lo.cast("long")).as("__s"))
+      .filter(col("__s") > 0)
+      .agg(expr("approx_percentile(__s, 0.5)")).head()
+    if (m.isNullAt(0)) 1L else math.max(1L, m.getLong(0))
+  }
+
+  /** [[pointInInterval]] at the [[autoBucket]]-derived width. */
+  def pointInInterval(points: DataFrame, point: Column,
+                      intervals: DataFrame, lo: Column,
+                      hi: Column): DataFrame =
+    pointInInterval(points, point, intervals, lo, hi,
+      autoBucket(intervals, lo, hi))
+
+  /** [[intervalOverlap]] at the larger of the two sides'
+    * [[autoBucket]] widths — W ≥ both medians keeps fan-out O(1) on
+    * both sides (a W sized to the narrow side would explode the wide
+    * side's registration).
+    */
+  def intervalOverlap(left: DataFrame, lLo: Column, lHi: Column,
+                      right: DataFrame, rLo: Column,
+                      rHi: Column): DataFrame =
+    intervalOverlap(left, lLo, lHi, right, rLo, rHi,
+      math.max(autoBucket(left, lLo, lHi), autoBucket(right, rLo, rHi)))
+
   /** Join `points` to every interval of `intervals` with
     * `lo <= point < hi` (half-open), no equi key required. `point`, `lo`,
     * `hi` must be long-typed expressions on one shared numeric domain

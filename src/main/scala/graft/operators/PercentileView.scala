@@ -28,11 +28,27 @@ import graft.sources.AdditiveStats
   */
 object PercentileView {
 
-  /** Per-day sketch of one batch's non-negative integral `valueCol`. */
+  /** Default bin budget SIZED TO the resolution `s` (round-12 ADVICE:
+    * the raw QuantileSketch default of 2^16 left s=15 only ~2 octaves
+    * above the exact regime — a realistic latency stream in finer units
+    * would throw mid-stream). `(64−s)·2^s` bins cover the ENTIRE
+    * non-negative long domain at resolution s (the exact regime's 2^(s+1)
+    * bins plus 2^s per remaining octave), so up to the 2^22 memory
+    * ceiling (bins are 16 bytes each, materialized only when occupied)
+    * the default can never throw; past the ceiling the explicit
+    * maxBins-throw contract stands and callers size it with
+    * the `maxBins` override.
+    */
+  def defaultMaxBins(s: Int): Int = math.min((64L - s) << s, 1L << 22).toInt
+
+  /** Per-day sketch of one batch's non-negative integral `valueCol`.
+    * `maxBins ≤ 0` → [[defaultMaxBins]].
+    */
   def dailySketch(events: DataFrame, tsCol: String, valueCol: String,
-                  s: Int = 15): DataFrame =
+                  s: Int = 15, maxBins: Int = -1): DataFrame =
     events.groupBy(col(tsCol).cast("date").as("day"))
-      .agg(QuantileSketch.sketch(col(valueCol), s).as("sketch"))
+      .agg(QuantileSketch.sketch(col(valueCol), s,
+        if (maxBins > 0) maxBins else defaultMaxBins(s)).as("sketch"))
 
   def store(dir: String): AdditiveStats.Store =
     AdditiveStats.Store(dir, Seq("day"), "sketch",
@@ -45,10 +61,13 @@ object PercentileView {
   def fragmentCount(spark: org.apache.spark.sql.SparkSession, dir: String): Int =
     AdditiveStats.fragmentCount(spark, store(dir))
 
-  /** Land one batch's [[dailySketch]] as an idempotent fragment. */
+  /** Land one batch's [[dailySketch]] as an idempotent fragment
+    * (`maxBins ≤ 0` → [[defaultMaxBins]]).
+    */
   def append(batch: DataFrame, tsCol: String, valueCol: String,
-             dir: String, batchId: Long, s: Int = 15): Unit =
-    AdditiveStats.append(dailySketch(batch, tsCol, valueCol, s),
+             dir: String, batchId: Long, s: Int = 15,
+             maxBins: Int = -1): Unit =
+    AdditiveStats.append(dailySketch(batch, tsCol, valueCol, s, maxBins),
       store(dir), batchId)
 
   /** Fold fragments into one merged sketch per day in a fresh epoch. */

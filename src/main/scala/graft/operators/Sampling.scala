@@ -84,6 +84,34 @@ object Sampling {
       .drop("__rn", "__quota")
   }
 
+  /** FIXED per-stratum cap — the per-domain quota every web-corpus
+    * pipeline applies right after registered-domain extraction
+    * ([[graft.functions.UrlFunctions.registeredDomain]]): keep at most
+    * `cap` rows per stratum, chosen by a deterministic pseudo-random
+    * order (hash of `keyCols`, ties broken by the keys), so the kept
+    * subset is a pure function of the data — same rows on any engine,
+    * any partitioning, any retry. [[temperatureResample]] is the
+    * √-scaled form of the same machinery; this is the hard-ceiling form
+    * (a single mega-domain contributes `cap` documents, full stop).
+    *
+    * Cost: one window shuffle partitioned by stratum — no quota
+    * aggregate needed (the ceiling is constant). Same skew caveat as
+    * [[temperatureResample]]: at 100 TB with one dominant stratum, swap
+    * the exact window for the hash-threshold draw and keep this exact
+    * form for oracle-checked subsets.
+    */
+  def cappedPerStratum(df: DataFrame, strataCols: Seq[String],
+                       keyCols: Seq[String], cap: Int,
+                       hash: Option[Column] = None): DataFrame = {
+    require(cap > 0, s"cap must be positive, got $cap")
+    val h = hash.getOrElse(xxhash64(keyCols.map(col): _*))
+    val w = Window.partitionBy(strataCols.map(col): _*)
+      .orderBy(h +: keyCols.map(col): _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= cap)
+      .drop("__rn")
+  }
+
   /** Deterministic EPOCH SHUFFLE: assign every row a contiguous 1..n
     * position in a pseudo-random order that is a pure function of
     * (seed, key) — the global reshuffle a pretraining loader runs per

@@ -272,25 +272,6 @@ object SpanDedup {
 
   // ------------------------------------------- maximal duplicated runs
 
-  /** Level filter for the doubling phase: keep (idCol, __p, __h) rows
-    * whose window HASH is shared by ≥ `minDocs` distinct documents. The
-    * levels work on Merkle-combined hashes ONLY — no window text is ever
-    * built or shuffled (8 bytes per position per level) — because the
-    * levels are a CANDIDATE-GENERATION device: a hash collision can only
-    * merge groups and inflate the count, i.e. OVER-approximate the
-    * duplicated set, and the refinement's exact (hash, text) recount
-    * makes the final answer exact regardless. Completeness is what the
-    * doubling argument needs, and over-approximation preserves it.
-    */
-  private def dupHashPositions(w: DataFrame, idCol: String,
-                               minDocs: Int): DataFrame = {
-    val cand = w.groupBy("__h")
-      .agg(countDistinct(col(idCol)).as("__nd"))
-      .filter(col("__nd") >= minDocs)
-      .select("__h")
-    w.join(cand, "__h")
-  }
-
   /** MAXIMAL duplicated-run length per document — the arbitrary-length
     * form of the fixed-n window count (Lee et al.'s suffix-array question
     * "what is the longest span this document shares verbatim with
@@ -301,17 +282,24 @@ object SpanDedup {
     *      compute the (over-approximated) set D_n of positions whose
     *      n-token window hash is shared by ≥ `minDocs` distinct
     *      documents. Level windows are never materialized as text:
-    *      H_1(p) = xxhash64(token), H_2n(p) = xxhash64(H_n(p), H_n(p+n))
+    *      H_1(p) = xxhash64(token), H_2n(p) = combine(H_n(p), H_n(p+n))
     *      — equal windows always share the combined hash (completeness,
     *      which is all candidate generation needs), and a collision only
     *      OVER-approximates D_n (extra refinement fan-out, never a wrong
-    *      answer: the refinement recounts exactly). Each level is one
-    *      self-join on (id, p ± n) plus one 8-byte hash group-by — no
-    *      base join, no string building; log₂(cap) levels with per-level
-    *      `localCheckpoint`s cutting the plan tree (the [[GraphOps]]
-    *      iteration discipline). The p+n candidate existing already
-    *      implies the 2n window fits the document, so no length filter
-    *      is needed.
+    *      answer: the refinement recounts exactly). The ladder above
+    *      level 1 is a PER-DOCUMENT computation (every combined window
+    *      lives inside one token array), so after the single corpus-wide
+    *      level-1 token-hash count, the surviving (position, hash) pairs
+    *      fold per document and ONE codegen expression
+    *      ([[graft.plans.MerkleLevelsExpr]]) emits the whole power-of-two
+    *      ladder row-locally; ONE (level, hash) distinct-doc count then
+    *      replaces round 12's per-level join/group-by/checkpoint loop
+    *      (~20 jobs, 2 driver actions per level — the d18 cold-codegen
+    *      cost the BENCH_r12 adjudication traced). Every token of a
+    *      truly duplicated window is itself duplicated, so all leaves a
+    *      qualifying ladder entry needs survive level 1; dropping the
+    *      loop's level-by-level global pruning only widens the candidate
+    *      superset, which the refinement recount corrects.
     *
     *   2. BOUNDED REFINEMENT. Let np(p) = the largest level at which p
     *      survived. Any duplicated window of length m starting at p
@@ -322,6 +310,18 @@ object SpanDedup {
     *      i.e. cost ∝ the duplicated-run footprint, never the corpus²),
     *      counts distinct documents per window content (two-phase again),
     *      and takes each document's max duplicated length.
+    *
+    *      Why all lengths and not a per-position exponential+binary
+    *      probe: the count of a probed window is the number of DISTINCT
+    *      DOCUMENTS that GENERATE it, so a length is countable only if
+    *      every holder of that window string generates it. Per-position
+    *      probe schedules diverge (np, cap and document-end truncation
+    *      differ between two holders of the same string), so a holder can
+    *      skip the length its partner probes and a truly duplicated
+    *      window counts 1 — unsound. Synchronizing probes globally is
+    *      sound but turns a row-local ≤ 2·np fan-out of 8-byte hashes
+    *      into O(log cap) extra barrier stages — the quantity the flat
+    *      ladder above just eliminated. The enumeration stays.
     *
     * EXACT by construction for runs up to `cap` (reported value =
     * min(true max, cap) — cap is the explicit fan-out contract, like the
@@ -336,31 +336,37 @@ object SpanDedup {
     val base = df.select(col(idCol), toks(col(textCol)).as("__toks"))
       .withColumn("__len", size(col("__toks")))
       .localCheckpoint(true)
-    // level 1: every position, hash = the token's hash
-    var n = 1
-    var cand = dupHashPositions(
-      base.select(col(idCol),
-          posexplode(col("__toks")).as(Seq("__p", "__tok")))
-        .select(col(idCol), col("__p"), xxhash64(col("__tok")).as("__h")),
-      idCol, minDocs).withColumn("__np", lit(1)).localCheckpoint(true)
-    var levels = List(cand.select(col(idCol), col("__p"), col("__np")))
-    while (2 * n <= cap && !cand.isEmpty) {
-      val m = 2 * n
-      val left = cand.select(col(idCol), col("__p"), col("__h").as("__h1"))
-      val right = cand.select(col(idCol), (col("__p") - n).as("__p"),
-        col("__h").as("__h2"))
-      val w = left.join(right, Seq(idCol, "__p"))
-        .select(col(idCol), col("__p"),
-          xxhash64(col("__h1"), col("__h2")).as("__h"))
-      cand = dupHashPositions(w, idCol, minDocs)
-        .withColumn("__np", lit(m)).localCheckpoint(true)
-      levels ::= cand.select(col(idCol), col("__p"), col("__np"))
-      n = m
-    }
-    // np(p) = last level at which p survived
-    val np = levels.reduce(_ unionByName _)
+    // level 1: the only corpus-wide shuffle — 8-byte token hashes,
+    // combiner-friendly distinct-doc count
+    val w1 = base
+      .select(col(idCol), posexplode(col("__toks")).as(Seq("__p", "__tok")))
+      .select(col(idCol), col("__p"), xxhash64(col("__tok")).as("__h"))
+    val c1 = w1.groupBy("__h")
+      .agg(countDistinct(col(idCol)).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .select("__h")
+    val s1 = w1.join(c1, "__h")
+    // per-document survivor fold + row-local ladder: (id, p, n, h) for
+    // n = 2, 4, … ≤ cap wherever both halves' leaves survived level 1
+    val ladder = s1.groupBy(col(idCol))
+      .agg(collect_list(struct(col("__p").as("p"), col("__h").as("h")))
+        .as("__s1"))
+      .select(col(idCol), posexplode(
+        graft.plans.MerkleLevelsExpr.merkleLevels(col("__s1"), lit(cap)))
+        .as(Seq("__i", "__lv")))
+      .select(col(idCol), col("__lv.p").as("__p"), col("__lv.n").as("__n"),
+        col("__lv.h").as("__h"))
+    // one global distinct-doc count per (level, combined hash); level-1
+    // rows re-enter with __n = 1 (already proven by c1, no recount)
+    val ck = ladder.groupBy("__n", "__h")
+      .agg(countDistinct(col(idCol)).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .select("__n", "__h")
+    val np = ladder.join(ck, Seq("__n", "__h"))
+      .select(col(idCol), col("__p"), col("__n"))
+      .unionByName(s1.select(col(idCol), col("__p"), lit(1).as("__n")))
       .groupBy(col(idCol), col("__p"))
-      .agg(max(col("__np")).as("__np"))
+      .agg(max(col("__n")).as("__np"))
     // refinement phase 1 on ROLLING WINDOW HASHES — one chained
     // xxhash64 per (position, length), built incrementally in O(maxm)
     // per position (h_m = xxhash64(h_{m-1}, token), no O(m²) string

@@ -72,8 +72,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           e.eval(null)
         }
         val form = if (children.size >= 2) lit(children(1)).toString else "NFC"
-        val strip = children.size >= 3 &&
-          lit(children(2)).asInstanceOf[Boolean]
+        // typed error instead of a raw ClassCastException on e.g.
+        // unicode_normalize(s, 'NFC', 1) (round-12 ADVICE)
+        val strip = children.size >= 3 && (lit(children(2)) match {
+          case b: java.lang.Boolean => b.booleanValue()
+          case other => throw new IllegalArgumentException(
+            "unicode_normalize strip_accents must be a boolean literal, " +
+              s"got ${children(2).sql}" +
+              (if (other == null) " (NULL)" else s" of type ${other.getClass.getSimpleName}"))
+        })
         UnicodeNormalizeExpr(children.head, form, strip)
       }))
     ext.injectOptimizerRule(_ => PruneLevenshteinFilters)

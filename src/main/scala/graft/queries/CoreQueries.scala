@@ -1513,8 +1513,10 @@ object CoreQueries {
       .select(col("win_id"),
         (col("base") + col("win_id") * lit(604800L)).as("lo"),
         (col("base") + col("win_id") * lit(604800L) + lit(259200L)).as("hi"))
+    // AUTO width (round-13): W = max of the two sides' median spans —
+    // derived, not guessed; results identical at any W by completeness
     IntervalJoin.intervalOverlap(sessions, col("s_lo"), col("s_hi"),
-        windows, col("lo"), col("hi"), bucket = 86400L)
+        windows, col("lo"), col("hi"))
       .groupBy("win_id")
       .agg(count(lit(1)).as("n_sessions"),
         countDistinct(col("user_id")).as("n_users"))

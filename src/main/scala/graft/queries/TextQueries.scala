@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TextFunctions
@@ -1215,8 +1215,238 @@ object TextQueries {
        | / (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
        |   * sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))))""".stripMargin
 
+  // --------------------------------------------------- URL/domain curation
+  // The web-corpus front door (CCNet/RefinedWeb/FineWeb stage 0). The
+  // corpus tables carry no URL column, so both engines CONSTRUCT the same
+  // deterministic URL per document from (doc_id, source) — the t31
+  // decomposed-suffix convention — covering: mixed-case scheme/host,
+  // default and non-default ports, userinfo, tracking params at head/
+  // middle/tail, fragment, empty path, surrounding whitespace, and a
+  // non-URL passthrough.
+
+  private def urlFixture: Column = {
+    val id = col("doc_id").cast("string")
+    val b = pmod(col("doc_id"), lit(6))
+    when(b === 0, concat(lit("HTTPS://WWW."), col("source"),
+        lit(".Example.COM:443/Path/"), id, lit("?utm_source=feed&id="), id,
+        lit("&utm_campaign=x#top")))
+      .when(b === 1, concat(lit("http://"), col("source"),
+        lit(".example.co.uk:80?ref=tw&q="), id))
+      .when(b === 2, concat(lit("https://blog."), col("source"),
+        lit(".github.io/post/"), id, lit("?gclid=abc"), id))
+      .when(b === 3, concat(lit("http://u:p@"), col("source"),
+        lit(".example.com:8080/a/"), id, lit("?id="), id, lit("&fbclid=z#f")))
+      .when(b === 4, concat(lit("  ftp://Files."), col("source"),
+        lit(".ORG/data/"), id, lit("  ")))
+      .otherwise(concat(lit("not a url "), id))
+  }
+
+  private val urlFixtureSql =
+    """CASE doc_id % 6
+      | WHEN 0 THEN 'HTTPS://WWW.' || source || '.Example.COM:443/Path/' || CAST(doc_id AS VARCHAR) || '?utm_source=feed&id=' || CAST(doc_id AS VARCHAR) || '&utm_campaign=x#top'
+      | WHEN 1 THEN 'http://' || source || '.example.co.uk:80?ref=tw&q=' || CAST(doc_id AS VARCHAR)
+      | WHEN 2 THEN 'https://blog.' || source || '.github.io/post/' || CAST(doc_id AS VARCHAR) || '?gclid=abc' || CAST(doc_id AS VARCHAR)
+      | WHEN 3 THEN 'http://u:p@' || source || '.example.com:8080/a/' || CAST(doc_id AS VARCHAR) || '?id=' || CAST(doc_id AS VARCHAR) || '&fbclid=z#f'
+      | WHEN 4 THEN '  ftp://Files.' || source || '.ORG/data/' || CAST(doc_id AS VARCHAR) || '  '
+      | ELSE 'not a url ' || CAST(doc_id AS VARCHAR) END""".stripMargin
+
+  /** Shared SQL mirror of [[graft.functions.UrlFunctions.canonicalizeUrl]]
+    * / `hostOf` — the same split-regex, port/tracking/fragment algebra on
+    * DuckDB's RE2. Produces CTEs `uu(doc_id, url)` → `yy(doc_id, url,
+    * sch0, sch, a2, p2, kept, host)`.
+    */
+  private def urlSqlCtes: String = {
+    val re = graft.functions.UrlFunctions.urlRegex
+    val track = graft.functions.UrlFunctions.trackingRegex
+    s"""uu AS (SELECT doc_id, $urlFixtureSql AS url FROM documents),
+       |xx AS (SELECT doc_id, url,
+       |    regexp_extract(trim(url), '$re', 1) AS sch0,
+       |    lower(regexp_extract(trim(url), '$re', 1)) AS sch,
+       |    lower(regexp_extract(trim(url), '$re', 2)) AS auth,
+       |    regexp_extract(trim(url), '$re', 2) AS authraw,
+       |    regexp_extract(trim(url), '$re', 3) AS path,
+       |    substr(regexp_extract(trim(url), '$re', 4), 2) AS qraw
+       |  FROM uu),
+       |yy AS (SELECT doc_id, url, sch0, sch,
+       |    CASE WHEN sch = 'http' THEN regexp_replace(auth, ':80$$', '')
+       |         WHEN sch = 'https' THEN regexp_replace(auth, ':443$$', '')
+       |         ELSE auth END AS a2,
+       |    CASE WHEN path = '' THEN '/' ELSE path END AS p2,
+       |    [q for q in string_split(qraw, '&')
+       |       if q <> '' and not regexp_matches(q, '$track')] AS kept,
+       |    lower(regexp_extract(authraw, '^(?:[^@]*@)?([^:]+)', 1)) AS host
+       |  FROM xx)""".stripMargin
+  }
+
+  private val canonSql =
+    """CASE WHEN sch0 = '' THEN trim(url)
+      |     ELSE sch || '://' || a2 || p2 ||
+      |       CASE WHEN len(kept) > 0
+      |            THEN '?' || array_to_string(kept, '&') ELSE '' END
+      | END""".stripMargin
+
+  /** PSL subset for the oracle-gated queries (plain rules; the full list
+    * is data for `registeredDomainAgainst`). Includes multi-label
+    * suffixes so longest-match genuinely decides (co.uk over uk,
+    * github.io over io).
+    */
+  private val pslSubset =
+    Seq("com", "org", "io", "co.uk", "github.io", "uk")
+  private val pslSubsetSql = pslSubset.map(s => s"'$s'").mkString(", ")
+
+  /** SQL mirror of `registeredDomain` over the `yy` CTE's host: longest
+    * trailing label-run in the suffix list (k explored to 4 — fixture
+    * hosts have ≤ 4 labels), unlisted-TLD fallback 1, one more label =
+    * the registered domain. Produces CTEs `hh` → `dd(doc_id, host,
+    * domain)`.
+    */
+  private def domainSqlCtes: String =
+    s"""hh AS (SELECT doc_id, host, string_split(host, '.') AS labels,
+       |    len(string_split(host, '.')) AS n FROM yy),
+       |kk AS (SELECT doc_id, max(k) AS psl
+       |  FROM hh, (SELECT unnest(range(1, 5)) AS k) ks
+       |  WHERE k <= n AND array_to_string(labels[n-k+1:n], '.')
+       |        IN ($pslSubsetSql)
+       |  GROUP BY doc_id),
+       |dd AS (SELECT hh.doc_id, host,
+       |    CASE WHEN n > coalesce(psl, 1)
+       |         THEN array_to_string(labels[n-coalesce(psl, 1):n], '.') END
+       |      AS domain
+       |  FROM hh LEFT JOIN kk USING (doc_id))""".stripMargin
+
+  // ---------------------------------------------------------------- t34
+  /** URL CANONICALIZATION ([[graft.functions.UrlFunctions
+    * .canonicalizeUrl]] / `hostOf`): scheme+host lowercase, default-port
+    * strip, tracking-param removal (order-preserving), fragment drop,
+    * empty-path and empty-query normalization, non-URL passthrough —
+    * pure split-regex + array-HOF string algebra, replayed exactly by
+    * DuckDB's RE2.
+    */
+  val t34_url_canonicalize = q("t34_url_canonicalize",
+    s"""WITH $urlSqlCtes
+       |SELECT doc_id, url, $canonSql AS canon_url, host FROM yy"""
+      .stripMargin) { (s, dir) =>
+    import graft.functions.UrlFunctions
+    Tables.documents(s, dir)
+      .select(col("doc_id"), urlFixture.as("url"))
+      .select(col("doc_id"), col("url"),
+        UrlFunctions.canonicalizeUrl(col("url")).as("canon_url"),
+        UrlFunctions.hostOf(col("url")).as("host"))
+  }
+
+  // ---------------------------------------------------------------- t35
+  /** REGISTERED-DOMAIN extraction ([[graft.functions.UrlFunctions
+    * .registeredDomain]]): longest public-suffix match with the
+    * unlisted-TLD fallback — www.*.example.com collapses to example.com,
+    * *.example.co.uk to example.co.uk (co.uk beats uk), while
+    * blog.src7.github.io keeps src7.github.io (github.io is itself a
+    * public suffix — per-user sites are separate "domains", the PSL's
+    * whole point); the non-URL branch yields null.
+    */
+  val t35_registered_domain = q("t35_registered_domain",
+    s"""WITH $urlSqlCtes,
+       |$domainSqlCtes
+       |SELECT doc_id, host, domain FROM dd""".stripMargin) { (s, dir) =>
+    import graft.functions.UrlFunctions
+    Tables.documents(s, dir)
+      .select(col("doc_id"), UrlFunctions.hostOf(urlFixture).as("host"))
+      .withColumn("domain",
+        UrlFunctions.registeredDomain(col("host"), pslSubset))
+  }
+
+  // ---------------------------------------------------------------- t36
+  /** DOMAIN BLOCKLIST ([[graft.functions.UrlFunctions
+    * .dropBlockedDomains]]): anti-join on the registered domain — the
+    * CCNet block step. Null domains (non-URLs) survive (an anti-join
+    * null key matches nothing, the exact semantics a blocklist wants);
+    * corpus-scale blocklists pre-filter through [[graft.ext.BloomJoin]]
+    * and finish on this same exact anti-join (d09 pins that composition).
+    */
+  val t36_domain_blocklist = q("t36_domain_blocklist",
+    s"""WITH $urlSqlCtes,
+       |$domainSqlCtes
+       |SELECT doc_id, host, domain FROM dd
+       |WHERE domain IS NULL OR domain NOT IN
+       |  ('example.co.uk', 'src0.github.io', 'src7.github.io')"""
+      .stripMargin) { (s, dir) =>
+    import s.implicits._
+    import graft.functions.UrlFunctions
+    val block = Seq("example.co.uk", "src0.github.io", "src7.github.io")
+      .toDF("domain")
+    val withDom = Tables.documents(s, dir)
+      .select(col("doc_id"), UrlFunctions.hostOf(urlFixture).as("host"))
+      .withColumn("domain",
+        UrlFunctions.registeredDomain(col("host"), pslSubset))
+    UrlFunctions.dropBlockedDomains(withDom, "domain", block)
+      .select("doc_id", "host", "domain")
+  }
+
+  // ---------------------------------------------------------------- q70
+  /** PER-DOMAIN QUOTA ([[graft.operators.Sampling.cappedPerStratum]]):
+    * at most 15 documents per registered domain, chosen by the
+    * deterministic md5 draw (the [[graft.operators.Sampling
+    * .epochShuffle]] cross-engine-replayable hash, NOT xxhash64 — DuckDB
+    * must replay the exact kept set). The fixture's domain distribution
+    * makes the cap genuinely bite: example.com and example.co.uk pool
+    * hundreds of docs while per-user github.io domains stay under quota.
+    */
+  val q70_domain_quota = q("q70_domain_quota",
+    s"""WITH $urlSqlCtes,
+       |$domainSqlCtes
+       |SELECT doc_id, domain FROM (
+       |  SELECT doc_id, domain, row_number() OVER (
+       |      PARTITION BY domain
+       |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+       |  FROM dd)
+       |WHERE rn <= 15""".stripMargin) { (s, dir) =>
+    import graft.functions.UrlFunctions
+    val withDom = Tables.documents(s, dir)
+      .select(col("doc_id"), UrlFunctions.hostOf(urlFixture).as("host"))
+      .withColumn("domain",
+        UrlFunctions.registeredDomain(col("host"), pslSubset))
+    graft.operators.Sampling.cappedPerStratum(withDom, Seq("domain"),
+        Seq("doc_id"), cap = 15,
+        hash = Some(md5(col("doc_id").cast("string").cast("binary"))))
+      .select("doc_id", "domain")
+  }
+
+  // ---------------------------------------------------------------- t37
+  /** MULTI-CLASS (one-vs-rest) LANG-ID TRAINING
+    * ([[graft.operators.HashedLinearScorer.trainRidgeMulti]]): k ridge
+    * gates sharing ONE moment pass (the Gram matrix is label-independent;
+    * per-class right-hand sides come from one extra per-(label, bucket)
+    * DECIMAL fold, 2·S_c − S_all), served as an integer-exact argmax
+    * ([[graft.operators.HashedLinearScorer.scoreMulti]]) over char-3-gram
+    * features. The corpus' `lang` column is textually uncorrelated by
+    * construction (t32's note), so the in-warehouse label here is the t03
+    * heuristic's own prediction — CCNet-style DISTILLATION of a known
+    * gate into a fixed-cost linear scorer: train on even doc_ids, serve
+    * odd doc_ids, report agreement with the teacher. Golden-gated (the
+    * shared Cholesky has no SQL twin); HashedLinearScorerSpec proves the
+    * multiclass trainer BEATS the t03 heuristic on gold per-language F1
+    * on a corpus with genuine language signal.
+    */
+  val t37_langid_train = GraftQuery("t37_langid_train", (s, dir) => {
+    import graft.operators.HashedLinearScorer
+    val docs = Tables.documents(s, dir)
+      .withColumn("__heur", TextFunctions.langId(col("text")))
+    val train = docs.filter(col("doc_id") % 2 === 0)
+    val model = HashedLinearScorer.trainRidgeMulti(train, "doc_id", "text",
+      "__heur", buckets = 64, lambda = 0.1, den = 1000003L,
+      features = HashedLinearScorer.charNgramTokens(3))
+    val heldOut = docs.filter(col("doc_id") % 2 =!= 0)
+    HashedLinearScorer.scoreMulti(heldOut, "doc_id", "text", buckets = 64,
+        classWeights = model, den = 1000003L,
+        features = HashedLinearScorer.charNgramTokens(3))
+      .join(heldOut.select(col("doc_id"), col("__heur").as("teacher")),
+        "doc_id")
+      .withColumn("agree", col("pred") === col("teacher"))
+  }, GoldenOracles.sqlFor("t37_langid_train"))
+
   val all: Seq[GraftQuery] = Seq(
     t31_unicode_normalize, t32_classifier_train, t33_hybrid_rrf,
+    t34_url_canonicalize, t35_registered_domain, t36_domain_blocklist,
+    q70_domain_quota, t37_langid_train,
     t01_token_stats, t02_quality_score, t03_lang_id, t04_fingerprint,
     t05_rolling_hash, t06_redact, t07_tfidf_top_terms, t08_curation_pipeline,
     t09_repetition, t10_mixture_resample, t11_boilerplate_ngrams,

@@ -1,0 +1,116 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** URL canonicalization + registered-domain laws: hand-expected results
+  * for every branch the t34-t36/q70 oracle fixture exercises, the
+  * idempotence law, literal-vs-relation PSL equivalence, and blocklist
+  * null semantics.
+  */
+class UrlFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def canon(urls: Seq[String]): Map[String, String] =
+    urls.zipWithIndex.map(_.swap).toDF("id", "url")
+      .select(col("url"), UrlFunctions.canonicalizeUrl(col("url")).as("c"))
+      .as[(String, String)].collect().toMap
+
+  test("canonicalizeUrl: case, ports, tracking params, fragments, paths") {
+    val got = canon(Seq(
+      "HTTPS://WWW.Example.COM:443/Path/1?utm_source=f&id=1&utm_campaign=x#top",
+      "http://a.example.co.uk:80?ref=tw&q=2",
+      "https://blog.example.io/post/3?gclid=abc",
+      "http://u:p@h.example.com:8080/a?id=4&fbclid=z#f",
+      "  ftp://Files.EXAMPLE.ORG/data/5  ",
+      "not a url 6",
+      "https://x.com/p?a=1&utm_x=2&b=3"))
+    assert(got("HTTPS://WWW.Example.COM:443/Path/1?utm_source=f&id=1&utm_campaign=x#top")
+      == "https://www.example.com/Path/1?id=1")
+    assert(got("http://a.example.co.uk:80?ref=tw&q=2")
+      == "http://a.example.co.uk/?q=2")
+    assert(got("https://blog.example.io/post/3?gclid=abc")
+      == "https://blog.example.io/post/3")
+    assert(got("http://u:p@h.example.com:8080/a?id=4&fbclid=z#f")
+      == "http://u:p@h.example.com:8080/a?id=4")
+    assert(got("  ftp://Files.EXAMPLE.ORG/data/5  ")
+      == "ftp://files.example.org/data/5")
+    assert(got("not a url 6") == "not a url 6")
+    // param ORDER is preserved around a stripped middle param
+    assert(got("https://x.com/p?a=1&utm_x=2&b=3") == "https://x.com/p?a=1&b=3")
+  }
+
+  test("canonicalizeUrl is idempotent") {
+    val urls = Seq(
+      "HTTPS://WWW.Example.COM:443/Path/1?utm_source=f&id=1#top",
+      "http://a.example.co.uk:80?ref=tw&q=2",
+      "https://blog.example.io/post/3?gclid=abc",
+      "  ftp://Files.EXAMPLE.ORG/data/5  ",
+      "not a url 6")
+    val once = canon(urls)
+    val twice = canon(once.values.toSeq)
+    once.values.foreach(c => assert(twice(c) == c, s"not a fixpoint: $c"))
+  }
+
+  test("hostOf strips userinfo and port, lowercases; empty for non-URLs") {
+    val got = Seq(
+      (1, "http://u:p@H.Example.COM:8080/a"),
+      (2, "https://plain.example.org"),
+      (3, "nope")).toDF("id", "url")
+      .select(col("id"), UrlFunctions.hostOf(col("url")).as("h"))
+      .as[(Int, String)].collect().toMap
+    assert(got(1) == "h.example.com")
+    assert(got(2) == "plain.example.org")
+    assert(got(3) == "")
+  }
+
+  private val psl = Seq("com", "org", "io", "co.uk", "github.io", "uk")
+
+  test("registeredDomain: longest suffix wins, unlisted TLD falls back, " +
+      "suffix-only and single-label hosts yield null") {
+    val got = Seq(
+      (1, "www.site.example.com"),
+      (2, "a.b.example.co.uk"),    // co.uk beats uk
+      (3, "blog.user.github.io"),  // github.io beats io
+      (4, "host.example.xyz"),     // unlisted TLD -> last label
+      (5, "co.uk"),                // host IS a suffix
+      (6, "localhost"),            // single label
+      (7, "")).toDF("id", "host")
+      .select(col("id"),
+        UrlFunctions.registeredDomain(col("host"), psl).as("d"))
+      .as[(Int, Option[String])].collect().toMap
+    assert(got(1).contains("example.com"))
+    assert(got(2).contains("example.co.uk"))
+    assert(got(3).contains("user.github.io"))
+    assert(got(4).contains("example.xyz"))
+    assert(got(5).isEmpty)
+    assert(got(6).isEmpty)
+    assert(got(7).isEmpty)
+  }
+
+  test("registeredDomainAgainst (relation PSL) equals the literal form") {
+    val hosts = Seq(
+      (1L, "www.site.example.com"), (2L, "a.b.example.co.uk"),
+      (3L, "blog.user.github.io"), (4L, "host.example.xyz"),
+      (5L, "co.uk"), (6L, "localhost"), (7L, ""))
+      .toDF("id", "host")
+    val viaLit = hosts
+      .withColumn("domain", UrlFunctions.registeredDomain(col("host"), psl))
+      .select("id", "host", "domain")
+    val viaRel = UrlFunctions.registeredDomainAgainst(
+      hosts, "id", "host", psl.toDF("suffix"))
+      .select("id", "host", "domain")
+    assert(viaLit.exceptAll(viaRel).isEmpty && viaRel.exceptAll(viaLit).isEmpty,
+      "literal and relation PSL paths must agree row-for-row")
+  }
+
+  test("dropBlockedDomains: blocked rows go, null domains survive") {
+    val rows = Seq(
+      (1L, Some("bad.com")), (2L, Some("good.org")), (3L, None))
+      .toDF("id", "domain")
+    val kept = UrlFunctions.dropBlockedDomains(rows, "domain",
+        Seq("bad.com").toDF("domain"))
+      .select("id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(2L, 3L))
+  }
+}

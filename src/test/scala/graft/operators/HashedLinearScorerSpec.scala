@@ -154,4 +154,124 @@ class HashedLinearScorerSpec extends SparkSpec {
     assert(f1T > f1S, s"trained f1 $f1T vs synthetic $f1S")
     assert(accT > 0.75, s"trained held-out accuracy too weak: $accT")
   }
+
+  // ------------------------------------------------- multi-class (OvR)
+
+  test("charNgramTokens: overlapping lowercased trigrams, short text empty") {
+    val got = Seq((1L, "AbCde"), (2L, "ab"), (3L, "  x \n y  "))
+      .toDF("id", "text")
+      .select(col("id"),
+        HashedLinearScorer.charNgramTokens(3)(col("text")).as("g"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(got(1L) == Seq("abc", "bcd", "cde"))
+    assert(got(2L) == Seq.empty)
+    assert(got(3L) == Seq("x y")) // normalizeWs collapses to "x y"
+  }
+
+  test("trainRidgeMulti on a 2-class label recovers trainRidge's gate") {
+    val docs = labeledDocs("/root/testdata/sf0.001")
+      .filter(col("doc_id") % 2 === 0)
+      .withColumn("__cls", when(col("__y") === 1, lit("pos"))
+        .otherwise(lit("neg")))
+    val binary = HashedLinearScorer.trainRidge(docs, "doc_id", "text",
+      "__y", buckets = 32, lambda = 0.1, den = Den)
+    val multi = HashedLinearScorer.trainRidgeMulti(docs, "doc_id", "text",
+      "__cls", buckets = 32, lambda = 0.1, den = Den).toMap
+    // y_pos = +1 on pos, -1 elsewhere — exactly the binary label, so the
+    // pos gate must be the SAME quantized vector; and v_neg = -v_pos, so
+    // the neg gate is its negation up to the round-half-up tie at .5
+    assert(multi("pos").toSeq == binary.toSeq)
+    multi("neg").zip(binary).foreach { case (n, p) =>
+      assert(math.abs(n + p) <= 1, s"neg weight $n vs pos $p")
+    }
+  }
+
+  test("trainRidgeMulti weights are bit-identical under repartitioning") {
+    val docs = labeledDocs("/root/testdata/sf0.001")
+      .withColumn("__cls", when(col("__y") === 1, lit("a"))
+        .otherwise(lit("b")))
+    val m1 = HashedLinearScorer.trainRidgeMulti(docs, "doc_id", "text",
+      "__cls", buckets = 64, lambda = 0.1, den = Den,
+      features = HashedLinearScorer.charNgramTokens(3))
+    val m2 = HashedLinearScorer.trainRidgeMulti(docs.repartition(13),
+      "doc_id", "text", "__cls", buckets = 64, lambda = 0.1, den = Den,
+      features = HashedLinearScorer.charNgramTokens(3))
+    assert(m1.map(_._1) == m2.map(_._1))
+    m1.zip(m2).foreach { case ((c1, w1), (_, w2)) =>
+      assert(w1.toSeq == w2.toSeq, s"class $c1 weights drifted")
+    }
+  }
+
+  test("scoreMulti: integer-exact argmax, ties to the first class") {
+    // crafted weights: 'signal' lands in bucket goodB; class hi pays +5
+    // there, class lo pays -5, class zz duplicates hi to force a tie
+    val goodB = (refHash("signal") % 8).toInt
+    val wHi = Array.tabulate(8)(b => if (b == goodB) 5L else 0L)
+    val wLo = Array.tabulate(8)(b => if (b == goodB) -5L else 0L)
+    val docs = Seq((1L, "signal signal"), (2L, "signal")).toDF("doc_id", "text")
+    // hi and zz tie at +5/token; lexicographically-first (classWeights
+    // order = sorted) wins
+    val byId = HashedLinearScorer.scoreMulti(docs, "doc_id", "text",
+        buckets = 8,
+        classWeights = Seq("hi" -> wHi, "lo" -> wLo, "zz" -> wHi),
+        den = Den)
+      .select("doc_id", "pred").as[(Long, String)].collect().toMap
+    assert(byId(1L) == "hi" && byId(2L) == "hi",
+      s"tie must resolve to the first class in order: $byId")
+    val lost = HashedLinearScorer.scoreMulti(docs, "doc_id", "text",
+        buckets = 8, classWeights = Seq("aa" -> wLo, "bb" -> wHi),
+        den = Den)
+      .select("doc_id", "pred").as[(Long, String)].collect().toMap
+    assert(lost(1L) == "bb", "strict max must beat earlier class")
+  }
+
+  test("multiclass char-ngram lang-id beats the t03 marker heuristic " +
+      "on gold per-language F1 when the corpus carries real signal") {
+    // Disjoint per-language vocabularies with NO t03 marker words: the
+    // 5-marker heuristic sees nothing and answers 'und', while the
+    // trained char-3-gram gates see every word. Deterministic fixture.
+    val vocab = Map(
+      "en" -> Seq("house", "water", "light", "morning", "people", "stone"),
+      "fr" -> Seq("maison", "lumiere", "matin", "gens", "pierre", "soleil"),
+      "es" -> Seq("casa", "agua", "manana", "gente", "piedra", "cielo"),
+      "de" -> Seq("haus", "wasser", "licht", "morgen", "leute", "stein"))
+    val langs = vocab.keys.toSeq.sorted
+    val docs = (0 until 200).map { i =>
+      val lang = langs((i / 2) % 4) // stratified across the even/odd split
+      val words = vocab(lang)
+      val rnd = new scala.util.Random(i * 7919L)
+      (i.toLong, lang,
+        Seq.fill(20)(words(rnd.nextInt(words.length))).mkString(" "))
+    }.toDF("doc_id", "lang", "text")
+    val train = docs.filter(col("doc_id") % 2 === 0)
+    val heldOut = docs.filter(col("doc_id") % 2 =!= 0)
+    val model = HashedLinearScorer.trainRidgeMulti(train, "doc_id", "text",
+      "lang", buckets = 128, lambda = 0.1, den = Den,
+      features = HashedLinearScorer.charNgramTokens(3))
+    val trained = HashedLinearScorer.scoreMulti(heldOut, "doc_id", "text",
+        buckets = 128, classWeights = model, den = Den,
+        features = HashedLinearScorer.charNgramTokens(3))
+      .join(heldOut.select("doc_id", "lang"), "doc_id")
+      .select("lang", "pred").as[(String, String)].collect()
+    val heur = heldOut
+      .select(col("lang"),
+        graft.functions.TextFunctions.langId(col("text")).as("pred"))
+      .as[(String, String)].collect()
+    def f1For(pairs: Array[(String, String)], cls: String): Double = {
+      val tp = pairs.count(p => p._1 == cls && p._2 == cls).toDouble
+      val fp = pairs.count(p => p._1 != cls && p._2 == cls).toDouble
+      val fn = pairs.count(p => p._1 == cls && p._2 != cls).toDouble
+      if (tp == 0) 0.0 else 2 * tp / (2 * tp + fp + fn)
+    }
+    val macroT = langs.map(f1For(trained, _)).sum / langs.size
+    val macroH = langs.map(f1For(heur, _)).sum / langs.size
+    info(f"macro-F1 trained=$macroT%.3f heuristic=$macroH%.3f")
+    langs.foreach { l =>
+      assert(f1For(trained, l) >= f1For(heur, l),
+        s"trained must not trail the heuristic on $l")
+    }
+    assert(macroT > macroH + 0.3,
+      s"trained macro-F1 $macroT must clearly beat heuristic $macroH")
+    assert(macroT > 0.9, s"disjoint-vocab lang-id should be near-exact: $macroT")
+  }
 }

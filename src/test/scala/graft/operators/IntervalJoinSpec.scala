@@ -155,4 +155,31 @@ class IntervalJoinSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
     assert(p.contains("Join") || p.contains("join"), p)
   }
+
+  test("auto bucket: derived width law — auto ≡ explicit at autoBucket, " +
+      "and the width is the median span") {
+    val rights = Seq((10L, 3L, 90L), (11L, 50L, 120L), (12L, 0L, 7L))
+      .toDF("rid", "rlo", "rhi")
+    val wL = IntervalJoin.autoBucket(intervals, col("lo"), col("hi"))
+    val wR = IntervalJoin.autoBucket(rights, col("rlo"), col("rhi"))
+    // spans 10, 86395, 1, 260000 (empty dropped) -> even count, the
+    // percentile takes the lower middle: 10; rights spans 87, 70, 7 -> 70
+    assert(wL == 10L, s"left auto width $wL")
+    assert(wR == 70L, s"right auto width $wR")
+    val auto = IntervalJoin.intervalOverlap(intervals, col("lo"), col("hi"),
+        rights, col("rlo"), col("rhi"))
+      .select("iid", "rid").as[(Long, Long)].collect().sorted.toSeq
+    val explicit = IntervalJoin.intervalOverlap(intervals, col("lo"),
+        col("hi"), rights, col("rlo"), col("rhi"),
+        bucket = math.max(wL, wR))
+      .select("iid", "rid").as[(Long, Long)].collect().sorted.toSeq
+    assert(auto == explicit, "auto overload must equal explicit at the derived W")
+    val autoPts = IntervalJoin.pointInInterval(points, col("p"),
+        intervals, col("lo"), col("hi"))
+      .select("p", "iid").as[(Long, Long)].collect().sorted.toSeq
+    assert(autoPts == naive, "auto point-in-interval must equal the nested loop")
+    // degenerate: all-empty intervals fall back to W = 1
+    val empty = Seq((1L, 5L, 5L)).toDF("iid", "lo", "hi")
+    assert(IntervalJoin.autoBucket(empty, col("lo"), col("hi")) == 1L)
+  }
 }

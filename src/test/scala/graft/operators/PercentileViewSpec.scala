@@ -27,6 +27,31 @@ class PercentileViewSpec extends SparkSpec {
       .as[(java.sql.Date, Long, Long, Long, Long)].collect().toSet
   }
 
+  test("default bin budget scales with s: values past 2^17 sketch fine") {
+    // round-12 ADVICE: the raw 2^16 default left s=15 only ~2 octaves
+    // above the exact regime; the sized default covers the whole domain
+    assert(PercentileView.defaultMaxBins(15) == ((64L - 15) << 15).toInt)
+    assert(PercentileView.defaultMaxBins(22) == (1 << 22))
+    // 70k DISTINCT fine-unit values occupy > 2^16 bins (the whole exact
+    // regime plus the first estimation octave) — the old raw default
+    // threw mid-aggregation here; the sized default absorbs it
+    val big = spark.range(70000L)
+      .select(lit(java.sql.Timestamp.valueOf("2024-05-01 08:00:00")).as("ts"),
+        col("id").as("v"))
+    // collect the sketch itself: a count() would let Catalyst PRUNE the
+    // aggregate away and never build a single bin
+    val sk = PercentileView.dailySketch(big, "ts", "v").collect()
+    assert(sk.length == 1 && !sk(0).isNullAt(1))
+    val threw = intercept[Exception] {
+      // single partition: one update buffer sees every distinct bin —
+      // the configuration the old default could kill mid-stream
+      PercentileView.dailySketch(big.repartition(1), "ts", "v",
+        maxBins = 1 << 16).collect()
+    }
+    assert(threw.toString.contains("maxBins") ||
+      Option(threw.getCause).exists(_.getMessage.contains("maxBins")))
+  }
+
   test("replayed fragments, mid-stream folds and folded-batch replays are invisible") {
     val dir = java.nio.file.Files.createTempDirectory("pview").toString
     try {

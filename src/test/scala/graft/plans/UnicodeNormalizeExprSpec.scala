@@ -75,6 +75,16 @@ class UnicodeNormalizeExprSpec extends SparkSpec {
       .as[String].head() == "cafe")
     assert(spark.sql("SELECT unicode_normalize('ﬁne', 'NFKC') AS s")
       .as[String].head() == "fine")
+    // a non-boolean strip_accents literal raises the typed error, not a
+    // raw ClassCastException (round-12 ADVICE)
+    val e = intercept[Exception] {
+      spark.sql("SELECT unicode_normalize('café', 'NFC', 1) AS s").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("strip_accents must be a boolean")),
+      s"wanted the typed strip_accents error, got: $e")
   }
 
   test("codegen and interpreted paths agree") {

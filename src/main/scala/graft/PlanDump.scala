@@ -464,12 +464,16 @@ object PlanDump {
       "spread, quiet-box min-of-5): e15 3.34 min/3.74 med, e17 " +
       "2.19/2.42, q51 0.89/0.94, q63 0.45/0.71, s10 0.79/0.85, e16 " +
       "0.44/0.55, d02 2.35/2.41 — ALL tight at historical steady state; " +
-      "every r11 spread was load, not plan. The round-12 FINAL artifact " +
-      "(130.5 s med / 119.5 s min, 179 queries) contains ZERO queries " +
-      "with a >2x med/min spread — the first fully-tight artifact; the " +
-      "codegen-cache fix removed the recompilation component that made " +
-      "pass times bimodal, so next round's adjudication queue starts " +
-      "empty."),
+      "every r11 spread was load, not plan. Round-13 RE-SCOPE (the r12 " +
+      "verdict's correction): the 'zero >2x med/min spreads' statement " +
+      "described the BUILDER's quiet-box run (130.5 s med / 119.5 s min, " +
+      "179 queries); the round's artifact of record, the driver's " +
+      "BENCH_r12.json, measured 175.6 med / 135.1 min with TWELVE " +
+      "queries over a 2x med/min spread (d08 4.3x, q40 3.6x, s04 3.1x, " +
+      "…) — min-level per-query diffs between driver artifacts remain " +
+      "the robust cross-round signal (zero carried queries regressed " +
+      ">1.5x at min r11→r12), and the r12 spread list starts round 13's " +
+      "min-of-5 adjudication queue."),
     "e14_ann_index_append" -> ("the probe half of the stored-ANN append " +
       "cycle (build + append staged once per JVM, excluded from timed " +
       "passes like d11-d13's fixtures): the codes scan is pruned to the " +
@@ -618,7 +622,34 @@ object PlanDump {
       "iterative stages exposed the 100-entry Janino class-cache thrash " +
       "(~10 s/pass of recompilation); Sessions now sizes " +
       "spark.sql.codegen.cache.maxEntries to hold the whole suite, which " +
-      "took d18 13.5→6.7 s and the full 176-query suite 201.6→151.8 s."),
+      "took d18 13.5→6.7 s and the full 176-query suite 201.6→151.8 s. " +
+      "Round-13 ADJUDICATION of the BENCH_r12 driver-artifact gap " +
+      "(17.25 med / 14.47 min vs builder 6.26/5.30): quiet-box solo " +
+      "min-of-5 of the r12 code = 6.64 min / 7.08 med with a 14.49 s " +
+      "COLD FIRST PASS — the driver's 14.47 'min' is every suite pass " +
+      "paying d18's cold cost; the suspected mechanism is JIT code-cache " +
+      "exhaustion under the 179-query suite's generated classes (the " +
+      "most hash-loop-compute-heavy query degrades hardest when the " +
+      "compiler flushes), so build.sbt now reserves a 1g code cache. " +
+      "Round 13 also removed the cold surface structurally: the per-level " +
+      "dataflow loop (6 x join+group-by+localCheckpoint, ~20 jobs, 2 " +
+      "driver actions per level) is now ONE row-local codegen ladder " +
+      "(MerkleLevelsExpr — the doubling combine only ever touches one " +
+      "document's hashes, so levels 2..cap are a per-row computation " +
+      "over the level-1 survivors) + ONE (level, hash) distinct-doc " +
+      "count: solo min-of-5 6.64→5.10 min, 7.08→5.22 med, and the new " +
+      "ScaleSmoke hot-key leg (the r12 brief's missing gate) measures " +
+      "0.94x of linear at 10x+3000 identical boilerplate docs. The " +
+      "brief's per-position exponential+binary refinement probe was " +
+      "adjudicated UNSOUND: a probed window's count is the number of " +
+      "documents GENERATING it, and two holders of the same string " +
+      "diverge in probe schedule (np, cap, doc-end truncation differ), " +
+      "so a partner can skip the probed length and a truly duplicated " +
+      "window counts 1; synchronizing probes globally is sound but " +
+      "trades the row-local ≤2np 8-byte fan-out for O(log cap) extra " +
+      "barrier stages — the exact cost the flat ladder just removed. " +
+      "The all-lengths enumeration stays (SpanDedup scaladoc carries " +
+      "the full argument)."),
     "d19_contamination_coverage" -> ("round 12: per-document " +
       "contamination report — the benchmark side reduces to distinct " +
       "window strings (broadcast), the semi-join runs map-side inside " +
@@ -632,6 +663,77 @@ object PlanDump {
       "group. Exact-regime oracle (rank-exact weekly percentile) fails " +
       "the hash gate if the merge loses or double-counts anything — the " +
       "mergeable-summary property as a user operation."),
+    "t34_url_canonicalize" -> ("round 13: URL canonicalization + host " +
+      "extraction (UrlFunctions) — one split regex + array-HOF tracking-" +
+      "param filter, pure scan-stage projection: the plan has ZERO " +
+      "exchanges and zero joins (PlanAuditSpec pins it), so at 100 TB " +
+      "this is free inside the scan. The DuckDB oracle replays the " +
+      "identical regex/string algebra on RE2 over a deterministic " +
+      "per-document URL fixture covering case, both default ports, " +
+      "userinfo, head/middle/tail tracking params, fragments, empty " +
+      "paths, whitespace and a non-URL passthrough."),
+    "t35_registered_domain" -> ("round 13: registered (pay-level) domain " +
+      "by longest public-suffix match — per-row fold over the host's " +
+      "trailing label runs against a literal suffix set (k runs to n " +
+      "INCLUSIVE: a host that equals a rule is itself a public suffix, " +
+      "no registered domain), unlisted-TLD fallback to the last label. " +
+      "Zero exchanges (plan-pinned); the relation form " +
+      "(registeredDomainAgainst, broadcast suffix table) is the " +
+      "full-9k-rule PSL scale path, spec-proven equal to the literal " +
+      "form."),
+    "t36_domain_blocklist" -> ("round 13: registered-domain blocklist — " +
+      "broadcast LEFT ANTI join, no shuffle exchange (plan-pinned); null " +
+      "domains (non-URLs) survive by anti-join null semantics, which is " +
+      "what a blocklist wants. Corpus-scale lists pre-filter through " +
+      "BloomJoin (d09's composition) and finish on this exact anti-join."),
+    "q70_domain_quota" -> ("round 13: per-domain cap " +
+      "(Sampling.cappedPerStratum) — hard ceiling per registered domain " +
+      "chosen by the md5 draw (cross-engine-replayable, the epochShuffle " +
+      "discipline; NOT xxhash64, DuckDB must replay the kept set). " +
+      "Exactly ONE shuffle (the window partition, plan-pinned); at " +
+      "100 TB with a mega-domain, swap the exact window for the " +
+      "hash-threshold draw per the temperatureResample caveat and keep " +
+      "this form for oracle-checked subsets."),
+    "t37_langid_train" -> ("round 13: multi-class one-vs-rest ridge " +
+      "training (trainRidgeMulti) over char-3-gram hashed features — k " +
+      "gates share ONE moment pass (the Gram matrix is label-" +
+      "independent; per-class right sides are 2*S_c - S_all from one " +
+      "extra per-(label, bucket) DECIMAL fold — k*(B+1) cells next to " +
+      "the (B+1)^2 Gram cells under the same explicit driver-collect " +
+      "contract), one Cholesky factorization back-substituted k times. " +
+      "Serving (scoreMulti) is an integer-exact argmax: per-token k " +
+      "broadcast-literal lookups, ONE map-side-combined groupBy carrying " +
+      "k longs per doc, ties to the lexicographically first class. The " +
+      "corpus lang column is textually uncorrelated by construction " +
+      "(t32's note), so the query DISTILLS the t03 heuristic " +
+      "(CCNet-style teacher distillation; 75.6% held-out agreement at " +
+      "64 buckets) — golden-gated; the spec proves the same trainer " +
+      "beats the marker heuristic on gold per-language F1 (macro 1.000 " +
+      "vs 0.000) on a corpus with genuine language signal."),
+    "t38_url_dedup" -> ("round 13: URL-level dedup — three raw variants " +
+      "per page key (case/port/tracking/fragment noise) collapse to one " +
+      "canonical form; keeper = min doc_id, one count per canonical " +
+      "URL. One map-side-combined group-by; canonicalization stays in " +
+      "the scan stage."),
+    "t39_domain_report" -> ("round 13: per-domain provenance report " +
+      "(FineWeb-style release table) — docs, tokens, DECIMAL-folded " +
+      "mean quality per registered domain; one group-by on the domain " +
+      "key, everything else scan-stage."),
+    "q71_web_curation" -> ("round 13: the COMPOSED stage-0 web pipeline " +
+      "— canonicalize → URL dedup (min-doc_id keeper) → blocklist " +
+      "anti-join → per-domain quota — each stage the already-gated " +
+      "operator, the whole chain DuckDB-replayed end to end; every " +
+      "choice (keeper, quota draw) is a pure function of the data."),
+    "s20_classifier_quality_mv" -> ("round 13: continuous classifier-" +
+      "quality view — t32's trained gate evaluated as per-source " +
+      "confusion-marginal fragments on the AdditiveStats protocol (each " +
+      "doc in exactly one batch ⇒ summed fragments ARE the one-shot " +
+      "confusion matrix; exact regime). Read side emits per-slice " +
+      "precision/recall/F1/accuracy as fixed-order divisions off exact " +
+      "counts. The weight vector is part of the store identity " +
+      "(retrain ⇒ new store). Golden-gated; StreamingSpec differentials " +
+      "the foreachBatch twin (classifierQualityStream) against the " +
+      "one-shot eval with cross-batch slice interleaving."),
     "t33_hybrid_rrf" -> ("round 12: hybrid retrieval — BM25 top-50 and " +
       "embedding-cosine top-50 fused by reciprocal-rank fusion " +
       "(1/(60+rank), missing list contributes 0). Ranks computed on " +

@@ -32,7 +32,8 @@ object GoldenOracles {
     "e12_pq_recall", "e13_ivfadc_recall", "e14_ann_index_append",
     "e15_codebook_drift", "e17_ann_compaction", "e18_filtered_ann",
     "t26_bpe_merges", "t27_bpe_encode", "e19_cell_balanced_sample",
-    "q64_cms_frequency", "t32_classifier_train", "t37_langid_train")
+    "q64_cms_frequency", "t32_classifier_train", "t37_langid_train",
+    "s20_classifier_quality_mv")
 
   def pathFor(name: String): String = s"$dir/$name.parquet"
 

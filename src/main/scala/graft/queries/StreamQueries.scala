@@ -580,11 +580,58 @@ object StreamQueries {
     PercentileView.read(s, s"$root/percentile_view")
   }
 
+  // ---------------------------------------------------------------- s20
+  /** CONTINUOUS CLASSIFIER-QUALITY view
+    * ([[graft.operators.ClassifierQualityView]]): t32's trained gate
+    * evaluated as a live per-source dashboard — per-batch confusion
+    * marginals land as AdditiveStats fragments (each held-out document in
+    * exactly one batch, so summed fragments ARE the one-shot confusion
+    * matrix), with a compaction fold mid-accumulation; the read side
+    * reports per-source precision/recall/F1/accuracy, so a source whose
+    * gate quality drifts is visible at ingest. Train on even doc_ids
+    * (t32's stopword-median label), evaluate odd doc_ids in two batches.
+    * Golden-gated (the trained weight vector has no SQL twin);
+    * StreamingSpec differentials the foreachBatch twin
+    * ([[graft.streaming.StreamOps.classifierQualityStream]]).
+    */
+  val s20_classifier_quality_mv = GraftQuery("s20_classifier_quality_mv",
+    (s, dir) => {
+      import graft.operators.{ClassifierQualityView, HashedLinearScorer}
+      import graft.functions.TextFunctions
+      val Den = 1000003L
+      val root = DedupQueries.DedupStaging.ensure("s20", dir) { r =>
+        // train + ingest are STAGING (memoized like the d11-d13 index
+        // builds): the accumulated store is the queryable artifact
+        val docs = Tables.documents(s, dir)
+          .withColumn("__sw", TextFunctions.stopwordRatio(col("text")))
+        val train = docs.filter(col("doc_id") % 2 === 0)
+        val med = train.select(expr("percentile(__sw, 0.5)")).head.getDouble(0)
+        val labeled = train.withColumn("__y",
+          when(col("__sw") >= med, lit(1)).otherwise(lit(-1)))
+        val weights = HashedLinearScorer.trainRidge(labeled, "doc_id",
+          "text", "__y", buckets = 64, lambda = 0.1, den = Den)
+        val heldOut = docs.filter(col("doc_id") % 2 =!= 0)
+        org.apache.commons.io.FileUtils.deleteQuietly(
+          new java.io.File(s"$r/quality_view"))
+        ClassifierQualityView.init(s, s"$r/quality_view")
+        def appendBatch(b: DataFrame, id: Long): Unit =
+          ClassifierQualityView.append(b, "doc_id", "text", col("source"),
+            col("__sw") >= med, buckets = 64,
+            weightInt = HashedLinearScorer.literalWeightInt(weights),
+            den = Den, dir = s"$r/quality_view", batchId = id)
+        appendBatch(heldOut.filter(col("doc_id") % 4 === 1), 0L)
+        ClassifierQualityView.compact(s, s"$r/quality_view")
+        appendBatch(heldOut.filter(col("doc_id") % 4 === 3), 1L)
+      }
+      ClassifierQualityView.read(s, s"$root/quality_view")
+    }, GoldenOracles.sqlFor("s20_classifier_quality_mv"))
+
   val all: Seq[GraftQuery] = Seq(
     s01_tumbling_agg, s02_sliding_agg, s03_session_windows,
     s04_dedup_first_event, s05_watermark_late, s06_asof_backward,
     s07_running_user_agg, s08_interval_join, s09_stream_curation,
     s10_line_stats_ingest, s11_stream_drift, s12_interval_left_join,
     s13_funnel_conversion, s14_span_stats_ingest, s15_posting_ingest,
-    s16_windowed_mv, s17_join_view, s18_distinct_mv, s19_percentile_mv)
+    s16_windowed_mv, s17_join_view, s18_distinct_mv, s19_percentile_mv,
+    s20_classifier_quality_mv)
 }

@@ -1443,10 +1443,157 @@ object TextQueries {
       .withColumn("agree", col("pred") === col("teacher"))
   }, GoldenOracles.sqlFor("t37_langid_train"))
 
+  // ---------------------------------------------------------------- t38
+  /** URL-LEVEL DEDUP: one document per CANONICAL URL — the web-corpus
+    * stage where canonicalization earns its keep (the same page arrives
+    * under case-variant hosts, default ports, tracking params and
+    * fragments; byte-level URL dedup misses all of it). The fixture
+    * builds three raw variants per page key that all collapse to one
+    * canonical form; the report keeps the min doc_id and counts the
+    * collapsed duplicates. Pure string algebra + one count — fully
+    * SQL-replayable.
+    */
+  private val url38Sql =
+    """CASE doc_id % 3
+      | WHEN 0 THEN 'https://WWW.' || source || '.example.com/page/' || CAST(doc_id % 7 AS VARCHAR) || '?utm_source=a'
+      | WHEN 1 THEN 'https://www.' || source || '.Example.COM:443/page/' || CAST(doc_id % 7 AS VARCHAR) || '#frag'
+      | ELSE 'https://www.' || source || '.example.com/page/' || CAST(doc_id % 7 AS VARCHAR) || '?gclid=x&utm_b=c' END"""
+      .stripMargin.replace("\n", "")
+
+  private def url38: Column = {
+    val page = (col("doc_id") % 7).cast("string")
+    val b = pmod(col("doc_id"), lit(3))
+    when(b === 0, concat(lit("https://WWW."), col("source"),
+        lit(".example.com/page/"), page, lit("?utm_source=a")))
+      .when(b === 1, concat(lit("https://www."), col("source"),
+        lit(".Example.COM:443/page/"), page, lit("#frag")))
+      .otherwise(concat(lit("https://www."), col("source"),
+        lit(".example.com/page/"), page, lit("?gclid=x&utm_b=c")))
+  }
+
+  val t38_url_dedup = q("t38_url_dedup",
+    s"""WITH uu AS (SELECT doc_id, $url38Sql AS url FROM documents),
+       |xx AS (SELECT doc_id, url,
+       |    lower(regexp_extract(trim(url), '${graft.functions.UrlFunctions.urlRegex}', 1)) AS sch,
+       |    lower(regexp_extract(trim(url), '${graft.functions.UrlFunctions.urlRegex}', 2)) AS auth,
+       |    regexp_extract(trim(url), '${graft.functions.UrlFunctions.urlRegex}', 3) AS path,
+       |    substr(regexp_extract(trim(url), '${graft.functions.UrlFunctions.urlRegex}', 4), 2) AS qraw
+       |  FROM uu),
+       |cc AS (SELECT doc_id,
+       |    sch || '://' ||
+       |    (CASE WHEN sch = 'http' THEN regexp_replace(auth, ':80$$', '')
+       |          WHEN sch = 'https' THEN regexp_replace(auth, ':443$$', '')
+       |          ELSE auth END) ||
+       |    (CASE WHEN path = '' THEN '/' ELSE path END) ||
+       |    (CASE WHEN len([q for q in string_split(qraw, '&')
+       |            if q <> '' and not regexp_matches(q, '${graft.functions.UrlFunctions.trackingRegex}')]) > 0
+       |          THEN '?' || array_to_string([q for q in string_split(qraw, '&')
+       |            if q <> '' and not regexp_matches(q, '${graft.functions.UrlFunctions.trackingRegex}')], '&')
+       |          ELSE '' END) AS canon_url
+       |  FROM xx)
+       |SELECT canon_url, MIN(doc_id) AS doc_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_dups
+       |FROM cc GROUP BY 1""".stripMargin) { (s, dir) =>
+    import graft.functions.UrlFunctions
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        UrlFunctions.canonicalizeUrl(url38).as("canon_url"))
+      .groupBy("canon_url")
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_dups"))
+  }
+
+  // ---------------------------------------------------------------- t39
+  /** PER-DOMAIN PROVENANCE REPORT — the FineWeb-style table every
+    * web-corpus release publishes: per registered domain, document and
+    * token volume and mean quality (DECIMAL-folded before the one
+    * division). The per-domain grouping is exactly what
+    * [[graft.functions.UrlFunctions.registeredDomain]] exists to key.
+    */
+  val t39_domain_report = q("t39_domain_report",
+    s"""WITH $urlSqlCtes,
+       |$domainSqlCtes,
+       |m AS (SELECT dd.doc_id, domain, ${normSql("text")} AS norm, text
+       |      FROM dd JOIN documents USING (doc_id)),
+       |r AS (SELECT domain,
+       |        CASE WHEN length(norm) = 0 THEN 0
+       |             ELSE len(string_split(norm, ' ')) END AS wc,
+       |        CASE WHEN length(text) = 0 THEN 0.0
+       |             ELSE CAST(len(regexp_extract_all(text, '$punctPat')) AS DOUBLE)
+       |                  / CAST(length(text) AS DOUBLE) END AS pr,
+       |        CASE WHEN length(norm) = 0 OR len(string_split(norm, ' ')) = 0 THEN 0.0
+       |             ELSE CAST(len(regexp_extract_all(lower(norm), '$stopPat')) AS DOUBLE)
+       |                  / CAST(len(string_split(norm, ' ')) AS DOUBLE) END AS sr,
+       |        CAST(length(text) AS DOUBLE) AS tl
+       |      FROM m)
+       |SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(wc) AS BIGINT) AS n_tokens,
+       |  ${GraftQuery.dsum("ROUND(least(tl / 500.0, 1.0) * 0.4 + greatest(0.0, 1.0 - pr * 5.0) * 0.3 + least(sr * 4.0, 1.0) * 0.3, 6)")}
+       |        / COUNT(*) AS mean_quality
+       |FROM r GROUP BY 1""".stripMargin) { (s, dir) =>
+    import graft.functions.UrlFunctions
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"),
+        UrlFunctions.hostOf(urlFixture).as("host"))
+      .withColumn("domain",
+        UrlFunctions.registeredDomain(col("host"), pslSubset))
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextFunctions.wordCount(col("text")).cast("long")).as("n_tokens"),
+        (graft.Cols.decimalSum(
+          TextFunctions.qualityScore(col("text"))) / count(lit(1)))
+          .as("mean_quality"))
+  }
+
+  // ---------------------------------------------------------------- q71
+  /** END-TO-END WEB CURATION — the composed stage-0 pipeline every
+    * web-scale corpus runs before a single text operator: canonicalize →
+    * one doc per canonical URL → registered-domain blocklist → per-domain
+    * quota. Each stage is the already-oracle-gated operator (t34, t38's
+    * dedup shape, t36's anti-join, q70's quota); this entry pins the
+    * COMPOSITION, with every decision (keeper choice, quota draw)
+    * deterministic and DuckDB-replayed end to end.
+    */
+  val q71_web_curation = q("q71_web_curation",
+    s"""WITH $urlSqlCtes,
+       |$domainSqlCtes,
+       |canon AS (SELECT yy.doc_id, $canonSql AS canon_url, domain
+       |          FROM yy JOIN dd ON yy.doc_id = dd.doc_id),
+       |dedup AS (SELECT canon_url, MIN(doc_id) AS doc_id
+       |          FROM canon GROUP BY 1),
+       |dd2 AS (SELECT d.doc_id, d.canon_url, c.domain
+       |        FROM (SELECT dedup.doc_id, canon_url FROM dedup) d
+       |        JOIN canon c ON d.doc_id = c.doc_id AND d.canon_url = c.canon_url),
+       |blocked AS (SELECT * FROM dd2
+       |  WHERE domain IS NULL OR domain NOT IN ('example.co.uk')),
+       |quota AS (SELECT doc_id, canon_url, domain, row_number() OVER (
+       |    PARTITION BY domain
+       |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+       |  FROM blocked)
+       |SELECT doc_id, domain, canon_url FROM quota WHERE rn <= 10"""
+      .stripMargin) { (s, dir) =>
+    import s.implicits._
+    import graft.functions.UrlFunctions
+    val canon = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        UrlFunctions.canonicalizeUrl(urlFixture).as("canon_url"),
+        UrlFunctions.registeredDomain(UrlFunctions.hostOf(urlFixture),
+          pslSubset).as("domain"))
+    val keepers = canon.groupBy("canon_url")
+      .agg(min(col("doc_id")).as("doc_id"))
+    val deduped = keepers.join(canon, Seq("doc_id", "canon_url"))
+    val unblocked = UrlFunctions.dropBlockedDomains(deduped, "domain",
+      Seq("example.co.uk").toDF("domain"))
+    graft.operators.Sampling.cappedPerStratum(unblocked, Seq("domain"),
+        Seq("doc_id"), cap = 10,
+        hash = Some(md5(col("doc_id").cast("string").cast("binary"))))
+      .select("doc_id", "domain", "canon_url")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     t31_unicode_normalize, t32_classifier_train, t33_hybrid_rrf,
     t34_url_canonicalize, t35_registered_domain, t36_domain_blocklist,
-    q70_domain_quota, t37_langid_train,
+    q70_domain_quota, t37_langid_train, t38_url_dedup, t39_domain_report,
+    q71_web_curation,
     t01_token_stats, t02_quality_score, t03_lang_id, t04_fingerprint,
     t05_rolling_hash, t06_redact, t07_tfidf_top_terms, t08_curation_pipeline,
     t09_repetition, t10_mixture_resample, t11_boilerplate_ngrams,

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types.StructType
@@ -475,6 +475,40 @@ object StreamOps {
         if (compactEvery > 0 &&
             PercentileView.fragmentCount(spark, statsDir) > compactEvery)
           PercentileView.compact(spark, statsDir)
+      }
+      .start()
+
+  /** CONTINUOUS classifier-quality view
+    * ([[graft.operators.ClassifierQualityView]]): per-micro-batch
+    * confusion-marginal fragments from a FIXED trained gate vs an
+    * in-warehouse gold rule — drift in the gate's precision/recall shows
+    * at ingest. The weight vector is part of the store's identity
+    * (retrain ⇒ new store); same protocol guarantees as the other view
+    * twins (idempotent `batch_id` replay, identity pin, CAS folds).
+    */
+  def classifierQualityStream(newDocs: DataFrame, idCol: String,
+                              textCol: String, sliceCol: Column,
+                              goldKeep: Column, buckets: Int,
+                              weightInt: Column => Column, den: Long,
+                              statsDir: String, checkpointDir: String,
+                              compactEvery: Int = 16)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    newDocs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        import graft.operators.ClassifierQualityView
+        import graft.sources.StoredIndex
+        val spark = batch.sparkSession
+        if (StoredIndex.metaGeneration(spark, statsDir) < 0)
+          ClassifierQualityView.init(spark, statsDir)
+        StoredIndex.pinStreamIdentity(spark, statsDir, checkpointDir)
+        if (!batch.isEmpty)
+          ClassifierQualityView.append(batch.toDF(), idCol, textCol,
+            sliceCol, goldKeep, buckets, weightInt, den, statsDir, batchId)
+        if (compactEvery > 0 &&
+            ClassifierQualityView.fragmentCount(spark, statsDir) > compactEvery)
+          ClassifierQualityView.compact(spark, statsDir)
       }
       .start()
 

@@ -104,6 +104,33 @@ class UrlFunctionsSpec extends SparkSpec {
       "literal and relation PSL paths must agree row-for-row")
   }
 
+  test("property: registeredDomain equals a driver-side PSL reference " +
+      "over random hosts") {
+    def ref(host: String, suffixes: Set[String]): Option[String] = {
+      val labels = host.split("\\.", -1)
+      val n = labels.length
+      val best = (1 to n).filter(k =>
+        suffixes.contains(labels.takeRight(k).mkString("."))).maxOption
+      val psl = best.getOrElse(1)
+      if (n > psl) Some(labels.takeRight(psl + 1).mkString(".")) else None
+    }
+    val rnd = new scala.util.Random(20260814L)
+    val parts = Seq("a", "bb", "co", "uk", "com", "io", "github",
+      "example", "www", "x1")
+    val hosts = Seq.tabulate(300) { i =>
+      val n = 1 + rnd.nextInt(5)
+      (i.toLong, Seq.fill(n)(parts(rnd.nextInt(parts.length))).mkString("."))
+    }
+    val want = hosts.map { case (i, h) => i -> ref(h, psl.toSet) }.toMap
+    val got = hosts.toDF("id", "host")
+      .select(col("id"),
+        UrlFunctions.registeredDomain(col("host"), psl).as("d"))
+      .as[(Long, Option[String])].collect().toMap
+    hosts.foreach { case (i, h) =>
+      assert(got(i) == want(i), s"host '$h': got ${got(i)} want ${want(i)}")
+    }
+  }
+
   test("dropBlockedDomains: blocked rows go, null domains survive") {
     val rows = Seq(
       (1L, Some("bad.com")), (2L, Some("good.org")), (3L, None))

@@ -370,4 +370,31 @@ class PlanAuditSpec extends SparkSpec {
     assert(reads.forall(r => !r.contains("props") && !r.contains("event_type")),
       reads.mkString("\n"))
   }
+
+  test("t34/t35: URL canonicalization and registered domain are pure " +
+      "scan-stage projections — zero exchanges, zero joins") {
+    Seq(TextQueries.t34_url_canonicalize,
+        TextQueries.t35_registered_domain).foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Exchange"), s"${q.name} shuffled:\n$p")
+      assert(!p.contains("Join"), s"${q.name} joined:\n$p")
+    }
+  }
+
+  test("t36: the blocklist is a broadcast anti-join — no shuffle exchange") {
+    val p = plan(TextQueries.t36_domain_blocklist)
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p)
+    assert(!p.linesIterator.exists(l =>
+      l.contains("Exchange hashpartitioning")), p)
+  }
+
+  test("q70: the domain quota costs exactly one shuffle (the window " +
+      "partition), no nested loops") {
+    val p = plan(TextQueries.q70_domain_quota)
+    val shuffles = p.linesIterator
+      .count(_.contains("Exchange hashpartitioning"))
+    assert(shuffles == 1, s"expected 1 window shuffle, got $shuffles:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }

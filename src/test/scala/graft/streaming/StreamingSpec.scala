@@ -1343,4 +1343,56 @@ class StreamingSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
     }
   }
+
+  test("classifierQualityStream: cross-batch confusion marginals sum; " +
+      "view equals the one-shot evaluation") {
+    import graft.operators.{ClassifierQualityView, HashedLinearScorer}
+    implicit val sqlCtx = spark.sqlContext
+    // fixed crafted gate (the store contract: weights are part of its
+    // identity): positive weight everywhere -> keep any non-empty doc
+    // UNLESS its tokens hash to the one negative bucket; gold = contains
+    // 'good'. Slice = doc_id parity so each slice receives rows from
+    // BOTH batches and the per-slice counts must interleave.
+    val den = 1000L
+    val weights = Array.tabulate(8)(b => if (b == 0) -100L else 10L)
+    val wi = HashedLinearScorer.literalWeightInt(weights) _
+    val slice = (col("doc_id") % 2).cast("string")
+    val gold = col("text").contains("good")
+    val b1 = Seq(Doc(1L, "good stuff here"), Doc(2L, "bad noise"),
+      Doc(3L, "good again"), Doc(4L, "   "))
+    val b2 = Seq(Doc(5L, "more good text"), Doc(6L, "junk"),
+      Doc(7L, "good"), Doc(8L, "meh"))
+    val tmp = java.nio.file.Files.createTempDirectory("quality-view-stream").toString
+    try {
+      val mem = MemoryStream[Doc]
+      mem.addData(b1)
+      val q = StreamOps.classifierQualityStream(mem.toDF(), "doc_id", "text",
+        slice, gold, buckets = 8, weightInt = wi, den = den,
+        statsDir = s"$tmp/qv", checkpointDir = s"$tmp/ckpt",
+        compactEvery = 1)
+      q.processAllAvailable()
+      mem.addData(b2)
+      q.processAllAvailable()
+      q.stop()
+      val got = ClassifierQualityView.read(spark, s"$tmp/qv")
+        .orderBy("slice").collect().toSeq
+      // one-shot: marginals of the WHOLE corpus in one batch, same read
+      val all = (b1 ++ b2).toDF()
+      ClassifierQualityView.init(spark, s"$tmp/direct")
+      graft.sources.AdditiveStats.append(
+        ClassifierQualityView.marginals(all, "doc_id", "text", slice, gold,
+          buckets = 8, weightInt = wi, den = den),
+        ClassifierQualityView.store(s"$tmp/direct"), 0L)
+      val want = ClassifierQualityView.read(spark, s"$tmp/direct")
+        .orderBy("slice").collect().toSeq
+      assert(got == want, s"got=$got want=$want")
+      // the empty doc (id 4) is unserveable -> excluded on both paths
+      assert(got.map(_.getLong(1)).sum == 7L,
+        s"7 serveable docs expected, got $got")
+      // each slice interleaves rows from both batches
+      assert(got.size == 2 && got.forall(_.getLong(1) >= 3L), got.toString)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+    }
+  }
 }

@@ -113,17 +113,21 @@ object HashedLinearScorer {
 
   /** Character n-gram feature tokens — the standard lang-id feature
     * (fastText's default): overlapping substrings of length `n` over the
-    * lowercased whitespace-normalized text. Row-local HOF transform;
-    * shorter texts yield an empty array (no features, mirroring empty
-    * docs in the word path).
+    * lowercased whitespace-normalized text; shorter texts yield an empty
+    * array (no features, mirroring empty docs in the word path).
+    *
+    * Fused via [[graft.plans.CharNgramsExpr]] (round-13 adjudication):
+    * the previous `transform(sequence(...), i => t.substr(i, n))` HOF
+    * re-evaluated the whole normalization chain `t` once PER CHARACTER
+    * POSITION inside an interpreted lambda — O(L²) regex per document,
+    * 99 s min on a 1.5 MB corpus. The expression evaluates its child
+    * once and slices grams in one O(L·n) pass; emitted grams are
+    * bit-identical (code-point windows, short → empty).
     */
   def charNgramTokens(n: Int)(textCol: Column): Column = {
     require(n >= 1, "n-gram length must be >= 1")
-    val t = lower(TextFunctions.normalizeWs(textCol))
-    when(length(t) >= n,
-      transform(sequence(lit(1), length(t) - (n - 1)),
-        i => t.substr(i, lit(n))))
-      .otherwise(array())
+    graft.plans.CharNgramsExpr.charNgrams(
+      lower(TextFunctions.normalizeWs(textCol)), n)
   }
 
   /** Default word features: whitespace tokens of the normalized text —
@@ -142,10 +146,15 @@ object HashedLinearScorer {
     *
     *   Xᵀy_c = 2·S_c − S_all,   S_c = Σ_{label=c} x_d,  S_all = Σ_d x_d,
     *
-    * so ONE extra per-(label, bucket) DECIMAL-folded sum — k·(B+1) cells
+    * so ONE extra per-(label, bucket) exactly-folded sum — k·(B+1) cells
     * next to the (B+1)² Gram cells, same explicit driver-collect
-    * contract — yields every class's right-hand side. The Cholesky
-    * factorization runs ONCE and back-substitutes k times. Returns
+    * contract — yields every class's right-hand side. Both moment
+    * families come from ONE corpus scan: the fused per-document
+    * (bucket, count) vector ([[graft.plans.BucketCountsExpr]]) feeds
+    * [[graft.plans.RidgeMomentsAgg]], whose partition-local dense buffer
+    * replaces the former (B+1)²-rows-per-document explode (the round-13
+    * t37 hot spot) while reproducing the decimal fold bit-for-bit. The
+    * Cholesky factorization runs ONCE and back-substitutes k times. Returns
     * classes sorted lexicographically, each with its bias-folded
     * quantized weight vector (the [[score]]/[[scoreMulti]] serving
     * format). Determinism: identical to [[trainRidge]] — DECIMAL-folded
@@ -160,26 +169,28 @@ object HashedLinearScorer {
                       den: Long,
                       features: Column => Column = wordTokens)
       : Seq[(String, Array[Long])] = {
-    import org.apache.spark.sql.types.DecimalType
     require(buckets > 0 && buckets <= 256,
       s"trainRidgeMulti collects (buckets+1)^2 + k*(buckets+1) moment " +
         s"cells on the driver; buckets must be in [1, 256], got $buckets")
-    def dsum(c: Column): Column = sum(c.cast(DecimalType(28, 14)))
-    val perDoc = perDocVectors(docs, idCol, textCol,
-      col(labelCol).cast("string"), buckets, features)
-    val gramRows = perDoc
-      .select(col("__fv"), col("__n"), explode(col("__fv")).as("__f1"))
-      .select(col("__n"), col("__f1"), explode(col("__fv")).as("__f2"))
-      .groupBy(col("__f1.__b").as("b1"), col("__f2.__b").as("b2"))
-      .agg(dsum((col("__f1.__c") * col("__f2.__c")).cast("double") /
-        (col("__n") * col("__n")).cast("double")).as("g"))
-      .collect()
-    val classSums = perDoc
-      .select(col("__y"), col("__n"), explode(col("__fv")).as("__f"))
-      .groupBy(col("__y"), col("__f.__b").as("b"))
-      .agg(dsum(col("__f.__c").cast("double") /
-        col("__n").cast("double")).as("s"))
-      .collect()
+    // ONE corpus scan (round 14): the fused (bucket, count) featurization
+    // feeds graft.plans.RidgeMomentsAgg, which folds the Gram matrix AND
+    // every class sum in a single partial-aggregated pass — the previous
+    // shape exploded (B+1)² rows per document and ran the lineage twice
+    // (the Gram collect and the class-sum collect). `idCol` is no longer
+    // touched by the moment pass (it became row-local — one row per
+    // document is the table contract); the parameter stays for signature
+    // symmetry with [[scoreMulti]] and [[trainRidge]].
+    val cv = graft.plans.BucketCountsExpr.bucketCounts(
+      features(col(textCol)), buckets)
+    val moments = docs
+      .select(col(labelCol).cast("string").as("__y"), cv.as("__cv"))
+      .filter(size(col("__cv")) > 0)
+      .agg(graft.plans.RidgeMomentsAgg.moments(
+        col("__cv"), col("__y"), buckets).as("m"))
+      .select(col("m.gram").as("gram"), col("m.cls").as("cls"))
+      .collect()(0)
+    val gramRows = moments.getSeq[org.apache.spark.sql.Row](0)
+    val classSums = moments.getSeq[org.apache.spark.sql.Row](1)
     val d = buckets + 1
     val g = Array.ofDim[Double](d, d)
     gramRows.foreach(r =>
@@ -221,17 +232,26 @@ object HashedLinearScorer {
                  features: Column => Column = wordTokens): DataFrame = {
     require(buckets > 0 && den > 0, "need positive buckets and denominator")
     require(classWeights.nonEmpty, "need at least one class")
-    val bucket = pmod(RollingHashExpr.rollingHash(col("__tok")),
-      lit(buckets.toLong)).cast("int")
+    // Row-local serving (round 14): the per-class integer sums fold over
+    // the fused (bucket, count) vector — Σ_b c_b·w_c[b] replaces the old
+    // per-token explode + groupBy, so scoring is a pure projection with
+    // ZERO exchanges (one row per document is the table contract). The
+    // aggregate lambdas are interpreted but bounded: ≤ buckets elements
+    // per document, k broadcast-literal lookups each.
+    val cv = graft.plans.BucketCountsExpr.bucketCounts(
+      features(col(textCol)), buckets)
     val sums = docs
-      .withColumn("__fa", features(col(textCol)))
-      .filter(size(col("__fa")) > 0)
-      .select(col(idCol), explode(col("__fa")).as("__tok"))
-      .withColumn("__b", bucket)
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).cast("int").as("n_tokens"),
+      .select(col(idCol), cv.as("__cv"))
+      .filter(size(col("__cv")) > 0)
+      .select(
+        col(idCol) +:
+        aggregate(col("__cv"), lit(0L),
+          (acc, x) => acc + x.getField("__c")).cast("int").as("n_tokens") +:
         classWeights.map { case (c, w) =>
-          sum(element_at(typedlit(w.toSeq), col("__b") + 1)).as(s"__s_$c")
+          aggregate(col("__cv"), lit(0L), (acc, x) => acc +
+            x.getField("__c") *
+              element_at(typedlit(w.toSeq), x.getField("__b") + 1))
+            .as(s"__s_$c")
         }: _*)
     val scored = aggregate(
       array(classWeights.map { case (c, _) =>
@@ -245,28 +265,6 @@ object HashedLinearScorer {
         col("__best.cls").as("pred"),
         round(col("__best.s") / (col("n_tokens") * den.toDouble), 6)
           .as("score"))
-  }
-
-  /** Shared per-document sparse feature vectors for the moment passes:
-    * (idCol, __y, __fv = [(bucket, count)… + (B, n) intercept], __n).
-    */
-  private def perDocVectors(docs: DataFrame, idCol: String, textCol: String,
-                            label: Column, buckets: Int,
-                            features: Column => Column): DataFrame = {
-    val bucket = pmod(RollingHashExpr.rollingHash(col("__tok")),
-      lit(buckets.toLong)).cast("int")
-    docs
-      .withColumn("__fa", features(col(textCol)))
-      .filter(size(col("__fa")) > 0)
-      .select(col(idCol), label.as("__y"), explode(col("__fa")).as("__tok"))
-      .withColumn("__b", bucket)
-      .groupBy(col(idCol), col("__y"), col("__b"))
-      .agg(count(lit(1)).as("__c"))
-      .groupBy(col(idCol), col("__y"))
-      .agg(collect_list(struct(col("__b"), col("__c"))).as("__cv"),
-        sum(col("__c")).as("__n"))
-      .withColumn("__fv", array_append(col("__cv"),
-        struct(lit(buckets).as("__b"), col("__n").as("__c"))))
   }
 
   /** Normal-equation moments over the (B+1)-dim feature space (B bucket

@@ -26,8 +26,11 @@ object UrlFunctions {
     "^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(\\?[^#]*)?(#.*)?$"
 
   // Tracking parameters every web-corpus canonicalizer strips (utm_*,
-  // click ids, bare ref) — anchored key=value match.
-  val trackingRegex = "^(utm_[^=]*|gclid|fbclid|ref)="
+  // click ids, ref) — anchored match covering both the key=value form and
+  // the bare valueless form ("?ref", "?utm_source"), so either variant
+  // collapses to the same canonical URL (round-13 ADVICE: the old "="-only
+  // pattern let valueless params survive and defeat URL dedup).
+  val trackingRegex = "^(utm_[^=]*|gclid|fbclid|ref)(=|$)"
 
   private def part(c: Column, group: Int): Column =
     regexp_extract(trim(c), urlRegex, group)
@@ -56,10 +59,14 @@ object UrlFunctions {
   }
 
   /** Lowercased host: authority minus userinfo and port. Empty string for
-    * inputs without a `scheme://`.
+    * inputs without a `scheme://`. Userinfo is stripped to the LAST `@`
+    * (RFC 3986: the final `@` delimits userinfo, and `@` may occur inside
+    * it), and bracketed IPv6 literals (`[::1]:8080`) keep their brackets
+    * with the port stripped after `]` (round-13 ADVICE: the old
+    * first-`@` / `[^:]+` form mis-keyed both shapes).
     */
   def hostOf(c: Column): Column =
-    lower(regexp_extract(part(c, 2), "^(?:[^@]*@)?([^:]+)", 1))
+    lower(regexp_extract(part(c, 2), "^(?:.*@)?(\\[[^\\]]*\\]|[^:]+)", 1))
 
   /** REGISTERED (pay-level) domain by longest public-suffix match — the
     * per-site key every domain quota, blocklist and provenance report
@@ -88,33 +95,66 @@ object UrlFunctions {
   }
 
   /** [[registeredDomain]] against a RELATION of public suffixes — the
-    * full-PSL (~9k rules) scale path: each host explodes its ≤ labels−1
+    * full-PSL (~9k rules) scale path: each host explodes its ≤ labels
     * candidate trailing runs row-locally, Catalyst broadcasts the suffix
     * table into a map-side join, and the longest hit wins per `idCol`
     * (unique row key — the repo-wide operator convention). `suffixDf`
-    * must carry one `suffix` string column. Adds `outCol` to `df`; null
-    * where no registered domain exists (host is itself a suffix / single
-    * label).
+    * must carry one `suffix` string column holding PSL rules in their
+    * PUBLISHED form — plain (`co.uk`), wildcard (`*.ck`: `*` matches
+    * exactly one label, so any `<label>.ck` is a public suffix) and
+    * exception (`!www.ck`: overrides a matching wildcard; the public
+    * suffix is the rule minus its leftmost label, making the rule itself
+    * the registered domain) — the full publicsuffix.org algorithm: an
+    * exception match prevails over everything, otherwise the longest
+    * matching rule wins, otherwise the prevailing rule is `*` (last
+    * label). Adds `outCol` to `df`; null where no registered domain
+    * exists (host is itself a public suffix / single unlisted label).
+    *
+    * Shape: each host emits ≤ 2·labels candidate strings (the trailing
+    * run, and its wildcardized form `*.`+run-minus-first for k ≥ 2); one
+    * broadcast hash join against the rule table; one partial-aggregated
+    * max per id. Zero UDFs, row-local fan-out, scan-stage at 100 TB.
     */
   def registeredDomainAgainst(df: DataFrame, idCol: String, hostCol: String,
                               suffixDf: DataFrame,
                               outCol: String = "domain"): DataFrame = {
+    // rule relation normalized to (match key, kind): plain rules key as
+    // themselves (kind 0), wildcard rules keep their "*." key (kind 1),
+    // exception rules key WITHOUT the "!" (kind 2) so a host's plain
+    // trailing run probes them directly
+    val rules = suffixDf.select(
+      when(col("suffix").startsWith("!"), expr("substring(suffix, 2)"))
+        .otherwise(col("suffix")).as("__cand"),
+      when(col("suffix").startsWith("!"), lit(2))
+        .when(col("suffix").startsWith("*."), lit(1))
+        .otherwise(lit(0)).as("__kind"))
     val labels = split(col(hostCol), "\\.")
     val n = size(labels)
     val psl = df.select(col(idCol), labels.as("__labels"))
       .withColumn("__n", size(col("__labels")))
       .withColumn("__k", explode(sequence(lit(1), col("__n"))))
-      .withColumn("__cand",
+      // probe both shapes: the trailing k-label run (plain + exception
+      // rules) and, for k >= 2, "*." + trailing k-1 (wildcard rules; the
+      // "*." prefix keyspace cannot collide with real hostnames)
+      .withColumn("__cand", explode(filter(array(
         array_join(slice(col("__labels"), col("__n") - col("__k") + 1,
-          col("__k")), "."))
-      .join(broadcast(suffixDf.select(col("suffix").as("__cand"))), "__cand")
+          col("__k")), "."),
+        when(col("__k") >= 2, concat(lit("*."),
+          array_join(slice(col("__labels"), col("__n") - col("__k") + 2,
+            col("__k") - 1), ".")))), _.isNotNull)))
+      .join(broadcast(rules), "__cand")
+      // wildcard keys only stand for wildcard rules; plain keys only for
+      // plain/exception rules (the join key encodes this by construction)
       .groupBy(col(idCol))
-      .agg(max(col("__k")).as("__psl"))
+      .agg(
+        max(when(col("__kind") === 2, col("__k") - 1)).as("__pslExc"),
+        max(when(col("__kind") =!= 2, col("__k"))).as("__pslStd"))
     df.join(psl, Seq(idCol), "left")
-      .withColumn("__psl", coalesce(col("__psl"), lit(1)))
+      .withColumn("__psl",
+        coalesce(col("__pslExc"), col("__pslStd"), lit(1)))
       .withColumn(outCol, when(n > col("__psl"),
         array_join(slice(labels, n - col("__psl"), col("__psl") + 1), ".")))
-      .drop("__psl")
+      .drop("__psl", "__pslExc", "__pslStd")
   }
 
   /** Blocklist filter: drop rows whose registered domain appears in

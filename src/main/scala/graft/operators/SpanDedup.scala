@@ -329,6 +329,16 @@ object SpanDedup {
     * qualifying length, soundness because generated windows are a subset
     * of real windows. Output: one row per input document,
     * (idCol, n_tokens, max_dup_run), 0 when nothing is duplicated.
+    *
+    * MEMORY CONTRACT (the footprint-proportional claim, made precise):
+    * the per-document survivor fold concentrates a document's duplicated
+    * positions into ONE row — k `(p, h)` structs in, ≤ k·(log₂ cap + 1)
+    * ladder structs out of [[graft.plans.MerkleLevelsExpr]] — so a
+    * single row's memory is bounded by that document's own duplicated
+    * footprint (≈ 24 bytes · k · log cap), NOT by the corpus. A
+    * fully-duplicated document of 10⁶ tokens costs ~170 MB transient on
+    * one executor at cap 64; chunk documents above that order of
+    * position count if the deployment's row-size budget is tighter.
     */
   def maxDuplicatedRun(df: DataFrame, idCol: String, textCol: String,
                        minDocs: Int = 2, cap: Int = 64): DataFrame = {

@@ -83,6 +83,40 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         })
         UnicodeNormalizeExpr(children.head, form, strip)
       }))
+    // char_ngrams(s, n) / bucket_counts(tokens, b): the size parameters
+    // shape the generated code, so they must be foldable literals
+    def litInt(e: Expression, fn: String): Int = {
+      require(e.foldable, s"$fn size parameter must be a literal")
+      e.eval(null) match {
+        case i: java.lang.Integer => i.intValue()
+        case other => throw new IllegalArgumentException(
+          s"$fn size parameter must be an integer literal, got $other")
+      }
+    }
+    ext.injectFunction((
+      FunctionIdentifier("char_ngrams"),
+      new ExpressionInfo(classOf[CharNgramsExpr].getName, "char_ngrams"),
+      (children: Seq[Expression]) =>
+        CharNgramsExpr(children.head, litInt(children(1), "char_ngrams"))))
+    ext.injectFunction((
+      FunctionIdentifier("bucket_counts"),
+      new ExpressionInfo(classOf[BucketCountsExpr].getName, "bucket_counts"),
+      (children: Seq[Expression]) =>
+        BucketCountsExpr(children.head, litInt(children(1), "bucket_counts"))))
+    // multi_match(text, array('p1', 'p2', ...)): the pattern list builds
+    // the driver-side Aho–Corasick automaton, so it must fold to literals
+    ext.injectFunction((
+      FunctionIdentifier("multi_match"),
+      new ExpressionInfo(classOf[MultiMatchExpr].getName, "multi_match"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2 && children(1).foldable,
+          "multi_match patterns must be a literal array of strings")
+        val arr = children(1).eval(null)
+          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        val pats = (0 until arr.numElements())
+          .map(i => arr.getUTF8String(i).toString)
+        MultiMatchExpr(children.head, pats)
+      }))
     ext.injectOptimizerRule(_ => PruneLevenshteinFilters)
   }
 }

@@ -1226,7 +1226,7 @@ object TextQueries {
 
   private def urlFixture: Column = {
     val id = col("doc_id").cast("string")
-    val b = pmod(col("doc_id"), lit(6))
+    val b = pmod(col("doc_id"), lit(8))
     when(b === 0, concat(lit("HTTPS://WWW."), col("source"),
         lit(".Example.COM:443/Path/"), id, lit("?utm_source=feed&id="), id,
         lit("&utm_campaign=x#top")))
@@ -1238,16 +1238,27 @@ object TextQueries {
         lit(".example.com:8080/a/"), id, lit("?id="), id, lit("&fbclid=z#f")))
       .when(b === 4, concat(lit("  ftp://Files."), col("source"),
         lit(".ORG/data/"), id, lit("  ")))
+      // round 14: userinfo containing '@' (RFC 3986: the LAST '@'
+      // delimits it) plus a VALUELESS tracking param ("?ref") that must
+      // still strip
+      .when(b === 5, concat(lit("https://U@p:w@api."), col("source"),
+        lit(".Example.com/v/"), id, lit("?ref&x="), id))
+      // round 14: bracketed IPv6 literal host with a non-default port;
+      // a bare utm param in the middle of the query
+      .when(b === 6, concat(lit("http://[2001:DB8::1]:8080/v6/"), id,
+        lit("?id="), id, lit("&utm_medium&z="), id))
       .otherwise(concat(lit("not a url "), id))
   }
 
   private val urlFixtureSql =
-    """CASE doc_id % 6
+    """CASE doc_id % 8
       | WHEN 0 THEN 'HTTPS://WWW.' || source || '.Example.COM:443/Path/' || CAST(doc_id AS VARCHAR) || '?utm_source=feed&id=' || CAST(doc_id AS VARCHAR) || '&utm_campaign=x#top'
       | WHEN 1 THEN 'http://' || source || '.example.co.uk:80?ref=tw&q=' || CAST(doc_id AS VARCHAR)
       | WHEN 2 THEN 'https://blog.' || source || '.github.io/post/' || CAST(doc_id AS VARCHAR) || '?gclid=abc' || CAST(doc_id AS VARCHAR)
       | WHEN 3 THEN 'http://u:p@' || source || '.example.com:8080/a/' || CAST(doc_id AS VARCHAR) || '?id=' || CAST(doc_id AS VARCHAR) || '&fbclid=z#f'
       | WHEN 4 THEN '  ftp://Files.' || source || '.ORG/data/' || CAST(doc_id AS VARCHAR) || '  '
+      | WHEN 5 THEN 'https://U@p:w@api.' || source || '.Example.com/v/' || CAST(doc_id AS VARCHAR) || '?ref&x=' || CAST(doc_id AS VARCHAR)
+      | WHEN 6 THEN 'http://[2001:DB8::1]:8080/v6/' || CAST(doc_id AS VARCHAR) || '?id=' || CAST(doc_id AS VARCHAR) || '&utm_medium&z=' || CAST(doc_id AS VARCHAR)
       | ELSE 'not a url ' || CAST(doc_id AS VARCHAR) END""".stripMargin
 
   /** Shared SQL mirror of [[graft.functions.UrlFunctions.canonicalizeUrl]]
@@ -1274,7 +1285,7 @@ object TextQueries {
        |    CASE WHEN path = '' THEN '/' ELSE path END AS p2,
        |    [q for q in string_split(qraw, '&')
        |       if q <> '' and not regexp_matches(q, '$track')] AS kept,
-       |    lower(regexp_extract(authraw, '^(?:[^@]*@)?([^:]+)', 1)) AS host
+       |    lower(regexp_extract(authraw, '^(?:.*@)?(\\[[^\\]]*\\]|[^:]+)', 1)) AS host
        |  FROM xx)""".stripMargin
   }
 
@@ -1589,10 +1600,114 @@ object TextQueries {
       .select("doc_id", "domain", "canon_url")
   }
 
+  // ---------------------------------------------------------------- t40
+  /** PHRASE-BLOCKLIST PROBE ([[graft.plans.MultiMatchExpr]]): the ids of
+    * every banned phrase occurring in each document, from ONE Aho–Corasick
+    * automaton walk per document — O(len(text) + matches) instead of one
+    * `contains` pass per pattern (k full scans), and the probe runs inside
+    * the corpus scan stage under whole-stage codegen (a thousand-phrase
+    * blocklist at 100 TB is exactly this shape: the automaton is
+    * driver-built and ships once per executor via `addReferenceObj`).
+    * The fixture list carries genuine automaton structure: "park" occurs
+    * ONLY inside "spark" (output-via-failure-link), "table" is a suffix of
+    * "fast table" and a prefix of "table part" (overlapping dictionary
+    * entries), and one phrase never occurs (zero-hit patterns must not
+    * surface). The DuckDB oracle replays it as k `contains` predicates —
+    * the exact relation the scaladoc contract pins (UTF-16 substring
+    * containment ≡ SQL contains).
+    */
+  private[queries] val blockPhrases: Seq[String] = Seq(
+    "fast table", "table", "table part", "spark", "park",
+    "row scan slow", "a a the", "merge batch", "value fast",
+    "never-in-corpus")
+
+  val t40_phrase_blocklist = q("t40_phrase_blocklist",
+    s"""SELECT d.doc_id, p.pattern_id, p.phrase
+       |FROM documents d
+       |JOIN (VALUES ${blockPhrases.zipWithIndex
+             .map { case (p, i) => s"($i, '$p')" }.mkString(", ")})
+       |  p(pattern_id, phrase)
+       |  ON contains(d.text, p.phrase)""".stripMargin) { (s, dir) =>
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        explode(graft.plans.MultiMatchExpr.matchedIds(col("text"),
+          blockPhrases)).as("pattern_id"))
+      .withColumn("phrase",
+        element_at(typedlit(blockPhrases), col("pattern_id") + 1))
+  }
+
+  // ---------------------------------------------------------------- t41
+  /** PSL WILDCARD/EXCEPTION RULES ([[graft.functions.UrlFunctions
+    * .registeredDomainAgainst]]): the full publicsuffix.org algorithm —
+    * `*.ck` makes every `<label>.ck` a public suffix, `!www.ck` overrides
+    * the wildcard (the rule itself becomes the registered domain), an
+    * exception match prevails over everything, otherwise longest rule
+    * wins. Real PSL data carries ~1k such rules (`*.blogspot.com`-style);
+    * a web pipeline hits them constantly. The host fixture covers: a
+    * wildcard suffix one level down (registrant under `*.platform.dev`),
+    * the exception host itself, a registrant UNDER the exception host, a
+    * plain wildcard registrant, a plain-rule registrant, and a host that
+    * IS a wildcard public suffix (null domain). The DuckDB oracle replays
+    * candidate generation + the two-kind max exactly.
+    */
+  private val pslRules41 =
+    Seq("com", "dev", "ck", "*.ck", "!www.ck", "*.platform.dev")
+
+  private def hostFixture41: Column = {
+    val b = pmod(col("doc_id"), lit(6))
+    when(b === 0, concat(col("source"), lit(".users.platform.dev")))
+      .when(b === 1, lit("www.ck"))
+      .when(b === 2, concat(col("source"), lit(".www.ck")))
+      .when(b === 3, concat(col("source"), lit(".cdn.ck")))
+      .when(b === 4, concat(col("source"), lit(".example.com")))
+      .otherwise(lit("users.platform.dev"))
+  }
+
+  private val hostFixture41Sql =
+    """CASE doc_id % 6
+      | WHEN 0 THEN source || '.users.platform.dev'
+      | WHEN 1 THEN 'www.ck'
+      | WHEN 2 THEN source || '.www.ck'
+      | WHEN 3 THEN source || '.cdn.ck'
+      | WHEN 4 THEN source || '.example.com'
+      | ELSE 'users.platform.dev' END""".stripMargin
+
+  val t41_psl_wildcard = q("t41_psl_wildcard",
+    s"""WITH hf AS (SELECT doc_id, $hostFixture41Sql AS host FROM documents),
+       |hh AS (SELECT doc_id, host, string_split(host, '.') AS labels,
+       |    len(string_split(host, '.')) AS n FROM hf),
+       |cand AS (SELECT doc_id, n, k,
+       |    array_to_string(labels[n-k+1:n], '.') AS cand,
+       |    CASE WHEN k >= 2
+       |         THEN '*.' || array_to_string(labels[n-k+2:n], '.') END AS candw
+       |  FROM hh, (SELECT unnest(range(1, 6)) AS k) ks WHERE k <= n),
+       |rules AS (SELECT * FROM (VALUES ('com', 0), ('dev', 0), ('ck', 0),
+       |    ('*.ck', 1), ('www.ck', 2), ('*.platform.dev', 1)) v(rule, kind)),
+       |m AS (SELECT doc_id,
+       |    max(CASE WHEN kind = 2 THEN k - 1 END) AS pslexc,
+       |    max(CASE WHEN kind <> 2 THEN k END) AS pslstd
+       |  FROM cand JOIN rules ON
+       |    (kind <> 1 AND rule = cand) OR (kind = 1 AND rule = candw)
+       |  GROUP BY doc_id)
+       |SELECT hh.doc_id, host,
+       |  CASE WHEN n > coalesce(pslexc, pslstd, 1)
+       |       THEN array_to_string(labels[n-coalesce(pslexc, pslstd, 1):n], '.')
+       |  END AS domain
+       |FROM hh LEFT JOIN m USING (doc_id)""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    import graft.functions.UrlFunctions
+    val hosts = Tables.documents(s, dir)
+      .select(col("doc_id"), hostFixture41.as("host"))
+    UrlFunctions.registeredDomainAgainst(hosts, "doc_id", "host",
+        pslRules41.toDF("suffix"))
+      .select("doc_id", "host", "domain")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     t31_unicode_normalize, t32_classifier_train, t33_hybrid_rrf,
     t34_url_canonicalize, t35_registered_domain, t36_domain_blocklist,
     q70_domain_quota, t37_langid_train, t38_url_dedup, t39_domain_report,
+    t40_phrase_blocklist, t41_psl_wildcard,
     q71_web_curation,
     t01_token_stats, t02_quality_score, t03_lang_id, t04_fingerprint,
     t05_rolling_hash, t06_redact, t07_tfidf_top_terms, t08_curation_pipeline,

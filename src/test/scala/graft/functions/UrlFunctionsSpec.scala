@@ -56,12 +56,32 @@ class UrlFunctionsSpec extends SparkSpec {
     val got = Seq(
       (1, "http://u:p@H.Example.COM:8080/a"),
       (2, "https://plain.example.org"),
-      (3, "nope")).toDF("id", "url")
+      (3, "nope"),
+      // RFC 3986: the LAST '@' delimits userinfo ('@' may occur inside it)
+      (4, "http://u@p@Host.Example.com/x"),
+      // bracketed IPv6 literals keep brackets, port after ']' stripped
+      (5, "http://[2001:DB8::1]:8080/x"),
+      (6, "https://admin@[::1]/y")).toDF("id", "url")
       .select(col("id"), UrlFunctions.hostOf(col("url")).as("h"))
       .as[(Int, String)].collect().toMap
     assert(got(1) == "h.example.com")
     assert(got(2) == "plain.example.org")
     assert(got(3) == "")
+    assert(got(4) == "host.example.com")
+    assert(got(5) == "[2001:db8::1]")
+    assert(got(6) == "[::1]")
+  }
+
+  test("canonicalizeUrl strips VALUELESS tracking params too") {
+    val got = canon(Seq(
+      "https://x.com/p?ref",
+      "https://x.com/p?ref&a=1",
+      "https://x.com/p?a=1&utm_source&b=2",
+      "https://x.com/p?refx=1")) // refx is NOT ref — must survive
+    assert(got("https://x.com/p?ref") == "https://x.com/p")
+    assert(got("https://x.com/p?ref&a=1") == "https://x.com/p?a=1")
+    assert(got("https://x.com/p?a=1&utm_source&b=2") == "https://x.com/p?a=1&b=2")
+    assert(got("https://x.com/p?refx=1") == "https://x.com/p?refx=1")
   }
 
   private val psl = Seq("com", "org", "io", "co.uk", "github.io", "uk")
@@ -129,6 +149,34 @@ class UrlFunctionsSpec extends SparkSpec {
     hosts.foreach { case (i, h) =>
       assert(got(i) == want(i), s"host '$h': got ${got(i)} want ${want(i)}")
     }
+  }
+
+  test("registeredDomainAgainst: PSL wildcard and exception rules " +
+      "(publicsuffix.org algorithm)") {
+    val rules = Seq("com", "dev", "ck", "*.ck", "!www.ck", "*.platform.dev")
+      .toDF("suffix")
+    val hosts = Seq(
+      (1L, "site.users.platform.dev"), // registrant under a wildcard suffix
+      (2L, "www.ck"),                  // the exception host itself
+      (3L, "a.www.ck"),                // registrant UNDER the exception host
+      (4L, "b.cdn.ck"),                // plain wildcard registrant
+      (5L, "c.example.com"),           // plain rule registrant
+      (6L, "users.platform.dev"),      // host IS a wildcard public suffix
+      (7L, "cdn.ck"),                  // likewise, one level down
+      (8L, "ck"))                      // bare wildcard base: psl fallback 1
+      .toDF("id", "host")
+    val got = UrlFunctions.registeredDomainAgainst(
+        hosts, "id", "host", rules)
+      .select("id", "domain").as[(Long, Option[String])].collect().toMap
+    assert(got(1L).contains("site.users.platform.dev"))
+    assert(got(2L).contains("www.ck"),
+      "!www.ck must override *.ck: www.ck IS the registered domain")
+    assert(got(3L).contains("www.ck"))
+    assert(got(4L).contains("b.cdn.ck"))
+    assert(got(5L).contains("example.com"))
+    assert(got(6L).isEmpty, "a wildcard public suffix has no registrant")
+    assert(got(7L).isEmpty)
+    assert(got(8L).isEmpty)
   }
 
   test("dropBlockedDomains: blocked rows go, null domains survive") {

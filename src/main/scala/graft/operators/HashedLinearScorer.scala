@@ -22,11 +22,12 @@ import graft.plans.RollingHashExpr
   * `element_at(typedlit(weights), bucket + 1)` over a broadcast literal
   * array — `buckets` slots, driver-small at any corpus scale).
   *
-  * Shape at 100 TB: normalize → explode tokens → codegen'd rolling-hash
-  * bucket + integer weight per row → one partially-aggregated groupBy on
-  * the document id. The shuffle carries one (id, count, sum) triple per
-  * document after map-side combine — the same cost class as the t01
-  * token-stats pass, with zero UDFs and no interpreted lambda.
+  * Shape at 100 TB (round 14): normalize → fused row-local
+  * (bucket, count) vector ([[graft.plans.BucketCountsExpr]], one codegen
+  * pass per document) → integer weight fold over ≤ `buckets` elements.
+  * Serving is a pure projection with ZERO exchanges — nothing about a
+  * document ever leaves its row; training's only shuffle is the
+  * ≤ (buckets+1)² moment-cell fold ([[graft.plans.RidgeMomentsAgg]]).
   */
 object HashedLinearScorer {
 
@@ -40,15 +41,21 @@ object HashedLinearScorer {
             weightInt: Column => Column, den: Long,
             calib: Double): DataFrame = {
     require(buckets > 0 && den > 0, "need positive buckets and denominator")
-    val norm = TextFunctions.normalizeWs(col(textCol))
-    val bucket = pmod(RollingHashExpr.rollingHash(col("__tok")), lit(buckets.toLong))
+    // Row-local serving (round 14, same move as scoreMulti): the integer
+    // weight sum folds over the fused (bucket, count) vector — ZERO
+    // exchanges, where the old explode + groupBy shuffled one row per
+    // token. Integer sums are order-free, so the results are identical.
+    val cv = graft.plans.BucketCountsExpr.bucketCounts(
+      wordTokens(col(textCol)), buckets)
     docs
-      .withColumn("__norm", norm)
-      .filter(length(col("__norm")) > 0)
-      .select(col(idCol), explode(split(col("__norm"), " ")).as("__tok"))
-      .withColumn("__w", weightInt(bucket))
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).cast("int").as("n_tokens"), sum(col("__w")).as("__s"))
+      .select(col(idCol), cv.as("__cv"))
+      .filter(size(col("__cv")) > 0)
+      .select(col(idCol),
+        aggregate(col("__cv"), lit(0L),
+          (acc, x) => acc + x.getField("__c")).cast("int").as("n_tokens"),
+        aggregate(col("__cv"), lit(0L), (acc, x) => acc +
+          x.getField("__c") * weightInt(x.getField("__b").cast("long")))
+          .as("__s"))
       .select(col(idCol), col("n_tokens"),
         round(col("__s") / (col("n_tokens") * den.toDouble), 6).as("score"),
         round(lit(1.0) / (lit(1.0) +
@@ -269,10 +276,21 @@ object HashedLinearScorer {
 
   /** Normal-equation moments over the (B+1)-dim feature space (B bucket
     * fractions + trailing intercept): XᵀX dense (B+1)², Xᵀy length B+1.
-    * Per-row products `c₁·c₂/n²` are computed identically on every
-    * executor and folded through DECIMAL(28,14) (the `Cols.decimalSum`
-    * discipline), so the collected moments are bit-identical under any
-    * partitioning or arrival order.
+    * Per-row addends are computed identically on every executor and
+    * folded through the exact DECIMAL(28,14)-per-addend discipline, so
+    * the collected moments are bit-identical under any partitioning or
+    * arrival order.
+    *
+    * Round 14 (the t37 restructuring applied to the binary path): the
+    * per-document (bucket, count) vector comes from the fused
+    * [[graft.plans.BucketCountsExpr]] (row-local, replaces the
+    * explode→two-groupBys featurization) and the Gram matrix from
+    * [[graft.plans.RidgeMomentsAgg]]'s one-pass partition-local fold
+    * (label-independent — a constant class key keeps the class-sum
+    * machinery dormant), spec-proven bit-equal to the exploded DECIMAL
+    * dataflow it replaced. Xᵀy keeps the dataflow fold but over the
+    * fused vector — fan-out B+1 per document, not (B+1)²; its numeric
+    * `y` weight rules out the unsigned-integer fold the Gram uses.
     */
   private[operators] def normalEquations(docs: DataFrame, idCol: String,
                                          textCol: String, labelCol: String,
@@ -282,34 +300,24 @@ object HashedLinearScorer {
       s"trainRidge collects (buckets+1)^2 moment cells on the driver; " +
         s"buckets must be in [1, 256], got $buckets")
     import org.apache.spark.sql.types.DecimalType
-    val norm = TextFunctions.normalizeWs(col(textCol))
-    val bucket = pmod(RollingHashExpr.rollingHash(col("__tok")),
-      lit(buckets.toLong)).cast("int")
     def dsum(c: Column): Column = sum(c.cast(DecimalType(28, 14)))
-    val perDocBucket = docs
-      .withColumn("__norm", norm)
-      .filter(length(col("__norm")) > 0)
-      .select(col(idCol), col(labelCol).cast("double").as("__y"),
-        explode(split(col("__norm"), " ")).as("__tok"))
-      .withColumn("__b", bucket)
-      .groupBy(col(idCol), col("__y"), col("__b"))
-      .agg(count(lit(1)).as("__c"))
-    // per-doc sparse count vector, intercept appended as pseudo-bucket B
-    // with count n (so c/n uniformly yields fraction features and a 1)
-    val perDoc = perDocBucket
-      .groupBy(col(idCol), col("__y"))
-      .agg(collect_list(struct(col("__b"), col("__c"))).as("__cv"),
-        sum(col("__c")).as("__n"))
+    val cv = graft.plans.BucketCountsExpr.bucketCounts(
+      wordTokens(col(textCol)), buckets)
+    val perDoc = docs
+      .select(col(labelCol).cast("double").as("__y"), cv.as("__cv"))
+      .filter(size(col("__cv")) > 0)
+    val gramRows = perDoc
+      .agg(graft.plans.RidgeMomentsAgg.moments(
+        col("__cv"), lit("_"), buckets).as("m"))
+      .select(col("m.gram").as("gram")).collect()(0)
+      .getSeq[org.apache.spark.sql.Row](0)
+    // intercept appended as pseudo-bucket B with count n (so c/n
+    // uniformly yields fraction features and a 1)
+    val xtyRows = perDoc
+      .withColumn("__n", aggregate(col("__cv"), lit(0L),
+        (acc, x) => acc + x.getField("__c")))
       .withColumn("__fv", array_append(col("__cv"),
         struct(lit(buckets).as("__b"), col("__n").as("__c"))))
-    val gramRows = perDoc
-      .select(col("__fv"), col("__n"), explode(col("__fv")).as("__f1"))
-      .select(col("__n"), col("__f1"), explode(col("__fv")).as("__f2"))
-      .groupBy(col("__f1.__b").as("b1"), col("__f2.__b").as("b2"))
-      .agg(dsum((col("__f1.__c") * col("__f2.__c")).cast("double") /
-        (col("__n") * col("__n")).cast("double")).as("g"))
-      .collect()
-    val xtyRows = perDoc
       .select(col("__y"), col("__n"), explode(col("__fv")).as("__f"))
       .groupBy(col("__f.__b").as("b"))
       .agg(dsum(col("__y").cast("double") *

@@ -282,6 +282,42 @@ object ScaleSmoke {
     (t1, math.min(t10a, t10b), rows1, rows10)
   }
 
+  /** Classifier training at 10× — the t37 shape (round 14): char-trigram
+    * featurization via [[graft.plans.CharNgramsExpr]] is O(L) per
+    * document, per-doc vectors fold row-locally
+    * ([[graft.plans.BucketCountsExpr]]) and the whole moment computation
+    * is ONE partial-aggregated pass ([[graft.plans.RidgeMomentsAgg]])
+    * whose shuffle carries one dense (B+1)²-cell buffer per partition
+    * REGARDLESS of corpus size — so training wall time must track the
+    * corpus (sub-)linearly. This is the gate the round-13 defect lacked:
+    * the interpreted-HOF featurization was O(L²) per document and would
+    * blow a 2×-of-linear budget on any corpus; a regression to that
+    * shape fails here long before a driver artifact ships it. Labels are
+    * a deterministic 4-class function of doc_id (training cost is
+    * label-agnostic). Returns (t1x, t10x).
+    */
+  def trainingSection(spark: SparkSession, sfDir: String,
+                      copies: Int = 10): (Double, Double) = {
+    import graft.operators.HashedLinearScorer
+    def labeled(df: DataFrame): DataFrame =
+      df.select(col("doc_id"), col("text"),
+        concat(lit("c"), pmod(col("doc_id"), lit(4))).as("__y"))
+    val small = labeled(Tables.documents(spark, sfDir)
+      .select("doc_id", "text")).cache()
+    val big = labeled(docs10x(spark, sfDir, copies, hotDocs = 0)).cache()
+    small.count(); big.count()
+    def run(df: DataFrame): Int =
+      HashedLinearScorer.trainRidgeMulti(df, "doc_id", "text", "__y",
+        buckets = 64, lambda = 0.1, den = 1000003L,
+        features = HashedLinearScorer.charNgramTokens(3)).length
+    run(small) // warm-up (codegen, broadcast machinery)
+    val (_, t1) = time(run(small))
+    val (_, t10a) = time(run(big))
+    val (_, t10b) = time(run(big)) // min-of-2, same rationale as cappedSection
+    small.unpersist(); big.unpersist()
+    (t1, math.min(t10a, t10b))
+  }
+
   /** Per-batch cost of the PERSISTED-INDEX incremental dedup vs corpus
     * size: the same fixed batch is deduped against a 1× and a 10× corpus
     * index (both persisted + read back, index build untimed — that's the
@@ -638,7 +674,17 @@ object ScaleSmoke {
     println(f"SMOKE t13_packing           1x=$tPack1%6.2fs ${copies}x=$tPack10%6.2fs " +
       f"rows=$rPack1%d/$rPack10%d vs-linear=$packLinear%5.2fx $packVerdict")
 
-    var failed = idxVerdict != "OK" || pruneVerdict != "OK" || packVerdict != "OK"
+    // classifier training: one moment pass, fused O(L) featurization —
+    // wall time must track corpus size (the r13 O(L^2) defect's gate)
+    val (tTrain1, tTrain10) = trainingSection(spark, sfDir, copies)
+    val trainLinear = tTrain10 / (tTrain1 * copies)
+    val trainVerdict =
+      if (trainLinear <= maxSlowdown) "OK" else "FAIL (training non-linear)"
+    println(f"SMOKE t37_training          1x=$tTrain1%6.2fs ${copies}x=$tTrain10%6.2fs " +
+      f"vs-linear=$trainLinear%5.2fx $trainVerdict")
+
+    var failed = idxVerdict != "OK" || pruneVerdict != "OK" ||
+      packVerdict != "OK" || trainVerdict != "OK"
     // (scd2Flat / zorderLinear run in the sbt-test smoke tier only —
     // they gate layout/merge cost shapes, not hot-key caps)
     (results ++ relational).foreach {

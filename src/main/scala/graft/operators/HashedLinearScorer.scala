@@ -92,12 +92,14 @@ object HashedLinearScorer {
     * weight, because adding a constant β to all slots shifts the
     * mean-of-slot-weights logit by exactly β.
     *
-    * The moment pass is shaped for 100 TB: tokens bucket map-side
-    * (codegen rolling hash), per-document sparse count vectors aggregate
-    * with map-side combine (≤ `buckets`+1 entries per doc), the Gram
-    * contribution explodes row-locally (fan-out ≤ (buckets+1)² per doc,
-    * no cross-doc join), and the final groupBy carries at most
-    * (buckets+1)² DECIMAL cells. The ONLY driver-side work is collecting
+    * The moment pass is shaped for 100 TB (round 14): the per-document
+    * sparse count vector is ONE fused codegen pass inside the corpus
+    * scan ([[graft.plans.BucketCountsExpr]] — no token explode, nothing
+    * per-document ever leaves its row), the Gram matrix folds through
+    * [[graft.plans.RidgeMomentsAgg]]'s partition-local dense buffer
+    * (the shuffle carries one ≤ (buckets+1)²-cell buffer PER PARTITION,
+    * not per document), and Xᵀy is a (buckets+1)-fan-out DECIMAL fold.
+    * The ONLY driver-side work is collecting
     * those ≤ (B+1)²+B+1 moments (the explicit driver contract —
     * `buckets` ≤ 256 enforced) and a (B+1)×(B+1) Cholesky solve.
     *

@@ -153,6 +153,22 @@ class ScaleSmokeSpec extends SparkSpec {
         "— did a data-sized single-partition stage sneak back in?")
   }
 
+  test("classifier training scales linearly at 10x (fused O(L) featurization + one moment pass)") {
+    assume(sys.env.get("SPARK_GRAFT_SMOKE").contains("1"),
+      "opt-in: set SPARK_GRAFT_SMOKE=1 to run the skew smoke gate")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SMOKE_SF_DIR", "/root/testdata/sf0.1")
+    val copies = 10
+    val (t1, t10) = ScaleSmoke.trainingSection(spark, sfDir, copies)
+    val vsLinear = t10 / (t1 * copies)
+    info(f"training: 1x=$t1%6.2fs ${copies}x=$t10%6.2fs vs-linear=$vsLinear%5.2fx")
+    // the round-13 defect this gates: an interpreted-HOF featurization
+    // re-evaluating the normalization chain per character position is
+    // O(L^2) per document and cannot stay inside a linear budget
+    assert(vsLinear <= 2.0,
+      f"classifier training went super-linear at ${copies}x: $vsLinear%.2fx " +
+        "— did the featurization regress to the per-position HOF form?")
+  }
+
   test("streaming ingest soak at 10x: steady per-batch wall time stays flat as the corpus grows") {
     assume(sys.env.get("SPARK_GRAFT_SMOKE").contains("1"),
       "opt-in: set SPARK_GRAFT_SMOKE=1 to run the skew smoke gate")

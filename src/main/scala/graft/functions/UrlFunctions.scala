@@ -157,6 +157,21 @@ object UrlFunctions {
       .drop("__psl", "__pslExc", "__pslStd")
   }
 
+  /** Parse raw publicsuffix.org FILE LINES into the `suffix` relation
+    * [[registeredDomainAgainst]] consumes — so a deployment can point at
+    * the published list verbatim (spark.read.text on the dat file):
+    * blank lines and `//` comments drop, each rule is the line's first
+    * whitespace-delimited token (the PSL spec: "each line is only read
+    * up to the first whitespace"), lowercased (rules are
+    * case-insensitive; hosts arrive lowercased from [[hostOf]]).
+    * Wildcard (`*.`) and exception (`!`) markers pass through — they ARE
+    * the rule encoding the matcher understands.
+    */
+  def pslRules(lines: DataFrame, lineCol: String = "value"): DataFrame =
+    lines.select(trim(col(lineCol)).as("__l"))
+      .filter(col("__l") =!= "" && !col("__l").startsWith("//"))
+      .select(lower(split(col("__l"), "\\s+").getItem(0)).as("suffix"))
+
   /** Blocklist filter: drop rows whose registered domain appears in
     * `blockDf` (one `domain` column). Small lists broadcast into a
     * map-side anti-join on their own; corpus-scale lists route through

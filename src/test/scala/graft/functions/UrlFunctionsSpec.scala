@@ -179,6 +179,28 @@ class UrlFunctionsSpec extends SparkSpec {
     assert(got(8L).isEmpty)
   }
 
+  test("pslRules parses raw publicsuffix.org lines into the suffix relation") {
+    val raw = Seq(
+      "// ===BEGIN ICANN DOMAINS===",
+      "",
+      "com",
+      "  co.uk  ",
+      "*.ck",
+      "!www.ck",
+      "BLOGSPOT.com  // trailing junk after whitespace is ignored",
+      "   ",
+      "// comment").toDF("value")
+    val got = UrlFunctions.pslRules(raw).as[String].collect().toSeq
+    assert(got == Seq("com", "co.uk", "*.ck", "!www.ck", "blogspot.com"))
+    // and the parsed relation drives the matcher end to end
+    val dom = UrlFunctions.registeredDomainAgainst(
+        Seq((1L, "a.b.ck"), (2L, "x.www.ck")).toDF("id", "host"),
+        "id", "host", UrlFunctions.pslRules(raw))
+      .select("id", "domain").as[(Long, Option[String])].collect().toMap
+    assert(dom(1L).contains("a.b.ck")) // *.ck: b.ck is the public suffix
+    assert(dom(2L).contains("www.ck")) // !www.ck overrides the wildcard
+  }
+
   test("dropBlockedDomains: blocked rows go, null domains survive") {
     val rows = Seq(
       (1L, Some("bad.com")), (2L, Some("good.org")), (3L, None))

@@ -781,6 +781,23 @@ object PlanDump {
       "table' / 'table part') and a zero-hit pattern. MultiMatchExprSpec " +
       "adds the aba/ab/ba and ab/babc/c classics plus a 400-string " +
       "random law vs k contains predicates."),
+    "t42_perplexity_buckets" -> ("round 14: CCNet's perplexity-bucket " +
+      "stage — stupid-backoff LM scoring (t20's gated operator, ref = " +
+      "even docs) composed with the exact tercile qcut (q12's operator, " +
+      "one global group): head/middle/tail labels for downstream " +
+      "mixture weighting. Cost on top of scoring: ONE grouped exact " +
+      "percentile + a broadcast edge join + a label projection. At " +
+      "100 TB swap the exact percentile for approx_percentile per the " +
+      "QuantileBucket scaladoc; the oracle replays scoring AND the cut " +
+      "(quantile_cont ≡ Spark exact interpolated percentile)."),
+    "t43_token_quota" -> ("round 14: token-BUDGETED domain quota " +
+      "(Sampling.weightCappedPerStratum) — q70's document cap " +
+      "re-expressed in the unit the trainer consumes: each registered " +
+      "domain keeps the greedy prefix of the deterministic md5 draw " +
+      "whose running token sum stays ≤ budget (positive weights make " +
+      "the running sum monotone, so the SQL running-sum window replays " +
+      "the kept set exactly). Same single window shuffle as q70; same " +
+      "mega-domain hash-threshold escape hatch."),
     "t41_psl_wildcard" -> ("round 14: full publicsuffix.org semantics in " +
       "registeredDomainAgainst — wildcard rules (*.ck: '*' matches " +
       "exactly one label) and exception rules (!www.ck: overrides the " +

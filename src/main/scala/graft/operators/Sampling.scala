@@ -112,6 +112,39 @@ object Sampling {
       .drop("__rn")
   }
 
+  /** WEIGHT-BUDGETED per-stratum cap — the TOKEN-budget form of
+    * [[cappedPerStratum]] (FineWeb-style: each domain contributes at
+    * most `budget` TOKENS, not documents): rows draw in the same
+    * deterministic hash order and a row is kept iff the stratum's
+    * RUNNING weight through that row stays ≤ `budget`. With positive
+    * weights the running sum is monotone, so the kept set is exactly
+    * the greedy prefix of the draw — a pure function of the data, same
+    * rows on any engine/partitioning/retry, and exactly replayable as
+    * `SUM(w) OVER (PARTITION BY stratum ORDER BY hash, keys ROWS
+    * UNBOUNDED PRECEDING) <= budget`.
+    *
+    * Weights must be non-negative (a negative weight would un-exceed an
+    * exceeded budget and break the prefix property). Cost: identical to
+    * [[cappedPerStratum]] — ONE window shuffle partitioned by stratum;
+    * the running sum rides the same window as the ordering. Same
+    * mega-stratum caveat: at 100 TB swap the exact window for a
+    * hash-threshold draw calibrated to the budget and keep this exact
+    * form for oracle-checked subsets.
+    */
+  def weightCappedPerStratum(df: DataFrame, strataCols: Seq[String],
+                             keyCols: Seq[String], weightCol: String,
+                             budget: Long,
+                             hash: Option[Column] = None): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val h = hash.getOrElse(xxhash64(keyCols.map(col): _*))
+    val w = Window.partitionBy(strataCols.map(col): _*)
+      .orderBy(h +: keyCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__cum", sum(col(weightCol)).over(w))
+      .filter(col("__cum") <= budget)
+      .drop("__cum")
+  }
+
   /** Deterministic EPOCH SHUFFLE: assign every row a contiguous 1..n
     * position in a pseudo-random order that is a pure function of
     * (seed, key) — the global reshuffle a pretraining loader runs per

@@ -661,8 +661,13 @@ object TextQueries {
     * DECIMAL accumulation of IEEE-exact quotients makes the double
     * score bit-identical across engines.
     */
-  val t20_lm_likelihood = q("t20_lm_likelihood",
-    s"""WITH n AS (SELECT doc_id,
+  /** Shared DuckDB mirror of [[graft.operators.NgramLm
+    * .scoreStupidBackoff]] over the even/odd corpus split — CTEs ending
+    * in `lmscore(doc_id, n_bigrams, n_hit, score)`; t20 selects it
+    * directly, t42 composes the qcut bucketing on top.
+    */
+  private def lmScoreSqlCtes: String =
+    s"""n AS (SELECT doc_id,
        |        [x for x in string_split(lower(${normSql("text")}), ' ') if x <> ''] AS toks
        |      FROM documents),
        |ref AS (SELECT doc_id, toks FROM n WHERE doc_id % 2 = 0),
@@ -687,11 +692,15 @@ object TextQueries {
        |      LEFT JOIN big USING (u, v)
        |      LEFT JOIN uni u1 ON btgt.u = u1.u
        |      LEFT JOIN uni u2 ON btgt.v = u2.u
-       |      CROSS JOIN tot)
-       |SELECT doc_id, count(*) AS n_bigrams,
+       |      CROSS JOIN tot),
+       |lmscore AS (SELECT doc_id, count(*) AS n_bigrams,
        |  count(*) FILTER (WHERE hit) AS n_hit,
        |  CAST(SUM(CAST(p AS DECIMAL(18,9))) AS DOUBLE) / count(*) AS score
-       |FROM p GROUP BY doc_id""".stripMargin) { (s, dir) =>
+       |FROM p GROUP BY doc_id)""".stripMargin
+
+  val t20_lm_likelihood = q("t20_lm_likelihood",
+    s"""WITH $lmScoreSqlCtes
+       |SELECT doc_id, n_bigrams, n_hit, score FROM lmscore""".stripMargin) { (s, dir) =>
     val docs = Tables.documents(s, dir)
     graft.operators.NgramLm.scoreStupidBackoff(
       docs.filter(col("doc_id") % 2 === 1), docs.filter(col("doc_id") % 2 === 0),
@@ -1703,11 +1712,83 @@ object TextQueries {
       .select("doc_id", "host", "domain")
   }
 
+  // ---------------------------------------------------------------- t42
+  /** CCNet PERPLEXITY BUCKETS: the stage CCNet runs right after LM
+    * scoring — split the scored corpus into head/middle/tail terciles of
+    * the reference-LM likelihood, the partition downstream mixture
+    * weights key on (head = closest to the reference distribution).
+    * Pure composition of two gated operators: t20's stupid-backoff
+    * scorer ([[graft.operators.NgramLm.scoreStupidBackoff]], ref = even
+    * docs, targets = odd docs) and q12's exact qcut
+    * ([[graft.operators.QuantileBucket.qcut3]]) over one global group.
+    * Costs one grouped percentile + a broadcast edge join on top of the
+    * scoring pass; the DuckDB oracle replays scoring AND the tercile cut
+    * (quantile_cont ≡ Spark's exact interpolated percentile, the q12
+    * parity) end to end.
+    */
+  val t42_perplexity_buckets = q("t42_perplexity_buckets",
+    s"""WITH $lmScoreSqlCtes,
+       |e AS (SELECT min(score) AS mn, quantile_cont(score, 1.0/3.0) AS q1,
+       |             quantile_cont(score, 2.0/3.0) AS q2, max(score) AS mx
+       |      FROM lmscore),
+       |e2 AS (SELECT list_sort(list_distinct([mn, q1, q2, mx])) AS edges FROM e)
+       |SELECT doc_id, score,
+       |  CASE WHEN score IS NULL THEN NULL
+       |       WHEN len(edges) - 1 <= 1 THEN 'Low'
+       |       WHEN len(edges) - 1 = 2
+       |            THEN (CASE WHEN score <= edges[2] THEN 'Low' ELSE 'High' END)
+       |       ELSE (CASE WHEN score <= edges[2] THEN 'Low'
+       |                  WHEN score <= edges[3] THEN 'Medium' ELSE 'High' END)
+       |  END AS ppl_bucket
+       |FROM lmscore CROSS JOIN e2""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val scored = graft.operators.NgramLm.scoreStupidBackoff(
+      docs.filter(col("doc_id") % 2 === 1), docs.filter(col("doc_id") % 2 === 0),
+      "doc_id", "text")
+    graft.operators.QuantileBucket.qcut3(
+        scored.withColumn("__g", lit(1)), Seq("__g"), "score", "ppl_bucket")
+      .select("doc_id", "score", "ppl_bucket")
+  }
+
+  // ---------------------------------------------------------------- t43
+  /** TOKEN-BUDGETED domain quota ([[graft.operators.Sampling
+    * .weightCappedPerStratum]]): each registered domain contributes at
+    * most 1000 TOKENS — the FineWeb-style refinement of q70's document
+    * cap (a domain of ten 500-token pages and a domain of ten 20-token
+    * stubs are NOT the same contribution; budgets must be in the unit
+    * the trainer consumes). Kept set = the greedy prefix of the
+    * deterministic md5 draw whose running token sum stays ≤ budget —
+    * one window shuffle, exactly replayed by DuckDB's running-sum
+    * window.
+    */
+  val t43_token_quota = q("t43_token_quota",
+    s"""WITH $urlSqlCtes,
+       |$domainSqlCtes,
+       |tk AS (SELECT dd.doc_id, domain,
+       |         CAST(len(regexp_extract_all(d.text, '$tokenPat')) AS BIGINT) AS n_tok
+       |       FROM dd JOIN documents d ON dd.doc_id = d.doc_id),
+       |cum AS (SELECT doc_id, domain, n_tok, sum(n_tok) OVER (
+       |    PARTITION BY domain ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+       |    ROWS UNBOUNDED PRECEDING) AS c FROM tk)
+       |SELECT doc_id, domain, n_tok FROM cum WHERE c <= 1000""".stripMargin) { (s, dir) =>
+    import graft.functions.UrlFunctions
+    val withDom = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_tok"),
+        UrlFunctions.registeredDomain(UrlFunctions.hostOf(urlFixture),
+          pslSubset).as("domain"))
+    graft.operators.Sampling.weightCappedPerStratum(withDom, Seq("domain"),
+        Seq("doc_id"), "n_tok", budget = 1000L,
+        hash = Some(md5(col("doc_id").cast("string").cast("binary"))))
+      .select("doc_id", "domain", "n_tok")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     t31_unicode_normalize, t32_classifier_train, t33_hybrid_rrf,
     t34_url_canonicalize, t35_registered_domain, t36_domain_blocklist,
     q70_domain_quota, t37_langid_train, t38_url_dedup, t39_domain_report,
-    t40_phrase_blocklist, t41_psl_wildcard,
+    t40_phrase_blocklist, t41_psl_wildcard, t42_perplexity_buckets,
+    t43_token_quota,
     q71_web_curation,
     t01_token_stats, t02_quality_score, t03_lang_id, t04_fingerprint,
     t05_rolling_hash, t06_redact, t07_tfidf_top_terms, t08_curation_pipeline,

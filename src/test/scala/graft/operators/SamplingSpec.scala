@@ -81,6 +81,36 @@ class SamplingSpec extends SparkSpec {
       "seeds 42 and 43 gave nearly the same order")
   }
 
+  test("weightCappedPerStratum: greedy prefix of the draw within the budget") {
+    // weights chosen so the budget cuts mid-stratum: stratum 0 rows weigh
+    // 30 each (budget 100 -> exactly 3 kept), stratum 1 rows weigh 60
+    // (budget -> 1 kept), stratum 2 total weight under budget -> all kept
+    val rows = Seq.tabulate(10)(i => (i.toLong, 0L, 30L)) ++
+      Seq.tabulate(10)(i => (100L + i, 1L, 60L)) ++
+      Seq.tabulate(3)(i => (200L + i, 2L, 10L))
+    val d = rows.toDF("id", "g", "w")
+    val kept = Sampling.weightCappedPerStratum(d, Seq("g"), Seq("id"), "w",
+      budget = 100L)
+    val byG = kept.groupBy("g").count().as[(Long, Long)].collect().toMap
+    assert(byG(0L) == 3 && byG(1L) == 1 && byG(2L) == 3)
+    // prefix law: kept ids are exactly the first rows of the hash draw
+    // whose running weight fits — recompute driver-side
+    val order = d.select(col("id"), col("g"), col("w"),
+        xxhash64(col("id")).as("h"))
+      .as[(Long, Long, Long, Long)].collect()
+      .groupBy(_._2)
+    val want = order.values.flatMap { rs =>
+      var cum = 0L
+      rs.sortBy(r => (r._4, r._1))
+        .takeWhile { r => cum += r._3; cum <= 100L }.map(_._1).toSeq
+    }.toSet
+    assert(kept.select("id").as[Long].collect().toSet == want)
+    // partitioning-invariant (the draw is a pure function of the data)
+    val kept2 = Sampling.weightCappedPerStratum(d.repartition(13, col("id")),
+      Seq("g"), Seq("id"), "w", budget = 100L)
+    assert(kept2.select("id").as[Long].collect().toSet == want)
+  }
+
   test("weightedSample: exactly k rows, partitioning-invariant, weight-monotone") {
     val base = spark.range(500)
       .select(col("id"), (col("id") % 9 + 1).cast("double").as("w"))

@@ -196,6 +196,40 @@ class PlanAuditSpec extends SparkSpec {
       reads.mkString("\n"))
   }
 
+  test("t40: the Aho-Corasick blocklist probe is a zero-exchange scan-stage plan") {
+    val p = plan(TextQueries.t40_phrase_blocklist)
+    // automaton walk + explode + label lookup all ride the scan: no
+    // shuffle of any kind (the 100 TB contract of a map-side blocklist)
+    assert(!p.linesIterator.exists(_.contains("Exchange")), p)
+    val read = "ReadSchema: [^\n]+".r.findFirstIn(p).get
+    assert(read.contains("doc_id") && read.contains("text")
+      && !read.contains("lang"), read)
+  }
+
+  test("t18: linear-scorer serving is a zero-exchange row-local projection") {
+    val p = plan(TextQueries.t18_quality_classifier)
+    // round 14: the fused (bucket, count) vector replaced the per-token
+    // explode + groupBy — serving must never shuffle again
+    assert(!p.linesIterator.exists(_.contains("Exchange")), p)
+    val read = "ReadSchema: [^\n]+".r.findFirstIn(p).get
+    assert(read.contains("doc_id") && read.contains("text")
+      && !read.contains("lang") && !read.contains("n_chars"), read)
+  }
+
+  test("t41: PSL rule probes join as a broadcast hash join, never sort-merge") {
+    val p = plan(TextQueries.t41_psl_wildcard)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("t43: token quota is one shuffle (the stratum window), pruned scan") {
+    val p = plan(TextQueries.t43_token_quota)
+    assert(p.linesIterator.count(l =>
+      l.contains("Exchange") && !l.contains("BroadcastExchange")) == 1, p)
+    val read = "ReadSchema: [^\n]+".r.findFirstIn(p).get
+    assert(!read.contains("lang") && !read.contains("n_chars"), read)
+  }
+
   test("q46: sampling is one exchange (the stratum window), pruned scan") {
     val df = CoreQueries.q46_stratified_sample.fn(spark, dir)
     val p = df.queryExecution.executedPlan.toString

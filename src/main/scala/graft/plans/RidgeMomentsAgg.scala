@@ -121,6 +121,7 @@ object RidgeMomentsAgg {
 
   private val Scale = 14
   private val TwoPow64 = BigInteger.ONE.shiftLeft(64)
+  private[plans] val MaxClasses = 4096
 
   val resultType: StructType = StructType(Seq(
     StructField("gram", ArrayType(StructType(Seq(
@@ -203,6 +204,18 @@ object RidgeMomentsAgg {
     def addDoc(arr: ArrayData, y: String, buckets: Int): Unit = {
       val m = arr.numElements()
       if (m == 0) return
+      // executor-side guard: each distinct label costs a (B+1)-cell
+      // family in every partition buffer. The trainer's contract is
+      // 2..64 classes (checked driver-side after collect); a label
+      // column that is actually free text would otherwise grow buffers
+      // without bound long before that check runs. 4096 per partition
+      // is far above any sane class count and catches the mistake with
+      // a typed error instead of an executor OOM.
+      if (!cls.contains(y) && cls.size >= RidgeMomentsAgg.MaxClasses)
+        throw new IllegalStateException(
+          s"ridge_moments saw more than ${RidgeMomentsAgg.MaxClasses} " +
+            "distinct labels in one partition — the label column is not " +
+            "a class label (one-vs-rest training expects 2..64 classes)")
       val bs = new Array[Int](m + 1)
       val cs = new Array[Long](m + 1)
       var n = 0L

@@ -186,6 +186,18 @@ class FeaturizerExprSpec extends SparkSpec {
     (1 to 50000).foreach { _ => check(rnd.nextDouble()) }
   }
 
+  test("RidgeMomentsAgg rejects a free-text label column with a typed error") {
+    val buf = new RidgeMomentsAgg.Buf(3)
+    val arr = new GenericArrayData(Array[Any](
+      new GenericInternalRow(Array[Any](0, 1L))))
+    (1 to RidgeMomentsAgg.MaxClasses).foreach(i =>
+      buf.addDoc(arr, s"label$i", 2))
+    val e = intercept[IllegalStateException](buf.addDoc(arr, "one-more", 2))
+    assert(e.getMessage.contains("distinct labels"))
+    // an ALREADY-SEEN label still folds fine at the cap
+    buf.addDoc(arr, "label1", 2)
+  }
+
   test("RidgeMomentsAgg 128-bit cell carry survives sums past 2^63") {
     // one feature with count 1 → the intercept cell folds scaled(1.0)=1e14
     // per doc; 2^64/1e14 ≈ 184k docs overflows the unsigned-64 lo word

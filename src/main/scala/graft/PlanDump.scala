@@ -781,6 +781,21 @@ object PlanDump {
       "table' / 'table part') and a zero-hit pattern. MultiMatchExprSpec " +
       "adds the aba/ab/ba and ab/babc/c classics plus a 400-string " +
       "random law vs k contains predicates."),
+    "s21_domain_quota_mv" -> ("round 14: CONTINUOUS per-domain quota " +
+      "(QuotaView on the AdditiveStats protocol) — each micro-batch " +
+      "admits documents while its registered domain's ACCUMULATED kept " +
+      "count stays ≤ cap; greedy cross-batch admission is provably ONE " +
+      "window over the concatenated (batch, draw) order (scaladoc " +
+      "equivalence argument: prior = min(cap, N_earlier) in both cases " +
+      "makes prior + within-batch rank ≡ global rank), which is exactly " +
+      "what the oracle replays. Per batch: one window shuffle over the " +
+      "BATCH + a broadcast of per-stratum prior counts; idempotent " +
+      "batch_id fragments, replay recomputes the identical admitted set " +
+      "because prior counts exclude the replaying batch's own fragment. " +
+      "Completes the continuous curation front door next to s09 " +
+      "(quality) and s10 (line stats); StreamingSpec differentials the " +
+      "foreachBatch twin incl. a cap that binds across batches and a " +
+      "null-domain stratum."),
     "t42_perplexity_buckets" -> ("round 14: CCNet's perplexity-bucket " +
       "stage — stupid-backoff LM scoring (t20's gated operator, ref = " +
       "even docs) composed with the exact tercile qcut (q12's operator, " +

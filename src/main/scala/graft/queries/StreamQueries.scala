@@ -626,6 +626,51 @@ object StreamQueries {
       ClassifierQualityView.read(s, s"$root/quality_view")
     }, GoldenOracles.sqlFor("s20_classifier_quality_mv"))
 
+  // ---------------------------------------------------------------- s21
+  /** CONTINUOUS per-domain quota ([[graft.operators.QuotaView]]): the
+    * streaming form of q70's web-curation cap — documents arrive in two
+    * installments (even doc_ids, then odd; compaction fold mid-stream)
+    * and each batch admits rows while its registered domain's
+    * ACCUMULATED kept count stays ≤ 15. The greedy cross-batch admission
+    * is EXACTLY one window over the concatenated (batch, md5-draw) order
+    * (equivalence argument in the QuotaView scaladoc), which is what the
+    * oracle replays over the one-shot input. Completes the continuous
+    * curation front door: quality gate (s09), line stats (s10), domain
+    * quota (s21). StreamingSpec differentials the foreachBatch twin
+    * ([[graft.streaming.StreamOps.domainQuotaStream]]).
+    */
+  val s21_domain_quota_mv = q("s21_domain_quota_mv", Some(
+    s"""WITH ${TextQueries.urlSqlCtes},
+       |${TextQueries.domainSqlCtes},
+       |r AS (SELECT doc_id, domain, row_number() OVER (
+       |    PARTITION BY domain
+       |    ORDER BY doc_id % 2, md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+       |  FROM dd)
+       |SELECT doc_id, domain FROM r WHERE rn <= 15""".stripMargin)) { (s, dir) =>
+    import graft.operators.QuotaView
+    import graft.functions.UrlFunctions
+    val root = DedupQueries.DedupStaging.ensure("s21", dir) { r =>
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(s"$r/quota_view"))
+      val withDom = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          UrlFunctions.registeredDomain(
+            UrlFunctions.hostOf(TextQueries.urlFixture),
+            TextQueries.pslSubset).as("domain"))
+      QuotaView.init(s, s"$r/quota_view")
+      def appendBatch(b: DataFrame, id: Long): Unit = {
+        QuotaView.append(b, "doc_id", "domain", s"$r/quota_view",
+          batchId = id, cap = 15,
+          hash = Some(md5(col("doc_id").cast("string").cast("binary"))))
+        ()
+      }
+      appendBatch(withDom.filter(col("doc_id") % 2 === 0), 0L)
+      QuotaView.compact(s, s"$r/quota_view")
+      appendBatch(withDom.filter(col("doc_id") % 2 =!= 0), 1L)
+    }
+    QuotaView.read(s, s"$root/quota_view")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     s01_tumbling_agg, s02_sliding_agg, s03_session_windows,
     s04_dedup_first_event, s05_watermark_late, s06_asof_backward,
@@ -633,5 +678,5 @@ object StreamQueries {
     s10_line_stats_ingest, s11_stream_drift, s12_interval_left_join,
     s13_funnel_conversion, s14_span_stats_ingest, s15_posting_ingest,
     s16_windowed_mv, s17_join_view, s18_distinct_mv, s19_percentile_mv,
-    s20_classifier_quality_mv)
+    s20_classifier_quality_mv, s21_domain_quota_mv)
 }

@@ -1233,7 +1233,7 @@ object TextQueries {
   // middle/tail, fragment, empty path, surrounding whitespace, and a
   // non-URL passthrough.
 
-  private def urlFixture: Column = {
+  private[queries] def urlFixture: Column = {
     val id = col("doc_id").cast("string")
     val b = pmod(col("doc_id"), lit(8))
     when(b === 0, concat(lit("HTTPS://WWW."), col("source"),
@@ -1275,7 +1275,7 @@ object TextQueries {
     * DuckDB's RE2. Produces CTEs `uu(doc_id, url)` → `yy(doc_id, url,
     * sch0, sch, a2, p2, kept, host)`.
     */
-  private def urlSqlCtes: String = {
+  private[queries] def urlSqlCtes: String = {
     val re = graft.functions.UrlFunctions.urlRegex
     val track = graft.functions.UrlFunctions.trackingRegex
     s"""uu AS (SELECT doc_id, $urlFixtureSql AS url FROM documents),
@@ -1310,7 +1310,7 @@ object TextQueries {
     * suffixes so longest-match genuinely decides (co.uk over uk,
     * github.io over io).
     */
-  private val pslSubset =
+  private[queries] val pslSubset =
     Seq("com", "org", "io", "co.uk", "github.io", "uk")
   private val pslSubsetSql = pslSubset.map(s => s"'$s'").mkString(", ")
 
@@ -1320,7 +1320,7 @@ object TextQueries {
     * the registered domain. Produces CTEs `hh` → `dd(doc_id, host,
     * domain)`.
     */
-  private def domainSqlCtes: String =
+  private[queries] def domainSqlCtes: String =
     s"""hh AS (SELECT doc_id, host, string_split(host, '.') AS labels,
        |    len(string_split(host, '.')) AS n FROM yy),
        |kk AS (SELECT doc_id, max(k) AS psl

@@ -446,6 +446,41 @@ object StreamOps {
       }
       .start()
 
+  /** CONTINUOUS per-stratum quota ([[graft.operators.QuotaView]]): each
+    * micro-batch admits documents while its domain's ACCUMULATED kept
+    * count stays ≤ `cap` — the streaming form of the q70 web-curation
+    * quota, exactly replayable as one window over the concatenated
+    * (batch, draw) order (QuotaView scaladoc carries the equivalence
+    * argument). Admitted rows land as idempotent AdditiveStats
+    * fragments; protocol replay/crash story by inheritance (s21 under
+    * the oracle gate; StreamingSpec differential).
+    */
+  def domainQuotaStream(docs: DataFrame, idCol: String, domainCol: String,
+                        statsDir: String, checkpointDir: String, cap: Int,
+                        hash: Option[org.apache.spark.sql.Column] = None,
+                        compactEvery: Int = 16)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        import graft.operators.QuotaView
+        import graft.sources.StoredIndex
+        val spark = batch.sparkSession
+        if (StoredIndex.metaGeneration(spark, statsDir) < 0)
+          QuotaView.init(spark, statsDir)
+        StoredIndex.pinStreamIdentity(spark, statsDir, checkpointDir)
+        if (!batch.isEmpty) {
+          QuotaView.append(batch.toDF(), idCol, domainCol, statsDir,
+            batchId, cap, hash)
+          ()
+        }
+        if (compactEvery > 0 &&
+            QuotaView.fragmentCount(spark, statsDir) > compactEvery)
+          QuotaView.compact(spark, statsDir)
+      }
+      .start()
+
   /** CONTINUOUS percentile view ([[graft.operators.PercentileView]]):
     * per-batch per-day quantile-sketch fragments land idempotently; the
     * sketch's binwise-additive merge makes fold order irrelevant

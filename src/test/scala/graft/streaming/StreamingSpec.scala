@@ -10,6 +10,7 @@ case class Ev(ts: Timestamp, user_id: Long, event_type: String, value: Double)
 case class Doc(doc_id: Long, text: String)
 case class Upd(id: Long, name: String, bal: Double)
 case class Cdc(side: String, k: Long, a: String, b: String)
+case class QDoc(doc_id: Long, domain: String)
 
 /** Differential stream-vs-batch tests: the same event-time aggregations must
   * produce identical results fed through Structured Streaming micro-batches
@@ -1339,6 +1340,51 @@ class StreamingSpec extends SparkSpec {
       assert(unrelated.storageLevel.useMemory,
         "the trigger evicted an unrelated cached frame")
       unrelated.unpersist()
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+    }
+  }
+
+  test("domainQuotaStream: cross-batch admission equals one window over " +
+      "the concatenated (batch, draw) order") {
+    import graft.operators.QuotaView
+    implicit val sqlCtx = spark.sqlContext
+    val cap = 2
+    // domain a fills its cap in batch 1 (3 candidates for 2 slots);
+    // b and the null stratum each carry residual budget into batch 2
+    val b1 = Seq(QDoc(1L, "a"), QDoc(2L, "a"), QDoc(3L, "a"),
+      QDoc(4L, "b"), QDoc(5L, null))
+    val b2 = Seq(QDoc(6L, "a"), QDoc(7L, "a"),
+      QDoc(8L, "b"), QDoc(9L, "b"), QDoc(10L, null), QDoc(11L, null))
+    val tmp = java.nio.file.Files.createTempDirectory("quota-view-stream").toString
+    try {
+      val mem = MemoryStream[QDoc]
+      mem.addData(b1)
+      val q = StreamOps.domainQuotaStream(mem.toDF(), "doc_id", "domain",
+        s"$tmp/qv", s"$tmp/ckpt", cap = cap, compactEvery = 1)
+      q.processAllAvailable()
+      mem.addData(b2)
+      q.processAllAvailable()
+      q.stop()
+      val got = QuotaView.read(spark, s"$tmp/qv")
+        .as[(Long, Option[String])].collect().toSet
+      // reference: ONE window over the union in (batch, default-draw) order
+      val union = b1.map(d => (d.doc_id, Option(d.domain), 0)) ++
+        b2.map(d => (d.doc_id, Option(d.domain), 1))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("domain"))
+        .orderBy(col("batch"), xxhash64(col("doc_id")), col("doc_id"))
+      val want = union.toDF("doc_id", "domain", "batch")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= cap)
+        .as[(Long, Option[String], Int, Int)].collect()
+        .map(r => (r._1, r._2)).toSet
+      assert(got == want, s"got=$got want=$want")
+      // the cap binds per stratum, nulls quota together, and domain a
+      // admits NOTHING from batch 2 (budget exhausted in batch 1)
+      assert(got.count(_._2.contains("a")) == cap)
+      assert(got.count(_._2.isEmpty) == cap)
+      assert(!got.exists(p => p._2.contains("a") && p._1 >= 6L))
     } finally {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
     }

@@ -796,6 +796,14 @@ object PlanDump {
       "(quality) and s10 (line stats); StreamingSpec differentials the " +
       "foreachBatch twin incl. a cap that binds across batches and a " +
       "null-domain stratum."),
+    "t44_lang_token_budgets" -> ("round 14: token-budgeted LANGUAGE " +
+      "MIXTURE (Sampling.budgetCappedPerStratum) — per-stratum budgets " +
+      "from a relation (strata absent from it kept whole), the actual " +
+      "data-mixture spec 'B_en tokens of English, B_zh of Chinese, …'. " +
+      "Same greedy-prefix/running-sum semantics as t43 with ONE window " +
+      "shuffle + a broadcast of the driver-small mixture relation; the " +
+      "DuckDB twin replays the running-sum window + budget join " +
+      "exactly."),
     "t42_perplexity_buckets" -> ("round 14: CCNet's perplexity-bucket " +
       "stage — stupid-backoff LM scoring (t20's gated operator, ref = " +
       "even docs) composed with the exact tercile qcut (q12's operator, " +

@@ -145,6 +145,30 @@ object Sampling {
       .drop("__cum")
   }
 
+  /** PER-STRATUM budget RELATION form of [[weightCappedPerStratum]] —
+    * the data-mixture operation proper: "at most B_en tokens of English,
+    * B_zh of Chinese, …" with a DIFFERENT budget per stratum, supplied
+    * as a relation (`strataCols` + a `budget` long column) instead of
+    * one constant. Strata ABSENT from the relation are kept whole
+    * (unlimited) — a mixture spec names the strata it constrains. Same
+    * greedy-prefix/running-sum semantics and the same single window
+    * shuffle; the budget relation broadcasts (mixture specs are
+    * driver-small by nature).
+    */
+  def budgetCappedPerStratum(df: DataFrame, strataCols: Seq[String],
+                             keyCols: Seq[String], weightCol: String,
+                             budgets: DataFrame,
+                             hash: Option[Column] = None): DataFrame = {
+    val h = hash.getOrElse(xxhash64(keyCols.map(col): _*))
+    val w = Window.partitionBy(strataCols.map(col): _*)
+      .orderBy(h +: keyCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__cum", sum(col(weightCol)).over(w))
+      .join(broadcast(budgets), strataCols, "left")
+      .filter(col("budget").isNull || col("__cum") <= col("budget"))
+      .drop("__cum", "budget")
+  }
+
   /** Deterministic EPOCH SHUFFLE: assign every row a contiguous 1..n
     * position in a pseudo-random order that is a pure function of
     * (seed, key) — the global reshuffle a pretraining loader runs per

@@ -1783,12 +1783,45 @@ object TextQueries {
       .select("doc_id", "domain", "n_tok")
   }
 
+  // ---------------------------------------------------------------- t44
+  /** TOKEN-BUDGETED LANGUAGE MIXTURE ([[graft.operators.Sampling
+    * .budgetCappedPerStratum]]): the data-mixture operation proper — "at
+    * most 4000 tokens of English, 2000 of Chinese, 1500 each of German
+    * and French, Spanish unconstrained" — per-stratum budgets from a
+    * relation, strata absent from it kept whole. Each language keeps the
+    * greedy prefix of the deterministic md5 draw whose running token sum
+    * stays within ITS budget; one window shuffle + a broadcast of the
+    * (driver-small) mixture spec, exactly replayed by DuckDB's
+    * running-sum window + budget join.
+    */
+  val t44_lang_token_budgets = q("t44_lang_token_budgets",
+    s"""WITH tk AS (SELECT doc_id, lang,
+       |         CAST(len(regexp_extract_all(text, '$tokenPat')) AS BIGINT) AS n_tok
+       |       FROM documents),
+       |b AS (SELECT * FROM (VALUES ('en', 4000), ('zh', 2000),
+       |       ('de', 1500), ('fr', 1500)) v(lang, budget)),
+       |cum AS (SELECT doc_id, lang, n_tok, sum(n_tok) OVER (
+       |    PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+       |    ROWS UNBOUNDED PRECEDING) AS c FROM tk)
+       |SELECT doc_id, lang, n_tok FROM cum LEFT JOIN b USING (lang)
+       |WHERE budget IS NULL OR c <= budget""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+      TextFunctions.tokenCount(col("text")).cast("long").as("n_tok"))
+    val budgets = Seq(("en", 4000L), ("zh", 2000L), ("de", 1500L),
+      ("fr", 1500L)).toDF("lang", "budget")
+    graft.operators.Sampling.budgetCappedPerStratum(docs, Seq("lang"),
+        Seq("doc_id"), "n_tok", budgets,
+        hash = Some(md5(col("doc_id").cast("string").cast("binary"))))
+      .select("doc_id", "lang", "n_tok")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     t31_unicode_normalize, t32_classifier_train, t33_hybrid_rrf,
     t34_url_canonicalize, t35_registered_domain, t36_domain_blocklist,
     q70_domain_quota, t37_langid_train, t38_url_dedup, t39_domain_report,
     t40_phrase_blocklist, t41_psl_wildcard, t42_perplexity_buckets,
-    t43_token_quota,
+    t43_token_quota, t44_lang_token_budgets,
     q71_web_curation,
     t01_token_stats, t02_quality_score, t03_lang_id, t04_fingerprint,
     t05_rolling_hash, t06_redact, t07_tfidf_top_terms, t08_curation_pipeline,

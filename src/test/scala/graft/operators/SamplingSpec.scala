@@ -111,6 +111,28 @@ class SamplingSpec extends SparkSpec {
     assert(kept2.select("id").as[Long].collect().toSet == want)
   }
 
+  test("budgetCappedPerStratum: per-stratum budgets bind; absent strata kept whole") {
+    val rows = Seq.tabulate(10)(i => (i.toLong, "en", 30L)) ++    // 300 total
+      Seq.tabulate(6)(i => (100L + i, "zh", 30L)) ++              // 180 total
+      Seq.tabulate(4)(i => (200L + i, "es", 30L))                 // unbudgeted
+    val d = rows.toDF("id", "lang", "w")
+    val budgets = Seq(("en", 100L), ("zh", 1000L)).toDF("lang", "budget")
+    val kept = Sampling.budgetCappedPerStratum(d, Seq("lang"), Seq("id"),
+        "w", budgets)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(kept("en") == 3, "en: 100-token budget admits 3 x 30")
+    assert(kept("zh") == 6, "zh: budget above total keeps the stratum whole")
+    assert(kept("es") == 4, "es: absent from the budget relation -> unlimited")
+    // agrees with the constant-budget form where the budgets coincide
+    val viaConst = Sampling.weightCappedPerStratum(
+        d.filter(col("lang") === "en"), Seq("lang"), Seq("id"), "w", 100L)
+      .select("id").as[Long].collect().toSet
+    val viaRel = Sampling.budgetCappedPerStratum(
+        d.filter(col("lang") === "en"), Seq("lang"), Seq("id"), "w", budgets)
+      .select("id").as[Long].collect().toSet
+    assert(viaConst == viaRel)
+  }
+
   test("weightedSample: exactly k rows, partitioning-invariant, weight-monotone") {
     val base = spark.range(500)
       .select(col("id"), (col("id") % 9 + 1).cast("double").as("w"))

@@ -13,11 +13,16 @@ import org.apache.spark.sql.functions._
   * first k — a uniform pseudo-random draw that is a pure function of the
   * data.
   *
-  * Cost: one shuffle (the window partition-by), partial nothing — the
-  * same shape as any per-group top-k. For per-ROW Bernoulli-style
-  * sampling (keep p% of rows, no k quota), prefer a hash predicate
-  * (`xxhash64(key) % 100 < p` — see q42's hash split), which is
-  * shuffle-free; this operator is for exact-k strata.
+  * Cost: the k-quota forms ([[stratified]], [[temperatureResample]])
+  * are one window shuffle partitioned by stratum; the cap/budget forms
+  * ([[cappedPerStratum]], [[weightCappedPerStratum]],
+  * [[budgetCappedPerStratum]]) ride [[withStratumRunningSum]]'s two-pass
+  * distributed running sum, which costs one extra data shuffle and in
+  * exchange never sorts a stratum in one task — the form that survives a
+  * skewed 100 TB mixture. For per-ROW Bernoulli-style sampling (keep p%
+  * of rows, no k quota), prefer a hash predicate (`xxhash64(key) % 100 <
+  * p` — see q42's hash split), which is shuffle-free; this operator is
+  * for exact-k strata.
   */
 object Sampling {
 
@@ -61,10 +66,12 @@ object Sampling {
     *
     * Cost: one tiny count aggregate (broadcast back) + one window shuffle
     * partitioned by stratum — the same shape as [[stratified]], same skew
-    * caveat: at 100 TB with one dominant stratum, swap the exact window
-    * for the shuffle-free hash-threshold draw
-    * (`xxhash64(key) % n < quota`, binomial-approximate quota) and keep
-    * this exact form for oracle-checked subsets.
+    * caveat: at 100 TB with one dominant stratum, either rebuild the rank
+    * on [[withStratumRunningSum]]'s two-pass (the [[cappedPerStratum]]
+    * path — exact, one extra shuffle) or swap the exact window for the
+    * shuffle-free hash-threshold draw (`xxhash64(key) % n < quota`,
+    * binomial-approximate quota) and keep this exact form for
+    * oracle-checked subsets.
     */
   def temperatureResample(df: DataFrame, strataCols: Seq[String],
                           keyCols: Seq[String], scale: Int = 8,
@@ -84,6 +91,71 @@ object Sampling {
       .drop("__rn", "__quota")
   }
 
+  /** TWO-PASS distributed per-stratum running sum — the scale-safe
+    * replacement for `sum(w) OVER (PARTITION BY stratum ORDER BY draw)`.
+    * The single-window form hash-partitions by STRATUM, so one task
+    * sorts each stratum's entire row set; a real mixture corpus is
+    * skewed exactly where the budget matters ("en" is ~half of a 100 TB
+    * web crawl), so the dominant stratum serializes. Here no task ever
+    * touches more than one range partition (≈ data/N rows) regardless
+    * of stratum skew:
+    *
+    *   1. range-sort by (stratum, draw) — the same total order the
+    *      window form uses, so the admitted set is IDENTICAL;
+    *      `monotonically_increasing_id()` pins (partition id, local row
+    *      number) as column arithmetic ([[SurrogateKey.scalable]]'s
+    *      trick);
+    *   2. per-(partition, stratum) weight sums (map-side partial
+    *      aggregate; the relation is O(#strata + #partitions) rows)
+    *      become per-stratum prefix offsets via a window over ≤
+    *      #partitions rows per stratum; only offsets ≠ 0 survive, and
+    *      the data is range-sorted with the stratum as the LEADING sort
+    *      key, so only the stratum at a partition's head can continue
+    *      from an earlier partition — ≤ N−1 rows, broadcastable by
+    *      construction however many strata exist;
+    *   3. the within-partition running sum is a window PARTITIONED BY
+    *      (range-partition id, stratum): parallel across partitions, a
+    *      mega-stratum's sort split across all the range partitions it
+    *      spans ([[Packing.streamPositions]]'s discipline, per-stratum).
+    *
+    * Cost: two data shuffles (the range sort, the (pid, stratum)
+    * window) vs the window form's one — the price of never serializing
+    * a stratum. Weights must be non-negative and non-null. CACHE
+    * LIFETIME: the internal persist pins the partition-dependent `__mid`
+    * values across the two consumers (sums + join) — same correctness
+    * argument and release contract as [[SurrogateKey.scalable]]
+    * (`spark.catalog.clearCache()` after the final action).
+    */
+  private def withStratumRunningSum(df: DataFrame, strataCols: Seq[String],
+                                    orderCols: Seq[Column], weight: Column,
+                                    cumCol: String): DataFrame = {
+    val sorted = df
+      .orderBy(strataCols.map(col) ++ orderCols: _*)
+      .withColumn("__w", weight)
+      .withColumn("__mid", monotonically_increasing_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pid = shiftright(col("__mid"), 33)
+    val sums = sorted
+      .groupBy(pid.as("__pid") +: strataCols.map(c => col(c).as(s"__s_$c")): _*)
+      .agg(sum(col("__w")).as("__psum"))
+    val wOff = Window.partitionBy(strataCols.map(c => col(s"__s_$c")): _*)
+      .orderBy(col("__pid"))
+    val offsets = sums
+      .select(col("__pid") +: strataCols.map(c => col(s"__s_$c")) :+
+        (sum(col("__psum")).over(wOff) - col("__psum")).as("__off"): _*)
+      .filter(col("__off") =!= 0L)
+    val joinCond = strataCols.map(c => col(c) <=> col(s"__s_$c"))
+      .foldLeft(pid === col("__pid"))(_ && _)
+    val wLocal = Window.partitionBy(pid +: strataCols.map(col): _*)
+      .orderBy(col("__mid"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sorted.join(broadcast(offsets), joinCond, "left")
+      .withColumn(cumCol,
+        coalesce(col("__off"), lit(0L)) + sum(col("__w")).over(wLocal))
+      .drop(Seq("__w", "__mid", "__pid", "__off") ++
+        strataCols.map(c => s"__s_$c"): _*)
+  }
+
   /** FIXED per-stratum cap — the per-domain quota every web-corpus
     * pipeline applies right after registered-domain extraction
     * ([[graft.functions.UrlFunctions.registeredDomain]]): keep at most
@@ -94,22 +166,23 @@ object Sampling {
     * √-scaled form of the same machinery; this is the hard-ceiling form
     * (a single mega-domain contributes `cap` documents, full stop).
     *
-    * Cost: one window shuffle partitioned by stratum — no quota
-    * aggregate needed (the ceiling is constant). Same skew caveat as
-    * [[temperatureResample]]: at 100 TB with one dominant stratum, swap
-    * the exact window for the hash-threshold draw and keep this exact
-    * form for oracle-checked subsets.
+    * The kept set equals `row_number() OVER (PARTITION BY stratum ORDER
+    * BY hash, keys) <= cap` (the one-window oracle form), computed via
+    * [[withStratumRunningSum]]'s two-pass so a mega-stratum never
+    * serializes through one task (SamplingSpec pins the equivalence law
+    * on randomized skewed corpora). CACHE LIFETIME: inherits the core's
+    * internal persist — release with `spark.catalog.clearCache()` after
+    * the final action.
     */
   def cappedPerStratum(df: DataFrame, strataCols: Seq[String],
                        keyCols: Seq[String], cap: Int,
                        hash: Option[Column] = None): DataFrame = {
     require(cap > 0, s"cap must be positive, got $cap")
     val h = hash.getOrElse(xxhash64(keyCols.map(col): _*))
-    val w = Window.partitionBy(strataCols.map(col): _*)
-      .orderBy(h +: keyCols.map(col): _*)
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= cap)
-      .drop("__rn")
+    withStratumRunningSum(df, strataCols, h +: keyCols.map(col), lit(1L),
+        "__cum")
+      .filter(col("__cum") <= cap)
+      .drop("__cum")
   }
 
   /** WEIGHT-BUDGETED per-stratum cap — the TOKEN-budget form of
@@ -124,12 +197,13 @@ object Sampling {
     * UNBOUNDED PRECEDING) <= budget`.
     *
     * Weights must be non-negative (a negative weight would un-exceed an
-    * exceeded budget and break the prefix property). Cost: identical to
-    * [[cappedPerStratum]] — ONE window shuffle partitioned by stratum;
-    * the running sum rides the same window as the ordering. Same
-    * mega-stratum caveat: at 100 TB swap the exact window for a
-    * hash-threshold draw calibrated to the budget and keep this exact
-    * form for oracle-checked subsets.
+    * exceeded budget and break the prefix property). The kept set equals
+    * the one-window oracle form (`SUM(w) OVER (PARTITION BY stratum
+    * ORDER BY hash, keys ROWS UNBOUNDED PRECEDING) <= budget`), computed
+    * via [[withStratumRunningSum]]'s two-pass so the dominant stratum of
+    * a skewed mixture never serializes through one task. CACHE LIFETIME:
+    * inherits the core's internal persist — `spark.catalog.clearCache()`
+    * after the final action.
     */
   def weightCappedPerStratum(df: DataFrame, strataCols: Seq[String],
                              keyCols: Seq[String], weightCol: String,
@@ -137,10 +211,8 @@ object Sampling {
                              hash: Option[Column] = None): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
     val h = hash.getOrElse(xxhash64(keyCols.map(col): _*))
-    val w = Window.partitionBy(strataCols.map(col): _*)
-      .orderBy(h +: keyCols.map(col): _*)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.withColumn("__cum", sum(col(weightCol)).over(w))
+    withStratumRunningSum(df, strataCols, h +: keyCols.map(col),
+        col(weightCol), "__cum")
       .filter(col("__cum") <= budget)
       .drop("__cum")
   }
@@ -151,19 +223,19 @@ object Sampling {
     * as a relation (`strataCols` + a `budget` long column) instead of
     * one constant. Strata ABSENT from the relation are kept whole
     * (unlimited) — a mixture spec names the strata it constrains. Same
-    * greedy-prefix/running-sum semantics and the same single window
-    * shuffle; the budget relation broadcasts (mixture specs are
-    * driver-small by nature).
+    * greedy-prefix/running-sum semantics on [[withStratumRunningSum]]'s
+    * two-pass (no stratum ever serializes); the budget relation
+    * broadcasts (mixture specs are driver-small by nature). CACHE
+    * LIFETIME: inherits the core's internal persist —
+    * `spark.catalog.clearCache()` after the final action.
     */
   def budgetCappedPerStratum(df: DataFrame, strataCols: Seq[String],
                              keyCols: Seq[String], weightCol: String,
                              budgets: DataFrame,
                              hash: Option[Column] = None): DataFrame = {
     val h = hash.getOrElse(xxhash64(keyCols.map(col): _*))
-    val w = Window.partitionBy(strataCols.map(col): _*)
-      .orderBy(h +: keyCols.map(col): _*)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.withColumn("__cum", sum(col(weightCol)).over(w))
+    withStratumRunningSum(df, strataCols, h +: keyCols.map(col),
+        col(weightCol), "__cum")
       .join(broadcast(budgets), strataCols, "left")
       .filter(col("budget").isNull || col("__cum") <= col("budget"))
       .drop("__cum", "budget")

@@ -96,7 +96,12 @@ object StreamQueries {
   // ---------------------------------------------------------------- s05
   /** Watermark late-data model: processing order = event_id; an event is
     * "late" if the max event-time already seen exceeds its own by > 30 min
-    * (exactly the rows a 30-minute watermark would drop).
+    * (exactly the rows a 30-minute watermark would drop). The "max seen so
+    * far" is a DATA-SIZED prefix aggregate, so it rides
+    * [[graft.operators.PrefixAgg.maxExclusive]]'s two-pass (round 15's
+    * global-window sweep caught the old single `Window.orderBy` form —
+    * the one data-sized single-partition window in the registry) while
+    * the oracle keeps the definitional one-window SQL.
     */
   val s05_watermark_late = q("s05_watermark_late", Some(
     """WITH m AS (
@@ -107,10 +112,9 @@ object StreamQueries {
       |         AND epoch_us(mp) - epoch_us(ts) > 1800000000 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_late,
       |  COUNT(*) AS n_events
       |FROM m""".stripMargin)) { (s, dir) =>
-    val w = Window.orderBy(col("event_id"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    Tables.events(s, dir)
-      .withColumn("mp", max(col("ts")).over(w))
+    graft.operators.PrefixAgg.maxExclusive(
+        Tables.events(s, dir).select("event_id", "ts"),
+        Seq(col("event_id")), col("ts"), "mp")
       .agg(
         sum(when(col("mp").isNotNull &&
             unix_micros(col("mp")) - unix_micros(col("ts")) > 1800000000L, 1)

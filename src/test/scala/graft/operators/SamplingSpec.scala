@@ -109,6 +109,7 @@ class SamplingSpec extends SparkSpec {
     val kept2 = Sampling.weightCappedPerStratum(d.repartition(13, col("id")),
       Seq("g"), Seq("id"), "w", budget = 100L)
     assert(kept2.select("id").as[Long].collect().toSet == want)
+    spark.catalog.clearCache() // release the two-pass internal persists
   }
 
   test("budgetCappedPerStratum: per-stratum budgets bind; absent strata kept whole") {
@@ -131,6 +132,50 @@ class SamplingSpec extends SparkSpec {
         d.filter(col("lang") === "en"), Seq("lang"), Seq("id"), "w", budgets)
       .select("id").as[Long].collect().toSet
     assert(viaConst == viaRel)
+    spark.catalog.clearCache() // release the two-pass internal persists
+  }
+
+  test("two-pass cap/budget admission == the one-window form (randomized skewed corpora)") {
+    // the scale rewrite's law: withStratumRunningSum's range-sort +
+    // per-partition-offset two-pass admits EXACTLY the rows the
+    // single-window oracle form admits — on a skewed corpus (one
+    // mega-stratum ~70% of rows, a long tail, null strata included) and
+    // under any input partitioning
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(20260815L)
+    val rows = Seq.tabulate(4000) { i =>
+      val g = rnd.nextDouble() match {
+        case p if p < 0.70 => "mega"
+        case p if p < 0.75 => null
+        case _             => s"g${rnd.nextInt(37)}"
+      }
+      (i.toLong, g, 1L + rnd.nextInt(50).toLong)
+    }
+    val d = rows.toDF("id", "g", "w").repartition(11, col("id"))
+    val h = xxhash64(col("id"))
+    val wRank = Window.partitionBy(col("g")).orderBy(h, col("id"))
+    val wCum = wRank.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val winCap = d.withColumn("__rn", row_number().over(wRank))
+      .filter(col("__rn") <= 17).select("id").as[Long].collect().toSet
+    val twoCap = Sampling.cappedPerStratum(d, Seq("g"), Seq("id"), 17)
+      .select("id").as[Long].collect().toSet
+    assert(twoCap == winCap, "cap form diverged from the window oracle")
+    val winBud = d.withColumn("__c", sum(col("w")).over(wCum))
+      .filter(col("__c") <= 400L).select("id").as[Long].collect().toSet
+    val twoBud = Sampling.weightCappedPerStratum(d, Seq("g"), Seq("id"),
+        "w", 400L)
+      .select("id").as[Long].collect().toSet
+    assert(twoBud == winBud, "budget form diverged from the window oracle")
+    // budget-relation form against the same oracle where budgets coincide
+    val budgets = Seq(("mega", 400L)).toDF("g", "budget")
+    val twoRel = Sampling.budgetCappedPerStratum(d, Seq("g"), Seq("id"),
+        "w", budgets)
+      .select("id").as[Long].collect().toSet
+    val winRel = d.withColumn("__c", sum(col("w")).over(wCum))
+      .filter(col("g").isNull || col("g") =!= "mega" || col("__c") <= 400L)
+      .select("id").as[Long].collect().toSet
+    assert(twoRel == winRel, "budget-relation form diverged")
+    spark.catalog.clearCache() // release the two-pass internal persists
   }
 
   test("weightedSample: exactly k rows, partitioning-invariant, weight-monotone") {

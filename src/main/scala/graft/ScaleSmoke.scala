@@ -683,8 +683,18 @@ object ScaleSmoke {
     println(f"SMOKE t37_training          1x=$tTrain1%6.2fs ${copies}x=$tTrain10%6.2fs " +
       f"vs-linear=$trainLinear%5.2fx $trainVerdict")
 
+    // token-budget quota under a hot stratum: the two-pass cumsum must
+    // stay linear when ONE stratum holds 80% of rows (the single-window
+    // form's serialization shape)
+    val (tQ1, tQ10, rQ1, rQ10) = quotaSection(spark, 600000, copies)
+    val quotaLinear = tQ10 / (tQ1 * copies)
+    val quotaVerdict =
+      if (quotaLinear <= maxSlowdown) "OK" else "FAIL (quota non-linear)"
+    println(f"SMOKE t43_hot_stratum       1x=$tQ1%6.2fs ${copies}x=$tQ10%6.2fs " +
+      f"rows=$rQ1%d/$rQ10%d vs-linear=$quotaLinear%5.2fx $quotaVerdict")
+
     var failed = idxVerdict != "OK" || pruneVerdict != "OK" ||
-      packVerdict != "OK" || trainVerdict != "OK"
+      packVerdict != "OK" || trainVerdict != "OK" || quotaVerdict != "OK"
     // (scd2Flat / zorderLinear run in the sbt-test smoke tier only —
     // they gate layout/merge cost shapes, not hot-key caps)
     (results ++ relational).foreach {
@@ -699,6 +709,40 @@ object ScaleSmoke {
     }
     spark.stop()
     if (failed) sys.exit(1)
+  }
+
+  /** Token-budget quota under a HOT STRATUM (round 15, the r14 brief's
+    * skewed-strata gate): one stratum holds 80 % of all rows — the shape
+    * a real mixture job always has ("en" is ~half of a web crawl) and
+    * the one the single-window form serializes (its stratum-partitioned
+    * sort puts the mega-stratum in ONE task, so 10× data means 10× the
+    * serial term, not 10× the parallel work). The two-pass
+    * [[graft.operators.Sampling.weightCappedPerStratum]] must stay
+    * within the 2×-of-linear budget as rows grow `copies`×. Synthetic
+    * corpus (range + hash arithmetic, no I/O term) so the timing reads
+    * the cumsum machinery itself; weights 1..50, budget sized to bite
+    * mid-stratum at both scales. Returns (t1x, tBigx, rows1x, rowsBigx).
+    */
+  def quotaSection(spark: SparkSession, baseRows: Int,
+                   copies: Int): (Double, Double, Long, Long) = {
+    def corpus(n: Long): DataFrame =
+      spark.range(n).select(col("id"),
+        when(pmod(col("id"), lit(10)) < 8, lit("mega"))
+          .otherwise(concat(lit("d"), pmod(col("id"), lit(997))))
+          .as("domain"),
+        (lit(1L) + pmod(col("id") * 2654435761L, lit(50))).as("w"))
+    def run(n: Long): Long = {
+      val kept = graft.operators.Sampling.weightCappedPerStratum(
+        corpus(n), Seq("domain"), Seq("id"), "w", budget = 200000L).count()
+      spark.catalog.clearCache() // release the two-pass internal persist
+      kept
+    }
+    run(baseRows.toLong) // warm-up (codegen, shuffles)
+    val (r1, t1a) = time(run(baseRows.toLong))
+    val (_, t1b) = time(run(baseRows.toLong))
+    val (rb, tba) = time(run(baseRows.toLong * copies))
+    val (_, tbb) = time(run(baseRows.toLong * copies))
+    (math.min(t1a, t1b), math.min(tba, tbb), r1, rb)
   }
 
   /** SCD2 merge cost must track the TOUCHED buckets, not the dimension:

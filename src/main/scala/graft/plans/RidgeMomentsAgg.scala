@@ -47,6 +47,16 @@ import scala.collection.mutable
   * sum exact past 2⁶³ (≈ 92 k documents of all-ones addends — a bound a
   * corpus-scale training pass does exceed).
   *
+  * Bound on the "same IEEE double" claim (round-15 ADVICE): the Gram
+  * addend multiplies as `ci.toDouble * cs(j)` while the dataflow form it
+  * replaced multiplied the two longs first and then cast — identical
+  * doubles only while the per-document product c_b1·c_b2 < 2⁵³ (a
+  * product of two bucket counts of ONE document: 2⁵³ needs a ~94M-token
+  * document, beyond any real input). Past that, this form can differ by
+  * an ULP where the old form instead silently OVERFLOWED the long past
+  * 2⁶³ — both regimes are pathological-only, and the committed goldens
+  * sit far inside the exact range.
+  *
   * The result row is `struct(gram: array<(b1, b2, g)>, cls: array<(y, b,
   * s)>)` with DECIMAL(38,14) cells — dense (B+1)² for the Gram (absent
   * = zero either way), present (class, bucket) pairs only for `cls`,

@@ -675,6 +675,56 @@ object StreamQueries {
     QuotaView.read(s, s"$root/quota_view")
   }
 
+  // ---------------------------------------------------------------- s22
+  /** CONTINUOUS TOKEN-BUDGETED quota ([[graft.operators.QuotaView
+    * .appendWeighted]]): t43's token budget as a live view — documents
+    * arrive in two installments (even doc_ids then odd; compaction fold
+    * mid-stream) and each batch admits rows while its registered
+    * domain's accumulated SEEN token weight stays ≤ 1000. The greedy
+    * cross-batch admission is EXACTLY one running-weight window over the
+    * concatenated (batch, md5-draw) order — including the kept-vs-SEEN
+    * accounting distinction the QuotaView scaladoc derives (rejected
+    * weight rides sentinel rows so overshoot cannot re-open a stratum a
+    * one-shot run would have closed) — which is what the oracle replays
+    * over the one-shot input. StreamingSpec differentials the
+    * foreachBatch twin ([[graft.streaming.StreamOps.tokenQuotaStream]]).
+    */
+  val s22_token_quota_mv = q("s22_token_quota_mv", Some(
+    s"""WITH ${TextQueries.urlSqlCtes},
+       |${TextQueries.domainSqlCtes},
+       |tk AS (SELECT dd.doc_id, domain,
+       |         CAST(len(regexp_extract_all(d.text, '${TextQueries.tokenPat}')) AS BIGINT) AS n_tok
+       |       FROM dd JOIN documents d ON dd.doc_id = d.doc_id),
+       |cum AS (SELECT doc_id, domain, n_tok, sum(n_tok) OVER (
+       |    PARTITION BY domain
+       |    ORDER BY doc_id % 2, md5(CAST(doc_id AS VARCHAR)), doc_id
+       |    ROWS UNBOUNDED PRECEDING) AS c FROM tk)
+       |SELECT doc_id, domain, n_tok FROM cum WHERE c <= 1000""".stripMargin)) { (s, dir) =>
+    import graft.operators.QuotaView
+    import graft.functions.{TextFunctions, UrlFunctions}
+    val root = DedupQueries.DedupStaging.ensure("s22", dir) { r =>
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(s"$r/quota_view"))
+      val withDom = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          UrlFunctions.registeredDomain(
+            UrlFunctions.hostOf(TextQueries.urlFixture),
+            TextQueries.pslSubset).as("domain"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("n_tok"))
+      QuotaView.init(s, s"$r/quota_view")
+      def appendBatch(b: DataFrame, id: Long): Unit = {
+        QuotaView.appendWeighted(b, "doc_id", "domain", "n_tok",
+          s"$r/quota_view", batchId = id, budget = 1000L,
+          hash = Some(md5(col("doc_id").cast("string").cast("binary"))))
+        ()
+      }
+      appendBatch(withDom.filter(col("doc_id") % 2 === 0), 0L)
+      QuotaView.compact(s, s"$r/quota_view")
+      appendBatch(withDom.filter(col("doc_id") % 2 =!= 0), 1L)
+    }
+    QuotaView.readWeighted(s, s"$root/quota_view")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     s01_tumbling_agg, s02_sliding_agg, s03_session_windows,
     s04_dedup_first_event, s05_watermark_late, s06_asof_backward,
@@ -682,5 +732,5 @@ object StreamQueries {
     s10_line_stats_ingest, s11_stream_drift, s12_interval_left_join,
     s13_funnel_conversion, s14_span_stats_ingest, s15_posting_ingest,
     s16_windowed_mv, s17_join_view, s18_distinct_mv, s19_percentile_mv,
-    s20_classifier_quality_mv, s21_domain_quota_mv)
+    s20_classifier_quality_mv, s21_domain_quota_mv, s22_token_quota_mv)
 }

@@ -25,7 +25,7 @@ object TextQueries {
     s"trim(regexp_replace(regexp_replace($c, '[\\r\\n]+', ' ', 'g'), '\\s+', ' ', 'g'))"
 
   private val stopPat = "\\b(the|a|an|and|or|of|to|in|is|it|that|for|on|with|as)\\b"
-  private val tokenPat = "[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]"
+  private[queries] val tokenPat = "[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]"
   private val punctPat = """[.,;:!?''"()\[\]{}-]""" // '' = escaped quote in SQL
 
   // ---------------------------------------------------------------- t01

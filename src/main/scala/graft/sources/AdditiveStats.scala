@@ -76,6 +76,18 @@ object AdditiveStats {
     }
   }
 
+  /** The replay watermark: the highest batch id already folded into the
+    * `batch_id = -1` partition (-1 for a bare-mode, uninitialized, or
+    * never-compacted store). A replaying batch at or below it finds its
+    * own rows inside the fold — [[append]] skips it, and admission
+    * operators short-circuit to the stored state (see
+    * [[graft.operators.QuotaView.append]]).
+    */
+  def compactedThrough(spark: SparkSession, store: Store): Long =
+    if (StoredIndex.metaGeneration(spark, store.dir) < 0) -1L
+    else StoredIndex.readKvWithGen(spark, store.dir)
+      ._1("compacted_through").toLong
+
   /** The accumulated relation — all fragments (and the folded partition)
     * of the live epoch in protocol mode, the bare directory otherwise;
     * an initialized-but-never-appended store reads as empty with the

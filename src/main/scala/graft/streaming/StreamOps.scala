@@ -453,7 +453,11 @@ object StreamOps {
     * (batch, draw) order (QuotaView scaladoc carries the equivalence
     * argument). Admitted rows land as idempotent AdditiveStats
     * fragments; protocol replay/crash story by inheritance (s21 under
-    * the oracle gate; StreamingSpec differential).
+    * the oracle gate; StreamingSpec differential). Compaction runs
+    * inside foreachBatch and may fold a batch BEFORE its checkpoint
+    * commits; QuotaView.append short-circuits a replay at or below
+    * `compacted_through` to the stored admitted set, closing that crash
+    * window (round-15 ADVICE fix).
     */
   def domainQuotaStream(docs: DataFrame, idCol: String, domainCol: String,
                         statsDir: String, checkpointDir: String, cap: Int,
@@ -473,6 +477,45 @@ object StreamOps {
         if (!batch.isEmpty) {
           QuotaView.append(batch.toDF(), idCol, domainCol, statsDir,
             batchId, cap, hash)
+          ()
+        }
+        if (compactEvery > 0 &&
+            QuotaView.fragmentCount(spark, statsDir) > compactEvery)
+          QuotaView.compact(spark, statsDir)
+      }
+      .start()
+
+  /** CONTINUOUS per-stratum TOKEN budget ([[graft.operators.QuotaView
+    * .appendWeighted]]): the weight form of [[domainQuotaStream]] — each
+    * micro-batch admits documents while its domain's accumulated SEEN
+    * token weight stays ≤ `budget` (the FineWeb-style unit the trainer
+    * consumes), exactly replayable as one running-weight window over the
+    * concatenated (batch, draw) order (the QuotaView scaladoc carries
+    * the equivalence argument, including why KEPT-only accounting would
+    * break it — rejected-weight sentinels ride the same fragments).
+    * Compaction may fold a batch before its checkpoint commits; the
+    * append short-circuits on replay (compacted_through watermark), so
+    * the crash window between compact and commit is closed.
+    */
+  def tokenQuotaStream(docs: DataFrame, idCol: String, domainCol: String,
+                       weightCol: String, statsDir: String,
+                       checkpointDir: String, budget: Long,
+                       hash: Option[org.apache.spark.sql.Column] = None,
+                       compactEvery: Int = 16)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        import graft.operators.QuotaView
+        import graft.sources.StoredIndex
+        val spark = batch.sparkSession
+        if (StoredIndex.metaGeneration(spark, statsDir) < 0)
+          QuotaView.init(spark, statsDir)
+        StoredIndex.pinStreamIdentity(spark, statsDir, checkpointDir)
+        if (!batch.isEmpty) {
+          QuotaView.appendWeighted(batch.toDF(), idCol, domainCol, weightCol,
+            statsDir, batchId, budget, hash)
           ()
         }
         if (compactEvery > 0 &&

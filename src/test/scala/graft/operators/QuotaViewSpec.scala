@@ -38,4 +38,100 @@ class QuotaViewSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
     }
   }
+
+  test("append accepts non-default id/domain column names (round-15 ADVICE fix)") {
+    // the draw window used to reference the caller's column names AFTER
+    // the doc_id/domain rename — any non-default names threw an
+    // unresolved-column AnalysisException
+    val tmp = java.nio.file.Files.createTempDirectory("quota-view-names").toString
+    try {
+      QuotaView.init(spark, tmp)
+      val b = Seq((1L, "a"), (2L, "a"), (3L, "b"))
+        .toDF("event_id", "host")
+      val got = QuotaView.append(b, "event_id", "host", tmp,
+        batchId = 0L, cap = 1).as[(Long, String)].collect().toSet
+      assert(got.count(_._2 == "a") == 1 && got.count(_._2 == "b") == 1)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+    }
+  }
+
+  test("appendWeighted: seen-weight admission, sentinel accounting, replay idempotence") {
+    val tmp = java.nio.file.Files.createTempDirectory("quota-view-w").toString
+    try {
+      QuotaView.init(spark, tmp)
+      // deterministic draw = doc_id so the overshoot is crafted, not
+      // hash-dependent: stratum a draws (1: w6, 2: w7) — admits 6,
+      // rejects 7 at 6 spent (seen 13 > budget 10)
+      val h = Some(col("doc_id"))
+      val b0 = Seq((1L, "a", 6L), (2L, "a", 7L), (3L, "b", 4L))
+        .toDF("doc_id", "domain", "n_tok")
+      val first = QuotaView.appendWeighted(b0, "doc_id", "domain", "n_tok",
+        tmp, batchId = 0L, budget = 10L, hash = h)
+        .as[(Long, String, Long)].collect().toSet
+      assert(first == Set((1L, "a", 6L), (3L, "b", 4L)), first.toString)
+      // replay of the SAME batch: prior excludes the batch's own fragment
+      // (admitted rows AND its sentinel), so the recomputation is identical
+      val replay = QuotaView.appendWeighted(b0, "doc_id", "domain", "n_tok",
+        tmp, batchId = 0L, budget = 10L, hash = h)
+        .as[(Long, String, Long)].collect().toSet
+      assert(replay == first)
+      assert(QuotaView.readWeighted(spark, tmp).count() == 2)
+      // batch 1: a's SEEN weight is 13 — a 3-token row must NOT admit
+      // (the one-window law; kept-only accounting would admit at 6+3);
+      // b has 6 real tokens of headroom
+      val b1 = Seq((4L, "a", 3L), (5L, "b", 5L)).toDF("doc_id", "domain", "n_tok")
+      val second = QuotaView.appendWeighted(b1, "doc_id", "domain", "n_tok",
+        tmp, batchId = 1L, budget = 10L, hash = h)
+        .as[(Long, String, Long)].collect().toSet
+      assert(second == Set((5L, "b", 5L)), second.toString)
+      // the view exposes admitted rows only (sentinels filtered)
+      val all = QuotaView.readWeighted(spark, tmp)
+        .as[(Long, String, Long)].collect().toSet
+      assert(all == Set((1L, "a", 6L), (3L, "b", 4L), (5L, "b", 5L)))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+    }
+  }
+
+  test("replay of an already-FOLDED batch short-circuits to the stored admitted set") {
+    // the crash window the round-15 ADVICE named: compact() runs inside
+    // foreachBatch BEFORE the checkpoint commit, so a crash in between
+    // replays a batch whose rows are already inside the batch_id = -1
+    // fold. Recomputing would see its own rows in the prior (under-
+    // admission); append must instead return batch ∩ store.
+    val tmp = java.nio.file.Files.createTempDirectory("quota-view-replay").toString
+    val tmpW = java.nio.file.Files.createTempDirectory("quota-view-replay-w").toString
+    try {
+      QuotaView.init(spark, tmp)
+      val b0 = Seq((1L, "a"), (2L, "a"), (3L, "a"), (4L, "b"))
+        .toDF("doc_id", "domain")
+      val first = QuotaView.append(b0, "doc_id", "domain", tmp,
+        batchId = 0L, cap = 2).as[(Long, String)].collect().toSet
+      QuotaView.compact(spark, tmp) // folds batch 0; compacted_through = 0
+      val replay = QuotaView.append(b0, "doc_id", "domain", tmp,
+        batchId = 0L, cap = 2).as[(Long, String)].collect().toSet
+      assert(replay == first,
+        s"folded replay diverged: first=$first replay=$replay")
+      assert(QuotaView.read(spark, tmp).count() == 3) // store unchanged
+      // weighted twin: same law, recovered rows carry their weights
+      QuotaView.init(spark, tmpW)
+      val h = Some(col("doc_id"))
+      val w0 = Seq((1L, "a", 6L), (2L, "a", 7L), (3L, "b", 4L))
+        .toDF("doc_id", "domain", "n_tok")
+      val wFirst = QuotaView.appendWeighted(w0, "doc_id", "domain", "n_tok",
+        tmpW, batchId = 0L, budget = 10L, hash = h)
+        .as[(Long, String, Long)].collect().toSet
+      QuotaView.compact(spark, tmpW)
+      val wReplay = QuotaView.appendWeighted(w0, "doc_id", "domain", "n_tok",
+        tmpW, batchId = 0L, budget = 10L, hash = h)
+        .as[(Long, String, Long)].collect().toSet
+      assert(wReplay == wFirst,
+        s"folded weighted replay diverged: first=$wFirst replay=$wReplay")
+      assert(QuotaView.readWeighted(spark, tmpW).count() == 2)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmpW))
+    }
+  }
 }

@@ -11,6 +11,7 @@ case class Doc(doc_id: Long, text: String)
 case class Upd(id: Long, name: String, bal: Double)
 case class Cdc(side: String, k: Long, a: String, b: String)
 case class QDoc(doc_id: Long, domain: String)
+case class QTok(doc_id: Long, domain: String, n_tok: Long)
 
 /** Differential stream-vs-batch tests: the same event-time aggregations must
   * produce identical results fed through Structured Streaming micro-batches
@@ -1385,6 +1386,59 @@ class StreamingSpec extends SparkSpec {
       assert(got.count(_._2.contains("a")) == cap)
       assert(got.count(_._2.isEmpty) == cap)
       assert(!got.exists(p => p._2.contains("a") && p._1 >= 6L))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+    }
+  }
+
+  test("tokenQuotaStream: cross-batch budget admission equals one " +
+      "running-weight window over the concatenated (batch, draw) order") {
+    import graft.operators.QuotaView
+    implicit val sqlCtx = spark.sqlContext
+    val budget = 10L
+    // domain a OVERSHOOTS in batch 1: draw order admits 6, rejects the
+    // 7-token row at 6 spent (4 tokens unfilled). The one-window law then
+    // rejects EVERYTHING later in a (its running sum is already past the
+    // budget) — the case kept-only accounting gets wrong, which is
+    // exactly why rejected weight rides sentinel rows. b carries real
+    // residual budget; the null stratum quotas together.
+    val b1 = Seq(QTok(1L, "a", 6L), QTok(2L, "a", 7L),
+      QTok(3L, "b", 4L), QTok(4L, null, 5L))
+    val b2 = Seq(QTok(5L, "a", 3L), QTok(6L, "b", 5L), QTok(7L, "b", 9L),
+      QTok(8L, null, 4L), QTok(9L, null, 9L))
+    val tmp = java.nio.file.Files.createTempDirectory("token-quota-stream").toString
+    try {
+      val mem = MemoryStream[QTok]
+      mem.addData(b1)
+      val q = StreamOps.tokenQuotaStream(mem.toDF(), "doc_id", "domain",
+        "n_tok", s"$tmp/qv", s"$tmp/ckpt", budget = budget, compactEvery = 1)
+      q.processAllAvailable()
+      mem.addData(b2)
+      q.processAllAvailable()
+      q.stop()
+      val got = QuotaView.readWeighted(spark, s"$tmp/qv")
+        .as[(Long, Option[String], Long)].collect().toSet
+      // reference: ONE running-weight window over the union in
+      // (batch, default-draw) order
+      val union = b1.map(d => (d.doc_id, Option(d.domain), d.n_tok, 0)) ++
+        b2.map(d => (d.doc_id, Option(d.domain), d.n_tok, 1))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("domain"))
+        .orderBy(col("batch"), xxhash64(col("doc_id")), col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      val want = union.toDF("doc_id", "domain", "n_tok", "batch")
+        .withColumn("c", sum(col("n_tok")).over(w))
+        .filter(col("c") <= budget)
+        .as[(Long, Option[String], Long, Int, Long)].collect()
+        .map(r => (r._1, r._2, r._3)).toSet
+      assert(got == want, s"got=$got want=$want")
+      // the overshoot law concretely: whichever single a-row the draw
+      // admitted in batch 1, the a stratum admits NOTHING in batch 2 even
+      // though its kept weight is under budget
+      assert(got.count(_._2.contains("a")) == 1)
+      assert(!got.exists(p => p._2.contains("a") && p._1 == 5L),
+        "batch-2 'a' row admitted: seen-weight accounting regressed to kept-only")
     } finally {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
     }

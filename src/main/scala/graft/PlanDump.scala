@@ -679,7 +679,20 @@ object PlanDump {
       "duplicated-token footprint into one row — O(k·log cap) structs " +
       "for k duplicated positions — so a fully-duplicated very long " +
       "document bounds per-row memory by its own footprint (chunk " +
-      "above ~1M duplicated positions if that contract ever tightens)."),
+      "above ~1M duplicated positions if that contract ever tightens). " +
+      "ROUND 15 - the prescribed suite-order experiment closes the " +
+      "two-round-old driver-med question: full 195-query suite on a " +
+      "quiet box, 5 passes, d18 pinned FIRST of every pass = 4.84 min / " +
+      "5.29 med / 11.83 max; pinned LAST = 4.48 / 5.31 / 9.65 " +
+      "(SPARK_GRAFT_PIN_FIRST/PIN_LAST, the new Bench knobs). Suite " +
+      "position does not matter - the medians are identical and both " +
+      "sit well inside the ~8 s gate; the ONLY order-dependent term is " +
+      "the one-time pass-1 cold JIT+codegen cost (the max column, " +
+      "~5-6 s once per JVM). BENCH_r14's 23.71 driver med therefore " +
+      "carries no structural residue: it is the same suite-wide " +
+      "med-inflation signature as that run's 11-query spread queue " +
+      "(every d18 MIN - the robust statistic - has been at/below 8.6 " +
+      "since r14, and is 4.5-4.8 here)."),
     "d19_contamination_coverage" -> ("round 12: per-document " +
       "contamination report — the benchmark side reduces to distinct " +
       "window strings (broadcast), the semi-join runs map-side inside " +
@@ -972,6 +985,45 @@ Findings and guidance:
    re-split, coarse-mapper inputs that can't be repartitioned, engines or
    paths with AQE off, and the non-combinable agg skew of #3. `SkewJoin
    .salted` (q44) stays in the surface for exactly those.
+
+## Appendix: single-partition Window inventory (round 15)
+
+The bench tail's `WindowExec: No Partition Defined` warnings, pinned:
+`PlanAuditSpec`'s global-window sweep walks every registered query's
+physical plan (recursing into cached subplans) and fails the suite on
+any empty-partition-spec Window outside an allow-list whose entries
+carry their boundedness arguments. The round-15 inventory (7 sites, all
+bounded by construction):
+
+| query | windows | why bounded |
+|---|---|---|
+| q10_surrogate_key | 1 | `SurrogateKey.dense` — reference-parity contiguous FK ids; dimension-scale by the operator's contract (scalable twin for facts) |
+| q16_dim_date | 1 | dense key over DIM_Date — calendar grain (decades × 4) |
+| t33_hybrid_rrf | 2 | rank-fusion windows over the two LIMIT-k legs (k rows each, limit plan-pinned) |
+| t12/t13 (packing) | 1 each | `Packing.streamPositions` offset fold — one row per range partition |
+| t14_epoch_shuffle | 1 | `SurrogateKey.scalable` offset fold — ≤ #partitions rows |
+| s05_watermark_late | 1 | `PrefixAgg.maxExclusive` offset fold — ≤ #partitions rows (the data-sized prefix max itself went two-pass in round 15) |
+
+s05 previously held the ONE data-sized global window in the registry
+(prefix max over the whole events table in arrival order); the sweep
+caught it and it now rides the same two-pass discipline as the
+surrogate keys / packing positions / per-stratum cumsums. Any new
+unlisted site is a test failure, not a bench-tail warning.
+
+## Appendix: round-15 box-noise adjudication (the r14 spread queue)
+
+BENCH_r14's driver med column carried 11 queries with >2× med/min
+spreads (q03, q06, d03, t11, q66, t39, q71, e13, e15, t43, s20) while
+the builder's committed run of the SAME commit had zero. Per the
+standing rule, the top three re-measured solo min-of-5 on a quiet box
+at HEAD(r14): d03 1.67 min / 1.94 med, t11 0.88 / 1.18, q03 0.67 /
+0.88 — every min at or below its r13 level and every med a small
+multiple of its min. Mechanism: sustained box load during the driver
+window inflates MEDIANS suite-wide while leaving MINS at steady state
+(the artifact's own min column agrees — all 11 mins were at/below r13
+levels); the same signature explains e17's artifact-of-record spike
+(adjudicated in its note: solo min-of-5 3.20/3.96 vs the printed
+10.14). Judge on mins; meds carry variance evidence only.
 """
 
   def main(args: Array[String]): Unit = {

@@ -837,6 +837,25 @@ object PlanDump {
       "instead of under-admitting against a prior that contains the " +
       "batch's own folded rows — compacted_through is the watermark, " +
       "QuotaViewSpec pins both."),
+    "t10_mixture_resample" -> ("round 15: temperature (α=0.5) mixture " +
+      "resampling's per-stratum quota is a COLUMN (min(n, " +
+      "scale·floor(sqrt(n)))), so Spark's InferWindowGroupLimit cannot " +
+      "map-side-prune a rank window the way it does for q46's literal k " +
+      "— the plan check showed q46 with a Partial WindowGroupLimit " +
+      "below its exchange and t10 with NONE, i.e. t10's old " +
+      "stratum-partitioned window sorted a mega-stratum in one task " +
+      "unbounded. The rank now rides the two-pass distributed cumsum " +
+      "(q70's machinery); quota relation still broadcasts (one row per " +
+      "stratum). Kept set unchanged (SamplingSpec law + oracle); " +
+      "plan-pinned (no stratum-only data window)."),
+    "q46_stratified_sample" -> ("round 15: stratified keeps the " +
+      "ONE-window form deliberately — its LITERAL k lets " +
+      "InferWindowGroupLimit insert a Partial WindowGroupLimit below " +
+      "the stratum exchange (each map partition pre-prunes to its local " +
+      "top-k per stratum), bounding the stratum task at k·#partitions " +
+      "rows however skewed the corpus. PlanAuditSpec pins the Partial " +
+      "node's position; the column-quota and running-sum siblings " +
+      "(t10/t43/t44/q70) get no such pruning and ride the two-pass."),
     "s05_watermark_late" -> ("round 15: the watermark-lateness model's " +
       "'max event-time seen strictly before me in arrival order' is a " +
       "DATA-SIZED prefix max — the old Window.orderBy form was the one " +

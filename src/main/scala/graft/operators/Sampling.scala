@@ -34,6 +34,16 @@ object Sampling {
     * xxhash64 is Spark-specific). The key should uniquely identify a row
     * within its stratum or ties are broken by `keyCols` order —
     * determinism holds either way.
+    *
+    * Skew shape: the LITERAL k lets Spark's `InferWindowGroupLimit`
+    * insert a Partial WindowGroupLimit BELOW the stratum exchange — each
+    * map partition pre-prunes to its local top-k per stratum, so the
+    * single stratum task sorts ≤ k·#partitions rows however skewed the
+    * corpus (PlanAuditSpec pins the Partial node on q46). That is why
+    * this form keeps the one-shuffle window while the column-quota /
+    * running-sum forms ([[temperatureResample]],
+    * [[weightCappedPerStratum]]) ride the two-pass — no group-limit
+    * pruning exists for them.
     */
   def stratified(df: DataFrame, strataCols: Seq[String], k: Int,
                  keyCols: Seq[String],
@@ -64,14 +74,17 @@ object Sampling {
     * ~31623·scale rows while a 10⁴-doc stratum keeps 100·scale — the
     * classic α=0.5 flattening).
     *
-    * Cost: one tiny count aggregate (broadcast back) + one window shuffle
-    * partitioned by stratum — the same shape as [[stratified]], same skew
-    * caveat: at 100 TB with one dominant stratum, either rebuild the rank
-    * on [[withStratumRunningSum]]'s two-pass (the [[cappedPerStratum]]
-    * path — exact, one extra shuffle) or swap the exact window for the
-    * shuffle-free hash-threshold draw (`xxhash64(key) % n < quota`,
-    * binomial-approximate quota) and keep this exact form for
-    * oracle-checked subsets.
+    * Cost: one tiny count aggregate (broadcast back — one row per
+    * stratum; drop the hint past broadcastable strata counts) + the
+    * [[withStratumRunningSum]] two-pass for the rank. The per-stratum
+    * QUOTA is a COLUMN, so Spark's `InferWindowGroupLimit` cannot prune
+    * a rank window map-side the way it does for [[stratified]]'s literal
+    * k (the round-15 plan check: q46 plans a Partial+Final
+    * WindowGroupLimit, t10 planned NONE) — a stratum-partitioned window
+    * here would sort a mega-stratum in one task with no bound, so the
+    * rank rides the two-pass instead. CACHE LIFETIME: inherits the
+    * core's internal persist — `spark.catalog.clearCache()` after the
+    * final action.
     */
   def temperatureResample(df: DataFrame, strataCols: Seq[String],
                           keyCols: Seq[String], scale: Int = 8,
@@ -83,9 +96,8 @@ object Sampling {
         least(col("__cnt"),
           lit(scale.toLong) * floor(sqrt(col("__cnt")))).as("__quota"): _*)
     val h = hash.getOrElse(xxhash64(keyCols.map(col): _*))
-    val w = Window.partitionBy(strataCols.map(col): _*)
-      .orderBy(h +: keyCols.map(col): _*)
-    df.withColumn("__rn", row_number().over(w))
+    withStratumRunningSum(df, strataCols, h +: keyCols.map(col), lit(1L),
+        "__rn")
       .join(broadcast(quotas), strataCols)
       .filter(col("__rn") <= col("__quota"))
       .drop("__rn", "__quota")
@@ -170,9 +182,13 @@ object Sampling {
     * BY hash, keys) <= cap` (the one-window oracle form), computed via
     * [[withStratumRunningSum]]'s two-pass so a mega-stratum never
     * serializes through one task (SamplingSpec pins the equivalence law
-    * on randomized skewed corpora). CACHE LIFETIME: inherits the core's
-    * internal persist — release with `spark.catalog.clearCache()` after
-    * the final action.
+    * on randomized skewed corpora). A literal-cap window WOULD get
+    * [[stratified]]'s map-side WindowGroupLimit prune (stratum task ≤
+    * cap·#partitions rows); the two-pass removes even that residual
+    * single-task term and keeps one machinery with the budget forms,
+    * whose running-sum filters get no group-limit pruning at all. CACHE
+    * LIFETIME: inherits the core's internal persist — release with
+    * `spark.catalog.clearCache()` after the final action.
     */
   def cappedPerStratum(df: DataFrame, strataCols: Seq[String],
                        keyCols: Seq[String], cap: Int,

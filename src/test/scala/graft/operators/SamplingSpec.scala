@@ -175,6 +175,21 @@ class SamplingSpec extends SparkSpec {
       .filter(col("g").isNull || col("g") =!= "mega" || col("__c") <= 400L)
       .select("id").as[Long].collect().toSet
     assert(twoRel == winRel, "budget-relation form diverged")
+    // temperatureResample (column quota — the form WindowGroupLimit
+    // cannot prune, migrated to the two-pass in round 15) against its
+    // window oracle: rank <= min(n, 2*floor(sqrt(n))) per stratum
+    val counts = d.groupBy("g").count()
+      .select(col("g"), least(col("count"),
+        lit(2L) * floor(sqrt(col("count")))).as("__q"))
+    // plain (not null-safe) equality mirrors the operator's using-columns
+    // inner quota join: null strata are excluded, as they always were
+    val winTemp = d.withColumn("__rn", row_number().over(wRank))
+      .join(counts, d("g") === counts("g"))
+      .filter(col("__rn") <= col("__q"))
+      .select("id").as[Long].collect().toSet
+    val twoTemp = Sampling.temperatureResample(d, Seq("g"), Seq("id"), scale = 2)
+      .select("id").as[Long].collect().toSet
+    assert(twoTemp == winTemp, "temperatureResample diverged from the window oracle")
     spark.catalog.clearCache() // release the two-pass internal persists
   }
 

@@ -186,11 +186,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(read.contains("doc_id") && read.contains("text") && !read.contains("lang"), read)
   }
 
-  test("t10: mixture resample scans only (doc_id, lang); quotas broadcast back") {
+  test("t10: mixture resample scans only (doc_id, lang); quotas broadcast back; " +
+      "rank rides the two-pass (column quotas get no WindowGroupLimit prune)") {
     val df = TextQueries.t10_mixture_resample.fn(spark, dir)
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("BroadcastHashJoin"), p) // tiny quota relation joins broadcast
     assert(!p.contains("SortMergeJoin"), p)
+    auditTwoPassQuota(p, stratum = "lang")
     val reads = "ReadSchema: [^\n]+".r.findAllIn(p).toList
     assert(reads.nonEmpty && reads.forall(r => !r.contains("text") && !r.contains("n_chars")),
       reads.mkString("\n"))
@@ -230,17 +232,17 @@ class PlanAuditSpec extends SparkSpec {
     * fold over the per-(partition, stratum) SUMS relation (≤ #partitions
     * rows per stratum), whose columns are the `__s_`-renamed twins.
     */
-  private def auditTwoPassQuota(p: String): Unit = {
+  private def auditTwoPassQuota(p: String, stratum: String = "domain"): Unit = {
     // pass 1: the range sort on (stratum, draw)
-    assert(p.contains("Exchange rangepartitioning(domain#"), p)
+    assert(p.contains(s"Exchange rangepartitioning($stratum#"), p)
     // offsets rejoin as a broadcast (≤ N−1 rows by construction)
     assert(p.linesIterator.exists(l =>
       l.contains("BroadcastHashJoin") && l.contains("__pid")), p)
     // the data window is pid-led; no stratum-only window over the data
     assert(p.contains("windowspecdefinition(_w0#"), p)
-    assert(!p.contains("windowspecdefinition(domain#"), p)
+    assert(!p.contains(s"windowspecdefinition($stratum#"), p)
     // the tiny offsets fold runs over the renamed sums relation only
-    assert(p.contains("windowspecdefinition(__s_domain#"), p)
+    assert(p.contains(s"windowspecdefinition(__s_$stratum#"), p)
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"), p)
   }
@@ -252,10 +254,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(!read.contains("lang") && !read.contains("n_chars"), read)
   }
 
-  test("q46: sampling is one exchange (the stratum window), pruned scan") {
+  test("q46: sampling is one exchange with a map-side WindowGroupLimit prune, pruned scan") {
     val df = CoreQueries.q46_stratified_sample.fn(spark, dir)
     val p = df.queryExecution.executedPlan.toString
     assert(p.linesIterator.count(_.contains("Exchange")) == 1, p)
+    // the literal k lets InferWindowGroupLimit pre-prune each map
+    // partition to its local top-k per stratum BELOW the exchange — the
+    // boundedness argument for keeping stratified on the one-window form
+    // (stratum task ≤ k·#partitions rows however skewed the corpus)
+    val lines = p.linesIterator.toList
+    val partial = lines.indexWhere(l =>
+      l.contains("WindowGroupLimit") && l.contains("Partial"))
+    val exch = lines.indexWhere(_.contains("Exchange hashpartitioning"))
+    assert(partial >= 0, s"no Partial WindowGroupLimit:\n$p")
+    assert(exch >= 0 && exch < partial,
+      s"Partial WindowGroupLimit must sit BELOW the stratum exchange:\n$p")
     val read = "ReadSchema: [^\n]+".r.findFirstIn(p).get
     assert(!read.contains("o_orderdate") && !read.contains("o_orderpriority"), read)
   }

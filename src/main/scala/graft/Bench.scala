@@ -63,6 +63,9 @@ object Bench {
     // suite-context cost (last) for a query whose driver med is disputed
     val pinFirst = sys.env.get("SPARK_GRAFT_PIN_FIRST")
     val pinLast = sys.env.get("SPARK_GRAFT_PIN_LAST")
+    require(pinFirst.isEmpty || pinFirst != pinLast,
+      s"PIN_FIRST and PIN_LAST name the same query (${pinFirst.get}) — " +
+        "it would run twice per pass and double its sample count")
     val queries = only match {
       case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
       case None        => SparkEntry.queries

@@ -744,8 +744,9 @@ object PlanDump {
       "to the window form (SamplingSpec law, oracle unchanged); costs " +
       "one extra data shuffle, buys never serializing a stratum — " +
       "plan-pinned (no stratum-only data window) and smoke-gated " +
-      "(hot-stratum leg, 80% of rows in one stratum, 0.61x of linear " +
-      "at 10x)."),
+      "(hot-stratum leg, 80% of rows in one stratum: 0.61-0.77x of " +
+      "linear at 10x across the round's runs; committed SMOKE_r15.log " +
+      "carries 0.77x)."),
     "t37_langid_train" -> ("round 13: multi-class one-vs-rest ridge " +
       "training (trainRidgeMulti) over char-3-gram hashed features — k " +
       "gates share ONE moment pass (the Gram matrix is label-" +

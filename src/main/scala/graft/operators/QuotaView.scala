@@ -108,13 +108,16 @@ object QuotaView {
              dir: String, batchId: Long, cap: Int,
              hash: Option[Column] = None): DataFrame = {
     require(cap > 0, s"cap must be positive, got $cap")
+    // a negative id would slip past the prior's own-fragment exclusion
+    // AND overwrite the batch_id = -1 fold in AdditiveStats — loud error,
+    // not silent store corruption
+    require(batchId >= 0, s"batchId must be non-negative, got $batchId")
     val spark = batch.sparkSession
     val renamed = batch.select(col(idCol).cast("long").as("doc_id"),
       col(domainCol).cast("string").as("domain"))
     // replay of an already-folded batch (crash between compact and the
     // checkpoint commit): recover the final admitted set from the store
-    if (batchId >= 0 &&
-        batchId <= AdditiveStats.compactedThrough(spark, store(dir)))
+    if (batchId <= AdditiveStats.compactedThrough(spark, store(dir)))
       return renamed.join(read(spark, dir).select("doc_id"),
         Seq("doc_id"), "left_semi")
     // per-stratum counts from STRICTLY EARLIER batches (see scaladoc)
@@ -142,12 +145,12 @@ object QuotaView {
                      weightCol: String, dir: String, batchId: Long,
                      budget: Long, hash: Option[Column] = None): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
+    require(batchId >= 0, s"batchId must be non-negative, got $batchId")
     val spark = batch.sparkSession
     val renamed = batch.select(col(idCol).cast("long").as("doc_id"),
       col(domainCol).cast("string").as("domain"),
       col(weightCol).cast("long").as("n_tok"))
-    if (batchId >= 0 &&
-        batchId <= AdditiveStats.compactedThrough(spark, store(dir)))
+    if (batchId <= AdditiveStats.compactedThrough(spark, store(dir)))
       return renamed.join(readWeighted(spark, dir).select("doc_id"),
         Seq("doc_id"), "left_semi")
     // per-stratum SEEN weight from strictly earlier batches: admitted
@@ -164,13 +167,21 @@ object QuotaView {
       .withColumn("__cum", sum(col("n_tok")).over(w))
       .join(broadcast(prior), dk(col("domain")) === col("__dk"), "left")
       .withColumn("__tot", coalesce(col("__prior"), lit(0L)) + col("__cum"))
+      // kept and sentinel both derive from this frame and the write
+      // action consumes them together — pin it so the batch window and
+      // the store's prior scan run ONCE per micro-batch, not twice
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val kept = scored.filter(col("__tot") <= budget)
       .select(col("doc_id"), col("domain"), col("n_tok").as("n"))
-    val sentinel = scored.filter(col("__tot") > budget)
-      .groupBy(col("domain"))
-      .agg(sum(col("n_tok")).as("n"))
-      .select(lit(null).cast("long").as("doc_id"), col("domain"), col("n"))
-    AdditiveStats.append(kept.unionByName(sentinel), store(dir), batchId)
+    try {
+      val sentinel = scored.filter(col("__tot") > budget)
+        .groupBy(col("domain"))
+        .agg(sum(col("n_tok")).as("n"))
+        .select(lit(null).cast("long").as("doc_id"), col("domain"), col("n"))
+      AdditiveStats.append(kept.unionByName(sentinel), store(dir), batchId)
+    } finally scored.unpersist(blocking = false)
+    // the returned admitted relation re-evaluates lazily if consumed
+    // (streaming callers discard it; the store write above is the record)
     kept.select(col("doc_id"), col("domain"), col("n").as("n_tok"))
   }
 

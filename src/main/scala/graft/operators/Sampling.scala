@@ -108,65 +108,23 @@ object Sampling {
     * The single-window form hash-partitions by STRATUM, so one task
     * sorts each stratum's entire row set; a real mixture corpus is
     * skewed exactly where the budget matters ("en" is ~half of a 100 TB
-    * web crawl), so the dominant stratum serializes. Here no task ever
-    * touches more than one range partition (≈ data/N rows) regardless
-    * of stratum skew:
-    *
-    *   1. range-sort by (stratum, draw) — the same total order the
-    *      window form uses, so the admitted set is IDENTICAL;
-    *      `monotonically_increasing_id()` pins (partition id, local row
-    *      number) as column arithmetic ([[SurrogateKey.scalable]]'s
-    *      trick);
-    *   2. per-(partition, stratum) weight sums (map-side partial
-    *      aggregate; the relation is O(#strata + #partitions) rows)
-    *      become per-stratum prefix offsets via a window over ≤
-    *      #partitions rows per stratum; only offsets ≠ 0 survive, and
-    *      the data is range-sorted with the stratum as the LEADING sort
-    *      key, so only the stratum at a partition's head can continue
-    *      from an earlier partition — ≤ N−1 rows, broadcastable by
-    *      construction however many strata exist;
-    *   3. the within-partition running sum is a window PARTITIONED BY
-    *      (range-partition id, stratum): parallel across partitions, a
-    *      mega-stratum's sort split across all the range partitions it
-    *      spans ([[Packing.streamPositions]]'s discipline, per-stratum).
+    * web crawl), so the dominant stratum serializes. [[TwoPass.prefix]]
+    * carries the machinery (range-sort pinning, ≤ N−1 broadcastable
+    * offsets, (pid, stratum)-partitioned local windows — the same total
+    * order as the window form, so the admitted set is IDENTICAL).
     *
     * Cost: two data shuffles (the range sort, the (pid, stratum)
     * window) vs the window form's one — the price of never serializing
     * a stratum. Weights must be non-negative and non-null. CACHE
-    * LIFETIME: the internal persist pins the partition-dependent `__mid`
-    * values across the two consumers (sums + join) — same correctness
-    * argument and release contract as [[SurrogateKey.scalable]]
-    * (`spark.catalog.clearCache()` after the final action).
+    * LIFETIME: [[TwoPass]]'s internal persist —
+    * `spark.catalog.clearCache()` after the final action.
     */
   private def withStratumRunningSum(df: DataFrame, strataCols: Seq[String],
                                     orderCols: Seq[Column], weight: Column,
-                                    cumCol: String): DataFrame = {
-    val sorted = df
-      .orderBy(strataCols.map(col) ++ orderCols: _*)
-      .withColumn("__w", weight)
-      .withColumn("__mid", monotonically_increasing_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val pid = shiftright(col("__mid"), 33)
-    val sums = sorted
-      .groupBy(pid.as("__pid") +: strataCols.map(c => col(c).as(s"__s_$c")): _*)
-      .agg(sum(col("__w")).as("__psum"))
-    val wOff = Window.partitionBy(strataCols.map(c => col(s"__s_$c")): _*)
-      .orderBy(col("__pid"))
-    val offsets = sums
-      .select(col("__pid") +: strataCols.map(c => col(s"__s_$c")) :+
-        (sum(col("__psum")).over(wOff) - col("__psum")).as("__off"): _*)
-      .filter(col("__off") =!= 0L)
-    val joinCond = strataCols.map(c => col(c) <=> col(s"__s_$c"))
-      .foldLeft(pid === col("__pid"))(_ && _)
-    val wLocal = Window.partitionBy(pid +: strataCols.map(col): _*)
-      .orderBy(col("__mid"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    sorted.join(broadcast(offsets), joinCond, "left")
-      .withColumn(cumCol,
-        coalesce(col("__off"), lit(0L)) + sum(col("__w")).over(wLocal))
-      .drop(Seq("__w", "__mid", "__pid", "__off") ++
-        strataCols.map(c => s"__s_$c"): _*)
-  }
+                                    cumCol: String): DataFrame =
+    TwoPass.prefix(df, strataCols, orderCols, weight, sum,
+      (off, local) => coalesce(off, lit(0L)) + local,
+      inclusive = true, outCol = cumCol)
 
   /** FIXED per-stratum cap — the per-domain quota every web-corpus
     * pipeline applies right after registered-domain extraction

@@ -193,6 +193,34 @@ class SamplingSpec extends SparkSpec {
     spark.catalog.clearCache() // release the two-pass internal persists
   }
 
+  test("two-pass admission survives degenerate shuffle-partition counts (1 and 97)") {
+    // the empty-offsets cliff: at spark.sql.shuffle.partitions=1 the range
+    // sort yields ONE partition, every offset is null (filtered), and the
+    // whole prefix must come from the local window; at 97 partitions most
+    // strata span many near-empty partitions and the seam logic dominates
+    val rows = Seq.tabulate(500) { i =>
+      (i.toLong, if (i % 3 == 0) "mega" else s"g${i % 5}", 1L + i % 7)
+    }
+    val d = rows.toDF("id", "g", "w")
+    import org.apache.spark.sql.expressions.Window
+    val wCum = Window.partitionBy(col("g"))
+      .orderBy(xxhash64(col("id")), col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = d.withColumn("__c", sum(col("w")).over(wCum))
+      .filter(col("__c") <= 50L).select("id").as[Long].collect().toSet
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      for (p <- Seq("1", "97")) {
+        spark.conf.set("spark.sql.shuffle.partitions", p)
+        val got = Sampling.weightCappedPerStratum(d, Seq("g"), Seq("id"),
+            "w", 50L)
+          .select("id").as[Long].collect().toSet
+        assert(got == want, s"diverged at shuffle.partitions=$p")
+        spark.catalog.clearCache()
+      }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+  }
+
   test("weightedSample: exactly k rows, partitioning-invariant, weight-monotone") {
     val base = spark.range(500)
       .select(col("id"), (col("id") % 9 + 1).cast("double").as("w"))

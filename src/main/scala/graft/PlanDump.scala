@@ -857,6 +857,19 @@ object PlanDump {
       "rows however skewed the corpus. PlanAuditSpec pins the Partial " +
       "node's position; the column-quota and running-sum siblings " +
       "(t10/t43/t44/q70) get no such pruning and ride the two-pass."),
+    "s23_lang_budget_mv" -> ("round 15: CONTINUOUS language-mixture " +
+      "budgets (QuotaView.appendWeightedBudgets) — t44's per-stratum " +
+      "budget RELATION as a live view, completing the quota symmetry " +
+      "(q70<->s21 counts, t43<->s22 one-budget tokens, t44<->s23 " +
+      "mixture relation). Budget-bound strata carry s22's SEEN-weight " +
+      "sentinel argument; strata ABSENT from the (driver-small, " +
+      "broadcast) relation are kept whole and never emit sentinels; a " +
+      "NULL stratum cannot be budgeted (plain-equality join, mirroring " +
+      "the one-shot operator). Oracle = one running-weight window + " +
+      "budget join over the concatenated (batch, draw) order; " +
+      "StreamingSpec differentials the foreachBatch twin incl. an " +
+      "unlimited stratum, QuotaViewSpec pins the batch laws and that " +
+      "unlimited strata stay sentinel-free."),
     "s05_watermark_late" -> ("round 15: the watermark-lateness model's " +
       "'max event-time seen strictly before me in arrival order' is a " +
       "DATA-SIZED prefix max — the old Window.orderBy form was the one " +

@@ -145,6 +145,43 @@ object QuotaView {
                      weightCol: String, dir: String, batchId: Long,
                      budget: Long, hash: Option[Column] = None): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
+    weightedCore(batch, idCol, domainCol, weightCol, dir, batchId, hash,
+      identity, col("__tot") <= budget)
+  }
+
+  /** The per-stratum budget RELATION form of [[appendWeighted]] — the
+    * continuous twin of [[Sampling.budgetCappedPerStratum]] / t44 ("at
+    * most B_en tokens of English, B_zh of Chinese, … per the mixture
+    * spec, continuously"): `budgets` is a driver-small (domain, budget)
+    * relation; strata ABSENT from it are kept whole, and a NULL stratum
+    * cannot be budgeted (the join is plain equality, mirroring the
+    * one-shot operator). Same SEEN-weight sentinel accounting and
+    * replay story; sentinels only ever exist for budget-bound strata
+    * (unlimited strata never reject). Returns the admitted rows
+    * (doc_id, domain, n_tok).
+    */
+  def appendWeightedBudgets(batch: DataFrame, idCol: String,
+                            domainCol: String, weightCol: String,
+                            dir: String, batchId: Long, budgets: DataFrame,
+                            hash: Option[Column] = None): DataFrame = {
+    val b = budgets.select(col("domain").as("__bd"),
+      col("budget").cast("long").as("__budget"))
+    weightedCore(batch, idCol, domainCol, weightCol, dir, batchId, hash,
+      scored => scored.join(broadcast(b), col("domain") === col("__bd"), "left"),
+      col("__budget").isNull || col("__tot") <= col("__budget"))
+  }
+
+  /** Shared weighted-admission core: rename → folded-replay
+    * short-circuit → SEEN-weight prior → within-batch running sum →
+    * `decorate` (e.g. the budget-relation join) → keep/reject split →
+    * fragment write (admitted rows + rejected-weight sentinels).
+    * `keep` must be a non-null boolean over the decorated frame.
+    */
+  private def weightedCore(batch: DataFrame, idCol: String,
+                           domainCol: String, weightCol: String,
+                           dir: String, batchId: Long, hash: Option[Column],
+                           decorate: DataFrame => DataFrame,
+                           keep: Column): DataFrame = {
     require(batchId >= 0, s"batchId must be non-negative, got $batchId")
     val spark = batch.sparkSession
     val renamed = batch.select(col(idCol).cast("long").as("doc_id"),
@@ -163,18 +200,18 @@ object QuotaView {
     val w = Window.partitionBy(dk(col("domain")))
       .orderBy(h, col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val scored = renamed
-      .withColumn("__cum", sum(col("n_tok")).over(w))
-      .join(broadcast(prior), dk(col("domain")) === col("__dk"), "left")
-      .withColumn("__tot", coalesce(col("__prior"), lit(0L)) + col("__cum"))
+    val scored = decorate(renamed
+        .withColumn("__cum", sum(col("n_tok")).over(w))
+        .join(broadcast(prior), dk(col("domain")) === col("__dk"), "left")
+        .withColumn("__tot", coalesce(col("__prior"), lit(0L)) + col("__cum")))
       // kept and sentinel both derive from this frame and the write
       // action consumes them together — pin it so the batch window and
       // the store's prior scan run ONCE per micro-batch, not twice
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val kept = scored.filter(col("__tot") <= budget)
+    val kept = scored.filter(keep)
       .select(col("doc_id"), col("domain"), col("n_tok").as("n"))
     try {
-      val sentinel = scored.filter(col("__tot") > budget)
+      val sentinel = scored.filter(!keep)
         .groupBy(col("domain"))
         .agg(sum(col("n_tok")).as("n"))
         .select(lit(null).cast("long").as("doc_id"), col("domain"), col("n"))

@@ -725,6 +725,57 @@ object StreamQueries {
     QuotaView.readWeighted(s, s"$root/quota_view")
   }
 
+  // ---------------------------------------------------------------- s23
+  /** CONTINUOUS LANGUAGE-MIXTURE budgets ([[graft.operators.QuotaView
+    * .appendWeightedBudgets]]): t44's per-stratum budget RELATION as a
+    * live view — "at most 4000 tokens of English, 2000 of Chinese, 1500
+    * each of German and French, Spanish unconstrained", maintained
+    * across two installments (even doc_ids then odd; compaction fold
+    * mid-stream). Budget-bound strata carry the s22 SEEN-weight
+    * sentinel argument; absent strata are kept whole and never emit
+    * sentinels. Oracle = ONE running-weight window over the
+    * concatenated (batch, md5-draw) order + the budget join.
+    * StreamingSpec differentials the foreachBatch twin
+    * ([[graft.streaming.StreamOps.mixtureQuotaStream]]).
+    */
+  val s23_lang_budget_mv = q("s23_lang_budget_mv", Some(
+    s"""WITH tk AS (SELECT doc_id, lang,
+       |         CAST(len(regexp_extract_all(text, '${TextQueries.tokenPat}')) AS BIGINT) AS n_tok
+       |       FROM documents),
+       |b AS (SELECT * FROM (VALUES ('en', 4000), ('zh', 2000),
+       |       ('de', 1500), ('fr', 1500)) v(lang, budget)),
+       |cum AS (SELECT doc_id, lang, n_tok, sum(n_tok) OVER (
+       |    PARTITION BY lang
+       |    ORDER BY doc_id % 2, md5(CAST(doc_id AS VARCHAR)), doc_id
+       |    ROWS UNBOUNDED PRECEDING) AS c FROM tk)
+       |SELECT doc_id, lang, n_tok FROM cum LEFT JOIN b USING (lang)
+       |WHERE budget IS NULL OR c <= budget""".stripMargin)) { (s, dir) =>
+    import s.implicits._
+    import graft.operators.QuotaView
+    import graft.functions.TextFunctions
+    val budgets = Seq(("en", 4000L), ("zh", 2000L), ("de", 1500L),
+      ("fr", 1500L)).toDF("domain", "budget")
+    val root = DedupQueries.DedupStaging.ensure("s23", dir) { r =>
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(s"$r/quota_view"))
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("n_tok"))
+      QuotaView.init(s, s"$r/quota_view")
+      def appendBatch(b: DataFrame, id: Long): Unit = {
+        QuotaView.appendWeightedBudgets(b, "doc_id", "lang", "n_tok",
+          s"$r/quota_view", batchId = id, budgets = budgets,
+          hash = Some(md5(col("doc_id").cast("string").cast("binary"))))
+        ()
+      }
+      appendBatch(docs.filter(col("doc_id") % 2 === 0), 0L)
+      QuotaView.compact(s, s"$r/quota_view")
+      appendBatch(docs.filter(col("doc_id") % 2 =!= 0), 1L)
+    }
+    QuotaView.readWeighted(s, s"$root/quota_view")
+      .select(col("doc_id"), col("domain").as("lang"), col("n_tok"))
+  }
+
   val all: Seq[GraftQuery] = Seq(
     s01_tumbling_agg, s02_sliding_agg, s03_session_windows,
     s04_dedup_first_event, s05_watermark_late, s06_asof_backward,
@@ -732,5 +783,6 @@ object StreamQueries {
     s10_line_stats_ingest, s11_stream_drift, s12_interval_left_join,
     s13_funnel_conversion, s14_span_stats_ingest, s15_posting_ingest,
     s16_windowed_mv, s17_join_view, s18_distinct_mv, s19_percentile_mv,
-    s20_classifier_quality_mv, s21_domain_quota_mv, s22_token_quota_mv)
+    s20_classifier_quality_mv, s21_domain_quota_mv, s22_token_quota_mv,
+    s23_lang_budget_mv)
 }

@@ -524,6 +524,41 @@ object StreamOps {
       }
       .start()
 
+  /** CONTINUOUS per-stratum budget-RELATION quota
+    * ([[graft.operators.QuotaView.appendWeightedBudgets]]): the mixture
+    * spec as a live view — "at most B_en tokens of English, B_zh of
+    * Chinese, … continuously", strata absent from the (driver-small)
+    * `budgets` relation kept whole. Same SEEN-weight sentinel
+    * accounting, one-window replay equivalence, and folded-replay
+    * short-circuit as [[tokenQuotaStream]].
+    */
+  def mixtureQuotaStream(docs: DataFrame, idCol: String, domainCol: String,
+                         weightCol: String, budgets: DataFrame,
+                         statsDir: String, checkpointDir: String,
+                         hash: Option[org.apache.spark.sql.Column] = None,
+                         compactEvery: Int = 16)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        import graft.operators.QuotaView
+        import graft.sources.StoredIndex
+        val spark = batch.sparkSession
+        if (StoredIndex.metaGeneration(spark, statsDir) < 0)
+          QuotaView.init(spark, statsDir)
+        StoredIndex.pinStreamIdentity(spark, statsDir, checkpointDir)
+        if (!batch.isEmpty) {
+          QuotaView.appendWeightedBudgets(batch.toDF(), idCol, domainCol,
+            weightCol, statsDir, batchId, budgets, hash)
+          ()
+        }
+        if (compactEvery > 0 &&
+            QuotaView.fragmentCount(spark, statsDir) > compactEvery)
+          QuotaView.compact(spark, statsDir)
+      }
+      .start()
+
   /** CONTINUOUS percentile view ([[graft.operators.PercentileView]]):
     * per-batch per-day quantile-sketch fragments land idempotently; the
     * sketch's binwise-additive merge makes fold order irrelevant

@@ -94,6 +94,39 @@ class QuotaViewSpec extends SparkSpec {
     }
   }
 
+  test("appendWeightedBudgets: per-stratum budgets bind; absent strata kept whole; seen-weight carries") {
+    val tmp = java.nio.file.Files.createTempDirectory("quota-view-b").toString
+    try {
+      QuotaView.init(spark, tmp)
+      val h = Some(col("doc_id")) // deterministic draw = id
+      val budgets = Seq(("a", 10L), ("b", 100L)).toDF("domain", "budget")
+      // a overshoots in batch 0 (6 kept, 7 rejected at 6 spent);
+      // b far under budget; c absent from the relation -> unlimited
+      val b0 = Seq((1L, "a", 6L), (2L, "a", 7L), (3L, "b", 4L),
+        (4L, "c", 999L)).toDF("doc_id", "domain", "n_tok")
+      val first = QuotaView.appendWeightedBudgets(b0, "doc_id", "domain",
+        "n_tok", tmp, batchId = 0L, budgets = budgets, hash = h)
+        .as[(Long, String, Long)].collect().toSet
+      assert(first == Set((1L, "a", 6L), (3L, "b", 4L), (4L, "c", 999L)),
+        first.toString)
+      // batch 1: a's SEEN weight is 13 > 10 -> nothing admits (the
+      // one-window law); b admits within its 100; c stays unlimited
+      val b1 = Seq((5L, "a", 1L), (6L, "b", 90L), (7L, "b", 10L),
+        (8L, "c", 999L)).toDF("doc_id", "domain", "n_tok")
+      val second = QuotaView.appendWeightedBudgets(b1, "doc_id", "domain",
+        "n_tok", tmp, batchId = 1L, budgets = budgets, hash = h)
+        .as[(Long, String, Long)].collect().toSet
+      // b: prior seen 4; draw order 6 then 7: 4+90=94 keep, 94+10=104 reject
+      assert(second == Set((6L, "b", 90L), (8L, "c", 999L)), second.toString)
+      // unlimited strata never emit sentinels: c's stored rows are all real
+      val raw = graft.sources.AdditiveStats.read(spark, QuotaView.store(tmp))
+      assert(raw.filter(col("doc_id").isNull && col("domain") === "c").count() == 0)
+      assert(raw.filter(col("doc_id").isNull && col("domain") === "a").count() > 0)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+    }
+  }
+
   test("replay of an already-FOLDED batch short-circuits to the stored admitted set") {
     // the crash window the round-15 ADVICE named: compact() runs inside
     // foreachBatch BEFORE the checkpoint commit, so a crash in between

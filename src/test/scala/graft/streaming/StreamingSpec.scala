@@ -1444,6 +1444,49 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("mixtureQuotaStream: budget-relation admission equals one " +
+      "running-weight window + budget join over the concatenated order") {
+    import graft.operators.QuotaView
+    implicit val sqlCtx = spark.sqlContext
+    val budgets = Seq(("a", 10L), ("b", 100L)).toDF("domain", "budget")
+    val b1 = Seq(QTok(1L, "a", 6L), QTok(2L, "a", 7L),
+      QTok(3L, "b", 40L), QTok(4L, "c", 999L))
+    val b2 = Seq(QTok(5L, "a", 1L), QTok(6L, "b", 50L), QTok(7L, "b", 30L),
+      QTok(8L, "c", 999L))
+    val tmp = java.nio.file.Files.createTempDirectory("mixture-quota-stream").toString
+    try {
+      val mem = MemoryStream[QTok]
+      mem.addData(b1)
+      val q = StreamOps.mixtureQuotaStream(mem.toDF(), "doc_id", "domain",
+        "n_tok", budgets, s"$tmp/qv", s"$tmp/ckpt", compactEvery = 1)
+      q.processAllAvailable()
+      mem.addData(b2)
+      q.processAllAvailable()
+      q.stop()
+      val got = QuotaView.readWeighted(spark, s"$tmp/qv")
+        .as[(Long, Option[String], Long)].collect().toSet
+      val union = b1.map(d => (d.doc_id, Option(d.domain), d.n_tok, 0)) ++
+        b2.map(d => (d.doc_id, Option(d.domain), d.n_tok, 1))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("domain"))
+        .orderBy(col("batch"), xxhash64(col("doc_id")), col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      val want = union.toDF("doc_id", "domain", "n_tok", "batch")
+        .withColumn("c", sum(col("n_tok")).over(w))
+        .join(budgets.withColumnRenamed("domain", "bd"),
+          col("domain") === col("bd"), "left")
+        .filter(col("budget").isNull || col("c") <= col("budget"))
+        .as[(Long, Option[String], Long, Int, Long, Option[String], Option[Long])]
+        .collect().map(r => (r._1, r._2, r._3)).toSet
+      assert(got == want, s"got=$got want=$want")
+      // c (absent from the budget relation) is kept whole across batches
+      assert(got.count(_._2.contains("c")) == 2)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+    }
+  }
+
   test("classifierQualityStream: cross-batch confusion marginals sum; " +
       "view equals the one-shot evaluation") {
     import graft.operators.{ClassifierQualityView, HashedLinearScorer}

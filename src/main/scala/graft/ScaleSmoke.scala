@@ -693,8 +693,22 @@ object ScaleSmoke {
     println(f"SMOKE t43_hot_stratum       1x=$tQ1%6.2fs ${copies}x=$tQ10%6.2fs " +
       f"rows=$rQ1%d/$rQ10%d vs-linear=$quotaLinear%5.2fx $quotaVerdict")
 
+    // continuous quota view under a hot-stratum MEGA-BATCH (round 16):
+    // one micro-batch with 80% of rows in one stratum, admitted through
+    // QuotaView.appendWeighted with the batch gate forced onto the
+    // two-pass — the within-batch running sum must stay linear in batch
+    // size (the r15 What's-wrong #3 shape, now removed)
+    val (tB1, tB10, rB1, rB10) = quotaBatchSection(spark, 600000, copies)
+    val quotaBatchLinear = tB10 / (tB1 * copies)
+    val quotaBatchVerdict =
+      if (quotaBatchLinear <= maxSlowdown) "OK"
+      else "FAIL (quota batch non-linear)"
+    println(f"SMOKE s22_hot_batch         1x=$tB1%6.2fs ${copies}x=$tB10%6.2fs " +
+      f"rows=$rB1%d/$rB10%d vs-linear=$quotaBatchLinear%5.2fx $quotaBatchVerdict")
+
     var failed = idxVerdict != "OK" || pruneVerdict != "OK" ||
-      packVerdict != "OK" || trainVerdict != "OK" || quotaVerdict != "OK"
+      packVerdict != "OK" || trainVerdict != "OK" || quotaVerdict != "OK" ||
+      quotaBatchVerdict != "OK"
     // (scd2Flat / zorderLinear run in the sbt-test smoke tier only —
     // they gate layout/merge cost shapes, not hot-key caps)
     (results ++ relational).foreach {
@@ -725,24 +739,68 @@ object ScaleSmoke {
     */
   def quotaSection(spark: SparkSession, baseRows: Int,
                    copies: Int): (Double, Double, Long, Long) = {
+    // force the two-pass path: this leg measures the SCALE shape's cumsum
+    // machinery itself, and the synthetic range corpus's leaf stats would
+    // otherwise (correctly) gate the one-window form at these volumes
+    spark.conf.set(graft.operators.Sampling.TwoPassMinBytesKey, "0")
     def corpus(n: Long): DataFrame =
       spark.range(n).select(col("id"),
         when(pmod(col("id"), lit(10)) < 8, lit("mega"))
           .otherwise(concat(lit("d"), pmod(col("id"), lit(997))))
           .as("domain"),
         (lit(1L) + pmod(col("id") * 2654435761L, lit(50))).as("w"))
+    def run(n: Long): Long =
+      // the leak-free bracket form (round 16): the internal persist is
+      // released per call, no clearCache hammer
+      graft.operators.Sampling.withWeightCappedPerStratum(
+        corpus(n), Seq("domain"), Seq("id"), "w", budget = 200000L)(_.count())
+    try {
+      run(baseRows.toLong) // warm-up (codegen, shuffles)
+      val (r1, t1a) = time(run(baseRows.toLong))
+      val (_, t1b) = time(run(baseRows.toLong))
+      val (rb, tba) = time(run(baseRows.toLong * copies))
+      val (_, tbb) = time(run(baseRows.toLong * copies))
+      (math.min(t1a, t1b), math.min(tba, tbb), r1, rb)
+    } finally spark.conf.unset(graft.operators.Sampling.TwoPassMinBytesKey)
+  }
+
+  /** Continuous-quota twin of [[quotaSection]]: ONE mega-batch (same 80 %
+    * hot stratum, same weights/budget) admitted through
+    * [[graft.operators.QuotaView.appendWeighted]] into a fresh store, the
+    * batch gate forced onto the two-pass so the timing reads the
+    * within-batch running-sum machinery (plus the store fragment write,
+    * linear in admitted rows by construction). Both scales measure the
+    * SAME form — a gate-crossing comparison would mix a window leg into
+    * the linearity ratio. Returns (t1x, tBigx, admitted1x, admittedBigx).
+    */
+  def quotaBatchSection(spark: SparkSession, baseRows: Int,
+                        copies: Int): (Double, Double, Long, Long) = {
+    import graft.operators.QuotaView
+    spark.conf.set(QuotaView.BatchTwoPassMinRowsKey, "0")
+    def corpus(n: Long): DataFrame =
+      spark.range(n).select(col("id").as("doc_id"),
+        when(pmod(col("id"), lit(10)) < 8, lit("mega"))
+          .otherwise(concat(lit("d"), pmod(col("id"), lit(997))))
+          .as("domain"),
+        (lit(1L) + pmod(col("id") * 2654435761L, lit(50))).as("n_tok"))
     def run(n: Long): Long = {
-      val kept = graft.operators.Sampling.weightCappedPerStratum(
-        corpus(n), Seq("domain"), Seq("id"), "w", budget = 200000L).count()
-      spark.catalog.clearCache() // release the two-pass internal persist
-      kept
+      val tmp = java.nio.file.Files.createTempDirectory("quotabatch")
+        .toString + "/store"
+      try {
+        QuotaView.init(spark, tmp)
+        QuotaView.appendWeighted(corpus(n), "doc_id", "domain", "n_tok",
+          tmp, batchId = 0L, budget = 200000L).count()
+      } finally org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(new java.io.File(tmp).getParent))
     }
-    run(baseRows.toLong) // warm-up (codegen, shuffles)
-    val (r1, t1a) = time(run(baseRows.toLong))
-    val (_, t1b) = time(run(baseRows.toLong))
-    val (rb, tba) = time(run(baseRows.toLong * copies))
-    val (_, tbb) = time(run(baseRows.toLong * copies))
-    (math.min(t1a, t1b), math.min(tba, tbb), r1, rb)
+    try {
+      run(baseRows.toLong) // warm-up (codegen, shuffles, store init)
+      val (r1, t1a) = time(run(baseRows.toLong))
+      val (_, t1b) = time(run(baseRows.toLong))
+      val (rb, tba) = time(run(baseRows.toLong * copies))
+      val (_, tbb) = time(run(baseRows.toLong * copies))
+      (math.min(t1a, t1b), math.min(tba, tbb), r1, rb)
+    } finally spark.conf.unset(QuotaView.BatchTwoPassMinRowsKey)
   }
 
   /** SCD2 merge cost must track the TOUCHED buckets, not the dimension:

@@ -36,6 +36,32 @@ object SpanDedup {
     filter(split(graft.functions.TextFunctions.normalizeWs(textCol), " "),
       t => t =!= "")
 
+  /** The keys of `df` whose group spans ≥ `minDocs` DISTINCT `idCol`
+    * values — the candidate-promotion predicate of every span phase.
+    * For minDocs = 2 (the operators' default and the only value the
+    * registered queries use), `countDistinct(id) >= 2` is rewritten to
+    * `min(id) <> max(id)` — exactly equivalent for any orderable id
+    * (both ignore nulls; 0 or 1 distinct values ⇔ min = max), and ONE
+    * partial-aggregated shuffle instead of the distinct expansion's two
+    * (Spark plans a single distinct as groupBy(key, id) THEN groupBy(key),
+    * two full exchanges of the window relation). On d18's token-level
+    * relations those double shuffles were the dominant cost (round 16:
+    * the d18 compute cut the r15 verdict prescribed). General minDocs
+    * keeps the exact distinct count.
+    */
+  private def sharedKeys(df: DataFrame, keyCols: Seq[String], idCol: String,
+                         minDocs: Int): DataFrame = {
+    val g = df.groupBy(keyCols.map(col): _*)
+    val kept =
+      if (minDocs == 2)
+        g.agg(min(col(idCol)).as("__mn"), max(col(idCol)).as("__mx"))
+          .filter(col("__mn") =!= col("__mx"))
+      else
+        g.agg(countDistinct(col(idCol)).as("__nd"))
+          .filter(col("__nd") >= minDocs)
+    kept.select(keyCols.map(col): _*)
+  }
+
   /** Exploded window frame: (idCol, __start, __w) — one row per 0-based
     * token position with the n-token window string starting there.
     * Documents shorter than `n` tokens contribute no windows.
@@ -60,17 +86,11 @@ object SpanDedup {
       .withColumn("__h", xxhash64(col("__w")))
     // Phase 1: hash-only heavy hitters — the only corpus-wide shuffle,
     // and it carries 8 bytes per window, combiner-friendly.
-    val candidates = w.groupBy("__h")
-      .agg(countDistinct(col(idCol)).as("__nd"))
-      .filter(col("__nd") >= minDocs)
-      .select("__h")
+    val candidates = sharedKeys(w, Seq("__h"), idCol, minDocs)
     // Phase 2: exact recount by (hash, text), candidates only — a hash
     // collision splits into distinct (h, w) rows instead of merging.
     val pruned = w.join(candidates, "__h")
-    val dupKeys = pruned.groupBy("__h", "__w")
-      .agg(countDistinct(col(idCol)).as("__nd"))
-      .filter(col("__nd") >= minDocs)
-      .select("__h", "__w")
+    val dupKeys = sharedKeys(pruned, Seq("__h", "__w"), idCol, minDocs)
     pruned.join(dupKeys, Seq("__h", "__w"))
       .select(col(idCol), col("__start"))
   }
@@ -351,10 +371,7 @@ object SpanDedup {
     val w1 = base
       .select(col(idCol), posexplode(col("__toks")).as(Seq("__p", "__tok")))
       .select(col(idCol), col("__p"), xxhash64(col("__tok")).as("__h"))
-    val c1 = w1.groupBy("__h")
-      .agg(countDistinct(col(idCol)).as("__nd"))
-      .filter(col("__nd") >= minDocs)
-      .select("__h")
+    val c1 = sharedKeys(w1, Seq("__h"), idCol, minDocs)
     val s1 = w1.join(c1, "__h")
     // per-document survivor fold + row-local ladder: (id, p, n, h) for
     // n = 2, 4, … ≤ cap wherever both halves' leaves survived level 1
@@ -368,10 +385,7 @@ object SpanDedup {
         col("__lv.h").as("__h"))
     // one global distinct-doc count per (level, combined hash); level-1
     // rows re-enter with __n = 1 (already proven by c1, no recount)
-    val ck = ladder.groupBy("__n", "__h")
-      .agg(countDistinct(col(idCol)).as("__nd"))
-      .filter(col("__nd") >= minDocs)
-      .select("__n", "__h")
+    val ck = sharedKeys(ladder, Seq("__n", "__h"), idCol, minDocs)
     val np = ladder.join(ck, Seq("__n", "__h"))
       .select(col(idCol), col("__p"), col("__n"))
       .unionByName(s1.select(col(idCol), col("__p"), lit(1).as("__n")))
@@ -393,16 +407,13 @@ object SpanDedup {
         posexplode(winHashes).as(Seq("__mi", "__h")))
       .select(col(idCol), col("__p"), (col("__mi") + 1).as("__m"), col("__h"))
     val dupLens = {
-      val c1 = gen.groupBy("__h").agg(countDistinct(col(idCol)).as("__nd"))
-        .filter(col("__nd") >= minDocs).select("__h")
+      val c1 = sharedKeys(gen, Seq("__h"), idCol, minDocs)
       // phase 2: rebuild text for candidate (position, length) rows only
       val pruned = gen.join(c1, "__h").join(base, Seq(idCol))
         .select(col(idCol), col("__m"), col("__h"),
           array_join(slice(col("__toks"), col("__p") + 1, col("__m")), " ")
             .as("__w"))
-      val keys = pruned.groupBy("__h", "__w")
-        .agg(countDistinct(col(idCol)).as("__nd"))
-        .filter(col("__nd") >= minDocs).select("__h", "__w")
+      val keys = sharedKeys(pruned, Seq("__h", "__w"), idCol, minDocs)
       pruned.join(keys, Seq("__h", "__w"))
         .groupBy(col(idCol))
         .agg(max(col("__m")).cast("long").as("max_dup_run"))

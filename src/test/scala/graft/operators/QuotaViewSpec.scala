@@ -127,6 +127,52 @@ class QuotaViewSpec extends SparkSpec {
     }
   }
 
+  test("batch size gate: forced two-pass and window admissions are identical (incl. null strata)") {
+    // round 16 (the r15 What's-wrong #3): the within-batch running sum
+    // rides Sampling's gated core. Same total order => the admitted set
+    // must be bit-identical whichever side of the row gate a batch lands
+    // on — proven here by running the SAME batch sequence through two
+    // stores with the gate forced each way.
+    def runAll(tmp: String): Set[(Long, String, Long)] = {
+      QuotaView.init(spark, tmp)
+      val b0 = Seq.tabulate(200)(i =>
+        (i.toLong, if (i % 5 == 0) null else s"d${i % 7}", 1L + i % 9))
+        .toDF("doc_id", "domain", "n_tok")
+      val b1 = Seq.tabulate(200)(i =>
+        (1000L + i, if (i % 3 == 0) "d1" else s"d${i % 7}", 1L + i % 9))
+        .toDF("doc_id", "domain", "n_tok")
+      QuotaView.appendWeighted(b0, "doc_id", "domain", "n_tok", tmp,
+        batchId = 0L, budget = 40L).count()
+      QuotaView.appendWeighted(b1, "doc_id", "domain", "n_tok", tmp,
+        batchId = 1L, budget = 40L).count()
+      QuotaView.readWeighted(spark, tmp).as[(Long, String, Long)]
+        .collect().map { case (id, d, n) => (id, Option(d).getOrElse(""), n) }
+        .toSet
+    }
+    val key = QuotaView.BatchTwoPassMinRowsKey
+    val tmpW = java.nio.file.Files.createTempDirectory("quota-gate-w").toString
+    val tmpT = java.nio.file.Files.createTempDirectory("quota-gate-t").toString
+    try {
+      spark.conf.set(key, Long.MaxValue.toString) // every batch "small"
+      val viaWindow = runAll(tmpW)
+      spark.conf.set(key, "0")                    // every batch two-pass
+      val viaTwoPass = runAll(tmpT)
+      assert(viaWindow.nonEmpty && viaWindow == viaTwoPass,
+        s"gate changed the admitted set:\n window=$viaWindow\n twopass=$viaTwoPass")
+      // and the two-pass path leaked nothing (the handle is released
+      // before append returns; unpersist is async — poll briefly)
+      val deadline = System.nanoTime() + 5e9.toLong
+      while (spark.sparkContext.getPersistentRDDs.nonEmpty &&
+        System.nanoTime() < deadline) Thread.sleep(50)
+      assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+        "appendWeighted leaked a persisted relation")
+    } finally {
+      spark.conf.unset(key)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmpW))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmpT))
+    }
+  }
+
   test("replay of an already-FOLDED batch short-circuits to the stored admitted set") {
     // the crash window the round-15 ADVICE named: compact() runs inside
     // foreachBatch BEFORE the checkpoint commit, so a crash in between

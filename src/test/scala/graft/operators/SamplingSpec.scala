@@ -136,11 +136,14 @@ class SamplingSpec extends SparkSpec {
   }
 
   test("two-pass cap/budget admission == the one-window form (randomized skewed corpora)") {
-    // the scale rewrite's law: withStratumRunningSum's range-sort +
-    // per-partition-offset two-pass admits EXACTLY the rows the
-    // single-window oracle form admits — on a skewed corpus (one
-    // mega-stratum ~70% of rows, a long tail, null strata included) and
-    // under any input partitioning
+    // the scale rewrite's law: the range-sort + per-partition-offset
+    // two-pass admits EXACTLY the rows the single-window oracle form
+    // admits — on a skewed corpus (one mega-stratum ~70% of rows, a long
+    // tail, null strata included) and under any input partitioning. The
+    // size gate is forced onto the two-pass (a tiny fixture would
+    // otherwise take the window form and prove nothing).
+    spark.conf.set(Sampling.TwoPassMinBytesKey, "0")
+    try {
     import org.apache.spark.sql.expressions.Window
     val rnd = new scala.util.Random(20260815L)
     val rows = Seq.tabulate(4000) { i =>
@@ -191,6 +194,7 @@ class SamplingSpec extends SparkSpec {
       .select("id").as[Long].collect().toSet
     assert(twoTemp == winTemp, "temperatureResample diverged from the window oracle")
     spark.catalog.clearCache() // release the two-pass internal persists
+    } finally spark.conf.unset(Sampling.TwoPassMinBytesKey)
   }
 
   test("two-pass admission survives degenerate shuffle-partition counts (1 and 97)") {
@@ -209,6 +213,7 @@ class SamplingSpec extends SparkSpec {
     val want = d.withColumn("__c", sum(col("w")).over(wCum))
       .filter(col("__c") <= 50L).select("id").as[Long].collect().toSet
     val before = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(Sampling.TwoPassMinBytesKey, "0") // force the two-pass
     try {
       for (p <- Seq("1", "97")) {
         spark.conf.set("spark.sql.shuffle.partitions", p)
@@ -218,7 +223,153 @@ class SamplingSpec extends SparkSpec {
         assert(got == want, s"diverged at shuffle.partitions=$p")
         spark.catalog.clearCache()
       }
-    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", before)
+      spark.conf.unset(Sampling.TwoPassMinBytesKey)
+    }
+  }
+
+  private def withConf[T](key: String, value: String)(f: => T): T = {
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, value)
+    try f finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
+  test("size gate: both sides admit identical rows; the small side plans the window, the big side the two-pass") {
+    val rows = Seq.tabulate(900)(i =>
+      (i.toLong, if (i % 4 == 0) null else s"g${i % 11}", 1L + i % 13))
+    val d = rows.toDF("id", "g", "w").repartition(7, col("id"))
+    def kept(): (Set[Long], String) = {
+      val out = Sampling.weightCappedPerStratum(d, Seq("g"), Seq("id"), "w", 60L)
+      (out.select("id").as[Long].collect().toSet,
+        out.queryExecution.executedPlan.toString)
+    }
+    val (small, pSmall) = withConf(Sampling.TwoPassMinBytesKey,
+      Long.MaxValue.toString)(kept())
+    val (big, pBig) = withConf(Sampling.TwoPassMinBytesKey, "0") {
+      val r = kept(); spark.catalog.clearCache(); r
+    }
+    assert(small == big, "the gate changed the admitted set")
+    // physical shapes: window form = one stratum window, no range sort,
+    // no cached relation; two-pass form = range sort + offsets broadcast
+    assert(pSmall.contains("windowspecdefinition(g#"), pSmall)
+    assert(!pSmall.contains("Exchange rangepartitioning"), pSmall)
+    assert(!pSmall.contains("InMemoryTableScan"), pSmall)
+    assert(pBig.contains("Exchange rangepartitioning"), pBig)
+  }
+
+  test("withWeightCappedPerStratum bracket releases the two-pass internal cache after use") {
+    withConf(Sampling.TwoPassMinBytesKey, "0") { // force the persisting path
+      val before = spark.sparkContext.getPersistentRDDs.keySet
+      val d = (1 to 400).map(i => (i.toLong, s"g${i % 5}", (i % 7 + 1).toLong))
+        .toDF("id", "g", "w")
+      var during = Set.empty[Int]
+      val n = Sampling.withWeightCappedPerStratum(d, Seq("g"), Seq("id"),
+          "w", 50L) { out =>
+        val c = out.count()
+        during = spark.sparkContext.getPersistentRDDs.keySet.toSet -- before
+        c
+      }
+      assert(n > 0)
+      assert(during.nonEmpty, "the bracket never persisted its internal relation")
+      val deadline = System.nanoTime() + 5e9.toLong
+      def ours = spark.sparkContext.getPersistentRDDs.keySet.toSet.intersect(during)
+      while (ours.nonEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+      assert(ours.isEmpty, "the bracket must unpersist its internal relation")
+    }
+  }
+
+  test("concurrent quota brackets own independent handles: no leak, no cross-unpersist") {
+    withConf(Sampling.TwoPassMinBytesKey, "0") {
+      val before = spark.sparkContext.getPersistentRDDs.keySet
+      val d1 = (1 to 400).map(i => (i.toLong, s"g${i % 5}")).toDF("id", "g")
+      val d2 = (1 to 400).map(i => (i.toLong, s"g${i % 9}")).toDF("id", "g")
+      val gate = new java.util.concurrent.CyclicBarrier(2)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      def run(d: org.apache.spark.sql.DataFrame, cap: Int): Future[Set[Long]] =
+        Future {
+          Sampling.withCappedPerStratum(d, Seq("g"), Seq("id"), cap) { out =>
+            gate.await() // both brackets hold their persists simultaneously
+            val s = out.select("id").as[Long].collect().toSet
+            gate.await() // neither unpersists until both have collected
+            s
+          }
+        }
+      val (f1, f2) = (run(d1, 10), run(d2, 7))
+      val got1 = Await.result(f1, 120.seconds)
+      val got2 = Await.result(f2, 120.seconds)
+      // correct under interleaving (a shared slot could unpersist the
+      // other call's pinned relation mid-collect)
+      assert(got1.size == 50 && got2.size == 63,
+        s"sizes ${got1.size}/${got2.size}")
+      val deadline = System.nanoTime() + 5e9.toLong
+      def leaked = spark.sparkContext.getPersistentRDDs.keySet.toSet -- before
+      while (leaked.nonEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+      assert(leaked.isEmpty, s"leaked persists: $leaked")
+    }
+  }
+
+  test("deterministicSplit: exact floor proportions, disjoint+exhaustive, partitioning-invariant, seed-stable") {
+    // strata sizes 143 x 6 + 142: floors never land on round numbers, so
+    // the boundary arithmetic is genuinely exercised
+    val d = spark.range(1000)
+      .select(col("id"), (col("id") % 7).cast("string").as("g"))
+    val fr = Seq(("train", 0.8), ("val", 0.1), ("test", 0.1))
+    def assignments(df: org.apache.spark.sql.DataFrame, seed: Long) =
+      Sampling.withDeterministicSplit(df, Seq("g"), Seq("id"), fr, seed) {
+        _.select("id", "split").as[(Long, String)].collect().toMap
+      }
+    val got = Sampling.deterministicSplit(d, Seq("g"), Seq("id"), fr, 42L)
+    val counts = got.groupBy("g", "split").count()
+      .as[(String, String, Long)].collect()
+      .groupBy(_._1).map { case (g, rs) =>
+        g -> rs.map(r => r._2 -> r._3).toMap }
+    for (g <- 0 until 7) {
+      val n = if (g < 6) 143 else 142
+      val b1 = math.floor(0.8 * n).toLong
+      val b2 = math.floor(0.9 * n).toLong
+      val by = counts(g.toString)
+      assert(by("train") == b1 && by("val") == b2 - b1 &&
+        by.getOrElse("test", 0L) == n - b2,
+        s"stratum $g (n=$n): $by expected (${b1}, ${b2 - b1}, ${n - b2})")
+    }
+    // exhaustive + disjoint: every row assigned exactly one label
+    assert(got.count() == 1000 && got.filter(col("split").isNull).count() == 0)
+    // pure function of (seed, data): any partitioning, same assignment
+    val a = assignments(d, 42L)
+    val b = assignments(d.repartition(13, col("id")), 42L)
+    assert(a == b, "assignment moved with the partitioning")
+    // seed-stable: same seed reproduces; a different seed re-deals
+    assert(assignments(d, 42L) == a)
+    val c = assignments(d, 43L)
+    assert(a.count { case (id, s) => c(id) != s } > 100,
+      "seeds 42 and 43 gave nearly the same split")
+  }
+
+  test("deterministicSplit: unstratified (global) split is exact and rides the two-pass") {
+    val d = spark.range(1000).toDF("id")
+    val fr = Seq(("train", 0.8), ("val", 0.1), ("test", 0.1))
+    val counts = Sampling.withDeterministicSplit(d, Nil, Seq("id"), fr, 7L) {
+      _.groupBy("split").count().as[(String, Long)].collect().toMap
+    }
+    assert(counts == Map("train" -> 800L, "val" -> 100L, "test" -> 100L),
+      counts.toString)
+    // a global rank must never take the single-window form, whatever the
+    // size gate says: the plan carries the two-pass range sort
+    val p = Sampling.deterministicSplit(d, Nil, Seq("id"), fr, 7L)
+      .queryExecution.executedPlan.toString
+    spark.catalog.clearCache()
+    assert(p.contains("Exchange rangepartitioning"), p)
+    // degenerate: a single split takes everything
+    val one = Sampling.withDeterministicSplit(d, Nil, Seq("id"),
+      Seq(("all", 1.0)), 7L)(_.groupBy("split").count()
+        .as[(String, Long)].collect().toMap)
+    assert(one == Map("all" -> 1000L))
   }
 
   test("weightedSample: exactly k rows, partitioning-invariant, weight-monotone") {

@@ -186,10 +186,27 @@ class PlanAuditSpec extends SparkSpec {
     assert(read.contains("doc_id") && read.contains("text") && !read.contains("lang"), read)
   }
 
+  /** Build a plan with the quota family's size gate forced onto the
+    * two-pass path — the shape a 100 TB input takes; sf0.001's leaf
+    * stats would otherwise (correctly) gate the one-window form, which
+    * has its own pin below.
+    */
+  private def forcedTwoPass[T](f: => T): T = {
+    val key = graft.operators.Sampling.TwoPassMinBytesKey
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "0")
+    try f finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   test("t10: mixture resample scans only (doc_id, lang); quotas broadcast back; " +
-      "rank rides the two-pass (column quotas get no WindowGroupLimit prune)") {
-    val df = TextQueries.t10_mixture_resample.fn(spark, dir)
-    val p = df.queryExecution.executedPlan.toString
+      "rank rides the two-pass at scale (column quotas get no WindowGroupLimit prune)") {
+    val p = forcedTwoPass {
+      TextQueries.t10_mixture_resample.fn(spark, dir)
+        .queryExecution.executedPlan.toString
+    }
     assert(p.contains("BroadcastHashJoin"), p) // tiny quota relation joins broadcast
     assert(!p.contains("SortMergeJoin"), p)
     auditTwoPassQuota(p, stratum = "lang")
@@ -247,11 +264,31 @@ class PlanAuditSpec extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
-  test("t43: token quota rides the two-pass cumsum (no stratum-only data window), pruned scan") {
-    val p = plan(TextQueries.t43_token_quota)
+  test("t43: token quota rides the two-pass cumsum at scale (no stratum-only data window), pruned scan") {
+    val p = forcedTwoPass(plan(TextQueries.t43_token_quota))
     auditTwoPassQuota(p)
     val read = "ReadSchema: [^\n]+".r.findFirstIn(p).get
     assert(!read.contains("lang") && !read.contains("n_chars"), read)
+  }
+
+  test("quota size gate: a leaf-small input takes the one-window form " +
+      "(no range sort, no persist) — the round-16 constant reclaim") {
+    // default gate at sf-test scale: the plan must be the single
+    // stratum-partitioned window, with NO rangepartitioning exchange and
+    // NO InMemory relation (nothing to unpersist — leak-free by absence)
+    val p = plan(TextQueries.t43_token_quota)
+    assert(p.contains("windowspecdefinition(domain#"), p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+    assert(!p.contains("InMemoryTableScan"), p)
+    // and the gate's two forms admit the same rows (the SamplingSpec law
+    // holds on the registered query too): row counts agree here
+    val small = TextQueries.t43_token_quota.fn(spark, dir).count()
+    val big = forcedTwoPass {
+      val n = TextQueries.t43_token_quota.fn(spark, dir).count()
+      spark.catalog.clearCache()
+      n
+    }
+    assert(small == big, s"gate changed the admitted set: $small vs $big")
   }
 
   test("q46: sampling is one exchange with a map-side WindowGroupLimit prune, pruned scan") {
@@ -282,11 +319,14 @@ class PlanAuditSpec extends SparkSpec {
     val reads = lines.filter(_.contains("ReadSchema"))
     assert(reads.nonEmpty &&
       reads.forall(_.contains("struct<doc_id:bigint,text:string>")), reads.mkString("\n"))
-    // 2. the phase-1 heavy-hitter count shuffles only (__h, doc_id) — any
-    //    shuffle Exchange whose key list mentions the window TEXT column
-    //    (__w) must sit on the candidate-pruned side, which is proven by
-    //    (3); here: partial aggregation exists below the phase-1 exchange
-    assert(lines.count(_.contains("partial_count")) >= 2, p)
+    // 2. the phase-1 heavy-hitter test shuffles only __h with map-side
+    //    combine — since round 16 the minDocs=2 predicate is the
+    //    single-pass min(id) != max(id) rewrite (one exchange, partial
+    //    min/max), not the distinct expansion's two exchanges; any
+    //    shuffle whose key list mentions the window TEXT column (__w)
+    //    must sit on the candidate-pruned side, which is proven by (3)
+    assert(lines.count(_.contains("partial_min")) >= 2, p)
+    assert(!lines.exists(_.contains("partial_count(distinct")), p)
     // 3. every (h, w)-keyed aggregate consumes candidate-PRUNED windows:
     //    below the lowest (__h, __w, doc_id) partial aggregate there is a
     //    join against the phase-1 candidate hashes BEFORE the window
@@ -457,9 +497,9 @@ class PlanAuditSpec extends SparkSpec {
       l.contains("Exchange hashpartitioning")), p)
   }
 
-  test("q70: the domain quota rides the two-pass cumsum (no stratum-only " +
-      "data window), no nested loops") {
-    val p = plan(TextQueries.q70_domain_quota)
+  test("q70: the domain quota rides the two-pass cumsum at scale (no " +
+      "stratum-only data window), no nested loops") {
+    val p = forcedTwoPass(plan(TextQueries.q70_domain_quota))
     auditTwoPassQuota(p)
   }
 

@@ -648,11 +648,61 @@ object DedupQueries {
       docs.filter(col("doc_id") % 10 === 0), "text", n = 8)
   }
 
+  // ---------------------------------------------------------------- d20
+  /** SPLIT-LEAKAGE AUDIT: near-duplicate pairs that STRADDLE t45's
+    * train/val/test split — the eval-integrity check every training
+    * pipeline should run after carving a held-out set (a test document
+    * whose near-duplicate sits in train is memorized, not held out; Lee
+    * et al. 2022 measure exactly this leak). Pure composition of two
+    * gated surfaces: [[graft.operators.Sampling.deterministicSplit]]
+    * (t45's exact seeded assignment) joined onto d02's exact 3-gram
+    * Jaccard pair relation, kept where the two sides land in DIFFERENT
+    * splits. The split relation is corpus-sized but the pair relation is
+    * the tiny near-dup subset, so the audit joins broadcast-small onto
+    * it; at 100 TB substitute d03's LSH pairs — the audit is agnostic to
+    * the edge source (d06's note). An empty result IS the passing audit;
+    * the sf fixture's planted duplicates make this one non-empty so the
+    * oracle hash proves the detection, not just the plumbing.
+    */
+  val d20_split_leakage = q("d20_split_leakage", Some(
+    s"""WITH $shingleSql,
+       |r AS (SELECT doc_id,
+       |    row_number() OVER (PARTITION BY lang
+       |      ORDER BY md5('42|' || CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+       |    COUNT(*) OVER (PARTITION BY lang) AS n
+       |  FROM documents),
+       |sp AS (SELECT doc_id,
+       |    CASE WHEN rn <= floor(CAST(0.8 AS DOUBLE) * n) THEN 'train'
+       |         WHEN rn <= floor((CAST(0.8 AS DOUBLE) + CAST(0.1 AS DOUBLE)) * n)
+       |              THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM r)
+       |SELECT id_a, id_b, ROUND(jaccard, 6) AS jaccard,
+       |  sa.split AS split_a, sb.split AS split_b
+       |FROM j
+       |JOIN sp sa ON j.id_a = sa.doc_id
+       |JOIN sp sb ON j.id_b = sb.doc_id
+       |WHERE jaccard >= 0.5 AND sa.split <> sb.split""".stripMargin)) { (s, dir) =>
+    val split = graft.operators.Sampling.deterministicSplit(
+        Tables.documents(s, dir).select("doc_id", "lang"), Seq("lang"),
+        Seq("doc_id"), Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)),
+        seed = 42L)
+      .select("doc_id", "split")
+    d02_ngram_jaccard.fn(s, dir)
+      .join(split.select(col("doc_id").as("id_a"), col("split").as("split_a")),
+        "id_a")
+      .join(split.select(col("doc_id").as("id_b"), col("split").as("split_b")),
+        "id_b")
+      .filter(col("split_a") =!= col("split_b"))
+      .select("id_a", "id_b", "jaccard", "split_a", "split_b")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     d01_exact_dup_groups, d02_ngram_jaccard, d03_minhash_lsh, d04_simhash,
     d05_simhash_neardup, d06_dedup_clusters, d07_dedup_apply,
     d08_contamination, d09_bloom_decontaminate, d10_incremental_neardup,
     d11_indexed_neardup, d12_extended_neardup, d13_index_compaction,
     d14_dedup_keep_best, d15_span_coverage, d16_span_decontaminate,
-    d17_containment_pairs, d18_max_dup_run, d19_contamination_coverage)
+    d17_containment_pairs, d18_max_dup_run, d19_contamination_coverage,
+    d20_split_leakage)
 }

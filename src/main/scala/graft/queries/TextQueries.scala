@@ -1816,13 +1816,47 @@ object TextQueries {
       .select("doc_id", "lang", "n_tok")
   }
 
+  // ---------------------------------------------------------------- t45
+  /** DETERMINISTIC TRAIN/VAL/TEST SPLIT ([[graft.operators.Sampling
+    * .deterministicSplit]]): every document gets exactly one of
+    * train/val/test (80/10/10), stratified by language, by the seeded
+    * md5 draw — the held-out carve-out every training pipeline runs, and
+    * the one place `rand()` silently re-deals the eval set on every
+    * rerun. Per stratum of n rows the boundaries are EXACT binary64
+    * floors (train = floor(0.8·n), val = floor(0.9·n) − floor(0.8·n),
+    * test = remainder), so DuckDB replays both the draw (the t14
+    * md5(seed || '|' || id) contract) and the boundary arithmetic
+    * bit-for-bit. The rank rides [[graft.operators.Sampling]]'s
+    * size-gated per-stratum running sum (window at bench scale,
+    * two-pass at 100 TB); d20 audits near-dup leakage ACROSS this same
+    * split.
+    */
+  val t45_train_val_test = q("t45_train_val_test",
+    """WITH r AS (SELECT doc_id, lang,
+      |    row_number() OVER (PARTITION BY lang
+      |      ORDER BY md5('42|' || CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+      |    COUNT(*) OVER (PARTITION BY lang) AS n
+      |  FROM documents)
+      |SELECT doc_id, lang,
+      |  CASE WHEN rn <= floor(CAST(0.8 AS DOUBLE) * n) THEN 'train'
+      |       WHEN rn <= floor((CAST(0.8 AS DOUBLE) + CAST(0.1 AS DOUBLE)) * n)
+      |            THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM r""".stripMargin) { (s, dir) =>
+    graft.operators.Sampling.deterministicSplit(
+        Tables.documents(s, dir).select("doc_id", "lang"), Seq("lang"),
+        Seq("doc_id"), Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)),
+        seed = 42L)
+      .select("doc_id", "lang", "split")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     t31_unicode_normalize, t32_classifier_train, t33_hybrid_rrf,
     t34_url_canonicalize, t35_registered_domain, t36_domain_blocklist,
     q70_domain_quota, t37_langid_train, t38_url_dedup, t39_domain_report,
     t40_phrase_blocklist, t41_psl_wildcard, t42_perplexity_buckets,
     t43_token_quota, t44_lang_token_budgets,
-    q71_web_curation,
+    q71_web_curation, t45_train_val_test,
     t01_token_stats, t02_quality_score, t03_lang_id, t04_fingerprint,
     t05_rolling_hash, t06_redact, t07_tfidf_top_terms, t08_curation_pipeline,
     t09_repetition, t10_mixture_resample, t11_boilerplate_ngrams,

@@ -1061,6 +1061,28 @@ object PlanDump {
       "agnostic (d06's note). An EMPTY result is the passing audit; the " +
       "fixture's planted duplicates keep it non-empty at sf0.01 (5 " +
       "rows) so the oracle hash proves detection, not just plumbing."),
+    "d21_cluster_group_split" -> ("round 16: cluster-grouped split " +
+      "(Sampling.groupSplit) — the leakage-PROOF form of t45: the " +
+      "split's atoms are d06's near-dup clusters (connected components " +
+      "over d02's exact pairs; singletons group as themselves), so a " +
+      "near-dup pair straddling train/test is impossible BY " +
+      "CONSTRUCTION — d20 detects the leak a row-level split allows " +
+      "(5 straddling pairs on this corpus), this prevents it (d22 " +
+      "proves 0 of 25). Groups rank by the seed-7 md5 draw with t45's " +
+      "exact binary64 floor boundaries over the GROUP count — " +
+      "proportions group-exact, row-approximate (a mega-cluster drags " +
+      "its mass into one split; that is the point). Scale shape: d02's " +
+      "pair cost + CC + one distinct + the always-two-pass global group " +
+      "rank + one equi-join back; the whole chain incl. the recursive " +
+      "clustering is DuckDB-replayed (d06's recursive CTE)."),
+    "d22_group_split_guard" -> ("round 16: the zero-straddle GUARD on " +
+      "d21 — joins d02's pair relation onto the cluster-grouped split " +
+      "and counts pairs whose sides land in different splits: 0 by " +
+      "construction, and the (n_pairs=25, n_straddling=0) summary row " +
+      "is oracle-hashed so the guarantee is proven end-to-end, not " +
+      "asserted. The same audit over t45's row-level split reports 5 " +
+      "straddling pairs (d20) — the pair of queries is the " +
+      "detect-then-prevent story a curation pipeline actually runs."),
     "q44_salted_join" -> ("at sf0.1 the dim broadcasts, so this query " +
       "exercises the salted operator's correctness, not its necessity. " +
       "Round-5 AQE comparison (graft.AqeSkewBench, appendix below): for " +
@@ -1138,6 +1160,8 @@ bounded by construction):
 | t12/t13 (packing) | 1 each | `Packing.streamPositions` offset fold — one row per range partition |
 | t14_epoch_shuffle | 1 | `SurrogateKey.scalable` offset fold — ≤ #partitions rows |
 | s05_watermark_late | 1 | `PrefixAgg.maxExclusive` offset fold — ≤ #partitions rows (the data-sized prefix max itself went two-pass in round 15) |
+| d21_cluster_group_split | 1 | groupSplit's unstratified group rank is always two-pass; this is its offsets fold — ≤ #partitions rows (round 16) |
+| d22_group_split_guard | 2 | the guard self-joins the d21 split relation, duplicating the two-pass subtree — two offsets folds, each ≤ #partitions rows (round 16) |
 
 s05 previously held the ONE data-sized global window in the registry
 (prefix max over the whole events table in arrival order); the sweep

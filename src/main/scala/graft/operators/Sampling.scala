@@ -429,6 +429,56 @@ object Sampling {
     (withN.withColumn(splitCol, assign).drop("__rn", "__n"), handle)
   }
 
+  /** GROUP-AWARE deterministic split — the leakage-PROOF form of
+    * [[deterministicSplit]]: all rows sharing `groupCols` land in the
+    * SAME split (groups are the atoms of assignment), so any relation
+    * CONTAINED within groups — near-dup clusters, same-domain pages,
+    * same-user sessions — can never straddle a split boundary. This is
+    * the standard fix for the leakage d20 detects: split by the near-dup
+    * CLUSTER (connected components over the pair relation) and a test
+    * document's training near-duplicate is impossible by construction
+    * (d21 pins zero straddling pairs end-to-end against the oracle).
+    *
+    * Groups rank by md5(seed || group) and boundaries are the same exact
+    * cumulative-fraction floors, over the per-stratum GROUP count — so
+    * proportions are GROUP-exact and row-approximate (a mega-group drags
+    * its whole mass into one split; that is the point). `strataCols`
+    * must be constant within a group (they key the group relation).
+    *
+    * Scale shape: one distinct over (strata, group) + the size-gated
+    * group rank + one (shuffled) equi-join of the data against the
+    * group assignment. Prefer [[withGroupSplit]] (leak-free bracket).
+    */
+  def groupSplit(df: DataFrame, strataCols: Seq[String],
+                 groupCols: Seq[String],
+                 fractions: Seq[(String, Double)], seed: Long,
+                 splitCol: String = "split"): DataFrame =
+    groupSplitAndHandle(df, strataCols, groupCols, fractions, seed,
+      splitCol)._1
+
+  /** Resource-bracket form of [[groupSplit]]: `use` must execute its
+    * actions before returning. Safe under concurrency.
+    */
+  def withGroupSplit[T](df: DataFrame, strataCols: Seq[String],
+                        groupCols: Seq[String],
+                        fractions: Seq[(String, Double)], seed: Long,
+                        splitCol: String = "split")
+                       (use: DataFrame => T): T =
+    bracket(groupSplitAndHandle(df, strataCols, groupCols, fractions, seed,
+      splitCol))(use)
+
+  private def groupSplitAndHandle(df: DataFrame, strataCols: Seq[String],
+                                  groupCols: Seq[String],
+                                  fractions: Seq[(String, Double)],
+                                  seed: Long, splitCol: String)
+      : (DataFrame, Option[DataFrame]) = {
+    require(groupCols.nonEmpty, "groupSplit needs at least one group column")
+    val groups = df.select((strataCols ++ groupCols).map(col): _*).distinct()
+    val (assigned, handle) = splitAndHandle(groups, strataCols, groupCols,
+      fractions, seed, splitCol)
+    (df.join(assigned, strataCols ++ groupCols), handle)
+  }
+
   private def seededDraw(seed: Long, keyCols: Seq[String]): Column =
     md5(concat_ws("|",
       lit(seed.toString) +: keyCols.map(c => col(c).cast("string")): _*)

@@ -697,6 +697,97 @@ object DedupQueries {
       .select("id_a", "id_b", "jaccard", "split_a", "split_b")
   }
 
+  // ----------------------------------------------------------- d21/d22
+  /** Shared DuckDB CTE chain for the CLUSTER-GROUPED split: d06's
+    * recursive connected components over d02's exact pair relation, one
+    * group per cluster (singletons group as themselves), groups ranked
+    * globally by the seed-7 md5 draw with exact binary64 floor
+    * boundaries (t45's arithmetic, over GROUP counts).
+    */
+  private def clusterSplitSqlCtes: String =
+    s"""$shingleSql,
+       |e AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.5),
+       |sym AS (SELECT id_a AS src, id_b AS dst FROM e
+       |        UNION ALL SELECT id_b, id_a FROM e),
+       |walk(id, comp) AS (
+       |  SELECT DISTINCT src, src FROM sym
+       |  UNION
+       |  SELECT s.dst, w.comp FROM walk w JOIN sym s ON w.id = s.src),
+       |comps AS (SELECT id, MIN(comp) AS comp FROM walk GROUP BY id),
+       |gr AS (SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS grp
+       |       FROM documents d LEFT JOIN comps c ON d.doc_id = c.id),
+       |gg AS (SELECT DISTINCT grp FROM gr),
+       |rk AS (SELECT grp, row_number() OVER (
+       |         ORDER BY md5('7|' || CAST(grp AS VARCHAR)), grp) AS rn,
+       |         COUNT(*) OVER () AS n FROM gg),
+       |sp AS (SELECT grp,
+       |    CASE WHEN rn <= floor(CAST(0.8 AS DOUBLE) * n) THEN 'train'
+       |         WHEN rn <= floor((CAST(0.8 AS DOUBLE) + CAST(0.1 AS DOUBLE)) * n)
+       |              THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM rk),
+       |ds AS (SELECT doc_id, grp, split FROM gr JOIN sp USING (grp))"""
+      .stripMargin
+
+  /** The Spark twin of [[clusterSplitSqlCtes]]'s `ds` relation. */
+  private def clusterSplit(s: org.apache.spark.sql.SparkSession,
+                           dir: String): org.apache.spark.sql.DataFrame = {
+    val pairs = d02_ngram_jaccard.fn(s, dir).select("id_a", "id_b")
+    val comps = NearDup.connectedComponents(pairs)
+    val grouped = Tables.documents(s, dir).select(col("doc_id"))
+      .join(comps.select(col("id").as("doc_id"), col("comp")),
+        Seq("doc_id"), "left")
+      .withColumn("grp", coalesce(col("comp"), col("doc_id")))
+      .drop("comp")
+    graft.operators.Sampling.groupSplit(grouped, Nil, Seq("grp"),
+      Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)), seed = 7L)
+  }
+
+  /** CLUSTER-GROUPED train/val/test split
+    * ([[graft.operators.Sampling.groupSplit]]): the leakage-PROOF form
+    * of t45 — the split's atoms are d06's near-dup CLUSTERS (connected
+    * components over d02's exact pair relation; un-clustered documents
+    * are their own group), so a near-dup pair straddling train/test is
+    * impossible BY CONSTRUCTION, not merely audited after the fact
+    * (d20 detects the leak a row-level split allows; this prevents it —
+    * the Lee et al. 2022 recommendation). Proportions are group-exact
+    * floors over the cluster count; the whole chain — pairs, recursive
+    * clustering, group draw, boundaries — is DuckDB-replayed.
+    */
+  val d21_cluster_group_split = q("d21_cluster_group_split", Some(
+    s"""WITH RECURSIVE $clusterSplitSqlCtes
+       |SELECT doc_id, grp, split FROM ds""".stripMargin)) { (s, dir) =>
+    clusterSplit(s, dir).select("doc_id", "grp", "split")
+  }
+
+  /** The GUARD on d21: zero near-dup pairs straddle the cluster-grouped
+    * split — both sides of every d02 pair are in the same cluster, every
+    * cluster is one group, every group lands in one split, so
+    * `n_straddling` is 0 by construction and the oracle hash proves the
+    * whole composition end-to-end (against d20's row-level split, the
+    * same audit reports a non-zero straddle count on this corpus).
+    */
+  val d22_group_split_guard = q("d22_group_split_guard", Some(
+    s"""WITH RECURSIVE $clusterSplitSqlCtes,
+       |pe AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.5)
+       |SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       |  CAST(coalesce(SUM(CASE WHEN sa.split <> sb.split
+       |                         THEN 1 ELSE 0 END), 0) AS BIGINT)
+       |    AS n_straddling
+       |FROM pe
+       |JOIN ds sa ON pe.id_a = sa.doc_id
+       |JOIN ds sb ON pe.id_b = sb.doc_id""".stripMargin)) { (s, dir) =>
+    val ds = clusterSplit(s, dir).select(col("doc_id"), col("split"))
+    d02_ngram_jaccard.fn(s, dir).select("id_a", "id_b")
+      .join(ds.select(col("doc_id").as("id_a"), col("split").as("split_a")),
+        "id_a")
+      .join(ds.select(col("doc_id").as("id_b"), col("split").as("split_b")),
+        "id_b")
+      .agg(count(lit(1)).as("n_pairs"),
+        coalesce(sum(when(col("split_a") =!= col("split_b"), 1L)
+          .otherwise(0L)), lit(0L)).as("n_straddling"))
+  }
+
   val all: Seq[GraftQuery] = Seq(
     d01_exact_dup_groups, d02_ngram_jaccard, d03_minhash_lsh, d04_simhash,
     d05_simhash_neardup, d06_dedup_clusters, d07_dedup_apply,
@@ -704,5 +795,5 @@ object DedupQueries {
     d11_indexed_neardup, d12_extended_neardup, d13_index_compaction,
     d14_dedup_keep_best, d15_span_coverage, d16_span_decontaminate,
     d17_containment_pairs, d18_max_dup_run, d19_contamination_coverage,
-    d20_split_leakage)
+    d20_split_leakage, d21_cluster_group_split, d22_group_split_guard)
 }

@@ -372,6 +372,32 @@ class SamplingSpec extends SparkSpec {
     assert(one == Map("all" -> 1000L))
   }
 
+  test("groupSplit: groups are atomic, proportions group-exact, partitioning-invariant") {
+    // 100 groups of varied sizes (1..13 rows): every row of a group must
+    // share its split, and the GROUP counts per split are exact floors
+    val rows = for (g <- 0 until 100; i <- 0 to g % 13) yield (g * 1000L + i, g.toLong)
+    val d = rows.toDF("id", "grp").repartition(7, col("id"))
+    val fr = Seq(("train", 0.8), ("val", 0.1), ("test", 0.1))
+    val got = Sampling.withGroupSplit(d, Nil, Seq("grp"), fr, seed = 7L) {
+      _.select("id", "grp", "split").as[(Long, Long, String)].collect()
+    }
+    assert(got.length == rows.length, "groupSplit dropped or duplicated rows")
+    // atomicity: one split per group
+    val perGroup = got.groupBy(_._2).map { case (_, rs) => rs.map(_._3).distinct.size }
+    assert(perGroup.forall(_ == 1), "a group straddled splits")
+    // group-exact proportions: floor boundaries over the 100 groups
+    val groupSplit = got.groupBy(_._2).map { case (g, rs) => g -> rs.head._3 }
+    val counts = groupSplit.values.groupBy(identity).map { case (s, xs) => s -> xs.size }
+    assert(counts == Map("train" -> 80, "val" -> 10, "test" -> 10), counts.toString)
+    // partitioning-invariant (pure function of seed + group keys)
+    val again = Sampling.withGroupSplit(d.repartition(13, col("grp")), Nil,
+        Seq("grp"), fr, seed = 7L) {
+      _.select("id", "split").as[(Long, String)].collect().toMap
+    }
+    assert(got.map(r => r._1 -> r._3).toMap == again,
+      "assignment moved with the partitioning")
+  }
+
   test("weightedSample: exactly k rows, partitioning-invariant, weight-monotone") {
     val base = spark.range(500)
       .select(col("id"), (col("id") % 9 + 1).cast("double").as("w"))

@@ -546,7 +546,15 @@ class PlanAuditSpec extends SparkSpec {
       "s05_watermark_late" -> ((1,
         "PrefixAgg.maxExclusive offset fold — one row per range " +
         "partition (the data-sized prefix max itself is two-pass since " +
-        "round 15)")))
+        "round 15)")),
+      "d21_cluster_group_split" -> ((1,
+        "groupSplit's unstratified group rank is ALWAYS two-pass (a " +
+        "global rank must never single-task); this is its offsets " +
+        "fold — <= #partitions rows")),
+      "d22_group_split_guard" -> ((2,
+        "the guard self-joins the d21 split relation (split_a/split_b " +
+        "sides), duplicating the two-pass subtree — two offsets folds, " +
+        "each <= #partitions rows")))
     val seen = graft.SparkEntry.registry.map { q =>
       val n = globalWindows(q.fn(spark, dir).queryExecution.sparkPlan)
       q.name -> n

@@ -1061,6 +1061,19 @@ object PlanDump {
       "agnostic (d06's note). An EMPTY result is the passing audit; the " +
       "fixture's planted duplicates keep it non-empty at sf0.01 (5 " +
       "rows) so the oracle hash proves detection, not just plumbing."),
+    "t46_importance_sample" -> ("round 16: deterministic importance " +
+      "resampling (Sampling.importanceSample) — DSIR-style " +
+      "quality-weighted Bernoulli thinning: keep a row iff its " +
+      "deterministic md5 uniform (q62's engine-replayable formula) is " +
+      "below its per-row acceptance probability, here the ROUNDED t02 " +
+      "quality score (rounded precisely so both engines compare " +
+      "bit-identical doubles — the unrounded formula's last bits need " +
+      "not agree; t02's hash gate proves the rounded score does). " +
+      "Unlike rand()/df.sample the kept set is a pure function of the " +
+      "data (partitioning/retry/engine-stable; per-row monotone in p, " +
+      "so nested probabilities nest — SamplingSpec laws). Plan-pinned " +
+      "ZERO exchanges: draw, score, and comparison ride the scan — at " +
+      "100 TB the thinning is free inside the read."),
     "d21_cluster_group_split" -> ("round 16: cluster-grouped split " +
       "(Sampling.groupSplit) — the leakage-PROOF form of t45: the " +
       "split's atoms are d06's near-dup clusters (connected components " +

@@ -541,12 +541,43 @@ object Sampling {
   def weightedSample(df: DataFrame, keyCols: Seq[String], weight: Column,
                      k: Int, scoreCol: String = "es_score"): DataFrame = {
     require(k > 0, s"sample size k must be positive, got $k")
-    val u = (conv(substring(md5(concat_ws("|",
-        keyCols.map(c => col(c).cast("string")): _*).cast("binary")), 1, 13),
-        16, 10).cast("double") + lit(0.5)) / lit(4503599627370496.0)
     df.filter(weight > 0)
-      .withColumn(scoreCol, log(u) / weight.cast("double"))
+      .withColumn(scoreCol, log(md5Uniform(keyCols)) / weight.cast("double"))
       .orderBy(col(scoreCol).desc +: keyCols.map(col): _*)
       .limit(k)
   }
+
+  /** Deterministic per-row uniform in (0, 1): the first 13 md5 hex
+    * digits of the `|`-joined keys + 0.5 over 2^52 — integer-exact in
+    * binary64 on any engine, never 0 or 1. The shared draw under
+    * [[weightedSample]] and [[importanceSample]].
+    */
+  private def md5Uniform(keyCols: Seq[String]): Column =
+    (conv(substring(md5(concat_ws("|",
+      keyCols.map(c => col(c).cast("string")): _*).cast("binary")), 1, 13),
+      16, 10).cast("double") + lit(0.5)) / lit(4503599627370496.0)
+
+  /** Deterministic IMPORTANCE RESAMPLING (the DSIR-/quality-weighted
+    * thinning step a curation pipeline runs after scoring): keep each
+    * row with probability `prob` (clamped to [0, 1]), decided by the
+    * deterministic per-row uniform u = [[md5Uniform]] — keep iff
+    * u < p. Unlike `df.sample()` / `rand() < p` (per-task seeds move
+    * with the partitioning; a retry resamples), the kept set is a pure
+    * function of the data: same rows on any engine, any partitioning,
+    * any retry, and another engine replays it exactly (q62's uniform
+    * formula). Expected kept fraction per row IS its probability;
+    * monotone in p per row (raising a row's probability can only keep
+    * it sooner — u is fixed), so samples at nested probabilities nest.
+    * Shuffle-free: the draw and the comparison are scan-stage column
+    * arithmetic — at 100 TB this is free inside the scan.
+    *
+    * `prob` should be cross-engine-deterministic if an external oracle
+    * must replay the draw (e.g. round a computed score to fixed
+    * decimals, the t02 discipline); the operator itself only needs it
+    * evaluable per row.
+    */
+  def importanceSample(df: DataFrame, keyCols: Seq[String],
+                       prob: Column): DataFrame =
+    df.filter(md5Uniform(keyCols) <
+      least(greatest(prob.cast("double"), lit(0.0)), lit(1.0)))
 }

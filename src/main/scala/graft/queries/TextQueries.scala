@@ -1850,7 +1850,53 @@ object TextQueries {
       .select("doc_id", "lang", "split")
   }
 
+  // ---------------------------------------------------------------- t46
+  /** DETERMINISTIC IMPORTANCE RESAMPLING ([[graft.operators.Sampling
+    * .importanceSample]]): keep each document with probability equal to
+    * its quality score — the DSIR-style quality-weighted thinning a
+    * curation pipeline runs after scoring (high-quality documents kept
+    * with high probability, junk down-weighted instead of hard-cut like
+    * t16's gate). The acceptance draw is the deterministic md5 uniform
+    * (q62's formula), and the probability is the ROUNDED t02 quality
+    * score — rounded precisely so both engines compare bit-identical
+    * doubles (t02's hash gate proves the rounded score agrees; the
+    * unrounded formula's last bits need not). Zero shuffles: draw,
+    * score, and comparison all ride the scan.
+    */
+  val t46_importance_sample = q("t46_importance_sample",
+    s"""WITH n AS (SELECT doc_id, text, ${normSql("text")} AS norm FROM documents),
+       |m AS (
+       |  SELECT doc_id, text,
+       |    CASE WHEN length(norm) = 0 THEN 0
+       |         ELSE len(string_split(norm, ' ')) END AS wc,
+       |    len(regexp_extract_all(text, '$punctPat')) AS punct,
+       |    len(regexp_extract_all(lower(norm), '$stopPat')) AS stop
+       |  FROM n),
+       |r AS (
+       |  SELECT doc_id,
+       |    CASE WHEN length(text) = 0 THEN 0.0
+       |         ELSE CAST(punct AS DOUBLE) / CAST(length(text) AS DOUBLE) END AS pr,
+       |    CASE WHEN wc = 0 THEN 0.0
+       |         ELSE CAST(stop AS DOUBLE) / CAST(wc AS DOUBLE) END AS sr,
+       |    CAST(length(text) AS DOUBLE) AS tl
+       |  FROM m),
+       |qq AS (SELECT doc_id,
+       |    ROUND(least(tl / 500.0, 1.0) * 0.4
+       |        + greatest(0.0, 1.0 - pr * 5.0) * 0.3
+       |        + least(sr * 4.0, 1.0) * 0.3, 6) AS quality
+       |  FROM r)
+       |SELECT doc_id, quality FROM qq
+       |WHERE (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13)) AS UBIGINT)
+       |       + 0.5) / 4503599627370496.0
+       |      < least(greatest(quality, 0.0), 1.0)""".stripMargin) { (s, dir) =>
+    val scored = Tables.documents(s, dir).select(col("doc_id"),
+      round(TextFunctions.qualityScore(col("text")), 6).as("quality"))
+    graft.operators.Sampling.importanceSample(scored, Seq("doc_id"),
+      col("quality"))
+  }
+
   val all: Seq[GraftQuery] = Seq(
+    t46_importance_sample,
     t31_unicode_normalize, t32_classifier_train, t33_hybrid_rrf,
     t34_url_canonicalize, t35_registered_domain, t36_domain_blocklist,
     q70_domain_quota, t37_langid_train, t38_url_dedup, t39_domain_report,

@@ -398,6 +398,37 @@ class SamplingSpec extends SparkSpec {
       "assignment moved with the partitioning")
   }
 
+  test("importanceSample: edge probabilities, partitioning-invariance, per-row monotone nesting") {
+    val base = spark.range(2000).toDF("id")
+    // p = 0 keeps nothing (u > 0 always); p = 1 keeps everything (u < 1)
+    assert(Sampling.importanceSample(base, Seq("id"), lit(0.0)).count() == 0)
+    assert(Sampling.importanceSample(base, Seq("id"), lit(1.0)).count() == 2000)
+    // out-of-range probabilities clamp, nulls keep nothing
+    assert(Sampling.importanceSample(base, Seq("id"), lit(7.5)).count() == 2000)
+    assert(Sampling.importanceSample(base, Seq("id"), lit(-3.0)).count() == 0)
+    assert(Sampling.importanceSample(base, Seq("id"),
+      lit(null).cast("double")).count() == 0)
+    // expected fraction: p = 0.3 keeps ~30% (u uniform; loose 5-sigma band)
+    val k3 = Sampling.importanceSample(base, Seq("id"), lit(0.3))
+      .select("id").as[Long].collect().toSet
+    assert(k3.size > 480 && k3.size < 720, s"p=0.3 kept ${k3.size} of 2000")
+    // pure function of the data: any partitioning, same kept set
+    val k3b = Sampling.importanceSample(base.repartition(13, col("id")),
+      Seq("id"), lit(0.3)).select("id").as[Long].collect().toSet
+    assert(k3 == k3b, "kept set moved with the partitioning")
+    // per-row monotone in p: the p=0.3 sample nests inside the p=0.6 one
+    val k6 = Sampling.importanceSample(base, Seq("id"), lit(0.6))
+      .select("id").as[Long].collect().toSet
+    assert(k3.subsetOf(k6), "samples at nested probabilities must nest")
+    // per-ROW probability: rows with p=1 always kept, p=0 rows never,
+    // in one mixed frame
+    val mixed = base.withColumn("p",
+      when(col("id") % 2 === 0, 1.0).otherwise(0.0))
+    val kept = Sampling.importanceSample(mixed, Seq("id"), col("p"))
+      .select("id").as[Long].collect()
+    assert(kept.length == 1000 && kept.forall(_ % 2 == 0))
+  }
+
   test("weightedSample: exactly k rows, partitioning-invariant, weight-monotone") {
     val base = spark.range(500)
       .select(col("id"), (col("id") % 9 + 1).cast("double").as("w"))

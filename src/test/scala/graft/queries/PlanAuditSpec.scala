@@ -490,6 +490,14 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("t46: importance resampling is a zero-exchange scan-stage filter") {
+    // draw, score, and acceptance comparison all ride the scan — at
+    // 100 TB the thinning is free inside the read
+    val p = plan(TextQueries.t46_importance_sample)
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("Join"), p)
+  }
+
   test("t36: the blocklist is a broadcast anti-join — no shuffle exchange") {
     val p = plan(TextQueries.t36_domain_blocklist)
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p)

@@ -149,16 +149,39 @@ class QuotaViewSpec extends SparkSpec {
         .collect().map { case (id, d, n) => (id, Option(d).getOrElse(""), n) }
         .toSet
     }
+    // count form (append): same batches through the accumulated cap
+    def runCounts(tmp: String): Set[(Long, String)] = {
+      QuotaView.init(spark, tmp)
+      val b0 = Seq.tabulate(150)(i =>
+        (i.toLong, if (i % 4 == 0) null else s"d${i % 5}"))
+        .toDF("doc_id", "domain")
+      val b1 = Seq.tabulate(150)(i => (1000L + i, s"d${i % 5}"))
+        .toDF("doc_id", "domain")
+      QuotaView.append(b0, "doc_id", "domain", tmp, batchId = 0L,
+        cap = 25).count()
+      QuotaView.append(b1, "doc_id", "domain", tmp, batchId = 1L,
+        cap = 25).count()
+      QuotaView.read(spark, tmp).as[(Long, String)]
+        .collect().map { case (id, d) => (id, Option(d).getOrElse("")) }
+        .toSet
+    }
     val key = QuotaView.BatchTwoPassMinRowsKey
     val tmpW = java.nio.file.Files.createTempDirectory("quota-gate-w").toString
     val tmpT = java.nio.file.Files.createTempDirectory("quota-gate-t").toString
+    val tmpCW = java.nio.file.Files.createTempDirectory("quota-gate-cw").toString
+    val tmpCT = java.nio.file.Files.createTempDirectory("quota-gate-ct").toString
     try {
       spark.conf.set(key, Long.MaxValue.toString) // every batch "small"
       val viaWindow = runAll(tmpW)
+      val countsWindow = runCounts(tmpCW)
       spark.conf.set(key, "0")                    // every batch two-pass
       val viaTwoPass = runAll(tmpT)
+      val countsTwoPass = runCounts(tmpCT)
       assert(viaWindow.nonEmpty && viaWindow == viaTwoPass,
         s"gate changed the admitted set:\n window=$viaWindow\n twopass=$viaTwoPass")
+      assert(countsWindow.nonEmpty && countsWindow == countsTwoPass,
+        s"gate changed the COUNT-form admitted set:\n window=$countsWindow" +
+          s"\n twopass=$countsTwoPass")
       // and the two-pass path leaked nothing (the handle is released
       // before append returns; unpersist is async — poll briefly)
       val deadline = System.nanoTime() + 5e9.toLong
@@ -168,8 +191,8 @@ class QuotaViewSpec extends SparkSpec {
         "appendWeighted leaked a persisted relation")
     } finally {
       spark.conf.unset(key)
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmpW))
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmpT))
+      Seq(tmpW, tmpT, tmpCW, tmpCT).foreach(t =>
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t)))
     }
   }
 

@@ -729,19 +729,33 @@ object DedupQueries {
        |ds AS (SELECT doc_id, grp, split FROM gr JOIN sp USING (grp))"""
       .stripMargin
 
-  /** The Spark twin of [[clusterSplitSqlCtes]]'s `ds` relation. */
-  private def clusterSplit(s: org.apache.spark.sql.SparkSession,
-                           dir: String): org.apache.spark.sql.DataFrame = {
+  /** The Spark twin of [[clusterSplitSqlCtes]]'s `ds` relation, plus the
+    * materialized pair relation for callers that consume it again (the
+    * d22 audit). The pairs are localCheckpointed ONCE: connected
+    * components consumes them eagerly anyway, and without the
+    * checkpoint the audit's lazy join would re-run d02's whole shingle
+    * join a second time (measured ~2 s of the query's bench min). At
+    * corpus scale the pair relation is the bounded near-dup subset —
+    * the same materialization CC's iteration already implies.
+    */
+  private def clusterSplitAndPairs(s: org.apache.spark.sql.SparkSession,
+                                   dir: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     val pairs = d02_ngram_jaccard.fn(s, dir).select("id_a", "id_b")
+      .localCheckpoint(true)
     val comps = NearDup.connectedComponents(pairs)
     val grouped = Tables.documents(s, dir).select(col("doc_id"))
       .join(comps.select(col("id").as("doc_id"), col("comp")),
         Seq("doc_id"), "left")
       .withColumn("grp", coalesce(col("comp"), col("doc_id")))
       .drop("comp")
-    graft.operators.Sampling.groupSplit(grouped, Nil, Seq("grp"),
-      Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)), seed = 7L)
+    (graft.operators.Sampling.groupSplit(grouped, Nil, Seq("grp"),
+      Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)), seed = 7L), pairs)
   }
+
+  private def clusterSplit(s: org.apache.spark.sql.SparkSession,
+                           dir: String): org.apache.spark.sql.DataFrame =
+    clusterSplitAndPairs(s, dir)._1
 
   /** CLUSTER-GROUPED train/val/test split
     * ([[graft.operators.Sampling.groupSplit]]): the leakage-PROOF form
@@ -777,8 +791,9 @@ object DedupQueries {
        |FROM pe
        |JOIN ds sa ON pe.id_a = sa.doc_id
        |JOIN ds sb ON pe.id_b = sb.doc_id""".stripMargin)) { (s, dir) =>
-    val ds = clusterSplit(s, dir).select(col("doc_id"), col("split"))
-    d02_ngram_jaccard.fn(s, dir).select("id_a", "id_b")
+    val (split, pairs) = clusterSplitAndPairs(s, dir)
+    val ds = split.select(col("doc_id"), col("split"))
+    pairs
       .join(ds.select(col("doc_id").as("id_a"), col("split").as("split_a")),
         "id_a")
       .join(ds.select(col("doc_id").as("id_b"), col("split").as("split_b")),

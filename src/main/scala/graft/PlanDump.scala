@@ -1095,7 +1095,12 @@ object PlanDump {
       "is oracle-hashed so the guarantee is proven end-to-end, not " +
       "asserted. The same audit over t45's row-level split reports 5 " +
       "straddling pairs (d20) — the pair of queries is the " +
-      "detect-then-prevent story a curation pipeline actually runs."),
+      "detect-then-prevent story a curation pipeline actually runs. " +
+      "The pair relation is localCheckpointed ONCE and fed to both the " +
+      "eager clustering and the audit join (without it the lazy join " +
+      "re-ran d02's whole shingle join: 5.5 -> 3.45 s min at sf0.1; at " +
+      "corpus scale the pairs are the bounded near-dup subset, the " +
+      "same materialization the clustering iteration already implies)."),
     "q44_salted_join" -> ("at sf0.1 the dim broadcasts, so this query " +
       "exercises the salted operator's correctness, not its necessity. " +
       "Round-5 AQE comparison (graft.AqeSkewBench, appendix below): for " +

@@ -764,8 +764,8 @@ object PlanDump {
       "discipline; NOT xxhash64, DuckDB must replay the kept set). " +
       "ROUND 15 (the r14 verdict's skewed-strata fix): the stratum-" +
       "partitioned window — ONE task sorts the whole mega-domain — is " +
-      "replaced by the two-pass distributed cumsum " +
-      "(Sampling.withStratumRunningSum): range-sort on (stratum, draw), " +
+      "replaced by the two-pass distributed cumsum (Sampling's " +
+      "stratumRunningSumAndHandle core): range-sort on (stratum, draw), " +
       "per-(partition, stratum) counts folded to per-stratum prefix " +
       "offsets (≤ N−1 nonzero rows since the stratum leads the sort " +
       "key — broadcastable at ANY strata count), within-partition " +

@@ -42,8 +42,11 @@ object Packing {
   private def positionsAndHandle(df: DataFrame, order: Seq[Column],
                                  weightCol: String,
                                  startCol: String): (DataFrame, DataFrame) = {
-    val sorted = df.orderBy(order: _*)
-      .withColumn("__mid", monotonically_increasing_id())
+    // TwoPass.tagged: per-call literal so concurrent brackets over
+    // structurally identical inputs never share (and cross-unpersist)
+    // one cache entry — see the TwoPass.callTag scaladoc
+    val sorted = TwoPass.tagged(df.orderBy(order: _*)
+      .withColumn("__mid", monotonically_increasing_id()))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pid = shiftright(col("__mid"), 33)
     val partSums = sorted.groupBy(pid.as("__pid"))
@@ -58,7 +61,7 @@ object Packing {
       .join(broadcast(offsets), pid === col("__pid"))
       .withColumn(startCol,
         col("__poff") + coalesce(sum(col(weightCol)).over(wLocal), lit(0L)))
-      .drop("__mid", "__pid", "__poff")
+      .drop("__mid", "__pid", "__poff", "__call_tag")
     (out, sorted)
   }
 

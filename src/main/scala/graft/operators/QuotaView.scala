@@ -159,10 +159,17 @@ object QuotaView {
         .select(col("doc_id"), col("domain"), lit(1L).as("n"))
       AdditiveStats.append(admitted, store(dir), batchId)
     } finally handle.foreach(_.unpersist(blocking = false))
-    // serve the admitted set from the just-written fragment — safe to
-    // re-evaluate after the two-pass handle is released (the in-flight
-    // plan is not; same recovery shape as the folded-replay path)
-    renamed.join(read(spark, dir).select("doc_id"), Seq("doc_id"), "left_semi")
+    // serve the admitted set from the just-written fragment ONLY (the
+    // batch_id filter partition-prunes the store read to this batch's
+    // partition — without it every consumed return would scan the WHOLE
+    // accumulated store, O(store) per batch over the stream's life) —
+    // safe to re-evaluate after the two-pass handle is released (the
+    // in-flight plan is not; the folded-replay path above keeps its
+    // whole-store recovery shape, where the fragment no longer exists)
+    renamed.join(
+      AdditiveStats.read(spark, store(dir))
+        .filter(col("batch_id") === lit(batchId)).select("doc_id"),
+      Seq("doc_id"), "left_semi")
   }
 
   /** Admit one batch under the accumulated per-stratum TOKEN budget
@@ -251,11 +258,16 @@ object QuotaView {
       scored.unpersist(blocking = false)
       handle.foreach(_.unpersist(blocking = false))
     }
-    // serve the admitted set from the just-written fragment — safe to
-    // re-evaluate after the persists are released (the in-flight plan is
-    // not; same recovery shape as the folded-replay path)
-    renamed.join(readWeighted(spark, dir).select("doc_id"), Seq("doc_id"),
-      "left_semi")
+    // serve the admitted set from the just-written fragment ONLY (the
+    // batch_id filter partition-prunes the store read — see the count
+    // form's note; sentinel rows' null doc_ids never semi-match) — safe
+    // to re-evaluate after the persists are released (the in-flight
+    // plan is not)
+    renamed.join(
+      AdditiveStats.read(spark, store(dir))
+        .filter(col("batch_id") === lit(batchId) && col("doc_id").isNotNull)
+        .select("doc_id"),
+      Seq("doc_id"), "left_semi")
   }
 
   /** The accumulated admitted relation of the count form (doc_id,

@@ -212,11 +212,6 @@ object Sampling {
     }
   }
 
-  private def withStratumRunningSum(df: DataFrame, strataCols: Seq[String],
-                                    orderCols: Seq[Column], weight: Column,
-                                    cumCol: String): DataFrame =
-    stratumRunningSumAndHandle(df, strataCols, orderCols, weight, cumCol)._1
-
   /** FIXED per-stratum cap — the per-domain quota every web-corpus
     * pipeline applies right after registered-domain extraction
     * ([[graft.functions.UrlFunctions.registeredDomain]]): keep at most
@@ -357,7 +352,11 @@ object Sampling {
     * (seed, data) — the same rows land in `test` on any engine, any
     * partitioning, any retry, which is what makes a held-out set HELD
     * OUT across reruns (a `rand()` split silently re-deals the eval set
-    * every run).
+    * every run). NULL handling: a NULL stratum is a real stratum (rank,
+    * counts and join are all null-safe — no row is ever dropped); a
+    * NULL value inside `keyCols` is skipped from the hash input (Spark
+    * `concat_ws` semantics) — an external replay engine must mirror
+    * that, so prefer non-null keys where an oracle replays the draw.
     *
     * `fractions` are (name, fraction) pairs summing to 1 (±1e-9). Within
     * each stratum of n rows, rows are ranked 1..n by
@@ -411,14 +410,21 @@ object Sampling {
       s"fractions must sum to 1, got ${fractions.map(_._2).sum}")
     val counts = df.groupBy(strataCols.map(col): _*)
       .agg(count(lit(1)).as("__n"))
+      .select(strataCols.map(c => col(c).as(s"__s_$c")) :+ col("__n"): _*)
     val h = seededDraw(seed, keyCols)
     val (ranked, handle) = stratumRunningSumAndHandle(df, strataCols,
       h +: keyCols.map(col), lit(1L), "__rn",
       // a global rank (no strata) must never take the single-window form
       smallInput = if (strataCols.isEmpty) Some(false) else None)
+    // NULL-SAFE count join: a NULL stratum is a real stratum (the rank
+    // window and the counts aggregate both group nulls together); a
+    // plain equi-join would silently DROP every null-stratum row and
+    // break the exhaustiveness guarantee
     val withN =
       if (strataCols.isEmpty) ranked.crossJoin(broadcast(counts))
-      else ranked.join(broadcast(counts), strataCols)
+      else ranked.join(broadcast(counts),
+        strataCols.map(c => col(c) <=> col(s"__s_$c")).reduce(_ && _))
+        .drop(strataCols.map(c => s"__s_$c"): _*)
     // boundaries at cumulative-fraction floors; the last split absorbs
     // the remainder (its boundary is n itself, never a float)
     val cum = fractions.map(_._2).scanLeft(0.0)(_ + _).tail
@@ -473,10 +479,19 @@ object Sampling {
                                   seed: Long, splitCol: String)
       : (DataFrame, Option[DataFrame]) = {
     require(groupCols.nonEmpty, "groupSplit needs at least one group column")
-    val groups = df.select((strataCols ++ groupCols).map(col): _*).distinct()
+    val keys = strataCols ++ groupCols
+    val groups = df.select(keys.map(col): _*).distinct()
     val (assigned, handle) = splitAndHandle(groups, strataCols, groupCols,
       fractions, seed, splitCol)
-    (df.join(assigned, strataCols ++ groupCols), handle)
+    // NULL-SAFE join back: a NULL group key is a real group (distinct
+    // keeps it and it gets a split); a plain equi-join would silently
+    // DROP its rows from the output
+    val renamed = assigned.select(
+      keys.map(c => col(c).as(s"__g_$c")) :+ col(splitCol): _*)
+    val out = df.join(renamed,
+        keys.map(c => col(c) <=> col(s"__g_$c")).reduce(_ && _))
+      .drop(keys.map(c => s"__g_$c"): _*)
+    (out, handle)
   }
 
   private def seededDraw(seed: Long, keyCols: Seq[String]): Column =

@@ -70,8 +70,11 @@ object SurrogateKey {
     // in-memory relation keeps the plan in SQL operators (no RDD
     // round-trip); MEMORY_AND_DISK spills rather than evicting, so a
     // cached partition is never recomputed mid-query.
-    val withMid = df.orderBy(order: _*)
-      .withColumn("__mid", monotonically_increasing_id())
+    // TwoPass.tagged: a per-call literal keeps concurrent brackets over
+    // structurally identical inputs from sharing (and cross-unpersisting)
+    // one cache entry — see the TwoPass.callTag scaladoc
+    val withMid = TwoPass.tagged(df.orderBy(order: _*)
+      .withColumn("__mid", monotonically_increasing_id()))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val counts = withMid
       .groupBy(shiftright(col("__mid"), 33).as("__pid"))
@@ -81,7 +84,7 @@ object SurrogateKey {
     val out = withMid
       .join(broadcast(offsets), shiftright(col("__mid"), 33) === col("__pid"))
       .withColumn(idCol, col("__offset") + col("__mid").bitwiseAND(local) + 1L)
-      .drop("__mid", "__pid", "__offset")
+      .drop("__mid", "__pid", "__offset", "__call_tag")
     (out, withMid)
   }
 

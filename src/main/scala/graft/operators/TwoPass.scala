@@ -49,6 +49,23 @@ import org.apache.spark.sql.functions._
   */
 private[operators] object TwoPass {
 
+  /** Per-call tag defeating the CacheManager's plan dedup: two
+    * concurrent brackets over STRUCTURALLY IDENTICAL inputs would
+    * otherwise share one InMemoryRelation (persist on an
+    * already-cached canonical plan is a no-op), and the first
+    * bracket's unpersist would unpin the other mid-use — re-opening
+    * the exact boundary-re-sampling hazard the persist exists to
+    * prevent. A distinct literal column makes each call's canonicalized
+    * plan unique, so every bracket owns a private cache entry; the
+    * column is constant (no semantic effect) and dropped from the
+    * output. Shared by every two-pass core ([[TwoPass]],
+    * [[SurrogateKey.scalable]], [[Packing.streamPositions]]).
+    */
+  private val callTag = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  private[operators] def tagged(df: DataFrame): DataFrame =
+    df.withColumn("__call_tag", lit(callTag.incrementAndGet()))
+
   /** [[prefix]] returning BOTH the aggregated frame and the pinned
     * internal relation for the caller to release after the frame's final
     * action. NOTE: once the handle is unpersisted, re-evaluating the
@@ -61,10 +78,10 @@ private[operators] object TwoPass {
                       agg: Column => Column,
                       combine: (Column, Column) => Column, inclusive: Boolean,
                       outCol: String): (DataFrame, DataFrame) = {
-    val sorted = df
+    val sorted = tagged(df
       .orderBy(strataCols.map(col) ++ orderCols: _*)
       .withColumn("__v", value)
-      .withColumn("__mid", monotonically_increasing_id())
+      .withColumn("__mid", monotonically_increasing_id()))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pid = shiftright(col("__mid"), 33)
     val parts = sorted
@@ -84,7 +101,7 @@ private[operators] object TwoPass {
       .rowsBetween(Window.unboundedPreceding, if (inclusive) 0L else -1L)
     val out = sorted.join(broadcast(offsets), joinCond, "left")
       .withColumn(outCol, combine(col("__off"), agg(col("__v")).over(wLocal)))
-      .drop(Seq("__v", "__mid", "__pid", "__off") ++
+      .drop(Seq("__v", "__mid", "__pid", "__off", "__call_tag") ++
         strataCols.map(c => s"__s_$c"): _*)
     (out, sorted)
   }

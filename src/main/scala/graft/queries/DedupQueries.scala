@@ -736,7 +736,13 @@ object DedupQueries {
     * checkpoint the audit's lazy join would re-run d02's whole shingle
     * join a second time (measured ~2 s of the query's bench min). At
     * corpus scale the pair relation is the bounded near-dup subset —
-    * the same materialization CC's iteration already implies.
+    * the same materialization CC's iteration already implies. Lifetime:
+    * localCheckpoint blocks live OUTSIDE the SQL cache (clearCache does
+    * not release them) and are reclaimed by the ContextCleaner once the
+    * returned frames become unreachable — the same contract as
+    * [[graft.operators.SpanDedup.maxDuplicatedRun]]'s checkpointed base
+    * (bench drops each query's frames between runs, so blocks do not
+    * accumulate across passes).
     */
   private def clusterSplitAndPairs(s: org.apache.spark.sql.SparkSession,
                                    dir: String)

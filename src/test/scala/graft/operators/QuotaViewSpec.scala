@@ -170,6 +170,10 @@ class QuotaViewSpec extends SparkSpec {
     val tmpT = java.nio.file.Files.createTempDirectory("quota-gate-t").toString
     val tmpCW = java.nio.file.Files.createTempDirectory("quota-gate-cw").toString
     val tmpCT = java.nio.file.Files.createTempDirectory("quota-gate-ct").toString
+    // snapshot FIRST: the session is shared across suites, so only
+    // persists that appear DURING this test may be blamed on it (other
+    // suites' localCheckpoint blocks linger until RDD GC)
+    val before = spark.sparkContext.getPersistentRDDs.keySet
     try {
       spark.conf.set(key, Long.MaxValue.toString) // every batch "small"
       val viaWindow = runAll(tmpW)
@@ -182,13 +186,12 @@ class QuotaViewSpec extends SparkSpec {
       assert(countsWindow.nonEmpty && countsWindow == countsTwoPass,
         s"gate changed the COUNT-form admitted set:\n window=$countsWindow" +
           s"\n twopass=$countsTwoPass")
-      // and the two-pass path leaked nothing (the handle is released
-      // before append returns; unpersist is async — poll briefly)
+      // and the two-pass path leaked nothing OF ITS OWN (the handle is
+      // released before append returns; unpersist is async — poll)
+      def ours = spark.sparkContext.getPersistentRDDs.keySet -- before
       val deadline = System.nanoTime() + 5e9.toLong
-      while (spark.sparkContext.getPersistentRDDs.nonEmpty &&
-        System.nanoTime() < deadline) Thread.sleep(50)
-      assert(spark.sparkContext.getPersistentRDDs.isEmpty,
-        "appendWeighted leaked a persisted relation")
+      while (ours.nonEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+      assert(ours.isEmpty, s"append leaked persisted relations: $ours")
     } finally {
       spark.conf.unset(key)
       Seq(tmpW, tmpT, tmpCW, tmpCT).foreach(t =>

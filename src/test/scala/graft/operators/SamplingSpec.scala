@@ -351,6 +351,60 @@ class SamplingSpec extends SparkSpec {
       "seeds 42 and 43 gave nearly the same split")
   }
 
+  test("deterministicSplit/groupSplit: NULL strata and NULL group keys lose no rows") {
+    // a NULL stratum is a real stratum: rank, counts, and the count join
+    // must all treat it null-safely — a plain equi-join would silently
+    // drop every null-stratum row and break exhaustiveness
+    val d = Seq.tabulate(300)(i =>
+      (i.toLong, if (i % 3 == 0) null else s"g${i % 2}")).toDF("id", "g")
+    val fr = Seq(("train", 0.8), ("test", 0.2))
+    val got = Sampling.deterministicSplit(d, Seq("g"), Seq("id"), fr, 42L)
+    assert(got.count() == 300, "null-stratum rows were dropped")
+    val nullStratum = got.filter(col("g").isNull)
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(nullStratum == Map("train" -> 80L, "test" -> 20L), nullStratum.toString)
+    // groupSplit: a NULL group key is a real group — the join back must
+    // be null-safe or its rows silently vanish
+    val gd = Seq.tabulate(100)(i =>
+      (i.toLong, if (i % 10 == 0) null else s"grp${i % 7}")).toDF("id", "grp")
+    val gGot = Sampling.withGroupSplit(gd, Nil, Seq("grp"), fr, 7L) { out =>
+      (out.count(), out.filter(col("grp").isNull)
+        .select("split").distinct().as[String].collect().toSeq)
+    }
+    assert(gGot._1 == 100, "null-group rows were dropped")
+    assert(gGot._2.size == 1, "the null group straddled splits")
+  }
+
+  test("concurrent brackets over IDENTICAL inputs own private cache entries") {
+    // the CacheManager dedups structurally-equal cached plans, so two
+    // identical concurrent brackets would share one InMemoryRelation and
+    // the first unpersist would unpin the other mid-use — the per-call
+    // tag gives each bracket a unique canonical plan
+    withConf(Sampling.TwoPassMinBytesKey, "0") {
+      val d = (1 to 600).map(i => (i.toLong, s"g${i % 5}", (i % 7 + 1).toLong))
+        .toDF("id", "g", "w")
+      val gate = new java.util.concurrent.CyclicBarrier(2)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      def run(): Future[Set[Long]] = Future {
+        // SAME frame, SAME arguments on both threads
+        Sampling.withWeightCappedPerStratum(d, Seq("g"), Seq("id"), "w", 60L) { out =>
+          gate.await()
+          val s = out.select("id").as[Long].collect().toSet
+          gate.await() // A finishing first must not unpin B's relation
+          val s2 = out.select("id").as[Long].collect().toSet
+          assert(s == s2, "re-collect under concurrent unpersist diverged")
+          s
+        }
+      }
+      val (a, b) = (run(), run())
+      val ra = Await.result(a, 120.seconds)
+      val rb = Await.result(b, 120.seconds)
+      assert(ra == rb && ra.nonEmpty, "identical brackets disagreed")
+    }
+  }
+
   test("deterministicSplit: unstratified (global) split is exact and rides the two-pass") {
     val d = spark.range(1000).toDF("id")
     val fr = Seq(("train", 0.8), ("val", 0.1), ("test", 0.1))

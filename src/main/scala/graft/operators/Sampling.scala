@@ -379,6 +379,15 @@ object Sampling {
     * [[graft.ext.NearDup]]'s pair relations over the split assignment
     * (d20 pins the audit shape). Prefer [[withDeterministicSplit]]
     * (leak-free bracket) in services.
+    *
+    * NO streaming twin, deliberately: exact floor boundaries depend on
+    * the per-stratum count n, which GROWS under ingest — the
+    * floor(0.8·n) cut moves and would re-deal rows already assigned,
+    * the exact property a held-out set must not have. For continuously
+    * ingested corpora use the hash-threshold split (q42's shape:
+    * `xxhash64(key) % 100 < p` — per-row, assignment never moves,
+    * proportions approximate); exact-proportion splitting is a
+    * batch-curation operation by nature.
     */
   def deterministicSplit(df: DataFrame, strataCols: Seq[String],
                          keyCols: Seq[String],

@@ -141,4 +141,47 @@ class PropertySpec extends SparkSpec {
       assert(keptToks.forall(t => it.contains(t)), s"doc $id: not a subsequence")
     }
   }
+
+  test("deterministicSplit matches a driver-side replay on random fractions/strata (nulls included)") {
+    // the operator's whole contract re-derived independently: rank rows
+    // per stratum by (md5(seed|id) hex, id), cut at cumulative binary64
+    // floors, last split takes the remainder — for RANDOM fraction
+    // vectors and a random strata assignment with a null stratum
+    val rnd = new scala.util.Random(20260816L)
+    val rows = Seq.tabulate(700) { i =>
+      (i.toLong, if (rnd.nextInt(5) == 0) null else s"s${rnd.nextInt(4)}")
+    }
+    val d = rows.toDF("id", "g").repartition(9, col("id"))
+    def md5hex(s: String): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    for (trial <- 0 until 3) {
+      // random positive weights normalized to exactly the same doubles
+      // the operator's scanLeft sees
+      val k = 2 + rnd.nextInt(3)
+      val raw = Seq.fill(k)(0.05 + rnd.nextDouble())
+      val fr = raw.zipWithIndex.map { case (w, i) => (s"p$i", w / raw.sum) }
+      // renormalize drift so the operator's sum-to-1 require passes
+      val fixed = fr.init :+ (fr.last._1 -> (1.0 - fr.init.map(_._2).sum))
+      val seed = rnd.nextLong()
+      val got = Sampling.withDeterministicSplit(d, Seq("g"), Seq("id"),
+          fixed, seed) {
+        _.select("id", "split").as[(Long, String)].collect().toMap
+      }
+      // driver replay
+      val cum = fixed.map(_._2).scanLeft(0.0)(_ + _).tail
+      val want = rows.groupBy(_._2).flatMap { case (_, rs) =>
+        val n = rs.size
+        val bounds = cum.init.map(c => math.floor(c * n).toLong)
+        rs.sortBy(r => (md5hex(s"$seed|${r._1}"), r._1)).zipWithIndex.map {
+          case ((id, _), idx) =>
+            val rank = idx + 1L
+            val si = bounds.indexWhere(rank <= _)
+            id -> (if (si < 0) fixed.last._1 else fixed(si)._1)
+        }
+      }
+      assert(got == want, s"trial $trial (k=$k, seed=$seed) diverged")
+    }
+  }
 }

@@ -721,7 +721,49 @@ object PlanDump {
       "r16 cut plus the quota-gate reclaims both push the ratio down " +
       "from both ends), plus the builder quiet-box bound d18 min <= " +
       "5 s at HEAD. Meds carry variance evidence only, per the " +
-      "standing min-methodology."),
+      "standing min-methodology. ROUND 17 STRUCTURAL REWRITE (the r16 " +
+      "verdict's What's-wrong #1: the fresh suite-relative gate missed " +
+      "on its first artifact, 14.456/150.135 = 9.6%, driver min +31% " +
+      "while builder hit best-ever 3.82; prescribed lever = the 5x " +
+      "smoke shuffle amplification): measurement first — at sf0.1, " +
+      "100% of token AND bigram positions and 99.9% of trigram " +
+      "positions are cross-document shared (4-grams 33%, 8-grams 9%), " +
+      "so the old plan's level-1 token pruning retained ~everything " +
+      "while its three corpus-wide PER-TOKEN relations (token count, " +
+      "survivor join-back, per-doc collect_list regroup, the (id,p) " +
+      "np fold) were pure overhead. The rewrite: (0) per-doc SHORT-GRAM " +
+      "FLAGS — max_dup_run >= m is monotone (sub-windows of a dup are " +
+      "dups), so for m = 1..3 only one bit per doc matters, and it falls " +
+      "out of ONE text-keyed count with NO join-back via UNSHARED " +
+      "ATTRIBUTION: a gram with min(id) = max(id) lives in exactly one " +
+      "doc, so unshared rows group straight to their owner and " +
+      "flag_m = (row-local distinct count > attributed unshared count); " +
+      "(1) the Merkle ladder re-based from level 1 to level 4 " +
+      "(MerkleLevelsExpr grew a baseLen param; base survivors via the " +
+      "same attribution + a row-local text-exact binary-search filter, " +
+      "SharedGramsExpr, instead of a corpus join-back), ladder keys " +
+      "packed to 8 bytes (packKey) and the ladder join-back replaced by " +
+      "attribution too (FilterPackedExpr); (2) refinement enumerates " +
+      "m >= baseLen+1 only (the baseLen floor is already text-proven by " +
+      "base promotion) and NpWindowsExpr adds the consecutive-survivor " +
+      "RUN BOUND m <= runEnd(p) - p + baseLen (every 4-subgram of a dup " +
+      "window is a dup, and every holder satisfies the same bound, so " +
+      "synchronized generation is preserved) on top of 2np-1/cap/len-p. " +
+      "Also: the checkpoint repartitions ROUND-ROBIN to the shuffle " +
+      "partition count — AQE sizes a bare checkpoint by input BYTES " +
+      "(2 partitions at sf0.1) while the downstream map stages fan out " +
+      "window-count x log(cap) rows per token; parallelism 2 -> 32 alone " +
+      "was 6.6 -> 4.3 s (by-key partitioning would buy nothing: a " +
+      "checkpoint returns as a bare LogicalRDD whose partitioning " +
+      "Catalyst no longer trusts — verified by explain). Same-box " +
+      "same-session A/B at sf0.1, min-of-5+: OLD 7.08 min / 9.36 med, " +
+      "NEW 4.18 min / 4.61 med (0.59x / 0.49x); smoke hot-key leg 0.49x " +
+      "of linear (gate 2x); oracle hashes unchanged; plan-pinned " +
+      "(PlanAuditSpec d18: no partial_count(distinct), shared_grams + " +
+      "filter_packed present, (h,w) text aggregate candidate-pruned, " +
+      "narrow checkpoint schema). Exactness unchanged: flags and base " +
+      "promotion are text-keyed counts, refinement recounts by " +
+      "(hash, text), collisions anywhere only widen candidate sets."),
     "d19_contamination_coverage" -> ("round 12: per-document " +
       "contamination report — the benchmark side reduces to distinct " +
       "window strings (broadcast), the semi-join runs map-side inside " +

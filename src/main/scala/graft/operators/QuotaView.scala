@@ -122,6 +122,18 @@ object QuotaView {
   /** Admit one batch under the accumulated per-stratum COUNT cap and
     * land the admitted rows as the `batch_id = batchId` fragment.
     * Returns the admitted rows (doc_id, domain).
+    *
+    * CONSUMPTION CONTRACT: the returned relation is LAZY and reads this
+    * batch's own `batch_id = batchId` store fragment (the
+    * partition-pruned shape — a whole-store read per consumed batch
+    * would be O(store) over the stream's life). Consume it BEFORE the
+    * next [[compact]] on this store: a fold merges the fragment into
+    * `batch_id = −1`, after which the pruned read evaluates EMPTY. A
+    * consumer that must re-read an already-folded batch's admitted set
+    * re-calls this method — `batchId ≤ compacted_through` dispatches to
+    * the whole-store replay path, which tolerates folds by
+    * construction. (Applies equally to [[appendWeighted]] and
+    * [[appendWeightedBudgets]].)
     */
   def append(batch: DataFrame, idCol: String, domainCol: String,
              dir: String, batchId: Long, cap: Int,

@@ -186,10 +186,24 @@ object Sampling {
     * query at sf0.1 — a pure constant the gate reclaims without giving up
     * the 100× shape).
     *
-    * Weights must be non-negative and non-null. Returns the internal
-    * pinned relation (two-pass path only) for the caller to release after
-    * the final action — [[QuotaView]] gates per micro-batch through the
-    * same core with an explicit row count.
+    * Weights must be non-negative and non-null.
+    *
+    * PRECONDITION — `orderCols` must be a TOTAL order (in practice:
+    * `keyCols` unique per stratum, which every registered caller
+    * satisfies with a row id). Duplicate order tuples carrying different
+    * weights are ordered arbitrarily WITHIN the tie, and the two
+    * physical forms may break the tie differently — the "identical kept
+    * set regardless of form" law (SamplingSpec) holds only up to ties,
+    * so under the size gate a duplicate-key input could admit different
+    * rows at different input sizes. The oracle-replayability contract
+    * (`row_number()/sum() OVER (ORDER BY hash, keys)`) has the same
+    * blind spot in SQL, which is why the precondition lives here rather
+    * than a wider tiebreaker: appending hidden columns to the order
+    * would silently diverge from every written oracle.
+    *
+    * Returns the internal pinned relation (two-pass path only) for the
+    * caller to release after the final action — [[QuotaView]] gates per
+    * micro-batch through the same core with an explicit row count.
     */
   private[operators] def stratumRunningSumAndHandle(
       df: DataFrame, strataCols: Seq[String], orderCols: Seq[Column],

@@ -216,4 +216,142 @@ class ExprPropertySpec extends SparkSpec {
         Character.getType(c) == Character.NON_SPACING_MARK))
     }
   }
+
+  // ------------------------- d18 (max duplicated run) expression family
+
+  private def utf8Arr(ts: Seq[String]) =
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      ts.map(org.apache.spark.unsafe.types.UTF8String.fromString).toArray)
+  private def longArr(ls: Seq[Long]) =
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(ls.toArray)
+
+  test("SharedGramsExpr: text-exact survivor filter; hash matches xxhash64(gram)") {
+    val rnd = new scala.util.Random(20260815L)
+    val vocab = Vector("a", "bb", "c", "dd", "e")
+    (1 to 100).foreach { _ =>
+      val b = 2 + rnd.nextInt(3)
+      val n = rnd.nextInt(14)
+      val toks = Seq.fill(n)(vocab(rnd.nextInt(vocab.size)))
+      val grams = (0 to n - b).map(p => toks.slice(p, p + b).mkString(" "))
+      val unshared = grams.distinct.filter(_ => rnd.nextBoolean()).sorted
+      val out = SharedGramsExpr.compute(utf8Arr(toks), b, utf8Arr(unshared))
+      val got = (0 until out.numElements()).map(i =>
+        out.getStruct(i, 2).getInt(0)).toSet
+      val want = grams.zipWithIndex.collect {
+        case (g, p) if !unshared.contains(g) => p
+      }.toSet
+      assert(got == want, s"toks=$toks b=$b unshared=$unshared")
+    }
+    // the emitted leaf hash IS Catalyst's xxhash64(gram) — the contract
+    // that lets the general-minDocs path build identical leaves with the
+    // built-in function
+    val toks = Seq("aa", "b", "ccc", "d")
+    val out = SharedGramsExpr.compute(utf8Arr(toks), 2, utf8Arr(Nil))
+    val sqlHashes = Seq("aa b", "b ccc", "ccc d").toDF("g")
+      .select(xxhash64(col("g"))).as[Long].collect()
+    (0 until 3).foreach { p =>
+      assert(out.getStruct(p, 2).getLong(1) == sqlHashes(p), s"p=$p")
+    }
+  }
+
+  test("MerkleLevelsExpr: baseLen ladder equals the driver-side recursive combine") {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val rnd = new scala.util.Random(77L)
+    (1 to 100).foreach { _ =>
+      val b = Seq(1, 2, 4)(rnd.nextInt(3))
+      val cap = Seq(4, 8, 16, 64)(rnd.nextInt(4))
+      // random survivor positions with runs and gaps
+      val ps = (0 until 30).filter(_ => rnd.nextInt(3) > 0)
+      val hs = ps.map(p => rnd.nextLong())
+      val byP = ps.zip(hs).toMap
+      // reference: H_{2n}(p) = combine(H_n(p), H_n(p+n)) where both exist
+      var level = byP
+      var n = b
+      val want = scala.collection.mutable.Set.empty[(Int, Int, Long)]
+      while (2L * n <= cap) {
+        val next = level.flatMap { case (p, h) =>
+          level.get(p + n).map(h2 => p -> XXH64.hashLong(h2, h))
+        }
+        n = 2 * n
+        next.foreach { case (p, h) =>
+          want += ((p, n, MerkleLevelsExpr.packKey(n, h)))
+        }
+        level = next
+      }
+      val entries = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+        rnd.shuffle(ps.zip(hs)).map { case (p, h) =>
+          new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+            Array[Any](p, h))
+        }.toArray)
+      val out = MerkleLevelsExpr.compute(entries, cap, b)
+      val got = (0 until out.numElements()).map { i =>
+        val r = out.getStruct(i, 3)
+        (r.getInt(0), r.getInt(1), r.getLong(2))
+      }.toSet
+      assert(got == want, s"b=$b cap=$cap ps=$ps")
+    }
+  }
+
+  test("FilterPackedExpr drops exactly the entries whose key is listed") {
+    val rnd = new scala.util.Random(99L)
+    (1 to 50).foreach { _ =>
+      val entries = (0 until rnd.nextInt(20)).map(i =>
+        (rnd.nextInt(40), Seq(8, 16, 32)(rnd.nextInt(3)), rnd.nextLong() % 50))
+      val listed = entries.map(_._3).distinct.filter(_ => rnd.nextBoolean())
+      val arr = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+        entries.map { case (p, n, k) =>
+          new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+            Array[Any](p, n, k))
+        }.toArray)
+      val out = FilterPackedExpr.compute(arr, longArr(listed.sorted))
+      val got = (0 until out.numElements()).map { i =>
+        val r = out.getStruct(i, 2); (r.getInt(0), r.getInt(1))
+      }
+      val want = entries.collect { case (p, n, k) if !listed.contains(k) => (p, n) }
+      assert(got == want, s"entries=$entries listed=$listed")
+    }
+  }
+
+  test("NpWindowsExpr: every emitted window respects all four bounds; none missing") {
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    val rnd = new scala.util.Random(20260816L)
+    val vocab = Vector("x", "yy", "z", "w")
+    (1 to 100).foreach { _ =>
+      val b = 2 + rnd.nextInt(3)
+      val cap = Seq(4, 8, 16)(rnd.nextInt(3))
+      val len = b + rnd.nextInt(25)
+      val toks = Seq.fill(len)(vocab(rnd.nextInt(vocab.size)))
+      val basePs = (0 to len - b).filter(_ => rnd.nextInt(3) > 0)
+      val higher = basePs.filter(_ => rnd.nextInt(4) == 0)
+        .map(p => (p, Seq(2 * b, 4 * b)(rnd.nextInt(2))))
+      val baseArr = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+        rnd.shuffle(basePs).map(p =>
+          new GenericInternalRow(Array[Any](p, 0L))).toArray)
+      val hiArr = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+        rnd.shuffle(higher).map { case (p, nn) =>
+          new GenericInternalRow(Array[Any](p, nn)) }.toArray)
+      val out = NpWindowsExpr.compute(utf8Arr(toks), baseArr, hiArr, b, cap)
+      val got = (0 until out.numElements()).map { i =>
+        val r = out.getStruct(i, 3); (r.getInt(0), r.getInt(1), r.getLong(2))
+      }
+      // reference bounds
+      val baseSet = basePs.toSet
+      def runEnd(p: Int): Int =
+        Iterator.iterate(p)(_ + 1).takeWhile(baseSet.contains).toSeq.last
+      val want = basePs.flatMap { p =>
+        val np = (b +: higher.collect { case (q, nn) if q == p => nn }).max
+        val maxm = Seq(2L * np - 1, cap.toLong, (len - p).toLong,
+          (runEnd(p) - p + b).toLong).min
+        ((b + 1).toLong to maxm).map(m => (p, m.toInt))
+      }
+      assert(got.map(t => (t._1, t._2)).sorted == want.sorted,
+        s"b=$b cap=$cap len=$len basePs=$basePs higher=$higher")
+      // hashes are the shared rolling chain — identical strings across
+      // documents always meet in the same count bucket
+      got.foreach { case (p, m, h) =>
+        val chain = WindowHashesExpr.compute(utf8Arr(toks), p.toLong, m.toLong)
+        assert(chain.getLong(m - 1) == h)
+      }
+    }
+  }
 }

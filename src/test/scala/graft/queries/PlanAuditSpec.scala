@@ -342,6 +342,39 @@ class PlanAuditSpec extends SparkSpec {
       s"no candidate prune between the window Generate and the (h,w) aggregate\n$p")
   }
 
+  test("d18: no distinct expansion; refinement window text aggregates only candidate-pruned rows") {
+    val p = plan(DedupQueries.d18_max_dup_run)
+    val lines = p.linesIterator.toList
+    // 1. every promotion count is the single-pass min/max rewrite — no
+    //    partial_count(distinct) double exchange anywhere in the plan
+    assert(!lines.exists(_.contains("partial_count(distinct")), p)
+    assert(lines.count(_.contains("partial_min")) >= 3, p)
+    // 2. the round-17 attribution promotions exist: unshared keys fold
+    //    per-document (min = max filter), then row-local survivor filters
+    //    (shared_grams / filter_packed) replace corpus-wide join-backs
+    assert(p.contains("shared_grams"), p)
+    assert(p.contains("filter_packed"), p)
+    // 3. refinement text discipline: below the lowest (__h, __w)-keyed
+    //    partial aggregate there is a join against the phase-1 candidate
+    //    hashes BEFORE the window Generate — full window text is
+    //    aggregated only for candidates, never for the whole corpus
+    val lowestHW = lines.lastIndexWhere(l =>
+      l.contains("HashAggregate(keys=[__h") && l.contains("__w"))
+    assert(lowestHW >= 0, p)
+    val below = lines.drop(lowestHW + 1)
+    val joinIdx = below.indexWhere(l => l.contains("Join") && l.contains("__h"))
+    val genIdx = below.indexWhere(_.contains("Generate"))
+    assert(joinIdx >= 0 && genIdx > joinIdx,
+      s"no candidate prune between the window Generate and the (h,w) aggregate\n$p")
+    // 4. the eager checkpoint (the only leaf the final plan sees) carries
+    //    the narrow (doc_id, tokens, length) projection — raw text never
+    //    enters the operator's dataflow
+    val scans = lines.filter(_.contains("Scan ExistingRDD"))
+    assert(scans.nonEmpty && scans.forall(l =>
+      l.contains("doc_id") && l.contains("__toks") && l.contains("__len") &&
+        !l.contains("text#")), scans.mkString("\n"))
+  }
+
   test("d16: benchmark windows broadcast; the training corpus never shuffles before the semi-join") {
     val p = plan(DedupQueries.d16_span_decontaminate)
     val lines = p.linesIterator.toList

@@ -296,40 +296,57 @@ object SpanDedup {
     * form of the fixed-n window count (Lee et al.'s suffix-array question
     * "what is the longest span this document shares verbatim with
     * another?"), answered WITHOUT suffix arrays or all-pairs cost by a
-    * MULTI-RESOLUTION doubling composition:
+    * MULTI-RESOLUTION doubling composition over a SHORT-GRAM floor:
     *
-    *   1. DOUBLING LEVELS on MERKLE HASHES. For n = 1, 2, 4, … ≤ cap,
-    *      compute the (over-approximated) set D_n of positions whose
-    *      n-token window hash is shared by ≥ `minDocs` distinct
-    *      documents. Level windows are never materialized as text:
-    *      H_1(p) = xxhash64(token), H_2n(p) = combine(H_n(p), H_n(p+n))
-    *      — equal windows always share the combined hash (completeness,
-    *      which is all candidate generation needs), and a collision only
-    *      OVER-approximates D_n (extra refinement fan-out, never a wrong
-    *      answer: the refinement recounts exactly). The ladder above
-    *      level 1 is a PER-DOCUMENT computation (every combined window
-    *      lives inside one token array), so after the single corpus-wide
-    *      level-1 token-hash count, the surviving (position, hash) pairs
-    *      fold per document and ONE codegen expression
-    *      ([[graft.plans.MerkleLevelsExpr]]) emits the whole power-of-two
-    *      ladder row-locally; ONE (level, hash) distinct-doc count then
-    *      replaces round 12's per-level join/group-by/checkpoint loop
-    *      (~20 jobs, 2 driver actions per level — the d18 cold-codegen
-    *      cost the BENCH_r12 adjudication traced). Every token of a
-    *      truly duplicated window is itself duplicated, so all leaves a
-    *      qualifying ladder entry needs survive level 1; dropping the
-    *      loop's level-by-level global pruning only widens the candidate
-    *      superset, which the refinement recount corrects.
+    *   0. SHORT-GRAM FLAGS (m = 1 … 3). In natural language, 1–3-gram
+    *      sharing is near-total (at sf0.1, 100 % of token and bigram
+    *      positions and 99.9 % of trigram positions are cross-document
+    *      shared; 4-grams drop to 33 % and 8-grams to 9 % — the
+    *      BENCH_r16 d18 measurement), so POSITION-level candidate
+    *      generation at these lengths prunes nothing while its per-token
+    *      corpus relations dominate the shuffle volume. But per DOCUMENT
+    *      only one bit per length matters — "does this document contain
+    *      ANY shared m-gram?" (max_dup_run ≥ m is monotone: every
+    *      sub-window of a duplicated window is duplicated) — and that
+    *      bit falls out of ONE text-keyed count with NO join-back: a
+    *      gram with min(id) = max(id) lives in exactly one document, so
+    *      the unshared grams are ATTRIBUTABLE — group the unshared rows
+    *      by their single owner, and a document has a shared m-gram iff
+    *      its row-local distinct-m-gram count exceeds its attributed
+    *      unshared count. Text-keyed (not hashed), hence exact.
     *
-    *   2. BOUNDED REFINEMENT. Let np(p) = the largest level at which p
-    *      survived. Any duplicated window of length m starting at p
-    *      contains the 2^⌊log₂ m⌋-window at p, so m ≤ 2·np(p) − 1 — and
-    *      the same bound holds at EVERY sharer's position. One pass
-    *      generates, per surviving position, windows of ALL lengths
-    *      1 … min(2·np(p) − 1, cap, tokens−p) (row-local fan-out ≤ 2·np,
-    *      i.e. cost ∝ the duplicated-run footprint, never the corpus²),
-    *      counts distinct documents per window content (two-phase again),
-    *      and takes each document's max duplicated length.
+    *   1. DOUBLING LEVELS on MERKLE HASHES above a 4-token base. For
+    *      n = 4, 8, … ≤ cap, compute the (over-approximated) set D_n of
+    *      positions whose n-token window hash is shared by ≥ `minDocs`
+    *      distinct documents. Base-level survivors are found by the same
+    *      unshared-attribution trick on 4-gram hashes (one 8-byte-keyed
+    *      corpus count, then a row-local filter against the document's
+    *      own unshared set — [[graft.plans.SharedPairsExpr]] — instead
+    *      of a second corpus-wide join-back shuffle); the ladder above
+    *      the base is a PER-DOCUMENT computation (every combined window
+    *      lives inside one token array), so ONE codegen expression
+    *      ([[graft.plans.MerkleLevelsExpr]]) emits the whole
+    *      power-of-two ladder row-locally — H_4(p) = xxhash64(4 tokens),
+    *      H_2n(p) = combine(H_n(p), H_n(p+n)) — and ONE (level, hash)
+    *      distinct-doc count (key packed to 8 bytes) covers every level.
+    *      Equal windows always share the combined hash (completeness),
+    *      and a collision only OVER-approximates D_n — the refinement
+    *      recounts exactly.
+    *
+    *   2. BOUNDED REFINEMENT (m ≥ 4). Let np(p) = the largest level at
+    *      which p survived (≥ 4 by base membership). Any duplicated
+    *      window of length m at p contains its largest
+    *      power-of-two-times-4 prefix, so m ≤ 2·np(p) − 1 — and the same
+    *      bound holds at EVERY sharer's position. One row-local pass
+    *      ([[graft.plans.NpWindowsExpr]]) generates, per surviving
+    *      position, rolling window hashes of ALL lengths
+    *      4 … min(2·np(p) − 1, cap, tokens−p) (fan-out ≤ 2·np, i.e. cost
+    *      ∝ the duplicated-run footprint, never the corpus²), counts
+    *      distinct documents per window content (two-phase: 8-byte hash
+    *      count, then an exact (hash, text) recount over candidates
+    *      only — window text never rides a corpus-wide shuffle), and
+    *      takes each document's max duplicated length. The answer is
+    *      max(refined, short-gram flags).
     *
     *      Why all lengths and not a per-position exponential+binary
     *      probe: the count of a probed window is the number of DISTINCT
@@ -338,90 +355,190 @@ object SpanDedup {
     *      probe schedules diverge (np, cap and document-end truncation
     *      differ between two holders of the same string), so a holder can
     *      skip the length its partner probes and a truly duplicated
-    *      window counts 1 — unsound. Synchronizing probes globally is
-    *      sound but turns a row-local ≤ 2·np fan-out of 8-byte hashes
-    *      into O(log cap) extra barrier stages — the quantity the flat
-    *      ladder above just eliminated. The enumeration stays.
+    *      window counts 1 — unsound. Synchronized full enumeration stays.
     *
     * EXACT by construction for runs up to `cap` (reported value =
     * min(true max, cap) — cap is the explicit fan-out contract, like the
-    * BPE vocab cap): completeness because every sharer generates every
-    * qualifying length, soundness because generated windows are a subset
-    * of real windows. Output: one row per input document,
+    * BPE vocab cap): the short-gram flags are text-keyed counts, the
+    * refinement recounts candidate windows by (hash, text), and hash
+    * collisions anywhere in between only widen candidate sets —
+    * under-approximation is impossible because equal strings always get
+    * equal hashes at every level. Output: one row per input document,
     * (idCol, n_tokens, max_dup_run), 0 when nothing is duplicated.
     *
-    * MEMORY CONTRACT (the footprint-proportional claim, made precise):
-    * the per-document survivor fold concentrates a document's duplicated
-    * positions into ONE row — k `(p, h)` structs in, ≤ k·(log₂ cap + 1)
-    * ladder structs out of [[graft.plans.MerkleLevelsExpr]] — so a
-    * single row's memory is bounded by that document's own duplicated
-    * footprint (≈ 24 bytes · k · log cap), NOT by the corpus. A
-    * fully-duplicated document of 10⁶ tokens costs ~170 MB transient on
-    * one executor at cap 64; chunk documents above that order of
-    * position count if the deployment's row-size budget is tighter.
+    * SHUFFLE CONTRACT (the round-17 rewrite; BENCH_r16's smoke leg
+    * measured the previous token-based plan at 5× input amplification —
+    * three corpus-wide per-token relations of which level-1 pruning
+    * retained ~everything): every corpus-sized exchange is now a
+    * partial-aggregated COUNT (short-gram texts collapse to
+    * per-partition-distinct keys) or an attributed per-doc fold bounded
+    * by each document's own window count; ladder counts and refinement
+    * run on the duplicated footprint. What remains corpus-sized are the
+    * three per-document joins (unshared sets onto tokens, ladder
+    * survivors, final assembly) — each shuffles doc-keyed rows whose
+    * width is bounded by the document's own windows, never a key-skewed
+    * or all-pairs relation.
+    *
+    * MEMORY CONTRACT: per-document rows carry that document's own
+    * windows only — unshared sets and survivor folds are ≈ 8–24 bytes
+    * per window position, ladder structs ≤ k·log₂(cap/4) for a
+    * duplicated footprint of k positions — never corpus-sized state.
     */
   def maxDuplicatedRun(df: DataFrame, idCol: String, textCol: String,
                        minDocs: Int = 2, cap: Int = 64): DataFrame = {
     require(cap >= 1, "cap must be >= 1")
-    val base = df.select(col(idCol), toks(col(textCol)).as("__toks"))
+    val baseLen = 4
+    val id = col(idCol)
+    // explicit round-robin repartition: AQE would size the checkpoint by
+    // its INPUT bytes (a handful of partitions at bench scale), but every
+    // downstream map stage fans out ~window-count × log(cap) rows per
+    // token — the row-local work, not the input bytes, is the unit that
+    // must parallelize (measured 6.6 → 4.3 s at sf0.1 going from 2 to 32
+    // partitions, identical plan otherwise). Round-robin, not by idCol:
+    // a checkpoint comes back as a bare LogicalRDD whose partitioning
+    // Catalyst no longer trusts, so a by-key repartition would buy the
+    // downstream id-joins nothing and only skew under duplicate ids.
+    val base = df.select(id, toks(col(textCol)).as("__toks"))
       .withColumn("__len", size(col("__toks")))
+      .repartition(df.sparkSession.conf.get("spark.sql.shuffle.partitions",
+        "200").toInt)
       .localCheckpoint(true)
-    // level 1: the only corpus-wide shuffle — 8-byte token hashes,
-    // combiner-friendly distinct-doc count
-    val w1 = base
-      .select(col(idCol), posexplode(col("__toks")).as(Seq("__p", "__tok")))
-      .select(col(idCol), col("__p"), xxhash64(col("__tok")).as("__h"))
-    val c1 = sharedKeys(w1, Seq("__h"), idCol, minDocs)
-    val s1 = w1.join(c1, "__h")
-    // per-document survivor fold + row-local ladder: (id, p, n, h) for
-    // n = 2, 4, … ≤ cap wherever both halves' leaves survived level 1
-    val ladder = s1.groupBy(col(idCol))
-      .agg(collect_list(struct(col("__p").as("p"), col("__h").as("h")))
-        .as("__s1"))
-      .select(col(idCol), posexplode(
-        graft.plans.MerkleLevelsExpr.merkleLevels(col("__s1"), lit(cap)))
-        .as(Seq("__i", "__lv")))
-      .select(col(idCol), col("__lv.p").as("__p"), col("__lv.n").as("__n"),
-        col("__lv.h").as("__h"))
-    // one global distinct-doc count per (level, combined hash); level-1
-    // rows re-enter with __n = 1 (already proven by c1, no recount)
-    val ck = sharedKeys(ladder, Seq("__n", "__h"), idCol, minDocs)
-    val np = ladder.join(ck, Seq("__n", "__h"))
-      .select(col(idCol), col("__p"), col("__n"))
-      .unionByName(s1.select(col(idCol), col("__p"), lit(1).as("__n")))
-      .groupBy(col(idCol), col("__p"))
-      .agg(max(col("__n")).as("__np"))
-    // refinement phase 1 on ROLLING WINDOW HASHES — one chained
-    // xxhash64 per (position, length), built incrementally in O(maxm)
-    // per position (h_m = xxhash64(h_{m-1}, token), no O(m²) string
-    // rebuilding) and shuffled at 8 bytes per window. Full window TEXT
-    // is materialized only for candidate hashes in phase 2 (the d15
-    // "window text never rides a corpus-wide shuffle" discipline); the
-    // exact (hash, text) recount keeps 64-bit collisions harmless.
-    val maxm = least(lit(2) * col("__np") - 1, lit(cap),
-      col("__len") - col("__p"))
-    val winHashes = graft.plans.WindowHashesExpr.windowHashes(
-      col("__toks"), col("__p"), maxm)
-    val gen = np.join(base, Seq(idCol))
-      .select(col(idCol), col("__p"),
-        posexplode(winHashes).as(Seq("__mi", "__h")))
-      .select(col(idCol), col("__p"), (col("__mi") + 1).as("__m"), col("__h"))
-    val dupLens = {
-      val c1 = sharedKeys(gen, Seq("__h"), idCol, minDocs)
-      // phase 2: rebuild text for candidate (position, length) rows only
-      val pruned = gen.join(c1, "__h").join(base, Seq(idCol))
-        .select(col(idCol), col("__m"), col("__h"),
-          array_join(slice(col("__toks"), col("__p") + 1, col("__m")), " ")
-            .as("__w"))
-      val keys = sharedKeys(pruned, Seq("__h", "__w"), idCol, minDocs)
-      pruned.join(keys, Seq("__h", "__w"))
-        .groupBy(col(idCol))
-        .agg(max(col("__m")).cast("long").as("max_dup_run"))
-    }
-    base.select(col(idCol), col("__len").cast("long").as("n_tokens"))
-      .join(dupLens, Seq(idCol), "left")
-      .select(col(idCol), col("n_tokens"),
-        coalesce(col("max_dup_run"), lit(0L)).as("max_dup_run"))
+
+    // row-local DISTINCT m-grams of one document
+    def mgrams(m: Int): Column =
+      when(col("__len") >= m,
+        array_distinct(transform(sequence(lit(0), col("__len") - m),
+          s => array_join(slice(col("__toks"), s + 1, lit(m)), " "))))
+        .otherwise(array().cast("array<string>"))
+
+    // --------------- step 0: ONE text-keyed count for m = 1 … baseLen
+    // (flag lengths 1…3 plus the base level — a single corpus exchange,
+    // partial-aggregated down to per-partition-distinct gram texts)
+    val flagM = math.min(baseLen - 1, cap)
+    val gramMs = (1 to flagM) ++ (if (cap >= baseLen) Seq(baseLen) else Nil)
+    val gramRel = base.select(id, explode(flatten(array(
+        gramMs.map(m =>
+          transform(mgrams(m), g => struct(lit(m).as("m"), g.as("g")))): _*)))
+        .as("__mg"))
+      .select(id, col("__mg.m").as("__m"), col("__mg.g").as("__g"))
+    // enriched: base + per-doc promotion info; flagMax: the short-gram
+    // floor (largest m ≤ 3 with a shared m-gram, 0 if none); s4: the
+    // per-doc base-level survivor pairs (p, xxhash64(gram))
+    val (enriched, flagMax, s4) =
+      if (minDocs == 2) {
+        // unshared attribution: a gram with min(id) = max(id) lives in
+        // exactly ONE document, so the count's unshared rows fold
+        // per-document with no join-back; a document has a shared m-gram
+        // iff its row-local distinct count exceeds its unshared count
+        val uAgg = gramRel.groupBy(col("__m"), col("__g"))
+          .agg(min(id).as("__mn"), max(id).as("__mx"))
+          .filter(col("__mn") === col("__mx"))
+          .groupBy(col("__mn").as(idCol))
+          .agg(count(when(col("__m") === 1, true)).as("__u1"),
+            ((2 to flagM).map(m =>
+              count(when(col("__m") === m, true)).as(s"__u$m")) ++
+             (if (cap >= baseLen)
+                Seq(sort_array(collect_set(
+                  when(col("__m") === baseLen, col("__g")))).as("__ut"))
+              else Nil)): _*)
+        val e = base.join(uAgg, Seq(idCol), "left")
+        val mx = greatest((1 to flagM).reverse.map(m =>
+          when(size(mgrams(m)).cast("long") > coalesce(col(s"__u$m"), lit(0L)),
+            lit(m.toLong))) :+ lit(0L): _*)
+        val s = graft.plans.SharedGramsExpr.sharedGrams(
+          col("__toks"), lit(baseLen),
+          coalesce(col("__ut"), array().cast("array<string>")))
+        (e, mx, s)
+      } else {
+        // general minDocs: exact distinct-doc promotion + semi-join-backs
+        val sharedG = gramRel.groupBy(col("__m"), col("__g"))
+          .agg(countDistinct(id).as("__nd"))
+          .filter(col("__nd") >= minDocs)
+          .select(col("__m"), col("__g"))
+        val f = gramRel.join(sharedG, Seq("__m", "__g"), "left_semi")
+          .filter(col("__m") <= flagM)
+          .groupBy(id).agg(max(col("__m")).cast("long").as("__fm"))
+        val e0 = base.join(f, Seq(idCol), "left")
+        val e =
+          if (cap < baseLen) e0
+          else {
+            val w4 = base.select(id, posexplode(
+                when(col("__len") >= baseLen,
+                  transform(sequence(lit(0), col("__len") - baseLen),
+                    s => array_join(slice(col("__toks"), s + 1, lit(baseLen)),
+                      " ")))
+                .otherwise(array().cast("array<string>")))
+                .as(Seq("__p", "__g")))
+            val folded = w4.join(
+                sharedG.filter(col("__m") === baseLen).select(col("__g")),
+                Seq("__g"))
+              .select(id, col("__p"), xxhash64(col("__g")).as("__h"))
+              .groupBy(id)
+              .agg(collect_list(struct(col("__p").as("p"), col("__h").as("h")))
+                .as("__s4j"))
+            e0.join(folded, Seq(idCol), "left")
+          }
+        (e, coalesce(col("__fm"), lit(0L)),
+          coalesce(col("__s4j"), array().cast("array<struct<p:int,h:long>>")))
+      }
+
+    if (cap < baseLen)
+      return enriched.select(id, col("__len").cast("long").as("n_tokens"),
+        flagMax.as("max_dup_run"))
+
+    // ------------ step 1: row-local Merkle ladder, ONE 8-byte-key count
+    val ladderOf = graft.plans.MerkleLevelsExpr.merkleLevels(
+      s4, lit(cap), lit(baseLen))
+    val lad = enriched.select(id, explode(ladderOf).as("__e"))
+      .select(id, col("__e.p").as("__p"), col("__e.n").as("__n"),
+        col("__e.k").as("__k"))
+    // per-doc globally-surviving levels __hi: (p, n) pairs bounding np
+    val withHi =
+      if (minDocs == 2) {
+        val uLad = lad.groupBy(col("__k"))
+          .agg(min(id).as("__mn"), max(id).as("__mx"))
+          .filter(col("__mn") === col("__mx"))
+          .select(col("__mn").as(idCol), col("__k"))
+          .groupBy(idCol)
+          .agg(sort_array(collect_set(col("__k"))).as("__uk"))
+        enriched.join(uLad, Seq(idCol), "left")
+          .withColumn("__hi", graft.plans.FilterPackedExpr.filterPacked(
+            ladderOf, coalesce(col("__uk"), array().cast("array<long>"))))
+      } else {
+        val ck = sharedKeys(lad, Seq("__k"), idCol, minDocs)
+        val mHigh = lad.join(ck, "__k")
+          .groupBy(idCol)
+          .agg(collect_list(struct(col("__p").as("p"), col("__n").as("n")))
+            .as("__him"))
+        enriched.join(mHigh, Seq(idCol), "left")
+          .withColumn("__hi", coalesce(col("__him"),
+            array().cast("array<struct<p:int,n:int>>")))
+      }
+
+    // ------------------------------------------ step 2: refinement
+    val genx = withHi.select(id, explode(graft.plans.NpWindowsExpr.npWindows(
+        col("__toks"), s4, col("__hi"), lit(baseLen), lit(cap))).as("__e"))
+      .select(id, col("__e.p").as("__p"), col("__e.m").as("__m"),
+        col("__e.h").as("__h"))
+    val cg = sharedKeys(genx, Seq("__h"), idCol, minDocs)
+    // phase 2: rebuild text for candidate (position, length) rows only
+    val cand = genx.join(cg, "__h").join(base, Seq(idCol))
+      .select(id, col("__m"), col("__h"),
+        array_join(slice(col("__toks"), col("__p") + 1, col("__m")), " ")
+          .as("__w"))
+    val keys = sharedKeys(cand, Seq("__h", "__w"), idCol, minDocs)
+    val refined = cand.join(keys, Seq("__h", "__w"))
+      .groupBy(id).agg(max(col("__m")).cast("long").as("__refmax"))
+
+    // the baseLen floor is already certified: base promotion counts gram
+    // TEXT, so any survivor position is a true duplicated baseLen-run —
+    // refinement enumerates from baseLen + 1 (NpWindowsExpr) and the
+    // floor joins the flags here
+    enriched.join(refined, Seq(idCol), "left")
+      .select(id, col("__len").cast("long").as("n_tokens"),
+        greatest(coalesce(col("__refmax"), lit(0L)), flagMax,
+          when(size(s4) > 0, lit(baseLen.toLong)))
+          .as("max_dup_run"))
   }
 
   /** Remove duplicated spans: every token position covered by a

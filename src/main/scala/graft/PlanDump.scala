@@ -764,6 +764,34 @@ object PlanDump {
       "narrow checkpoint schema). Exactness unchanged: flags and base " +
       "promotion are text-keyed counts, refinement recounts by " +
       "(hash, text), collisions anywhere only widen candidate sets."),
+    "t47_html_extract" -> ("round 17: HTML main-content extraction " +
+      "(HtmlFunctions) — stage -1 of the web pipeline the r16 verdict " +
+      "named the most-hit missing operator. Invisible-content strip " +
+      "(script/style/noscript elements, comments, CDATA — fixed order), " +
+      "block segmentation on the HTML5 flow-content tags, per-block " +
+      "entity-decoded visible text, Arc90/jusText link-density rule " +
+      "(>= 25 chars, link text <= 0.33x text). Implementation choice is " +
+      "oracle-driven: everything is regexp_replace/regexp_extract_all/" +
+      "array-HOF column algebra inside the RE2 subset (no backrefs, no " +
+      "lookaround), so DuckDB replays the extraction verbatim and the " +
+      "gate hash-matches the extracted TEXT itself. Plan: scan -> " +
+      "project, ZERO exchanges/joins/aggregates (PlanAuditSpec pin) — " +
+      "embarrassingly parallel at 100 TB. Adversarial fixtures " +
+      "(ExtractSpec): fake tags inside script strings and CSS comments, " +
+      "tags hidden in comments/CDATA, double-encoded entities, nested " +
+      "anchors, unclosed tags, attribute '>' truncation — each pinned " +
+      "to the documented regex-level semantics. Found-and-fixed during " +
+      "oracle bring-up: DuckDB array_to_string([]) is NULL where " +
+      "Spark's array_join is '' — every join point coalesces."),
+    "q72_web_curation_html" -> ("round 17: q71 recomposed from RAW HTML " +
+      "— extraction (t47) -> extracted-word-count gate (>= 20) -> " +
+      "canonicalize -> one doc per canonical URL -> domain blocklist -> " +
+      "per-domain quota, every decision DuckDB-replayed end to end. The " +
+      "extracted relation is localCheckpointed ONCE before the keeper " +
+      "pick: the keeper group-by and the keeper join both consume it, " +
+      "and re-deriving the interpreted-HOF extraction per branch " +
+      "doubled the cost (6.7 -> 4.3 s min at sf0.1); at corpus scale " +
+      "the extraction output is a persisted stage boundary anyway."),
     "d19_contamination_coverage" -> ("round 12: per-document " +
       "contamination report — the benchmark side reduces to distinct " +
       "window strings (broadcast), the semi-join runs map-side inside " +

@@ -1,0 +1,131 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** HTML main-content extraction — stage −1 of the web-curation pipeline
+  * (raw crawl page → visible text → boilerplate-free main content), the
+  * step the engine's URL/quota/quality/dedup chain (q71) previously
+  * assumed done. The reference's inputs arrive as pre-cleaned CSV/DBF
+  * (`himalayan_etl/ops/extract.py:16`–`255` never sees markup), so this
+  * is an extension operator: Arc90-readability/jusText-style BLOCK
+  * segmentation with a link-density boilerplate rule, a published,
+  * public-knowledge heuristic family.
+  *
+  * DESIGN CONSTRAINT — oracle replayability decides the implementation:
+  * everything here is a composition of `regexp_replace` /
+  * `regexp_extract_all` / array HOFs whose regexes stay inside the RE2
+  * subset (no backreferences, no lookaround), so DuckDB replays the
+  * extraction EXACTLY (same inline `(?is)` flags, same lazy quantifiers)
+  * and the correctness gate hash-matches the full text output. The whole
+  * extraction is one narrow projection over the scan — zero exchanges,
+  * no joins, no aggregates (plan-pinned), embarrassingly parallel at
+  * 100 TB; the page-level regexes run codegen'd in the scan projection,
+  * the per-block HOF lambdas are interpreted (Spark has no lambda
+  * codegen) but stay inside the same pipeline.
+  *
+  * SEMANTICS (fixed, documented, and mirrored verbatim in the oracle):
+  *   1. drop invisible content, in this order: <script>/<style>/
+  *      <noscript> elements (lazy to the first matching close tag),
+  *      HTML comments, CDATA sections;
+  *   2. replace every BLOCK-LEVEL tag (open or close, p/div/h1–6/li/…/
+  *      br/hr/title — the HTML5 flow-content splitters) with a block
+  *      boundary; remaining tags are inline;
+  *   3. per block: visible text = strip inline tags → decode the six
+  *      basic entities (&lt; &gt; &quot; &#39; &apos; &nbsp;, then
+  *      &amp; LAST, the standard single-pass order) → whitespace-
+  *      normalize; link text = the same pipeline over the concatenated
+  *      `<a …>…</a>` bodies;
+  *   4. a block is MAIN CONTENT iff its text has ≥ `minChars` characters
+  *      AND link-text length ≤ `maxLinkDensity` × text length (the
+  *      Arc90/jusText link-density rule: navigation, related-links and
+  *      footer blocks are short or link-dominated).
+  *
+  * Known limits (regex-level HTML, the standard trade of this operator
+  * class, exercised in ExtractSpec): attribute values containing a bare
+  * `>` end the tag early; nested `<a>` elements credit only up to the
+  * first close; entities outside the basic six stay literal.
+  */
+object HtmlFunctions {
+
+  /** Matches any block-level HTML tag, open or close. */
+  private[graft] val blockTagPat =
+    "(?i)</?(p|div|h1|h2|h3|h4|h5|h6|li|ul|ol|dl|dt|dd|table|thead|tbody" +
+      "|tfoot|tr|td|th|blockquote|pre|section|article|header|footer|nav" +
+      "|aside|main|form|fieldset|figure|figcaption|title|br|hr)\\b[^>]*>"
+
+  /** The invisible-content patterns, applied in this order (part of the
+    * contract: a comment inside a script dies with the script).
+    */
+  private[graft] val invisiblePats = Seq(
+    "(?is)<script\\b[^>]*>.*?</script\\s*>",
+    "(?is)<style\\b[^>]*>.*?</style\\s*>",
+    "(?is)<noscript\\b[^>]*>.*?</noscript\\s*>",
+    "(?s)<!--.*?-->",
+    "(?s)<!\\[CDATA\\[.*?\\]\\]>")
+
+  /** Step 1: remove content that never renders. */
+  def dropInvisible(c: Column): Column =
+    invisiblePats.foldLeft(c)((acc, p) => regexp_replace(acc, p, " "))
+
+  /** Step 3a: the six basic entities; &amp; decodes LAST so
+    * double-encoded text ("&amp;lt;") yields the literal entity text,
+    * not a tag — the behavior of a single decoding pass.
+    */
+  /** The decode steps, in application order (shared with the oracle
+    * builder — both sides are LITERAL `replace`, not regex).
+    */
+  private[graft] val entitySteps = Seq("&lt;" -> "<", "&gt;" -> ">",
+    "&quot;" -> "\"", "&#39;" -> "'", "&apos;" -> "'", "&nbsp;" -> " ",
+    "&amp;" -> "&")
+
+  def decodeEntities(c: Column): Column =
+    entitySteps.foldLeft(c) { case (acc, (from, to)) =>
+      replace(acc, lit(from), lit(to))
+    }
+
+  private def visibleText(c: Column): Column =
+    TextFunctions.normalizeWs(
+      decodeEntities(regexp_replace(c, "<[^>]*>", " ")))
+
+  /** Steps 2–3: the per-block relation of one page —
+    * array<struct<text, link_text>> over non-empty blocks, in document
+    * order.
+    */
+  def blocks(c: Column): Column =
+    filter(
+      transform(
+        split(regexp_replace(dropInvisible(c), blockTagPat, "\u0001"),
+          "\u0001"),
+        b => struct(
+          visibleText(b).as("text"),
+          visibleText(array_join(
+            regexp_extract_all(b, lit("(?is)<a\\b[^>]*>(.*?)</a\\s*>"),
+              lit(1)),
+            " ")).as("link_text"))),
+      s => length(s.getField("text")) > 0)
+
+  /** ALL visible text of the page, block-joined with single spaces —
+    * the plain "strip tags" form (no boilerplate judgment).
+    */
+  def stripHtml(c: Column): Column =
+    array_join(transform(blocks(c), b => b.getField("text")), " ")
+
+  /** Step 4: the boilerplate-free MAIN CONTENT of the page. Defaults:
+    * 25 chars ≈ a short sentence (headings and footer crumbs drop),
+    * 0.33 link density ≈ Arc90's navigation threshold.
+    */
+  def mainContent(c: Column, minChars: Int = 25,
+                  maxLinkDensity: Double = 0.33): Column =
+    array_join(
+      transform(mainBlocks(c, minChars, maxLinkDensity),
+        b => b.getField("text")), " ")
+
+  /** The kept blocks themselves (for per-block reporting). */
+  def mainBlocks(c: Column, minChars: Int = 25,
+                 maxLinkDensity: Double = 0.33): Column =
+    filter(blocks(c), b =>
+      length(b.getField("text")) >= minChars &&
+        length(b.getField("link_text")).cast("double") <=
+          lit(maxLinkDensity) * length(b.getField("text")).cast("double"))
+}

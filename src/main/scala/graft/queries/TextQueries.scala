@@ -1609,6 +1609,176 @@ object TextQueries {
       .select("doc_id", "domain", "canon_url")
   }
 
+  // ------------------------------------------------------------ t47/q72
+  /** Synthetic crawl page per document — deterministic, SQL-expressible
+    * on both sides, and adversarial on purpose: a <style> with a fake
+    * tag in a CSS comment, a <script> whose body contains comparison
+    * operators and a string-literal tag, a comment and a CDATA section
+    * each hiding a long paragraph, uppercase tags, a pure-navigation
+    * list, a link-dominated "related" block longer than minChars (so the
+    * DENSITY rule, not the length rule, must drop it), an entity test
+    * paragraph (incl. double-encoded &amp;lt;) and a short footer with a
+    * double-encoded entity. No single quotes anywhere — the SQL mirror
+    * embeds the constants verbatim.
+    */
+  private def htmlFixture: Column = {
+    val id = col("doc_id").cast("string")
+    concat(
+      lit("<html><head><title>Doc "), id, lit("</title>" +
+        "<style type=\"text/css\">body { color: red } /* <p>styled</p> */</style>" +
+        "<script>if (1 < 2 && 3 > 2) { x = \"<div>js</div>\"; }</script>" +
+        "</head><body>" +
+        "<nav><ul><li><a href=\"/\">Home</a></li>" +
+        "<li><a href=\"/about\">About &amp; Contact</a></li></ul></nav>" +
+        "<!-- hidden <p>comment paragraph that is long enough to keep</p> -->" +
+        "<![CDATA[ <p>cdata paragraph that is long enough to keep</p> ]]>" +
+        "<DIV id=\"main\"><H1>Title "), id, lit("</H1><p>"), col("text"),
+      lit("</p>" +
+        "<p>Quotes &quot;here&quot; &amp;lt; ampersands &lt;b&gt; stay literal text</p></DIV>" +
+        "<div class=\"related\">See also <a href=\"/r1\">related article one</a> " +
+        "<a href=\"/r2\">related article two</a></div>" +
+        "<footer><p>Copyright &amp;copy; 2026</p></footer></body></html>"))
+  }
+
+  private val htmlFixtureSql =
+    """'<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) || '</title>' ||
+      |'<style type="text/css">body { color: red } /* <p>styled</p> */</style>' ||
+      |'<script>if (1 < 2 && 3 > 2) { x = "<div>js</div>"; }</script>' ||
+      |'</head><body>' ||
+      |'<nav><ul><li><a href="/">Home</a></li>' ||
+      |'<li><a href="/about">About &amp; Contact</a></li></ul></nav>' ||
+      |'<!-- hidden <p>comment paragraph that is long enough to keep</p> -->' ||
+      |'<![CDATA[ <p>cdata paragraph that is long enough to keep</p> ]]>' ||
+      |'<DIV id="main"><H1>Title ' || CAST(doc_id AS VARCHAR) || '</H1><p>' || text ||
+      |'</p>' ||
+      |'<p>Quotes &quot;here&quot; &amp;lt; ampersands &lt;b&gt; stay literal text</p></DIV>' ||
+      |'<div class="related">See also <a href="/r1">related article one</a> ' ||
+      |'<a href="/r2">related article two</a></div>' ||
+      |'<footer><p>Copyright &amp;copy; 2026</p></footer></body></html>'"""
+      .stripMargin.linesIterator.mkString(" ")
+
+  /** DuckDB mirrors of the [[graft.functions.HtmlFunctions]] pipeline —
+    * the SAME pattern constants (shared vals), RE2-safe, literal
+    * `replace` for entities.
+    */
+  private def duckInvisible(e: String): String =
+    graft.functions.HtmlFunctions.invisiblePats.foldLeft(e)((acc, p) =>
+      s"regexp_replace($acc, '$p', ' ', 'g')")
+  private def duckDecode(e: String): String =
+    graft.functions.HtmlFunctions.entitySteps.foldLeft(e) {
+      case (acc, (f, t)) => s"replace($acc, '$f', '${t.replace("'", "''")}')"
+    }
+  private def duckVis(e: String): String =
+    normSql(duckDecode(s"regexp_replace($e, '<[^>]*>', ' ', 'g')"))
+  private def duckBlocksSql: String =
+    s"string_split(regexp_replace(${duckInvisible("html")}, " +
+      s"'${graft.functions.HtmlFunctions.blockTagPat}', chr(1), 'g'), chr(1))"
+  // DuckDB's array_to_string returns NULL on an empty list where Spark's
+  // array_join returns '' — coalesce at every join point
+  private val duckLinkHtml =
+    """coalesce(array_to_string(regexp_extract_all(b, '(?is)<a\b[^>]*>(.*?)</a\s*>', 1), ' '), '')"""
+  private def duckKeptPred: String =
+    s"length(${duckVis("b")}) >= 25 AND " +
+      s"CAST(length(${duckVis(duckLinkHtml)}) AS DOUBLE) <= " +
+      s"0.33 * CAST(length(${duckVis("b")}) AS DOUBLE)"
+
+  /** HTML MAIN-CONTENT EXTRACTION ([[graft.functions.HtmlFunctions]]):
+    * stage −1 of the web pipeline — invisible-content strip, block
+    * segmentation on block-level tags, per-block entity-decoded visible
+    * text, and the Arc90/jusText link-density boilerplate rule. The whole
+    * extraction is one codegen'd projection (zero exchanges — plan-
+    * pinned); the oracle replays every regex and replace verbatim on
+    * DuckDB's RE2 and hash-matches the extracted text itself.
+    */
+  val t47_html_extract = q("t47_html_extract",
+    s"""WITH h AS (SELECT doc_id, $htmlFixtureSql AS html FROM documents),
+       |b AS (SELECT doc_id, $duckBlocksSql AS bs FROM h)
+       |SELECT doc_id,
+       |  CAST(len(list_filter(bs, b -> length(${duckVis("b")}) > 0)) AS BIGINT)
+       |    AS n_blocks,
+       |  CAST(len(list_filter(bs, b -> $duckKeptPred)) AS BIGINT) AS n_kept,
+       |  coalesce(array_to_string(list_transform(
+       |    list_filter(bs, b -> $duckKeptPred), b -> ${duckVis("b")}), ' '),
+       |    '') AS main_text
+       |FROM b""".stripMargin) { (s, dir) =>
+    import graft.functions.HtmlFunctions
+    Tables.documents(s, dir)
+      .select(col("doc_id"), htmlFixture.as("__html"))
+      .select(col("doc_id"),
+        size(HtmlFunctions.blocks(col("__html"))).cast("long").as("n_blocks"),
+        size(HtmlFunctions.mainBlocks(col("__html"))).cast("long")
+          .as("n_kept"),
+        HtmlFunctions.mainContent(col("__html")).as("main_text"))
+  }
+
+  /** q71 RECOMPOSED FROM RAW HTML (q72): the full crawl-to-corpus
+    * stage 0 — extract main content from the synthetic page, gate on
+    * extracted word count (a crawl page whose boilerplate-free text is
+    * tiny carries no training signal), then the q71 chain (canonicalize →
+    * one doc per canonical URL → domain blocklist → per-domain quota)
+    * over the extraction SURVIVORS. Every decision replayed end-to-end
+    * in DuckDB.
+    */
+  val q72_web_curation_html = q("q72_web_curation_html",
+    s"""WITH $urlSqlCtes,
+       |$domainSqlCtes,
+       |h AS (SELECT doc_id, $htmlFixtureSql AS html FROM documents),
+       |b AS (SELECT doc_id, $duckBlocksSql AS bs FROM h),
+       |m AS (SELECT doc_id,
+       |    coalesce(array_to_string(list_transform(
+       |      list_filter(bs, b -> $duckKeptPred), b -> ${duckVis("b")}), ' '),
+       |      '') AS main_text
+       |  FROM b),
+       |g AS (SELECT doc_id,
+       |    CASE WHEN length(main_text) = 0 THEN 0
+       |         ELSE len(string_split(main_text, ' ')) END AS n_words
+       |  FROM m
+       |  WHERE CASE WHEN length(main_text) = 0 THEN 0
+       |             ELSE len(string_split(main_text, ' ')) END >= 20),
+       |canon AS (SELECT yy.doc_id, $canonSql AS canon_url, domain, n_words
+       |          FROM yy JOIN dd ON yy.doc_id = dd.doc_id
+       |          JOIN g ON yy.doc_id = g.doc_id),
+       |dedup AS (SELECT canon_url, MIN(doc_id) AS doc_id
+       |          FROM canon GROUP BY 1),
+       |dd2 AS (SELECT d.doc_id, d.canon_url, c.domain, c.n_words
+       |        FROM (SELECT dedup.doc_id, canon_url FROM dedup) d
+       |        JOIN canon c ON d.doc_id = c.doc_id AND d.canon_url = c.canon_url),
+       |blocked AS (SELECT * FROM dd2
+       |  WHERE domain IS NULL OR domain NOT IN ('example.co.uk')),
+       |quota AS (SELECT doc_id, canon_url, domain, n_words, row_number() OVER (
+       |    PARTITION BY domain
+       |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+       |  FROM blocked)
+       |SELECT doc_id, domain, canon_url, n_words FROM quota WHERE rn <= 10"""
+      .stripMargin) { (s, dir) =>
+    import s.implicits._
+    import graft.functions.{HtmlFunctions, TextFunctions, UrlFunctions}
+    // materialize the extraction ONCE: the keeper pick and the keeper
+    // join both consume this relation, and re-deriving the (interpreted
+    // HOF) extraction on each branch doubled the query's cost — at real
+    // scale the extraction output is a persisted stage boundary anyway
+    val canon = Tables.documents(s, dir)
+      .select(col("doc_id"), htmlFixture.as("__html"),
+        UrlFunctions.canonicalizeUrl(urlFixture).as("canon_url"),
+        UrlFunctions.registeredDomain(UrlFunctions.hostOf(urlFixture),
+          pslSubset).as("domain"))
+      .withColumn("n_words",
+        TextFunctions.wordCount(HtmlFunctions.mainContent(col("__html")))
+          .cast("long"))
+      .filter(col("n_words") >= 20)
+      .drop("__html")
+      .localCheckpoint(true)
+    val keepers = canon.groupBy("canon_url")
+      .agg(min(col("doc_id")).as("doc_id"))
+    val deduped = keepers.join(canon, Seq("doc_id", "canon_url"))
+    val unblocked = UrlFunctions.dropBlockedDomains(deduped, "domain",
+      Seq("example.co.uk").toDF("domain"))
+    graft.operators.Sampling.cappedPerStratum(unblocked, Seq("domain"),
+        Seq("doc_id"), cap = 10,
+        hash = Some(md5(col("doc_id").cast("string").cast("binary"))))
+      .select("doc_id", "domain", "canon_url", "n_words")
+  }
+
   // ---------------------------------------------------------------- t40
   /** PHRASE-BLOCKLIST PROBE ([[graft.plans.MultiMatchExpr]]): the ids of
     * every banned phrase occurring in each document, from ONE Aho–Corasick
@@ -1903,6 +2073,7 @@ object TextQueries {
     t40_phrase_blocklist, t41_psl_wildcard, t42_perplexity_buckets,
     t43_token_quota, t44_lang_token_budgets,
     q71_web_curation, t45_train_val_test,
+    t47_html_extract, q72_web_curation_html,
     t01_token_stats, t02_quality_score, t03_lang_id, t04_fingerprint,
     t05_rolling_hash, t06_redact, t07_tfidf_top_terms, t08_curation_pipeline,
     t09_repetition, t10_mixture_resample, t11_boilerplate_ngrams,

@@ -1,0 +1,106 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Adversarial fixtures for [[HtmlFunctions]] — the regex-level HTML
+  * contract under hostile markup: nested tags, comments hiding tags,
+  * CDATA, script/style bodies containing comparison operators and
+  * string-literal tags, uppercase tags, nested anchors, double-encoded
+  * entities, and malformed input (unclosed tags, bare `<`). Each case
+  * asserts the DOCUMENTED semantics, including the documented limits.
+  */
+class ExtractSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def strip(html: String): String =
+    Seq(html).toDF("h").select(HtmlFunctions.stripHtml(col("h")))
+      .as[String].head()
+
+  private def main(html: String, minChars: Int = 25,
+                   density: Double = 0.33): String =
+    Seq(html).toDF("h")
+      .select(HtmlFunctions.mainContent(col("h"), minChars, density))
+      .as[String].head()
+
+  test("script/style/noscript bodies vanish, even with operators and fake tags") {
+    val h = "<p>Real content stays here</p>" +
+      "<script>if (a < b && b > c) { d.write(\"<p>fake</p>\"); }</script>" +
+      "<style>p { color: red } /* <div>styled</div> */</style>" +
+      "<NOSCRIPT><p>enable js</p></NOSCRIPT>"
+    assert(strip(h) == "Real content stays here")
+  }
+
+  test("comments and CDATA vanish, including tags hidden inside them") {
+    val h = "<p>kept</p><!-- <p>commented out</p> --><![CDATA[ <p>cdata</p> ]]>"
+    assert(strip(h) == "kept")
+  }
+
+  test("nested inline tags flatten to their text; block tags split blocks") {
+    val h = "<div><p>A <b>bold <i>ital</i></b> tail</p></div><p>Second</p>"
+    assert(strip(h) == "A bold ital tail Second")
+  }
+
+  test("uppercase and attribute-laden tags are tags") {
+    val h = "<P CLASS=\"x\">One</P><DIV data-y='z'>Two</DIV>"
+    assert(strip(h) == "One Two")
+  }
+
+  test("entities decode once: double-encoded stays literal entity text") {
+    val h = "<p>a &lt; b &amp; c &amp;lt; d &quot;q&quot; &nbsp;e</p>"
+    assert(strip(h) == "a < b & c &lt; d \"q\" e")
+  }
+
+  test("link-density rule drops navigation but keeps linked prose") {
+    val nav = "<ul><li><a href=\"/\">Home page link</a></li>" +
+      "<li><a href=\"/x\">Another navigation link</a></li></ul>"
+    val prose = "<p>This paragraph is long enough to keep and has " +
+      "one <a href=\"/r\">small link</a> inside a lot of plain text.</p>"
+    assert(main(nav + prose) == "This paragraph is long enough to keep " +
+      "and has one small link inside a lot of plain text.")
+  }
+
+  test("minChars drops short blocks (headings, footer crumbs) regardless of links") {
+    val h = "<h1>Big Title</h1><p>Body text long enough to clear the " +
+      "twenty-five character floor.</p><footer>c 2026</footer>"
+    assert(main(h) == "Body text long enough to clear the " +
+      "twenty-five character floor.")
+  }
+
+  test("no kept blocks yields the empty string, not null") {
+    assert(main("<p>tiny</p>") == "")
+    assert(main("") == "")
+  }
+
+  test("nested anchors credit link text to the first close (documented limit)") {
+    // "<a>x <a>y</a> z</a>": the lazy match ends at the FIRST </a>, so
+    // link text is "x y"; "z" counts as plain text
+    val h = "<p>Some sufficiently long paddings here <a href=\"/o\">x " +
+      "<a href=\"/i\">y</a> z</a> and more plain text words follow</p>"
+    val texts = Seq(h).toDF("h")
+      .select(HtmlFunctions.blocks(col("h")).getItem(0).getField("link_text"))
+      .as[String].head()
+    assert(texts == "x y")
+  }
+
+  test("malformed markup: unclosed trailing tag stays literal; bare < is text") {
+    assert(strip("<p>open <div") == "open <div")
+    assert(strip("<p>a < b and c > d</p>") == "a d")
+    // ^ documented limit: a bare "<" opens a pseudo-tag to the next ">"
+    assert(strip("<p>price < 100 with no closing angle") ==
+      "price < 100 with no closing angle")
+  }
+
+  test("attribute value containing '>' ends the tag early (documented limit)") {
+    assert(strip("<p title=\"a > b\">body text</p>") == "b\">body text")
+  }
+
+  test("br/hr/title are block boundaries; title text is its own block") {
+    val h = "<title>Site</title><p>line one<br>line two</p>"
+    val blocks = Seq(h).toDF("h")
+      .select(transform(HtmlFunctions.blocks(col("h")),
+        b => b.getField("text")))
+      .as[Seq[String]].head()
+    assert(blocks == Seq("Site", "line one", "line two"))
+  }
+}

@@ -342,6 +342,23 @@ class PlanAuditSpec extends SparkSpec {
       s"no candidate prune between the window Generate and the (h,w) aggregate\n$p")
   }
 
+  test("t47: the whole HTML extraction is one exchange-free codegen projection") {
+    val p = plan(TextQueries.t47_html_extract)
+    val lines = p.linesIterator.toList
+    // scan → project, nothing else: no shuffle, no join, no aggregate —
+    // the shape that stays embarrassingly parallel at 100 TB
+    assert(!lines.exists(_.contains("Exchange")), p)
+    assert(!lines.exists(_.contains("Join")), p)
+    assert(!lines.exists(_.contains("HashAggregate")), p)
+    // the scan-side projection runs codegen'd ("*(n)" stage markers);
+    // the HOF lambdas above it are interpreted by design (Spark has no
+    // lambda codegen) but stay inside the same narrow pipeline
+    assert(lines.exists(_.contains("*(1)")), p)
+    val read = "ReadSchema: [^\n]+".r.findFirstIn(p).get
+    assert(read.contains("doc_id") && read.contains("text") &&
+      !read.contains("source"), read)
+  }
+
   test("d18: no distinct expansion; refinement window text aggregates only candidate-pruned rows") {
     val p = plan(DedupQueries.d18_max_dup_run)
     val lines = p.linesIterator.toList

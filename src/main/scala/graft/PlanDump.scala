@@ -764,6 +764,17 @@ object PlanDump {
       "narrow checkpoint schema). Exactness unchanged: flags and base " +
       "promotion are text-keyed counts, refinement recounts by " +
       "(hash, text), collisions anywhere only widen candidate sets."),
+    "t48_bpe_token_quota" -> ("round 17: the r16 verdict's Next #4 — " +
+      "t43's per-domain greedy-prefix token quota re-weighted in the " +
+      "tokens the TRAINER consumes: size(bpe_encode(text)) under the " +
+      "t26-trained 60-merge table (BpeEncodeExpr, row-local codegen in " +
+      "the scan stage) instead of the regex-token proxy. Zero new " +
+      "operator code — the budget machinery is weight-generic, which " +
+      "this entry pins. Golden-gated (greedy BPE inference has no SQL " +
+      "twin, same as t26/t27); SamplingSpec carries the law that the " +
+      "kept set is exactly the md5-ordered greedy prefix under exact " +
+      "encode lengths AND that those lengths genuinely differ from the " +
+      "regex proxy on the fixture."),
     "t47_html_extract" -> ("round 17: HTML main-content extraction " +
       "(HtmlFunctions) — stage -1 of the web pipeline the r16 verdict " +
       "named the most-hit missing operator. Invisible-content strip " +

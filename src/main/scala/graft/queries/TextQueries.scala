@@ -1986,6 +1986,35 @@ object TextQueries {
       .select("doc_id", "lang", "n_tok")
   }
 
+  // ---------------------------------------------------------------- t48
+  /** BPE-EXACT TOKEN BUDGET (t43 with the tokens the TRAINER actually
+    * consumes): t43/t44 weigh their running sums in regex-token counts —
+    * a deterministic PROXY — but a mixture spec is written in tokenizer
+    * tokens, and the engine already ships exact BPE inference as a
+    * codegen expression ([[graft.plans.BpeEncodeExpr]], t27). This
+    * entry composes them: the SAME per-domain greedy-prefix quota as
+    * t43, weighted by `size(bpe_encode(text))` under the t26-trained
+    * 60-merge table. No new operator code — the weight column is the
+    * only change, which is the point: budgets are a weight-generic
+    * machine. Golden-gated like t26/t27 (the merge table and greedy
+    * inference have no SQL twin); SamplingSpec carries the law that the
+    * kept set is exactly the greedy prefix in BPE tokens.
+    */
+  val t48_bpe_token_quota = GraftQuery("t48_bpe_token_quota", (s, dir) => {
+    import graft.functions.UrlFunctions
+    import graft.operators.Bpe
+    val docs = Tables.documents(s, dir)
+    val merges = Bpe.learn(Bpe.wordCounts(docs, "text"), 60)
+    val withDom = docs.select(col("doc_id"),
+      size(Bpe.encode(col("text"), merges)).cast("long").as("n_bpe"),
+      UrlFunctions.registeredDomain(UrlFunctions.hostOf(urlFixture),
+        pslSubset).as("domain"))
+    graft.operators.Sampling.weightCappedPerStratum(withDom, Seq("domain"),
+        Seq("doc_id"), "n_bpe", budget = 1000L,
+        hash = Some(md5(col("doc_id").cast("string").cast("binary"))))
+      .select("doc_id", "domain", "n_bpe")
+  }, GoldenOracles.sqlFor("t48_bpe_token_quota"))
+
   // ---------------------------------------------------------------- t45
   /** DETERMINISTIC TRAIN/VAL/TEST SPLIT ([[graft.operators.Sampling
     * .deterministicSplit]]): every document gets exactly one of
@@ -2071,7 +2100,7 @@ object TextQueries {
     t34_url_canonicalize, t35_registered_domain, t36_domain_blocklist,
     q70_domain_quota, t37_langid_train, t38_url_dedup, t39_domain_report,
     t40_phrase_blocklist, t41_psl_wildcard, t42_perplexity_buckets,
-    t43_token_quota, t44_lang_token_budgets,
+    t43_token_quota, t44_lang_token_budgets, t48_bpe_token_quota,
     q71_web_curation, t45_train_val_test,
     t47_html_extract, q72_web_curation_html,
     t01_token_stats, t02_quality_score, t03_lang_id, t04_fingerprint,

@@ -112,6 +112,44 @@ class SamplingSpec extends SparkSpec {
     spark.catalog.clearCache() // release the two-pass internal persists
   }
 
+  test("t48 law: the quota binds in BPE tokens — kept set is the greedy prefix under bpe_encode lengths") {
+    // the budget machinery is weight-generic; this pins that feeding it
+    // size(bpe_encode(text)) budgets in the TRAINER's tokens, not the
+    // regex proxy (t43): replay the greedy prefix driver-side with the
+    // same merge table and exact encoded lengths
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val merges = Bpe.learn(Bpe.wordCounts(docs, "text"), 40)
+    val weighted = docs.select(col("doc_id"), (col("doc_id") % 5).as("g"),
+      size(Bpe.encode(col("text"), merges)).cast("long").as("n_bpe"))
+    val kept = Sampling.weightCappedPerStratum(weighted, Seq("g"),
+        Seq("doc_id"), "n_bpe", budget = 500L,
+        hash = Some(md5(col("doc_id").cast("string").cast("binary"))))
+      .select(col("doc_id"), col("g"), col("n_bpe"))
+      .as[(Long, Long, Long)].collect()
+    // replay: per stratum, md5-ordered prefix whose BPE-length sum fits
+    val all = weighted.select(col("doc_id"), col("g"), col("n_bpe"),
+        md5(col("doc_id").cast("string").cast("binary")).as("h"))
+      .as[(Long, Long, Long, String)].collect()
+    val want = all.groupBy(_._2).values.flatMap { rs =>
+      var cum = 0L
+      rs.sortBy(r => (r._4, r._1))
+        .takeWhile { r => cum += r._3; cum <= 500L }.map(_._1).toSeq
+    }.toSet
+    assert(kept.map(_._1).toSet == want)
+    // the weights really are BPE lengths (not the regex token proxy):
+    // at least one document's counts differ between the two tokenizers,
+    // and every kept weight equals the exact encode length
+    val exact = docs.select(col("doc_id"),
+        size(Bpe.encode(col("text"), merges)).cast("long"),
+        graft.functions.TextFunctions.tokenCount(col("text")).cast("long"))
+      .as[(Long, Long, Long)].collect()
+    assert(exact.exists(r => r._2 != r._3),
+      "fixture degenerate: BPE and regex token counts identical everywhere")
+    val exactMap = exact.map(r => r._1 -> r._2).toMap
+    kept.foreach { case (id, _, w) => assert(w == exactMap(id)) }
+    spark.catalog.clearCache()
+  }
+
   test("budgetCappedPerStratum: per-stratum budgets bind; absent strata kept whole") {
     val rows = Seq.tabulate(10)(i => (i.toLong, "en", 30L)) ++    // 300 total
       Seq.tabulate(6)(i => (100L + i, "zh", 30L)) ++              // 180 total

@@ -764,6 +764,19 @@ object PlanDump {
       "narrow checkpoint schema). Exactness unchanged: flags and base " +
       "promotion are text-keyed counts, refinement recounts by " +
       "(hash, text), collisions anywhere only widen candidate sets."),
+    "src21_split_manifest" -> ("round 17: split-release PROVENANCE " +
+      "(SplitManifest) — the lineage record a reproducibility audit " +
+      "needs when a corpus ships: (seed, fractions, strata/key/group " +
+      "columns, per-split counts) persisted NEXT TO the assignment on " +
+      "the shared StoredIndex CAS protocol (third client after the " +
+      "near-dup and ANN indexes: relations written before the " +
+      "generation-numbered meta pointer, exclusive-create publish, " +
+      "concurrent releases lose loudly). Counts come from the WRITTEN " +
+      "assignment files, so the manifest describes the artifact of " +
+      "record. The oracle recomputes the split independently from the " +
+      "spec constants and joins its counts against the manifest " +
+      "literals — a store recording the wrong seed/fractions/columns/" +
+      "counts hash-mismatches. d20 and d22 consume this store."),
     "t48_bpe_token_quota" -> ("round 17: the r16 verdict's Next #4 — " +
       "t43's per-domain greedy-prefix token quota re-weighted in the " +
       "tokens the TRAINER consumes: size(bpe_encode(text)) under the " +
@@ -1141,7 +1154,12 @@ object PlanDump {
       "100 TB substitute d03's LSH pairs — the audit is edge-source-" +
       "agnostic (d06's note). An EMPTY result is the passing audit; the " +
       "fixture's planted duplicates keep it non-empty at sf0.01 (5 " +
-      "rows) so the oracle hash proves detection, not just plumbing."),
+      "rows) so the oracle hash proves detection, not just plumbing. " +
+      "ROUND 17: the audit now consumes the RELEASED assignment from " +
+      "the SplitManifest store (src21) instead of re-deriving the split " +
+      "— the seed/fraction constants exist once, at the release site, " +
+      "and the audit reads what shipped (staging memoized per JVM, " +
+      "excluded from bench passes via staging_sec)."),
     "t46_importance_sample" -> ("round 16: deterministic importance " +
       "resampling (Sampling.importanceSample) — DSIR-style " +
       "quality-weighted Bernoulli thinning: keep a row iff its " +
@@ -1181,7 +1199,12 @@ object PlanDump {
       "eager clustering and the audit join (without it the lazy join " +
       "re-ran d02's whole shingle join: 5.5 -> 3.45 s min at sf0.1; at " +
       "corpus scale the pairs are the bounded near-dup subset, the " +
-      "same materialization the clustering iteration already implies)."),
+      "same materialization the clustering iteration already implies). " +
+      "ROUND 17: the guard now audits the RELEASED grouped assignment " +
+      "read from the SplitManifest store — exactly what a post-release " +
+      "check runs — so the split compute (CC + group rank) happens once " +
+      "at the release site (staged, excluded from bench passes) and the " +
+      "query cost is the pair recompute + two id joins."),
     "q44_salted_join" -> ("at sf0.1 the dim broadcasts, so this query " +
       "exercises the salted operator's correctness, not its necessity. " +
       "Round-5 AQE comparison (graft.AqeSkewBench, appendix below): for " +

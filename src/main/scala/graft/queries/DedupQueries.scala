@@ -664,6 +664,39 @@ object DedupQueries {
     * the sf fixture's planted duplicates make this one non-empty so the
     * oracle hash proves the detection, not just the plumbing.
     */
+  /** Release the t45 row-level split into a [[graft.operators
+    * .SplitManifest]] store, once per (corpus, JVM) — the staging
+    * convention of the d11-d13 index fixtures. d20's audit and src21's
+    * round-trip both read THIS store, so the (seed, fractions, strata)
+    * constants exist exactly once: here, at the release site.
+    */
+  private[queries] def rowSplitStore(s: org.apache.spark.sql.SparkSession,
+                                     dir: String): String =
+    DedupStaging.ensure("splitrow", dir) { root =>
+      val spec = graft.operators.SplitManifest.Spec(seed = 42L,
+        fractions = Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)),
+        strataCols = Seq("lang"), keyCols = Seq("doc_id"))
+      val assignment = graft.operators.Sampling.deterministicSplit(
+          Tables.documents(s, dir).select("doc_id", "lang"),
+          spec.strataCols, spec.keyCols, spec.fractions, spec.seed)
+        .select("doc_id", "lang", "split")
+      graft.operators.SplitManifest.release(assignment, root, spec)
+    }
+
+  /** Release the d21 cluster-grouped split (leakage-PROOF form) into a
+    * manifest store, once per (corpus, JVM). d22's guard reads this
+    * released assignment — the guard audits what shipped.
+    */
+  private[queries] def groupSplitStore(s: org.apache.spark.sql.SparkSession,
+                                       dir: String): String =
+    DedupStaging.ensure("splitgrp", dir) { root =>
+      val spec = graft.operators.SplitManifest.Spec(seed = 7L,
+        fractions = Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)),
+        strataCols = Nil, keyCols = Seq("doc_id"), groupCol = Some("grp"))
+      graft.operators.SplitManifest.release(
+        clusterSplit(s, dir).select("doc_id", "grp", "split"), root, spec)
+    }
+
   val d20_split_leakage = q("d20_split_leakage", Some(
     s"""WITH $shingleSql,
        |r AS (SELECT doc_id,
@@ -683,10 +716,11 @@ object DedupQueries {
        |JOIN sp sa ON j.id_a = sa.doc_id
        |JOIN sp sb ON j.id_b = sb.doc_id
        |WHERE jaccard >= 0.5 AND sa.split <> sb.split""".stripMargin)) { (s, dir) =>
-    val split = graft.operators.Sampling.deterministicSplit(
-        Tables.documents(s, dir).select("doc_id", "lang"), Seq("lang"),
-        Seq("doc_id"), Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)),
-        seed = 42L)
+    // the audit consumes the RELEASED artifact: assignment + spec come
+    // from the manifest store (round 17 — src21); the seed/fraction
+    // constants live only at the release site
+    val split = graft.operators.SplitManifest
+      .readAssignment(s, rowSplitStore(s, dir))
       .select("doc_id", "split")
     d02_ngram_jaccard.fn(s, dir)
       .join(split.select(col("doc_id").as("id_a"), col("split").as("split_a")),
@@ -797,8 +831,13 @@ object DedupQueries {
        |FROM pe
        |JOIN ds sa ON pe.id_a = sa.doc_id
        |JOIN ds sb ON pe.id_b = sb.doc_id""".stripMargin)) { (s, dir) =>
-    val (split, pairs) = clusterSplitAndPairs(s, dir)
-    val ds = split.select(col("doc_id"), col("split"))
+    // the guard audits the RELEASED grouped assignment (manifest store,
+    // round 17), not a re-derivation — the pair relation is recomputed
+    // fresh because the audit is exactly what a post-release check runs
+    val ds = graft.operators.SplitManifest
+      .readAssignment(s, groupSplitStore(s, dir))
+      .select(col("doc_id"), col("split"))
+    val pairs = d02_ngram_jaccard.fn(s, dir).select("id_a", "id_b")
     pairs
       .join(ds.select(col("doc_id").as("id_a"), col("split").as("split_a")),
         "id_a")

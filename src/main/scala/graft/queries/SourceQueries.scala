@@ -593,6 +593,43 @@ object SourceQueries {
         col("o_totalprice").as("o_totalprice"))
   }
 
+  // ---------------------------------------------------------------- src21
+  /** SPLIT-MANIFEST ROUND TRIP ([[graft.operators.SplitManifest]]): the
+    * released t45 split's provenance record — one row per split carrying
+    * (fraction, n_rows, seed, strata/key columns) — read back from the
+    * CAS-published store that d20's leakage audit also consumes. The
+    * oracle recomputes the split independently from the spec constants
+    * (the t45 window arithmetic) and joins its counts against the
+    * manifest's literals, so a store that recorded the wrong seed,
+    * fractions, columns or counts hash-mismatches.
+    */
+  val src21_split_manifest = q("src21_split_manifest", Some(
+    s"""WITH r AS (SELECT doc_id,
+       |    row_number() OVER (PARTITION BY lang
+       |      ORDER BY md5('42|' || CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+       |    COUNT(*) OVER (PARTITION BY lang) AS n
+       |  FROM documents),
+       |sp AS (SELECT doc_id,
+       |    CASE WHEN rn <= floor(CAST(0.8 AS DOUBLE) * n) THEN 'train'
+       |         WHEN rn <= floor((CAST(0.8 AS DOUBLE) + CAST(0.1 AS DOUBLE)) * n)
+       |              THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM r),
+       |c AS (SELECT split, CAST(COUNT(*) AS BIGINT) AS n_rows
+       |      FROM sp GROUP BY 1)
+       |SELECT f.split, f.fraction, coalesce(c.n_rows, 0) AS n_rows,
+       |  CAST(42 AS BIGINT) AS seed,
+       |  'lang' AS strata_cols, 'doc_id' AS key_cols
+       |FROM (VALUES ('train', CAST(0.8 AS DOUBLE)),
+       |             ('val', CAST(0.1 AS DOUBLE)),
+       |             ('test', CAST(0.1 AS DOUBLE))) f(split, fraction)
+       |LEFT JOIN c USING (split)""".stripMargin)) { (s, dir) =>
+    graft.operators.SplitManifest
+      .readManifest(s, DedupQueries.rowSplitStore(s, dir))
+      .select("split", "fraction", "n_rows", "seed", "strata_cols",
+        "key_cols")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     src01_csv_roundtrip, src02_rest_paged, src03_partitioned_sink,
     src04_multimodal_meta, src05_frame_sample, src06_restv2_scan,
@@ -600,5 +637,5 @@ object SourceQueries {
     src10_compact_partitions, src11_scd2_merge, src12_zorder_layout,
     src13_jsonl_roundtrip, src14_schema_evolution, src15_corpus_diff,
     src16_orc_roundtrip, src17_minmax_skipping, src18_corrupt_quarantine,
-    src19_bloom_skipping, src20_incremental_pull)
+    src19_bloom_skipping, src20_incremental_pull, src21_split_manifest)
 }

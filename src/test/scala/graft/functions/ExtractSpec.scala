@@ -95,6 +95,36 @@ class ExtractSpec extends SparkSpec {
     assert(strip("<p title=\"a > b\">body text</p>") == "b\">body text")
   }
 
+  test("differential law: HtmlBlocksExpr equals the regex reference on random tag soup") {
+    // the native scanner must compute the IDENTICAL function as the
+    // regexp/HOF composition the oracle mirrors — fuzz both over hostile
+    // fragments: unclosed elements, stray brackets, nested/uppercase
+    // tags, entities (incl. double-encoded), comments/CDATA with tags
+    // inside, whitespace variety in closers
+    val rnd = new scala.util.Random(20260817L)
+    val pieces = Vector(
+      "<p>", "</p>", "<DIV class=\"x\">", "</div>", "<li>", "</LI>",
+      "<br>", "<hr/>", "<title>", "</title>",
+      "<a href=\"/x\">", "</a>", "</a >", "<A>", "<a",
+      "<script>", "</script>", "<script type=\"t\">", "</script >",
+      "<style>", "</style>", "<!--", "-->", "<![CDATA[", "]]>",
+      "<b>", "</b>", "<span>", "<spanx>", "<", ">", "</",
+      "&lt;", "&amp;", "&amp;lt;", "&quot;", "&nbsp;", "&#39;", "&bogus;",
+      "plain words here", "x < y", "a > b", "  ", "\n", "\t", "tok",
+      "longer run of ordinary prose to pass length gates sometimes")
+    val htmls = (1 to 400).map { _ =>
+      (0 until rnd.nextInt(18)).map(_ => pieces(rnd.nextInt(pieces.size)))
+        .mkString(" ")
+    }
+    val both = htmls.toDF("h").select(
+      HtmlFunctions.blocks(col("h")).as("fast"),
+      HtmlFunctions.blocksReference(col("h")).as("ref"))
+      .as[(Seq[(String, String)], Seq[(String, String)])].collect()
+    both.zip(htmls).foreach { case ((fast, ref), h) =>
+      assert(fast == ref, s"diverged on: $h")
+    }
+  }
+
   test("br/hr/title are block boundaries; title text is its own block") {
     val h = "<title>Site</title><p>line one<br>line two</p>"
     val blocks = Seq(h).toDF("h")

@@ -1292,7 +1292,12 @@ bounded by construction):
 | t14_epoch_shuffle | 1 | `SurrogateKey.scalable` offset fold — ≤ #partitions rows |
 | s05_watermark_late | 1 | `PrefixAgg.maxExclusive` offset fold — ≤ #partitions rows (the data-sized prefix max itself went two-pass in round 15) |
 | d21_cluster_group_split | 1 | groupSplit's unstratified group rank is always two-pass; this is its offsets fold — ≤ #partitions rows (round 16) |
-| d22_group_split_guard | 2 | the guard self-joins the d21 split relation, duplicating the two-pass subtree — two offsets folds, each ≤ #partitions rows (round 16) |
+
+Round 17 removed d22's two sites from the inventory: the guard now reads
+the RELEASED assignment from the SplitManifest store, so the split's
+two-pass subtree (and its offsets folds) run once at the staged release
+site, not in the query plan — the sweep's stale-entry check enforced the
+removal.
 
 s05 previously held the ONE data-sized global window in the registry
 (prefix max over the whole events table in arrival order); the sweep

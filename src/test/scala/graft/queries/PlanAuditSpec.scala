@@ -608,11 +608,11 @@ class PlanAuditSpec extends SparkSpec {
       "d21_cluster_group_split" -> ((1,
         "groupSplit's unstratified group rank is ALWAYS two-pass (a " +
         "global rank must never single-task); this is its offsets " +
-        "fold — <= #partitions rows")),
-      "d22_group_split_guard" -> ((2,
-        "the guard self-joins the d21 split relation (split_a/split_b " +
-        "sides), duplicating the two-pass subtree — two offsets folds, " +
-        "each <= #partitions rows")))
+        "fold — <= #partitions rows")))
+    // round 17: d22's two entries LEFT the inventory — the guard now
+    // reads the RELEASED assignment from the SplitManifest store, so
+    // the split's two-pass subtree (and its offsets folds) run once at
+    // the staged release site, not in the query plan
     val seen = graft.SparkEntry.registry.map { q =>
       val n = globalWindows(q.fn(spark, dir).queryExecution.sparkPlan)
       q.name -> n

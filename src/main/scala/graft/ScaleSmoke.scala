@@ -741,7 +741,11 @@ object ScaleSmoke {
                    copies: Int): (Double, Double, Long, Long) = {
     // force the two-pass path: this leg measures the SCALE shape's cumsum
     // machinery itself, and the synthetic range corpus's leaf stats would
-    // otherwise (correctly) gate the one-window form at these volumes
+    // otherwise (correctly) gate the one-window form at these volumes.
+    // Snapshot the session's prior gate value and RESTORE it (not unset):
+    // a caller-configured gate must survive the smoke run.
+    val priorGate =
+      spark.conf.getOption(graft.operators.Sampling.TwoPassMinBytesKey)
     spark.conf.set(graft.operators.Sampling.TwoPassMinBytesKey, "0")
     def corpus(n: Long): DataFrame =
       spark.range(n).select(col("id"),
@@ -761,7 +765,12 @@ object ScaleSmoke {
       val (rb, tba) = time(run(baseRows.toLong * copies))
       val (_, tbb) = time(run(baseRows.toLong * copies))
       (math.min(t1a, t1b), math.min(tba, tbb), r1, rb)
-    } finally spark.conf.unset(graft.operators.Sampling.TwoPassMinBytesKey)
+    } finally priorGate match {
+      case Some(v) =>
+        spark.conf.set(graft.operators.Sampling.TwoPassMinBytesKey, v)
+      case None =>
+        spark.conf.unset(graft.operators.Sampling.TwoPassMinBytesKey)
+    }
   }
 
   /** Continuous-quota twin of [[quotaSection]]: ONE mega-batch (same 80 %
@@ -776,6 +785,8 @@ object ScaleSmoke {
   def quotaBatchSection(spark: SparkSession, baseRows: Int,
                         copies: Int): (Double, Double, Long, Long) = {
     import graft.operators.QuotaView
+    // same snapshot-and-restore discipline as quotaSection
+    val priorGate = spark.conf.getOption(QuotaView.BatchTwoPassMinRowsKey)
     spark.conf.set(QuotaView.BatchTwoPassMinRowsKey, "0")
     def corpus(n: Long): DataFrame =
       spark.range(n).select(col("id").as("doc_id"),
@@ -800,7 +811,10 @@ object ScaleSmoke {
       val (rb, tba) = time(run(baseRows.toLong * copies))
       val (_, tbb) = time(run(baseRows.toLong * copies))
       (math.min(t1a, t1b), math.min(tba, tbb), r1, rb)
-    } finally spark.conf.unset(QuotaView.BatchTwoPassMinRowsKey)
+    } finally priorGate match {
+      case Some(v) => spark.conf.set(QuotaView.BatchTwoPassMinRowsKey, v)
+      case None => spark.conf.unset(QuotaView.BatchTwoPassMinRowsKey)
+    }
   }
 
   /** SCD2 merge cost must track the TOUCHED buckets, not the dimension:

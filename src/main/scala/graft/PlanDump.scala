@@ -788,6 +788,20 @@ object PlanDump {
       "kept set is exactly the md5-ordered greedy prefix under exact " +
       "encode lengths AND that those lengths genuinely differ from the " +
       "regex proxy on the fixture."),
+    "t49_robots_filter" -> ("round 17: robots-meta compliance filter " +
+      "(HtmlFunctions.robotsDirectives / dropNoindex) — stage -1.5 of a " +
+      "compliant crawl pipeline: a page whose <meta name=robots> " +
+      "carries noindex (or the none shorthand) must not enter the " +
+      "corpus regardless of quality. Regex-level attribute parsing " +
+      "(both quote styles + bare values, any case), RE2-safe so the " +
+      "oracle replays extraction AND the gate; plan is a pure " +
+      "scan-side filter+project, zero exchanges."),
+    "q73_corpus_datacard" -> ("round 17: the per-language summary a " +
+      "dataset release publishes — doc/token counts, mean quality, " +
+      "exact-duplicate exposure — composed from t01/t02/t04/d01's " +
+      "gated building blocks in ONE corpus pass + a fingerprint-keyed " +
+      "count + the keyed join-back; all aggregates partial, doubles " +
+      "DECIMAL-routed so the card replays bit-for-bit."),
     "t47_html_extract" -> ("round 17: HTML main-content extraction " +
       "(HtmlFunctions) — stage -1 of the web pipeline the r16 verdict " +
       "named the most-hit missing operator. Invisible-content strip " +

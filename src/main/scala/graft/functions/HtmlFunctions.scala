@@ -139,4 +139,45 @@ object HtmlFunctions {
       length(b.getField("text")) >= minChars &&
         length(b.getField("link_text")).cast("double") <=
           lit(maxLinkDensity) * length(b.getField("text")).cast("double"))
+
+  // --------------------------------------------- robots-meta compliance
+
+  /** The `content` attribute of the page's `<meta name="robots" …>`
+    * tags, as lowercase trimmed directive tokens in document order —
+    * stage −1.5 of a compliant crawl pipeline: a page that says
+    * `noindex` must not enter the corpus regardless of its content
+    * quality. Regex-level like the rest of this module (RE2-safe, the
+    * oracle replays it): a meta tag whose attributes contain
+    * `name = "robots"` (either quote style or bare, any case)
+    * contributes the comma-split tokens of its `content = "…"` value;
+    * pages with no robots meta yield an empty array. Directives are not
+    * interpreted here — [[dropNoindex]] applies the one that gates
+    * corpus membership.
+    */
+  def robotsDirectives(c: Column): Column = {
+    val metas = regexp_extract_all(c, lit("(?is)<meta\\b[^>]*>"), lit(0))
+    val robots = filter(metas, m => m.rlike(
+      "(?is)\\bname\\s*=\\s*(\"robots\"|'robots'|robots\\b)"))
+    val contents = transform(robots, m => regexp_extract(m,
+      "(?is)\\bcontent\\s*=\\s*(?:\"([^\"]*)\"|'([^']*)'|([^\\s>]+))", 0))
+    // re-extract the value from the matched attr text (group alternation
+    // across quote styles — take the piece after '=' and strip quotes)
+    val values = transform(contents, v =>
+      trim(regexp_replace(regexp_replace(v,
+        "(?is)^content\\s*=\\s*", ""), "^[\"']|[\"']$", "")))
+    filter(
+      transform(flatten(transform(values, v => split(v, ","))),
+        t => lower(trim(t))),
+      t => t =!= "")
+  }
+
+  /** Drop pages whose robots meta carries `noindex` — the corpus-
+    * membership gate. `none` is the RFC 9309-adjacent shorthand for
+    * `noindex, nofollow` and gates too.
+    */
+  def dropNoindex(df: org.apache.spark.sql.DataFrame,
+                  htmlCol: String): org.apache.spark.sql.DataFrame = {
+    val d = robotsDirectives(col(htmlCol))
+    df.filter(!array_contains(d, "noindex") && !array_contains(d, "none"))
+  }
 }

@@ -1779,6 +1779,113 @@ object TextQueries {
       .select("doc_id", "domain", "canon_url", "n_words")
   }
 
+  // ---------------------------------------------------------------- t49
+  /** ROBOTS-META COMPLIANCE FILTER ([[graft.functions.HtmlFunctions
+    * .robotsDirectives]] / `dropNoindex`): stage −1.5 of a compliant
+    * crawl pipeline — a page whose `<meta name="robots">` carries
+    * `noindex` (or the `none` shorthand) must not enter the corpus
+    * regardless of content quality. The fixture covers both quote
+    * styles, bare attribute values, uppercase tags/values, a non-robots
+    * meta, and pages with no meta; directives join to one string so the
+    * oracle hash covers extraction AND the gate.
+    */
+  private def robotsFixture: Column = {
+    val b = pmod(col("doc_id"), lit(7))
+    val meta =
+      when(b === 0, lit("<meta name=\"robots\" content=\"noindex, follow\">"))
+        .when(b === 1, lit("<META NAME='ROBOTS' CONTENT='NOFOLLOW'>"))
+        .when(b === 2, lit("<meta name=robots content=none>"))
+        .when(b === 3, lit("<meta name=\"viewport\" content=\"width=1\">"))
+        .otherwise(lit(""))
+    concat(lit("<html><head>"), meta, lit("</head><body><p>"),
+      col("text"), lit("</p></body></html>"))
+  }
+
+  private val robotsFixtureSql =
+    """'<html><head>' || CASE doc_id % 7
+      | WHEN 0 THEN '<meta name="robots" content="noindex, follow">'
+      | WHEN 1 THEN '<META NAME=''ROBOTS'' CONTENT=''NOFOLLOW''>'
+      | WHEN 2 THEN '<meta name=robots content=none>'
+      | WHEN 3 THEN '<meta name="viewport" content="width=1">'
+      | ELSE '' END || '</head><body><p>' || text || '</p></body></html>'"""
+      .stripMargin.linesIterator.mkString(" ")
+
+  val t49_robots_filter = q("t49_robots_filter",
+    s"""WITH h AS (SELECT doc_id, $robotsFixtureSql AS html FROM documents),
+       |t AS (SELECT doc_id,
+       |    list_filter(list_transform(flatten(list_transform(
+       |      list_transform(
+       |        list_filter(regexp_extract_all(html, '(?is)<meta\\b[^>]*>', 0),
+       |          m -> regexp_matches(m,
+       |            '(?is)\\bname\\s*=\\s*("robots"|''robots''|robots\\b)')),
+       |        m -> trim(regexp_replace(regexp_replace(
+       |          regexp_extract(m,
+       |            '(?is)\\bcontent\\s*=\\s*(?:"([^"]*)"|''([^'']*)''|([^\\s>]+))', 0),
+       |          '(?is)^content\\s*=\\s*', '', ''),
+       |          '^["'']|["'']$$', '', 'g'))),
+       |      v -> string_split(v, ','))),
+       |      x -> lower(trim(x))), x -> x <> '') AS d
+       |  FROM h)
+       |SELECT doc_id, coalesce(array_to_string(d, ' '), '') AS directives
+       |FROM t
+       |WHERE NOT list_contains(d, 'noindex')
+       |  AND NOT list_contains(d, 'none')""".stripMargin) { (s, dir) =>
+    import graft.functions.HtmlFunctions
+    HtmlFunctions.dropNoindex(
+        Tables.documents(s, dir).select(col("doc_id"),
+          robotsFixture.as("__html")), "__html")
+      .select(col("doc_id"),
+        array_join(HtmlFunctions.robotsDirectives(col("__html")), " ")
+          .as("directives"))
+  }
+
+  // ---------------------------------------------------------------- q73
+  /** CORPUS DATACARD: the per-language summary table a dataset release
+    * publishes (and the first sanity read before training) — document
+    * and token counts, mean quality, and exact-duplicate exposure, all
+    * from already-gated building blocks (t01's token counts, t02's
+    * quality score, t04's fingerprint, d01's duplicate-group shape) in
+    * ONE pass over the corpus plus a fingerprint-keyed count. Every
+    * aggregate is partial (map-side combined) and DECIMAL-routed where
+    * doubles fold, so the card replays bit-for-bit.
+    */
+  val q73_corpus_datacard = q("q73_corpus_datacard",
+    s"""WITH n AS (SELECT doc_id, lang, text, ${normSql("text")} AS norm
+       |           FROM documents),
+       |f AS (SELECT doc_id, lang,
+       |    CAST(len(regexp_extract_all(text, '$tokenPat')) AS BIGINT) AS n_tok,
+       |    md5(lower(norm)) AS fp,
+       |    ROUND(least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4
+       |      + greatest(0.0, 1.0 - (CASE WHEN length(text) = 0 THEN 0.0
+       |          ELSE CAST(len(regexp_extract_all(text, '$punctPat')) AS DOUBLE)
+       |               / CAST(length(text) AS DOUBLE) END) * 5.0) * 0.3
+       |      + least((CASE WHEN length(norm) = 0
+       |                      OR len(string_split(norm, ' ')) = 0 THEN 0.0
+       |          ELSE CAST(len(regexp_extract_all(lower(norm), '$stopPat')) AS DOUBLE)
+       |               / CAST(len(string_split(norm, ' ')) AS DOUBLE) END) * 4.0,
+       |          1.0) * 0.3, 6) AS quality
+       |  FROM n),
+       |g AS (SELECT fp, COUNT(*) AS c FROM f GROUP BY fp)
+       |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+       |  ${GraftQuery.dsum("quality")} / COUNT(*) AS mean_quality,
+       |  CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs
+       |FROM f JOIN g USING (fp)
+       |GROUP BY lang""".stripMargin) { (s, dir) =>
+    val f = Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+      TextFunctions.tokenCount(col("text")).cast("long").as("n_tok"),
+      TextFunctions.fingerprint(col("text")).as("fp"),
+      TextFunctions.qualityScore(col("text")).as("quality"))
+    val g = f.groupBy("fp").agg(count(lit(1)).as("__c"))
+    f.join(g, "fp")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        (graft.Cols.decimalSum(col("quality")) / count(lit(1)))
+          .as("mean_quality"),
+        sum(when(col("__c") > 1, 1L).otherwise(0L)).as("n_dup_docs"))
+  }
+
   // ---------------------------------------------------------------- t40
   /** PHRASE-BLOCKLIST PROBE ([[graft.plans.MultiMatchExpr]]): the ids of
     * every banned phrase occurring in each document, from ONE Aho–Corasick
@@ -2102,7 +2209,8 @@ object TextQueries {
     t40_phrase_blocklist, t41_psl_wildcard, t42_perplexity_buckets,
     t43_token_quota, t44_lang_token_budgets, t48_bpe_token_quota,
     q71_web_curation, t45_train_val_test,
-    t47_html_extract, q72_web_curation_html,
+    t47_html_extract, q72_web_curation_html, t49_robots_filter,
+    q73_corpus_datacard,
     t01_token_stats, t02_quality_score, t03_lang_id, t04_fingerprint,
     t05_rolling_hash, t06_redact, t07_tfidf_top_terms, t08_curation_pipeline,
     t09_repetition, t10_mixture_resample, t11_boilerplate_ngrams,

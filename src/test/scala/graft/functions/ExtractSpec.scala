@@ -95,6 +95,34 @@ class ExtractSpec extends SparkSpec {
     assert(strip("<p title=\"a > b\">body text</p>") == "b\">body text")
   }
 
+  test("robotsDirectives: quote styles, case, multiple metas, comma splits; dropNoindex gates") {
+    def dirs(html: String): Seq[String] =
+      Seq(html).toDF("h")
+        .select(HtmlFunctions.robotsDirectives(col("h"))).as[Seq[String]]
+        .head()
+    assert(dirs("""<meta name="robots" content="noindex, follow">""") ==
+      Seq("noindex", "follow"))
+    assert(dirs("""<META NAME='ROBOTS' CONTENT='NOFOLLOW , NOARCHIVE'>""") ==
+      Seq("nofollow", "noarchive"))
+    assert(dirs("<meta name=robots content=none>") == Seq("none"))
+    // non-robots metas contribute nothing; multiple robots metas append
+    assert(dirs("""<meta name="viewport" content="w"><meta name="robots"
+      content="noindex"><meta name=robots content="nofollow">""") ==
+      Seq("noindex", "nofollow"))
+    assert(dirs("<p>no meta at all</p>") == Seq.empty)
+    // content before name, content missing
+    assert(dirs("""<meta content="noindex" name="robots">""") ==
+      Seq("noindex"))
+    assert(dirs("""<meta name="robots">""") == Seq.empty)
+    val docs = Seq(
+      (1L, """<head><meta name="robots" content="noindex"></head>x"""),
+      (2L, """<head><meta name="robots" content="nofollow"></head>x"""),
+      (3L, "<head><meta name=robots content=none></head>x"),
+      (4L, "<head></head>x")).toDF("id", "h")
+    assert(HtmlFunctions.dropNoindex(docs, "h").select("id").as[Long]
+      .collect().toSet == Set(2L, 4L))
+  }
+
   test("differential law: HtmlBlocksExpr equals the regex reference on random tag soup") {
     // the native scanner must compute the IDENTICAL function as the
     // regexp/HOF composition the oracle mirrors — fuzz both over hostile

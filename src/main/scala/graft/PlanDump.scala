@@ -788,6 +788,21 @@ object PlanDump {
       "kept set is exactly the md5-ordered greedy prefix under exact " +
       "encode lengths AND that those lengths genuinely differ from the " +
       "regex proxy on the fixture."),
+    "s24_datacard_mv" -> ("round 17: CONTINUOUS corpus datacard — " +
+      "q73's per-language release summary maintained incrementally on " +
+      "the AdditiveStats protocol (the line/span/posting ingest " +
+      "family's newest member). Every card statistic is additive over " +
+      "disjoint batches, INCLUDING duplicate exposure: per-(lang, " +
+      "fingerprint) doc counts sum across fragments and the >1 test " +
+      "applies at read time, so a duplicate pair split across " +
+      "micro-batches counts (the s24 fixture's even/odd split cuts " +
+      "pairs deliberately; q73's oracle replays the one-shot card — " +
+      "fold arithmetic proven end to end). The quality MEAN survives " +
+      "batching bit-for-bit because fragments store the 4-dp-quantized " +
+      "sum as a x10^4 long (integer addition is associative; the " +
+      "read-side division reproduces decimalSum/count's exact " +
+      "rational). Streaming twin differential-tested in StreamingSpec " +
+      "with a mid-run compaction fold."),
     "t49_robots_filter" -> ("round 17: robots-meta compliance filter " +
       "(HtmlFunctions.robotsDirectives / dropNoindex) — stage -1.5 of a " +
       "compliant crawl pipeline: a page whose <meta name=robots> " +

@@ -776,7 +776,39 @@ object StreamQueries {
       .select(col("doc_id"), col("domain").as("lang"), col("n_tok"))
   }
 
+  // ---------------------------------------------------------------- s24
+  /** CONTINUOUS CORPUS DATACARD ([[graft.operators.Datacard]] /
+    * [[graft.streaming.StreamOps.datacardStream]]): q73's per-language
+    * release summary accumulated in two batch fragments with a
+    * compaction fold between them — exactly the relation the
+    * micro-batch stream maintains. The even/odd split deliberately
+    * cuts exact-duplicate PAIRS across the fragments, so the card's
+    * duplicate-exposure column is correct only if per-(language,
+    * fingerprint) counts sum across batches; q73's oracle replays the
+    * one-shot card over the full corpus, proving the fold arithmetic
+    * end to end. The streaming twin is differential-tested in
+    * StreamingSpec.
+    */
+  val s24_datacard_mv = q("s24_datacard_mv",
+    TextQueries.q73_corpus_datacard.oracle) { (s, dir) =>
+    import graft.operators.Datacard
+    val root = DedupQueries.DedupStaging.ensure("s24", dir) { r =>
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(s"$r/card"))
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"), col("lang"))
+      Datacard.init(s, s"$r/card")
+      Datacard.append(docs.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", "lang", s"$r/card", batchId = 0L)
+      Datacard.compact(s, s"$r/card")
+      Datacard.append(docs.filter(col("doc_id") % 2 =!= 0),
+        "doc_id", "text", "lang", s"$r/card", batchId = 1L)
+    }
+    Datacard.card(s, s"$root/card")
+  }
+
   val all: Seq[GraftQuery] = Seq(
+    s24_datacard_mv,
     s01_tumbling_agg, s02_sliding_agg, s03_session_windows,
     s04_dedup_first_event, s05_watermark_late, s06_asof_backward,
     s07_running_user_agg, s08_interval_join, s09_stream_curation,

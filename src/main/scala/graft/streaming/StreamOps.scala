@@ -352,6 +352,39 @@ object StreamOps {
       }
       .start()
 
+  /** CONTINUOUS corpus-datacard maintenance — q73's per-language release
+    * summary (docs, tokens, mean quality, exact-duplicate exposure) kept
+    * current as documents stream in, on the same
+    * [[graft.sources.AdditiveStats]] discipline as the line/span/posting
+    * ingests. Every card statistic is additive over disjoint batches —
+    * including duplicate exposure, because per-(language, fingerprint)
+    * doc counts sum across fragments and the >1 test applies at READ
+    * time, so a duplicate pair split across two micro-batches is counted
+    * (StreamingSpec differential; s24 under the oracle gate).
+    */
+  def datacardStream(newDocs: DataFrame, idCol: String, textCol: String,
+                     langCol: String, statsDir: String, checkpointDir: String,
+                     compactEvery: Int = 16)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    newDocs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        import graft.operators.Datacard
+        import graft.sources.StoredIndex
+        val spark = batch.sparkSession
+        if (StoredIndex.metaGeneration(spark, statsDir) < 0)
+          Datacard.init(spark, statsDir)
+        StoredIndex.pinStreamIdentity(spark, statsDir, checkpointDir)
+        if (!batch.isEmpty)
+          Datacard.append(batch.toDF(), idCol, textCol, langCol,
+            statsDir, batchId)
+        if (compactEvery > 0 &&
+            Datacard.fragmentCount(spark, statsDir) > compactEvery)
+          Datacard.compact(spark, statsDir)
+      }
+      .start()
+
   /** CONTINUOUS inverted-index maintenance — the retrieval-family member
     * of the [[graft.sources.AdditiveStats]] ingest trio (line stats, span
     * stats, postings): each micro-batch's posting lists land as an

@@ -11,6 +11,7 @@ case class Doc(doc_id: Long, text: String)
 case class Upd(id: Long, name: String, bal: Double)
 case class Cdc(side: String, k: Long, a: String, b: String)
 case class QDoc(doc_id: Long, domain: String)
+case class LDoc(doc_id: Long, text: String, lang: String)
 case class QTok(doc_id: Long, domain: String, n_tok: Long)
 
 /** Differential stream-vs-batch tests: the same event-time aggregations must
@@ -686,6 +687,43 @@ class StreamingSpec extends SparkSpec {
     } finally {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
     }
+  }
+
+  test("datacardStream: the card over two micro-batches equals the one-shot card; split dup pairs count") {
+    import graft.operators.Datacard
+    implicit val sqlCtx = spark.sqlContext
+    // doc 1 (batch 1) duplicates doc 3 (batch 2) EXACTLY — the duplicate
+    // pair straddles the micro-batches, so n_dup_docs is correct only if
+    // per-(lang, fp) counts sum across fragments
+    val b1 = Seq(LDoc(1L, "shared exact duplicate body", "en"),
+      LDoc(2L, "a perfectly unique english document", "en"))
+    val b2 = Seq(LDoc(3L, "shared exact duplicate body", "en"),
+      LDoc(4L, "texto unico en otro idioma", "es"))
+    val tmp = java.nio.file.Files.createTempDirectory("datacard").toString
+    val mem = MemoryStream[LDoc]
+    mem.addData(b1)
+    // compactEvery = 1: the store folds between the batches, so the
+    // differential covers fold + fragment summation together
+    val q = StreamOps.datacardStream(mem.toDF(), "doc_id", "text", "lang",
+      s"$tmp/card", s"$tmp/ckpt", compactEvery = 1)
+    q.processAllAvailable()
+    mem.addData(b2)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = Datacard.card(spark, s"$tmp/card")
+      .as[(String, Long, Long, Double, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(streamed("en")._2 == 3 && streamed("es")._2 == 1)
+    assert(streamed("en")._5 == 2, "the straddling duplicate pair must count")
+    assert(streamed("es")._5 == 0)
+    // one-shot equality, bit for bit (incl. the quantized quality mean)
+    val corpus = (b1 ++ b2).toDF("doc_id", "text", "lang")
+    val oneTmp = java.nio.file.Files.createTempDirectory("datacard1").toString
+    Datacard.init(spark, s"$oneTmp/card")
+    Datacard.append(corpus, "doc_id", "text", "lang", s"$oneTmp/card", 0L)
+    val oneShot = Datacard.card(spark, s"$oneTmp/card")
+      .as[(String, Long, Long, Double, Long)].collect().toSet
+    assert(streamed.values.toSet == oneShot)
   }
 
   test("postingsStream: accumulated fragments answer search like a one-shot index build") {

@@ -106,7 +106,12 @@ object HtmlFunctions {
   private[graft] def blocksReference(c: Column): Column =
     filter(
       transform(
-        split(regexp_replace(dropInvisible(c), blockTagPat, "\u0001"),
+        // U+0001 is this composition's split sentinel -- strip it from
+        // the input first (contract limit, mirrored by the native scanner
+        // and the oracle's chr(1) twin) so raw bytes carrying the control
+        // char can't forge a spurious block boundary
+        split(regexp_replace(replace(dropInvisible(c), lit("\u0001"),
+            lit("")), blockTagPat, "\u0001"),
           "\u0001"),
         b => struct(
           visibleText(b).as("text"),

@@ -321,7 +321,7 @@ object SpanDedup {
     *      distinct documents. Base-level survivors are found by the same
     *      unshared-attribution trick on 4-gram hashes (one 8-byte-keyed
     *      corpus count, then a row-local filter against the document's
-    *      own unshared set — [[graft.plans.SharedPairsExpr]] — instead
+    *      own unshared set — [[graft.plans.SharedGramsExpr]] — instead
     *      of a second corpus-wide join-back shuffle); the ladder above
     *      the base is a PER-DOCUMENT computation (every combined window
     *      lives inside one token array), so ONE codegen expression

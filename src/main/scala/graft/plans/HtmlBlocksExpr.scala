@@ -251,6 +251,12 @@ object HtmlBlocksExpr {
   /** Static forwarder target for the generated code. */
   def compute(html: UTF8String): ArrayData = {
     var s = html.toString
+    // contract limit: U+0001 is the reference composition's block-split
+    // sentinel (and the oracle's chr(1)); strip it EVERYWHERE (here, in
+    // blocksReference, in the DuckDB mirror) so a page whose raw bytes
+    // carry the control char can't diverge the three implementations —
+    // it's a C0 control with no legitimate visible-text meaning anyway
+    if (s.indexOf(1.toChar) >= 0) s = s.replace("\u0001", "")
     s = dropElement(s, "script")
     s = dropElement(s, "style")
     s = dropElement(s, "noscript")

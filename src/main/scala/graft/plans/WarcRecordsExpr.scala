@@ -1,0 +1,271 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graft.bridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** WARC (ISO 28500) record splitter — web stage −2, the byte-level front
+  * door a crawl corpus actually arrives through (Common Crawl ships
+  * `.warc`/`.warc.gz` segments). One pass over a WARC member's bytes
+  * yields `array<struct>` of its records: WARC header fields parsed, the
+  * HTTP response envelope of `response` records split off (status line +
+  * headers separated from the body), and EVERY malformed region
+  * quarantined as a row carrying its raw bytes and an `error` message —
+  * the src18 contract at the container level (PERMISSIVE, nothing
+  * silently dropped, nothing fails the job).
+  *
+  * Reference scope note: the reference pipeline ingests CSV/DBF/REST
+  * (`/root/reference/himalayan_etl/ops/extract.py:16-297`) — WARC is an
+  * engine extension for the crawl-to-corpus chain (t49 → t47 → q71),
+  * parsed from the public ISO 28500 / RFC 9110 layouts only.
+  *
+  * Grammar handled, byte-exact:
+  *   - record = `WARC/x.y CRLF (name ":" value CRLF)* CRLF payload`,
+  *     payload length = the mandatory `Content-Length` header (bytes);
+  *     records separated by CRLF CRLF (any run of CR/LF tolerated, so a
+  *     line-oriented writer's extra `\n` never breaks the parse);
+  *   - gzip members: a leading 1f 8b magic decompresses the whole input
+  *     first (JDK GZIPInputStream reads concatenated members — the
+  *     `.warc.gz` layout where every record is its own member);
+  *   - `response` records whose payload starts with `HTTP/` are split:
+  *     `status` = the status-line code, `content_type` = the HTTP
+  *     Content-Type header value (trimmed, as written), `body` = bytes
+  *     after the HTTP header block. Anything else keeps the whole
+  *     payload as `body` with null status/content_type;
+  *   - malformed regions (no `WARC/` magic at a record boundary, bad or
+  *     missing Content-Length, payload truncated by EOF) become rows
+  *     with `error` set and `body` = the raw quarantined bytes, resyncing
+  *     at the next `WARC/` magic (best-effort: a malformed region is
+  *     delimited by the next magic because its own length field is the
+  *     thing that's broken).
+  *
+  * Scale shape: the expression is a per-member map inside whole-stage
+  * codegen — file-granularity parallelism, which IS the crawl corpus
+  * layout (Common Crawl: ~100k segment files per crawl; 1000 executors
+  * each decode their own members, zero shuffle before the first real
+  * operator). Memory is bounded by one member (+ its decompression),
+  * the same contract as any splittable-compression-free scan.
+  */
+case class WarcRecordsExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = WarcRecordsExpr.outType
+  override def prettyName: String = "warc_records"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case BinaryType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires binary, got ${other.catalogString}")
+    }
+
+  override def nullSafeEval(b: Any): Any =
+    WarcRecordsExpr.compute(b.asInstanceOf[Array[Byte]])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, b => s"graft.plans.WarcRecordsExpr.compute($b)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): Expression = copy(child = newChild)
+}
+
+object WarcRecordsExpr {
+
+  val recordType: StructType = StructType(Seq(
+    StructField("offset", LongType, nullable = false),
+    StructField("warc_type", StringType, nullable = true),
+    StructField("target_uri", StringType, nullable = true),
+    StructField("fetch_ts", StringType, nullable = true),
+    StructField("status", IntegerType, nullable = true),
+    StructField("content_type", StringType, nullable = true),
+    StructField("body", BinaryType, nullable = true),
+    StructField("error", StringType, nullable = true)))
+
+  private[plans] val outType: DataType =
+    ArrayType(recordType, containsNull = false)
+
+  private val Magic = "WARC/".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+
+  private def isCrLf(b: Byte): Boolean = b == '\r' || b == '\n'
+
+  /** Next index of `pat` in `b` at or after `from`, or -1. */
+  private def indexOf(b: Array[Byte], pat: Array[Byte], from: Int): Int = {
+    var i = math.max(from, 0)
+    val last = b.length - pat.length
+    while (i <= last) {
+      var j = 0
+      while (j < pat.length && b(i + j) == pat(j)) j += 1
+      if (j == pat.length) return i
+      i += 1
+    }
+    -1
+  }
+
+  private def ascii(b: Array[Byte], from: Int, until: Int): String =
+    new String(b, from, until - from, java.nio.charset.StandardCharsets.UTF_8)
+
+  /** End (exclusive) of the line starting at `from`: index of the next
+    * LF (+1), or `len`. CR before the LF is excluded from the content.
+    */
+  private def lineEnd(b: Array[Byte], from: Int): Int = {
+    var i = from
+    while (i < b.length && b(i) != '\n') i += 1
+    math.min(i + 1, b.length)
+  }
+
+  private def lineContentEnd(b: Array[Byte], from: Int, end: Int): Int = {
+    var e = end
+    if (e > from && e <= b.length && b(e - 1) == '\n') e -= 1
+    if (e > from && b(e - 1) == '\r') e -= 1
+    e
+  }
+
+  private def u8(s: String): UTF8String =
+    if (s == null) null else UTF8String.fromString(s)
+
+  private def row(offset: Long, warcType: String, uri: String, ts: String,
+                  status: java.lang.Integer, contentType: String,
+                  body: Array[Byte], error: String): GenericInternalRow =
+    new GenericInternalRow(Array[Any](offset, u8(warcType), u8(uri), u8(ts),
+      if (status == null) null else status.intValue(), u8(contentType),
+      body, u8(error)))
+
+  private def gunzip(b: Array[Byte]): Array[Byte] = {
+    val in = new java.util.zip.GZIPInputStream(
+      new java.io.ByteArrayInputStream(b), 64 * 1024)
+    val out = new java.io.ByteArrayOutputStream(math.max(b.length * 4, 1024))
+    val buf = new Array[Byte](64 * 1024)
+    var n = in.read(buf)
+    while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+    in.close()
+    out.toByteArray
+  }
+
+  def compute(raw: Array[Byte]): ArrayData = {
+    val b =
+      if (raw.length >= 2 && (raw(0) & 0xff) == 0x1f && (raw(1) & 0xff) == 0x8b)
+        try gunzip(raw)
+        catch { case _: java.io.IOException =>
+          return new GenericArrayData(Array[Any](row(0L, null, null, null,
+            null, null, raw, "gzip member failed to decompress")))
+        }
+      else raw
+    val n = b.length
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var pos = 0
+    while (pos < n && isCrLf(b(pos))) pos += 1
+    while (pos < n) {
+      val recStart = pos
+      if (indexOf(b, Magic, pos) != pos) {
+        // no magic at the boundary: quarantine up to the next magic
+        val next = indexOf(b, Magic, pos + 1)
+        val end = if (next < 0) n else next
+        out += row(recStart.toLong, null, null, null, null, null,
+          java.util.Arrays.copyOfRange(b, recStart, end),
+          "no WARC/ magic at record boundary")
+        pos = end
+      } else {
+        // version line, then headers until the blank line
+        var p = lineEnd(b, pos)
+        var warcType: String = null
+        var uri: String = null
+        var ts: String = null
+        var warcCt: String = null
+        var contentLength = -1L
+        var badLength = false
+        var headersDone = false
+        while (!headersDone && p < n) {
+          val e = lineEnd(b, p)
+          val ce = lineContentEnd(b, p, e)
+          if (ce == p) headersDone = true // blank line
+          else {
+            val line = ascii(b, p, ce)
+            val colon = line.indexOf(':')
+            if (colon > 0) {
+              val name = line.substring(0, colon).trim.toLowerCase
+              val value = line.substring(colon + 1).trim
+              name match {
+                case "warc-type" => warcType = value
+                case "warc-target-uri" => uri = value
+                case "warc-date" => ts = value
+                case "content-type" => warcCt = value
+                case "content-length" =>
+                  try contentLength = java.lang.Long.parseLong(value)
+                  catch { case _: NumberFormatException => badLength = true }
+                  if (contentLength < 0) badLength = true
+                case _ => ()
+              }
+            }
+          }
+          p = e
+        }
+        if (badLength || contentLength < 0 || !headersDone) {
+          // the record's own framing is broken — resync at the next magic
+          val next = indexOf(b, Magic, recStart + Magic.length)
+          val end = if (next < 0) n else next
+          out += row(recStart.toLong, warcType, uri, ts, null, null,
+            java.util.Arrays.copyOfRange(b, recStart, end),
+            if (!headersDone) "header block not terminated before EOF"
+            else "missing or invalid Content-Length")
+          pos = end
+        } else if (p + contentLength > n) {
+          out += row(recStart.toLong, warcType, uri, ts, null, null,
+            java.util.Arrays.copyOfRange(b, recStart, n),
+            s"payload truncated: declared $contentLength bytes, " +
+              s"${n - p} remain")
+          pos = n
+        } else {
+          val payloadStart = p
+          val payloadEnd = p + contentLength.toInt
+          var status: java.lang.Integer = null
+          var httpCt: String = null
+          var bodyStart = payloadStart
+          val isHttp = "response".equalsIgnoreCase(String.valueOf(warcType)) &&
+            payloadEnd - payloadStart >= 5 &&
+            ascii(b, payloadStart, payloadStart + 5) == "HTTP/"
+          if (isHttp) {
+            // status line: HTTP/x.y SP code SP reason
+            var q = lineEnd(b, payloadStart)
+            val sl = ascii(b, payloadStart, lineContentEnd(b, payloadStart, q))
+            val parts = sl.split(" ", 3)
+            if (parts.length >= 2) {
+              try status = Integer.valueOf(parts(1).trim)
+              catch { case _: NumberFormatException => () }
+            }
+            var done = false
+            while (!done && q < payloadEnd) {
+              val e = math.min(lineEnd(b, q), payloadEnd)
+              val ce = lineContentEnd(b, q, e)
+              if (ce == q) done = true
+              else {
+                val line = ascii(b, q, ce)
+                val colon = line.indexOf(':')
+                if (colon > 0 &&
+                    line.substring(0, colon).trim
+                      .equalsIgnoreCase("content-type"))
+                  httpCt = line.substring(colon + 1).trim
+              }
+              q = e
+            }
+            bodyStart = q
+          }
+          out += row(recStart.toLong, warcType, uri, ts, status,
+            if (isHttp) httpCt else warcCt,
+            java.util.Arrays.copyOfRange(b, bodyStart, payloadEnd), null)
+          pos = payloadEnd
+          while (pos < n && isCrLf(b(pos))) pos += 1
+        }
+      }
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  /** Column-API entry point. */
+  def warcRecords(bytes: Column): Column =
+    bridge.column(WarcRecordsExpr(bridge.expression(bytes)))
+}

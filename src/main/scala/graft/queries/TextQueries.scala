@@ -1671,7 +1671,8 @@ object TextQueries {
   private def duckVis(e: String): String =
     normSql(duckDecode(s"regexp_replace($e, '<[^>]*>', ' ', 'g')"))
   private def duckBlocksSql: String =
-    s"string_split(regexp_replace(${duckInvisible("html")}, " +
+    s"string_split(regexp_replace(replace(${duckInvisible("html")}, " +
+      s"chr(1), ''), " +
       s"'${graft.functions.HtmlFunctions.blockTagPat}', chr(1), 'g'), chr(1))"
   // DuckDB's array_to_string returns NULL on an empty list where Spark's
   // array_join returns '' — coalesce at every join point

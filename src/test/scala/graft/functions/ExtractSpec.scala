@@ -139,6 +139,7 @@ class ExtractSpec extends SparkSpec {
       "<b>", "</b>", "<span>", "<spanx>", "<", ">", "</",
       "&lt;", "&amp;", "&amp;lt;", "&quot;", "&nbsp;", "&#39;", "&bogus;",
       "plain words here", "x < y", "a > b", "  ", "\n", "\t", "tok",
+      "\u0001", "a\u0001b", // the sentinel contract: stripped, never splits
       "longer run of ordinary prose to pass length gates sometimes")
     val htmls = (1 to 400).map { _ =>
       (0 until rnd.nextInt(18)).map(_ => pieces(rnd.nextInt(pieces.size)))

@@ -77,6 +77,60 @@ class SplitManifestSpec extends SparkSpec {
     assert(man == fromStore)
   }
 
+  test("a missing split column fails BEFORE the corpus write") {
+    val dir = tmpDir()
+    intercept[IllegalArgumentException] {
+      SplitManifest.release(assigned.drop("split"), dir,
+        SplitManifest.Spec(11L, fr, Seq("g"), Seq("id")))
+    }
+    // nothing landed — no orphan relation, no meta
+    assert(!new java.io.File(dir).exists())
+  }
+
+  test("a non-string split column releases through the string cast") {
+    val dir = tmpDir()
+    val numeric = assigned.withColumn("split",
+      when(col("split") === "train", 0)
+        .when(col("split") === "val", 1).otherwise(2))
+    val nfr = Seq(("0", 0.8), ("1", 0.1), ("2", 0.1))
+    SplitManifest.release(numeric, dir,
+      SplitManifest.Spec(11L, nfr, Seq("g"), Seq("id")))
+    val man = SplitManifest.readManifest(spark, dir)
+      .select("split", "n_rows").as[(String, Long)].collect().toMap
+    val want = numeric.groupBy(col("split").cast("string"))
+      .count().as[(String, Long)].collect().toMap
+    assert(man == want)
+  }
+
+  test("relations live under the meta's rel_gen; re-release advances the layout") {
+    val dir = tmpDir()
+    val spec = SplitManifest.Spec(11L, fr, Seq("g"), Seq("id"))
+    SplitManifest.release(assigned, dir, spec)   // gen 0 → bare dirs
+    assert(new java.io.File(s"$dir/assignment").exists())
+    SplitManifest.release(assigned, dir, spec)   // gen 1 → _e1
+    assert(new java.io.File(s"$dir/assignment_e1").exists())
+    // the just-superseded generation is kept one cycle for readers
+    assert(new java.io.File(s"$dir/assignment").exists())
+    SplitManifest.release(assigned, dir, spec)   // gen 2 → _e2, gen 0 swept
+    assert(new java.io.File(s"$dir/assignment_e2").exists())
+    assert(!new java.io.File(s"$dir/assignment").exists())
+    assert(SplitManifest.readAssignment(spark, dir).count() == 200L)
+  }
+
+  test("a half-landed newer write never shadows the live release") {
+    val dir = tmpDir()
+    val spec = SplitManifest.Spec(11L, fr, Seq("g"), Seq("id"))
+    SplitManifest.release(assigned, dir, spec)
+    // simulate a writer that crashed AFTER its relation writes but BEFORE
+    // the CAS publish: relations exist at the next generation, meta still
+    // points at the released one — readers must resolve THROUGH the meta
+    spark.range(5).select(col("id"), lit(0L).as("g"),
+        lit("train").as("split"))
+      .write.parquet(
+        graft.sources.StoredIndex.relPath(dir, "assignment", 1))
+    assert(SplitManifest.readAssignment(spark, dir).count() == 200L)
+  }
+
   test("reading an uninitialized or foreign store fails loudly") {
     intercept[IllegalArgumentException] {
       SplitManifest.readManifest(spark, tmpDir())

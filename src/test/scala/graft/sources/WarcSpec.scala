@@ -1,0 +1,188 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** [[WarcSource]] / [[graft.plans.WarcRecordsExpr]] under well-formed,
+  * adversarial and compressed WARC bytes: round-trip through the
+  * distributed writer, hand-built multi-record members with malformed
+  * regions (garbage at a boundary, bad Content-Length, truncation),
+  * resync after quarantine, gzip members, non-response records.
+  */
+class WarcSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("warc").toString
+
+  private def writeBytes(dir: String, name: String, b: Array[Byte]): Unit = {
+    new java.io.File(dir).mkdirs()
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/$name"), b)
+  }
+
+  private def record(uri: String, ts: String, html: String,
+                     status: Int = 200): String = {
+    val body = html.getBytes("UTF-8")
+    val payload = s"HTTP/1.1 $status OK\r\nContent-Type: text/html; " +
+      s"charset=utf-8\r\nContent-Length: ${body.length}\r\n\r\n" + html
+    val pBytes = payload.getBytes("UTF-8").length
+    s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: $uri\r\n" +
+      s"WARC-Date: $ts\r\nContent-Type: application/http; " +
+      s"msgtype=response\r\nContent-Length: $pBytes\r\n\r\n$payload\r\n\r\n"
+  }
+
+  private def warcinfo(text: String): String =
+    s"WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Type: " +
+      s"application/warc-fields\r\nContent-Length: " +
+      s"${text.getBytes("UTF-8").length}\r\n\r\n$text\r\n\r\n"
+
+  test("distributed writeWarc → read round-trips every page") {
+    val dir = tmp()
+    val pages = (1 to 57).map(i =>
+      (s"https://ex.org/p$i", s"2026-08-0${i % 9 + 1}T00:00:00Z",
+        s"<html><body><p>doc $i ünïcode €</p></body></html>"))
+      .toDF("uri", "ts", "html").repartition(4)
+    WarcSource.writeWarc(pages, "uri", "ts", "html", s"$dir/w")
+    val back = WarcSource.read(spark, s"$dir/w")
+    assert(WarcSource.quarantined(back).count() == 0)
+    val got = WarcSource.good(back)
+      .select(col("target_uri"), col("fetch_ts"),
+        decode(col("body"), "UTF-8"))
+      .as[(String, String, String)].collect().toSet
+    val want = pages.as[(String, String, String)].collect().toSet
+    assert(got == want)
+    // every clean record is a 200 HTML response
+    assert(WarcSource.good(back)
+      .filter(col("status") === 200 &&
+        col("content_type") === "text/html; charset=utf-8")
+      .count() == 57)
+  }
+
+  test("multi-record member: records parse in order with growing offsets") {
+    val dir = tmp()
+    val bytes = (record("https://a/1", "2026-01-01T00:00:00Z", "<p>one</p>") +
+      record("https://a/2", "2026-01-02T00:00:00Z", "<p>two</p>") +
+      record("https://a/3", "2026-01-03T00:00:00Z", "<p>three</p>"))
+      .getBytes("UTF-8")
+    writeBytes(dir, "m.warc", bytes)
+    val rows = WarcSource.read(spark, dir)
+      .orderBy("offset")
+      .select(col("offset"), col("target_uri"), decode(col("body"), "UTF-8"))
+      .as[(Long, String, String)].collect()
+    assert(rows.map(_._2).toSeq ==
+      Seq("https://a/1", "https://a/2", "https://a/3"))
+    assert(rows.map(_._3).toSeq == Seq("<p>one</p>", "<p>two</p>", "<p>three</p>"))
+    assert(rows.map(_._1).toSeq == rows.map(_._1).sorted.toSeq &&
+      rows.map(_._1).distinct.length == 3)
+  }
+
+  test("garbage at a record boundary quarantines WITH raw bytes and resyncs") {
+    val dir = tmp()
+    val garbage = "NOT A WARC RECORD AT ALL\r\n\r\n"
+    val bytes = (record("https://a/1", "2026-01-01T00:00:00Z", "<p>ok</p>") +
+      garbage +
+      record("https://a/2", "2026-01-02T00:00:00Z", "<p>after</p>"))
+      .getBytes("UTF-8")
+    writeBytes(dir, "m.warc", bytes)
+    val all = WarcSource.read(spark, dir).orderBy("offset")
+    val bad = WarcSource.quarantined(all)
+      .select(col("error"), decode(col("body"), "UTF-8"))
+      .as[(String, String)].collect()
+    assert(bad.length == 1)
+    assert(bad.head._1.contains("no WARC/ magic"))
+    assert(bad.head._2 == garbage) // the raw region, byte for byte
+    // the record AFTER the garbage still parses
+    assert(WarcSource.good(all).select("target_uri").as[String]
+      .collect().toSeq == Seq("https://a/1", "https://a/2"))
+  }
+
+  test("bad Content-Length quarantines the record and resyncs at the next magic") {
+    val dir = tmp()
+    val broken = "WARC/1.0\r\nWARC-Type: response\r\n" +
+      "WARC-Target-URI: https://bad/x\r\nContent-Length: banana\r\n\r\n" +
+      "<p>unframed payload</p>\r\n\r\n"
+    val bytes = (broken +
+      record("https://a/2", "2026-01-02T00:00:00Z", "<p>after</p>"))
+      .getBytes("UTF-8")
+    writeBytes(dir, "m.warc", bytes)
+    val all = WarcSource.read(spark, dir).orderBy("offset")
+    val bad = WarcSource.quarantined(all)
+      .select(col("error"), col("target_uri"), decode(col("body"), "UTF-8"))
+      .as[(String, String, String)].collect()
+    assert(bad.length == 1)
+    assert(bad.head._1.contains("Content-Length"))
+    assert(bad.head._2 == "https://bad/x") // parsed headers still surfaced
+    assert(bad.head._3 == broken)
+    assert(WarcSource.good(all).select("target_uri").as[String]
+      .collect().toSeq == Seq("https://a/2"))
+  }
+
+  test("truncated payload quarantines the tail; missing header terminator too") {
+    val dir = tmp()
+    val full = record("https://a/1", "2026-01-01T00:00:00Z", "<p>whole</p>")
+    val truncated = "WARC/1.0\r\nWARC-Type: response\r\n" +
+      "WARC-Target-URI: https://a/2\r\nContent-Length: 99999\r\n\r\nshort"
+    writeBytes(dir, "m.warc", (full + truncated).getBytes("UTF-8"))
+    val all = WarcSource.read(spark, dir).orderBy("offset")
+    val bad = WarcSource.quarantined(all)
+      .select("error", "target_uri").as[(String, String)].collect()
+    assert(bad.length == 1 && bad.head._1.contains("truncated") &&
+      bad.head._2 == "https://a/2")
+    assert(WarcSource.good(all).count() == 1)
+
+    val dir2 = tmp()
+    writeBytes(dir2, "m.warc",
+      "WARC/1.0\r\nWARC-Type: response\r\nContent-Length: 3".getBytes("UTF-8"))
+    val bad2 = WarcSource.quarantined(WarcSource.read(spark, dir2))
+      .select("error").as[String].collect()
+    assert(bad2.length == 1 && bad2.head.contains("not terminated"))
+  }
+
+  test("warcinfo records keep their payload; no HTTP split, null status") {
+    val dir = tmp()
+    writeBytes(dir, "m.warc",
+      (warcinfo("software: graft-test\r\n") +
+        record("https://a/1", "2026-01-01T00:00:00Z", "<p>x</p>"))
+        .getBytes("UTF-8"))
+    val all = WarcSource.read(spark, dir).orderBy("offset")
+    val rows = all.select(col("warc_type"), col("status"),
+        col("content_type"), decode(col("body"), "UTF-8"))
+      .as[(String, Option[Int], String, String)].collect()
+    assert(rows(0) == (("warcinfo", None, "application/warc-fields",
+      "software: graft-test\r\n")))
+    assert(rows(1)._1 == "response" && rows(1)._2.contains(200))
+  }
+
+  test("gzip members (.warc.gz, concatenated per-record members) parse identically") {
+    val r1 = record("https://a/1", "2026-01-01T00:00:00Z", "<p>one</p>")
+    val r2 = record("https://a/2", "2026-01-02T00:00:00Z", "<p>two</p>")
+    def gz(s: String): Array[Byte] = {
+      val bo = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bo)
+      g.write(s.getBytes("UTF-8")); g.close()
+      bo.toByteArray
+    }
+    val dir = tmp()
+    // the Common Crawl layout: one gzip member PER RECORD, concatenated
+    writeBytes(dir, "m.warc.gz", gz(r1) ++ gz(r2))
+    val got = WarcSource.read(spark, dir).orderBy("offset")
+      .select(col("target_uri"), decode(col("body"), "UTF-8"))
+      .as[(String, String)].collect().toSeq
+    assert(got == Seq(("https://a/1", "<p>one</p>"),
+      ("https://a/2", "<p>two</p>")))
+    // corrupt gzip quarantines the raw member instead of failing the scan
+    val dir2 = tmp()
+    writeBytes(dir2, "m.warc.gz",
+      Array[Byte](0x1f, 0x8b.toByte, 1, 2, 3, 4, 5))
+    val bad = WarcSource.quarantined(WarcSource.read(spark, dir2))
+      .select("error").as[String].collect()
+    assert(bad.length == 1 && bad.head.contains("gzip"))
+  }
+
+  test("empty member and lone separators yield zero records") {
+    val dir = tmp()
+    writeBytes(dir, "a.warc", Array.emptyByteArray)
+    writeBytes(dir, "b.warc", "\r\n\r\n\n".getBytes("UTF-8"))
+    assert(WarcSource.read(spark, dir).count() == 0)
+  }
+}

@@ -630,6 +630,72 @@ object SourceQueries {
         "key_cols")
   }
 
+  // ---------------------------------------------------------------- src22
+  /** WARC CONTAINER INGEST ([[graft.sources.WarcSource]] /
+    * [[graft.plans.WarcRecordsExpr]]): web stage −2 — the byte-level
+    * record reader a crawl corpus enters through. The staged member is
+    * built from the nation table as standards-shaped response records
+    * (HTTP envelope inside, Content-Length on UTF-8 bytes) with TWO
+    * adversarial regions interleaved: a garbage blob at a record
+    * boundary and an EOF-truncated record — both must come back as
+    * quarantine rows carrying their raw bytes (src18's PERMISSIVE
+    * contract at the container level), while every record AFTER a
+    * quarantined region still parses (resync). The oracle reconstructs
+    * all three populations from the nation table and the fixture
+    * constants, byte for byte.
+    */
+  val src22_warc_ingest = {
+    def crlf(s: String): String = // DuckDB expression for a CRLF-laden literal
+      s.split("\r\n", -1).map(p => s"'${p.replace("'", "''")}'")
+        .mkString(" || chr(13) || chr(10) || ")
+    val garbage = "NOT A WARC RECORD AT THIS BOUNDARY\r\n\r\n"
+    val truncated = "WARC/1.0\r\nWARC-Type: response\r\n" +
+      "WARC-Target-URI: https://crawl.example.org/truncated\r\n" +
+      "WARC-Date: 2026-08-02T00:00:00Z\r\nContent-Length: 99999\r\n\r\nshort"
+    q("src22_warc_ingest", Some(
+      s"""SELECT 'https://crawl.example.org/n/' || n_nationkey AS target_uri,
+         |  '2026-08-01T00:00:00Z' AS fetch_ts,
+         |  200 AS status, 'text/html; charset=utf-8' AS content_type,
+         |  '<html><body><p>' || n_name || ' is nation ' || n_nationkey ||
+         |    '</p></body></html>' AS body,
+         |  CAST(NULL AS VARCHAR) AS error
+         |FROM nation
+         |UNION ALL
+         |SELECT CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+         |  CAST(NULL AS INTEGER), CAST(NULL AS VARCHAR),
+         |  ${crlf(garbage)},
+         |  'no WARC/ magic at record boundary'
+         |UNION ALL
+         |SELECT 'https://crawl.example.org/truncated',
+         |  '2026-08-02T00:00:00Z', CAST(NULL AS INTEGER),
+         |  CAST(NULL AS VARCHAR),
+         |  ${crlf(truncated)},
+         |  'payload truncated: declared 99999 bytes, 5 remain'"""
+        .stripMargin)) { (s, dir) =>
+      import graft.sources.WarcSource
+      val root = DedupQueries.DedupStaging.ensure("src22", dir) { r =>
+        val recs = Tables.nation(s, dir)
+          .selectExpr("CAST(n_nationkey AS INT)", "n_name")
+          .orderBy("n_nationkey").collect().map { row =>
+            val (k, n) = (row.getInt(0), row.getString(1))
+            WarcSource.responseRecordString(
+              s"https://crawl.example.org/n/$k", "2026-08-01T00:00:00Z",
+              s"<html><body><p>$n is nation $k</p></body></html>")
+          }
+        val member = recs.take(1).mkString + garbage +
+          recs.drop(1).mkString + truncated
+        new java.io.File(s"$r/crawl").mkdirs()
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"$r/crawl/segment-00000.warc"),
+          member.getBytes("UTF-8"))
+      }
+      WarcSource.read(s, s"$root/crawl")
+        .select(col("target_uri"), col("fetch_ts"), col("status"),
+          col("content_type"), decode(col("body"), "UTF-8").as("body"),
+          col("error"))
+    }
+  }
+
   val all: Seq[GraftQuery] = Seq(
     src01_csv_roundtrip, src02_rest_paged, src03_partitioned_sink,
     src04_multimodal_meta, src05_frame_sample, src06_restv2_scan,
@@ -637,5 +703,6 @@ object SourceQueries {
     src10_compact_partitions, src11_scd2_merge, src12_zorder_layout,
     src13_jsonl_roundtrip, src14_schema_evolution, src15_corpus_diff,
     src16_orc_roundtrip, src17_minmax_skipping, src18_corrupt_quarantine,
-    src19_bloom_skipping, src20_incremental_pull, src21_split_manifest)
+    src19_bloom_skipping, src20_incremental_pull, src21_split_manifest,
+    src22_warc_ingest)
 }

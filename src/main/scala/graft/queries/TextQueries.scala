@@ -1621,10 +1621,16 @@ object TextQueries {
     * double-encoded entity. No single quotes anywhere — the SQL mirror
     * embeds the constants verbatim.
     */
-  private def htmlFixture: Column = {
+  private def htmlFixture: Column = htmlFixtureWith(lit(""))
+
+  /** The t47/q72 crawl page with `extraHead` injected right after
+    * `<head>` — q74 passes the robots meta so ONE fixture drives the
+    * whole WARC → robots → extraction → curation chain.
+    */
+  private def htmlFixtureWith(extraHead: Column): Column = {
     val id = col("doc_id").cast("string")
     concat(
-      lit("<html><head><title>Doc "), id, lit("</title>" +
+      lit("<html><head>"), extraHead, lit("<title>Doc "), id, lit("</title>" +
         "<style type=\"text/css\">body { color: red } /* <p>styled</p> */</style>" +
         "<script>if (1 < 2 && 3 > 2) { x = \"<div>js</div>\"; }</script>" +
         "</head><body>" +
@@ -1640,8 +1646,13 @@ object TextQueries {
         "<footer><p>Copyright &amp;copy; 2026</p></footer></body></html>"))
   }
 
-  private val htmlFixtureSql =
-    """'<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) || '</title>' ||
+  private val htmlFixtureSql = htmlFixtureSqlWith("")
+
+  /** SQL mirror of [[htmlFixtureWith]]: `extraSql` (empty, or an
+    * expression followed by ` || `) lands right after `<head>`.
+    */
+  private def htmlFixtureSqlWith(extraSql: String) =
+    s"""'<html><head>' || $extraSql'<title>Doc ' || CAST(doc_id AS VARCHAR) || '</title>' ||
       |'<style type="text/css">body { color: red } /* <p>styled</p> */</style>' ||
       |'<script>if (1 < 2 && 3 > 2) { x = "<div>js</div>"; }</script>' ||
       |'</head><body>' ||
@@ -1780,6 +1791,104 @@ object TextQueries {
       .select("doc_id", "domain", "canon_url", "n_words")
   }
 
+  // ---------------------------------------------------------------- q74
+  /** THE FULL CRAWL-TO-CORPUS CHAIN FROM WARC BYTES (web stage −2 →
+    * stage 0): the documents table is rendered as standards-shaped WARC
+    * response records (Target-URI = the t34 URL fixture, payload = the
+    * t47 crawl page with the t49 robots meta injected) and written as
+    * real `.warc` members by the DISTRIBUTED writer — then everything
+    * downstream consumes ONLY the container: [[graft.sources.WarcSource]]
+    * splits records (src22 gates the parser byte-level), the robots gate
+    * drops noindex/none pages, main-content extraction + the ≥ 20-word
+    * signal gate pick survivors (doc identity recovered from the page
+    * itself — the `<title>Doc N</title>` the fixture plants), and the
+    * q71 curation tail (canonicalize → one doc per canonical URL →
+    * domain blocklist → per-domain quota) produces the corpus. The
+    * oracle replays every stage from the documents table, trusting only
+    * what src22/t47/t49 already gate bit-level.
+    *
+    * Scale shape: the WARC scan is file-granular (zero shuffle until the
+    * canonical-URL group-by), extraction is one codegen'd projection,
+    * and the single materialized boundary is the extraction output —
+    * exactly the q72 plan with the container stage prepended.
+    */
+  val q74_warc_to_corpus = q("q74_warc_to_corpus",
+    s"""WITH $urlSqlCtes,
+       |$domainSqlCtes,
+       |h AS (SELECT doc_id, ${htmlFixtureSqlWith(s"$robotsMetaPieceSql || ")}
+       |        AS html FROM documents),
+       |rr AS (SELECT doc_id, ${duckRobots("html")} AS d FROM h),
+       |rb AS (SELECT h.doc_id, html FROM h JOIN rr ON h.doc_id = rr.doc_id
+       |       WHERE NOT list_contains(d, 'noindex')
+       |         AND NOT list_contains(d, 'none')),
+       |b AS (SELECT doc_id, $duckBlocksSql AS bs FROM rb),
+       |m AS (SELECT doc_id,
+       |    coalesce(array_to_string(list_transform(
+       |      list_filter(bs, b -> $duckKeptPred), b -> ${duckVis("b")}), ' '),
+       |      '') AS main_text
+       |  FROM b),
+       |g AS (SELECT doc_id,
+       |    CASE WHEN length(main_text) = 0 THEN 0
+       |         ELSE len(string_split(main_text, ' ')) END AS n_words
+       |  FROM m
+       |  WHERE CASE WHEN length(main_text) = 0 THEN 0
+       |             ELSE len(string_split(main_text, ' ')) END >= 20),
+       |canon AS (SELECT yy.doc_id, $canonSql AS canon_url, domain, n_words
+       |          FROM yy JOIN dd ON yy.doc_id = dd.doc_id
+       |          JOIN g ON yy.doc_id = g.doc_id),
+       |dedup AS (SELECT canon_url, MIN(doc_id) AS doc_id
+       |          FROM canon GROUP BY 1),
+       |dd2 AS (SELECT d.doc_id, d.canon_url, c.domain, c.n_words
+       |        FROM (SELECT dedup.doc_id, canon_url FROM dedup) d
+       |        JOIN canon c ON d.doc_id = c.doc_id AND d.canon_url = c.canon_url),
+       |blocked AS (SELECT * FROM dd2
+       |  WHERE domain IS NULL OR domain NOT IN ('example.co.uk')),
+       |quota AS (SELECT doc_id, canon_url, domain, n_words, row_number() OVER (
+       |    PARTITION BY domain
+       |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+       |  FROM blocked)
+       |SELECT doc_id, domain, canon_url, n_words FROM quota WHERE rn <= 10"""
+      .stripMargin) { (s, dir) =>
+    import s.implicits._
+    import graft.functions.{HtmlFunctions, TextFunctions, UrlFunctions}
+    import graft.sources.WarcSource
+    val root = DedupQueries.DedupStaging.ensure("q74", dir) { r =>
+      // stage −2: the crawl segments themselves, written DISTRIBUTED
+      // (one member per partition file, no driver materialization)
+      val pages = Tables.documents(s, dir).select(
+        urlFixture.as("uri"), lit("2026-08-01T00:00:00Z").as("ts"),
+        htmlFixtureWith(robotsMetaPiece).as("html"))
+      WarcSource.writeWarc(pages.repartition(8), "uri", "ts", "html",
+        s"$r/crawl")
+    }
+    // from here on, the container is the ONLY input
+    val recs = WarcSource.good(WarcSource.read(s, s"$root/crawl"))
+      .select(col("target_uri").as("url"),
+        decode(col("body"), "UTF-8").as("__html"))
+    val compliant = HtmlFunctions.dropNoindex(recs, "__html")
+    val canon = compliant
+      .select(col("url"),
+        regexp_extract(col("__html"), "<title>Doc ([0-9]+)</title>", 1)
+          .cast("long").as("doc_id"),
+        UrlFunctions.canonicalizeUrl(col("url")).as("canon_url"),
+        UrlFunctions.registeredDomain(UrlFunctions.hostOf(col("url")),
+          pslSubset).as("domain"),
+        TextFunctions.wordCount(HtmlFunctions.mainContent(col("__html")))
+          .cast("long").as("n_words"))
+      .filter(col("n_words") >= 20)
+      .drop("url")
+      .localCheckpoint(true) // one extraction, two consumers (q72's note)
+    val keepers = canon.groupBy("canon_url")
+      .agg(min(col("doc_id")).as("doc_id"))
+    val deduped = keepers.join(canon, Seq("doc_id", "canon_url"))
+    val unblocked = UrlFunctions.dropBlockedDomains(deduped, "domain",
+      Seq("example.co.uk").toDF("domain"))
+    graft.operators.Sampling.cappedPerStratum(unblocked, Seq("domain"),
+        Seq("doc_id"), cap = 10,
+        hash = Some(md5(col("doc_id").cast("string").cast("binary"))))
+      .select("doc_id", "domain", "canon_url", "n_words")
+  }
+
   // ---------------------------------------------------------------- t49
   /** ROBOTS-META COMPLIANCE FILTER ([[graft.functions.HtmlFunctions
     * .robotsDirectives]] / `dropNoindex`): stage −1.5 of a compliant
@@ -1790,33 +1899,42 @@ object TextQueries {
     * meta, and pages with no meta; directives join to one string so the
     * oracle hash covers extraction AND the gate.
     */
-  private def robotsFixture: Column = {
+  /** The robots `<meta>` of a page, keyed on doc_id % 7 — both quote
+    * styles, bare values, uppercase, a non-robots meta, and no-meta
+    * pages. Shared by t49's standalone fixture and q74's crawl pages.
+    */
+  private def robotsMetaPiece: Column = {
     val b = pmod(col("doc_id"), lit(7))
-    val meta =
-      when(b === 0, lit("<meta name=\"robots\" content=\"noindex, follow\">"))
-        .when(b === 1, lit("<META NAME='ROBOTS' CONTENT='NOFOLLOW'>"))
-        .when(b === 2, lit("<meta name=robots content=none>"))
-        .when(b === 3, lit("<meta name=\"viewport\" content=\"width=1\">"))
-        .otherwise(lit(""))
-    concat(lit("<html><head>"), meta, lit("</head><body><p>"),
-      col("text"), lit("</p></body></html>"))
+    when(b === 0, lit("<meta name=\"robots\" content=\"noindex, follow\">"))
+      .when(b === 1, lit("<META NAME='ROBOTS' CONTENT='NOFOLLOW'>"))
+      .when(b === 2, lit("<meta name=robots content=none>"))
+      .when(b === 3, lit("<meta name=\"viewport\" content=\"width=1\">"))
+      .otherwise(lit(""))
   }
 
-  private val robotsFixtureSql =
-    """'<html><head>' || CASE doc_id % 7
+  private def robotsMetaPieceSql: String =
+    """CASE doc_id % 7
       | WHEN 0 THEN '<meta name="robots" content="noindex, follow">'
       | WHEN 1 THEN '<META NAME=''ROBOTS'' CONTENT=''NOFOLLOW''>'
       | WHEN 2 THEN '<meta name=robots content=none>'
       | WHEN 3 THEN '<meta name="viewport" content="width=1">'
-      | ELSE '' END || '</head><body><p>' || text || '</p></body></html>'"""
-      .stripMargin.linesIterator.mkString(" ")
+      | ELSE '' END""".stripMargin.linesIterator.mkString(" ")
 
-  val t49_robots_filter = q("t49_robots_filter",
-    s"""WITH h AS (SELECT doc_id, $robotsFixtureSql AS html FROM documents),
-       |t AS (SELECT doc_id,
-       |    list_filter(list_transform(flatten(list_transform(
+  private def robotsFixture: Column =
+    concat(lit("<html><head>"), robotsMetaPiece, lit("</head><body><p>"),
+      col("text"), lit("</p></body></html>"))
+
+  private val robotsFixtureSql =
+    s"'<html><head>' || $robotsMetaPieceSql || " +
+      "'</head><body><p>' || text || '</p></body></html>'"
+
+  /** DuckDB mirror of [[graft.functions.HtmlFunctions.robotsDirectives]]
+    * over column/expression `c` — shared by t49 and q74.
+    */
+  private def duckRobots(c: String): String =
+    s"""list_filter(list_transform(flatten(list_transform(
        |      list_transform(
-       |        list_filter(regexp_extract_all(html, '(?is)<meta\\b[^>]*>', 0),
+       |        list_filter(regexp_extract_all($c, '(?is)<meta\\b[^>]*>', 0),
        |          m -> regexp_matches(m,
        |            '(?is)\\bname\\s*=\\s*("robots"|''robots''|robots\\b)')),
        |        m -> trim(regexp_replace(regexp_replace(
@@ -1825,7 +1943,11 @@ object TextQueries {
        |          '(?is)^content\\s*=\\s*', '', ''),
        |          '^["'']|["'']$$', '', 'g'))),
        |      v -> string_split(v, ','))),
-       |      x -> lower(trim(x))), x -> x <> '') AS d
+       |      x -> lower(trim(x))), x -> x <> '')""".stripMargin
+
+  val t49_robots_filter = q("t49_robots_filter",
+    s"""WITH h AS (SELECT doc_id, $robotsFixtureSql AS html FROM documents),
+       |t AS (SELECT doc_id, ${duckRobots("html")} AS d
        |  FROM h)
        |SELECT doc_id, coalesce(array_to_string(d, ' '), '') AS directives
        |FROM t
@@ -2211,7 +2333,7 @@ object TextQueries {
     t43_token_quota, t44_lang_token_budgets, t48_bpe_token_quota,
     q71_web_curation, t45_train_val_test,
     t47_html_extract, q72_web_curation_html, t49_robots_filter,
-    q73_corpus_datacard,
+    q73_corpus_datacard, q74_warc_to_corpus,
     t01_token_stats, t02_quality_score, t03_lang_id, t04_fingerprint,
     t05_rolling_hash, t06_redact, t07_tfidf_top_terms, t08_curation_pipeline,
     t09_repetition, t10_mixture_resample, t11_boilerplate_ngrams,

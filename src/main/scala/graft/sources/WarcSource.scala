@@ -71,6 +71,20 @@ object WarcSource {
       lit("\r\n\r\n"), payload, lit("\r\n\r\n"))
   }
 
+  /** Driver-side string twin of [[responseRecord]], for hand-built
+    * byte fixtures (src22, specs). Same layout, bytes counted on UTF-8.
+    */
+  def responseRecordString(uri: String, ts: String, html: String,
+                           status: Int = 200): String = {
+    val payload = s"HTTP/1.1 $status OK\r\nContent-Type: text/html; " +
+      s"charset=utf-8\r\nContent-Length: " +
+      s"${html.getBytes("UTF-8").length}\r\n\r\n$html"
+    s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: $uri\r\n" +
+      s"WARC-Date: $ts\r\nContent-Type: application/http; " +
+      s"msgtype=response\r\nContent-Length: " +
+      s"${payload.getBytes("UTF-8").length}\r\n\r\n$payload\r\n\r\n"
+  }
+
   /** Write (uri, ts, html) rows as WARC members under `path` — one
     * member per partition file, via the text sink (distributed, no
     * driver collect). The companion of [[read]] for round-trip tests

@@ -34,6 +34,33 @@ object Datacard {
     Seq("lang", "fp", "measure"), "v",
     "lang string, fp string, measure string, v bigint, batch_id bigint")
 
+  /** Sibling store for the card's TOKEN-LENGTH DISTRIBUTION: one
+    * [[graft.plans.QuantileSketch]] per language per batch under
+    * `dir/len` (the [[PercentileView]] layout keyed by language). At
+    * s = 15 every document length below 2^16 tokens sits in the
+    * sketch's EXACT regime — the regime the q75 oracle rank-checks —
+    * and merge is binwise addition, so fragments fold bit-identically
+    * in any order. Two sub-stores share one `batchId` per append; each
+    * append is idempotent per store, so a crash between the two lands
+    * only the missing fragment on replay (never a double count).
+    */
+  private def lenStore(dir: String) = graft.sources.AdditiveStats.Store(
+    s"$dir/len", Seq("lang"), "sketch",
+    "lang string, sketch binary, batch_id bigint",
+    fold = graft.plans.QuantileSketch.mergeAgg)
+
+  private val lenS = 15
+
+  private[graft] def lenFragment(batch: DataFrame, textCol: String,
+                                 langCol: String): DataFrame = {
+    import graft.functions.TextFunctions
+    batch.select(col(langCol).cast("string").as("lang"),
+        TextFunctions.tokenCount(col(textCol)).cast("long").as("__tok"))
+      .groupBy("lang")
+      .agg(graft.plans.QuantileSketch.sketch(col("__tok"), s = lenS,
+        PercentileView.defaultMaxBins(lenS)).as("sketch"))
+  }
+
   /** One batch's fragment rows: per-(lang, fp) doc counts plus the
     * per-language token and quantized-quality sums.
     */
@@ -57,23 +84,53 @@ object Datacard {
         lit("q4").as("measure"), col("__q").as("v")))
   }
 
-  /** Initialize an empty protocol-managed datacard store. */
-  def init(spark: SparkSession, dir: String): Unit =
+  /** Initialize an empty protocol-managed datacard store (both
+    * sub-stores: additive counts + length sketches).
+    */
+  def init(spark: SparkSession, dir: String): Unit = {
     graft.sources.AdditiveStats.init(spark, store(dir))
+    graft.sources.AdditiveStats.init(spark, lenStore(dir))
+  }
 
-  /** Land one document batch as an idempotent `batch_id` fragment. */
+  /** Land one document batch as an idempotent `batch_id` fragment
+    * (counts + length sketch; see [[lenStore]] for the crash window).
+    */
   def append(batch: DataFrame, idCol: String, textCol: String,
-             langCol: String, dir: String, batchId: Long): Unit =
+             langCol: String, dir: String, batchId: Long): Unit = {
     graft.sources.AdditiveStats.append(
       fragment(batch, idCol, textCol, langCol), store(dir), batchId)
+    graft.sources.AdditiveStats.append(
+      lenFragment(batch, textCol, langCol), lenStore(dir), batchId)
+  }
 
   /** Per-batch fragments in the live epoch (0 for bare/empty stores). */
   def fragmentCount(spark: SparkSession, dir: String): Int =
     graft.sources.AdditiveStats.fragmentCount(spark, store(dir))
 
   /** Fold fragments into one summed partition in a fresh epoch. */
-  def compact(spark: SparkSession, dir: String): Unit =
+  def compact(spark: SparkSession, dir: String): Unit = {
     graft.sources.AdditiveStats.compact(spark, store(dir))
+    graft.sources.AdditiveStats.compact(spark, lenStore(dir))
+  }
+
+  /** The card's TOKEN-LENGTH DISTRIBUTION from the accumulated sketch
+    * store — one row per language: (lang, n_docs, p50_tokens,
+    * p95_tokens, p99_tokens, …) for the requested percentiles.
+    * Fragment sketches union exactly before extraction, so the answer
+    * is bit-identical to one sketch over the whole corpus — and, below
+    * 2^15 (the exact regime), to the rank-exact percentile itself.
+    */
+  def lengths(spark: SparkSession, dir: String,
+              percents: Seq[Int] = Seq(50, 95, 99)): DataFrame = {
+    import graft.plans.QuantileSketch
+    val merged = graft.sources.AdditiveStats.read(spark, lenStore(dir))
+      .groupBy("lang")
+      .agg(QuantileSketch.mergeAgg(col("sketch")).as("__m"))
+    merged.select(col("lang") +:
+      QuantileSketch.sketchCount(col("__m")).as("n_docs") +:
+      percents.map(p =>
+        QuantileSketch.quantileAt(col("__m"), p).as(s"p${p}_tokens")): _*)
+  }
 
   /** The CARD from the accumulated store — one row per language:
     * (lang, n_docs, n_tokens, mean_quality, n_dup_docs), bit-identical

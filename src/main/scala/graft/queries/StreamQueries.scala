@@ -789,10 +789,9 @@ object StreamQueries {
     * end to end. The streaming twin is differential-tested in
     * StreamingSpec.
     */
-  val s24_datacard_mv = q("s24_datacard_mv",
-    TextQueries.q73_corpus_datacard.oracle) { (s, dir) =>
-    import graft.operators.Datacard
+  private def datacardStore(s: SparkSession, dir: String): String = {
     val root = DedupQueries.DedupStaging.ensure("s24", dir) { r =>
+      import graft.operators.Datacard
       org.apache.commons.io.FileUtils.deleteQuietly(
         new java.io.File(s"$r/card"))
       val docs = Tables.documents(s, dir)
@@ -804,11 +803,29 @@ object StreamQueries {
       Datacard.append(docs.filter(col("doc_id") % 2 =!= 0),
         "doc_id", "text", "lang", s"$r/card", batchId = 1L)
     }
-    Datacard.card(s, s"$root/card")
+    s"$root/card"
+  }
+
+  val s24_datacard_mv = q("s24_datacard_mv",
+    TextQueries.q73_corpus_datacard.oracle) { (s, dir) =>
+    graft.operators.Datacard.card(s, datacardStore(s, dir))
+  }
+
+  // ---------------------------------------------------------------- s25
+  /** CONTINUOUS DATACARD LENGTH PANEL ([[graft.operators.Datacard
+    * .lengths]]): q75's per-language token-length percentiles read from
+    * the SAME two-fragment-plus-fold store s24 accumulates — per-batch
+    * QuantileSketch fragments merge binwise (exact, order-invariant), so
+    * the accumulated panel answers as if one sketch had seen the whole
+    * corpus, and q75's rank-exact oracle gates the result end to end.
+    */
+  val s25_datacard_lengths_mv = q("s25_datacard_lengths_mv",
+    TextQueries.q75_datacard_lengths.oracle) { (s, dir) =>
+    graft.operators.Datacard.lengths(s, datacardStore(s, dir))
   }
 
   val all: Seq[GraftQuery] = Seq(
-    s24_datacard_mv,
+    s24_datacard_mv, s25_datacard_lengths_mv,
     s01_tumbling_agg, s02_sliding_agg, s03_session_windows,
     s04_dedup_first_event, s05_watermark_late, s06_asof_backward,
     s07_running_user_agg, s08_interval_join, s09_stream_curation,

@@ -2009,6 +2009,47 @@ object TextQueries {
         sum(when(col("__c") > 1, 1L).otherwise(0L)).as("n_dup_docs"))
   }
 
+  // ---------------------------------------------------------------- q75
+  /** DATACARD TOKEN-LENGTH DISTRIBUTION: per-language p50/p95/p99 of
+    * document token counts — the length panel a release datacard
+    * publishes next to q73's counts, computed through the MERGEABLE
+    * [[graft.plans.QuantileSketch]] (one map-side-combined aggregate,
+    * ≤ bins rows per language cross the wire — the 100 TB shape). At
+    * s = 15 every document below 2^16 tokens sits in the sketch's EXACT
+    * regime, so the oracle is the full-strength rank-exact percentile
+    * over the corpus: if binning, merging or rank targeting were off by
+    * one anywhere, the hash gate fails. s25 is the continuous-view twin
+    * on the [[graft.operators.Datacard]] store.
+    */
+  val q75_datacard_lengths = q("q75_datacard_lengths",
+    s"""WITH f AS (SELECT lang,
+       |        CAST(len(regexp_extract_all(text, '$tokenPat')) AS BIGINT) AS n_tok
+       |      FROM documents),
+       |t AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM f GROUP BY 1),
+       |r AS (SELECT lang, n_tok,
+       |        ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_tok) AS rn
+       |      FROM f)
+       |SELECT r.lang, t.n AS n_docs,
+       |  MIN(CASE WHEN rn >= (50 * n + 99) // 100 THEN n_tok END) AS p50_tokens,
+       |  MIN(CASE WHEN rn >= (95 * n + 99) // 100 THEN n_tok END) AS p95_tokens,
+       |  MIN(CASE WHEN rn >= (99 * n + 99) // 100 THEN n_tok END) AS p99_tokens
+       |FROM r JOIN t USING (lang)
+       |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+    import graft.plans.QuantileSketch
+    val sres = 15
+    Tables.documents(s, dir)
+      .select(col("lang"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("__tok"))
+      .groupBy("lang")
+      .agg(QuantileSketch.sketch(col("__tok"), s = sres,
+        graft.operators.PercentileView.defaultMaxBins(sres)).as("__sk"))
+      .select(col("lang"),
+        QuantileSketch.sketchCount(col("__sk")).as("n_docs"),
+        QuantileSketch.quantileAt(col("__sk"), 50).as("p50_tokens"),
+        QuantileSketch.quantileAt(col("__sk"), 95).as("p95_tokens"),
+        QuantileSketch.quantileAt(col("__sk"), 99).as("p99_tokens"))
+  }
+
   // ---------------------------------------------------------------- t40
   /** PHRASE-BLOCKLIST PROBE ([[graft.plans.MultiMatchExpr]]): the ids of
     * every banned phrase occurring in each document, from ONE Aho–Corasick
@@ -2333,7 +2374,7 @@ object TextQueries {
     t43_token_quota, t44_lang_token_budgets, t48_bpe_token_quota,
     q71_web_curation, t45_train_val_test,
     t47_html_extract, q72_web_curation_html, t49_robots_filter,
-    q73_corpus_datacard, q74_warc_to_corpus,
+    q73_corpus_datacard, q74_warc_to_corpus, q75_datacard_lengths,
     t01_token_stats, t02_quality_score, t03_lang_id, t04_fingerprint,
     t05_rolling_hash, t06_redact, t07_tfidf_top_terms, t08_curation_pipeline,
     t09_repetition, t10_mixture_resample, t11_boilerplate_ngrams,

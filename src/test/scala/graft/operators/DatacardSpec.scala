@@ -41,6 +41,56 @@ class DatacardSpec extends SparkSpec {
     }
   }
 
+  test("length-panel additivity: random batchings reproduce the one-shot percentiles bit for bit") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"), col("lang"))
+    val oneDir = tmp()
+    Datacard.init(spark, oneDir)
+    Datacard.append(docs, "doc_id", "text", "lang", oneDir, 0L)
+    val want = Datacard.lengths(spark, oneDir)
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(want.nonEmpty && want.forall { case (_, n, p50, p95, p99) =>
+      n > 0 && p50 <= p95 && p95 <= p99 })
+
+    val rnd = new scala.util.Random(20260819L)
+    (1 to 3).foreach { trial =>
+      val k = 2 + rnd.nextInt(4)
+      val salt = rnd.nextInt(1000)
+      val dir = tmp()
+      Datacard.init(spark, dir)
+      (0 until k).foreach { b =>
+        Datacard.append(
+          docs.filter(pmod(col("doc_id") + salt, lit(k)) === b),
+          "doc_id", "text", "lang", dir, b.toLong)
+        if (b == k / 2) Datacard.compact(spark, dir)
+      }
+      val got = Datacard.lengths(spark, dir)
+        .as[(String, Long, Long, Long, Long)].collect().toSet
+      assert(got == want, s"trial $trial (k=$k salt=$salt)")
+    }
+  }
+
+  test("lengths sit in the exact regime: percentiles equal the rank-exact answer") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"), col("lang"))
+    val dir = tmp()
+    Datacard.init(spark, dir)
+    Datacard.append(docs, "doc_id", "text", "lang", dir, 0L)
+    val got = Datacard.lengths(spark, dir)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    // rank-exact truth straight off the table (ceil(p*n/100)-th value)
+    val toks = docs.select(col("lang"),
+        graft.functions.TextFunctions.tokenCount(col("text"))
+          .cast("long").as("t"))
+      .as[(String, Long)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).sorted).toMap
+    toks.foreach { case (lang, v) =>
+      def p(q: Int): Long = v((q * v.length + 99) / 100 - 1)
+      assert(got(lang) == ((v.length.toLong, p(50), p(95), p(99))), lang)
+    }
+  }
+
   test("duplicate exposure counts pairs split across batches; singletons never count") {
     val a = Seq((1L, "the same body", "en"), (2L, "only here once", "en"))
       .toDF("doc_id", "text", "lang")

@@ -70,6 +70,23 @@ object TextFunctions {
         / wordCount(c).cast("double"))
   }
 
+  /** DEFLATE size of the text's UTF-8 bytes
+    * ([[graft.plans.DeflateSizeExpr]] — raw RFC 1951, level 6).
+    */
+  def deflateSize(c: Column): Column =
+    graft.plans.DeflateSizeExpr.deflateSize(c)
+
+  /** Compression-ratio quality signal: deflate bytes / raw UTF-8 bytes
+    * (0 for empty text), rounded to 6 dp. Low values mean the text is
+    * highly compressible — repetitive/boilerplate (the classic Gopher
+    * third rule beside stopword and repetition heuristics). Golden-gated
+    * (no SQL engine replays zlib).
+    */
+  def compressionRatio(c: Column): Column =
+    when(octet_length(c) === 0, lit(0.0)).otherwise(
+      round(deflateSize(c).cast("double") /
+        octet_length(c).cast("double"), 6))
+
   /** Heuristic document-quality score in [0,1]: combines a length band,
     * low punctuation noise, and stopword presence. Deterministic arithmetic
     * only, so an external oracle can replicate it bit-for-bit.

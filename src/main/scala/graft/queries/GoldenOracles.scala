@@ -33,7 +33,8 @@ object GoldenOracles {
     "e15_codebook_drift", "e17_ann_compaction", "e18_filtered_ann",
     "t26_bpe_merges", "t27_bpe_encode", "e19_cell_balanced_sample",
     "q64_cms_frequency", "t32_classifier_train", "t37_langid_train",
-    "s20_classifier_quality_mv", "t48_bpe_token_quota")
+    "s20_classifier_quality_mv", "t48_bpe_token_quota",
+    "t50_compression_ratio")
 
   def pathFor(name: String): String = s"$dir/$name.parquet"
 

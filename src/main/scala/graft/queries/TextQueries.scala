@@ -2050,6 +2050,29 @@ object TextQueries {
         QuantileSketch.quantileAt(col("__sk"), 99).as("p99_tokens"))
   }
 
+  // ---------------------------------------------------------------- t50
+  /** COMPRESSION-RATIO QUALITY SIGNAL ([[graft.plans.DeflateSizeExpr]] /
+    * [[TextFunctions.compressionRatio]]): the classic third Gopher-rule
+    * member next to t02's stopword/punctuation score and t09's n-gram
+    * repetition rates — text that DEFLATEs far below the corpus norm is
+    * repetitive/boilerplate. Per document: raw and deflated UTF-8 byte
+    * counts, the 6-dp ratio, and the curation verdict composing the
+    * ratio gate with t02's quality gate (the optional extra gate on the
+    * t08 chain). Golden-gated like t26/t27 — zlib has no SQL twin; the
+    * committed parquet pins every byte count, so a zlib/level/strategy
+    * drift fails the gate loudly. DeflateSpec carries the laws
+    * (determinism, monotone-under-planted-repetition, codegen parity).
+    */
+  val t50_compression_ratio = GraftQuery("t50_compression_ratio",
+    (s, dir) => {
+      Tables.documents(s, dir).select(col("doc_id"),
+        octet_length(col("text")).cast("long").as("n_raw"),
+        TextFunctions.deflateSize(col("text")).as("n_deflate"),
+        TextFunctions.compressionRatio(col("text")).as("ratio"),
+        (TextFunctions.compressionRatio(col("text")) >= 0.5 &&
+          TextFunctions.qualityScore(col("text")) >= 0.5).as("kept"))
+    }, GoldenOracles.sqlFor("t50_compression_ratio"))
+
   // ---------------------------------------------------------------- t40
   /** PHRASE-BLOCKLIST PROBE ([[graft.plans.MultiMatchExpr]]): the ids of
     * every banned phrase occurring in each document, from ONE Aho–Corasick
@@ -2383,5 +2406,6 @@ object TextQueries {
     t18_quality_classifier, t19_span_removal, t20_lm_likelihood,
     t21_within_doc_dedup, t22_lm_trigram, t23_inverted_index,
     t24_keyword_search, t25_bm25_search, t26_bpe_merges, t27_bpe_encode,
-    t28_tfidf_cosine, t29_phrase_search, t30_langid_eval)
+    t28_tfidf_cosine, t29_phrase_search, t30_langid_eval,
+    t50_compression_ratio)
 }

@@ -185,7 +185,8 @@ object NearDup {
     * was measured BOTH ways in round 4 and the answer is memory-headroom-
     * dependent, not just corpus-size-dependent:
     *   - 32 threads / ample storage headroom, 500k docs: caching WINS 2×
-    *     (10.8s vs 21.1s — three consumers reuse one materialization);
+    *     (10.8s vs 21.1s — the consumers, signatures/collapse/expansion/
+    *     verification, reuse one materialization);
     *   - 4 threads / 8 GB heap (per-executor-like memory), same corpus:
     *     caching LOSES 2.3× (62s vs 26s — the hashed-shingle relation is
     *     3-4× the input size, eviction/spill thrashes; caught by the
@@ -216,9 +217,71 @@ object NearDup {
   def nearDuplicatePairsFromDocArrays(perDoc: DataFrame, threshold: Double,
                                       numHashes: Int = 64, bands: Int = 32,
                                       maxBucketSize: Int = 1000): DataFrame = {
-    val sig = signaturesFromArrays(perDoc, numHashes)
-    val cand = lshCandidates(sig, bands, numHashes / bands, maxBucketSize)
-    exactJaccard(explodeArrays(perDoc), cand).filter(col("jaccard") >= threshold)
+    // EXACT-COLLAPSE before MinHash (standard web-dedup practice — exact
+    // dedup fronts near-dedup): documents with IDENTICAL shingle sets form
+    // cliques whose in-clique Jaccard is exactly 1.0 and whose MinHash
+    // signatures are identical, so running every member through
+    // signatures/banding/verification just multiplies candidate volume by
+    // the clique size (and its in-bucket pair expansion by its square).
+    // Collapse each identical-set clique to its min-id representative,
+    // run LSH over representatives only, then re-expand:
+    //   - within-clique pairs emit directly with jaccard = 1.0 (exact:
+    //     identical sets), no banding or verification join;
+    //   - verified representative pairs expand to member cross-pairs with
+    //     the representatives' jaccard (exact for every member pair —
+    //     identical sets per clique).
+    // The fingerprint sorts the deduped in-row shingle array so set-equal
+    // documents collide regardless of token order of first occurrence.
+    // Cap contract unchanged in spirit, now at clique granularity: a
+    // clique larger than `maxBucketSize` is dropped wholesale — the same
+    // pairs the banded form dropped (identical signatures co-bucket the
+    // whole clique, pushing every one of its buckets over the cap).
+    // SHUFFLE SHAPE: the signature and fingerprint are both row-local, so
+    // the collapse shuffles (fp, id, sig) — fixed ~(16 + 8·numHashes)
+    // bytes/doc, NEVER the shingle arrays — and banding then shuffles
+    // representatives only. Verification keeps consuming the full
+    // exploded shingle relation (candidate ids restrict it in the join,
+    // exactly as before the collapse).
+    val keyed = perDoc.select(col("id"),
+      xxhash64(array_sort(col("hs"))).as("__fp"),
+      graft.plans.MinHashSignatureExpr.minhashSignature(col("hs"), numHashes)
+        .as("sig"))
+    val groups = keyed.groupBy("__fp")
+      .agg(min(col("id")).as("id"), first(col("sig")).as("sig"),
+        count(lit(1)).as("__g"))
+      .filter(col("__g") <= maxBucketSize)
+    val cand = lshCandidates(groups.select("id", "sig"), bands,
+      numHashes / bands, maxBucketSize)
+    val repPairs = exactJaccard(explodeArrays(perDoc), cand)
+      .filter(col("jaccard") >= threshold)
+
+    val members = keyed.join(
+      groups.select(col("__fp"), col("__g")).filter(col("__g") > 1), "__fp")
+      .select(col("__fp"), col("id"))
+    // within-clique: same one-shuffle collect+double-explode shape as
+    // lshCandidates (the clique IS a bucket, already cap-bounded above)
+    val within = members.groupBy("__fp").agg(collect_list(col("id")).as("ids"))
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
+      .filter(col("id_a") < col("id_b") && lit(1.0) >= lit(threshold))
+      .select(col("id_a"), col("id_b"), lit(1.0).as("jaccard"))
+    // cross-clique: verified rep pairs × members of both sides. The rep
+    // pair relation is post-aggregation and SMALL (it already passed the
+    // jaccard threshold), so both expansion joins broadcast it against the
+    // narrow (fingerprint, id) relation — map-side, no list building;
+    // singleton groups expand 1:1 so the non-clique corpus pays nothing.
+    val fpOf = groups.select(col("id").as("__rid"), col("__fp"))
+    val ids = keyed.select(col("__fp"), col("id"))
+    val repPairsFp = repPairs
+      .join(fpOf.select(col("__rid").as("id_a"), col("__fp").as("__fa")), "id_a")
+      .join(fpOf.select(col("__rid").as("id_b"), col("__fp").as("__fb")), "id_b")
+      .select(col("__fa"), col("__fb"), col("jaccard"))
+    val cross = ids.select(col("__fp").as("__fa"), col("id").as("__a"))
+      .join(repPairsFp, "__fa")
+      .join(ids.select(col("__fp").as("__fb"), col("id").as("__b")), "__fb")
+      .select(least(col("__a"), col("__b")).as("id_a"),
+        greatest(col("__a"), col("__b")).as("id_b"), col("jaccard"))
+    cross.unionByName(within)
   }
 
   /** [[nearDuplicatePairs]] starting from an ALREADY hashed-and-exploded

@@ -19,6 +19,47 @@ class NearDupSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("nearDuplicatePairs: exact-duplicate cliques collapse — in-clique " +
+    "pairs at jaccard 1.0, cross pairs expand to every member") {
+    // clique A: 5 identical docs; clique B: 3 identical docs one trailing
+    // word away from A (shingle jaccard 5/7 ≈ 0.714); one unrelated loner
+    val cliqueA = (0 until 5).map(i =>
+      (10L + i, "alpha beta gamma delta epsilon zeta eta theta"))
+    val cliqueB = (0 until 3).map(i =>
+      (20L + i, "alpha beta gamma delta epsilon zeta eta iota"))
+    val df = (cliqueA ++ cliqueB :+
+      ((99L, "totally unrelated content sharing nothing at all whatsoever")))
+      .toDF("doc_id", "text")
+    val pairs = NearDup.nearDuplicatePairs(df, "doc_id", "text",
+        threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val within = pairs.filter(_._3 == 1.0).map(p => (p._1, p._2)).toSet
+    val expectA = (for { a <- 10L until 15L; b <- 10L until 15L if a < b }
+      yield (a, b)).toSet
+    val expectB = (for { a <- 20L until 23L; b <- 20L until 23L if a < b }
+      yield (a, b)).toSet
+    assert(within == expectA ++ expectB)
+    // cross-clique: all 5×3 member pairs, each carrying the SAME exact
+    // jaccard as the representative pair (identical sets per clique)
+    val cross = pairs.filter(p => p._1 < 20 && p._2 >= 20 && p._2 < 99)
+    assert(cross.length == 15)
+    assert(cross.map(_._3).distinct.length == 1)
+    assert(math.abs(cross.head._3 - 5.0 / 7.0) < 1e-9)
+    assert(!pairs.exists(p => p._1 == 99L || p._2 == 99L))
+  }
+
+  test("nearDuplicatePairs: a clique larger than maxBucketSize is dropped " +
+    "wholesale (the cap contract at clique granularity)") {
+    val big = (0 until 12).map(i =>
+      (i.toLong, "same words repeated in every document of this clique"))
+      .toDF("doc_id", "text")
+    val arrays = NearDup.docShingleArrays(big, "doc_id", "text")
+    assert(NearDup.nearDuplicatePairsFromDocArrays(arrays, 0.5,
+      maxBucketSize = 10).count() == 0)
+    assert(NearDup.nearDuplicatePairsFromDocArrays(arrays, 0.5,
+      maxBucketSize = 12).count() == 66)
+  }
+
   test("exact shingle jaccard of identical docs is 1.0") {
     val two = Seq((1L, "a b c d e"), (2L, "a b c d e")).toDF("doc_id", "text")
     val sh = NearDup.shingles(two, "doc_id", "text")

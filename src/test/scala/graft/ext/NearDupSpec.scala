@@ -48,6 +48,60 @@ class NearDupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 99L || p._2 == 99L))
   }
 
+  test("randomized differential vs brute force: precision exact, recall " +
+    "total at s ≥ 0.7, emitted jaccard values bit-equal") {
+    // 40 random docs over a 10-word vocabulary (dense shingle overlap →
+    // many borderline pairs), a planted 6-clique of exact copies, and a
+    // planted one-token-edit near-dup. MinHash is seed-deterministic, so
+    // the banding outcome is FIXED — this is a regression pin, not a
+    // flaky sample.
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon",
+      "zeta", "eta", "theta", "iota", "kappa")
+    val base = (0 until 40).map { i =>
+      val len = 8 + rnd.nextInt(7)
+      (i.toLong, Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val clique = (0 until 6).map(i => (100L + i, base.head._2))
+    val nearDup = Seq((200L, base(1)._2.split(" ").updated(0, "omega").mkString(" ")))
+    val docs = base ++ clique ++ nearDup
+    val df = docs.toDF("doc_id", "text")
+
+    def shingleSet(t: String): Set[String] = {
+      val w = t.trim.split("\\s+").toSeq
+      if (w.size >= 3) w.sliding(3).map(_.mkString(" ")).toSet
+      else Set(w.mkString(" "))
+    }
+    val sets = docs.map { case (id, t) => id -> shingleSet(t) }.toMap
+    def jac(a: Long, b: Long): Double = {
+      val i = (sets(a) & sets(b)).size
+      i.toDouble / (sets(a).size + sets(b).size - i)
+    }
+    val idsAll = docs.map(_._1)
+    val brute = (for { a <- idsAll; b <- idsAll if a < b; j = jac(a, b)
+      if j >= 0.5 } yield (a, b) -> j).toMap
+
+    val got = NearDup.nearDuplicatePairs(df, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // precision is EXACT: every emitted pair is in the brute-force set
+    // with the identical jaccard (the collapse's 1.0 emission and
+    // rep-pair expansion must not drift from the verified value)
+    got.foreach { case (pair, j) =>
+      assert(brute.contains(pair), s"false positive $pair")
+      assert(j == brute(pair), s"jaccard drift at $pair: $j vs ${brute(pair)}")
+    }
+    // recall at s ≥ 0.7 is total (P(band miss) ≤ (1−0.49)^32 ≈ 4e-10,
+    // and identical-set cliques bypass banding entirely)
+    brute.filter(_._2 >= 0.7).keys.foreach { pair =>
+      assert(got.contains(pair), s"missed high-similarity pair $pair")
+    }
+    // the planted structures surfaced
+    val cliqueIds = clique.map(_._1)
+    for (a <- cliqueIds; b <- cliqueIds if a < b)
+      assert(got.get((a, b)).contains(1.0))
+    assert(got.keys.exists(p => p._1 == 1L && p._2 == 200L))
+  }
+
   test("nearDuplicatePairs: a clique larger than maxBucketSize is dropped " +
     "wholesale (the cap contract at clique granularity)") {
     val big = (0 until 12).map(i =>

@@ -225,6 +225,29 @@ class PlanAuditSpec extends SparkSpec {
       && !read.contains("lang"), read)
   }
 
+  test("d03: no exchange ever carries the shingle arrays — the collapse " +
+    "shuffles (fp, id, sig) and banding shuffles representatives only") {
+    // The exact-collapse scaladoc's shuffle-shape contract as a law: the
+    // variable-length per-doc shingle array (`hs`, ~text-sized) must be
+    // consumed map-side (fingerprint, signature, explode are all
+    // row-local); only fixed-width derivatives may reach an exchange. A
+    // naive collapse that groupBys the arrays themselves would ship the
+    // corpus through the shuffle — this pin fails that refactor.
+    // AQE-off child session so Exchange nodes are collectible pre-execution.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+    val df = DedupQueries.d03_minhash_lsh.fn(s2, dir)
+    val exec = df.queryExecution.executedPlan
+    val exchanges = exec.collect {
+      case e: org.apache.spark.sql.execution.exchange.Exchange => e }
+    assert(exchanges.nonEmpty, "expected a shuffling plan")
+    val offenders = exchanges.filter(_.output.exists(_.name == "hs"))
+    assert(offenders.isEmpty,
+      offenders.map(_.output.map(_.name).mkString(",")).mkString("; "))
+    // and the collapse shuffle itself is present, keyed by the fingerprint
+    assert(exec.toString.contains("hashpartitioning(__fp"), exec.toString)
+  }
+
   test("t18: linear-scorer serving is a zero-exchange row-local projection") {
     val p = plan(TextQueries.t18_quality_classifier)
     // round 14: the fused (bucket, count) vector replaced the per-token

@@ -242,43 +242,43 @@ object NearDup {
     // representatives only. Verification keeps consuming the full
     // exploded shingle relation (candidate ids restrict it in the join,
     // exactly as before the collapse).
+    // ONE aggregation carries everything the expansion needs — rep id,
+    // rep signature, clique size AND the member-id list — so the
+    // signature/fingerprint projection over the corpus is consumed
+    // exactly once (a members re-join against the keyed relation would
+    // recompute the per-doc signatures per consumer; measured 3× the
+    // map-side cost on the smoke corpus). Building the list before the
+    // size filter is the same discipline the banding bucket lists follow.
     val keyed = perDoc.select(col("id"),
       xxhash64(array_sort(col("hs"))).as("__fp"),
       graft.plans.MinHashSignatureExpr.minhashSignature(col("hs"), numHashes)
         .as("sig"))
     val groups = keyed.groupBy("__fp")
       .agg(min(col("id")).as("id"), first(col("sig")).as("sig"),
-        count(lit(1)).as("__g"))
+        count(lit(1)).as("__g"), collect_list(col("id")).as("__m"))
       .filter(col("__g") <= maxBucketSize)
     val cand = lshCandidates(groups.select("id", "sig"), bands,
       numHashes / bands, maxBucketSize)
     val repPairs = exactJaccard(explodeArrays(perDoc), cand)
       .filter(col("jaccard") >= threshold)
 
-    val members = keyed.join(
-      groups.select(col("__fp"), col("__g")).filter(col("__g") > 1), "__fp")
-      .select(col("__fp"), col("id"))
-    // within-clique: same one-shuffle collect+double-explode shape as
-    // lshCandidates (the clique IS a bucket, already cap-bounded above)
-    val within = members.groupBy("__fp").agg(collect_list(col("id")).as("ids"))
-      .select(explode(col("ids")).as("id_a"), col("ids"))
-      .select(col("id_a"), explode(col("ids")).as("id_b"))
+    // within-clique: the clique IS a bucket (already cap-bounded above) —
+    // double-explode its member list, no extra shuffle
+    val within = groups.filter(col("__g") > 1)
+      .select(explode(col("__m")).as("id_a"), col("__m"))
+      .select(col("id_a"), explode(col("__m")).as("id_b"))
       .filter(col("id_a") < col("id_b") && lit(1.0) >= lit(threshold))
       .select(col("id_a"), col("id_b"), lit(1.0).as("jaccard"))
-    // cross-clique: verified rep pairs × members of both sides. The rep
-    // pair relation is post-aggregation and SMALL (it already passed the
-    // jaccard threshold), so both expansion joins broadcast it against the
-    // narrow (fingerprint, id) relation — map-side, no list building;
-    // singleton groups expand 1:1 so the non-clique corpus pays nothing.
-    val fpOf = groups.select(col("id").as("__rid"), col("__fp"))
-    val ids = keyed.select(col("__fp"), col("id"))
-    val repPairsFp = repPairs
-      .join(fpOf.select(col("__rid").as("id_a"), col("__fp").as("__fa")), "id_a")
-      .join(fpOf.select(col("__rid").as("id_b"), col("__fp").as("__fb")), "id_b")
-      .select(col("__fa"), col("__fb"), col("jaccard"))
-    val cross = ids.select(col("__fp").as("__fa"), col("id").as("__a"))
-      .join(repPairsFp, "__fa")
-      .join(ids.select(col("__fp").as("__fb"), col("id").as("__b")), "__fb")
+    // cross-clique: verified rep pairs × member lists of both sides. The
+    // rep pair relation is post-aggregation and SMALL (it already passed
+    // the jaccard threshold), so both joins broadcast it; singleton
+    // groups expand 1:1 so the non-clique corpus pays nothing.
+    val byRep = groups.select(col("id").as("__rid"), col("__m"))
+    val cross = repPairs
+      .join(byRep.select(col("__rid").as("id_a"), col("__m").as("__ma")), "id_a")
+      .join(byRep.select(col("__rid").as("id_b"), col("__m").as("__mb")), "id_b")
+      .select(explode(col("__ma")).as("__a"), col("__mb"), col("jaccard"))
+      .select(col("__a"), explode(col("__mb")).as("__b"), col("jaccard"))
       .select(least(col("__a"), col("__b")).as("id_a"),
         greatest(col("__a"), col("__b")).as("id_b"), col("jaccard"))
     cross.unionByName(within)
@@ -1033,7 +1033,11 @@ object NearDup {
     * `maxBucketSize` drops degenerate buckets — e.g. the all-zero chunk every
     * near-empty document hashes to, which an uncapped self-join would turn
     * quadratic at corpus scale. Dropped buckets trade recall on boilerplate
-    * for bounded work, exactly like the MinHash path.
+    * for bounded work, exactly like the MinHash path — which this shares
+    * its exact-collapse front-end with: identical-signature cliques dedupe
+    * to one representative before banding (cap at clique granularity), so
+    * a boilerplate clique can neither quadratically crowd buckets nor push
+    * them over the cap and evict its true neighbors.
     */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       maxHamming: Int = 3, bands: Int = 4,
@@ -1042,22 +1046,54 @@ object NearDup {
       s"pigeonhole guarantee needs maxHamming < bands (got $maxHamming >= $bands)")
     val width = 64 / bands
     val sig = simhash(df, idCol, textCol)
+    // EXACT-COLLAPSE, the same move as [[nearDuplicatePairsFromDocArrays]]
+    // with the signature itself as the fingerprint: identical-simhash docs
+    // are hamming-0 cliques that co-bucket in EVERY band, so banding every
+    // member multiplies in-bucket expansion by the clique size squared and
+    // an over-cap clique nukes every bucket it touches (dropping its true
+    // neighbors with it). Collapse to min-id representatives before
+    // banding; in-clique pairs emit at hamming 0, verified rep pairs
+    // expand to member cross-pairs (hamming is signature-determined, so
+    // every member pair carries the rep pair's exact distance). The cap
+    // applies at clique granularity, mirroring what banding enforced.
+    // Like the MinHash collapse, ONE aggregation carries rep + size +
+    // member list, so the signature projection over the corpus (the
+    // dominant map-side cost) is consumed exactly once.
+    val groups = sig.groupBy("simhash")
+      .agg(min(col("id")).as("id"), count(lit(1)).as("__g"),
+        collect_list(col("id")).as("__m"))
+      .filter(col("__g") <= maxBucketSize)
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         shiftright(col("simhash"), b * width)
           .bitwiseAND(lit((1L << width) - 1)).as("chunk"))
     }
-    val buckets = sig
+    val buckets = groups
       .select(struct(col("id"), col("simhash")).as("doc"),
         explode(array(bandCols: _*)).as("bk"))
       .groupBy(col("bk")).agg(collect_list(col("doc")).as("docs"))
       .filter(size(col("docs")).between(2, maxBucketSize))
-    buckets.select(explode(col("docs")).as("a"), col("docs"))
+    val repPairs = buckets.select(explode(col("docs")).as("a"), col("docs"))
       .select(col("a"), explode(col("docs")).as("b"))
       .filter(col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         hamming(col("a.simhash"), col("b.simhash")).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+
+    val within = groups.filter(col("__g") > 1)
+      .select(explode(col("__m")).as("id_a"), col("__m"))
+      .select(col("id_a"), explode(col("__m")).as("id_b"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), lit(0).as("hamming"))
+    val byRep = groups.select(col("id").as("__rid"), col("__m"))
+    val cross = repPairs
+      .join(byRep.select(col("__rid").as("id_a"), col("__m").as("__ma")), "id_a")
+      .join(byRep.select(col("__rid").as("id_b"), col("__m").as("__mb")), "id_b")
+      .select(explode(col("__ma")).as("__a"), col("__mb"), col("hamming"))
+      .select(col("__a"), explode(col("__mb")).as("__b"), col("hamming"))
+      .select(least(col("__a"), col("__b")).as("id_a"),
+        greatest(col("__a"), col("__b")).as("id_b"), col("hamming"))
+    cross.unionByName(within)
   }
 }

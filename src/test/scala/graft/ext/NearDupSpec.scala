@@ -175,6 +175,33 @@ class NearDupSpec extends SparkSpec {
     assert(uncapped.size >= 10 * 9 / 2 - 10) // near-complete clique of the 10 identical docs
   }
 
+  test("simhashNearDups: identical-signature cliques collapse — in-clique " +
+    "pairs at hamming 0, cross pairs to every member with the exact distance") {
+    // 8 identical docs (one simhash clique) + 3 identical near-variants
+    // (a second clique 10 bits away) + a far-away loner. The collapse
+    // must emit all C(8,2)+C(3,2) in-clique pairs at hamming 0 and all
+    // 8×3 cross pairs at the SAME exact rep distance — with the clique
+    // banding once, not 8 times.
+    val a = (0 until 8).map(i =>
+      (10L + i, "the catalyst optimizer rewrites logical plans into physical plans"))
+    val b = (0 until 3).map(i =>
+      (30L + i, "the catalyst optimizer rewrites logical plans into physical stages"))
+    val docs = a ++ b :+ ((99L, "unrelated text entirely: marmalade recipes and camping"))
+    val df = docs.toDF("doc_id", "text")
+    // rep distance from the signatures directly
+    val sigs = NearDup.simhash(df, "doc_id", "text").as[(Long, Long)].collect().toMap
+    val d = java.lang.Long.bitCount(sigs(10L) ^ sigs(30L))
+    assume(d >= 1 && d <= 15, s"fixture drift: variant distance $d outside (0, 15]")
+    val got = NearDup.simhashNearDups(df, "doc_id", "text",
+        maxHamming = 15, bands = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val idsA = a.map(_._1); val idsB = b.map(_._1)
+    for (x <- idsA; y <- idsA if x < y) assert(got.get((x, y)).contains(0))
+    for (x <- idsB; y <- idsB if x < y) assert(got.get((x, y)).contains(0))
+    for (x <- idsA; y <- idsB) assert(got.get((x, y)).contains(d))
+    assert(!got.keys.exists(p => p._1 == 99L || p._2 == 99L))
+  }
+
   test("connectedComponents labels chains, triangles and isolates-in-pairs") {
     // chain 1-2-3-4 (diameter 3: needs multiple propagation rounds),
     // triangle 10-11-12 with extra edge, disjoint pair 20-21

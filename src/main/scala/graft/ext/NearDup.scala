@@ -249,7 +249,11 @@ object NearDup {
     // recompute the per-doc signatures per consumer; measured 3× the
     // map-side cost on the smoke corpus). Building the list before the
     // size filter is the same discipline the banding bucket lists follow.
-    val keyed = perDoc.select(col("id"),
+    // Null shingle arrays (null text) are dropped up front — the
+    // pre-collapse path emitted nothing for them (no shingle rows to
+    // join), and xxhash64(null) would otherwise herd every null-text doc
+    // into one fingerprint clique of spurious jaccard-1.0 pairs.
+    val keyed = perDoc.filter(col("hs").isNotNull).select(col("id"),
       xxhash64(array_sort(col("hs"))).as("__fp"),
       graft.plans.MinHashSignatureExpr.minhashSignature(col("hs"), numHashes)
         .as("sig"))
@@ -261,27 +265,8 @@ object NearDup {
       numHashes / bands, maxBucketSize)
     val repPairs = exactJaccard(explodeArrays(perDoc), cand)
       .filter(col("jaccard") >= threshold)
-
-    // within-clique: the clique IS a bucket (already cap-bounded above) —
-    // double-explode its member list, no extra shuffle
-    val within = groups.filter(col("__g") > 1)
-      .select(explode(col("__m")).as("id_a"), col("__m"))
-      .select(col("id_a"), explode(col("__m")).as("id_b"))
-      .filter(col("id_a") < col("id_b") && lit(1.0) >= lit(threshold))
-      .select(col("id_a"), col("id_b"), lit(1.0).as("jaccard"))
-    // cross-clique: verified rep pairs × member lists of both sides. The
-    // rep pair relation is post-aggregation and SMALL (it already passed
-    // the jaccard threshold), so both joins broadcast it; singleton
-    // groups expand 1:1 so the non-clique corpus pays nothing.
-    val byRep = groups.select(col("id").as("__rid"), col("__m"))
-    val cross = repPairs
-      .join(byRep.select(col("__rid").as("id_a"), col("__m").as("__ma")), "id_a")
-      .join(byRep.select(col("__rid").as("id_b"), col("__m").as("__mb")), "id_b")
-      .select(explode(col("__ma")).as("__a"), col("__mb"), col("jaccard"))
-      .select(col("__a"), explode(col("__mb")).as("__b"), col("jaccard"))
-      .select(least(col("__a"), col("__b")).as("id_a"),
-        greatest(col("__a"), col("__b")).as("id_b"), col("jaccard"))
-    cross.unionByName(within)
+    expandCliques(groups, repPairs, "jaccard", lit(1.0),
+      emitWithin = threshold <= 1.0)
   }
 
   /** [[nearDuplicatePairs]] starting from an ALREADY hashed-and-exploded
@@ -1058,8 +1043,11 @@ object NearDup {
     // applies at clique granularity, mirroring what banding enforced.
     // Like the MinHash collapse, ONE aggregation carries rep + size +
     // member list, so the signature projection over the corpus (the
-    // dominant map-side cost) is consumed exactly once.
-    val groups = sig.groupBy("simhash")
+    // dominant map-side cost) is consumed exactly once. Null signatures
+    // (null text) drop up front — the banded path's hamming(null, null)
+    // was null and never cleared the radius filter, so those docs never
+    // paired; a null-keyed clique would emit them all at hamming 0.
+    val groups = sig.filter(col("simhash").isNotNull).groupBy("simhash")
       .agg(min(col("id")).as("id"), count(lit(1)).as("__g"),
         collect_list(col("id")).as("__m"))
       .filter(col("__g") <= maxBucketSize)
@@ -1081,19 +1069,41 @@ object NearDup {
       .distinct()
       .filter(col("hamming") <= maxHamming)
 
+    expandCliques(groups, repPairs, "hamming", lit(0),
+      emitWithin = maxHamming >= 0)
+  }
+
+  /** Shared clique-expansion tail of the exact-collapse front-ends
+    * ([[nearDuplicatePairsFromDocArrays]], [[simhashNearDups]]): given
+    * the collapsed group relation (`id` = representative, `__g` = clique
+    * size, `__m` = member-id list; already cap-filtered) and the verified
+    * representative pairs `(id_a, id_b, scoreCol)`, emit
+    *   - in-clique pairs at `withinScore` (identical inputs per clique:
+    *     jaccard exactly 1.0 / hamming exactly 0) — the clique IS a
+    *     bucket, already cap-bounded, so the double explode of its member
+    *     list needs no extra shuffle; `emitWithin = false` gates the leg
+    *     off when the caller's threshold excludes even a perfect score;
+    *   - member cross-pairs carrying the rep pair's exact score. The rep
+    *     pair relation is post-aggregation and SMALL (it already passed
+    *     the caller's threshold), so both joins broadcast it; singleton
+    *     groups expand 1:1, so a clique-free corpus pays nothing.
+    */
+  private def expandCliques(groups: DataFrame, repPairs: DataFrame,
+                            scoreCol: String, withinScore: Column,
+                            emitWithin: Boolean): DataFrame = {
     val within = groups.filter(col("__g") > 1)
       .select(explode(col("__m")).as("id_a"), col("__m"))
       .select(col("id_a"), explode(col("__m")).as("id_b"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), lit(0).as("hamming"))
+      .select(col("id_a"), col("id_b"), withinScore.as(scoreCol))
     val byRep = groups.select(col("id").as("__rid"), col("__m"))
     val cross = repPairs
       .join(byRep.select(col("__rid").as("id_a"), col("__m").as("__ma")), "id_a")
       .join(byRep.select(col("__rid").as("id_b"), col("__m").as("__mb")), "id_b")
-      .select(explode(col("__ma")).as("__a"), col("__mb"), col("hamming"))
-      .select(col("__a"), explode(col("__mb")).as("__b"), col("hamming"))
+      .select(explode(col("__ma")).as("__a"), col("__mb"), col(scoreCol))
+      .select(col("__a"), explode(col("__mb")).as("__b"), col(scoreCol))
       .select(least(col("__a"), col("__b")).as("id_a"),
-        greatest(col("__a"), col("__b")).as("id_b"), col("hamming"))
-    cross.unionByName(within)
+        greatest(col("__a"), col("__b")).as("id_b"), col(scoreCol))
+    cross.unionByName(if (emitWithin) within else within.limit(0))
   }
 }

@@ -107,11 +107,14 @@ object HtmlFunctions {
     filter(
       transform(
         // U+0001 is this composition's split sentinel -- strip it from
-        // the input first (contract limit, mirrored by the native scanner
-        // and the oracle's chr(1) twin) so raw bytes carrying the control
-        // char can't forge a spurious block boundary
-        split(regexp_replace(replace(dropInvisible(c), lit("\u0001"),
-            lit("")), blockTagPat, "\u0001"),
+        // the RAW input, before any other stage (contract limit; the
+        // native scanner and the oracle's chr(1) twin strip first too) so
+        // raw bytes carrying the control char can't forge a spurious
+        // block boundary OR smuggle a tag past the invisible drop (a
+        // "<scr\u0001ipt>" reconstituting to "<script>" only after a
+        // post-drop strip was exactly that divergence)
+        split(regexp_replace(dropInvisible(replace(c, lit("\u0001"),
+            lit(""))), blockTagPat, "\u0001"),
           "\u0001"),
         b => struct(
           visibleText(b).as("text"),

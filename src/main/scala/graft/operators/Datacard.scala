@@ -118,7 +118,9 @@ object Datacard {
     * p95_tokens, p99_tokens, …) for the requested percentiles.
     * Fragment sketches union exactly before extraction, so the answer
     * is bit-identical to one sketch over the whole corpus — and, below
-    * 2^15 (the exact regime), to the rank-exact percentile itself.
+    * 2^16 tokens (the s = 15 sketch's exact regime, see
+    * [[graft.plans.QuantileSketch]]), to the rank-exact percentile
+    * itself.
     */
   def lengths(spark: SparkSession, dir: String,
               percents: Seq[Int] = Seq(50, 95, 99)): DataFrame = {

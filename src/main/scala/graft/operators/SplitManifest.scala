@@ -20,19 +20,22 @@ import graft.sources.StoredIndex
   * (crash-benign windows), and the meta publish is a compare-and-swap
   * (two concurrent releases to one store: exactly one wins; the loser
   * must reload). Under `dir`:
-  *   - `assignment[_e{G}]/`  the per-key split assignment parquet (key
-  *     cols + the split column — whatever the caller released), under
-  *     the generation the meta's `rel_gen` key names ([[StoredIndex
-  *     .relPath]]: bare on the first release);
-  *   - `manifest[_e{G}]/`    one row per split: (split, fraction, n_rows,
-  *     seed, strata_cols, key_cols, group_col, split_col) — `n_rows`
-  *     counted from the WRITTEN assignment files, not the in-flight
-  *     frame, so the manifest describes the artifact of record;
-  *   - `meta_g{N}`    the spec + `rel_gen` as key=value pairs (the CAS
-  *     pointer); readers resolve relations THROUGH it, so a crash (or a
-  *     lost CAS) between relation writes and the publish strands an
-  *     orphan directory but can never make the live meta describe a
-  *     different assignment.
+  *   - `assignment_e{G}_w{tag}/`  the per-key split assignment parquet
+  *     (key cols + the split column — whatever the caller released),
+  *     under the generation AND per-release attempt tag the meta's
+  *     `rel_gen`/`rel_tag` keys name;
+  *   - `manifest_e{G}_w{tag}/`    one row per split: (split, fraction,
+  *     n_rows, seed, strata_cols, key_cols, group_col, split_col) —
+  *     `n_rows` counted from the WRITTEN assignment files, not the
+  *     in-flight frame, so the manifest describes the artifact of record;
+  *   - `meta_g{N}`    the spec + `rel_gen`/`rel_tag` as key=value pairs
+  *     (the CAS pointer); readers resolve relations THROUGH it, so a
+  *     crash (or a lost CAS) between relation writes and the publish
+  *     strands an orphan directory but can never make the live meta
+  *     describe a different assignment — the attempt tag covers the
+  *     concurrent-racer case too (same-generation racers write disjoint
+  *     directories). Pre-tag stores (no `rel_tag` in the meta) keep
+  *     resolving through the old `assignment[_e{G}]` layout.
   *
   * Scale shape: the manifest is #splits rows (driver-bounded collect);
   * the assignment write is the only corpus-sized action and is a plain
@@ -71,16 +74,21 @@ object SplitManifest {
     * protocol's swap); releasing concurrently loses the CAS loudly.
     *
     * Crash safety matches the other StoredIndex clients: the relations
-    * are written under GENERATION-SUFFIXED directories (bare on the
-    * first release, `_e{N}` after — [[StoredIndex.relPath]]'s layout)
-    * and the live meta's `rel_gen` key points at the pair it describes,
-    * so a crash between the relation writes and the meta publish — or a
-    * concurrent release that wrote its relations before losing the CAS —
-    * leaves the PREVIOUS release fully intact and self-consistent
-    * (orphaned never-published directories, not a live meta describing
-    * someone else's assignment). The just-superseded generation is kept
-    * for one cycle for in-flight readers; older ones are swept
-    * best-effort after the swap.
+    * are written under GENERATION- AND ATTEMPT-SUFFIXED directories
+    * (`name_e{N}_w{tag}`, tag = a per-release nonce) and the live meta's
+    * `rel_gen`/`rel_tag` keys point at the exact pair it describes, so a
+    * crash between the relation writes and the meta publish — or a
+    * concurrent release racing this one — leaves the PREVIOUS release
+    * fully intact and self-consistent. The attempt tag is what makes the
+    * concurrent case safe: two racers that both read generation N write
+    * to DIFFERENT `_e{N+1}_w{tag}` directories, so the CAS loser's
+    * overwrite-mode write can never clobber the relations the winner's
+    * meta just published (without the tag, same-generation racers
+    * targeted the same path and the loser could overwrite it after the
+    * winner's CAS — a live meta describing someone else's assignment).
+    * The just-superseded generation is kept for one cycle for in-flight
+    * readers; older ones — and any orphaned loser/crash directories of
+    * those older generations — are swept best-effort after the swap.
     */
   def release(assignment: DataFrame, dir: String, spec: Spec): Unit = {
     require(spec.fractions.nonEmpty, "spec must carry the split fractions")
@@ -93,8 +101,9 @@ object SplitManifest {
     val spark = assignment.sparkSession
     val gen = currentGen(spark, dir) // read BEFORE the relation writes
     val relGen = gen + 1             // the generation the CAS will publish
-    val assignPath = StoredIndex.relPath(dir, "assignment", relGen)
-    val manPath = StoredIndex.relPath(dir, "manifest", relGen)
+    val tag = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    val assignPath = taggedPath(dir, "assignment", relGen, tag)
+    val manPath = taggedPath(dir, "manifest", relGen, tag)
     assignment.write.mode("overwrite").parquet(assignPath)
     // counts from the WRITTEN files — the manifest describes the artifact
     val counts = spark.read.parquet(assignPath)
@@ -113,14 +122,48 @@ object SplitManifest {
     StoredIndex.writeMetaCas(spark, dir, Seq(
       "kind" -> "split_manifest",
       "rel_gen" -> relGen.toString,
+      "rel_tag" -> tag,
       "seed" -> spec.seed.toString,
       "fractions" -> encodeFractions(spec.fractions),
       "strata_cols" -> spec.strataCols.mkString(","),
       "key_cols" -> spec.keyCols.mkString(","),
       "group_col" -> spec.groupCol.getOrElse(""),
       "split_col" -> spec.splitCol), gen)
-    StoredIndex.sweepEpochsBelow(spark, dir,
-      Seq("assignment", "manifest"), relGen - 1)
+    sweepGenerationsBelow(spark, dir, relGen - 1)
+  }
+
+  /** `name_e{N}_w{tag}` relation directory (new layout); pre-tag stores
+    * resolve through [[StoredIndex.relPath]] when the meta carries no
+    * `rel_tag` (see [[livePath]]).
+    */
+  private def taggedPath(dir: String, name: String, gen: Int,
+                         tag: String): String =
+    s"$dir/${name}_e${gen}_w$tag"
+
+  private val relDirPattern =
+    "(assignment|manifest)(?:_e(\\d+)(?:_w[0-9a-f]+)?)?".r
+
+  /** Sweep every assignment/manifest directory of a generation below
+    * `keepFrom` — tagged or not, published or orphaned (a loser/crashed
+    * attempt's generation is ≤ the live one, so it ages out the same
+    * way). The live and just-superseded generations never match.
+    */
+  private def sweepGenerationsBelow(spark: SparkSession, dir: String,
+                                    keepFrom: Int): Unit = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val entries =
+      try fs.listStatus(path) catch { case _: java.io.IOException => return }
+    entries.iterator.filter(_.isDirectory).foreach { st =>
+      st.getPath.getName match {
+        case relDirPattern(_, genStr) =>
+          val g = if (genStr == null) 0 else genStr.toInt
+          if (g < keepFrom)
+            try fs.delete(st.getPath, true)
+            catch { case _: java.io.IOException => () }
+        case _ => ()
+      }
+    }
   }
 
   private def kvOf(spark: SparkSession, dir: String): Map[String, String] = {
@@ -141,13 +184,20 @@ object SplitManifest {
     specOf(kvOf(spark, dir))
 
   /** Resolve the live release's relation path THROUGH the meta's
-    * `rel_gen` pointer — the relation a reader sees is always the one
-    * the meta it read describes, never a half-landed newer write.
+    * `rel_gen` + `rel_tag` pointers — the relation a reader sees is
+    * always the exact directory the meta it read describes, never a
+    * half-landed newer write and never a concurrent loser's attempt.
+    * Stores released before the attempt tag existed carry no `rel_tag`
+    * and resolve through the old untagged layout.
     */
   private def livePath(spark: SparkSession, dir: String,
                        name: String): String = {
     val kv = kvOf(spark, dir)
-    StoredIndex.relPath(dir, name, kv.getOrElse("rel_gen", "0").toInt)
+    val gen = kv.getOrElse("rel_gen", "0").toInt
+    kv.get("rel_tag") match {
+      case Some(tag) if tag.nonEmpty => taggedPath(dir, name, gen, tag)
+      case _ => StoredIndex.relPath(dir, name, gen)
+    }
   }
 
   /** The per-split manifest relation of the live release. */

@@ -229,8 +229,12 @@ object WarcRecordsExpr {
             payloadEnd - payloadStart >= 5 &&
             ascii(b, payloadStart, payloadStart + 5) == "HTTP/"
           if (isHttp) {
-            // status line: HTTP/x.y SP code SP reason
-            var q = lineEnd(b, payloadStart)
+            // status line: HTTP/x.y SP code SP reason. Clamp the line scan
+            // at payloadEnd — a payload with no LF at all (truncated or
+            // junk status line) must not walk into the record separator
+            // and push bodyStart past payloadEnd (that crashed the scan;
+            // the permissive contract is that NOTHING fails the job).
+            var q = math.min(lineEnd(b, payloadStart), payloadEnd)
             val sl = ascii(b, payloadStart, lineContentEnd(b, payloadStart, q))
             val parts = sl.split(" ", 3)
             if (parts.length >= 2) {

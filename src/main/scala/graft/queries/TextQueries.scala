@@ -1681,9 +1681,11 @@ object TextQueries {
     }
   private def duckVis(e: String): String =
     normSql(duckDecode(s"regexp_replace($e, '<[^>]*>', ' ', 'g')"))
+  // chr(1) (the block-split sentinel) strips from the RAW html before the
+  // invisible drop — same order as the native scanner and blocksReference
   private def duckBlocksSql: String =
-    s"string_split(regexp_replace(replace(${duckInvisible("html")}, " +
-      s"chr(1), ''), " +
+    s"string_split(regexp_replace(" +
+      s"${duckInvisible("replace(html, chr(1), '')")}, " +
       s"'${graft.functions.HtmlFunctions.blockTagPat}', chr(1), 'g'), chr(1))"
   // DuckDB's array_to_string returns NULL on an empty list where Spark's
   // array_join returns '' — coalesce at every join point

@@ -114,6 +114,19 @@ class NearDupSpec extends SparkSpec {
       maxBucketSize = 12).count() == 66)
   }
 
+  test("null-text documents never pair — both collapse paths match the " +
+    "pre-collapse behavior") {
+    // pre-collapse, null docs produced no shingle rows (MinHash) and a
+    // null hamming (SimHash) and so never surfaced; the fingerprint
+    // grouping must not herd them into a spurious mutual-duplicate clique
+    val df = Seq((1L, Option.empty[String]), (2L, Option.empty[String]),
+      (3L, Some("real content with enough words for shingles here")),
+      (4L, Option.empty[String])).toDF("doc_id", "text")
+    assert(NearDup.nearDuplicatePairs(df, "doc_id", "text", 0.5).count() == 0)
+    assert(NearDup.simhashNearDups(df, "doc_id", "text",
+      maxHamming = 3, bands = 4).count() == 0)
+  }
+
   test("exact shingle jaccard of identical docs is 1.0") {
     val two = Seq((1L, "a b c d e"), (2L, "a b c d e")).toDF("doc_id", "text")
     val sh = NearDup.shingles(two, "doc_id", "text")

@@ -140,6 +140,10 @@ class ExtractSpec extends SparkSpec {
       "&lt;", "&amp;", "&amp;lt;", "&quot;", "&nbsp;", "&#39;", "&bogus;",
       "plain words here", "x < y", "a > b", "  ", "\n", "\t", "tok",
       "\u0001", "a\u0001b", // the sentinel contract: stripped, never splits
+      // sentinel INSIDE tag names/structure: the raw-input strip must
+      // reconstitute these to real tags identically in scanner + reference
+      "<scr\u0001ipt>", "</scr\u0001ipt>", "<p\u0001>", "<\u0001p>",
+      "<!\u0001--", "-\u0001->",
       "longer run of ordinary prose to pass length gates sometimes")
     val htmls = (1 to 400).map { _ =>
       (0 until rnd.nextInt(18)).map(_ => pieces(rnd.nextInt(pieces.size)))

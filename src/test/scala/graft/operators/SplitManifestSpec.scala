@@ -102,19 +102,44 @@ class SplitManifestSpec extends SparkSpec {
     assert(man == want)
   }
 
-  test("relations live under the meta's rel_gen; re-release advances the layout") {
+  test("relations live under the meta's rel_gen+rel_tag; re-release " +
+    "advances the generation and sweeps two behind") {
     val dir = tmpDir()
     val spec = SplitManifest.Spec(11L, fr, Seq("g"), Seq("id"))
-    SplitManifest.release(assigned, dir, spec)   // gen 0 → bare dirs
-    assert(new java.io.File(s"$dir/assignment").exists())
-    SplitManifest.release(assigned, dir, spec)   // gen 1 → _e1
-    assert(new java.io.File(s"$dir/assignment_e1").exists())
+    def dirs(gen: Int): Seq[String] =
+      Option(new java.io.File(dir).list()).toSeq.flatten
+        .filter(_.matches(s"assignment_e${gen}_w[0-9a-f]+"))
+    SplitManifest.release(assigned, dir, spec)   // gen 0
+    assert(dirs(0).size == 1)
+    SplitManifest.release(assigned, dir, spec)   // gen 1
+    assert(dirs(1).size == 1)
     // the just-superseded generation is kept one cycle for readers
-    assert(new java.io.File(s"$dir/assignment").exists())
-    SplitManifest.release(assigned, dir, spec)   // gen 2 → _e2, gen 0 swept
-    assert(new java.io.File(s"$dir/assignment_e2").exists())
-    assert(!new java.io.File(s"$dir/assignment").exists())
+    assert(dirs(0).size == 1)
+    SplitManifest.release(assigned, dir, spec)   // gen 2, gen 0 swept
+    assert(dirs(2).size == 1)
+    assert(dirs(0).isEmpty)
     assert(SplitManifest.readAssignment(spark, dir).count() == 200L)
+  }
+
+  test("a CAS-losing concurrent release can never clobber the winner's " +
+    "relations (attempt-tagged directories)") {
+    val dir = tmpDir()
+    val spec = SplitManifest.Spec(11L, fr, Seq("g"), Seq("id"))
+    SplitManifest.release(assigned, dir, spec)             // live at gen 0
+    val live = SplitManifest.readAssignment(spark, dir).count()
+    // a racer that read gen -1 concurrently and writes "its" gen-0
+    // relations AFTER the winner published: with the attempt tag its
+    // target directory is distinct, so the live pointer's data is intact
+    // (pre-tag, it overwrote the winner's directory in place)
+    val racerTarget = s"$dir/assignment_e0_wdeadbeef"
+    spark.range(5).select(col("id"), lit(0L).as("g"),
+        lit("train").as("split"))
+      .write.parquet(racerTarget)
+    assert(SplitManifest.readAssignment(spark, dir).count() == live)
+    // and the orphan ages out two releases later
+    SplitManifest.release(assigned, dir, spec)             // gen 1
+    SplitManifest.release(assigned, dir, spec)             // gen 2
+    assert(!new java.io.File(racerTarget).exists())
   }
 
   test("a half-landed newer write never shadows the live release") {

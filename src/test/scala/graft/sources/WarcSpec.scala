@@ -20,16 +20,11 @@ class WarcSpec extends SparkSpec {
     java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/$name"), b)
   }
 
+  // the production envelope renderer — the spec must exercise the SAME
+  // layout src22 stages, not a hand-kept copy that could drift
   private def record(uri: String, ts: String, html: String,
-                     status: Int = 200): String = {
-    val body = html.getBytes("UTF-8")
-    val payload = s"HTTP/1.1 $status OK\r\nContent-Type: text/html; " +
-      s"charset=utf-8\r\nContent-Length: ${body.length}\r\n\r\n" + html
-    val pBytes = payload.getBytes("UTF-8").length
-    s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: $uri\r\n" +
-      s"WARC-Date: $ts\r\nContent-Type: application/http; " +
-      s"msgtype=response\r\nContent-Length: $pBytes\r\n\r\n$payload\r\n\r\n"
-  }
+                     status: Int = 200): String =
+    WarcSource.responseRecordString(uri, ts, html, status)
 
   private def warcinfo(text: String): String =
     s"WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Type: " +
@@ -136,6 +131,32 @@ class WarcSpec extends SparkSpec {
     val bad2 = WarcSource.quarantined(WarcSource.read(spark, dir2))
       .select("error").as[String].collect()
     assert(bad2.length == 1 && bad2.head.contains("not terminated"))
+  }
+
+  test("HTTP payload with no LF at all parses gracefully (no crash, " +
+    "empty body) and the next record still comes through") {
+    // regression: the status-line scan walked past payloadEnd into the
+    // record separator when the payload contained zero \n bytes, pushing
+    // bodyStart beyond payloadEnd and crashing copyOfRange — one junk
+    // record failed the whole scan, violating the permissive contract
+    val dir = tmp()
+    val payload = "HTTP/1.1 200" // starts with HTTP/, no LF anywhere
+    val lfless = "WARC/1.0\r\nWARC-Type: response\r\n" +
+      "WARC-Target-URI: https://lfless/x\r\n" +
+      s"Content-Length: ${payload.getBytes("UTF-8").length}\r\n\r\n" +
+      payload + "\r\n\r\n"
+    val bytes = (lfless +
+      record("https://a/2", "2026-01-02T00:00:00Z", "<p>after</p>"))
+      .getBytes("UTF-8")
+    writeBytes(dir, "m.warc", bytes)
+    val all = WarcSource.read(spark, dir).orderBy("offset")
+    assert(WarcSource.quarantined(all).count() == 0)
+    val got = WarcSource.good(all)
+      .select(col("target_uri"), col("status"),
+        decode(col("body"), "UTF-8"))
+      .as[(String, Option[Int], String)].collect().toSeq
+    assert(got.map(_._1) == Seq("https://lfless/x", "https://a/2"))
+    assert(got.head._2.contains(200) && got.head._3.isEmpty)
   }
 
   test("warcinfo records keep their payload; no HTTP split, null status") {

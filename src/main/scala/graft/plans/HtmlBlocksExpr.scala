@@ -63,16 +63,44 @@ case class HtmlBlocksExpr(child: Expression) extends UnaryExpression {
 
 object HtmlBlocksExpr {
 
+  /** Java regex `\\b` word characters. NOT the ASCII `\\w` set: since
+    * JDK 7, `\\b` is Unicode-aware even while `\\w` stays ASCII (the
+    * documented asymmetry), so the reference pattern `</?p\\b` does NOT
+    * split at `<p\u00e9>` — \u00e9 is a word char, no boundary after the
+    * p. The scanner must agree or the differential law breaks on
+    * non-ASCII tag soup.
+    */
   private def isWord(c: Char): Boolean =
-    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
-      (c >= '0' && c <= '9') || c == '_'
+    Character.isLetterOrDigit(c) || c == '_'
 
   private def isSpace(c: Char): Boolean = // Java regex \s
     c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' ||
       c == '\r'
 
-  private def regionMatchesCi(s: String, at: Int, lit: String): Boolean =
-    s.regionMatches(true, at, lit, 0, lit.length)
+  private def asciiLower(c: Char): Char =
+    if (c >= 'A' && c <= 'Z') (c + 32).toChar else c
+
+  private def asciiLowerStr(s: String): String = {
+    val b = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) { b.append(asciiLower(s.charAt(i))); i += 1 }
+    b.toString
+  }
+
+  /** ASCII-only case-insensitive region compare — Java regex `(?i)`
+    * WITHOUT `UNICODE_CASE` folds only US-ASCII, so `(?i)script` does
+    * not match a dotted-capital-\u0130 spelling; `String.regionMatches
+    * (true, ...)` (full Unicode folding) would, and locale-default
+    * `toLowerCase` is worse still (Turkish I variants). The hand-rolled
+    * fold keeps every match site locale-independent and reference-exact.
+    */
+  private def regionMatchesCi(s: String, at: Int, lit: String): Boolean = {
+    if (at < 0 || at.toLong + lit.length > s.length) return false
+    var k = 0
+    while (k < lit.length &&
+      asciiLower(s.charAt(at + k)) == asciiLower(lit.charAt(k))) k += 1
+    k == lit.length
+  }
 
   /** `<name\b[^>]*>` starting at `i` (which must be '<'): the position
     * AFTER the closing '>', or -1 if no such open tag starts here.
@@ -176,7 +204,7 @@ object HtmlBlocksExpr {
     val start = j
     while (j < n && isWord(s.charAt(j))) j += 1
     if (j == start) return -1
-    if (!blockTags.contains(s.substring(start, j).toLowerCase)) return -1
+    if (!blockTags.contains(asciiLowerStr(s.substring(start, j)))) return -1
     val gt = s.indexOf('>', j)
     if (gt < 0) -1 else gt + 1
   }

@@ -93,6 +93,17 @@ object WarcRecordsExpr {
 
   private def isCrLf(b: Byte): Boolean = b == '\r' || b == '\n'
 
+  /** Does `pat` occur at exactly `at`? (The boundary check — the old
+    * `indexOf(...) != pos` form walked the whole garbage region once just
+    * to answer a boolean, then the quarantine path walked it again.)
+    */
+  private def matchesAt(b: Array[Byte], pat: Array[Byte], at: Int): Boolean = {
+    if (at < 0 || at + pat.length > b.length) return false
+    var j = 0
+    while (j < pat.length && b(at + j) == pat(j)) j += 1
+    j == pat.length
+  }
+
   /** Next index of `pat` in `b` at or after `from`, or -1. */
   private def indexOf(b: Array[Byte], pat: Array[Byte], from: Int): Int = {
     var i = math.max(from, 0)
@@ -135,33 +146,106 @@ object WarcRecordsExpr {
       if (status == null) null else status.intValue(), u8(contentType),
       body, u8(error)))
 
-  private def gunzip(b: Array[Byte]): Array[Byte] = {
-    val in = new java.util.zip.GZIPInputStream(
-      new java.io.ByteArrayInputStream(b), 64 * 1024)
-    val out = new java.io.ByteArrayOutputStream(math.max(b.length * 4, 1024))
+  /** Decompressed-size ceiling: just under the JVM array limit, so the
+    * operator aborts cleanly (quarantining the tail) instead of dying in
+    * ByteArrayOutputStream growth on a pathological member.
+    */
+  private val MaxInflatedBytes: Long = Integer.MAX_VALUE.toLong - 64
+
+  /** Decompress a run of CONCATENATED gzip members, member by member via
+    * a raw [[java.util.zip.Inflater]] with explicit header/trailer
+    * framing and a CRC32 check per member. GZIPInputStream is NOT used
+    * on purpose: its concatenation mode swallows the IOException from a
+    * corrupt next-member header and reports clean EOF — everything after
+    * one corrupt member in a .warc.gz silently vanished (no quarantine
+    * row), violating the nothing-silently-dropped contract. Returns
+    * (decompressed prefix, error-or-null, raw offset where the
+    * undecodable tail starts) — the caller parses the prefix normally
+    * and quarantines the raw tail with the error.
+    */
+  private def gunzip(b: Array[Byte]): (Array[Byte], String, Int) = {
+    val out = new java.io.ByteArrayOutputStream(
+      math.min(math.max(b.length.toLong * 4, 1024L), 1L << 26).toInt)
     val buf = new Array[Byte](64 * 1024)
-    var n = in.read(buf)
-    while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
-    in.close()
-    out.toByteArray
+    var pos = 0
+    def fail(msg: String) = (out.toByteArray, msg + s" at byte $pos", pos)
+    while (pos < b.length) {
+      val memberStart = pos
+      if (!(pos + 10 <= b.length && (b(pos) & 0xff) == 0x1f &&
+          (b(pos + 1) & 0xff) == 0x8b && (b(pos + 2) & 0xff) == 8))
+        return fail("trailing bytes are not a gzip member")
+      val flg = b(pos + 3) & 0xff
+      var hp = pos + 10
+      if ((flg & 4) != 0) { // FEXTRA
+        if (hp + 2 > b.length) return fail("truncated gzip header")
+        hp += 2 + ((b(hp) & 0xff) | ((b(hp + 1) & 0xff) << 8))
+      }
+      if ((flg & 8) != 0) { // FNAME
+        while (hp < b.length && b(hp) != 0) hp += 1
+        hp += 1
+      }
+      if ((flg & 16) != 0) { // FCOMMENT
+        while (hp < b.length && b(hp) != 0) hp += 1
+        hp += 1
+      }
+      if ((flg & 2) != 0) hp += 2 // FHCRC
+      if (hp > b.length) return fail("truncated gzip header")
+      val inf = new java.util.zip.Inflater(true)
+      val crc = new java.util.zip.CRC32()
+      var memberLen = 0L
+      try {
+        inf.setInput(b, hp, b.length - hp)
+        while (!inf.finished()) {
+          val k =
+            try inf.inflate(buf)
+            catch { case _: java.util.zip.DataFormatException =>
+              return fail("corrupt deflate data in gzip member")
+            }
+          if (k == 0 && inf.finished()) ()
+          else if (k == 0 && inf.needsInput())
+            return fail("truncated gzip member")
+          else {
+            if (out.size().toLong + k > MaxInflatedBytes)
+              return fail("decompressed size exceeds the 2 GB member cap")
+            out.write(buf, 0, k)
+            crc.update(buf, 0, k)
+            memberLen += k
+          }
+        }
+        val trailer = hp + inf.getBytesRead.toInt
+        if (trailer + 8 > b.length) return fail("truncated gzip trailer")
+        def le32(at: Int): Long =
+          (b(at) & 0xffL) | ((b(at + 1) & 0xffL) << 8) |
+            ((b(at + 2) & 0xffL) << 16) | ((b(at + 3) & 0xffL) << 24)
+        if (le32(trailer) != crc.getValue)
+          return (out.toByteArray,
+            s"gzip member CRC mismatch at byte $memberStart", memberStart)
+        if (le32(trailer + 4) != (memberLen & 0xffffffffL))
+          return (out.toByteArray,
+            s"gzip member length mismatch at byte $memberStart", memberStart)
+        pos = trailer + 8
+      } finally inf.end()
+    }
+    (out.toByteArray, null, -1)
   }
 
   def compute(raw: Array[Byte]): ArrayData = {
+    var gzError: String = null
+    var gzTailStart = -1
     val b =
-      if (raw.length >= 2 && (raw(0) & 0xff) == 0x1f && (raw(1) & 0xff) == 0x8b)
-        try gunzip(raw)
-        catch { case _: java.io.IOException =>
-          return new GenericArrayData(Array[Any](row(0L, null, null, null,
-            null, null, raw, "gzip member failed to decompress")))
-        }
-      else raw
+      if (raw.length >= 2 && (raw(0) & 0xff) == 0x1f && (raw(1) & 0xff) == 0x8b) {
+        val (data, err, tail) = gunzip(raw)
+        gzError = err
+        gzTailStart = tail
+        data
+      } else raw
     val n = b.length
     val out = scala.collection.mutable.ArrayBuffer.empty[Any]
     var pos = 0
     while (pos < n && isCrLf(b(pos))) pos += 1
     while (pos < n) {
       val recStart = pos
-      if (indexOf(b, Magic, pos) != pos) {
+      if (!matchesAt(b, Magic, pos)) {
         // no magic at the boundary: quarantine up to the next magic
         val next = indexOf(b, Magic, pos + 1)
         val end = if (next < 0) n else next
@@ -187,7 +271,8 @@ object WarcRecordsExpr {
             val line = ascii(b, p, ce)
             val colon = line.indexOf(':')
             if (colon > 0) {
-              val name = line.substring(0, colon).trim.toLowerCase
+              val name = line.substring(0, colon).trim
+                .toLowerCase(java.util.Locale.ROOT)
               val value = line.substring(colon + 1).trim
               name match {
                 case "warc-type" => warcType = value
@@ -214,11 +299,17 @@ object WarcRecordsExpr {
             else "missing or invalid Content-Length")
           pos = end
         } else if (p + contentLength > n) {
+          // declared length overruns the member: the framing is broken, so
+          // resync at the next magic like the other malformed branches —
+          // a corrupt oversized length must not swallow the valid records
+          // behind it
+          val next = indexOf(b, Magic, recStart + Magic.length)
+          val end = if (next < 0) n else next
           out += row(recStart.toLong, warcType, uri, ts, null, null,
-            java.util.Arrays.copyOfRange(b, recStart, n),
+            java.util.Arrays.copyOfRange(b, recStart, end),
             s"payload truncated: declared $contentLength bytes, " +
               s"${n - p} remain")
-          pos = n
+          pos = end
         } else {
           val payloadStart = p
           val payloadEnd = p + contentLength.toInt
@@ -256,16 +347,34 @@ object WarcRecordsExpr {
               }
               q = e
             }
-            bodyStart = q
+            if (!done) {
+              // the header block never hit its blank line: bodyStart
+              // would be payloadEnd and the payload bytes would vanish
+              // from every output column — surface them as a quarantine
+              // row instead (the HTTP split is unreliable here anyway)
+              out += row(recStart.toLong, warcType, uri, ts, status, warcCt,
+                java.util.Arrays.copyOfRange(b, payloadStart, payloadEnd),
+                "http header block not terminated within payload")
+              pos = payloadEnd
+              while (pos < n && isCrLf(b(pos))) pos += 1
+              // continue the member scan at the next record
+              bodyStart = -1
+            } else bodyStart = q
           }
-          out += row(recStart.toLong, warcType, uri, ts, status,
-            if (isHttp) httpCt else warcCt,
-            java.util.Arrays.copyOfRange(b, bodyStart, payloadEnd), null)
-          pos = payloadEnd
-          while (pos < n && isCrLf(b(pos))) pos += 1
+          if (bodyStart >= 0) {
+            out += row(recStart.toLong, warcType, uri, ts, status,
+              if (isHttp) httpCt else warcCt,
+              java.util.Arrays.copyOfRange(b, bodyStart, payloadEnd), null)
+            pos = payloadEnd
+            while (pos < n && isCrLf(b(pos))) pos += 1
+          }
         }
       }
     }
+    if (gzError != null)
+      out += row(n.toLong, null, null, null, null, null,
+        java.util.Arrays.copyOfRange(raw, math.max(gzTailStart, 0), raw.length),
+        gzError)
     new GenericArrayData(out.toArray)
   }
 

@@ -144,6 +144,12 @@ class ExtractSpec extends SparkSpec {
       // reconstitute these to real tags identically in scanner + reference
       "<scr\u0001ipt>", "</scr\u0001ipt>", "<p\u0001>", "<\u0001p>",
       "<!\u0001--", "-\u0001->",
+      // Unicode tag soup: Java \b is Unicode-aware (\u00e9 is a word
+      // char, so `</?p\b` must NOT split at <p\u00e9>) while (?i) folds
+      // ASCII only — the scanner's hand-rolled \b and case fold must
+      // agree with both
+      "<p\u00e9>", "</p\u00e9>", "<div\u00e9>x</div\u00e9>",
+      "<scr\u00edpt>", "<P\u0130>", "w\u00f6rds \u00fcber pr\u00f8se",
       "longer run of ordinary prose to pass length gates sometimes")
     val htmls = (1 to 400).map { _ =>
       (0 until rnd.nextInt(18)).map(_ => pieces(rnd.nextInt(pieces.size)))

@@ -133,12 +133,17 @@ class WarcSpec extends SparkSpec {
     assert(bad2.length == 1 && bad2.head.contains("not terminated"))
   }
 
-  test("HTTP payload with no LF at all parses gracefully (no crash, " +
-    "empty body) and the next record still comes through") {
-    // regression: the status-line scan walked past payloadEnd into the
+  test("HTTP payload with no LF at all quarantines gracefully (no crash, " +
+    "payload bytes preserved) and the next record still comes through") {
+    // regression 1: the status-line scan walked past payloadEnd into the
     // record separator when the payload contained zero \n bytes, pushing
     // bodyStart beyond payloadEnd and crashing copyOfRange — one junk
-    // record failed the whole scan, violating the permissive contract
+    // record failed the whole scan, violating the permissive contract.
+    // regression 2: an HTTP header block that never reaches its blank
+    // line consumed the whole payload as "headers" and emitted an
+    // error-free row with an empty body — the bytes vanished from every
+    // output column. Both now land in one quarantine row carrying the
+    // full payload.
     val dir = tmp()
     val payload = "HTTP/1.1 200" // starts with HTTP/, no LF anywhere
     val lfless = "WARC/1.0\r\nWARC-Type: response\r\n" +
@@ -150,13 +155,83 @@ class WarcSpec extends SparkSpec {
       .getBytes("UTF-8")
     writeBytes(dir, "m.warc", bytes)
     val all = WarcSource.read(spark, dir).orderBy("offset")
-    assert(WarcSource.quarantined(all).count() == 0)
-    val got = WarcSource.good(all)
-      .select(col("target_uri"), col("status"),
+    val bad = WarcSource.quarantined(all)
+      .select(col("error"), col("target_uri"), col("status"),
         decode(col("body"), "UTF-8"))
-      .as[(String, Option[Int], String)].collect().toSeq
-    assert(got.map(_._1) == Seq("https://lfless/x", "https://a/2"))
-    assert(got.head._2.contains(200) && got.head._3.isEmpty)
+      .as[(String, String, Option[Int], String)].collect()
+    assert(bad.length == 1)
+    assert(bad.head._1.contains("not terminated within payload"))
+    assert(bad.head._2 == "https://lfless/x")
+    assert(bad.head._3.contains(200)) // status still parsed and surfaced
+    assert(bad.head._4 == payload)    // the raw payload is recoverable
+    assert(WarcSource.good(all).select("target_uri").as[String]
+      .collect().toSeq == Seq("https://a/2"))
+  }
+
+  test("unterminated HTTP header block quarantines with the payload " +
+    "bytes instead of silently emitting an empty body") {
+    val dir = tmp()
+    val payload = "HTTP/1.1 200 OK\r\nX-Hdr: 1\r\nBODYBYTES" // no blank line
+    val rec = "WARC/1.0\r\nWARC-Type: response\r\n" +
+      "WARC-Target-URI: https://noterm/x\r\n" +
+      s"Content-Length: ${payload.getBytes("UTF-8").length}\r\n\r\n" +
+      payload + "\r\n\r\n"
+    writeBytes(dir, "m.warc", rec.getBytes("UTF-8"))
+    val bad = WarcSource.quarantined(WarcSource.read(spark, dir))
+      .select(col("error"), decode(col("body"), "UTF-8"))
+      .as[(String, String)].collect()
+    assert(bad.length == 1)
+    assert(bad.head._1.contains("not terminated within payload"))
+    assert(bad.head._2.contains("BODYBYTES"))
+  }
+
+  test("corrupt oversized Content-Length resyncs at the next magic " +
+    "instead of swallowing the records behind it") {
+    val dir = tmp()
+    val corrupt = "WARC/1.0\r\nWARC-Type: response\r\n" +
+      "WARC-Target-URI: https://corrupt/x\r\nContent-Length: 99999\r\n\r\n" +
+      "tiny real payload\r\n\r\n"
+    val bytes = (corrupt +
+      record("https://a/2", "2026-01-02T00:00:00Z", "<p>b</p>") +
+      record("https://a/3", "2026-01-03T00:00:00Z", "<p>c</p>"))
+      .getBytes("UTF-8")
+    writeBytes(dir, "m.warc", bytes)
+    val all = WarcSource.read(spark, dir).orderBy("offset")
+    val bad = WarcSource.quarantined(all)
+      .select("error", "target_uri").as[(String, String)].collect()
+    assert(bad.length == 1 && bad.head._1.contains("truncated") &&
+      bad.head._2 == "https://corrupt/x")
+    // the two valid records BEHIND the corrupt length still parse
+    assert(WarcSource.good(all).select("target_uri").as[String]
+      .collect().toSeq == Seq("https://a/2", "https://a/3"))
+  }
+
+  test("a corrupt gzip member mid-stream quarantines the raw tail " +
+    "instead of silently dropping everything after it") {
+    // GZIPInputStream's concatenation mode treats a corrupt next-member
+    // header as clean EOF — the member-wise inflater must instead parse
+    // the good prefix AND surface the undecodable tail as a row
+    def gz(s: String): Array[Byte] = {
+      val bo = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bo)
+      g.write(s.getBytes("UTF-8")); g.close(); bo.toByteArray
+    }
+    val dir = tmp()
+    val good1 = gz(record("https://a/1", "2026-01-01T00:00:00Z", "<p>one</p>"))
+    val junk = Array.fill[Byte](37)(0x55)
+    val good2 = gz(record("https://a/2", "2026-01-02T00:00:00Z", "<p>two</p>"))
+    writeBytes(dir, "m.warc.gz", good1 ++ junk ++ good2)
+    val all = WarcSource.read(spark, dir)
+    // the record before the junk parses; the tail (junk + the unreachable
+    // second member) is quarantined with its raw bytes
+    assert(WarcSource.good(all).select("target_uri").as[String]
+      .collect().toSeq == Seq("https://a/1"))
+    val bad = WarcSource.quarantined(all)
+      .select(col("error"), octet_length(col("body")).cast("long"))
+      .as[(String, Long)].collect()
+    assert(bad.length == 1)
+    assert(bad.head._1.contains("gzip"))
+    assert(bad.head._2 == (junk.length + good2.length).toLong)
   }
 
   test("warcinfo records keep their payload; no HTTP split, null status") {

@@ -45,20 +45,74 @@ object AdditiveStats {
   private val rel = "stats"
 
   private def metaKv(epoch: Int, compactedThrough: Long,
-                     streamId: String): Seq[(String, String)] = Seq(
+                     streamId: String, epochTag: String): Seq[(String, String)] = Seq(
     "epoch" -> epoch.toString,
+    "epoch_tag" -> epochTag,
     "compacted_through" -> compactedThrough.toString,
     "stream_id" -> streamId)
 
-  private def epochPath(dir: String, epoch: Int): String =
-    StoredIndex.relPath(dir, rel, epoch)
-
-  /** Initialize an EMPTY protocol-managed store (meta only). Idempotent
-    * on a fresh dir only — an existing store fails the CAS.
+  /** The live epoch's relation directory, resolved THROUGH the meta's
+    * `epoch` + `epoch_tag` keys. Compactions write attempt-tagged
+    * directories (`stats_e{E}_w{tag}`) so two same-epoch compaction
+    * racers can never target the same path — the CAS loser's
+    * overwrite-mode fold would otherwise clobber the directory the
+    * winner just published (same fix as SplitManifest's release).
+    * Stores written before the tag existed carry an empty/absent
+    * `epoch_tag` and resolve through the old untagged layout.
     */
-  def init(spark: SparkSession, store: Store): Unit =
-    StoredIndex.writeMetaCas(spark, store.dir, metaKv(0, -1L, ""),
-      StoredIndex.metaGeneration(spark, store.dir))
+  private def epochDir(dir: String, kv: Map[String, String]): String = {
+    val e = kv("epoch").toInt
+    kv.getOrElse("epoch_tag", "") match {
+      case "" => StoredIndex.relPath(dir, rel, e)
+      case t => s"$dir/${rel}_e${e}_w$t"
+    }
+  }
+
+  private def taggedEpochPath(dir: String, epoch: Int, tag: String): String =
+    s"$dir/${rel}_e${epoch}_w$tag"
+
+  private val relDirPattern = (rel + "(?:_e(\\d+)(?:_w[0-9a-f]+)?)?").r
+
+  /** Sweep every stats directory of an epoch strictly below `keepFrom`
+    * — tagged or not, published or orphaned (a crashed/losing
+    * compaction attempt's epoch is at most the live one, so it ages out
+    * the same way). One listing, not one blind delete per epoch.
+    */
+  private def sweepBelow(spark: SparkSession, dir: String,
+                         keepFrom: Int): Unit = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val entries =
+      try fs.listStatus(path) catch { case _: java.io.IOException => return }
+    entries.iterator.filter(_.isDirectory).foreach { st =>
+      st.getPath.getName match {
+        case relDirPattern(genStr) =>
+          val g = if (genStr == null) 0 else genStr.toInt
+          if (g < keepFrom)
+            try fs.delete(st.getPath, true)
+            catch { case _: java.io.IOException => () }
+        case _ => ()
+      }
+    }
+  }
+
+  /** Initialize an EMPTY protocol-managed store (meta only). Fresh
+    * directories only: an EXISTING store fails loudly instead of
+    * resetting its epoch/watermark/stream pin (callers that want
+    * init-if-absent guard on [[StoredIndex.metaGeneration]] < 0, as the
+    * streaming cycles do; two concurrent initializers race the CAS and
+    * exactly one wins).
+    */
+  def init(spark: SparkSession, store: Store): Unit = {
+    val gen = StoredIndex.metaGeneration(spark, store.dir)
+    require(gen < 0,
+      s"additive-stats store already exists at ${store.dir} (meta " +
+        s"generation $gen): init is for fresh directories only — " +
+        "re-initializing would reset the epoch, the compacted_through " +
+        "replay watermark and the stream-identity pin, double-counting " +
+        "replays")
+    StoredIndex.writeMetaCas(spark, store.dir, metaKv(0, -1L, "", ""), gen)
+  }
 
   /** Per-batch append fragments in the live epoch (directory listing;
     * the folded `batch_id=-1` partition is not a fragment). 0 for a
@@ -67,7 +121,7 @@ object AdditiveStats {
   def fragmentCount(spark: SparkSession, store: Store): Int = {
     if (StoredIndex.metaGeneration(spark, store.dir) < 0) return 0
     val (kv, _) = StoredIndex.readKvWithGen(spark, store.dir)
-    val p = new org.apache.hadoop.fs.Path(epochPath(store.dir, kv("epoch").toInt))
+    val p = new org.apache.hadoop.fs.Path(epochDir(store.dir, kv))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) 0
     else fs.listStatus(p).count { st =>
@@ -96,16 +150,30 @@ object AdditiveStats {
   def read(spark: SparkSession, store: Store): DataFrame = {
     val path =
       if (StoredIndex.metaGeneration(spark, store.dir) < 0) store.dir
-      else epochPath(store.dir,
-        StoredIndex.readKvWithGen(spark, store.dir)._1("epoch").toInt)
+      else epochDir(store.dir,
+        StoredIndex.readKvWithGen(spark, store.dir)._1)
+    readAt(spark, store, path)
+  }
+
+  /** Read one relation directory, with the declared-schema empty frame
+    * ONLY for the two genuinely-absent conditions (no directory yet / no
+    * files to infer from). Any other AnalysisException — schema drift,
+    * corrupt footers — propagates: a broken store must not masquerade as
+    * an empty one (admission operators would silently over-admit against
+    * an empty prior).
+    */
+  private def readAt(spark: SparkSession, store: Store,
+                     path: String): DataFrame =
     try spark.read.parquet(path)
     catch {
-      case _: org.apache.spark.sql.AnalysisException =>
+      case e: org.apache.spark.sql.AnalysisException
+          if Option(e.getCondition).exists(c =>
+            c.contains("PATH_NOT_FOUND") ||
+              c.contains("UNABLE_TO_INFER_SCHEMA")) =>
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           org.apache.spark.sql.types.StructType.fromDDL(store.schemaDdl))
     }
-  }
 
   /** Land one batch's ALREADY-AGGREGATED fragment (key cols + count col,
     * one logical batch of documents) as the `batch_id = <batchId>`
@@ -126,7 +194,7 @@ object AdditiveStats {
     val (kv, _) = StoredIndex.readKvWithGen(spark, store.dir)
     if (batchId >= 0 && batchId <= kv("compacted_through").toLong) return
     ParquetWarehouse.overwritePartitions(
-      tagged, epochPath(store.dir, kv("epoch").toInt), Seq("batch_id"))
+      tagged, epochDir(store.dir, kv), Seq("batch_id"))
     val (now, gen) = StoredIndex.readKvWithGen(spark, store.dir)
     if (now("epoch") != kv("epoch"))
       throw new StoredIndex.ConcurrentIndexWriteException(
@@ -153,27 +221,28 @@ object AdditiveStats {
   def compact(spark: SparkSession, store: Store): Unit = {
     val (kv, gen) = StoredIndex.readKvWithGen(spark, store.dir)
     val epoch = kv("epoch").toInt
-    val p = new org.apache.hadoop.fs.Path(epochPath(store.dir, epoch))
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val maxBatch =
-      if (!fs.exists(p)) -1L
-      else fs.listStatus(p).foldLeft(-1L) { (acc, st) =>
-        st.getPath.getName match {
-          case n if n.startsWith("batch_id=") && n != "batch_id=-1" =>
-            math.max(acc, n.stripPrefix("batch_id=").toLong)
-          case _ => acc
-        }
-      }
-    read(spark, store)
+    // ONE file-index snapshot serves both the watermark and the fold: a
+    // fragment landing between a separate listing and the fold's own
+    // scan would be folded yet sit ABOVE the watermark, so its mandated
+    // replay (the appender's CAS loses against this compaction) would
+    // double-count. max(batch_id) over the exact relation being folded
+    // cannot disagree with the folded content.
+    val snapshot = readAt(spark, store, epochDir(store.dir, kv))
+    val maxBatch = snapshot
+      .agg(coalesce(max(when(col("batch_id") >= 0, col("batch_id"))),
+        lit(-1L)))
+      .collect()(0).getLong(0)
+    val tag = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    snapshot
       .groupBy(store.keyCols.map(col): _*)
       .agg(store.fold(col(store.countCol)).as(store.countCol))
       .withColumn("batch_id", lit(-1L))
       .write.mode("overwrite").partitionBy("batch_id")
-      .parquet(epochPath(store.dir, epoch + 1))
+      .parquet(taggedEpochPath(store.dir, epoch + 1, tag))
     StoredIndex.writeMetaCas(spark, store.dir,
       metaKv(epoch + 1,
         math.max(maxBatch, kv("compacted_through").toLong),
-        kv.getOrElse("stream_id", "")), gen)
-    StoredIndex.sweepEpochsBelow(spark, store.dir, Seq(rel), epoch)
+        kv.getOrElse("stream_id", ""), tag), gen)
+    sweepBelow(spark, store.dir, epoch)
   }
 }

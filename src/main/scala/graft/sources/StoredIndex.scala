@@ -170,6 +170,24 @@ object StoredIndex {
         "concurrent writer during this swap; reload and retry")
     }
     try fs.delete(tmp, false) catch { case _: java.io.IOException => () }
+    // STALE-CLAIM guard: a writer stalled between the generation check
+    // and the publish can find its target gone — published by others and
+    // then SWEPT after two further advances — so the exclusive create
+    // "succeeds" on a generation that is no longer the frontier, and the
+    // caller would believe rows that landed in a superseded epoch were
+    // published. Re-listing after the publish catches it: if the live
+    // generation is not ours, unlink the unreachable file and fail
+    // loudly. (If another writer advanced past us AFTER a legitimate
+    // win, our kv was live and the retry this throws is merely a wasted
+    // idempotent replay — never a double count.)
+    val live = metaGeneration(spark, dir)
+    if (live != next) {
+      try fs.delete(target, false) catch { case _: java.io.IOException => () }
+      throw new ConcurrentIndexWriteException(
+        s"stored index at $dir: generation $next was claimed after the " +
+        s"store had advanced to $live (stalled writer) — the claim was " +
+        "unreachable and has been withdrawn; reload and retry")
+    }
     // sweep generations older than the previous one, walking DOWN from
     // expectedGen-1 and stopping at the first missing file: normally one
     // delete RPC (older gens were swept by earlier writes), and a crashed
@@ -222,7 +240,13 @@ object StoredIndex {
         true
       } catch {
         case _: java.nio.file.FileAlreadyExistsException => false
+        // filesystems without hard links surface link(2) failure as
+        // FileSystemException (EPERM on VFAT/exFAT/some CIFS), not only
+        // UnsupportedOperationException — both take the rename fallback
+        // (FileAlreadyExists is matched above, so an existing target
+        // still reports a clean lost race)
         case _: UnsupportedOperationException => fs.rename(tmp, target)
+        case _: java.nio.file.FileSystemException => fs.rename(tmp, target)
       }
     } else fs.rename(tmp, target)
 
@@ -235,9 +259,21 @@ object StoredIndex {
   def sweepEpochsBelow(spark: SparkSession, dir: String,
                        names: Seq[String], keepFrom: Int): Unit = {
     val (fs, _) = fsFor(spark, dir)
-    for (e <- 0 until keepFrom; name <- names) {
-      val p = new org.apache.hadoop.fs.Path(relPath(dir, name, e))
-      try fs.delete(p, true) catch { case _: java.io.IOException => () }
+    // walk DOWN and stop at the first epoch where nothing existed — the
+    // same O(1)-in-steady-state shape as the meta sweep (older epochs
+    // were swept by earlier cycles); a blind 0-until-keepFrom loop fires
+    // keepFrom delete RPCs per maintenance run on a long-lived store
+    var e = keepFrom - 1
+    var existed = true
+    while (e >= 0 && existed) {
+      existed = false
+      names.foreach { name =>
+        val p = new org.apache.hadoop.fs.Path(relPath(dir, name, e))
+        val deleted =
+          try fs.delete(p, true) catch { case _: java.io.IOException => false }
+        existed = existed || deleted
+      }
+      e -= 1
     }
   }
 }

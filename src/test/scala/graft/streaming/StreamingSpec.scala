@@ -441,8 +441,14 @@ class StreamingSpec extends SparkSpec {
       val (kv, _) = StoredIndex.readKvWithGen(spark, s"$tmp/stats")
       assert(kv("epoch") == "1" && kv("compacted_through") == "1", kv.toString)
       assert(LineDedup.statsFragmentCount(spark, s"$tmp/stats") == 0)
-      val folded = new java.io.File(s"$tmp/stats/stats_e1").listFiles()
-        .map(_.getName).filter(_.startsWith("batch_id=")).toSeq
+      // the fold lives under the epoch-1 ATTEMPT-TAGGED directory the
+      // meta names (stats_e1_w<tag> — compaction racers write disjoint
+      // attempt dirs since the concurrent-clobber fix)
+      val epochDirs = new java.io.File(s"$tmp/stats").list()
+        .filter(_.matches("stats_e1_w[0-9a-f]+")).toSeq
+      assert(epochDirs.size == 1, epochDirs.mkString(", "))
+      val folded = new java.io.File(s"$tmp/stats/${epochDirs.head}")
+        .listFiles().map(_.getName).filter(_.startsWith("batch_id=")).toSeq
       assert(folded == Seq("batch_id=-1"), folded.mkString(", "))
       val streamed = LineDedup.dedupLinesWithStats(corpus, "doc_id", "text",
           LineDedup.readStats(spark, s"$tmp/stats"), minDocs = 3)

@@ -70,8 +70,14 @@ object HtmlBlocksExpr {
     * p. The scanner must agree or the differential law breaks on
     * non-ASCII tag soup.
     */
-  private def isWord(c: Char): Boolean =
-    Character.isLetterOrDigit(c) || c == '_'
+  private def isWord(cp: Int): Boolean = // code point, NOT char:
+    // Java regex matches code points, so a supplementary-plane letter
+    // after a tag name (`<p𝕡>`) is a word char to `\b` (no
+    // boundary) while `Character.isLetterOrDigit(Char)` saw only a
+    // surrogate (boundary) — callers must pass `codePointAt` and step
+    // surrogate pairs to keep the scanner/regex differential law on
+    // astral-plane tag soup
+    Character.isLetterOrDigit(cp) || cp == '_'
 
   private def isSpace(c: Char): Boolean = // Java regex \s
     c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' ||
@@ -108,7 +114,7 @@ object HtmlBlocksExpr {
   private def openTagEnd(s: String, i: Int, name: String): Int = {
     if (!regionMatchesCi(s, i + 1, name)) return -1
     val after = i + 1 + name.length
-    if (after < s.length && isWord(s.charAt(after))) return -1 // \b
+    if (after < s.length && isWord(s.codePointAt(after))) return -1 // \b
     val gt = s.indexOf('>', after)
     if (gt < 0) -1 else gt + 1
   }
@@ -202,7 +208,8 @@ object HtmlBlocksExpr {
     val n = s.length
     if (j < n && s.charAt(j) == '/') j += 1
     val start = j
-    while (j < n && isWord(s.charAt(j))) j += 1
+    while (j < n && isWord(s.codePointAt(j)))
+      j += Character.charCount(s.codePointAt(j))
     if (j == start) return -1
     if (!blockTags.contains(asciiLowerStr(s.substring(start, j)))) return -1
     val gt = s.indexOf('>', j)

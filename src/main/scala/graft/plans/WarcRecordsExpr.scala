@@ -117,6 +117,33 @@ object WarcRecordsExpr {
     -1
   }
 
+  /** Is position `i` a plausible RECORD boundary — preceded by a record
+    * separator (two line breaks, i.e. the mandatory CRLF CRLF between
+    * record blocks) or by nothing but leading CR/LF to the start of the
+    * member? A bare `WARC/` inside a malformed region's bytes (a URI
+    * path, a re-archived WARC embedded in an HTTP body — real in web
+    * crawls) is NOT a boundary, and resyncing on it would fabricate
+    * top-level records out of quarantined content.
+    */
+  private def isRecordBoundary(b: Array[Byte], i: Int): Boolean = {
+    var j = i - 1
+    var lfs = 0
+    while (j >= 0 && lfs < 2 && isCrLf(b(j))) {
+      if (b(j) == '\n') lfs += 1
+      j -= 1
+    }
+    lfs >= 2 || j < 0
+  }
+
+  /** Next separator-preceded `WARC/` magic at or after `from`, or -1 —
+    * the only resync target the malformed-region branches may use.
+    */
+  private def nextBoundaryMagic(b: Array[Byte], from: Int): Int = {
+    var i = indexOf(b, Magic, from)
+    while (i >= 0 && !isRecordBoundary(b, i)) i = indexOf(b, Magic, i + 1)
+    i
+  }
+
   private def ascii(b: Array[Byte], from: Int, until: Int): String =
     new String(b, from, until - from, java.nio.charset.StandardCharsets.UTF_8)
 
@@ -168,9 +195,21 @@ object WarcRecordsExpr {
       math.min(math.max(b.length.toLong * 4, 1024L), 1L << 26).toInt)
     val buf = new Array[Byte](64 * 1024)
     var pos = 0
-    def fail(msg: String) = (out.toByteArray, msg + s" at byte $pos", pos)
     while (pos < b.length) {
       val memberStart = pos
+      // Snapshot before the member: EVERY member-level failure rolls the
+      // output back to the last fully VERIFIED member, so the raw tail
+      // (from memberStart) uniquely owns the failed member's bytes. The
+      // old form returned out.toByteArray as-is — a CRC/length mismatch
+      // (or a partial inflate before DataFormatException) left the failed
+      // member's decompressed bytes in the parsed prefix as error-free
+      // records WHILE the same bytes sat raw in the quarantine tail:
+      // double-represented content, and integrity-failed data emitted
+      // with error=null.
+      val preMemberSize = out.size()
+      def fail(msg: String): (Array[Byte], String, Int) =
+        (java.util.Arrays.copyOf(out.toByteArray, preMemberSize),
+          msg + s" at byte $memberStart", memberStart)
       if (!(pos + 10 <= b.length && (b(pos) & 0xff) == 0x1f &&
           (b(pos + 1) & 0xff) == 0x8b && (b(pos + 2) & 0xff) == 8))
         return fail("trailing bytes are not a gzip member")
@@ -218,11 +257,9 @@ object WarcRecordsExpr {
           (b(at) & 0xffL) | ((b(at + 1) & 0xffL) << 8) |
             ((b(at + 2) & 0xffL) << 16) | ((b(at + 3) & 0xffL) << 24)
         if (le32(trailer) != crc.getValue)
-          return (out.toByteArray,
-            s"gzip member CRC mismatch at byte $memberStart", memberStart)
+          return fail("gzip member CRC mismatch")
         if (le32(trailer + 4) != (memberLen & 0xffffffffL))
-          return (out.toByteArray,
-            s"gzip member length mismatch at byte $memberStart", memberStart)
+          return fail("gzip member length mismatch")
         pos = trailer + 8
       } finally inf.end()
     }
@@ -246,8 +283,9 @@ object WarcRecordsExpr {
     while (pos < n) {
       val recStart = pos
       if (!matchesAt(b, Magic, pos)) {
-        // no magic at the boundary: quarantine up to the next magic
-        val next = indexOf(b, Magic, pos + 1)
+        // no magic at the boundary: quarantine up to the next
+        // separator-preceded magic
+        val next = nextBoundaryMagic(b, pos + 1)
         val end = if (next < 0) n else next
         out += row(recStart.toLong, null, null, null, null, null,
           java.util.Arrays.copyOfRange(b, recStart, end),
@@ -290,8 +328,10 @@ object WarcRecordsExpr {
           p = e
         }
         if (badLength || contentLength < 0 || !headersDone) {
-          // the record's own framing is broken — resync at the next magic
-          val next = indexOf(b, Magic, recStart + Magic.length)
+          // the record's own framing is broken — resync at the next
+          // separator-preceded magic (a bare `WARC/` inside the unframed
+          // payload, e.g. in a URI path, must not fabricate a record)
+          val next = nextBoundaryMagic(b, recStart + Magic.length)
           val end = if (next < 0) n else next
           out += row(recStart.toLong, warcType, uri, ts, null, null,
             java.util.Arrays.copyOfRange(b, recStart, end),
@@ -300,10 +340,14 @@ object WarcRecordsExpr {
           pos = end
         } else if (p + contentLength > n) {
           // declared length overruns the member: the framing is broken, so
-          // resync at the next magic like the other malformed branches —
-          // a corrupt oversized length must not swallow the valid records
-          // behind it
-          val next = indexOf(b, Magic, recStart + Magic.length)
+          // resync at the next SEPARATOR-PRECEDED magic — a corrupt
+          // oversized length must not swallow the valid records behind it,
+          // but a genuinely truncated tail record whose body embeds WARC
+          // content (re-archived WARCs inside HTTP bodies are real in web
+          // crawls) must not have that content fabricated as top-level
+          // error-free records either; the separator requirement
+          // distinguishes the two
+          val next = nextBoundaryMagic(b, recStart + Magic.length)
           val end = if (next < 0) n else next
           out += row(recStart.toLong, warcType, uri, ts, null, null,
             java.util.Arrays.copyOfRange(b, recStart, end),

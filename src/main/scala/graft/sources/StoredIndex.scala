@@ -175,13 +175,25 @@ object StoredIndex {
     // then SWEPT after two further advances — so the exclusive create
     // "succeeds" on a generation that is no longer the frontier, and the
     // caller would believe rows that landed in a superseded epoch were
-    // published. Re-listing after the publish catches it: if the live
-    // generation is not ours, unlink the unreachable file and fail
-    // loudly. (If another writer advanced past us AFTER a legitimate
-    // win, our kv was live and the retry this throws is merely a wasted
-    // idempotent replay — never a double count.)
+    // published. Re-listing after the publish catches it. A legitimate
+    // win that is merely superseded FAST (another writer reads our kv
+    // and publishes next+1 before our re-list) shows live == next+1 and
+    // is ACCEPTED: staleness is impossible there, because a stale claim
+    // requires meta_g{next} to have been swept before our create, and
+    // the sweep of generation `next` only happens when `next+2`
+    // publishes — a stale re-list always reads live >= next+2. (The old
+    // guard threw on ANY live != next and deleted meta_g{next} — the
+    // exact generation the protocol promises to keep one cycle for
+    // in-flight readers — turning normal contention into spurious
+    // release/compact retries and narrowing the reader grace window.)
     val live = metaGeneration(spark, dir)
-    if (live != next) {
+    if (live != next && live != next + 1) {
+      // live >= next+2: either a stalled writer's stale claim on a
+      // swept generation number, or a double race past a real win —
+      // ours is >= 2 generations old either way, outside the one-cycle
+      // grace window, so unlinking it is always protocol-safe. The
+      // throw is conservative: if the win WAS real, the caller's retry
+      // is an idempotent replay, never a double count.
       try fs.delete(target, false) catch { case _: java.io.IOException => () }
       throw new ConcurrentIndexWriteException(
         s"stored index at $dir: generation $next was claimed after the " +
@@ -259,20 +271,26 @@ object StoredIndex {
   def sweepEpochsBelow(spark: SparkSession, dir: String,
                        names: Seq[String], keepFrom: Int): Unit = {
     val (fs, _) = fsFor(spark, dir)
-    // walk DOWN and stop at the first epoch where nothing existed — the
+    // walk DOWN and stop after a few consecutive ALL-MISSING epochs — the
     // same O(1)-in-steady-state shape as the meta sweep (older epochs
     // were swept by earlier cycles); a blind 0-until-keepFrom loop fires
-    // keepFrom delete RPCs per maintenance run on a long-lived store
+    // keepFrom delete RPCs per maintenance run on a long-lived store.
+    // Two hardenings against permanent orphans below a stop point:
+    // a transient delete IOException counts as existed (retried next
+    // run, instead of stopping the walk and stranding everything older),
+    // and the walk tolerates a bounded run of holes (a previous sweep
+    // that crashed mid-walk leaves deleted epochs ABOVE still-live ones)
     var e = keepFrom - 1
-    var existed = true
-    while (e >= 0 && existed) {
-      existed = false
+    var misses = 0
+    while (e >= 0 && misses < 3) {
+      var any = false
       names.foreach { name =>
         val p = new org.apache.hadoop.fs.Path(relPath(dir, name, e))
         val deleted =
-          try fs.delete(p, true) catch { case _: java.io.IOException => false }
-        existed = existed || deleted
+          try fs.delete(p, true) catch { case _: java.io.IOException => true }
+        any = any || deleted
       }
+      misses = if (any) 0 else misses + 1
       e -= 1
     }
   }

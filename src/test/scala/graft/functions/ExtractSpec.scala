@@ -150,6 +150,14 @@ class ExtractSpec extends SparkSpec {
       // agree with both
       "<p\u00e9>", "</p\u00e9>", "<div\u00e9>x</div\u00e9>",
       "<scr\u00edpt>", "<P\u0130>", "w\u00f6rds \u00fcber pr\u00f8se",
+      // astral-plane tag soup: Java \b matches CODE POINTS, so a
+      // supplementary-plane letter after a tag name (<p\ud835\udd61>) is a word
+      // char (no boundary, no split) even though each surrogate HALF is
+      // not a letter to Character.isLetterOrDigit(Char) \u2014 the scanner
+      // must read codePointAt and step surrogate pairs to agree
+      "<p\ud835\udd61>", "</p\ud835\udd61>",
+      "<div\ud835\udd65>x</div\ud835\udd65>", "<li\ud835\udd5a>",
+      "<scr\ud835\udd5aipt>", "\ud835\udd68\ud835\udd60rds \ud83d\ude00",
       "longer run of ordinary prose to pass length gates sometimes")
     val htmls = (1 to 400).map { _ =>
       (0 until rnd.nextInt(18)).map(_ => pieces(rnd.nextInt(pieces.size)))

@@ -133,4 +133,26 @@ class StoredIndexSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
     }
   }
+
+  test("epoch sweep walks through holes left by a crashed sweep instead of " +
+    "permanently orphaning the epochs below them") {
+    val dir = tmp()
+    try {
+      // epochs 0,1,2,4,5 live; epoch 3 is a HOLE (a previous sweep died
+      // right after deleting it) — the old first-all-missing stop stranded
+      // epochs 0-2 forever, since every later walk re-hit the hole first
+      Seq(0, 1, 2, 4, 5).foreach { e =>
+        val d = new java.io.File(StoredIndex.relPath(dir, "rel", e))
+        assert(d.mkdirs())
+        java.nio.file.Files.write(d.toPath.resolve("part"), "x".getBytes)
+      }
+      StoredIndex.sweepEpochsBelow(spark, dir, Seq("rel"), 6)
+      (0 to 5).foreach { e =>
+        assert(!new java.io.File(StoredIndex.relPath(dir, "rel", e)).exists(),
+          s"epoch $e survived the sweep")
+      }
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
 }

@@ -234,6 +234,57 @@ class WarcSpec extends SparkSpec {
     assert(bad.head._2 == (junk.length + good2.length).toLong)
   }
 
+  test("a gzip member failing its CRC rolls the decompressed prefix back: " +
+    "its content is quarantined-raw ONLY, never also parsed as good records") {
+    // regression: the failed member's fully-inflated bytes used to stay in
+    // the parsed prefix (emitted as error-free records) while the SAME
+    // member's raw bytes were quarantined in the tail — double-represented
+    // content, and integrity-failed data with error=null
+    def gz(s: String): Array[Byte] = {
+      val bo = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bo)
+      g.write(s.getBytes("UTF-8")); g.close(); bo.toByteArray
+    }
+    val dir = tmp()
+    val good = gz(record("https://a/1", "2026-01-01T00:00:00Z", "<p>one</p>"))
+    val badMember = gz(record("https://a/2", "2026-01-02T00:00:00Z", "<p>two</p>"))
+    badMember(badMember.length - 8) =
+      (badMember(badMember.length - 8) ^ 0xff).toByte // flip a CRC bit
+    writeBytes(dir, "m.warc.gz", good ++ badMember)
+    val all = WarcSource.read(spark, dir)
+    // ONLY the verified member's record is good — a/2 must not appear
+    assert(WarcSource.good(all).select("target_uri").as[String]
+      .collect().toSeq == Seq("https://a/1"))
+    val bad = WarcSource.quarantined(all)
+      .select(col("error"), octet_length(col("body")).cast("long"))
+      .as[(String, Long)].collect()
+    assert(bad.length == 1)
+    assert(bad.head._1.contains("CRC mismatch"))
+    // the raw tail uniquely owns the failed member's bytes, from its start
+    assert(bad.head._2 == badMember.length.toLong)
+  }
+
+  test("a truncated tail record whose body embeds WARC content quarantines " +
+    "to EOF instead of fabricating top-level records from the embedding") {
+    // re-archived WARCs inside HTTP bodies are real in web crawls: the
+    // resync must only accept a separator-preceded magic, or the embedded
+    // content surfaces as error-free top-level records
+    val dir = tmp()
+    val embedded = record("https://embedded/x", "2026-01-05T00:00:00Z",
+      "<p>inner</p>")
+    val truncated = "WARC/1.0\r\nWARC-Type: response\r\n" +
+      "WARC-Target-URI: https://tail/x\r\nContent-Length: 99999\r\n\r\n" +
+      "re-archived dump: " + embedded // magic NOT preceded by a separator
+    writeBytes(dir, "m.warc", truncated.getBytes("UTF-8"))
+    val all = WarcSource.read(spark, dir)
+    assert(WarcSource.good(all).count() == 0)
+    val bad = WarcSource.quarantined(all)
+      .select("error", "target_uri").as[(String, String)].collect()
+    assert(bad.length == 1)
+    assert(bad.head._1.contains("truncated"))
+    assert(bad.head._2 == "https://tail/x")
+  }
+
   test("warcinfo records keep their payload; no HTTP split, null status") {
     val dir = tmp()
     writeBytes(dir, "m.warc",

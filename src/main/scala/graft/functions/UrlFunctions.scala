@@ -182,4 +182,57 @@ object UrlFunctions {
                          blockDf: DataFrame): DataFrame =
     df.join(broadcast(blockDf.select(col("domain").as(domainCol))),
       Seq(domainCol), "left_anti")
+
+  // ------------------------------------------------------- robots.txt
+
+  /** The robots-match TARGET of a URL: path (empty → "/") plus the raw
+    * query with its `?` — RFC 9309 rules match against the path, and the
+    * de-facto matchers include the query so wildcard patterns that pin
+    * a query parameter (slash, star, `?ref`) work.
+    * Fragments never participate. Non-URL inputs yield "/" (they carry
+    * no host either, so no rules ever attach).
+    */
+  def pathQueryOf(c: Column): Column =
+    concat(when(part(c, 3) === "", lit("/")).otherwise(part(c, 3)),
+      part(c, 4))
+
+  /** Parse one robots.txt body into the rule list applicable to product
+    * token `agent` (RFC 9309 group selection — most-specific match,
+    * merged groups; see [[graft.plans.RobotsRulesExpr]]). Run this over
+    * the per-DOMAIN robots relation, never per document.
+    */
+  def robotsRules(txt: Column, agent: Column): Column =
+    graft.plans.RobotsRulesExpr.robotsRules(txt, agent)
+
+  /** Full §2.2.2 decision over a parsed rule array:
+    * `struct<allowed boolean, pattern string>` — longest match wins,
+    * ties to allow, no match → allowed with null pattern.
+    */
+  def robotsDecision(rules: Column, target: Column): Column =
+    graft.plans.RobotsMatchExpr.robotsMatch(rules, target)
+
+  /** Boolean form of [[robotsDecision]] — the gate predicate. */
+  def robotsAllowed(rules: Column, target: Column): Column =
+    robotsDecision(rules, target).getField("allowed")
+
+  /** robots.txt compliance gate — stage −1.75 of the crawl chain: keep
+    * the rows of `df` whose URL (column `urlCol`) is allowed for `agent`
+    * under its registered domain's robots.txt. `robotsDf` is the
+    * per-domain relation `(domain string, robots_txt string)` — one row
+    * per domain that HAS a robots.txt; domains without one (and URLs
+    * with no domain) pass, per the protocol's absence-means-allow rule.
+    *
+    * Shape: rules parse once per DOMAIN (codegen, on the small side),
+    * broadcast hash join into the corpus scan, one row-local match per
+    * URL — zero added shuffles.
+    */
+  def robotsGate(df: DataFrame, urlCol: String, domainCol: String,
+                 robotsDf: DataFrame, agent: String): DataFrame = {
+    val rules = robotsDf.select(col("domain").as(domainCol),
+      robotsRules(col("robots_txt"), lit(agent)).as("__rules"))
+    df.join(broadcast(rules), Seq(domainCol), "left")
+      .filter(col("__rules").isNull ||
+        robotsAllowed(col("__rules"), pathQueryOf(col(urlCol))))
+      .drop("__rules")
+  }
 }

@@ -1964,6 +1964,275 @@ object TextQueries {
           .as("directives"))
   }
 
+  // ---------------------------------------------------------------- t51
+  /** robots.txt FIXTURE — per-domain policies over the registered
+    * domains the URL fixture produces, written to exercise every RFC
+    * 9309 construct t51's oracle then re-decides independently: group
+    * selection (a `graftbot-images` group that must NOT govern
+    * `graftbot`, an exact `graftbot` group that beats `*`), longest
+    * match (a `/Path/` allow under a longer star-wildcard disallow),
+    * wildcards, a literal `?` in a pattern, trailing-`$` anchors
+    * (github.io), a block-all crawler-specific group (example.co.uk),
+    * and ABSENCE (the .org domains have no robots.txt → allowed).
+    */
+  private val robotsTxtExampleCom =
+    """# example.com crawl policy
+      |User-agent: graftbot-images
+      |Disallow: /img/
+      |
+      |User-agent: graftbot
+      |Allow: /Path/
+      |Disallow: /Path/*7
+      |Disallow: /a/
+      |Allow: /a/*3
+      |Disallow: /v/*?ref
+      |Sitemap: https://example.com/sitemap.xml
+      |
+      |User-agent: *
+      |Disallow: /
+      |""".stripMargin
+
+  private val robotsTxtExampleCoUk =
+    """User-agent: graftbot
+      |Disallow: /
+      |
+      |User-agent: *
+      |Allow: /
+      |""".stripMargin
+
+  private val robotsTxtGithubIo =
+    """User-agent: *
+      |Disallow: /post/*4$
+      |Disallow: /post/*8$
+      |""".stripMargin
+
+  /** The per-domain robots.txt of the fixture (null = the domain serves
+    * none — protocol absence means allow).
+    */
+  private def robotsTxtFor(domain: Column): Column =
+    when(domain === "example.com", lit(robotsTxtExampleCom))
+      .when(domain === "example.co.uk", lit(robotsTxtExampleCoUk))
+      .when(domain.endsWith(".github.io"), lit(robotsTxtGithubIo))
+
+  /** HAND-DERIVED expected rule sets for agent `graftbot` under the
+    * fixture texts above — the oracle's ground truth is written out
+    * rule by rule, NOT produced by the engine's parser, so a parser bug
+    * shows up as a hash mismatch instead of propagating into the
+    * oracle. Key `.github.io` attaches to every `*.github.io` domain.
+    */
+  private val robotsFixtureRules: Seq[(String, String, Boolean)] = Seq(
+    ("example.com", "/Path/", true),
+    ("example.com", "/Path/*7", false),
+    ("example.com", "/a/", false),
+    ("example.com", "/a/*3", true),
+    ("example.com", "/v/*?ref", false),
+    ("example.co.uk", "/", false),
+    (".github.io", "/post/*4$", false),
+    (".github.io", "/post/*8$", false))
+
+  /** Rule pattern → anchored RE2 regex (the oracle's INDEPENDENT match
+    * implementation): `*` → `.*`, a trailing `$` stays an end anchor,
+    * every other RE2 metacharacter escapes to a literal.
+    */
+  private def robotsRx(p: String): String = {
+    val anchored = p.endsWith("$")
+    val body = if (anchored) p.dropRight(1) else p
+    val sb = new StringBuilder("^")
+    body.foreach {
+      case '*' => sb.append(".*")
+      case c if "\\.[]{}()+?^$|".indexOf(c.toInt) >= 0 =>
+        sb.append('\\').append(c)
+      case c => sb.append(c)
+    }
+    if (anchored) sb.append('$')
+    sb.toString
+  }
+
+  /** Shared SQL mirror of the robots decision: CTEs `tgt(doc_id, domain,
+    * target)` (path+query match target per doc, from the url/domain
+    * CTEs), `rob_best(doc_id, pattern, allow)` (the RFC longest-match
+    * winner — length desc, allow-wins tie, lexicographic determinism),
+    * via a literal VALUES relation of the hand-derived rules with
+    * pre-rendered regexes. Callers SELECT with
+    * `coalesce(rob_best.allow, TRUE)`.
+    */
+  private def robotsSqlCtes: String = {
+    val values = robotsFixtureRules.map { case (k, p, a) =>
+      s"('$k', '$p', ${if (a) "TRUE" else "FALSE"}, '${robotsRx(p)}')"
+    }.mkString(",\n|    ")
+    s"""tgt AS (SELECT xx.doc_id, dd.domain,
+       |    (CASE WHEN xx.path = '' THEN '/' ELSE xx.path END) ||
+       |    (CASE WHEN xx.qraw <> '' THEN '?' || xx.qraw ELSE '' END) AS target
+       |  FROM xx JOIN dd ON xx.doc_id = dd.doc_id),
+       |rob_rules AS (SELECT d2.domain, v.pattern, v.allow, v.rx
+       |  FROM (SELECT DISTINCT domain FROM dd WHERE domain IS NOT NULL) d2
+       |  JOIN (VALUES
+       |    $values) v(key, pattern, allow, rx)
+       |    ON d2.domain = v.key
+       |    OR (v.key = '.github.io' AND d2.domain LIKE '%.github.io')),
+       |rob_m AS (SELECT tgt.doc_id, r.pattern, r.allow,
+       |    length(r.pattern) AS plen
+       |  FROM tgt JOIN rob_rules r ON tgt.domain = r.domain
+       |  WHERE regexp_matches(tgt.target, r.rx)),
+       |rob_best AS (SELECT doc_id, pattern, allow FROM (
+       |    SELECT doc_id, pattern, allow, row_number() OVER (
+       |      PARTITION BY doc_id
+       |      ORDER BY plen DESC, allow DESC, pattern ASC) AS rn
+       |    FROM rob_m) z
+       |  WHERE rn = 1)""".stripMargin
+  }
+
+  /** ROBOTS.TXT PROTOCOL COMPLIANCE (RFC 9309,
+    * [[graft.plans.RobotsRulesExpr]] / [[graft.plans.RobotsMatchExpr]] /
+    * [[graft.functions.UrlFunctions.robotsGate]]): stage −1.75 of the
+    * crawl chain — the DOMAIN-level gate real curation applies before
+    * any per-page signal. The engine side parses the fixture robots.txt
+    * TEXTS (group selection for product token `graftbot`) and decides
+    * each URL with the codegen longest-match expression; the oracle
+    * re-decides every URL from a hand-derived literal rule table and an
+    * independent regex/window-function match — parser AND matcher are
+    * both on the hook for every row. Output: the full decision (allowed
+    * + winning pattern), not just the survivors, so denials hash too.
+    *
+    * Scale shape: rules parse per DOMAIN (a relation ~6 orders smaller
+    * than the corpus), broadcast join, row-local codegen match — zero
+    * added shuffles in the scan stage.
+    */
+  val t51_robots_txt_gate = q("t51_robots_txt_gate",
+    s"""WITH $urlSqlCtes,
+       |$domainSqlCtes,
+       |$robotsSqlCtes
+       |SELECT tgt.doc_id, tgt.domain, tgt.target,
+       |  coalesce(b.allow, TRUE) AS allowed, b.pattern AS matched_pattern
+       |FROM tgt LEFT JOIN rob_best b ON tgt.doc_id = b.doc_id"""
+      .stripMargin) { (s, dir) =>
+    import graft.functions.UrlFunctions
+    val urls = Tables.documents(s, dir)
+      .select(col("doc_id"), urlFixture.as("url"))
+      .select(col("doc_id"),
+        UrlFunctions.registeredDomain(UrlFunctions.hostOf(col("url")),
+          pslSubset).as("domain"),
+        UrlFunctions.pathQueryOf(col("url")).as("target"))
+    val rules = urls.select("domain").where(col("domain").isNotNull)
+      .distinct()
+      .withColumn("robots_txt", robotsTxtFor(col("domain")))
+      .where(col("robots_txt").isNotNull)
+      .select(col("domain"),
+        UrlFunctions.robotsRules(col("robots_txt"), lit("graftbot"))
+          .as("__rules"))
+    urls.join(broadcast(rules), Seq("domain"), "left")
+      .select(col("doc_id"), col("domain"), col("target"),
+        when(col("__rules").isNotNull,
+          UrlFunctions.robotsDecision(col("__rules"), col("target")))
+          .otherwise(struct(lit(true).as("allowed"),
+            lit(null).cast("string").as("pattern"))).as("d"))
+      .select(col("doc_id"), col("domain"), col("target"),
+        col("d.allowed").as("allowed"), col("d.pattern").as("matched_pattern"))
+  }
+
+  // ---------------------------------------------------------------- q76
+  /** q74 WITH THE PROTOCOL GATE: the complete compliant crawl chain —
+    * WARC container split (stage −2) → **robots.txt RFC 9309 gate
+    * (stage −1.75, [[graft.functions.UrlFunctions.robotsGate]])** →
+    * in-page robots-meta gate (−1.5) → main-content extraction + word
+    * gate (−1/0) → canonical-URL dedup → domain blocklist → per-domain
+    * quota. The robots gate runs on the record's Target-URI BEFORE any
+    * payload work, exactly where a real pipeline puts it (don't decode
+    * what you may not crawl); the oracle re-decides every URL from the
+    * hand-derived rule table (t51's independent matcher) and replays
+    * the rest of the chain end-to-end.
+    *
+    * Scale shape: q74's plan with one broadcast hash join (domain →
+    * parsed rules) and a row-local codegen match added to the scan
+    * stage — zero new shuffles, and the gate PRUNES payload-side work
+    * (extraction runs only on fetchable pages).
+    */
+  val q76_warc_robots_chain = q("q76_warc_robots_chain",
+    s"""WITH $urlSqlCtes,
+       |$domainSqlCtes,
+       |$robotsSqlCtes,
+       |rob_keep AS (SELECT tgt.doc_id
+       |  FROM tgt LEFT JOIN rob_best b ON tgt.doc_id = b.doc_id
+       |  WHERE coalesce(b.allow, TRUE)),
+       |h AS (SELECT doc_id, ${htmlFixtureSqlWith(s"$robotsMetaPieceSql || ")}
+       |        AS html FROM documents JOIN rob_keep USING (doc_id)),
+       |rr AS (SELECT doc_id, ${duckRobots("html")} AS d FROM h),
+       |rb AS (SELECT h.doc_id, html FROM h JOIN rr ON h.doc_id = rr.doc_id
+       |       WHERE NOT list_contains(d, 'noindex')
+       |         AND NOT list_contains(d, 'none')),
+       |b AS (SELECT doc_id, $duckBlocksSql AS bs FROM rb),
+       |m AS (SELECT doc_id,
+       |    coalesce(array_to_string(list_transform(
+       |      list_filter(bs, b -> $duckKeptPred), b -> ${duckVis("b")}), ' '),
+       |      '') AS main_text
+       |  FROM b),
+       |g AS (SELECT doc_id,
+       |    CASE WHEN length(main_text) = 0 THEN 0
+       |         ELSE len(string_split(main_text, ' ')) END AS n_words
+       |  FROM m
+       |  WHERE CASE WHEN length(main_text) = 0 THEN 0
+       |             ELSE len(string_split(main_text, ' ')) END >= 20),
+       |canon AS (SELECT yy.doc_id, $canonSql AS canon_url, domain, n_words
+       |          FROM yy JOIN dd ON yy.doc_id = dd.doc_id
+       |          JOIN g ON yy.doc_id = g.doc_id),
+       |dedup AS (SELECT canon_url, MIN(doc_id) AS doc_id
+       |          FROM canon GROUP BY 1),
+       |dd2 AS (SELECT d.doc_id, d.canon_url, c.domain, c.n_words
+       |        FROM (SELECT dedup.doc_id, canon_url FROM dedup) d
+       |        JOIN canon c ON d.doc_id = c.doc_id AND d.canon_url = c.canon_url),
+       |blocked AS (SELECT * FROM dd2
+       |  WHERE domain IS NULL OR domain NOT IN ('example.co.uk')),
+       |quota AS (SELECT doc_id, canon_url, domain, n_words, row_number() OVER (
+       |    PARTITION BY domain
+       |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+       |  FROM blocked)
+       |SELECT doc_id, domain, canon_url, n_words FROM quota WHERE rn <= 10"""
+      .stripMargin) { (s, dir) =>
+    import s.implicits._
+    import graft.functions.{HtmlFunctions, TextFunctions, UrlFunctions}
+    import graft.sources.WarcSource
+    // the SAME staged crawl as q74 (identical builder → one shared tree)
+    val root = DedupQueries.DedupStaging.ensure("q74", dir) { r =>
+      val pages = Tables.documents(s, dir).select(
+        urlFixture.as("uri"), lit("2026-08-01T00:00:00Z").as("ts"),
+        htmlFixtureWith(robotsMetaPiece).as("html"))
+      WarcSource.writeWarc(pages.repartition(8), "uri", "ts", "html",
+        s"$r/crawl")
+    }
+    val recs = WarcSource.good(WarcSource.read(s, s"$root/crawl"))
+      .select(col("target_uri").as("url"),
+        decode(col("body"), "UTF-8").as("__html"))
+      .withColumn("domain",
+        UrlFunctions.registeredDomain(UrlFunctions.hostOf(col("url")),
+          pslSubset))
+    // stage −1.75: the protocol gate, before any payload work
+    val robotsDf = recs.select("domain").where(col("domain").isNotNull)
+      .distinct()
+      .withColumn("robots_txt", robotsTxtFor(col("domain")))
+      .where(col("robots_txt").isNotNull)
+    val polite = UrlFunctions.robotsGate(recs, "url", "domain", robotsDf,
+      "graftbot")
+    val compliant = HtmlFunctions.dropNoindex(polite, "__html")
+    val canon = compliant
+      .select(col("domain"),
+        regexp_extract(col("__html"), "<title>Doc ([0-9]+)</title>", 1)
+          .cast("long").as("doc_id"),
+        UrlFunctions.canonicalizeUrl(col("url")).as("canon_url"),
+        TextFunctions.wordCount(HtmlFunctions.mainContent(col("__html")))
+          .cast("long").as("n_words"))
+      .filter(col("n_words") >= 20)
+      .localCheckpoint(true) // one extraction, two consumers (q72's note)
+    val keepers = canon.groupBy("canon_url")
+      .agg(min(col("doc_id")).as("doc_id"))
+    val deduped = keepers.join(canon, Seq("doc_id", "canon_url"))
+    val unblocked = UrlFunctions.dropBlockedDomains(deduped, "domain",
+      Seq("example.co.uk").toDF("domain"))
+    graft.operators.Sampling.cappedPerStratum(unblocked, Seq("domain"),
+        Seq("doc_id"), cap = 10,
+        hash = Some(md5(col("doc_id").cast("string").cast("binary"))))
+      .select("doc_id", "domain", "canon_url", "n_words")
+  }
+
   // ---------------------------------------------------------------- q73
   /** CORPUS DATACARD: the per-language summary table a dataset release
     * publishes (and the first sanity read before training) — document
@@ -2400,6 +2669,7 @@ object TextQueries {
     q71_web_curation, t45_train_val_test,
     t47_html_extract, q72_web_curation_html, t49_robots_filter,
     q73_corpus_datacard, q74_warc_to_corpus, q75_datacard_lengths,
+    t51_robots_txt_gate, q76_warc_robots_chain,
     t01_token_stats, t02_quality_score, t03_lang_id, t04_fingerprint,
     t05_rolling_hash, t06_redact, t07_tfidf_top_terms, t08_curation_pipeline,
     t09_repetition, t10_mixture_resample, t11_boilerplate_ngrams,

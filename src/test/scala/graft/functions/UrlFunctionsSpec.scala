@@ -210,4 +210,141 @@ class UrlFunctionsSpec extends SparkSpec {
       .select("id").as[Long].collect().sorted
     assert(kept.toSeq == Seq(2L, 3L))
   }
+
+  // ------------------------------------------------------- robots.txt
+
+  /** Parse `txt` for `agent` through the COLUMN path (codegen exercised)
+    * and return the applicable rules in document order.
+    */
+  private def rules(txt: String, agent: String): Seq[(String, Boolean)] =
+    Seq(txt).toDF("t")
+      .select(UrlFunctions.robotsRules(col("t"), lit(agent)).as("r"))
+      .as[Seq[(String, Boolean)]].head()
+
+  /** Decide `target` under `txt` for `agent`: (allowed, winning pattern). */
+  private def decide(txt: String, agent: String,
+                     target: String): (Boolean, Option[String]) =
+    Seq(txt).toDF("t")
+      .select(UrlFunctions.robotsDecision(
+        UrlFunctions.robotsRules(col("t"), lit(agent)), lit(target)).as("d"))
+      .select(col("d.allowed"), col("d.pattern"))
+      .as[(Boolean, Option[String])].head()
+
+  test("robots: RFC 9309 group selection — exact, prefix, *, merging, " +
+    "consecutive UA lines, headerless rules ignored") {
+    val txt =
+      """# global
+        |Disallow: /orphan      # before any user-agent: no group, ignored
+        |User-Agent: *
+        |Disallow: /all/
+        |
+        |user-agent: examplebot
+        |user-agent: otherbot
+        |Allow: /shared/
+        |Sitemap: https://ex.org/sitemap.xml
+        |
+        |USER-AGENT: ExampleBot
+        |Disallow: /eb/
+        |
+        |user-agent: examplebot-news
+        |Disallow: /news-only/
+        |""".stripMargin
+    // exact token: the two `examplebot` groups MERGE; * and the more
+    // specific examplebot-news group do not contribute
+    assert(rules(txt, "ExampleBot") ==
+      Seq(("/shared/", true), ("/eb/", false)))
+    // most-specific wins: examplebot-news beats the examplebot prefix
+    assert(rules(txt, "examplebot-news") == Seq(("/news-only/", false)))
+    // prefix governs a longer product token with no exact group
+    assert(rules(txt, "otherbot-images") == Seq(("/shared/", true)))
+    // unknown agent falls back to *
+    assert(rules(txt, "strangerbot") == Seq(("/all/", false)))
+    // the headerless /orphan rule reached no group at all
+    assert(!rules(txt, "strangerbot").exists(_._1 == "/orphan"))
+  }
+
+  test("robots: §2.2.2 longest match wins; length tie goes to allow") {
+    // the RFC's own longest-match shape: a general allow with a more
+    // specific (longer) disallow under it
+    val txt =
+      """user-agent: *
+        |allow: /example/page/
+        |disallow: /example/page/disallowed.gif
+        |""".stripMargin
+    assert(decide(txt, "bot", "/example/page/disallowed.gif") ==
+      ((false, Some("/example/page/disallowed.gif"))))
+    assert(decide(txt, "bot", "/example/page/index.html") ==
+      ((true, Some("/example/page/"))))
+    // equivalent-length allow and disallow: allow SHOULD be used
+    val tie = "user-agent: *\nallow: /page\ndisallow: /page\n"
+    assert(decide(tie, "bot", "/page/x") == ((true, Some("/page"))))
+  }
+
+  test("robots: §2.2.3 special characters — * wildcard, trailing $ anchor, " +
+    "literal $ elsewhere, literal ? in patterns") {
+    val txt =
+      """user-agent: *
+        |disallow: /foo/*bar
+        |disallow: /exact$
+        |disallow: /a$b
+        |disallow: /q?x=1
+        |""".stripMargin
+    // * spans any run, including empty and multi-segment
+    assert(!decide(txt, "bot", "/foo/bar")._1)
+    assert(!decide(txt, "bot", "/foo/xyzbar")._1)
+    assert(!decide(txt, "bot", "/foo/x/y/bar-and-more")._1)
+    assert(decide(txt, "bot", "/foo/ba")._1)
+    // trailing $ anchors: /exact only, not /exact/sub
+    assert(!decide(txt, "bot", "/exact")._1)
+    assert(decide(txt, "bot", "/exact/sub")._1)
+    // $ mid-pattern is a literal octet
+    assert(!decide(txt, "bot", "/a$b-rest")._1)
+    assert(decide(txt, "bot", "/ab")._1)
+    // ? in a pattern matches the query part of the target literally
+    assert(!decide(txt, "bot", "/q?x=1")._1)
+    assert(decide(txt, "bot", "/q?x=2")._1)
+    // * with trailing $: suffix-pinned patterns
+    val gif = "user-agent: *\ndisallow: /*.gif$\n"
+    assert(!decide(gif, "bot", "/img/x.gif")._1)
+    assert(decide(gif, "bot", "/img/x.gifx")._1)
+  }
+
+  test("robots: empty Disallow allows all; no rules / no match allow with " +
+    "null pattern; disallow / blocks everything; BOM and case tolerated") {
+    val empty = "user-agent: *\ndisallow:\n"
+    assert(decide(empty, "bot", "/anything") == ((true, None)))
+    assert(decide("# only comments\n", "bot", "/x") == ((true, None)))
+    val blockAll = "﻿User-Agent: *\nDISALLOW: /\n"
+    assert(decide(blockAll, "bot", "/") == ((false, Some("/"))))
+    assert(decide(blockAll, "bot", "/deep/path?q=1") == ((false, Some("/"))))
+    // patterns are case-sensitive even though keys/tokens are not
+    val cased = "user-agent: *\ndisallow: /Case\n"
+    assert(!decide(cased, "bot", "/CaseStudy")._1)
+    assert(decide(cased, "bot", "/casestudy")._1)
+  }
+
+  test("robots: pathQueryOf extracts the match target; robotsGate keeps " +
+    "allowed rows and passes robots-less domains") {
+    val t = Seq("https://Ex.org/A/b?q=1&r=2#frag", "http://ex.org", "junk")
+      .toDF("url")
+      .select(UrlFunctions.pathQueryOf(col("url"))).as[String].collect()
+    assert(t.toSeq == Seq("/A/b?q=1&r=2", "/", "/"))
+    val docs = Seq(
+      (1L, "https://a.com/keep/1", "a.com"),
+      (2L, "https://a.com/private/2", "a.com"),
+      (3L, "https://a.com/private/pub", "a.com"),
+      (4L, "https://norobots.net/x", "norobots.net"),
+      (5L, "junk", null)).toDF("id", "url", "domain")
+    val robots = Seq(
+      ("a.com",
+        "user-agent: graftbot\ndisallow: /private/\nallow: /private/pub\n" +
+          "user-agent: *\ndisallow: /\n"))
+      .toDF("domain", "robots_txt")
+    val kept = UrlFunctions.robotsGate(docs, "url", "domain", robots,
+        "graftbot")
+      .select("id").as[Long].collect().sorted.toSeq
+    // 1 allowed (no match), 2 disallowed, 3 allowed (longer allow),
+    // 4 no robots → pass, 5 null domain → pass
+    assert(kept == Seq(1L, 3L, 4L, 5L))
+  }
 }

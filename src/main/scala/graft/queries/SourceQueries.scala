@@ -696,6 +696,46 @@ object SourceQueries {
     }
   }
 
+  // ---------------------------------------------------------------- src24
+  /** WET-STYLE TEXT INTERCHANGE ([[graft.sources.WarcSource.writeWet]] /
+    * `readWet`): the engine PRODUCES the standard pre-extracted-text
+    * sibling of WARC (ISO 28500 `conversion` records — the Common Crawl
+    * WET layout many corpus consumers start from) and consumes it back
+    * — making the extraction stage (t47) a restart point any external
+    * tool can pick up. Staged once: the t47 main-content extraction of
+    * the html fixture is written DISTRIBUTED as conversion records
+    * (Content-Length on UTF-8 bytes, no HTTP envelope); the query then
+    * reads ONLY the container and must reproduce every (uri, ts, text)
+    * triple — the oracle re-derives all three from the documents table
+    * through the extraction mirror, so the round trip hash-matches the
+    * text itself, byte for byte.
+    */
+  val src24_wet_roundtrip = q("src24_wet_roundtrip", Some(
+    s"""WITH h AS (SELECT doc_id, ${TextQueries.htmlFixtureSql} AS html
+       |           FROM documents),
+       |b AS (SELECT doc_id, ${TextQueries.duckBlocksSql} AS bs FROM h),
+       |m AS (SELECT doc_id,
+       |    coalesce(array_to_string(list_transform(
+       |      list_filter(bs, b -> ${TextQueries.duckKeptPred}),
+       |      b -> ${TextQueries.duckVis("b")}), ' '), '') AS text
+       |  FROM b)
+       |SELECT trim(${TextQueries.urlFixtureSql}) AS target_uri,
+       |  '2026-08-03T00:00:00Z' AS fetch_ts, m.text
+       |FROM m JOIN documents USING (doc_id)""".stripMargin)) { (s, dir) =>
+    import graft.functions.HtmlFunctions
+    import graft.sources.WarcSource
+    val root = DedupQueries.DedupStaging.ensure("src24", dir) { r =>
+      val wet = Tables.documents(s, dir)
+        .select(TextQueries.urlFixture.as("uri"),
+          lit("2026-08-03T00:00:00Z").as("ts"),
+          HtmlFunctions.mainContent(TextQueries.htmlFixture).as("text"))
+      WarcSource.writeWet(wet.repartition(8), "uri", "ts", "text",
+        s"$r/wet")
+    }
+    WarcSource.readWet(s, s"$root/wet")
+      .select("target_uri", "fetch_ts", "text")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     src01_csv_roundtrip, src02_rest_paged, src03_partitioned_sink,
     src04_multimodal_meta, src05_frame_sample, src06_restv2_scan,
@@ -704,5 +744,5 @@ object SourceQueries {
     src13_jsonl_roundtrip, src14_schema_evolution, src15_corpus_diff,
     src16_orc_roundtrip, src17_minmax_skipping, src18_corrupt_quarantine,
     src19_bloom_skipping, src20_incremental_pull, src21_split_manifest,
-    src22_warc_ingest)
+    src22_warc_ingest, src24_wet_roundtrip)
 }

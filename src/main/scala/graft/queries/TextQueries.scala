@@ -1259,7 +1259,7 @@ object TextQueries {
       .otherwise(concat(lit("not a url "), id))
   }
 
-  private val urlFixtureSql =
+  private[queries] val urlFixtureSql =
     """CASE doc_id % 8
       | WHEN 0 THEN 'HTTPS://WWW.' || source || '.Example.COM:443/Path/' || CAST(doc_id AS VARCHAR) || '?utm_source=feed&id=' || CAST(doc_id AS VARCHAR) || '&utm_campaign=x#top'
       | WHEN 1 THEN 'http://' || source || '.example.co.uk:80?ref=tw&q=' || CAST(doc_id AS VARCHAR)
@@ -1621,7 +1621,7 @@ object TextQueries {
     * double-encoded entity. No single quotes anywhere — the SQL mirror
     * embeds the constants verbatim.
     */
-  private def htmlFixture: Column = htmlFixtureWith(lit(""))
+  private[queries] def htmlFixture: Column = htmlFixtureWith(lit(""))
 
   /** The t47/q72 crawl page with `extraHead` injected right after
     * `<head>` — q74 passes the robots meta so ONE fixture drives the
@@ -1646,7 +1646,7 @@ object TextQueries {
         "<footer><p>Copyright &amp;copy; 2026</p></footer></body></html>"))
   }
 
-  private val htmlFixtureSql = htmlFixtureSqlWith("")
+  private[queries] val htmlFixtureSql = htmlFixtureSqlWith("")
 
   /** SQL mirror of [[htmlFixtureWith]]: `extraSql` (empty, or an
     * expression followed by ` || `) lands right after `<head>`.
@@ -1679,11 +1679,11 @@ object TextQueries {
     graft.functions.HtmlFunctions.entitySteps.foldLeft(e) {
       case (acc, (f, t)) => s"replace($acc, '$f', '${t.replace("'", "''")}')"
     }
-  private def duckVis(e: String): String =
+  private[queries] def duckVis(e: String): String =
     normSql(duckDecode(s"regexp_replace($e, '<[^>]*>', ' ', 'g')"))
   // chr(1) (the block-split sentinel) strips from the RAW html before the
   // invisible drop — same order as the native scanner and blocksReference
-  private def duckBlocksSql: String =
+  private[queries] def duckBlocksSql: String =
     s"string_split(regexp_replace(" +
       s"${duckInvisible("replace(html, chr(1), '')")}, " +
       s"'${graft.functions.HtmlFunctions.blockTagPat}', chr(1), 'g'), chr(1))"
@@ -1691,7 +1691,7 @@ object TextQueries {
   // array_join returns '' — coalesce at every join point
   private val duckLinkHtml =
     """coalesce(array_to_string(regexp_extract_all(b, '(?is)<a\b[^>]*>(.*?)</a\s*>', 1), ' '), '')"""
-  private def duckKeptPred: String =
+  private[queries] def duckKeptPred: String =
     s"length(${duckVis("b")}) >= 25 AND " +
       s"CAST(length(${duckVis(duckLinkHtml)}) AS DOUBLE) <= " +
       s"0.33 * CAST(length(${duckVis("b")}) AS DOUBLE)"

@@ -96,4 +96,48 @@ object WarcSource {
         responseRecord(col(uriCol), col(tsCol), col(htmlCol), status)
           .as("value"))
       .write.mode("overwrite").text(path)
+
+  // ------------------------------------------------------------- WET
+
+  /** Render one WET-style `conversion` record (ISO 28500 §6.8 record
+    * type) — the pre-extracted-TEXT interchange sibling of
+    * [[responseRecord]]: no HTTP envelope, `Content-Type: text/plain`,
+    * the source page's URI in `WARC-Target-URI`, `Content-Length` on
+    * UTF-8 bytes. Common Crawl consumers frequently start from WET
+    * rather than WARC; producing it makes the extraction stage a
+    * standard restart point for OTHER engines too.
+    */
+  def conversionRecord(uri: Column, ts: Column, text: Column): Column =
+    concat(
+      lit("WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Target-URI: "), uri,
+      lit("\r\nWARC-Date: "), ts,
+      lit("\r\nContent-Type: text/plain"),
+      lit("\r\nContent-Length: "), octet_length(text).cast("string"),
+      lit("\r\n\r\n"), text, lit("\r\n\r\n"))
+
+  /** Driver-side string twin of [[conversionRecord]], for byte fixtures. */
+  def conversionRecordString(uri: String, ts: String, text: String): String =
+    s"WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Target-URI: $uri\r\n" +
+      s"WARC-Date: $ts\r\nContent-Type: text/plain\r\nContent-Length: " +
+      s"${text.getBytes("UTF-8").length}\r\n\r\n$text\r\n\r\n"
+
+  /** Write (uri, ts, text) rows as a WET tree under `path` — conversion
+    * records through the same distributed text sink as [[writeWarc]].
+    */
+  def writeWet(docs: DataFrame, uriCol: String, tsCol: String,
+               textCol: String, path: String): Unit =
+    docs.select(
+        conversionRecord(col(uriCol), col(tsCol), col(textCol)).as("value"))
+      .write.mode("overwrite").text(path)
+
+  /** Typed view of a WET tree: the clean `conversion` records as
+    * (warc_file, target_uri, fetch_ts, text) — [[read]]'s permissive
+    * parse underneath, so malformed regions still surface through
+    * [[quarantined]] on the raw read, never silently vanish here.
+    */
+  def readWet(spark: SparkSession, path: String): DataFrame =
+    good(read(spark, path))
+      .filter(col("warc_type") === "conversion")
+      .select(col("warc_file"), col("target_uri"), col("fetch_ts"),
+        decode(col("body"), "UTF-8").as("text"))
 }

@@ -326,6 +326,43 @@ class WarcSpec extends SparkSpec {
     assert(bad.length == 1 && bad.head.contains("gzip"))
   }
 
+  test("WET conversion records: distributed writeWet → readWet round-trips " +
+    "text byte-exactly, incl. unicode, CRLF-laden and empty bodies") {
+    val dir = tmp()
+    val docs = Seq(
+      ("https://ex.org/a", "2026-08-03T00:00:00Z", "plain text"),
+      ("https://ex.org/b", "2026-08-03T00:00:00Z", "ünïcode € 𝕥ext"),
+      ("https://ex.org/c", "2026-08-03T00:00:00Z",
+        "line one\r\nline two\n\nline three"), // framing is length-based
+      ("https://ex.org/d", "2026-08-03T00:00:00Z", ""))
+      .toDF("uri", "ts", "text").repartition(3)
+    WarcSource.writeWet(docs, "uri", "ts", "text", s"$dir/wet")
+    val raw = WarcSource.read(spark, s"$dir/wet")
+    assert(WarcSource.quarantined(raw).count() == 0)
+    // conversion records: no HTTP split, null status, text/plain
+    assert(raw.filter(col("warc_type") === "conversion" &&
+      col("status").isNull && col("content_type") === "text/plain")
+      .count() == 4)
+    val back = WarcSource.readWet(spark, s"$dir/wet")
+      .select(col("target_uri"), col("fetch_ts"), col("text"))
+      .as[(String, String, String)].collect().toSet
+    assert(back == docs.as[(String, String, String)].collect().toSet)
+  }
+
+  test("a WET conversion record whose TEXT embeds WARC content round-trips " +
+    "intact (length framing wins over content)") {
+    val dir = tmp()
+    val tricky = "quoting a crawl: " +
+      record("https://inner/x", "2026-01-01T00:00:00Z", "<p>inner</p>")
+    val docs = Seq(("https://ex.org/meta", "2026-08-03T00:00:00Z", tricky))
+      .toDF("uri", "ts", "text")
+    WarcSource.writeWet(docs, "uri", "ts", "text", s"$dir/wet")
+    val got = WarcSource.readWet(spark, s"$dir/wet")
+      .select("text").as[String].collect()
+    assert(got.toSeq == Seq(tricky))
+    assert(WarcSource.read(spark, s"$dir/wet").count() == 1) // ONE record
+  }
+
   test("empty member and lone separators yield zero records") {
     val dir = tmp()
     writeBytes(dir, "a.warc", Array.emptyByteArray)

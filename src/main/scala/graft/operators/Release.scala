@@ -1,0 +1,226 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.StoredIndex
+
+/** CORPUS RELEASE BUNDLE — the one-call trainer handoff that composes
+  * the pieces a dataset release otherwise wires by hand: deterministic
+  * train/val/test split ([[Sampling.deterministicSplit]]), TOKEN-
+  * budgeted shard assignment (contiguous prefix-sum packing in the
+  * split's deterministic order — shard size measured in whatever token
+  * count the caller provides: the t48 BPE count, the t43 regex count,
+  * bytes), the shard-partitioned corpus write, and a per-shard manifest
+  * plus per-split datacard COUNTED FROM THE WRITTEN FILES and
+  * CAS-published next to the data. Reference analogue: none — the
+  * reference loads a warehouse (`himalayan_etl/ops/load.py`); this is
+  * the LLM-pipeline release surface built on the engine's own protocol.
+  *
+  * LAYOUT — the [[graft.sources.StoredIndex]] protocol, fourth client
+  * (near-dup index, ANN index, [[SplitManifest]], this): relations land
+  * under GENERATION- AND ATTEMPT-TAGGED directories BEFORE the CAS meta
+  * publish points at them, so every crash/racer window is benign —
+  * identical inheritance argument to [[SplitManifest.release]], which
+  * documents the protocol in full. Under `dir`:
+  *   - `corpus_e{G}_w{tag}/`    the released rows, `partitionBy(split,
+  *     shard)` — the physical layout a trainer streams shard by shard;
+  *   - `manifest_e{G}_w{tag}/`  one row per (split, shard): n_docs,
+  *     n_tokens — RE-COUNTED from the written corpus files, so the
+  *     manifest describes the artifact of record, not the plan;
+  *   - `datacard_e{G}_w{tag}/`  one row per split: fraction, n_docs,
+  *     n_tokens, n_shards, seed;
+  *   - `meta_g{N}`              the spec + `rel_gen`/`rel_tag` pointers.
+  *
+  * Shard assignment law (engine-replayable, oracle-gated by src23):
+  * within each split, rows order by (md5(seed || '|' || keys), keys) —
+  * the SAME seeded draw the split itself uses — and a row whose
+  * EXCLUSIVE prefix token sum is `p` lands in shard
+  * `floor(p / shardTokens)`. Shards are therefore contiguous prefixes,
+  * each closing as soon as it reaches the target (a single document
+  * larger than `shardTokens` overflows its own shard rather than
+  * splitting — documents are atomic). The prefix sum rides
+  * [[Sampling]]'s size-gated machinery: one window per split at bench
+  * scale, the distributed two-pass at 100 TB — never a data-sized
+  * single task.
+  */
+object Release {
+
+  /** Full release provenance. `tokensCol` names the per-row token count
+    * column (caller-computed: BPE via [[graft.plans.BpeEncodeExpr]],
+    * regex count via [[graft.functions.TextFunctions.tokenCount]], …;
+    * must be non-negative). `shardTokens` is the target shard size in
+    * those tokens.
+    */
+  final case class Spec(seed: Long, fractions: Seq[(String, Double)],
+                        strataCols: Seq[String], keyCols: Seq[String],
+                        tokensCol: String, shardTokens: Long,
+                        splitCol: String = "split")
+
+  private def encodeFractions(fr: Seq[(String, Double)]): String =
+    fr.map { case (n, f) => s"$n:$f" }.mkString(",")
+
+  private def decodeFractions(s: String): Seq[(String, Double)] =
+    if (s.isEmpty) Nil
+    else s.split(",", -1).toSeq.map { p =>
+      val i = p.lastIndexOf(':')
+      (p.substring(0, i), p.substring(i + 1).toDouble)
+    }
+
+  private def splitList(s: String): Seq[String] =
+    if (s.isEmpty) Nil else s.split(",", -1).toSeq
+
+  private def currentGen(spark: SparkSession, dir: String): Int =
+    try StoredIndex.readKvWithGen(spark, dir)._2
+    catch { case _: IllegalArgumentException => -1 }
+
+  private def taggedPath(dir: String, name: String, gen: Int,
+                         tag: String): String =
+    s"$dir/${name}_e${gen}_w$tag"
+
+  /** Split, shard, write, count, publish — see the object contract.
+    * Re-releasing to the same store advances the generation; a
+    * concurrent release loses the CAS loudly; a crash anywhere before
+    * the meta publish leaves the previous release fully live (protocol
+    * inheritance — ReleaseSpec proves it).
+    */
+  def publish(corpus: DataFrame, dir: String, spec: Spec): Unit = {
+    require(spec.shardTokens > 0,
+      s"shardTokens must be positive, got ${spec.shardTokens}")
+    require(spec.keyCols.nonEmpty, "spec must carry the key columns")
+    (spec.keyCols ++ spec.strataCols :+ spec.tokensCol).foreach { c =>
+      require(corpus.columns.contains(c),
+        s"corpus has no '$c' column (columns: ${corpus.columns.mkString(", ")})")
+    }
+    require(!corpus.columns.contains(spec.splitCol),
+      s"corpus already carries a '${spec.splitCol}' column")
+    val spark = corpus.sparkSession
+    val gen = currentGen(spark, dir) // read BEFORE the relation writes
+    val relGen = gen + 1
+    val tag = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    val corpusPath = taggedPath(dir, "corpus", relGen, tag)
+    val manPath = taggedPath(dir, "manifest", relGen, tag)
+    val cardPath = taggedPath(dir, "datacard", relGen, tag)
+
+    // 1. deterministic split (exact per-stratum fraction floors),
+    //    bracketed — the shard assignment and the write run inside
+    Sampling.withDeterministicSplit(corpus, spec.strataCols, spec.keyCols,
+        spec.fractions, spec.seed, spec.splitCol) { split =>
+      // 2. shard by EXCLUSIVE prefix token sum in the split's own
+      //    deterministic order (same seeded draw)
+      val draw = md5(concat_ws("|",
+        lit(spec.seed.toString) +:
+          spec.keyCols.map(c => col(c).cast("string")): _*).cast("binary"))
+      val (cum, shardHandle) = Sampling.stratumRunningSumAndHandle(
+        split, Seq(spec.splitCol), draw +: spec.keyCols.map(col),
+        col(spec.tokensCol).cast("long"), "__cum")
+      try {
+        val sharded = cum.withColumn("shard",
+          floor((col("__cum") - col(spec.tokensCol).cast("long"))
+            / spec.shardTokens).cast("int"))
+          .drop("__cum")
+        // 3. the corpus-sized action: shard-partitioned write
+        sharded.write.mode("overwrite")
+          .partitionBy(spec.splitCol, "shard").parquet(corpusPath)
+      } finally shardHandle.foreach(_.unpersist())
+    }
+
+    // 4. manifest + datacard COUNTED FROM THE WRITTEN FILES
+    val written = spark.read.parquet(corpusPath)
+    val manifest = written
+      .groupBy(col(spec.splitCol).cast("string").as("split"), col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(spec.tokensCol).cast("long")).as("n_tokens"))
+    manifest.coalesce(1).write.mode("overwrite").parquet(manPath)
+    val perSplit = spark.read.parquet(manPath)
+      .groupBy("split")
+      .agg(sum("n_docs").as("n_docs"), sum("n_tokens").as("n_tokens"),
+        count(lit(1)).as("n_shards"))
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    import spark.implicits._
+    spec.fractions.map { case (name, f) =>
+      val (d, t, sh) = perSplit.getOrElse(name, (0L, 0L, 0L))
+      (name, f, d, t, sh, spec.seed)
+    }.toDF("split", "fraction", "n_docs", "n_tokens", "n_shards", "seed")
+      .coalesce(1).write.mode("overwrite").parquet(cardPath)
+
+    // 5. CAS publish + sweep (the SplitManifest discipline)
+    StoredIndex.writeMetaCas(spark, dir, Seq(
+      "kind" -> "release",
+      "rel_gen" -> relGen.toString,
+      "rel_tag" -> tag,
+      "seed" -> spec.seed.toString,
+      "fractions" -> encodeFractions(spec.fractions),
+      "strata_cols" -> spec.strataCols.mkString(","),
+      "key_cols" -> spec.keyCols.mkString(","),
+      "tokens_col" -> spec.tokensCol,
+      "shard_tokens" -> spec.shardTokens.toString,
+      "split_col" -> spec.splitCol), gen)
+    sweepGenerationsBelow(spark, dir, relGen - 1)
+  }
+
+  private val relDirPattern =
+    "(corpus|manifest|datacard)_e(\\d+)_w[0-9a-f]+".r
+
+  /** Age out released/orphaned relation directories below `keepFrom` —
+    * the live and just-superseded generations never match (same
+    * grace-window contract as the other StoredIndex clients).
+    */
+  private def sweepGenerationsBelow(spark: SparkSession, dir: String,
+                                    keepFrom: Int): Unit = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val entries =
+      try fs.listStatus(path) catch { case _: java.io.IOException => return }
+    entries.iterator.filter(_.isDirectory).foreach { st =>
+      st.getPath.getName match {
+        case relDirPattern(_, genStr) if genStr.toInt < keepFrom =>
+          try fs.delete(st.getPath, true)
+          catch { case _: java.io.IOException => () }
+        case _ => ()
+      }
+    }
+  }
+
+  private def kvOf(spark: SparkSession, dir: String): Map[String, String] = {
+    val (kv, _) = StoredIndex.readKvWithGen(spark, dir)
+    require(kv.get("kind").contains("release"),
+      s"$dir is not a release store (kind=${kv.get("kind")})")
+    kv
+  }
+
+  /** The released spec (validates the store's meta pointer). */
+  def readSpec(spark: SparkSession, dir: String): Spec = {
+    val kv = kvOf(spark, dir)
+    Spec(kv("seed").toLong, decodeFractions(kv("fractions")),
+      splitList(kv("strata_cols")), splitList(kv("key_cols")),
+      kv("tokens_col"), kv("shard_tokens").toLong,
+      kv.getOrElse("split_col", "split"))
+  }
+
+  /** Resolve the live release's relation through the meta's
+    * `rel_gen`/`rel_tag` pointers — never a half-landed newer write,
+    * never a concurrent loser's attempt ([[SplitManifest]]'s argument).
+    */
+  private def livePath(spark: SparkSession, dir: String,
+                       name: String): String = {
+    val kv = kvOf(spark, dir)
+    taggedPath(dir, name, kv("rel_gen").toInt, kv("rel_tag"))
+  }
+
+  /** Per-(split, shard) manifest of the live release. */
+  def readManifest(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(livePath(spark, dir, "manifest"))
+
+  /** Per-split datacard of the live release. */
+  def readDatacard(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(livePath(spark, dir, "datacard"))
+
+  /** The released corpus itself (shard-partitioned; `split`/`shard`
+    * filters prune to directories — a trainer reads one shard without
+    * touching the rest).
+    */
+  def readCorpus(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(livePath(spark, dir, "corpus"))
+}

@@ -696,6 +696,73 @@ object SourceQueries {
     }
   }
 
+  // ---------------------------------------------------------------- src23
+  /** CORPUS RELEASE BUNDLE ([[graft.operators.Release.publish]]): the
+    * one-call trainer handoff — deterministic 80/10/10 split stratified
+    * by language (t45's exact-floor law), token-budgeted shard
+    * assignment (contiguous prefix-sum packing at 2000 tokens/shard in
+    * the split's seeded order), shard-partitioned corpus write, and a
+    * per-shard manifest + per-split datacard counted from the WRITTEN
+    * files, CAS-published on the StoredIndex protocol. The query reads
+    * the live release back THROUGH the meta pointer and emits the
+    * manifest's per-shard counts twice over: once from the manifest
+    * relation and once RE-COUNTED from the released corpus files (full
+    * outer join — any drift between manifest and artifact surfaces as
+    * extra/null rows); the oracle re-derives the whole assignment
+    * (split boundaries, exclusive prefix sums, shard floors, token
+    * counts) independently in SQL, so split law, packing law, write
+    * fidelity and manifest fidelity all hash together.
+    */
+  val src23_release_bundle = q("src23_release_bundle", Some(
+    s"""WITH r AS (SELECT doc_id, lang,
+       |    CAST(len(regexp_extract_all(text, '${TextQueries.tokenPat}'))
+       |      AS BIGINT) AS n_tok,
+       |    row_number() OVER (PARTITION BY lang
+       |      ORDER BY md5('42|' || CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+       |    COUNT(*) OVER (PARTITION BY lang) AS n
+       |  FROM documents),
+       |sp AS (SELECT doc_id, n_tok,
+       |    CASE WHEN rn <= floor(CAST(0.8 AS DOUBLE) * n) THEN 'train'
+       |         WHEN rn <= floor((CAST(0.8 AS DOUBLE) + CAST(0.1 AS DOUBLE))
+       |              * n) THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM r),
+       |cum AS (SELECT split, n_tok, sum(n_tok) OVER (
+       |      PARTITION BY split
+       |      ORDER BY md5('42|' || CAST(doc_id AS VARCHAR)), doc_id
+       |      ROWS UNBOUNDED PRECEDING) - n_tok AS p
+       |  FROM sp),
+       |sh AS (SELECT split,
+       |    CAST(floor(CAST(p AS DOUBLE) / 2000.0) AS INT) AS shard, n_tok
+       |  FROM cum),
+       |m AS (SELECT split, shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(n_tok) AS BIGINT) AS n_tokens FROM sh GROUP BY 1, 2)
+       |SELECT split, shard, n_docs, n_tokens,
+       |  n_docs AS files_docs, n_tokens AS files_tokens
+       |FROM m""".stripMargin)) { (s, dir) =>
+    import graft.functions.TextFunctions
+    import graft.operators.Release
+    val store = DedupQueries.DedupStaging.ensure("src23", dir) { r =>
+      val corpus = Tables.documents(s, dir).select(col("doc_id"),
+        col("lang"), col("text"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_tok"))
+      Release.publish(corpus, s"$r/release", Release.Spec(
+        seed = 42L, fractions = Seq(("train", 0.8), ("val", 0.1),
+          ("test", 0.1)),
+        strataCols = Seq("lang"), keyCols = Seq("doc_id"),
+        tokensCol = "n_tok", shardTokens = 2000L))
+    } + "/release"
+    val manifest = Release.readManifest(s, store)
+      .select(col("split"), col("shard"), col("n_docs"), col("n_tokens"))
+    val files = Release.readCorpus(s, store)
+      .groupBy(col("split").cast("string").as("split"), col("shard"))
+      .agg(count(lit(1)).as("files_docs"),
+        sum(col("n_tok")).as("files_tokens"))
+    manifest.join(files, Seq("split", "shard"), "full")
+      .select("split", "shard", "n_docs", "n_tokens",
+        "files_docs", "files_tokens")
+  }
+
   // ---------------------------------------------------------------- src24
   /** WET-STYLE TEXT INTERCHANGE ([[graft.sources.WarcSource.writeWet]] /
     * `readWet`): the engine PRODUCES the standard pre-extracted-text
@@ -744,5 +811,5 @@ object SourceQueries {
     src13_jsonl_roundtrip, src14_schema_evolution, src15_corpus_diff,
     src16_orc_roundtrip, src17_minmax_skipping, src18_corrupt_quarantine,
     src19_bloom_skipping, src20_incremental_pull, src21_split_manifest,
-    src22_warc_ingest, src24_wet_roundtrip)
+    src22_warc_ingest, src23_release_bundle, src24_wet_roundtrip)
 }

@@ -13,10 +13,15 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
 object GenGoldens {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
+    // optional second arg: comma-list of names — regenerate ONLY those
+    // (adding a new golden must not re-snapshot every existing one)
+    val only = args.drop(1).headOption
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
     val outDir = queries.GoldenOracles.dir
     Files.createDirectories(Paths.get(outDir))
-    queries.GoldenOracles.names.foreach { name =>
+    queries.GoldenOracles.names
+      .filter(n => only.forall(_.contains(n))).foreach { name =>
       val tmp = s"/root/repo/target/qtmp/golden_gen/$name"
       SparkEntry.queries(name)(spark, sfDir)
         .coalesce(1).write.mode("overwrite").parquet(tmp)

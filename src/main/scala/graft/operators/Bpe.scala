@@ -152,4 +152,31 @@ object Bpe {
     BpeEncodeExpr.encode(
       split(TextFunctions.normalizeWs(lower(text)), " "),
       merges.sortBy(_.rank).map(m => (m.left, m.right)))
+
+  // ------------------------------------------------- byte-level (GPT-2)
+
+  /** BYTE-LEVEL word counts — the GPT-2-lineage twin of [[wordCounts]]:
+    * the corpus pass pre-tokenizes with the regex class split and
+    * re-expresses each pre-token as byte-alphabet symbols
+    * ([[graft.plans.BytePretokenizeExpr]] — no lowercasing, punctuation
+    * split off, leading space attached), and [[learn]] runs UNCHANGED on
+    * the result (the byte-mapped string's code points ARE the byte
+    * symbols). Same one-aggregate scale shape.
+    */
+  def byteWordCounts(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(
+        graft.plans.BytePretokenizeExpr.bytePretokenize(col(textCol)))
+        .as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("n"))
+
+  /** Byte-level segmentation with a [[byteWordCounts]]-trained merge
+    * table — [[graft.plans.BpeEncodeExpr]] reused verbatim over the
+    * byte-mapped pre-tokens. Tokens come back in the byte alphabet
+    * (decode one with [[graft.plans.BytePretokenizeExpr.byteUnmap]]).
+    */
+  def byteEncode(text: Column, merges: Seq[Merge]): Column =
+    BpeEncodeExpr.encode(
+      graft.plans.BytePretokenizeExpr.bytePretokenize(text),
+      merges.sortBy(_.rank).map(m => (m.left, m.right)))
 }

@@ -34,7 +34,7 @@ object GoldenOracles {
     "t26_bpe_merges", "t27_bpe_encode", "e19_cell_balanced_sample",
     "q64_cms_frequency", "t32_classifier_train", "t37_langid_train",
     "s20_classifier_quality_mv", "t48_bpe_token_quota",
-    "t50_compression_ratio")
+    "t50_compression_ratio", "t52_byte_bpe")
 
   def pathFor(name: String): String = s"$dir/$name.parquet"
 

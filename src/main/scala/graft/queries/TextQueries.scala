@@ -922,6 +922,34 @@ object TextQueries {
         size(array_distinct(col("toks"))).as("n_types"))
   }, GoldenOracles.sqlFor("t27_bpe_encode"))
 
+  // ---------------------------------------------------------------- t52
+  /** BYTE-LEVEL BPE vs the word-level trainer — tokenizer-fidelity
+    * widening ([[graft.plans.BytePretokenizeExpr]]): the GPT-2-lineage
+    * pre-tokenizer (regex class split, byte alphabet, no lowercasing)
+    * feeds the UNCHANGED merge loop and codegen encoder, and the query
+    * prices both segmentations side by side per document — token counts
+    * under the t26 word-level table and under the byte-level table
+    * trained at the same merge budget, plus the per-doc byte-level type
+    * count. Golden-gated like t26/t27 (merge tables have no SQL twin);
+    * ByteBpeSpec carries the written DIFFERENCE fixture (where and why
+    * the two segmentations disagree: case, punctuation, contractions,
+    * leading-space attachment, multilingual bytes).
+    */
+  val t52_byte_bpe = GraftQuery("t52_byte_bpe", (s, dir) => {
+    import graft.operators.Bpe
+    val docs = Tables.documents(s, dir)
+    val wordMerges = Bpe.learn(Bpe.wordCounts(docs, "text"), 60)
+    val byteMerges = Bpe.learn(Bpe.byteWordCounts(docs, "text"), 60)
+    docs.select(col("doc_id"),
+        size(Bpe.encode(col("text"), wordMerges)).cast("long")
+          .as("n_word_bpe"),
+        Bpe.byteEncode(col("text"), byteMerges).as("__btoks"))
+      .select(col("doc_id"), col("n_word_bpe"),
+        size(col("__btoks")).cast("long").as("n_byte_bpe"),
+        size(array_distinct(col("__btoks"))).cast("long")
+          .as("n_byte_types"))
+  }, GoldenOracles.sqlFor("t52_byte_bpe"))
+
   // ---------------------------------------------------------------- t28
   /** SPARSE-VECTOR SIMILARITY SEARCH: top-10 documents most similar to
     * doc 0 by TF-IDF cosine, computed entirely on the inverted index
@@ -2679,5 +2707,5 @@ object TextQueries {
     t21_within_doc_dedup, t22_lm_trigram, t23_inverted_index,
     t24_keyword_search, t25_bm25_search, t26_bpe_merges, t27_bpe_encode,
     t28_tfidf_cosine, t29_phrase_search, t30_langid_eval,
-    t50_compression_ratio)
+    t50_compression_ratio, t52_byte_bpe)
 }

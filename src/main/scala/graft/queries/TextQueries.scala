@@ -2135,12 +2135,18 @@ object TextQueries {
        |FROM tgt LEFT JOIN rob_best b ON tgt.doc_id = b.doc_id"""
       .stripMargin) { (s, dir) =>
     import graft.functions.UrlFunctions
+    // materialize the (doc_id, domain, target) relation ONCE: the rules
+    // derivation, the join's left side and the distinct all consume it,
+    // and re-deriving the registered domain (an interpreted HOF) per
+    // consumer tripled the query's cost — at real scale this projection
+    // is a persisted stage boundary anyway (the q72/q74 discipline)
     val urls = Tables.documents(s, dir)
       .select(col("doc_id"), urlFixture.as("url"))
       .select(col("doc_id"),
         UrlFunctions.registeredDomain(UrlFunctions.hostOf(col("url")),
           pslSubset).as("domain"),
         UrlFunctions.pathQueryOf(col("url")).as("target"))
+      .localCheckpoint(true)
     val rules = urls.select("domain").where(col("domain").isNotNull)
       .distinct()
       .withColumn("robots_txt", robotsTxtFor(col("domain")))

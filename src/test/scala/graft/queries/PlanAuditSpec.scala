@@ -650,4 +650,12 @@ class PlanAuditSpec extends SparkSpec {
     val stale = allowed.keySet -- seen.map(_._1).toSet
     assert(stale.isEmpty, s"stale allow-list entries: $stale")
   }
+
+  test("t51: the robots rules join is ONE broadcast hash join, never " +
+    "sort-merge — the per-domain rule relation must broadcast into the " +
+    "corpus scan, not shuffle the corpus by domain") {
+    val p = plan(TextQueries.t51_robots_txt_gate)
+    assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) == 1, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
 }

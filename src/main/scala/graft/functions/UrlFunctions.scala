@@ -189,12 +189,16 @@ object UrlFunctions {
     * query with its `?` — RFC 9309 rules match against the path, and the
     * de-facto matchers include the query so wildcard patterns that pin
     * a query parameter (slash, star, `?ref`) work.
-    * Fragments never participate. Non-URL inputs yield "/" (they carry
-    * no host either, so no rules ever attach).
+    * Fragments never participate; a BARE trailing `?` (empty query)
+    * drops, the same normalization [[canonicalizeUrl]] applies — and the
+    * exact algebra the external replay computes (`'?' || qraw` only when
+    * qraw is non-empty), so both engines decide identical targets.
+    * Non-URL inputs yield "/" (they carry no host either, so no rules
+    * ever attach).
     */
   def pathQueryOf(c: Column): Column =
     concat(when(part(c, 3) === "", lit("/")).otherwise(part(c, 3)),
-      part(c, 4))
+      when(part(c, 4) === "?", lit("")).otherwise(part(c, 4)))
 
   /** Parse one robots.txt body into the rule list applicable to product
     * token `agent` (RFC 9309 group selection — most-specific match,
@@ -230,9 +234,15 @@ object UrlFunctions {
                  robotsDf: DataFrame, agent: String): DataFrame = {
     val rules = robotsDf.select(col("domain").as(domainCol),
       robotsRules(col("robots_txt"), lit(agent)).as("__rules"))
+    // coalesce(…, true): the gate is PERMISSIVE by contract — a null URL
+    // under a domain that HAS rules makes robotsAllowed null, and a bare
+    // `null || null` predicate would silently DROP the row (SQL
+    // three-valued logic), the opposite of nothing-silently-dropped;
+    // such rows pass the gate and downstream stages decide their fate
     df.join(broadcast(rules), Seq(domainCol), "left")
       .filter(col("__rules").isNull ||
-        robotsAllowed(col("__rules"), pathQueryOf(col(urlCol))))
+        coalesce(robotsAllowed(col("__rules"), pathQueryOf(col(urlCol))),
+          lit(true)))
       .drop("__rules")
   }
 }

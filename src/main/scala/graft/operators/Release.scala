@@ -56,26 +56,11 @@ object Release {
                         tokensCol: String, shardTokens: Long,
                         splitCol: String = "split")
 
-  private def encodeFractions(fr: Seq[(String, Double)]): String =
-    fr.map { case (n, f) => s"$n:$f" }.mkString(",")
-
-  private def decodeFractions(s: String): Seq[(String, Double)] =
-    if (s.isEmpty) Nil
-    else s.split(",", -1).toSeq.map { p =>
-      val i = p.lastIndexOf(':')
-      (p.substring(0, i), p.substring(i + 1).toDouble)
-    }
-
-  private def splitList(s: String): Seq[String] =
-    if (s.isEmpty) Nil else s.split(",", -1).toSeq
-
-  private def currentGen(spark: SparkSession, dir: String): Int =
-    try StoredIndex.readKvWithGen(spark, dir)._2
-    catch { case _: IllegalArgumentException => -1 }
-
-  private def taggedPath(dir: String, name: String, gen: Int,
-                         tag: String): String =
-    s"$dir/${name}_e${gen}_w$tag"
+  // relation names under a release store; the protocol helpers
+  // (tagged paths, kv codecs, generation sweep, pointer resolution) are
+  // the SHARED StoredIndex client surface — one implementation under
+  // SplitManifest and Release both
+  private val relNames = Seq("corpus", "manifest", "datacard")
 
   /** Split, shard, write, count, publish — see the object contract.
     * Re-releasing to the same store advances the generation; a
@@ -91,15 +76,20 @@ object Release {
       require(corpus.columns.contains(c),
         s"corpus has no '$c' column (columns: ${corpus.columns.mkString(", ")})")
     }
-    require(!corpus.columns.contains(spec.splitCol),
-      s"corpus already carries a '${spec.splitCol}' column")
+    // the columns publish ADDS must not clobber caller data — 'shard' is
+    // a very plausible column on a corpus being RE-released
+    Seq(spec.splitCol, "shard", "__cum").foreach { c =>
+      require(!corpus.columns.contains(c),
+        s"corpus already carries a '$c' column, which publish would " +
+          "overwrite — rename it first")
+    }
     val spark = corpus.sparkSession
-    val gen = currentGen(spark, dir) // read BEFORE the relation writes
+    val gen = StoredIndex.currentGeneration(spark, dir) // read BEFORE the relation writes
     val relGen = gen + 1
     val tag = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
-    val corpusPath = taggedPath(dir, "corpus", relGen, tag)
-    val manPath = taggedPath(dir, "manifest", relGen, tag)
-    val cardPath = taggedPath(dir, "datacard", relGen, tag)
+    val corpusPath = StoredIndex.taggedRelPath(dir, "corpus", relGen, tag)
+    val manPath = StoredIndex.taggedRelPath(dir, "manifest", relGen, tag)
+    val cardPath = StoredIndex.taggedRelPath(dir, "datacard", relGen, tag)
 
     // 1. deterministic split (exact per-stratum fraction floors),
     //    bracketed — the shard assignment and the write run inside
@@ -151,63 +141,30 @@ object Release {
       "rel_gen" -> relGen.toString,
       "rel_tag" -> tag,
       "seed" -> spec.seed.toString,
-      "fractions" -> encodeFractions(spec.fractions),
+      "fractions" -> StoredIndex.encodeFractions(spec.fractions),
       "strata_cols" -> spec.strataCols.mkString(","),
       "key_cols" -> spec.keyCols.mkString(","),
       "tokens_col" -> spec.tokensCol,
       "shard_tokens" -> spec.shardTokens.toString,
       "split_col" -> spec.splitCol), gen)
-    sweepGenerationsBelow(spark, dir, relGen - 1)
-  }
-
-  private val relDirPattern =
-    "(corpus|manifest|datacard)_e(\\d+)_w[0-9a-f]+".r
-
-  /** Age out released/orphaned relation directories below `keepFrom` —
-    * the live and just-superseded generations never match (same
-    * grace-window contract as the other StoredIndex clients).
-    */
-  private def sweepGenerationsBelow(spark: SparkSession, dir: String,
-                                    keepFrom: Int): Unit = {
-    val path = new org.apache.hadoop.fs.Path(dir)
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val entries =
-      try fs.listStatus(path) catch { case _: java.io.IOException => return }
-    entries.iterator.filter(_.isDirectory).foreach { st =>
-      st.getPath.getName match {
-        case relDirPattern(_, genStr) if genStr.toInt < keepFrom =>
-          try fs.delete(st.getPath, true)
-          catch { case _: java.io.IOException => () }
-        case _ => ()
-      }
-    }
-  }
-
-  private def kvOf(spark: SparkSession, dir: String): Map[String, String] = {
-    val (kv, _) = StoredIndex.readKvWithGen(spark, dir)
-    require(kv.get("kind").contains("release"),
-      s"$dir is not a release store (kind=${kv.get("kind")})")
-    kv
+    StoredIndex.sweepTaggedBelow(spark, dir, relNames, relGen - 1,
+      legacyUntagged = false)
   }
 
   /** The released spec (validates the store's meta pointer). */
   def readSpec(spark: SparkSession, dir: String): Spec = {
-    val kv = kvOf(spark, dir)
-    Spec(kv("seed").toLong, decodeFractions(kv("fractions")),
-      splitList(kv("strata_cols")), splitList(kv("key_cols")),
+    val kv = StoredIndex.kvOfKind(spark, dir, "release")
+    Spec(kv("seed").toLong, StoredIndex.decodeFractions(kv("fractions")),
+      StoredIndex.splitList(kv("strata_cols")),
+      StoredIndex.splitList(kv("key_cols")),
       kv("tokens_col"), kv("shard_tokens").toLong,
       kv.getOrElse("split_col", "split"))
   }
 
-  /** Resolve the live release's relation through the meta's
-    * `rel_gen`/`rel_tag` pointers — never a half-landed newer write,
-    * never a concurrent loser's attempt ([[SplitManifest]]'s argument).
-    */
   private def livePath(spark: SparkSession, dir: String,
-                       name: String): String = {
-    val kv = kvOf(spark, dir)
-    taggedPath(dir, name, kv("rel_gen").toInt, kv("rel_tag"))
-  }
+                       name: String): String =
+    StoredIndex.liveTaggedPath(spark, dir, name, "release",
+      legacyUntagged = false)
 
   /** Per-(split, shard) manifest of the live release. */
   def readManifest(spark: SparkSession, dir: String): DataFrame =

@@ -52,22 +52,10 @@ object SplitManifest {
                         groupCol: Option[String] = None,
                         splitCol: String = "split")
 
-  private def encodeFractions(fr: Seq[(String, Double)]): String =
-    fr.map { case (n, f) => s"$n:$f" }.mkString(",")
-
-  private def decodeFractions(s: String): Seq[(String, Double)] =
-    if (s.isEmpty) Nil
-    else s.split(",", -1).toSeq.map { p =>
-      val i = p.lastIndexOf(':')
-      (p.substring(0, i), p.substring(i + 1).toDouble)
-    }
-
-  private def splitList(s: String): Seq[String] =
-    if (s.isEmpty) Nil else s.split(",", -1).toSeq
-
-  private def currentGen(spark: SparkSession, dir: String): Int =
-    try StoredIndex.readKvWithGen(spark, dir)._2
-    catch { case _: IllegalArgumentException => -1 }
+  // protocol helpers (tagged paths, kv codecs, generation sweep,
+  // pointer resolution) live on StoredIndex — ONE implementation shared
+  // with [[Release]], so a hardening to either client reaches both
+  private val relNames = Seq("assignment", "manifest")
 
   /** Land `assignment` + its manifest under `dir` and CAS-publish the
     * spec. Re-releasing to the same store advances the generation (the
@@ -99,11 +87,11 @@ object SplitManifest {
       s"assignment has no '${spec.splitCol}' column " +
         s"(columns: ${assignment.columns.mkString(", ")})")
     val spark = assignment.sparkSession
-    val gen = currentGen(spark, dir) // read BEFORE the relation writes
+    val gen = StoredIndex.currentGeneration(spark, dir) // read BEFORE the relation writes
     val relGen = gen + 1             // the generation the CAS will publish
     val tag = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
-    val assignPath = taggedPath(dir, "assignment", relGen, tag)
-    val manPath = taggedPath(dir, "manifest", relGen, tag)
+    val assignPath = StoredIndex.taggedRelPath(dir, "assignment", relGen, tag)
+    val manPath = StoredIndex.taggedRelPath(dir, "manifest", relGen, tag)
     assignment.write.mode("overwrite").parquet(assignPath)
     // counts from the WRITTEN files — the manifest describes the artifact
     val counts = spark.read.parquet(assignPath)
@@ -124,81 +112,33 @@ object SplitManifest {
       "rel_gen" -> relGen.toString,
       "rel_tag" -> tag,
       "seed" -> spec.seed.toString,
-      "fractions" -> encodeFractions(spec.fractions),
+      "fractions" -> StoredIndex.encodeFractions(spec.fractions),
       "strata_cols" -> spec.strataCols.mkString(","),
       "key_cols" -> spec.keyCols.mkString(","),
       "group_col" -> spec.groupCol.getOrElse(""),
       "split_col" -> spec.splitCol), gen)
-    sweepGenerationsBelow(spark, dir, relGen - 1)
+    StoredIndex.sweepTaggedBelow(spark, dir, relNames, relGen - 1,
+      legacyUntagged = true) // pre-tag stores still age out
   }
-
-  /** `name_e{N}_w{tag}` relation directory (new layout); pre-tag stores
-    * resolve through [[StoredIndex.relPath]] when the meta carries no
-    * `rel_tag` (see [[livePath]]).
-    */
-  private def taggedPath(dir: String, name: String, gen: Int,
-                         tag: String): String =
-    s"$dir/${name}_e${gen}_w$tag"
-
-  private val relDirPattern =
-    "(assignment|manifest)(?:_e(\\d+)(?:_w[0-9a-f]+)?)?".r
-
-  /** Sweep every assignment/manifest directory of a generation below
-    * `keepFrom` — tagged or not, published or orphaned (a loser/crashed
-    * attempt's generation is ≤ the live one, so it ages out the same
-    * way). The live and just-superseded generations never match.
-    */
-  private def sweepGenerationsBelow(spark: SparkSession, dir: String,
-                                    keepFrom: Int): Unit = {
-    val path = new org.apache.hadoop.fs.Path(dir)
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val entries =
-      try fs.listStatus(path) catch { case _: java.io.IOException => return }
-    entries.iterator.filter(_.isDirectory).foreach { st =>
-      st.getPath.getName match {
-        case relDirPattern(_, genStr) =>
-          val g = if (genStr == null) 0 else genStr.toInt
-          if (g < keepFrom)
-            try fs.delete(st.getPath, true)
-            catch { case _: java.io.IOException => () }
-        case _ => ()
-      }
-    }
-  }
-
-  private def kvOf(spark: SparkSession, dir: String): Map[String, String] = {
-    val (kv, _) = StoredIndex.readKvWithGen(spark, dir)
-    require(kv.get("kind").contains("split_manifest"),
-      s"$dir is not a split-manifest store (kind=${kv.get("kind")})")
-    kv
-  }
-
-  private def specOf(kv: Map[String, String]): Spec =
-    Spec(kv("seed").toLong, decodeFractions(kv("fractions")),
-      splitList(kv("strata_cols")), splitList(kv("key_cols")),
-      Option(kv.getOrElse("group_col", "")).filter(_.nonEmpty),
-      kv.getOrElse("split_col", "split"))
 
   /** The released spec (validates the store's meta pointer). */
-  def readSpec(spark: SparkSession, dir: String): Spec =
-    specOf(kvOf(spark, dir))
+  def readSpec(spark: SparkSession, dir: String): Spec = {
+    val kv = StoredIndex.kvOfKind(spark, dir, "split_manifest")
+    Spec(kv("seed").toLong, StoredIndex.decodeFractions(kv("fractions")),
+      StoredIndex.splitList(kv("strata_cols")),
+      StoredIndex.splitList(kv("key_cols")),
+      Option(kv.getOrElse("group_col", "")).filter(_.nonEmpty),
+      kv.getOrElse("split_col", "split"))
+  }
 
-  /** Resolve the live release's relation path THROUGH the meta's
-    * `rel_gen` + `rel_tag` pointers — the relation a reader sees is
-    * always the exact directory the meta it read describes, never a
-    * half-landed newer write and never a concurrent loser's attempt.
-    * Stores released before the attempt tag existed carry no `rel_tag`
-    * and resolve through the old untagged layout.
+  /** Resolve through the meta's pointers; stores released before the
+    * attempt tag existed carry no `rel_tag` and resolve through the old
+    * untagged layout.
     */
   private def livePath(spark: SparkSession, dir: String,
-                       name: String): String = {
-    val kv = kvOf(spark, dir)
-    val gen = kv.getOrElse("rel_gen", "0").toInt
-    kv.get("rel_tag") match {
-      case Some(tag) if tag.nonEmpty => taggedPath(dir, name, gen, tag)
-      case _ => StoredIndex.relPath(dir, name, gen)
-    }
-  }
+                       name: String): String =
+    StoredIndex.liveTaggedPath(spark, dir, name, "split_manifest",
+      legacyUntagged = true)
 
   /** The per-split manifest relation of the live release. */
   def readManifest(spark: SparkSession, dir: String): DataFrame =

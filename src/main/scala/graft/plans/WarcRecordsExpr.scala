@@ -136,11 +136,50 @@ object WarcRecordsExpr {
   }
 
   /** Next separator-preceded `WARC/` magic at or after `from`, or -1 —
-    * the only resync target the malformed-region branches may use.
+    * the only resync target the DECLARED-PAYLOAD malformed branches
+    * (bad/oversized Content-Length) may use: content inside a record's
+    * own payload region must never fabricate top-level records.
     */
   private def nextBoundaryMagic(b: Array[Byte], from: Int): Int = {
     var i = indexOf(b, Magic, from)
     while (i >= 0 && !isRecordBoundary(b, i)) i = indexOf(b, Magic, i + 1)
+    i
+  }
+
+  /** Does a WARC VERSION LINE start at `i`? `WARC/` followed by a
+    * non-empty run of digits/dots up to a completed line ending. This is
+    * what a real record header starts with; a coincidental `WARC/`
+    * inside garbage bytes (a URI path like `/WARC/1.0/foo`, prose) fails
+    * the all-digits-and-dots check.
+    */
+  private def isVersionLineAt(b: Array[Byte], i: Int): Boolean = {
+    if (!matchesAt(b, Magic, i)) return false
+    val vs = i + Magic.length
+    val e = lineEnd(b, vs)
+    if (e >= b.length && (e == 0 || b(e - 1) != '\n')) return false // no line end
+    val ce = lineContentEnd(b, vs, e)
+    if (ce <= vs) return false
+    var j = vs
+    while (j < ce) {
+      val c = b(j)
+      if (!((c >= '0' && c <= '9') || c == '.')) return false
+      j += 1
+    }
+    true
+  }
+
+  /** Resync target for the GARBAGE branch (no magic at a record
+    * boundary): the framing is already lost, so recovery outranks the
+    * in-payload fabrication concern — accept a magic that is EITHER
+    * separator-preceded OR starts a validating version line. Without the
+    * version-line fallback, a 3-byte junk prefix abutting the first
+    * record (no CRLF CRLF between them — broken concatenators do this)
+    * swallowed EVERY record of the member into one quarantine row.
+    */
+  private def nextGarbageResync(b: Array[Byte], from: Int): Int = {
+    var i = indexOf(b, Magic, from)
+    while (i >= 0 && !(isRecordBoundary(b, i) || isVersionLineAt(b, i)))
+      i = indexOf(b, Magic, i + 1)
     i
   }
 
@@ -283,9 +322,9 @@ object WarcRecordsExpr {
     while (pos < n) {
       val recStart = pos
       if (!matchesAt(b, Magic, pos)) {
-        // no magic at the boundary: quarantine up to the next
-        // separator-preceded magic
-        val next = nextBoundaryMagic(b, pos + 1)
+        // no magic at the boundary: quarantine up to the next plausible
+        // record start (separator-preceded, or a validating version line)
+        val next = nextGarbageResync(b, pos + 1)
         val end = if (next < 0) n else next
         out += row(recStart.toLong, null, null, null, null, null,
           java.util.Arrays.copyOfRange(b, recStart, end),

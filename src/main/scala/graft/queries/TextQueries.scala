@@ -2239,6 +2239,12 @@ object TextQueries {
       .withColumn("domain",
         UrlFunctions.registeredDomain(UrlFunctions.hostOf(col("url")),
           pslSubset))
+      // decode the container ONCE: the robots relation (distinct
+      // domains) and the gated main chain both consume this relation,
+      // and without the boundary the WARC parse + domain HOF ran twice
+      // (t51's lesson; at real scale the decoded-record relation is a
+      // persisted stage boundary anyway)
+      .localCheckpoint(true)
     // stage −1.75: the protocol gate, before any payload work
     val robotsDf = recs.select("domain").where(col("domain").isNotNull)
       .distinct()

@@ -56,6 +56,103 @@ object StoredIndex {
   def relPath(dir: String, name: String, epoch: Int): String =
     if (epoch == 0) s"$dir/$name" else s"$dir/${name}_e$epoch"
 
+  // ------------------------------------------------------------------
+  // Shared helpers for the TAGGED-relation clients ([[graft.operators
+  // .SplitManifest]], [[graft.operators.Release]]): relations land under
+  // generation- AND attempt-tagged directories (`name_e{G}_w{tag}`)
+  // BEFORE the CAS meta publish points at them through `rel_gen`/
+  // `rel_tag` keys. One implementation — the round-18 SplitManifest
+  // hardening (racer-clobber, half-landed writes) must not be
+  // re-maintained per client.
+  // ------------------------------------------------------------------
+
+  /** `name_e{G}_w{tag}` relation directory of one release attempt. */
+  def taggedRelPath(dir: String, name: String, gen: Int,
+                    tag: String): String =
+    s"$dir/${name}_e${gen}_w$tag"
+
+  /** Current meta generation, or -1 on an uninitialized store —
+    * the value a first release passes as `expectedGen`.
+    */
+  def currentGeneration(spark: SparkSession, dir: String): Int =
+    try readKvWithGen(spark, dir)._2
+    catch { case _: IllegalArgumentException => -1 }
+
+  /** The live meta's kv, refusing a store of a different `kind` —
+    * clients must never resolve relations through some OTHER client's
+    * pointer layout.
+    */
+  def kvOfKind(spark: SparkSession, dir: String,
+               kind: String): Map[String, String] = {
+    val (kv, _) = readKvWithGen(spark, dir)
+    require(kv.get("kind").contains(kind),
+      s"$dir is not a $kind store (kind=${kv.get("kind")})")
+    kv
+  }
+
+  /** Resolve the live release's relation THROUGH the meta's `rel_gen` +
+    * `rel_tag` pointers — never a half-landed newer write, never a
+    * concurrent loser's attempt. `legacyUntagged = true` lets pre-tag
+    * stores (no `rel_tag` key) resolve through the old epoch layout.
+    */
+  def liveTaggedPath(spark: SparkSession, dir: String, name: String,
+                     kind: String, legacyUntagged: Boolean): String = {
+    val kv = kvOfKind(spark, dir, kind)
+    val gen = kv.getOrElse("rel_gen", "0").toInt
+    kv.get("rel_tag") match {
+      case Some(tag) if tag.nonEmpty => taggedRelPath(dir, name, gen, tag)
+      case _ if legacyUntagged => relPath(dir, name, gen)
+      case _ => taggedRelPath(dir, name, gen, kv("rel_tag")) // fail loudly
+    }
+  }
+
+  /** Sweep every listed relation directory of a generation below
+    * `keepFrom` — tagged or (when `legacyUntagged`) untagged, published
+    * or orphaned: a loser/crashed attempt's generation is ≤ the live
+    * one, so it ages out the same way. The live and just-superseded
+    * generations never match (the one-cycle grace window).
+    */
+  def sweepTaggedBelow(spark: SparkSession, dir: String,
+                       names: Seq[String], keepFrom: Int,
+                       legacyUntagged: Boolean): Unit = {
+    val alts = names.mkString("|")
+    val pattern =
+      if (legacyUntagged) s"($alts)(?:_e(\\d+)(?:_w[0-9a-f]+)?)?".r
+      else s"($alts)_e(\\d+)_w[0-9a-f]+".r
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val entries =
+      try fs.listStatus(path) catch { case _: java.io.IOException => return }
+    entries.iterator.filter(_.isDirectory).foreach { st =>
+      st.getPath.getName match {
+        case pattern(_, genStr) =>
+          val g = if (genStr == null) 0 else genStr.toInt
+          if (g < keepFrom)
+            try fs.delete(st.getPath, true)
+            catch { case _: java.io.IOException => () }
+        case _ => ()
+      }
+    }
+  }
+
+  /** kv codec for a (name, fraction) list — shared by the release specs
+    * so both clients round-trip identically. Values keep everything
+    * after the LAST ':' as the fraction (names may contain ':').
+    */
+  def encodeFractions(fr: Seq[(String, Double)]): String =
+    fr.map { case (n, f) => s"$n:$f" }.mkString(",")
+
+  def decodeFractions(s: String): Seq[(String, Double)] =
+    if (s.isEmpty) Nil
+    else s.split(",", -1).toSeq.map { p =>
+      val i = p.lastIndexOf(':')
+      (p.substring(0, i), p.substring(i + 1).toDouble)
+    }
+
+  /** kv codec for a comma-joined column list (empty string = Nil). */
+  def splitList(s: String): Seq[String] =
+    if (s.isEmpty) Nil else s.split(",", -1).toSeq
+
   private val metaGenPattern = "meta_g(\\d+)".r
 
   private def fsFor(spark: SparkSession, dir: String) = {

@@ -325,16 +325,21 @@ class UrlFunctionsSpec extends SparkSpec {
 
   test("robots: pathQueryOf extracts the match target; robotsGate keeps " +
     "allowed rows and passes robots-less domains") {
-    val t = Seq("https://Ex.org/A/b?q=1&r=2#frag", "http://ex.org", "junk")
+    val t = Seq("https://Ex.org/A/b?q=1&r=2#frag", "http://ex.org", "junk",
+      "https://a.com/p?") // bare trailing ? = empty query, drops (the
+      // same normalization the external replay computes)
       .toDF("url")
       .select(UrlFunctions.pathQueryOf(col("url"))).as[String].collect()
-    assert(t.toSeq == Seq("/A/b?q=1&r=2", "/", "/"))
+    assert(t.toSeq == Seq("/A/b?q=1&r=2", "/", "/", "/p"))
     val docs = Seq(
       (1L, "https://a.com/keep/1", "a.com"),
       (2L, "https://a.com/private/2", "a.com"),
       (3L, "https://a.com/private/pub", "a.com"),
       (4L, "https://norobots.net/x", "norobots.net"),
-      (5L, "junk", null)).toDF("id", "url", "domain")
+      (5L, "junk", null),
+      // a NULL url under a domain that HAS rules: the permissive gate
+      // must PASS it (SQL three-valued logic silently dropped it before)
+      (6L, null, "a.com")).toDF("id", "url", "domain")
     val robots = Seq(
       ("a.com",
         "user-agent: graftbot\ndisallow: /private/\nallow: /private/pub\n" +
@@ -344,7 +349,7 @@ class UrlFunctionsSpec extends SparkSpec {
         "graftbot")
       .select("id").as[Long].collect().sorted.toSeq
     // 1 allowed (no match), 2 disallowed, 3 allowed (longer allow),
-    // 4 no robots → pass, 5 null domain → pass
-    assert(kept == Seq(1L, 3L, 4L, 5L))
+    // 4 no robots → pass, 5 null domain → pass, 6 null url → pass
+    assert(kept == Seq(1L, 3L, 4L, 5L, 6L))
   }
 }

@@ -264,6 +264,45 @@ class WarcSpec extends SparkSpec {
     assert(bad.head._2 == badMember.length.toLong)
   }
 
+  test("a junk prefix ABUTTING the first record (no separator) quarantines " +
+    "alone — the version-line fallback keeps every record recoverable") {
+    // regression on the separator-preceded resync: without the fallback a
+    // 3-byte prefix written by a broken concatenator swallowed EVERY
+    // record of the member into one quarantine row
+    val dir = tmp()
+    val bytes = ("XYZ" + // junk glued straight onto the magic
+      record("https://a/1", "2026-01-01T00:00:00Z", "<p>one</p>") +
+      record("https://a/2", "2026-01-02T00:00:00Z", "<p>two</p>"))
+      .getBytes("UTF-8")
+    writeBytes(dir, "m.warc", bytes)
+    val all = WarcSource.read(spark, dir).orderBy("offset")
+    val bad = WarcSource.quarantined(all)
+      .select(decode(col("body"), "UTF-8")).as[String].collect()
+    assert(bad.toSeq == Seq("XYZ"))
+    assert(WarcSource.good(all).select("target_uri").as[String]
+      .collect().toSeq == Seq("https://a/1", "https://a/2"))
+  }
+
+  test("a bare WARC/ inside garbage (URI path, prose) is NOT a resync " +
+    "target — only a validating version line or a separator-preceded " +
+    "magic recovers") {
+    val dir = tmp()
+    val garbage = "see https://archive.example/WARC/1.0/foo for details "
+    val bytes = (garbage +
+      record("https://a/2", "2026-01-02T00:00:00Z", "<p>after</p>"))
+      .getBytes("UTF-8")
+    writeBytes(dir, "m.warc", bytes)
+    val all = WarcSource.read(spark, dir).orderBy("offset")
+    val bad = WarcSource.quarantined(all)
+      .select(decode(col("body"), "UTF-8")).as[String].collect()
+    // the URI's WARC/1.0/foo is rejected (version line has a '/'), so
+    // the WHOLE garbage run lands in one quarantine row and the real
+    // record behind it still parses
+    assert(bad.length == 1 && bad.head == garbage)
+    assert(WarcSource.good(all).select("target_uri").as[String]
+      .collect().toSeq == Seq("https://a/2"))
+  }
+
   test("a truncated tail record whose body embeds WARC content quarantines " +
     "to EOF instead of fabricating top-level records from the embedding") {
     // re-archived WARCs inside HTTP bodies are real in web crawls: the
@@ -347,6 +386,26 @@ class WarcSpec extends SparkSpec {
       .select(col("target_uri"), col("fetch_ts"), col("text"))
       .as[(String, String, String)].collect().toSet
     assert(back == docs.as[(String, String, String)].collect().toSet)
+  }
+
+  test("conversionRecordString is byte-identical to the distributed " +
+    "renderer and parses back as the same conversion record") {
+    val (uri, ts, text) = ("https://ex.org/twin", "2026-08-03T00:00:00Z",
+      "twin ünïcode € text")
+    val dir = tmp()
+    // hand fixture through the STRING twin...
+    writeBytes(dir, "m.warc",
+      WarcSource.conversionRecordString(uri, ts, text).getBytes("UTF-8"))
+    val got = WarcSource.readWet(spark, dir)
+      .select("target_uri", "fetch_ts", "text")
+      .as[(String, String, String)].collect()
+    assert(got.toSeq == Seq((uri, ts, text)))
+    // ...and the Column renderer emits the IDENTICAL bytes (the twin
+    // must never drift from the distributed layout)
+    val rendered = Seq((uri, ts, text)).toDF("u", "t", "x")
+      .select(WarcSource.conversionRecord(col("u"), col("t"), col("x")))
+      .as[String].head()
+    assert(rendered == WarcSource.conversionRecordString(uri, ts, text))
   }
 
   test("a WET conversion record whose TEXT embeds WARC content round-trips " +

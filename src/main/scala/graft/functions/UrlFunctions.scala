@@ -208,6 +208,25 @@ object UrlFunctions {
   def robotsRules(txt: Column, agent: Column): Column =
     graft.plans.RobotsRulesExpr.robotsRules(txt, agent)
 
+  /** The `Sitemap:` records of a robots.txt body (RFC 9309 §2.3's
+    * non-group line — how a crawler DISCOVERS a site's URL inventory,
+    * the natural companion of the allow/disallow gate): per line, strip
+    * the `#` comment, match the case-insensitive `sitemap:` key, return
+    * the whitespace-trimmed value. Pure column algebra (split + HOFs +
+    * RE2-safe regexes), so an external engine replays the extraction
+    * verbatim — no custom expression needed.
+    */
+  def robotsSitemaps(txt: Column): Column =
+    filter(
+      transform(split(txt, "\n"), l => {
+        val noComment = regexp_replace(l, "#.*$", "")
+        when(noComment.rlike("(?i)^\\s*sitemap\\s*:"),
+          regexp_replace(
+            regexp_replace(noComment, "(?i)^\\s*sitemap\\s*:\\s*", ""),
+            "\\s+$", ""))
+      }),
+      v => v.isNotNull && v =!= "")
+
   /** Full §2.2.2 decision over a parsed rule array:
     * `struct<allowed boolean, pattern string>` — longest match wins,
     * ties to allow, no match → allowed with null pattern.

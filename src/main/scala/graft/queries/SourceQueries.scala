@@ -777,6 +777,22 @@ object SourceQueries {
     * through the extraction mirror, so the round trip hash-matches the
     * text itself, byte for byte.
     */
+  /** The staged WET tree (the t47 extraction written as conversion
+    * records) — shared by src24's round-trip gate and q77's
+    * restart-point analytics, so both read the SAME artifact.
+    */
+  private[queries] def wetStagingRoot(s: SparkSession, dir: String): String =
+    DedupQueries.DedupStaging.ensure("src24", dir) { r =>
+      import graft.functions.HtmlFunctions
+      import graft.sources.WarcSource
+      val wet = Tables.documents(s, dir)
+        .select(TextQueries.urlFixture.as("uri"),
+          lit("2026-08-03T00:00:00Z").as("ts"),
+          HtmlFunctions.mainContent(TextQueries.htmlFixture).as("text"))
+      WarcSource.writeWet(wet.repartition(8), "uri", "ts", "text",
+        s"$r/wet")
+    } + "/wet"
+
   val src24_wet_roundtrip = q("src24_wet_roundtrip", Some(
     s"""WITH h AS (SELECT doc_id, ${TextQueries.htmlFixtureSql} AS html
        |           FROM documents),
@@ -789,17 +805,7 @@ object SourceQueries {
        |SELECT trim(${TextQueries.urlFixtureSql}) AS target_uri,
        |  '2026-08-03T00:00:00Z' AS fetch_ts, m.text
        |FROM m JOIN documents USING (doc_id)""".stripMargin)) { (s, dir) =>
-    import graft.functions.HtmlFunctions
-    import graft.sources.WarcSource
-    val root = DedupQueries.DedupStaging.ensure("src24", dir) { r =>
-      val wet = Tables.documents(s, dir)
-        .select(TextQueries.urlFixture.as("uri"),
-          lit("2026-08-03T00:00:00Z").as("ts"),
-          HtmlFunctions.mainContent(TextQueries.htmlFixture).as("text"))
-      WarcSource.writeWet(wet.repartition(8), "uri", "ts", "text",
-        s"$r/wet")
-    }
-    WarcSource.readWet(s, s"$root/wet")
+    graft.sources.WarcSource.readWet(s, wetStagingRoot(s, dir))
       .select("target_uri", "fetch_ts", "text")
   }
 

@@ -2032,6 +2032,8 @@ object TextQueries {
     """User-agent: *
       |Disallow: /post/*4$
       |Disallow: /post/*8$
+      |Sitemap: https://pages.example/sitemap-index.xml   # discovery
+      |sitemap: https://pages.example/sitemap-posts.xml
       |""".stripMargin
 
   /** The per-domain robots.txt of the fixture (null = the domain serves
@@ -2162,6 +2164,98 @@ object TextQueries {
             lit(null).cast("string").as("pattern"))).as("d"))
       .select(col("doc_id"), col("domain"), col("target"),
         col("d.allowed").as("allowed"), col("d.pattern").as("matched_pattern"))
+  }
+
+  // ---------------------------------------------------------------- t53
+  /** SITEMAP DISCOVERY ([[graft.functions.UrlFunctions.robotsSitemaps]],
+    * RFC 9309 §2.3): the non-group `Sitemap:` records of each domain's
+    * robots.txt — comment-stripped, key case-insensitive, value
+    * whitespace-trimmed. The extraction is pure column algebra, so the
+    * oracle replays it from the SAME robots.txt literals (rendered into
+    * the SQL line by line) with its own split + regex pipeline — unlike
+    * t51, no hand-derived table stands in: text in, records out, both
+    * engines end to end.
+    */
+  val t53_robots_sitemaps = {
+    def sqlLit(text: String): String =
+      text.split("\n", -1).map(l => s"'${l.replace("'", "''")}'")
+        .mkString(" || chr(10) || ")
+    q("t53_robots_sitemaps",
+      s"""WITH $urlSqlCtes,
+         |$domainSqlCtes,
+         |doms AS (SELECT DISTINCT domain FROM dd WHERE domain IS NOT NULL),
+         |rt AS (SELECT domain,
+         |    CASE WHEN domain = 'example.com' THEN ${sqlLit(robotsTxtExampleCom)}
+         |         WHEN domain = 'example.co.uk' THEN ${sqlLit(robotsTxtExampleCoUk)}
+         |         WHEN domain LIKE '%.github.io' THEN ${sqlLit(robotsTxtGithubIo)}
+         |    END AS txt FROM doms),
+         |lines AS (SELECT domain,
+         |    regexp_replace(l, '#.*$$', '') AS nc
+         |  FROM rt, unnest(string_split(txt, chr(10))) AS t(l)
+         |  WHERE txt IS NOT NULL)
+         |SELECT domain,
+         |  regexp_replace(regexp_replace(nc,
+         |    '(?i)^\\s*sitemap\\s*:\\s*', ''), '\\s+$$', '') AS sitemap_url
+         |FROM lines
+         |WHERE regexp_matches(nc, '(?i)^\\s*sitemap\\s*:')
+         |  AND regexp_replace(regexp_replace(nc,
+         |    '(?i)^\\s*sitemap\\s*:\\s*', ''), '\\s+$$', '') <> ''"""
+        .stripMargin) { (s, dir) =>
+      import graft.functions.UrlFunctions
+      Tables.documents(s, dir)
+        .select(UrlFunctions.registeredDomain(
+          UrlFunctions.hostOf(urlFixture), pslSubset).as("domain"))
+        .where(col("domain").isNotNull).distinct()
+        .withColumn("robots_txt", robotsTxtFor(col("domain")))
+        .where(col("robots_txt").isNotNull)
+        .select(col("domain"),
+          explode(UrlFunctions.robotsSitemaps(col("robots_txt")))
+            .as("sitemap_url"))
+    }
+  }
+
+  // ---------------------------------------------------------------- q77
+  /** RESTART FROM WET: the per-domain corpus statistics a curation run
+    * computes when it starts from the PRE-EXTRACTED interchange instead
+    * of raw WARC — the engine reads ONLY the conversion-record tree
+    * src24 staged (the t47 extraction written as WET), gates on the
+    * q72 word-count signal, and aggregates by registered domain; the
+    * oracle re-derives the identical statistics from the documents
+    * table through the extraction + URL mirrors. This is the claim
+    * behind writeWet made executable: the WET artifact carries enough
+    * to resume the pipeline, and both engines agree on what it carries.
+    */
+  val q77_wet_corpus_stats = q("q77_wet_corpus_stats",
+    s"""WITH $urlSqlCtes,
+       |$domainSqlCtes,
+       |h AS (SELECT doc_id, $htmlFixtureSql AS html FROM documents),
+       |b AS (SELECT doc_id, $duckBlocksSql AS bs FROM h),
+       |m AS (SELECT doc_id,
+       |    coalesce(array_to_string(list_transform(
+       |      list_filter(bs, b -> $duckKeptPred), b -> ${duckVis("b")}), ' '),
+       |      '') AS main_text
+       |  FROM b),
+       |g AS (SELECT doc_id,
+       |    CASE WHEN length(main_text) = 0 THEN 0
+       |         ELSE len(string_split(main_text, ' ')) END AS n_words
+       |  FROM m
+       |  WHERE CASE WHEN length(main_text) = 0 THEN 0
+       |             ELSE len(string_split(main_text, ' ')) END >= 20)
+       |SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(n_words) AS BIGINT) AS sum_words
+       |FROM g JOIN dd USING (doc_id)
+       |GROUP BY domain""".stripMargin) { (s, dir) =>
+    import graft.functions.{TextFunctions, UrlFunctions}
+    graft.sources.WarcSource.readWet(s,
+        SourceQueries.wetStagingRoot(s, dir))
+      .select(col("target_uri").as("url"),
+        TextFunctions.wordCount(col("text")).cast("long").as("n_words"))
+      .filter(col("n_words") >= 20)
+      .select(UrlFunctions.registeredDomain(UrlFunctions.hostOf(col("url")),
+          pslSubset).as("domain"),
+        col("n_words"))
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_docs"), sum("n_words").as("sum_words"))
   }
 
   // ---------------------------------------------------------------- q76
@@ -2709,7 +2803,8 @@ object TextQueries {
     q71_web_curation, t45_train_val_test,
     t47_html_extract, q72_web_curation_html, t49_robots_filter,
     q73_corpus_datacard, q74_warc_to_corpus, q75_datacard_lengths,
-    t51_robots_txt_gate, q76_warc_robots_chain,
+    t51_robots_txt_gate, q76_warc_robots_chain, t53_robots_sitemaps,
+    q77_wet_corpus_stats,
     t01_token_stats, t02_quality_score, t03_lang_id, t04_fingerprint,
     t05_rolling_hash, t06_redact, t07_tfidf_top_terms, t08_curation_pipeline,
     t09_repetition, t10_mixture_resample, t11_boilerplate_ngrams,

@@ -323,6 +323,19 @@ class UrlFunctionsSpec extends SparkSpec {
     assert(decide(cased, "bot", "/casestudy")._1)
   }
 
+  test("robotsSitemaps: case-insensitive key, comment strip, trim, " +
+    "non-sitemap and empty-value lines contribute nothing") {
+    val txt = "User-agent: *\nDisallow: /x\n" +
+      "Sitemap: https://a/s1.xml   # discovery\n" +
+      "SITEMAP:https://a/s2.xml\r\n" + // CRLF line: \r trims off
+      "sitemap:\n" +                    // empty value drops
+      "# sitemap: https://a/commented.xml\n" +
+      "sitemapx: https://a/not-a-key.xml\n"
+    val got = Seq(txt).toDF("t")
+      .select(UrlFunctions.robotsSitemaps(col("t"))).as[Seq[String]].head()
+    assert(got == Seq("https://a/s1.xml", "https://a/s2.xml"))
+  }
+
   test("robots: pathQueryOf extracts the match target; robotsGate keeps " +
     "allowed rows and passes robots-less domains") {
     val t = Seq("https://Ex.org/A/b?q=1&r=2#frag", "http://ex.org", "junk",

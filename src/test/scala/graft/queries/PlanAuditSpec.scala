@@ -651,6 +651,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(stale.isEmpty, s"stale allow-list entries: $stale")
   }
 
+  test("release: a one-shard read prunes to that shard's partition " +
+    "directories (a trainer streams one shard without touching the rest)") {
+    val store = java.nio.file.Files.createTempDirectory("relplan").toString +
+      "/store"
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val corpus = spark.range(50).select(col("id"), lit("en").as("g"),
+      (col("id") % 5 * 10).as("n_tok"))
+    graft.operators.Release.publish(corpus, store, graft.operators.Release
+      .Spec(1L, Seq(("train", 1.0)), Seq("g"), Seq("id"), "n_tok", 100L))
+    val one = graft.operators.Release.readCorpus(spark, store)
+      .filter(col("split") === "train" && col("shard") === 0)
+    val p = one.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters:") &&
+      (p.contains("isnotnull(shard") || p.contains("(shard#")), p)
+    assert(one.count() > 0)
+  }
+
   test("t51: the robots rules join is ONE broadcast hash join, never " +
     "sort-merge — the per-domain rule relation must broadcast into the " +
     "corpus scan, not shuffle the corpus by domain") {

@@ -2202,10 +2202,22 @@ object TextQueries {
          |    '(?i)^\\s*sitemap\\s*:\\s*', ''), '\\s+$$', '') <> ''"""
         .stripMargin) { (s, dir) =>
       import graft.functions.UrlFunctions
+      // project host FIRST: nesting the url fixture directly inside
+      // registeredDomain's aggregate lambda inlines the whole fixture
+      // expression at every lambda reference (Catalyst collapses cheap
+      // projections) — a 10x interpreted-tree blowup t35 avoids with
+      // exactly this two-step shape
       Tables.documents(s, dir)
-        .select(UrlFunctions.registeredDomain(
-          UrlFunctions.hostOf(urlFixture), pslSubset).as("domain"))
-        .where(col("domain").isNotNull).distinct()
+        .select(UrlFunctions.hostOf(urlFixture).as("host"))
+        .select(UrlFunctions.registeredDomain(col("host"), pslSubset)
+          .as("domain"))
+        // sever the plan after the distinct: every downstream filter
+        // (null domain, has-robots) would otherwise push BELOW the
+        // aggregate and re-evaluate the interpreted domain HOF over the
+        // whole corpus once per predicate — the checkpoint pins the
+        // ~#domains-row relation instead (t51's lesson, second verse)
+        .distinct().localCheckpoint(true)
+        .where(col("domain").isNotNull)
         .withColumn("robots_txt", robotsTxtFor(col("domain")))
         .where(col("robots_txt").isNotNull)
         .select(col("domain"),

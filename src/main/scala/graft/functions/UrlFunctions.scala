@@ -251,6 +251,11 @@ object UrlFunctions {
     */
   def robotsGate(df: DataFrame, urlCol: String, domainCol: String,
                  robotsDf: DataFrame, agent: String): DataFrame = {
+    // the internal join column must not clobber caller data (the same
+    // added-columns contract Release.publish enforces on split/shard)
+    require(!df.columns.contains("__rules"),
+      "input already carries a '__rules' column, which robotsGate uses " +
+        "internally and would silently drop — rename it first")
     val rules = robotsDf.select(col("domain").as(domainCol),
       robotsRules(col("robots_txt"), lit(agent)).as("__rules"))
     // coalesce(…, true): the gate is PERMISSIVE by contract — a null URL

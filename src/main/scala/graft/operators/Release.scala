@@ -104,9 +104,14 @@ object Release {
         split, Seq(spec.splitCol), draw +: spec.keyCols.map(col),
         col(spec.tokensCol).cast("long"), "__cum")
       try {
+        // INTEGER division on longs (`div`), not double `/`: floor of a
+        // double quotient loses exactness once a split's cumulative token
+        // count exceeds 2^53 — at 100 TB that misassigns shard boundaries
+        // (round-19 ADVICE). The prefix sum is non-negative (tokens are
+        // non-negative by contract), so div == floor.
         val sharded = cum.withColumn("shard",
-          floor((col("__cum") - col(spec.tokensCol).cast("long"))
-            / spec.shardTokens).cast("int"))
+          expr(s"CAST((__cum - CAST(`${spec.tokensCol}` AS BIGINT)) " +
+            s"div ${spec.shardTokens} AS INT)"))
           .drop("__cum")
         // 3. the corpus-sized action: shard-partitioned write
         sharded.write.mode("overwrite")

@@ -247,10 +247,31 @@ object RobotsMatchExpr {
     i == pat.length
   }
 
+  /** Code-point comparison of two strings (= UTF-8 byte order, the
+    * binary collation the external replay sorts by). Java's
+    * String.compareTo orders by UTF-16 unit, which ranks supplementary
+    * characters BELOW BMP chars ≥ U+E000 — a divergence the ASCII
+    * fixtures never see but a non-BMP rule pattern would (round-19
+    * ADVICE).
+    */
+  private[plans] def codePointCompare(a: String, b: String): Int = {
+    var i = 0
+    var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = a.codePointAt(i)
+      val cb = b.codePointAt(j)
+      if (ca != cb) return Integer.compare(ca, cb)
+      i += Character.charCount(ca)
+      j += Character.charCount(cb)
+    }
+    Integer.compare(a.length - i, b.length - j)
+  }
+
   def compute(rules: ArrayData, targetU: UTF8String): GenericInternalRow = {
     val s = targetU.toString
     val n = rules.numElements()
     var bestPat: String = null
+    var bestLen = -1
     var bestAllow = true
     var i = 0
     while (i < n) {
@@ -258,14 +279,19 @@ object RobotsMatchExpr {
       val p = row.getUTF8String(0).toString
       val allow = row.getBoolean(1)
       if (ruleMatches(p, s)) {
-        // longest pattern wins; tie → allow; tie → lexicographically
-        // least pattern (determinism for the external replay)
+        // longest pattern wins (length in CODE POINTS — the unit the
+        // external replay's length() measures; RFC 9309 says octets,
+        // which agrees on ASCII rules and is a documented deliberate
+        // deviation off it); tie → allow; tie → code-point-least
+        // pattern (determinism for the external replay, whose binary
+        // collation IS code-point order)
+        val pLen = p.codePointCount(0, p.length)
         val better =
           if (bestPat == null) true
-          else if (p.length != bestPat.length) p.length > bestPat.length
+          else if (pLen != bestLen) pLen > bestLen
           else if (allow != bestAllow) allow
-          else p.compareTo(bestPat) < 0
-        if (better) { bestPat = p; bestAllow = allow }
+          else codePointCompare(p, bestPat) < 0
+        if (better) { bestPat = p; bestLen = pLen; bestAllow = allow }
       }
       i += 1
     }

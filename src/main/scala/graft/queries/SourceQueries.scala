@@ -733,7 +733,7 @@ object SourceQueries {
        |      ROWS UNBOUNDED PRECEDING) - n_tok AS p
        |  FROM sp),
        |sh AS (SELECT split,
-       |    CAST(floor(CAST(p AS DOUBLE) / 2000.0) AS INT) AS shard, n_tok
+       |    CAST(p // 2000 AS INT) AS shard, n_tok
        |  FROM cum),
        |m AS (SELECT split, shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
        |    CAST(SUM(n_tok) AS BIGINT) AS n_tokens FROM sh GROUP BY 1, 2)

@@ -102,7 +102,13 @@ object StoredIndex {
     kv.get("rel_tag") match {
       case Some(tag) if tag.nonEmpty => taggedRelPath(dir, name, gen, tag)
       case _ if legacyUntagged => relPath(dir, name, gen)
-      case _ => taggedRelPath(dir, name, gen, kv("rel_tag")) // fail loudly
+      case other =>
+        // fail HERE, loudly: building a path with a missing/empty tag
+        // would defer the failure to a confusing not-found at read time
+        throw new IllegalStateException(
+          s"store at $dir has ${if (other.isEmpty) "no" else "an empty"} " +
+          s"rel_tag in its meta but legacyUntagged=false — the live " +
+          s"'$name' relation cannot be resolved (corrupt or pre-tag meta?)")
     }
   }
 

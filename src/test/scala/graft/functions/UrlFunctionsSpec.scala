@@ -336,6 +336,32 @@ class UrlFunctionsSpec extends SparkSpec {
     assert(got == Seq("https://a/s1.xml", "https://a/s2.xml"))
   }
 
+  test("robots: specificity is measured in CODE POINTS and ties break by " +
+    "code-point order (non-BMP patterns)") {
+    // A = U+E000 (1 UTF-16 unit), B = U+10000 (a surrogate pair, 2 UTF-16
+    // units). Both patterns are 2 code points; UTF-16 ranks B's length
+    // higher AND its first surrogate (0xD800) below 0xE000 — either
+    // mistake makes B win. Code points: equal length, tie to the
+    // code-point-least pattern = A (0xE000 < 0x10000), matching the
+    // external replay's length() + binary collation.
+    val a = "*"
+    val b = "*𐀀"
+    val txt = s"user-agent: *\ndisallow: $a\ndisallow: $b\n"
+    val target = "/𐀀"
+    assert(decide(txt, "bot", target) == ((false, Some(a))))
+  }
+
+  test("robotsGate refuses an input that already carries '__rules'") {
+    val docs = Seq((1L, "https://a.com/x", "a.com", "boom"))
+      .toDF("id", "url", "domain", "__rules")
+    val robots = Seq(("a.com", "user-agent: *\ndisallow: /\n"))
+      .toDF("domain", "robots_txt")
+    val e = intercept[IllegalArgumentException] {
+      UrlFunctions.robotsGate(docs, "url", "domain", robots, "graftbot")
+    }
+    assert(e.getMessage.contains("__rules"))
+  }
+
   test("robots: pathQueryOf extracts the match target; robotsGate keeps " +
     "allowed rows and passes robots-less domains") {
     val t = Seq("https://Ex.org/A/b?q=1&r=2#frag", "http://ex.org", "junk",

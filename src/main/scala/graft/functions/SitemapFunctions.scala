@@ -1,0 +1,65 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Sitemap XML ingestion (sitemaps.org protocol, the document family
+  * robots.txt `Sitemap:` records point at — the discovery half is
+  * [[UrlFunctions.robotsSitemaps]] / t53): `<urlset>` documents carry
+  * `<url>` entries, `<sitemapindex>` documents carry `<sitemap>`
+  * pointers at child sitemaps, and each entry's payload is a `<loc>`
+  * (required) plus optional `<lastmod>` (W3C datetime). Reference
+  * analogue: none — this is the crawl-chain extension surface; the
+  * protocol is the published one at sitemaps.org/protocol.html.
+  *
+  * DEPTH CONTRACT (executable, not aspirational): the protocol forbids
+  * an index from listing another index ("Sitemap index files may not
+  * list other Sitemap index files"), so ingestion expands EXACTLY one
+  * index level — a child that is itself an index yields no `<url>`
+  * blocks and contributes nothing, which also makes a self-referencing
+  * index a no-op instead of a recursion bomb.
+  *
+  * Everything here is pure column regex algebra — RE2-safe patterns
+  * (non-greedy, `(?s)`, no backrefs), so the extraction runs codegen'd
+  * in the scan stage at 100 TB and an external engine (the DuckDB
+  * oracle) replays it byte-for-byte. A full XML parser is deliberately
+  * NOT the tool: sitemap entries are a flat element list with no
+  * attribute/namespace semantics to honor, and the regex form keeps the
+  * whole decode on the oracle-replayable column path.
+  */
+object SitemapFunctions {
+
+  /** Inner text of every `<tag>...</tag>` block, document order. */
+  def blocks(xml: Column, tag: String): Column =
+    regexp_extract_all(xml, lit(s"(?s)<$tag>(.*?)</$tag>"), lit(1))
+
+  /** The `<url>` entry blocks of a urlset document (empty array for an
+    * index — the depth contract's mechanism).
+    */
+  def urlBlocks(xml: Column): Column = blocks(xml, "url")
+
+  /** The `<sitemap>` child-pointer blocks of an index document. */
+  def indexBlocks(xml: Column): Column = blocks(xml, "sitemap")
+
+  /** The whitespace-trimmed `<loc>` of one entry block ("" when absent —
+    * a loc-less entry is invalid per the protocol and filters out).
+    */
+  def locOf(block: Column): Column =
+    regexp_extract(block, "(?s)<loc>\\s*(.*?)\\s*</loc>", 1)
+
+  /** The trimmed `<lastmod>` of one entry block; null when absent or
+    * empty (the element is optional).
+    */
+  def lastmodOf(block: Column): Column = {
+    val m = regexp_extract(block, "(?s)<lastmod>\\s*(.*?)\\s*</lastmod>", 1)
+    when(m =!= "", m)
+  }
+
+  /** Freshness against a crawl date: true iff a lastmod exists and its
+    * DATE PREFIX (first 10 chars — W3C datetime opens with YYYY-MM-DD in
+    * every allowed form) sorts before `crawlDate` (a 'YYYY-MM-DD'
+    * literal). No lastmod → false (unknown is not stale).
+    */
+  def staleBefore(lastmod: Column, crawlDate: String): Column =
+    coalesce(substring(lastmod, 1, 10) < crawlDate, lit(false))
+}

@@ -2176,54 +2176,241 @@ object TextQueries {
     * t51, no hand-derived table stands in: text in, records out, both
     * engines end to end.
     */
-  val t53_robots_sitemaps = {
-    def sqlLit(text: String): String =
-      text.split("\n", -1).map(l => s"'${l.replace("'", "''")}'")
-        .mkString(" || chr(10) || ")
+  /** A multi-line text as a DuckDB string literal expression. */
+  private def sqlLit(text: String): String =
+    text.split("\n", -1).map(l => s"'${l.replace("'", "''")}'")
+      .mkString(" || chr(10) || ")
+
+  /** Shared SQL mirror of the discovery relation (CTE `sm(domain,
+    * sitemap_url)`): the robots fixture's non-group `Sitemap:` records,
+    * replayed line by line from the SAME literals — t53 gates it
+    * directly, t54 composes the XML ingestion on top.
+    */
+  private def sitemapSqlCtes: String =
+    s"""doms AS (SELECT DISTINCT domain FROM dd WHERE domain IS NOT NULL),
+       |rt AS (SELECT domain,
+       |    CASE WHEN domain = 'example.com' THEN ${sqlLit(robotsTxtExampleCom)}
+       |         WHEN domain = 'example.co.uk' THEN ${sqlLit(robotsTxtExampleCoUk)}
+       |         WHEN domain LIKE '%.github.io' THEN ${sqlLit(robotsTxtGithubIo)}
+       |    END AS txt FROM doms),
+       |lines AS (SELECT domain,
+       |    regexp_replace(l, '#.*$$', '') AS nc
+       |  FROM rt, unnest(string_split(txt, chr(10))) AS t(l)
+       |  WHERE txt IS NOT NULL),
+       |sm AS (SELECT domain,
+       |  regexp_replace(regexp_replace(nc,
+       |    '(?i)^\\s*sitemap\\s*:\\s*', ''), '\\s+$$', '') AS sitemap_url
+       |FROM lines
+       |WHERE regexp_matches(nc, '(?i)^\\s*sitemap\\s*:')
+       |  AND regexp_replace(regexp_replace(nc,
+       |    '(?i)^\\s*sitemap\\s*:\\s*', ''), '\\s+$$', '') <> '')""".stripMargin
+
+  /** The engine's (domain, sitemap_url) discovery relation — t53's body,
+    * shared with t54's ingestion.
+    */
+  private def discoveredSitemaps(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.UrlFunctions
+    // project host FIRST: nesting the url fixture directly inside
+    // registeredDomain's aggregate lambda inlines the whole fixture
+    // expression at every lambda reference (Catalyst collapses cheap
+    // projections) — a 10x interpreted-tree blowup t35 avoids with
+    // exactly this two-step shape
+    Tables.documents(s, dir)
+      .select(UrlFunctions.hostOf(urlFixture).as("host"))
+      .select(UrlFunctions.registeredDomain(col("host"), pslSubset)
+        .as("domain"))
+      // sever the plan after the distinct: every downstream filter
+      // (null domain, has-robots) would otherwise push BELOW the
+      // aggregate and re-evaluate the interpreted domain HOF over the
+      // whole corpus once per predicate — the checkpoint pins the
+      // ~#domains-row relation instead (t51's lesson, second verse)
+      .distinct().localCheckpoint(true)
+      .where(col("domain").isNotNull)
+      .withColumn("robots_txt", robotsTxtFor(col("domain")))
+      .where(col("robots_txt").isNotNull)
+      .select(col("domain"),
+        explode(UrlFunctions.robotsSitemaps(col("robots_txt")))
+          .as("sitemap_url"))
+  }
+
+  val t53_robots_sitemaps =
     q("t53_robots_sitemaps",
       s"""WITH $urlSqlCtes,
          |$domainSqlCtes,
-         |doms AS (SELECT DISTINCT domain FROM dd WHERE domain IS NOT NULL),
-         |rt AS (SELECT domain,
-         |    CASE WHEN domain = 'example.com' THEN ${sqlLit(robotsTxtExampleCom)}
-         |         WHEN domain = 'example.co.uk' THEN ${sqlLit(robotsTxtExampleCoUk)}
-         |         WHEN domain LIKE '%.github.io' THEN ${sqlLit(robotsTxtGithubIo)}
-         |    END AS txt FROM doms),
-         |lines AS (SELECT domain,
-         |    regexp_replace(l, '#.*$$', '') AS nc
-         |  FROM rt, unnest(string_split(txt, chr(10))) AS t(l)
-         |  WHERE txt IS NOT NULL)
-         |SELECT domain,
-         |  regexp_replace(regexp_replace(nc,
-         |    '(?i)^\\s*sitemap\\s*:\\s*', ''), '\\s+$$', '') AS sitemap_url
-         |FROM lines
-         |WHERE regexp_matches(nc, '(?i)^\\s*sitemap\\s*:')
-         |  AND regexp_replace(regexp_replace(nc,
-         |    '(?i)^\\s*sitemap\\s*:\\s*', ''), '\\s+$$', '') <> ''"""
-        .stripMargin) { (s, dir) =>
-      import graft.functions.UrlFunctions
-      // project host FIRST: nesting the url fixture directly inside
-      // registeredDomain's aggregate lambda inlines the whole fixture
-      // expression at every lambda reference (Catalyst collapses cheap
-      // projections) — a 10x interpreted-tree blowup t35 avoids with
-      // exactly this two-step shape
-      Tables.documents(s, dir)
-        .select(UrlFunctions.hostOf(urlFixture).as("host"))
-        .select(UrlFunctions.registeredDomain(col("host"), pslSubset)
-          .as("domain"))
-        // sever the plan after the distinct: every downstream filter
-        // (null domain, has-robots) would otherwise push BELOW the
-        // aggregate and re-evaluate the interpreted domain HOF over the
-        // whole corpus once per predicate — the checkpoint pins the
-        // ~#domains-row relation instead (t51's lesson, second verse)
-        .distinct().localCheckpoint(true)
-        .where(col("domain").isNotNull)
-        .withColumn("robots_txt", robotsTxtFor(col("domain")))
-        .where(col("robots_txt").isNotNull)
-        .select(col("domain"),
-          explode(UrlFunctions.robotsSitemaps(col("robots_txt")))
-            .as("sitemap_url"))
-    }
+         |$sitemapSqlCtes
+         |SELECT domain, sitemap_url FROM sm""".stripMargin)(
+      discoveredSitemaps)
+
+  // ---------------------------------------------------------------- t54
+  /** SITEMAP fixture documents for the URLs t53 discovers
+    * ([[graft.functions.SitemapFunctions]]): one plain urlset
+    * (example.com — with a lastmod-less entry and whitespace around a
+    * loc), one sitemap INDEX (pages.example — pointing at a posts
+    * urlset t53 ALSO discovers directly, dedup-exercising; at an
+    * archive urlset reachable only through the index; and at ITSELF,
+    * the recursion bomb the one-level depth contract defuses), and the
+    * two child urlsets with fresh/stale/absent lastmods.
+    */
+  private val sitemapXmlExampleCom =
+    """<?xml version="1.0" encoding="UTF-8"?>
+      |<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+      |  <url>
+      |    <loc>https://example.com/</loc>
+      |    <lastmod>2026-07-30</lastmod>
+      |  </url>
+      |  <url>
+      |    <loc>https://example.com/about</loc>
+      |    <lastmod>2025-12-01T08:30:00+00:00</lastmod>
+      |  </url>
+      |  <url>
+      |    <loc> https://example.com/contact </loc>
+      |  </url>
+      |</urlset>
+      |""".stripMargin
+
+  private val sitemapXmlPagesIndex =
+    """<?xml version="1.0" encoding="UTF-8"?>
+      |<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+      |  <sitemap>
+      |    <loc>https://pages.example/sitemap-posts.xml</loc>
+      |    <lastmod>2026-08-02</lastmod>
+      |  </sitemap>
+      |  <sitemap>
+      |    <loc>https://pages.example/sitemap-archive.xml</loc>
+      |  </sitemap>
+      |  <sitemap>
+      |    <loc>https://pages.example/sitemap-index.xml</loc>
+      |  </sitemap>
+      |</sitemapindex>
+      |""".stripMargin
+
+  private val sitemapXmlPagesPosts =
+    """<?xml version="1.0" encoding="UTF-8"?>
+      |<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+      |  <url>
+      |    <loc>https://pages.example/post/1</loc>
+      |    <lastmod>2026-08-02</lastmod>
+      |  </url>
+      |  <url>
+      |    <loc>https://pages.example/post/2</loc>
+      |    <lastmod>2026-06-15</lastmod>
+      |  </url>
+      |  <url>
+      |    <loc>https://pages.example/post/3</loc>
+      |  </url>
+      |</urlset>
+      |""".stripMargin
+
+  private val sitemapXmlPagesArchive =
+    """<?xml version="1.0" encoding="UTF-8"?>
+      |<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+      |  <url>
+      |    <loc>https://pages.example/archive/2019</loc>
+      |    <lastmod>2019-01-01</lastmod>
+      |  </url>
+      |  <url>
+      |    <loc>https://pages.example/archive/2020</loc>
+      |    <lastmod>2020-01-01</lastmod>
+      |  </url>
+      |</urlset>
+      |""".stripMargin
+
+  /** Fixture "fetch": sitemap URL → document body (null = 404). */
+  private def sitemapXmlFor(url: Column): Column =
+    when(url === "https://example.com/sitemap.xml",
+        lit(sitemapXmlExampleCom))
+      .when(url === "https://pages.example/sitemap-index.xml",
+        lit(sitemapXmlPagesIndex))
+      .when(url === "https://pages.example/sitemap-posts.xml",
+        lit(sitemapXmlPagesPosts))
+      .when(url === "https://pages.example/sitemap-archive.xml",
+        lit(sitemapXmlPagesArchive))
+
+  /** The same fetch as a SQL CASE over `expr`. */
+  private def sitemapXmlSqlCase(e: String): String =
+    s"""CASE WHEN $e = 'https://example.com/sitemap.xml'
+       |      THEN ${sqlLit(sitemapXmlExampleCom)}
+       |    WHEN $e = 'https://pages.example/sitemap-index.xml'
+       |      THEN ${sqlLit(sitemapXmlPagesIndex)}
+       |    WHEN $e = 'https://pages.example/sitemap-posts.xml'
+       |      THEN ${sqlLit(sitemapXmlPagesPosts)}
+       |    WHEN $e = 'https://pages.example/sitemap-archive.xml'
+       |      THEN ${sqlLit(sitemapXmlPagesArchive)} END""".stripMargin
+
+  /** SITEMAP XML INGESTION ([[graft.functions.SitemapFunctions]],
+    * sitemaps.org protocol) — t53 finished: the discovered sitemap URLs
+    * fetch their documents (fixture map), index documents expand
+    * EXACTLY one level (the protocol forbids index-of-index; the
+    * fixture's self-referencing index entry proves the bound is a
+    * no-op, not a loop), and every `<url>` entry lands in the
+    * (domain, page_url, lastmod) coverage relation with a
+    * freshness-vs-crawl-date verdict (stale = lastmod's date prefix
+    * before 2026-08-01; no lastmod → not stale). A posts sitemap
+    * reachable both directly and through the index dedups via the
+    * DISTINCT. Pure column regex algebra end to end — the oracle
+    * replays discovery, fetch, both explode levels and the entry
+    * extraction from the SAME literals (the t53 pattern: text in,
+    * records out, both engines end-to-end).
+    *
+    * Scale shape: discovery is domain-sized (t53's pinned plan), the
+    * fetch relation is sitemap-count-sized, and block extraction is
+    * row-local regex inside the scan of that tiny relation — at real
+    * scale the same algebra runs over a fetched (sitemap_url, body)
+    * table with zero added shuffles before the final distinct.
+    */
+  val t54_sitemap_ingest = q("t54_sitemap_ingest",
+    s"""WITH $urlSqlCtes,
+       |$domainSqlCtes,
+       |$sitemapSqlCtes,
+       |fx AS (SELECT domain, xml FROM (SELECT domain,
+       |    ${sitemapXmlSqlCase("sitemap_url")} AS xml FROM sm)
+       |  WHERE xml IS NOT NULL),
+       |db AS (SELECT domain, unnest(regexp_extract_all(xml,
+       |    '(?s)<url>(.*?)</url>', 1)) AS blk FROM fx),
+       |ib AS (SELECT domain, unnest(regexp_extract_all(xml,
+       |    '(?s)<sitemap>(.*?)</sitemap>', 1)) AS blk FROM fx),
+       |cx AS (SELECT domain, cxml FROM (SELECT domain,
+       |    ${sitemapXmlSqlCase(
+             "regexp_extract(blk, '(?s)<loc>\\s*(.*?)\\s*</loc>', 1)")}
+       |      AS cxml FROM ib)
+       |  WHERE cxml IS NOT NULL),
+       |cb AS (SELECT domain, unnest(regexp_extract_all(cxml,
+       |    '(?s)<url>(.*?)</url>', 1)) AS blk FROM cx),
+       |ab AS (SELECT domain, blk FROM db
+       |       UNION ALL SELECT domain, blk FROM cb),
+       |en AS (SELECT domain,
+       |    regexp_extract(blk, '(?s)<loc>\\s*(.*?)\\s*</loc>', 1) AS page_url,
+       |    nullif(regexp_extract(blk,
+       |      '(?s)<lastmod>\\s*(.*?)\\s*</lastmod>', 1), '') AS lastmod
+       |  FROM ab)
+       |SELECT DISTINCT domain, page_url, lastmod,
+       |  coalesce(substr(lastmod, 1, 10) < '2026-08-01', FALSE) AS stale
+       |FROM en WHERE page_url <> ''""".stripMargin) { (s, dir) =>
+    import graft.functions.SitemapFunctions
+    val fetched = discoveredSitemaps(s, dir)
+      .select(col("domain"), sitemapXmlFor(col("sitemap_url")).as("xml"))
+      .where(col("xml").isNotNull)
+    val direct = fetched.select(col("domain"),
+      explode(SitemapFunctions.urlBlocks(col("xml"))).as("blk"))
+    // one index level, per the protocol's no-index-of-index rule: a
+    // child that is itself an index has no <url> blocks — the fixture's
+    // self-pointer terminates here by construction
+    val viaIndex = fetched
+      .select(col("domain"),
+        explode(SitemapFunctions.indexBlocks(col("xml"))).as("cblk"))
+      .select(col("domain"),
+        sitemapXmlFor(SitemapFunctions.locOf(col("cblk"))).as("cxml"))
+      .where(col("cxml").isNotNull)
+      .select(col("domain"),
+        explode(SitemapFunctions.urlBlocks(col("cxml"))).as("blk"))
+    direct.unionByName(viaIndex)
+      .select(col("domain"),
+        SitemapFunctions.locOf(col("blk")).as("page_url"),
+        SitemapFunctions.lastmodOf(col("blk")).as("lastmod"))
+      .where(col("page_url") =!= "")
+      .distinct()
+      .withColumn("stale",
+        SitemapFunctions.staleBefore(col("lastmod"), "2026-08-01"))
   }
 
   // ---------------------------------------------------------------- q77
@@ -2826,5 +3013,5 @@ object TextQueries {
     t21_within_doc_dedup, t22_lm_trigram, t23_inverted_index,
     t24_keyword_search, t25_bm25_search, t26_bpe_merges, t27_bpe_encode,
     t28_tfidf_cosine, t29_phrase_search, t30_langid_eval,
-    t50_compression_ratio, t52_byte_bpe)
+    t50_compression_ratio, t52_byte_bpe, t54_sitemap_ingest)
 }

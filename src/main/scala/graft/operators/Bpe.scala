@@ -179,4 +179,71 @@ object Bpe {
     BpeEncodeExpr.encode(
       graft.plans.BytePretokenizeExpr.bytePretokenize(text),
       merges.sortBy(_.rank).map(m => (m.left, m.right)))
+
+  /** The 256-symbol byte alphabet in BYTE order — the base vocabulary of
+    * every byte-level table ([[graft.plans.BytePretokenizeExpr
+    * .byteToChar]]'s bijection, the GPT-2 `bytes_to_unicode` layout).
+    */
+  def byteAlphabet: Seq[String] =
+    graft.plans.BytePretokenizeExpr.byteToChar.map(_.toString).toSeq
+
+  // --------------------------------------------- interchange artifacts
+
+  /** Export a trained table as the STANDARD text interchange a trainer
+    * consumes (the GPT-2/HF layout): `merges.txt` — a `#version: 0.2`
+    * header then one `left right` line per merge in rank order — and
+    * `vocab.txt` — one token per line, line number = token id, base
+    * `alphabet` first then each merge's product in rank order (exactly
+    * how the published implementations construct ids). Deterministic by
+    * construction; symbols never contain whitespace (word-level symbols
+    * come from whitespace-split words, byte-level symbols from the
+    * space-free byte alphabet), so the space separator is unambiguous.
+    * Pass [[byteAlphabet]] for byte-level tables; for word-level tables
+    * pass the corpus alphabet in a fixed order of the caller's choosing.
+    */
+  def exportArtifacts(spark: SparkSession, merges: Seq[Merge],
+                      alphabet: Seq[String], dir: String): Unit = {
+    val ordered = merges.sortBy(_.rank)
+    (alphabet ++ ordered.flatMap(m => Seq(m.left, m.right))).foreach { t =>
+      require(t.nonEmpty && !t.exists(_.isWhitespace),
+        s"token '$t' is empty or carries whitespace — not representable " +
+          "in the space-separated interchange")
+    }
+    val mergesTxt = ("#version: 0.2" +:
+      ordered.map(m => s"${m.left} ${m.right}")).mkString("", "\n", "\n")
+    val vocabTxt = (alphabet ++ ordered.map(m => m.left + m.right))
+      .mkString("", "\n", "\n")
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) fs.mkdirs(path)
+    Seq("merges.txt" -> mergesTxt, "vocab.txt" -> vocabTxt).foreach {
+      case (name, content) =>
+        val out = fs.create(new org.apache.hadoop.fs.Path(dir, name), true)
+        try out.write(content.getBytes("UTF-8")) finally out.close()
+    }
+  }
+
+  /** Re-read an exported `merges.txt` into the merge table (rank = line
+    * order). Fails loudly on a missing header or a malformed line — a
+    * truncated/hand-edited artifact must not load as a silently shorter
+    * table.
+    */
+  def readArtifacts(spark: SparkSession, dir: String): Seq[Merge] = {
+    val p = new org.apache.hadoop.fs.Path(dir, "merges.txt")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+               finally in.close()
+    val lines = text.linesIterator.toSeq
+    require(lines.headOption.exists(_.startsWith("#version:")),
+      s"$p is not a merges artifact (missing #version header)")
+    lines.drop(1).filter(_.nonEmpty).zipWithIndex.map { case (l, rank) =>
+      l.split(" ", -1) match {
+        case Array(left, right) if left.nonEmpty && right.nonEmpty =>
+          Merge(rank, left, right)
+        case _ => throw new IllegalArgumentException(
+          s"$p line ${rank + 2} is not 'left right': '$l'")
+      }
+    }
+  }
 }

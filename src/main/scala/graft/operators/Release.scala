@@ -60,7 +60,17 @@ object Release {
   // (tagged paths, kv codecs, generation sweep, pointer resolution) are
   // the SHARED StoredIndex client surface — one implementation under
   // SplitManifest and Release both
-  private val relNames = Seq("corpus", "manifest", "datacard")
+  private val relNames = Seq("corpus", "manifest", "datacard", "tokenizer")
+
+  /** A tokenizer shipped WITH the corpus (the fourth relation of the
+    * bundle): the trained merge table plus its base alphabet, exported
+    * as the standard text interchange ([[Bpe.exportArtifacts]] —
+    * `merges.txt` + `vocab.txt`) under the same generation/attempt tag
+    * and CAS meta as the data, so trainer and corpus can never skew: the
+    * pointer that resolves the shards resolves the tokenizer that
+    * segmented them.
+    */
+  final case class Tokenizer(merges: Seq[Bpe.Merge], alphabet: Seq[String])
 
   /** Split, shard, write, count, publish — see the object contract.
     * Re-releasing to the same store advances the generation; a
@@ -68,7 +78,8 @@ object Release {
     * the meta publish leaves the previous release fully live (protocol
     * inheritance — ReleaseSpec proves it).
     */
-  def publish(corpus: DataFrame, dir: String, spec: Spec): Unit = {
+  def publish(corpus: DataFrame, dir: String, spec: Spec,
+              tokenizer: Option[Tokenizer] = None): Unit = {
     require(spec.shardTokens > 0,
       s"shardTokens must be positive, got ${spec.shardTokens}")
     require(spec.keyCols.nonEmpty, "spec must carry the key columns")
@@ -140,11 +151,19 @@ object Release {
     }.toDF("split", "fraction", "n_docs", "n_tokens", "n_shards", "seed")
       .coalesce(1).write.mode("overwrite").parquet(cardPath)
 
+    // 4b. tokenizer artifact (optional fourth relation) — written, like
+    //     the others, BEFORE the meta that references it
+    tokenizer.foreach { t =>
+      Bpe.exportArtifacts(spark, t.merges, t.alphabet,
+        StoredIndex.taggedRelPath(dir, "tokenizer", relGen, tag))
+    }
+
     // 5. CAS publish + sweep (the SplitManifest discipline)
     StoredIndex.writeMetaCas(spark, dir, Seq(
       "kind" -> "release",
       "rel_gen" -> relGen.toString,
       "rel_tag" -> tag,
+      "tokenizer" -> (if (tokenizer.isDefined) "1" else "0"),
       "seed" -> spec.seed.toString,
       "fractions" -> StoredIndex.encodeFractions(spec.fractions),
       "strata_cols" -> spec.strataCols.mkString(","),
@@ -185,4 +204,16 @@ object Release {
     */
   def readCorpus(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(livePath(spark, dir, "corpus"))
+
+  /** The live release's shipped tokenizer, re-read THROUGH the meta
+    * pointer from the interchange files ([[Bpe.readArtifacts]]). Refuses
+    * a release published without one — a trainer must not silently fall
+    * back to some other table.
+    */
+  def readTokenizer(spark: SparkSession, dir: String): Seq[Bpe.Merge] = {
+    val kv = StoredIndex.kvOfKind(spark, dir, "release")
+    require(kv.get("tokenizer").contains("1"),
+      s"release at $dir was published without a tokenizer artifact")
+    Bpe.readArtifacts(spark, livePath(spark, dir, "tokenizer"))
+  }
 }

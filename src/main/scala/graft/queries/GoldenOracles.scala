@@ -45,4 +45,15 @@ object GoldenOracles {
     if (new java.io.File(pathFor(name)).exists)
       Some(s"SELECT * FROM '${pathFor(name)}'")
     else None
+
+  /** A column PROJECTION of an existing golden as the oracle — for a
+    * query whose contract is "reproduces those columns of `name`
+    * bit-for-bit" (src25 re-derives t52's byte segmentation through the
+    * released tokenizer artifact), without committing a second copy of
+    * the same rows.
+    */
+  def sqlForColumns(name: String, cols: Seq[String]): Option[String] =
+    if (new java.io.File(pathFor(name)).exists)
+      Some(s"SELECT ${cols.mkString(", ")} FROM '${pathFor(name)}'")
+    else None
 }

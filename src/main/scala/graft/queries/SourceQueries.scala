@@ -809,6 +809,48 @@ object SourceQueries {
       .select("target_uri", "fetch_ts", "text")
   }
 
+  // ---------------------------------------------------------------- src25
+  /** TOKENIZER RELEASE ARTIFACT ([[graft.operators.Release.Tokenizer]] /
+    * [[graft.operators.Bpe.exportArtifacts]]): t52's byte-level merge
+    * table shipped WITH the corpus — exported as the standard trainer
+    * interchange (`merges.txt` rank order + `vocab.txt` byte alphabet
+    * then merge products) under the release bundle's fourth tagged
+    * relation and the same CAS meta as the shards. The query re-reads
+    * the merges THROUGH the live meta pointer ([[graft.operators
+    * .Release.readTokenizer]]) and re-encodes the corpus with the
+    * unchanged codegen encoder; the oracle is the byte-segmentation
+    * projection of t52's committed golden, so train → ship (text files)
+    * → serve (re-read + encode) agreeing end-to-end is exactly what the
+    * hash gates.
+    */
+  val src25_tokenizer_release = GraftQuery("src25_tokenizer_release",
+    (s, dir) => {
+      import graft.operators.{Bpe, Release}
+      import graft.functions.TextFunctions
+      val store = DedupQueries.DedupStaging.ensure("src25", dir) { r =>
+        val docs = Tables.documents(s, dir)
+        val byteMerges = Bpe.learn(Bpe.byteWordCounts(docs, "text"), 60)
+        val corpus = docs.select(col("doc_id"), col("lang"), col("text"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("n_tok"))
+        Release.publish(corpus, s"$r/release", Release.Spec(
+          seed = 42L, fractions = Seq(("train", 0.8), ("val", 0.1),
+            ("test", 0.1)),
+          strataCols = Seq("lang"), keyCols = Seq("doc_id"),
+          tokensCol = "n_tok", shardTokens = 2000L),
+          tokenizer = Some(Release.Tokenizer(byteMerges, Bpe.byteAlphabet)))
+      } + "/release"
+      val served = Release.readTokenizer(s, store)
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          Bpe.byteEncode(col("text"), served).as("__btoks"))
+        .select(col("doc_id"),
+          size(col("__btoks")).cast("long").as("n_byte_bpe"),
+          size(array_distinct(col("__btoks"))).cast("long")
+            .as("n_byte_types"))
+    },
+    GoldenOracles.sqlForColumns("t52_byte_bpe",
+      Seq("doc_id", "n_byte_bpe", "n_byte_types")))
+
   val all: Seq[GraftQuery] = Seq(
     src01_csv_roundtrip, src02_rest_paged, src03_partitioned_sink,
     src04_multimodal_meta, src05_frame_sample, src06_restv2_scan,
@@ -817,5 +859,6 @@ object SourceQueries {
     src13_jsonl_roundtrip, src14_schema_evolution, src15_corpus_diff,
     src16_orc_roundtrip, src17_minmax_skipping, src18_corrupt_quarantine,
     src19_bloom_skipping, src20_incremental_pull, src21_split_manifest,
-    src22_warc_ingest, src23_release_bundle, src24_wet_roundtrip)
+    src22_warc_ingest, src23_release_bundle, src24_wet_roundtrip,
+    src25_tokenizer_release)
 }

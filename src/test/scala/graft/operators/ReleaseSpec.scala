@@ -69,6 +69,37 @@ class ReleaseSpec extends SparkSpec {
     assert(files == man)
   }
 
+  test("tokenizer artifacts: export/read round-trips the merge table, " +
+    "vocab.txt is alphabet-then-products in rank order, and a shipped " +
+    "tokenizer resolves through the live meta while its absence refuses") {
+    val merges = Seq(Bpe.Merge(0, "a", "b"), Bpe.Merge(1, "ab", "c"))
+    val adir = tmpDir()
+    Bpe.exportArtifacts(spark, merges, Seq("a", "b", "c"), adir)
+    assert(Bpe.readArtifacts(spark, adir) == merges)
+    val vocab = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(adir, "vocab.txt"))
+    assert(vocab == "a\nb\nc\nab\nabc\n")
+    val mergesTxt = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(adir, "merges.txt"))
+    assert(mergesTxt == "#version: 0.2\na b\nab c\n")
+    // whitespace-bearing symbols are not representable — refuse loudly
+    intercept[IllegalArgumentException] {
+      Bpe.exportArtifacts(spark, Seq(Bpe.Merge(0, "a b", "c")),
+        Seq("a"), tmpDir())
+    }
+    // shipped with a release: re-read through the meta pointer
+    val dir = tmpDir()
+    Release.publish(corpus, dir, spec,
+      tokenizer = Some(Release.Tokenizer(merges, Seq("a", "b", "c"))))
+    assert(Release.readTokenizer(spark, dir) == merges)
+    // a re-release WITHOUT one refuses instead of serving a stale table
+    Release.publish(corpus, dir, spec)
+    val e = intercept[IllegalArgumentException] {
+      Release.readTokenizer(spark, dir)
+    }
+    assert(e.getMessage.contains("without a tokenizer"))
+  }
+
   test("shards are contiguous token-budget prefixes; an oversized " +
     "document overflows its own shard (documents are atomic)") {
     val dir = tmpDir()

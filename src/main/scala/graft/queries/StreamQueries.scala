@@ -824,7 +824,70 @@ object StreamQueries {
     graft.operators.Datacard.lengths(s, datacardStore(s, dir))
   }
 
+  // ---------------------------------------------------------------- s26
+  /** CONTINUOUS CRAWL INGEST ([[graft.operators.CrawlIngest]] /
+    * [[graft.streaming.StreamOps.crawlIngestStream]]) — the LAST
+    * streaming twin: the complete q76 compliant chain with the crawl
+    * arriving in two WARC installments (even doc_ids, then odd;
+    * compaction fold between, so the read crosses a folded partition
+    * and a live fragment). Per installment only the ROW-LOCAL gates run
+    * (robots.txt → meta-robots → extraction → word gate — survivors
+    * land as idempotent fragments); the corpus-level cut (canonical
+    * dedup, blocklist, per-domain quota) applies at read time over the
+    * ACCUMULATED relation, which is why stream ≡ one-shot holds exactly
+    * and q76's oracle gates this query unchanged. The even/odd split
+    * deliberately severs canonical-URL duplicate pairs and domain-quota
+    * populations across the installments — the cut is correct only if
+    * the accumulated relation is. The true foreachBatch stream
+    * (binaryFile micro-batches, every sink, fresh-checkpoint refusal)
+    * is differential-tested in StreamingSpec.
+    */
+  val s26_crawl_ingest = q("s26_crawl_ingest",
+    TextQueries.q76_warc_robots_chain.oracle) { (s, dir) =>
+    import s.implicits._
+    import graft.operators.CrawlIngest
+    import graft.functions.UrlFunctions
+    import graft.sources.WarcSource
+    val root = DedupQueries.DedupStaging.ensure("s26", dir) { r =>
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(s"$r/crawl_store"))
+      val pages = Tables.documents(s, dir).select(
+        col("doc_id"), TextQueries.urlFixture.as("uri"),
+        lit("2026-08-01T00:00:00Z").as("ts"),
+        TextQueries.htmlFixtureWith(TextQueries.robotsMetaPiece).as("html"))
+      WarcSource.writeWarc(pages.filter(col("doc_id") % 2 === 0)
+        .repartition(4), "uri", "ts", "html", s"$r/crawl0")
+      WarcSource.writeWarc(pages.filter(col("doc_id") % 2 =!= 0)
+        .repartition(4), "uri", "ts", "html", s"$r/crawl1")
+      CrawlIngest.init(s, s"$r/crawl_store")
+      def ingest(path: String, batchId: Long): Unit = {
+        val recs = WarcSource.good(WarcSource.read(s, path))
+          .select(col("target_uri").as("url"),
+            decode(col("body"), "UTF-8").as("__html"))
+          .withColumn("domain", UrlFunctions.registeredDomain(
+            UrlFunctions.hostOf(col("url")), TextQueries.pslSubset))
+          .localCheckpoint(true) // decode once per installment (q76's note)
+        val robotsDf = recs.select("domain")
+          .where(col("domain").isNotNull).distinct()
+          .withColumn("robots_txt", TextQueries.robotsTxtFor(col("domain")))
+          .where(col("robots_txt").isNotNull)
+        CrawlIngest.append(
+          CrawlIngest.curateBatch(recs, robotsDf, "graftbot",
+            h => regexp_extract(h, "<title>Doc ([0-9]+)</title>", 1)
+              .cast("long"),
+            minWords = 20),
+          s"$r/crawl_store", batchId)
+      }
+      ingest(s"$r/crawl0", 0L)
+      CrawlIngest.compact(s, s"$r/crawl_store")
+      ingest(s"$r/crawl1", 1L)
+    }
+    CrawlIngest.curated(CrawlIngest.read(s, s"$root/crawl_store"),
+      Seq("example.co.uk").toDF("domain"), cap = 10)
+  }
+
   val all: Seq[GraftQuery] = Seq(
+    s26_crawl_ingest,
     s24_datacard_mv, s25_datacard_lengths_mv,
     s01_tumbling_agg, s02_sliding_agg, s03_session_windows,
     s04_dedup_first_event, s05_watermark_late, s06_asof_backward,

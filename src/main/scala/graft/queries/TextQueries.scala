@@ -1655,7 +1655,7 @@ object TextQueries {
     * `<head>` — q74 passes the robots meta so ONE fixture drives the
     * whole WARC → robots → extraction → curation chain.
     */
-  private def htmlFixtureWith(extraHead: Column): Column = {
+  private[queries] def htmlFixtureWith(extraHead: Column): Column = {
     val id = col("doc_id").cast("string")
     concat(
       lit("<html><head>"), extraHead, lit("<title>Doc "), id, lit("</title>" +
@@ -1933,7 +1933,7 @@ object TextQueries {
     * styles, bare values, uppercase, a non-robots meta, and no-meta
     * pages. Shared by t49's standalone fixture and q74's crawl pages.
     */
-  private def robotsMetaPiece: Column = {
+  private[queries] def robotsMetaPiece: Column = {
     val b = pmod(col("doc_id"), lit(7))
     when(b === 0, lit("<meta name=\"robots\" content=\"noindex, follow\">"))
       .when(b === 1, lit("<META NAME='ROBOTS' CONTENT='NOFOLLOW'>"))
@@ -1942,7 +1942,7 @@ object TextQueries {
       .otherwise(lit(""))
   }
 
-  private def robotsMetaPieceSql: String =
+  private[queries] def robotsMetaPieceSql: String =
     """CASE doc_id % 7
       | WHEN 0 THEN '<meta name="robots" content="noindex, follow">'
       | WHEN 1 THEN '<META NAME=''ROBOTS'' CONTENT=''NOFOLLOW''>'
@@ -2039,7 +2039,7 @@ object TextQueries {
   /** The per-domain robots.txt of the fixture (null = the domain serves
     * none — protocol absence means allow).
     */
-  private def robotsTxtFor(domain: Column): Column =
+  private[queries] def robotsTxtFor(domain: Column): Column =
     when(domain === "example.com", lit(robotsTxtExampleCom))
       .when(domain === "example.co.uk", lit(robotsTxtExampleCoUk))
       .when(domain.endsWith(".github.io"), lit(robotsTxtGithubIo))
@@ -2086,7 +2086,7 @@ object TextQueries {
     * pre-rendered regexes. Callers SELECT with
     * `coalesce(rob_best.allow, TRUE)`.
     */
-  private def robotsSqlCtes: String = {
+  private[queries] def robotsSqlCtes: String = {
     val values = robotsFixtureRules.map { case (k, p, a) =>
       s"('$k', '$p', ${if (a) "TRUE" else "FALSE"}, '${robotsRx(p)}')"
     }.mkString(",\n|    ")

@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{BinaryType, LongType, StringType, StructField, StructType, TimestampType}
 
 /** Typed event row for the stateful APIs. */
 final case class EventRow(ts: java.sql.Timestamp, user_id: Long,
@@ -52,6 +52,23 @@ object StreamOps {
       .schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(path)
+
+  /** File-based stream of WHOLE FILES (the `binaryFile` source with its
+    * fixed schema, which streaming requires spelled out) — crawl segment
+    * directories feed [[crawlIngestStream]] through this:
+    * (path, modificationTime, length, content). `maxFilesPerTrigger`
+    * bounds a micro-batch to that many segment files.
+    */
+  def readFileStream(spark: SparkSession, path: String,
+                     maxFilesPerTrigger: Int = 4): DataFrame =
+    spark.readStream.format("binaryFile")
+      .schema(StructType(Seq(
+        StructField("path", StringType),
+        StructField("modificationTime", TimestampType),
+        StructField("length", LongType),
+        StructField("content", BinaryType))))
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .load(path)
 
   /** Tumbling-window counts+sums per event type with a watermark: state for
     * a window is dropped once the watermark passes its end.
@@ -883,15 +900,34 @@ object StreamOps {
                              maxBucketSize: Int = 1000,
                              compactEvery: Int = 16,
                              onBatchDone: Long => Unit = _ => ())
-      : org.apache.spark.sql.streaming.StreamingQuery = {
-    import graft.ext.NearDup
-    import graft.ext.NearDup.NearDupIndex
+      : org.apache.spark.sql.streaming.StreamingQuery =
     newDocs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        val spark = batch.sparkSession
-        val (meta0, gen0) = NearDupIndex.readMetaWithGen(spark, indexDir)
+        dedupIngestBatch(batch.toDF(), batchId, idCol, textCol, indexDir,
+          outDir, checkpointDir, threshold, maxBucketSize, compactEvery)
+        onBatchDone(batchId)
+      }
+      .start()
+
+  /** ONE trigger of the incremental-dedup cycle — the foreachBatch body
+    * of [[incrementalDedupStream]], factored so composed ingests (the
+    * crawl chain's [[crawlIngestStream]]) run the identical probe/
+    * append/compact logic on their own batches. Contract and crash
+    * matrix are the stream's scaladoc above, verbatim.
+    */
+  def dedupIngestBatch(batchDf: DataFrame, batchId: Long,
+                       idCol: String, textCol: String,
+                       indexDir: String, outDir: String,
+                       checkpointDir: String, threshold: Double,
+                       maxBucketSize: Int = 1000,
+                       compactEvery: Int = 16): Unit = {
+    import graft.ext.NearDup
+    import graft.ext.NearDup.NearDupIndex
+    val batch = batchDf
+    val spark = batch.sparkSession
+    val (meta0, gen0) = NearDupIndex.readMetaWithGen(spark, indexDir)
         // checkpoint-identity guard: batch ids are only meaningful relative
         // to ONE checkpoint lineage. The first append pins this stream's
         // checkpoint in the meta; a restart against a FRESH checkpoint
@@ -959,8 +995,126 @@ object StreamOps {
               NearDupIndex.fragmentCount(spark, indexDir) > compactEvery)
             NearDupIndex.compactStored(spark, indexDir, batchId)
         }
+  }
+
+  /** CONTINUOUS CRAWL INGEST — the complete q76 compliant chain as a
+    * foreachBatch stream ([[graft.operators.CrawlIngest]] carries the
+    * two-pass design argument): WARC segment FILES arrive as
+    * micro-batches (a `binaryFile` file stream over the crawl
+    * directory — Common Crawl's ~1 GB segments are the natural batch
+    * unit), each trigger splits its members with the codegen WARC
+    * parser, runs the ROW-LOCAL gates (robots.txt for `agent` against
+    * the `robotsDf` cache relation → meta-robots → extraction → word
+    * gate), and lands the survivors as the batch's idempotent fragment
+    * in the corpus store. The corpus-level cut (canonical dedup,
+    * blocklist, quota) applies at read time via
+    * [[graft.operators.CrawlIngest.curated]] — bit-identical to the
+    * one-shot chain (s26 under q76's oracle gate; StreamingSpec
+    * differential with a mid-stream fold and the fresh-checkpoint
+    * refusal).
+    *
+    * THE SAME SURVIVORS optionally flow into the standing continuous
+    * views and indexes — the composition a real ingest front-door runs,
+    * each on its own store with the shared protocol guarantees (the
+    * one checkpoint lineage pins every store, so a fresh checkpoint is
+    * refused by all of them):
+    *   - `lineStatsDir`: the corpus line-frequency relation (s10's
+    *     [[graft.operators.LineDedup]] — boilerplate cut at read time);
+    *   - `datacardDir`: the live release datacard (s24's
+    *     [[graft.operators.Datacard]], language from the engine's
+    *     n-gram heuristic over the extracted text);
+    *   - `quota`: (dir, cap) — s21's GREEDY arrival-order domain quota
+    *     ([[graft.operators.QuotaView]]), the admission-time view whose
+    *     semantics deliberately differ from the read-time cut (the
+    *     QuotaView scaladoc's replay law governs it);
+    *   - `dedupIndex`: (indexDir, outDir, threshold) — the d11 O(batch)
+    *     near-dup probe + index fold ([[dedupIngestBatch]]), so the
+    *     next trigger dedups against this one's survivors.
+    *
+    * `idOf` derives the document id from the page html; `domainOf`
+    * derives the registered domain from the URL (PSL literal or
+    * relation form upstream of this call).
+    */
+  def crawlIngestStream(warcFiles: DataFrame, agent: String,
+                        robotsDf: DataFrame,
+                        domainOf: Column => Column,
+                        idOf: Column => Column, minWords: Int,
+                        storeDir: String, checkpointDir: String,
+                        compactEvery: Int = 16,
+                        lineStatsDir: Option[String] = None,
+                        datacardDir: Option[String] = None,
+                        quota: Option[(String, Int)] = None,
+                        dedupIndex: Option[(String, String, Double)] = None,
+                        onBatchDone: Long => Unit = _ => ())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    warcFiles.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        import graft.operators.{CrawlIngest, Datacard, LineDedup, QuotaView}
+        import graft.sources.{StoredIndex, WarcSource}
+        val spark = batch.sparkSession
+        if (StoredIndex.metaGeneration(spark, storeDir) < 0)
+          CrawlIngest.init(spark, storeDir)
+        StoredIndex.pinStreamIdentity(spark, storeDir, checkpointDir)
+        if (!batch.isEmpty) {
+          // split the batch's members with the same codegen parser the
+          // batch reader uses, keep clean response records only
+          val recs = WarcSource.good(
+            batch.toDF().select(col("path").as("warc_file"),
+                explode(graft.plans.WarcRecordsExpr.warcRecords(
+                  col("content"))).as("rec"))
+              .select(col("warc_file"), col("rec.*")))
+            .select(col("target_uri").as("url"),
+              decode(col("body"), "UTF-8").as("__html"))
+            .withColumn("domain", domainOf(col("url")))
+            // decoded ONCE per trigger: the gates and every sink below
+            // consume this relation (q76's stage-boundary discipline)
+            .localCheckpoint(true)
+          val survivors = CrawlIngest.curateBatch(recs, robotsDf, agent,
+              idOf, minWords)
+            .localCheckpoint(true) // one curation, up to five sinks
+          CrawlIngest.append(survivors, storeDir, batchId)
+          lineStatsDir.foreach { d =>
+            if (StoredIndex.metaGeneration(spark, d) < 0)
+              LineDedup.initStats(spark, d)
+            StoredIndex.pinStreamIdentity(spark, d, checkpointDir)
+            LineDedup.appendLineStats(survivors, "doc_id", "text", d, batchId)
+            if (compactEvery > 0 &&
+                LineDedup.statsFragmentCount(spark, d) > compactEvery)
+              LineDedup.compactStats(spark, d)
+          }
+          datacardDir.foreach { d =>
+            if (StoredIndex.metaGeneration(spark, d) < 0)
+              Datacard.init(spark, d)
+            StoredIndex.pinStreamIdentity(spark, d, checkpointDir)
+            Datacard.append(survivors.withColumn("__lang",
+                graft.functions.TextFunctions.langId(col("text"))),
+              "doc_id", "text", "__lang", d, batchId)
+            if (compactEvery > 0 &&
+                Datacard.fragmentCount(spark, d) > compactEvery)
+              Datacard.compact(spark, d)
+          }
+          quota.foreach { case (d, cap) =>
+            if (StoredIndex.metaGeneration(spark, d) < 0)
+              QuotaView.init(spark, d)
+            StoredIndex.pinStreamIdentity(spark, d, checkpointDir)
+            QuotaView.append(survivors, "doc_id", "domain", d, batchId, cap,
+              Some(md5(col("doc_id").cast("string").cast("binary"))))
+            if (compactEvery > 0 &&
+                QuotaView.fragmentCount(spark, d) > compactEvery)
+              QuotaView.compact(spark, d)
+          }
+          dedupIndex.foreach { case (indexDir, outDir, threshold) =>
+            dedupIngestBatch(survivors, batchId, "doc_id", "text",
+              indexDir, outDir, checkpointDir, threshold,
+              compactEvery = compactEvery)
+          }
+          if (compactEvery > 0 &&
+              CrawlIngest.fragmentCount(spark, storeDir) > compactEvery)
+            CrawlIngest.compact(spark, storeDir)
+        }
         onBatchDone(batchId)
       }
       .start()
-  }
 }

@@ -1582,4 +1582,132 @@ class StreamingSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
     }
   }
+
+  test("crawlIngestStream: binaryFile micro-batches run the compliant chain per " +
+    "trigger, every sink accumulates, the read-time cut equals the one-shot " +
+    "chain across a mid-stream fold, and a fresh checkpoint is refused") {
+    import graft.operators.{CrawlIngest, Datacard, LineDedup, QuotaView}
+    import graft.functions.UrlFunctions
+    import graft.ext.NearDup
+    import graft.sources.WarcSource
+    def para(seed: String, n: Int) =
+      (1 to n).map(i => s"the $seed$i and").mkString(" ")
+    val ndBase = para("base", 10) // 30 words shared by the near-dup pair
+    val sharedTxt = para("shared", 8) // identical in docs 6 and 7
+    def html(doc: Long, text: String, noindex: Boolean = false) =
+      s"<html><head><title>Doc $doc</title>" +
+        (if (noindex) "<meta name=\"robots\" content=\"noindex\">" else "") +
+        s"</head><body><p>$text</p></body></html>"
+    // (doc, url, text, noindex) — three installments exercising every gate
+    val b0 = Seq(
+      (1L, "https://a.com/keep/1", para("one", 8), false),
+      (2L, "https://a.com/private/2", para("two", 8), false), // robots
+      (3L, "https://a.com/keep/3", para("three", 8), true),   // noindex
+      (10L, "https://norobots.net/p10", ndBase + " extra", false))
+    val b1 = Seq(
+      (5L, "https://a.com/keep/1?utm_source=x", para("one", 8), false), // canon dup of 1
+      (6L, "https://a.com/keep/6", sharedTxt, false),
+      (9L, "https://blocked.org/x", para("nine", 8), false),  // blocklist
+      (20L, "https://norobots.net/p20", ndBase + " nova", false)) // near-dup of 10
+    val b2 = Seq(
+      (4L, "https://a.com/keep/4", para("four", 2), false),   // 6 words < 20
+      (7L, "https://a.com/keep/7", sharedTxt, false),         // near-dup of 6
+      (8L, "https://a.com/keep/8", para("eight", 8), false))
+    val robotsDf = Seq(("a.com",
+      "user-agent: graftbot\ndisallow: /private/\n")).toDF("domain", "robots_txt")
+    val blockDf = Seq("blocked.org").toDF("domain")
+    val domainOf = (u: org.apache.spark.sql.Column) =>
+      UrlFunctions.registeredDomain(UrlFunctions.hostOf(u),
+        Seq("com", "net", "org"))
+    val idOf = (h: org.apache.spark.sql.Column) =>
+      regexp_extract(h, "<title>Doc ([0-9]+)</title>", 1).cast("long")
+    val tmp = java.nio.file.Files.createTempDirectory("crawl-stream").toString
+    val crawlDir = s"$tmp/crawl"
+    new java.io.File(crawlDir).mkdirs()
+    def writeSegment(name: String, pages: Seq[(Long, String, String, Boolean)]): Unit = {
+      val member = pages.map { case (d, u, t, ni) =>
+        WarcSource.responseRecordString(u, "2026-08-01T00:00:00Z", html(d, t, ni))
+      }.mkString
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$crawlDir/$name"), member.getBytes("UTF-8"))
+    }
+    def startStream(ckpt: String) =
+      StreamOps.crawlIngestStream(
+        StreamOps.readFileStream(spark, crawlDir, maxFilesPerTrigger = 1),
+        agent = "graftbot", robotsDf = robotsDf, domainOf = domainOf,
+        idOf = idOf, minWords = 20,
+        storeDir = s"$tmp/corpus", checkpointDir = ckpt, compactEvery = 1,
+        lineStatsDir = Some(s"$tmp/lines"),
+        datacardDir = Some(s"$tmp/card"),
+        quota = Some((s"$tmp/quota", 2)),
+        dedupIndex = Some((s"$tmp/idx", s"$tmp/out", 0.5)))
+    try {
+      NearDup.NearDupIndex.init(spark, s"$tmp/idx")
+      writeSegment("segment-0.warc", b0)
+      val q = startStream(s"$tmp/ckpt")
+      q.processAllAvailable()
+      writeSegment("segment-1.warc", b1)
+      q.processAllAvailable()
+      writeSegment("segment-2.warc", b2)
+      q.processAllAvailable()
+      q.stop()
+      // the corpus store folded mid-stream (compactEvery = 1): batch 2's
+      // fragment sits on top of a folded epoch, so the reads below cross both
+      import graft.sources.StoredIndex
+      val (kv, _) = StoredIndex.readKvWithGen(spark, s"$tmp/corpus")
+      assert(kv("epoch").toInt >= 1, kv.toString)
+      assert(CrawlIngest.fragmentCount(spark, s"$tmp/corpus") == 1, "b2 fragment live")
+      // THE differential: read-time cut over the accumulated store equals
+      // the one-shot q76-style chain over all pages at once
+      val allRecs = WarcSource.good(WarcSource.read(spark, crawlDir))
+        .select(col("target_uri").as("url"),
+          decode(col("body"), "UTF-8").as("__html"))
+        .withColumn("domain", domainOf(col("url")))
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.select("doc_id", "domain", "canon_url", "n_words")
+          .as[(Long, String, String, Long)].collect().toSet
+      val streamed = rows(CrawlIngest.curated(
+        CrawlIngest.read(spark, s"$tmp/corpus"), blockDf, cap = 2))
+      val oneShot = rows(CrawlIngest.curated(
+        CrawlIngest.curateBatch(allRecs, robotsDf, "graftbot", idOf, 20),
+        blockDf, cap = 2))
+      assert(streamed == oneShot, s"streamed=$streamed oneShot=$oneShot")
+      val ids = streamed.map(_._1)
+      assert(!ids.exists(Set(2L, 3L, 4L, 9L, 5L)), s"gated doc leaked: $ids")
+      assert(ids.count(_ => true) == 4 && Set(10L, 20L).subsetOf(ids), ids.toString)
+      assert(streamed.count(_._2 == "a.com") == 2, "a.com quota respected")
+      // canonical dedup keeps the SMALLEST doc id (1 over its utm twin 5) —
+      // visible with the quota out of the way
+      val unquotad = rows(CrawlIngest.curated(
+        CrawlIngest.read(spark, s"$tmp/corpus"), blockDf, cap = 100)).map(_._1)
+      assert(unquotad.contains(1L) && !unquotad.contains(5L), unquotad.toString)
+      // line stats summed ACROSS batches: the shared line is 1+1 = 2 docs
+      val sharedDocs = LineDedup.readStats(spark, s"$tmp/lines")
+        .filter(col("line_norm") === sharedTxt.toLowerCase)
+        .agg(coalesce(sum("n_docs"), lit(0L))).as[Long].head()
+      assert(sharedDocs == 2L, s"cross-batch line count $sharedDocs")
+      // datacard sees the extracted corpus (stopword-heavy text IDs as en)
+      val card = Datacard.card(spark, s"$tmp/card")
+        .select("lang").as[String].collect().toSeq
+      assert(card.contains("en"), card.toString)
+      // greedy quota view: at most 2 admitted per domain
+      val admitted = QuotaView.read(spark, s"$tmp/quota")
+        .groupBy("domain").count().as[(String, Long)].collect().toMap
+      assert(admitted.values.forall(_ <= 2L), admitted.toString)
+      // the d11 probe ran per trigger: near-dups of EARLIER batches (and
+      // in-corpus twins) never reach the dedup output relation
+      val outIds = spark.read.parquet(s"$tmp/out")
+        .select("doc_id").as[Long].collect().toSet
+      assert(outIds == Set(1L, 10L, 6L, 9L, 8L), outIds.toString)
+      // a fresh checkpoint against the ingested stores is refused
+      val q2 = startStream(s"$tmp/ckpt2")
+      val err = intercept[Exception] { q2.processAllAvailable() }
+      try q2.stop() catch { case _: Exception => () }
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+      assert(messages(err).exists(_.contains("checkpoint")), messages(err).mkString("; "))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+    }
+  }
 }

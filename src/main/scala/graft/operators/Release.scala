@@ -77,6 +77,31 @@ object Release {
     * concurrent release loses the CAS loudly; a crash anywhere before
     * the meta publish leaves the previous release fully live (protocol
     * inheritance — ReleaseSpec proves it).
+    *
+    * CONTENT-ADDRESSED SHARD REUSE (the 100 TB re-release story): when
+    * the store already holds a live release with the SAME spec and
+    * corpus schema, each shard of the new assignment is fingerprinted
+    * MAP-SIDE (count, token sum, and two order-invariant folds of the
+    * per-row xxhash64 over the data columns — a DECIMAL sum and a bit
+    * XOR), compared against the prior manifest's stored fingerprints,
+    * and only DIRTY shards are written; a clean shard's files HARD-LINK
+    * from the prior generation's directory into the new one (link(2) on
+    * local/POSIX — the new name is independent of the old, so the grace
+    * sweep of the prior generation never touches reused content;
+    * filesystems without hard links fall back to a copy, which still
+    * saves the parquet encode). A small curation delta therefore
+    * rewrites only the shards whose member set actually changed —
+    * within each split, the contiguous prefix BEFORE the first edited
+    * draw position (packing is prefix-sum based, so shards after an
+    * edit shift and rewrite honestly). Manifest counts are RE-COUNTED
+    * from the files of the new directory (linked and written alike) and
+    * REQUIRED to match the assignment's counts shard by shard, so a
+    * linking bug fails the publish instead of shipping a torn corpus.
+    * Fingerprint equality is three independent 64-bit+ invariants over
+    * the row-hash multiset — the same collision posture as the repo's
+    * md5 content fingerprints. Driver work is O(#shards) (the dirty/
+    * clean lists and the link calls) — the explicit small-side contract,
+    * like maxVocabRows.
     */
   def publish(corpus: DataFrame, dir: String, spec: Spec,
               tokenizer: Option[Tokenizer] = None): Unit = {
@@ -102,6 +127,15 @@ object Release {
     val manPath = StoredIndex.taggedRelPath(dir, "manifest", relGen, tag)
     val cardPath = StoredIndex.taggedRelPath(dir, "datacard", relGen, tag)
 
+    // data columns in a FIXED (sorted-name) order, so this release's
+    // fingerprints and any later release's hash identically
+    val dataCols = corpus.columns.sorted.toSeq
+    val rowHash = xxhash64(dataCols.map(col): _*)
+    val prior = priorReusable(spark, dir, spec, gen, corpus)
+    // assignment-side manifest rows: (split, shard, n_docs, n_tokens,
+    // fp_add, fp_xor) — O(#shards) on the driver (the explicit contract)
+    var assignRows: Array[(String, Int, Long, Long, String, Long)] = null
+
     // 1. deterministic split (exact per-stratum fraction floors),
     //    bracketed — the shard assignment and the write run inside
     Sampling.withDeterministicSplit(corpus, spec.strataCols, spec.keyCols,
@@ -124,19 +158,72 @@ object Release {
           expr(s"CAST((__cum - CAST(`${spec.tokensCol}` AS BIGINT)) " +
             s"div ${spec.shardTokens} AS INT)"))
           .drop("__cum")
-        // 3. the corpus-sized action: shard-partitioned write
-        sharded.write.mode("overwrite")
-          .partitionBy(spec.splitCol, "shard").parquet(corpusPath)
+        // 2b. per-shard counts + order-invariant member fingerprints,
+        //     map-side combined (the DECIMAL sum cannot overflow ANSI
+        //     long arithmetic, and its string form is scale-stable)
+        assignRows = sharded.withColumn("__rh", rowHash)
+          .groupBy(col(spec.splitCol).cast("string").as("split"),
+            col("shard"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col(spec.tokensCol).cast("long")).as("n_tokens"),
+            sum(col("__rh").cast("decimal(38,0)")).cast("string")
+              .as("fp_add"),
+            expr("bit_xor(__rh)").as("fp_xor"))
+          .collect()
+          .map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+            r.getLong(3), r.getString(4), r.getLong(5)))
+        // 3. the corpus-sized action: the shard-partitioned write —
+        //    full on a first/incompatible release, dirty-only on a
+        //    fingerprint-matched re-release (clean shards hard-link)
+        prior match {
+          case Some((priorCorpus, priorFps)) if assignRows.nonEmpty =>
+            val clean = assignRows.filter { case (s, n, d, t, fa, fx) =>
+              priorFps.get((s, n)).contains((d, t, fa, fx))
+            }
+            val cleanKeys = clean.map(t => (t._1, t._2)).toSet
+            val dirty = assignRows.collect {
+              case t if !cleanKeys((t._1, t._2)) => (t._1, t._2)
+            }
+            if (dirty.nonEmpty) {
+              import spark.implicits._
+              sharded.join(
+                  broadcast(dirty.toSeq.toDF(spec.splitCol, "shard")),
+                  Seq(spec.splitCol, "shard"), "left_semi")
+                .write.mode("overwrite")
+                .partitionBy(spec.splitCol, "shard").parquet(corpusPath)
+            }
+            linkShards(spark, priorCorpus, corpusPath, spec.splitCol,
+              clean.map(t => (t._1, t._2)).toSeq)
+          case _ =>
+            sharded.write.mode("overwrite")
+              .partitionBy(spec.splitCol, "shard").parquet(corpusPath)
+        }
       } finally shardHandle.foreach(_.unpersist())
     }
 
-    // 4. manifest + datacard COUNTED FROM THE WRITTEN FILES
-    val written = spark.read.parquet(corpusPath)
-    val manifest = written
+    // 4. manifest: fingerprints from the assignment, counts RE-COUNTED
+    //    from the files of the new directory (linked and written alike)
+    //    and REQUIRED to agree shard by shard — a linking bug fails the
+    //    publish instead of shipping a torn corpus
+    val fileCounts = spark.read.parquet(corpusPath)
       .groupBy(col(spec.splitCol).cast("string").as("split"), col("shard"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col(spec.tokensCol).cast("long")).as("n_tokens"))
-    manifest.coalesce(1).write.mode("overwrite").parquet(manPath)
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    val assignCounts =
+      assignRows.map(t => (t._1, t._2) -> ((t._3, t._4))).toMap
+    require(fileCounts == assignCounts,
+      "released files disagree with the shard assignment " +
+        s"(first diffs: ${(assignCounts.toSet diff fileCounts.toSet)
+          .take(3)} vs ${(fileCounts.toSet diff assignCounts.toSet).take(3)})")
+    locally {
+      import spark.implicits._
+      assignRows.toSeq
+        .toDF("split", "shard", "n_docs", "n_tokens", "fp_add", "fp_xor")
+        .coalesce(1).write.mode("overwrite").parquet(manPath)
+    }
     val perSplit = spark.read.parquet(manPath)
       .groupBy("split")
       .agg(sum("n_docs").as("n_docs"), sum("n_tokens").as("n_tokens"),
@@ -173,6 +260,74 @@ object Release {
       "split_col" -> spec.splitCol), gen)
     StoredIndex.sweepTaggedBelow(spark, dir, relNames, relGen - 1,
       legacyUntagged = false)
+  }
+
+  /** The live release, IF a new publish may reuse its shards: same spec,
+    * same data-column schema, and a fingerprint-bearing manifest.
+    * Anything off — a foreign/uninitialized store, a pre-fingerprint
+    * manifest, a spec or schema change — degrades to a full rewrite,
+    * never to a wrong reuse.
+    */
+  private def priorReusable(spark: SparkSession, dir: String, spec: Spec,
+                            gen: Int, corpus: DataFrame)
+      : Option[(String, Map[(String, Int), (Long, Long, String, Long)])] = {
+    if (gen < 0) return None
+    try {
+      if (readSpec(spark, dir) != spec) return None
+      val man = spark.read.parquet(livePath(spark, dir, "manifest"))
+      if (!man.columns.contains("fp_add") ||
+          !man.columns.contains("fp_xor")) return None
+      val corpusPath = livePath(spark, dir, "corpus")
+      def norm(s: org.apache.spark.sql.types.StructType) =
+        s.fields.map(f => (f.name, f.dataType)).sortBy(_._1).toSeq
+      val priorCols = norm(spark.read.parquet(corpusPath)
+        .drop(spec.splitCol, "shard").schema)
+      if (priorCols != norm(corpus.schema)) return None
+      val fps = man.select(col("split"), col("shard"), col("n_docs"),
+          col("n_tokens"), col("fp_add"), col("fp_xor"))
+        .collect()
+        .map(r => (r.getString(0), r.getInt(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getString(4), r.getLong(5))))
+        .toMap
+      Some((corpusPath, fps))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Hard-link a clean shard's data files from the prior generation's
+    * directory into the new one (new name, same inode — the prior
+    * generation's grace sweep unlinks only ITS names, so reused content
+    * survives it). Filesystems without link(2) fall back to a copy:
+    * correctness unchanged, the write savings become encode savings.
+    */
+  private def linkShards(spark: SparkSession, fromDir: String,
+                         toDir: String, splitCol: String,
+                         shards: Seq[(String, Int)]): Unit = {
+    import org.apache.hadoop.fs.{FileUtil, Path}
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(toDir).getFileSystem(conf)
+    if (!fs.exists(new Path(toDir))) fs.mkdirs(new Path(toDir))
+    shards.foreach { case (s, n) =>
+      val src = new Path(s"$fromDir/$splitCol=$s/shard=$n")
+      val dst = new Path(s"$toDir/$splitCol=$s/shard=$n")
+      fs.mkdirs(dst)
+      fs.listStatus(src).iterator
+        .filter(st => st.isFile && !st.getPath.getName.startsWith("_"))
+        .foreach { st =>
+          val target = new Path(dst, st.getPath.getName)
+          def copy(): Unit = {
+            FileUtil.copy(fs, st.getPath, fs, target, false, conf); ()
+          }
+          if (fs.getScheme == "file") {
+            try java.nio.file.Files.createLink(
+              java.nio.file.Paths.get(target.toUri.getPath),
+              java.nio.file.Paths.get(st.getPath.toUri.getPath))
+            catch {
+              case _: UnsupportedOperationException => copy()
+              case _: java.nio.file.FileSystemException => copy()
+            }
+          } else copy()
+        }
+    }
   }
 
   /** The released spec (validates the store's meta pointer). */

@@ -809,6 +809,77 @@ object SourceQueries {
       .select("target_uri", "fetch_ts", "text")
   }
 
+  // ---------------------------------------------------------------- src26
+  /** CONTENT-ADDRESSED SHARD REUSE ([[graft.operators.Release.publish]]'s
+    * delta path): generation 0 releases the full corpus; generation 1
+    * re-releases after a curation delta (every 17th document dropped) —
+    * clean shards (the per-split prefixes before each split's first
+    * edited draw position) HARD-LINK from generation 0, only dirty
+    * shards rewrite. The query reads the LIVE release back through the
+    * meta pointer and emits the per-shard manifest next to a RE-COUNT
+    * from the released files (linked and rewritten alike); the oracle
+    * derives the whole delta release independently (src23's SQL over the
+    * filtered documents), so "delta re-release ≡ full re-release by
+    * content" is exactly what the hash gates. Reuse mechanics (inode
+    * identity, dirty/clean split, sweep safety) are pinned in
+    * ReleaseSpec.
+    */
+  val src26_shard_reuse = q("src26_shard_reuse", Some(
+    s"""WITH docs AS (SELECT * FROM documents WHERE doc_id % 17 <> 3),
+       |r AS (SELECT doc_id, lang,
+       |    CAST(len(regexp_extract_all(text, '${TextQueries.tokenPat}'))
+       |      AS BIGINT) AS n_tok,
+       |    row_number() OVER (PARTITION BY lang
+       |      ORDER BY md5('42|' || CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+       |    COUNT(*) OVER (PARTITION BY lang) AS n
+       |  FROM docs),
+       |sp AS (SELECT doc_id, n_tok,
+       |    CASE WHEN rn <= floor(CAST(0.8 AS DOUBLE) * n) THEN 'train'
+       |         WHEN rn <= floor((CAST(0.8 AS DOUBLE) + CAST(0.1 AS DOUBLE))
+       |              * n) THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM r),
+       |cum AS (SELECT split, n_tok, sum(n_tok) OVER (
+       |      PARTITION BY split
+       |      ORDER BY md5('42|' || CAST(doc_id AS VARCHAR)), doc_id
+       |      ROWS UNBOUNDED PRECEDING) - n_tok AS p
+       |  FROM sp),
+       |sh AS (SELECT split,
+       |    CAST(p // 2000 AS INT) AS shard, n_tok
+       |  FROM cum),
+       |m AS (SELECT split, shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(n_tok) AS BIGINT) AS n_tokens FROM sh GROUP BY 1, 2)
+       |SELECT split, shard, n_docs, n_tokens,
+       |  n_docs AS files_docs, n_tokens AS files_tokens
+       |FROM m""".stripMargin)) { (s, dir) =>
+    import graft.functions.TextFunctions
+    import graft.operators.Release
+    val relSpec = Release.Spec(
+      seed = 42L, fractions = Seq(("train", 0.8), ("val", 0.1),
+        ("test", 0.1)),
+      strataCols = Seq("lang"), keyCols = Seq("doc_id"),
+      tokensCol = "n_tok", shardTokens = 2000L)
+    val store = DedupQueries.DedupStaging.ensure("src26", dir) { r =>
+      def corpusOf(df: DataFrame) = df.select(col("doc_id"),
+        col("lang"), col("text"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_tok"))
+      val docs = Tables.documents(s, dir)
+      Release.publish(corpusOf(docs), s"$r/release", relSpec) // generation 0
+      Release.publish( // generation 1: the delta — clean shards link
+        corpusOf(docs.filter(col("doc_id") % 17 =!= 3)),
+        s"$r/release", relSpec)
+    } + "/release"
+    val manifest = Release.readManifest(s, store)
+      .select(col("split"), col("shard"), col("n_docs"), col("n_tokens"))
+    val files = Release.readCorpus(s, store)
+      .groupBy(col("split").cast("string").as("split"), col("shard"))
+      .agg(count(lit(1)).as("files_docs"),
+        sum(col("n_tok")).as("files_tokens"))
+    manifest.join(files, Seq("split", "shard"), "full")
+      .select("split", "shard", "n_docs", "n_tokens",
+        "files_docs", "files_tokens")
+  }
+
   // ---------------------------------------------------------------- src25
   /** TOKENIZER RELEASE ARTIFACT ([[graft.operators.Release.Tokenizer]] /
     * [[graft.operators.Bpe.exportArtifacts]]): t52's byte-level merge
@@ -860,5 +931,5 @@ object SourceQueries {
     src16_orc_roundtrip, src17_minmax_skipping, src18_corrupt_quarantine,
     src19_bloom_skipping, src20_incremental_pull, src21_split_manifest,
     src22_warc_ingest, src23_release_bundle, src24_wet_roundtrip,
-    src25_tokenizer_release)
+    src25_tokenizer_release, src26_shard_reuse)
 }

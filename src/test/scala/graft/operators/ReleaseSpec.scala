@@ -69,6 +69,86 @@ class ReleaseSpec extends SparkSpec {
     assert(files == man)
   }
 
+  private def inode(p: java.io.File): Any =
+    java.nio.file.Files.readAttributes(p.toPath,
+      classOf[java.nio.file.attribute.BasicFileAttributes]).fileKey()
+
+  private def shardFiles(dir: String): Map[String, Seq[java.io.File]] = {
+    val liveCorpus = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("corpus_e")).maxBy(_.getName.split("_e")(1)
+        .split("_w")(0).toInt)
+    (for {
+      sp <- liveCorpus.listFiles().toSeq if sp.isDirectory
+      sh <- sp.listFiles().toSeq if sh.isDirectory
+    } yield s"${sp.getName}/${sh.getName}" ->
+      // data files only: local-FS writes leave "."-hidden .crc siblings
+      // Hadoop's listStatus (and so linkShards) never surfaces
+      sh.listFiles().filter(f => f.isFile && !f.getName.startsWith("_") &&
+        !f.getName.startsWith(".")).toSeq
+    ).toMap
+  }
+
+  test("shard reuse: an identical re-release links every shard (same " +
+    "inodes, no rewrite); a spec change forces a full rewrite") {
+    val dir = tmpDir()
+    Release.publish(corpus, dir, spec)
+    val gen0 = shardFiles(dir).map { case (k, fs) => k -> fs.map(inode) }
+    Release.publish(corpus, dir, spec) // same corpus, same spec
+    val gen1 = shardFiles(dir)
+    gen1.filterNot { case (k, fs) => fs.map(inode) == gen0(k) }
+      .take(3).foreach { case (k, fs) =>
+        info(s"NOTLINKED $k new=${fs.map(inode)} old=${gen0.get(k)}") }
+    assert(gen1.nonEmpty && gen1.forall { case (k, fs) =>
+      fs.map(inode) == gen0(k)
+    }, "identical re-release must hard-link every shard")
+    // content still reads identically through the new generation
+    assert(Release.readCorpus(spark, dir).count() == 120)
+    // a different shard budget is a different spec: nothing may reuse
+    Release.publish(corpus, dir, spec.copy(shardTokens = 50L))
+    val gen2 = shardFiles(dir)
+    val gen1Inodes = gen1.values.flatten.map(inode).toSet
+    assert(gen2.values.flatten.forall(f => !gen1Inodes(inode(f))),
+      "spec change must not link prior files")
+  }
+
+  test("shard reuse: a curation delta rewrites only dirty shards, the " +
+    "released content equals an independent full release, and sweeping " +
+    "the prior generation leaves linked files readable") {
+    val dir = tmpDir()
+    Release.publish(corpus, dir, spec)
+    val gen0 = shardFiles(dir).map { case (k, fs) => k -> fs.map(inode) }
+    val delta = corpus.filter(col("id") =!= 77L) // one doc gone
+    Release.publish(delta, dir, spec)
+    val gen1 = shardFiles(dir)
+    val reused = gen1.count { case (k, fs) =>
+      gen0.get(k).contains(fs.map(inode)) }
+    val rewritten = gen1.size - reused
+    assert(reused > 0, "prefix shards before the edit must link")
+    assert(rewritten > 0, "shards at/after the edit must rewrite")
+    // content ≡ an independent full release of the same delta corpus
+    val fresh = tmpDir()
+    Release.publish(delta, fresh, spec)
+    def contents(d: String) = Release.readCorpus(spark, d)
+      .select(col("split").cast("string"), col("shard"), col("id"),
+        col("g"), col("n_tok"))
+      .as[(String, Int, Long, Long, Long)].collect().toSet
+    assert(contents(dir) == contents(fresh))
+    // manifests agree too (fingerprints included — same assignment law)
+    def man(d: String) = Release.readManifest(spark, d)
+      .select("split", "shard", "n_docs", "n_tokens", "fp_add", "fp_xor")
+      .as[(String, Int, Long, Long, String, Long)].collect().toSet
+    assert(man(dir) == man(fresh))
+    // the grace sweep of generation 0 unlinks only ITS names: the live
+    // release keeps reading every linked file afterwards
+    graft.sources.StoredIndex.sweepTaggedBelow(spark, dir,
+      Seq("corpus", "manifest", "datacard", "tokenizer"), 1,
+      legacyUntagged = false)
+    assert(new java.io.File(dir).listFiles()
+      .count(_.getName.startsWith("corpus_e0")) == 0, "gen 0 swept")
+    assert(contents(dir) == contents(fresh),
+      "sweeping the prior generation must not tear linked shards")
+  }
+
   test("tokenizer artifacts: export/read round-trips the merge table, " +
     "vocab.txt is alphabet-then-products in rank order, and a shipped " +
     "tokenizer resolves through the live meta while its absence refuses") {

@@ -56,10 +56,20 @@ object SitemapFunctions {
   }
 
   /** Freshness against a crawl date: true iff a lastmod exists and its
-    * DATE PREFIX (first 10 chars — W3C datetime opens with YYYY-MM-DD in
-    * every allowed form) sorts before `crawlDate` (a 'YYYY-MM-DD'
-    * literal). No lastmod → false (unknown is not stale).
+    * whole PERIOD ends before `crawlDate` (a 'YYYY-MM-DD' literal). The
+    * W3C Datetime profile sitemaps.org cites allows reduced precision —
+    * bare `YYYY` and `YYYY-MM` — so the date prefix pads to the period's
+    * END ('2026' → '2026-12-31', '2026-08' → '2026-08-31'; day 31 over-
+    * covers short months, erring fresh) before the lexicographic
+    * compare: a lastmod that merely OVERLAPS the crawl period is not
+    * stale, matching the module's unknown-is-not-stale posture. No
+    * lastmod → false.
     */
-  def staleBefore(lastmod: Column, crawlDate: String): Column =
-    coalesce(substring(lastmod, 1, 10) < crawlDate, lit(false))
+  def staleBefore(lastmod: Column, crawlDate: String): Column = {
+    val p = substring(lastmod, 1, 10)
+    val periodEnd = when(length(p) === 4, concat(p, lit("-12-31")))
+      .when(length(p) === 7, concat(p, lit("-31")))
+      .otherwise(p)
+    coalesce(periodEnd < crawlDate, lit(false))
+  }
 }

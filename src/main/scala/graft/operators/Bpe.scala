@@ -211,8 +211,12 @@ object Bpe {
     }
     val mergesTxt = ("#version: 0.2" +:
       ordered.map(m => s"${m.left} ${m.right}")).mkString("", "\n", "\n")
+    // token ids dedup keep-FIRST: two merges may produce the same string
+    // (e.g. (a,bc) and (ab,c) both yield "abc"), and a token→id consumer
+    // collapses them anyway — emitting the duplicate line would shift
+    // every id after it instead
     val vocabTxt = (alphabet ++ ordered.map(m => m.left + m.right))
-      .mkString("", "\n", "\n")
+      .distinct.mkString("", "\n", "\n")
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(path)) fs.mkdirs(path)
@@ -237,7 +241,10 @@ object Bpe {
     val lines = text.linesIterator.toSeq
     require(lines.headOption.exists(_.startsWith("#version:")),
       s"$p is not a merges artifact (missing #version header)")
-    lines.drop(1).filter(_.nonEmpty).zipWithIndex.map { case (l, rank) =>
+    // every post-header line is a merge — an EMPTY line is malformed,
+    // not skippable (silently dropping it would load a shorter table
+    // with shifted ranks, the exact corruption this reader refuses)
+    lines.drop(1).zipWithIndex.map { case (l, rank) =>
       l.split(" ", -1) match {
         case Array(left, right) if left.nonEmpty && right.nonEmpty =>
           Merge(rank, left, right)

@@ -47,14 +47,17 @@ object CrawlIngest {
   private val payloadCols =
     Seq("doc_id", "url", "domain", "canon_url", "text", "n_words")
 
-  /** The survivor store: payload columns + a constant count (each doc in
-    * exactly one batch, so the fold is the identity on content).
+  /** The survivor store: payload columns + a constant count. Each doc
+    * lives in exactly one batch, so `disjointRows` — compaction is a
+    * pure file re-layout, never a corpus-wide shuffle keyed on the text
+    * column.
     */
   def store(dir: String): AdditiveStats.Store = AdditiveStats.Store(dir,
     keyCols = payloadCols, countCol = "n",
     schemaDdl = "doc_id bigint, url string, domain string, " +
       "canon_url string, text string, n_words bigint, n bigint, " +
-      "batch_id bigint")
+      "batch_id bigint",
+    disjointRows = true)
 
   def init(spark: SparkSession, dir: String): Unit =
     AdditiveStats.init(spark, store(dir))

@@ -128,9 +128,16 @@ object Release {
     val cardPath = StoredIndex.taggedRelPath(dir, "datacard", relGen, tag)
 
     // data columns in a FIXED (sorted-name) order, so this release's
-    // fingerprints and any later release's hash identically
+    // fingerprints and any later release's hash identically. Each column
+    // is PRECEDED by an explicit null flag: XxHash64 folds nothing for a
+    // null child, so without the flags a value MOVING between two
+    // same-typed nullable columns hashes identically — a systematic
+    // clean-shard false positive, not the random-collision posture the
+    // contract claims. Flags are never null, so the fold stream always
+    // carries one entry per column position.
     val dataCols = corpus.columns.sorted.toSeq
-    val rowHash = xxhash64(dataCols.map(col): _*)
+    val rowHash = xxhash64(dataCols.flatMap(c =>
+      Seq(col(c).isNull.cast("int"), col(c))): _*)
     val prior = priorReusable(spark, dir, spec, gen, corpus)
     // assignment-side manifest rows: (split, shard, n_docs, n_tokens,
     // fp_add, fp_xor) — O(#shards) on the driver (the explicit contract)
@@ -154,8 +161,9 @@ object Release {
         // count exceeds 2^53 — at 100 TB that misassigns shard boundaries
         // (round-19 ADVICE). The prefix sum is non-negative (tokens are
         // non-negative by contract), so div == floor.
+        val tokEsc = spec.tokensCol.replace("`", "``")
         val sharded = cum.withColumn("shard",
-          expr(s"CAST((__cum - CAST(`${spec.tokensCol}` AS BIGINT)) " +
+          expr(s"CAST((__cum - CAST(`$tokEsc` AS BIGINT)) " +
             s"div ${spec.shardTokens} AS INT)"))
           .drop("__cum")
         // 2b. per-shard counts + order-invariant member fingerprints,
@@ -306,9 +314,14 @@ object Release {
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new Path(toDir).getFileSystem(conf)
     if (!fs.exists(new Path(toDir))) fs.mkdirs(new Path(toDir))
+    // partition VALUES are path-escaped exactly as Spark's writer escapes
+    // them (space -> %20 etc.) — raw values would miss the source dir of
+    // any split name needing escaping and crash the reuse path
+    val esc = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+      .escapePathName _
     shards.foreach { case (s, n) =>
-      val src = new Path(s"$fromDir/$splitCol=$s/shard=$n")
-      val dst = new Path(s"$toDir/$splitCol=$s/shard=$n")
+      val src = new Path(s"$fromDir/${esc(splitCol)}=${esc(s)}/shard=$n")
+      val dst = new Path(s"$toDir/${esc(splitCol)}=${esc(s)}/shard=$n")
       fs.mkdirs(dst)
       fs.listStatus(src).iterator
         .filter(st => st.isFile && !st.getPath.getName.startsWith("_"))

@@ -861,21 +861,11 @@ object StreamQueries {
         .repartition(4), "uri", "ts", "html", s"$r/crawl1")
       CrawlIngest.init(s, s"$r/crawl_store")
       def ingest(path: String, batchId: Long): Unit = {
-        val recs = WarcSource.good(WarcSource.read(s, path))
-          .select(col("target_uri").as("url"),
-            decode(col("body"), "UTF-8").as("__html"))
-          .withColumn("domain", UrlFunctions.registeredDomain(
-            UrlFunctions.hostOf(col("url")), TextQueries.pslSubset))
-          .localCheckpoint(true) // decode once per installment (q76's note)
-        val robotsDf = recs.select("domain")
-          .where(col("domain").isNotNull).distinct()
-          .withColumn("robots_txt", TextQueries.robotsTxtFor(col("domain")))
-          .where(col("robots_txt").isNotNull)
+        // the SAME record/robots/curate helpers q76 runs one-shot
+        val recs = TextQueries.crawlRecords(s, path)
         CrawlIngest.append(
-          CrawlIngest.curateBatch(recs, robotsDf, "graftbot",
-            h => regexp_extract(h, "<title>Doc ([0-9]+)</title>", 1)
-              .cast("long"),
-            minWords = 20),
+          CrawlIngest.curateBatch(recs, TextQueries.crawlRobotsDf(recs),
+            "graftbot", TextQueries.crawlIdOf, minWords = 20),
           s"$r/crawl_store", batchId)
       }
       ingest(s"$r/crawl0", 0L)

@@ -2312,6 +2312,14 @@ object TextQueries {
       |    <loc>https://pages.example/archive/2020</loc>
       |    <lastmod>2020-01-01</lastmod>
       |  </url>
+      |  <url>
+      |    <loc>https://pages.example/archive/old-year</loc>
+      |    <lastmod>2025</lastmod>
+      |  </url>
+      |  <url>
+      |    <loc>https://pages.example/archive/this-month</loc>
+      |    <lastmod>2026-08</lastmod>
+      |  </url>
       |</urlset>
       |""".stripMargin
 
@@ -2344,7 +2352,8 @@ object TextQueries {
     * fixture's self-referencing index entry proves the bound is a
     * no-op, not a loop), and every `<url>` entry lands in the
     * (domain, page_url, lastmod) coverage relation with a
-    * freshness-vs-crawl-date verdict (stale = lastmod's date prefix
+    * freshness-vs-crawl-date verdict (stale = lastmod's whole PERIOD —
+    * reduced-precision `YYYY`/`YYYY-MM` forms pad to their period end —
     * before 2026-08-01; no lastmod → not stale). A posts sitemap
     * reachable both directly and through the index dedups via the
     * DISTINCT. Pure column regex algebra end to end — the oracle
@@ -2384,7 +2393,13 @@ object TextQueries {
        |      '(?s)<lastmod>\\s*(.*?)\\s*</lastmod>', 1), '') AS lastmod
        |  FROM ab)
        |SELECT DISTINCT domain, page_url, lastmod,
-       |  coalesce(substr(lastmod, 1, 10) < '2026-08-01', FALSE) AS stale
+       |  coalesce((CASE
+       |      WHEN length(substr(lastmod, 1, 10)) = 4
+       |        THEN substr(lastmod, 1, 10) || '-12-31'
+       |      WHEN length(substr(lastmod, 1, 10)) = 7
+       |        THEN substr(lastmod, 1, 10) || '-31'
+       |      ELSE substr(lastmod, 1, 10) END) < '2026-08-01', FALSE)
+       |    AS stale
        |FROM en WHERE page_url <> ''""".stripMargin) { (s, dir) =>
     import graft.functions.SitemapFunctions
     val fetched = discoveredSitemaps(s, dir)
@@ -2516,7 +2531,6 @@ object TextQueries {
        |SELECT doc_id, domain, canon_url, n_words FROM quota WHERE rn <= 10"""
       .stripMargin) { (s, dir) =>
     import s.implicits._
-    import graft.functions.{HtmlFunctions, TextFunctions, UrlFunctions}
     import graft.sources.WarcSource
     // the SAME staged crawl as q74 (identical builder → one shared tree)
     val root = DedupQueries.DedupStaging.ensure("q74", dir) { r =>
@@ -2526,45 +2540,49 @@ object TextQueries {
       WarcSource.writeWarc(pages.repartition(8), "uri", "ts", "html",
         s"$r/crawl")
     }
-    val recs = WarcSource.good(WarcSource.read(s, s"$root/crawl"))
+    // the SAME operator pair the s26 stream runs — q76 and its streaming
+    // twin are equivalent because this IS the same code path, not a
+    // manually synchronized copy
+    val recs = crawlRecords(s, s"$root/crawl")
+    val survivors = graft.operators.CrawlIngest.curateBatch(recs,
+        crawlRobotsDf(recs), "graftbot", crawlIdOf, minWords = 20)
+      .localCheckpoint(true) // one extraction, two consumers (q72's note)
+    graft.operators.CrawlIngest.curated(survivors,
+      Seq("example.co.uk").toDF("domain"), cap = 10)
+  }
+
+  /** Decoded, domain-tagged records of a staged crawl tree — the shared
+    * per-batch input of q76 and s26's installments: decode the container
+    * ONCE (the robots relation and the gated main chain both consume
+    * this relation; without the boundary the WARC parse + the
+    * interpreted domain HOF ran twice — t51's lesson; at real scale the
+    * decoded-record relation is a persisted stage boundary anyway).
+    */
+  private[queries] def crawlRecords(s: SparkSession,
+                                    path: String): DataFrame = {
+    import graft.functions.UrlFunctions
+    import graft.sources.WarcSource
+    WarcSource.good(WarcSource.read(s, path))
       .select(col("target_uri").as("url"),
         decode(col("body"), "UTF-8").as("__html"))
       .withColumn("domain",
         UrlFunctions.registeredDomain(UrlFunctions.hostOf(col("url")),
           pslSubset))
-      // decode the container ONCE: the robots relation (distinct
-      // domains) and the gated main chain both consume this relation,
-      // and without the boundary the WARC parse + domain HOF ran twice
-      // (t51's lesson; at real scale the decoded-record relation is a
-      // persisted stage boundary anyway)
       .localCheckpoint(true)
-    // stage −1.75: the protocol gate, before any payload work
-    val robotsDf = recs.select("domain").where(col("domain").isNotNull)
-      .distinct()
+  }
+
+  /** The fixture's per-domain robots cache relation for a record batch —
+    * stage −1.75's small side (a real pipeline maintains this as its
+    * fetched robots cache).
+    */
+  private[queries] def crawlRobotsDf(recs: DataFrame): DataFrame =
+    recs.select("domain").where(col("domain").isNotNull).distinct()
       .withColumn("robots_txt", robotsTxtFor(col("domain")))
       .where(col("robots_txt").isNotNull)
-    val polite = UrlFunctions.robotsGate(recs, "url", "domain", robotsDf,
-      "graftbot")
-    val compliant = HtmlFunctions.dropNoindex(polite, "__html")
-    val canon = compliant
-      .select(col("domain"),
-        regexp_extract(col("__html"), "<title>Doc ([0-9]+)</title>", 1)
-          .cast("long").as("doc_id"),
-        UrlFunctions.canonicalizeUrl(col("url")).as("canon_url"),
-        TextFunctions.wordCount(HtmlFunctions.mainContent(col("__html")))
-          .cast("long").as("n_words"))
-      .filter(col("n_words") >= 20)
-      .localCheckpoint(true) // one extraction, two consumers (q72's note)
-    val keepers = canon.groupBy("canon_url")
-      .agg(min(col("doc_id")).as("doc_id"))
-    val deduped = keepers.join(canon, Seq("doc_id", "canon_url"))
-    val unblocked = UrlFunctions.dropBlockedDomains(deduped, "domain",
-      Seq("example.co.uk").toDF("domain"))
-    graft.operators.Sampling.cappedPerStratum(unblocked, Seq("domain"),
-        Seq("doc_id"), cap = 10,
-        hash = Some(md5(col("doc_id").cast("string").cast("binary"))))
-      .select("doc_id", "domain", "canon_url", "n_words")
-  }
+
+  /** Fixture doc id: the page title carries it. */
+  private[queries] val crawlIdOf: Column => Column =
+    h => regexp_extract(h, "<title>Doc ([0-9]+)</title>", 1).cast("long")
 
   // ---------------------------------------------------------------- q73
   /** CORPUS DATACARD: the per-language summary table a dataset release

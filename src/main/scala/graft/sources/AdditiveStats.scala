@@ -36,11 +36,21 @@ object AdditiveStats {
     * default); any other MERGEABLE payload works (e.g.
     * [[graft.plans.KmvSketch.mergeAgg]] for distinct-count sketches —
     * KMV union is exact, so fragments stay protocol-foldable).
+    *
+    * `disjointRows = true` declares the stronger contract that a KEY
+    * never appears in more than one fragment (the crawl corpus store:
+    * each document lives in exactly one batch), so the union of
+    * fragments IS the fold and compaction degrades to a pure file
+    * RE-LAYOUT — no groupBy, no exchange. That matters when the key
+    * columns carry the payload itself (document text): an aggregation
+    * fold would hash-shuffle the whole corpus keyed on its widest
+    * column just to compute an identity.
     */
   final case class Store(dir: String, keyCols: Seq[String],
                          countCol: String, schemaDdl: String,
                          fold: org.apache.spark.sql.Column =>
-                           org.apache.spark.sql.Column = sum)
+                           org.apache.spark.sql.Column = sum,
+                         disjointRows: Boolean = false)
 
   private val rel = "stats"
 
@@ -233,9 +243,16 @@ object AdditiveStats {
         lit(-1L)))
       .collect()(0).getLong(0)
     val tag = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
-    snapshot
-      .groupBy(store.keyCols.map(col): _*)
-      .agg(store.fold(col(store.countCol)).as(store.countCol))
+    val folded =
+      if (store.disjointRows)
+        // each key lives in exactly one fragment: union IS the fold —
+        // a pure re-layout, no exchange (see the Store contract)
+        snapshot.select(
+          (store.keyCols :+ store.countCol).map(col): _*)
+      else snapshot
+        .groupBy(store.keyCols.map(col): _*)
+        .agg(store.fold(col(store.countCol)).as(store.countCol))
+    folded
       .withColumn("batch_id", lit(-1L))
       .write.mode("overwrite").partitionBy("batch_id")
       .parquet(taggedEpochPath(store.dir, epoch + 1, tag))

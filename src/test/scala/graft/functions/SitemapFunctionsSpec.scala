@@ -37,13 +37,17 @@ class SitemapFunctionsSpec extends SparkSpec {
     assert(idx == ((0, 1)))
   }
 
-  test("staleBefore: date-prefix compare, full datetimes included; " +
-    "null lastmod is NOT stale") {
+  test("staleBefore: period-end compare — full datetimes, the W3C " +
+    "reduced-precision YYYY/YYYY-MM forms, and null lastmod NOT stale") {
     val got = Seq(Some("2026-01-02"), Some("2026-08-02T09:00:00+00:00"),
-        Some("2025-12-31T23:59:59Z"), None)
+        Some("2025-12-31T23:59:59Z"), None,
+        // reduced precision: a period OVERLAPPING the crawl date is
+        // fresh (unknown month/day errs fresh), a fully-past one stale
+        Some("2026"), Some("2025"), Some("2026-08"), Some("2026-07"))
       .toDF("lastmod")
       .select(SitemapFunctions.staleBefore(col("lastmod"), "2026-08-01"))
       .as[Boolean].collect().toSeq
-    assert(got == Seq(true, false, true, false))
+    assert(got == Seq(true, false, true, false,
+      false, true, false, true))
   }
 }

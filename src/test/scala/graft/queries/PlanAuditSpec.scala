@@ -676,4 +676,30 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) == 1, p)
     assert(!p.contains("SortMergeJoin"), p)
   }
+
+  test("q76/s26 curateBatch: the per-batch compliant chain is one " +
+    "broadcast hash join (domain -> parsed rules) plus row-local work — " +
+    "no sort-merge join, no record-relation exchange; this is the exact " +
+    "relation the crawl-ingest stream evaluates every trigger") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val recs = Seq(
+      ("https://a.com/keep/1",
+        "<html><head><title>Doc 1</title></head><body><p>" +
+          "enough words here to pass</p></body></html>", "a.com"))
+      .toDF("url", "__html", "domain")
+    val robotsDf = Seq(("a.com", "user-agent: *\ndisallow: /p\n"))
+      .toDF("domain", "robots_txt")
+    val out = graft.operators.CrawlIngest.curateBatch(recs, robotsDf,
+      "graftbot", TextQueries.crawlIdOf, minWords = 1)
+    val p = out.queryExecution.executedPlan.toString
+    assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) == 1, p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // the only exchange sits on the rules side's domain distinct (a
+    // relation ~6 orders smaller than the corpus), inside the broadcast
+    // subtree — the record relation itself never shuffles
+    assert(!p.contains("Exchange hashpartitioning(url"), p)
+    assert(out.columns.toSeq ==
+      Seq("doc_id", "url", "domain", "canon_url", "text", "n_words"))
+  }
 }

@@ -41,11 +41,30 @@ object SitemapFunctions {
   /** The `<sitemap>` child-pointer blocks of an index document. */
   def indexBlocks(xml: Column): Column = blocks(xml, "sitemap")
 
-  /** The whitespace-trimmed `<loc>` of one entry block ("" when absent —
-    * a loc-less entry is invalid per the protocol and filters out).
+  /** Undo the five predefined XML entity escapes the protocol REQUIRES
+    * for data values (`&amp;` etc. — a URL with a query string cannot
+    * legally appear unescaped in a `<loc>`). `&amp;` decodes LAST so a
+    * double-escaped `&amp;lt;` yields the literal `&lt;` like a real
+    * XML parser. Numeric character references are out of scope (the
+    * protocol's own escaping table is exactly these five).
+    */
+  def xmlUnescape(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(c, "&lt;", "<"),
+            "&gt;", ">"),
+          "&quot;", "\""),
+        "&apos;", "'"),
+      "&amp;", "&")
+
+  /** The whitespace-trimmed, entity-unescaped `<loc>` of one entry block
+    * ("" when absent — a loc-less entry is invalid per the protocol and
+    * filters out).
     */
   def locOf(block: Column): Column =
-    regexp_extract(block, "(?s)<loc>\\s*(.*?)\\s*</loc>", 1)
+    xmlUnescape(regexp_extract(block, "(?s)<loc>\\s*(.*?)\\s*</loc>", 1))
 
   /** The trimmed `<lastmod>` of one entry block; null when absent or
     * empty (the element is optional).
@@ -61,9 +80,14 @@ object SitemapFunctions {
     * bare `YYYY` and `YYYY-MM` — so the date prefix pads to the period's
     * END ('2026' → '2026-12-31', '2026-08' → '2026-08-31'; day 31 over-
     * covers short months, erring fresh) before the lexicographic
-    * compare: a lastmod that merely OVERLAPS the crawl period is not
-    * stale, matching the module's unknown-is-not-stale posture. No
-    * lastmod → false.
+    * compare: a reduced-precision lastmod that merely OVERLAPS the
+    * crawl period is not stale, matching the module's
+    * unknown-is-not-stale posture. Full datetimes compare at CALENDAR-
+    * DATE precision in the lastmod's OWN offset (the publisher's
+    * calendar, as written) — a zoned instant within its offset of
+    * midnight classifies by its local date, a ≤1-day skew freshness
+    * scheduling tolerates by design; converting to the crawl zone would
+    * trade it for the inverse skew, not remove it. No lastmod → false.
     */
   def staleBefore(lastmod: Column, crawlDate: String): Column = {
     val p = substring(lastmod, 1, 10)

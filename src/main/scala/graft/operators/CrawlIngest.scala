@@ -110,8 +110,13 @@ object CrawlIngest {
     */
   def curated(survivors: DataFrame, blockDf: DataFrame,
               cap: Int): DataFrame = {
+    // distinct FIRST: a page refetched into a later batch (same id,
+    // same canonical URL, same extraction) would otherwise survive the
+    // keepers join twice and bill its domain's quota twice; refetches
+    // whose CONTENT changed are out of contract (the store's
+    // disjointRows law — version upstream, or use a fresh store)
     val canon = survivors.select(col("doc_id"), col("domain"),
-      col("canon_url"), col("n_words"))
+      col("canon_url"), col("n_words")).distinct()
     val keepers = canon.groupBy("canon_url")
       .agg(min(col("doc_id")).as("doc_id"))
     val deduped = keepers.join(canon, Seq("doc_id", "canon_url"))

@@ -54,9 +54,9 @@ import org.apache.spark.unsafe.types.UTF8String
   *     case-insensitively, or is a case-insensitive PREFIX of it (so a
   *     `googlebot` group governs `googlebot-news` when no
   *     `googlebot-news` group exists — the de-facto behavior of the
-  *     reference parsers); specificity = token length, `*` = 0. ALL
-  *     groups at the winning specificity merge, in document order
-  *     (§2.2.1: groups with the same user-agent combine).
+  *     reference parsers); specificity = token length in CODE POINTS,
+  *     `*` = 0. ALL groups at the winning specificity merge, in
+  *     document order (§2.2.1: groups with the same user-agent combine).
   *   - Rules with an empty pattern are dropped (an empty pattern
   *     matches nothing — `Disallow:` alone means allow-all).
   *   - Matching (§2.2.2): patterns anchor at the START of the
@@ -66,11 +66,13 @@ import org.apache.spark.unsafe.types.UTF8String
   *     units of the strings as given — percent-encoding normalization
   *     is the canonicalizer's job (t34), not the matcher's.
   *   - Decision (§2.2.2): among matching rules the LONGEST pattern (in
-  *     chars) wins; a length tie goes to `allow` (least restrictive);
-  *     a further tie (same length, same verdict) reports the
-  *     lexicographically least pattern so the reported winner is
-  *     deterministic and external engines replay it. No matching rule
-  *     (or no rules at all) → allowed, null pattern.
+  *     CODE POINTS — the external replay's length(); the RFC says
+  *     octets, which agrees on ASCII rules) wins; a length tie goes to
+  *     `allow` (least restrictive); a further tie (same length, same
+  *     verdict) reports the code-point-least pattern — the binary
+  *     collation external engines sort by — so the reported winner is
+  *     deterministic and replayable. No matching rule (or no rules at
+  *     all) → allowed, null pattern.
   */
 case class RobotsRulesExpr(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -136,10 +138,14 @@ object RobotsRulesExpr {
         key match {
           case "user-agent" =>
             val tok = lower(value)
+            // specificity in CODE POINTS, like the rule decision below —
+            // RFC product tokens are ASCII (letters/hyphen/underscore)
+            // where the two units agree, but a nonconforming token must
+            // not reintroduce the UTF-16 divergence the r20 fix removed
             val spec =
               if (tok == "*") 0
               else if (agent == tok || (tok.nonEmpty && agent.startsWith(tok)))
-                tok.length
+                tok.codePointCount(0, tok.length)
               else -1 // token does not govern this agent
             if (!inUaRun) {
               groups += ((spec,

@@ -2265,6 +2265,10 @@ object TextQueries {
       |  <url>
       |    <loc> https://example.com/contact </loc>
       |  </url>
+      |  <url>
+      |    <loc>https://example.com/q?a=1&amp;b=2</loc>
+      |    <lastmod>2026-08-05</lastmod>
+      |  </url>
       |</urlset>
       |""".stripMargin
 
@@ -2334,6 +2338,15 @@ object TextQueries {
       .when(url === "https://pages.example/sitemap-archive.xml",
         lit(sitemapXmlPagesArchive))
 
+  /** DuckDB mirror of [[graft.functions.SitemapFunctions.xmlUnescape]] —
+    * the five predefined entities, `&amp;` last.
+    */
+  private def xmlUnescapeSql(e: String): String =
+    s"""regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+       |    regexp_replace($e, '&lt;', '<', 'g'), '&gt;', '>', 'g'),
+       |    '&quot;', '"', 'g'), '&apos;', '''', 'g'),
+       |    '&amp;', '&', 'g')""".stripMargin
+
   /** The same fetch as a SQL CASE over `expr`. */
   private def sitemapXmlSqlCase(e: String): String =
     s"""CASE WHEN $e = 'https://example.com/sitemap.xml'
@@ -2379,8 +2392,8 @@ object TextQueries {
        |ib AS (SELECT domain, unnest(regexp_extract_all(xml,
        |    '(?s)<sitemap>(.*?)</sitemap>', 1)) AS blk FROM fx),
        |cx AS (SELECT domain, cxml FROM (SELECT domain,
-       |    ${sitemapXmlSqlCase(
-             "regexp_extract(blk, '(?s)<loc>\\s*(.*?)\\s*</loc>', 1)")}
+       |    ${sitemapXmlSqlCase(xmlUnescapeSql(
+             "regexp_extract(blk, '(?s)<loc>\\s*(.*?)\\s*</loc>', 1)"))}
        |      AS cxml FROM ib)
        |  WHERE cxml IS NOT NULL),
        |cb AS (SELECT domain, unnest(regexp_extract_all(cxml,
@@ -2388,7 +2401,9 @@ object TextQueries {
        |ab AS (SELECT domain, blk FROM db
        |       UNION ALL SELECT domain, blk FROM cb),
        |en AS (SELECT domain,
-       |    regexp_extract(blk, '(?s)<loc>\\s*(.*?)\\s*</loc>', 1) AS page_url,
+       |    ${xmlUnescapeSql(
+             "regexp_extract(blk, '(?s)<loc>\\s*(.*?)\\s*</loc>', 1)")}
+       |      AS page_url,
        |    nullif(regexp_extract(blk,
        |      '(?s)<lastmod>\\s*(.*?)\\s*</lastmod>', 1), '') AS lastmod
        |  FROM ab)

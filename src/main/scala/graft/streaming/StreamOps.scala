@@ -1059,7 +1059,12 @@ object StreamOps {
         StoredIndex.pinStreamIdentity(spark, storeDir, checkpointDir)
         if (!batch.isEmpty) {
           // split the batch's members with the same codegen parser the
-          // batch reader uses, keep clean response records only
+          // batch reader uses, keep clean response records only.
+          // persist (not localCheckpoint): the same stage boundary —
+          // the gates and every sink below consume these relations once
+          // (q76's discipline) — but RELEASABLE in the finally, so a
+          // long-running stream does not accumulate dead storage blocks
+          // trigger after trigger waiting on driver GC
           val recs = WarcSource.good(
             batch.toDF().select(col("path").as("warc_file"),
                 explode(graft.plans.WarcRecordsExpr.warcRecords(
@@ -1068,12 +1073,11 @@ object StreamOps {
             .select(col("target_uri").as("url"),
               decode(col("body"), "UTF-8").as("__html"))
             .withColumn("domain", domainOf(col("url")))
-            // decoded ONCE per trigger: the gates and every sink below
-            // consume this relation (q76's stage-boundary discipline)
-            .localCheckpoint(true)
+            .persist()
           val survivors = CrawlIngest.curateBatch(recs, robotsDf, agent,
               idOf, minWords)
-            .localCheckpoint(true) // one curation, up to five sinks
+            .persist() // one curation, up to five sinks
+          try {
           CrawlIngest.append(survivors, storeDir, batchId)
           lineStatsDir.foreach { d =>
             if (StoredIndex.metaGeneration(spark, d) < 0)
@@ -1113,6 +1117,10 @@ object StreamOps {
           if (compactEvery > 0 &&
               CrawlIngest.fragmentCount(spark, storeDir) > compactEvery)
             CrawlIngest.compact(spark, storeDir)
+          } finally {
+            survivors.unpersist(blocking = false)
+            recs.unpersist(blocking = false)
+          }
         }
         onBatchDone(batchId)
       }

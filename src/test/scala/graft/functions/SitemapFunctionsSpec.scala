@@ -37,6 +37,21 @@ class SitemapFunctionsSpec extends SparkSpec {
     assert(idx == ((0, 1)))
   }
 
+  test("xmlUnescape: the five protocol entities decode, ampersand last " +
+    "(a double-escaped &amp;lt; yields the literal &lt;, like a parser)") {
+    val got = Seq(
+        "https://a/p?x=1&amp;y=2", "&lt;b&gt;", "&quot;q&quot;&apos;",
+        "&amp;lt;", "plain")
+      .toDF("s").select(SitemapFunctions.xmlUnescape(col("s")))
+      .as[String].collect().toSeq
+    assert(got == Seq("https://a/p?x=1&y=2", "<b>", "\"q\"'", "&lt;", "plain"))
+    // and a <loc> carrying an escaped query decodes on extraction
+    val loc = Seq("<url><loc>https://a/p?x=1&amp;y=2</loc></url>")
+      .toDF("b").select(SitemapFunctions.locOf(col("b")))
+      .as[String].head()
+    assert(loc == "https://a/p?x=1&y=2")
+  }
+
   test("staleBefore: period-end compare — full datetimes, the W3C " +
     "reduced-precision YYYY/YYYY-MM forms, and null lastmod NOT stale") {
     val got = Seq(Some("2026-01-02"), Some("2026-08-02T09:00:00+00:00"),

@@ -101,8 +101,16 @@ object AnnIndex {
         (kv("epoch").toInt, g, kv -- coreKeys)
       }
     val epoch = prevEpoch + 1
-    val pq = PqAnn.codebook(emb, idCol, vecCol, dim, m, pqK, iterations)
-    val ivf = IvfAnn.codebook(emb, idCol, vecCol, ivfK, iterations)
+    // independent training chains — overlap their small sequential jobs
+    // from two threads (guide §2.6); results are unchanged
+    val (pq, ivf) = {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val pqF = Future(PqAnn.codebook(emb, idCol, vecCol, dim, m, pqK, iterations))
+      val ivfF = Future(IvfAnn.codebook(emb, idCol, vecCol, ivfK, iterations))
+      (Await.result(pqF, Duration.Inf), Await.result(ivfF, Duration.Inf))
+    }
     val cbRows =
       pq.centroids.zipWithIndex.flatMap { case (sub, s) =>
         sub.map { case (code, c) => ("pq", s, code, c) } } ++

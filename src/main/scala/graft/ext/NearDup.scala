@@ -144,8 +144,16 @@ object NearDup {
     */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
                        n: Int = 3, minContainment: Double = 0.8): DataFrame = {
-    val sh = hashedShingles(df, idCol, textCol, n)
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
+    // persist the per-doc shingle arrays: the plan consumes them four times
+    // (join sides + both size lookups) and would otherwise re-run the
+    // normalize+split+hash chain per consumer (d02's round-21 finding);
+    // sizes fall out of size(hs) map-side — the arrays are in-row distinct
+    // — replacing the exploded groupBy(id).count exchange. Lifetime:
+    // released by the caller's clearCache (bench) / frame unreachability.
+    val perDoc = docShingleArrays(df, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh = explodeArrays(perDoc)
+    val sizes = perDoc.select(col("id"), size(col("hs")).as("n"))
     val a = sh.select(col("id").as("id_a"), col("shingle"))
     val b = sh.select(col("id").as("id_b"), col("shingle"))
     val inter = a.join(b, Seq("shingle")).filter(col("id_a") < col("id_b"))
@@ -446,16 +454,29 @@ object NearDup {
     private[graft] def writeRelations(shingles: DataFrame, buckets: DataFrame,
                                       dir: String, epoch: Int, parts: Int,
                                       batchId: Long): Unit = {
-      shingles.select(col("id"), col("shingle"))
-        .withColumn("batch_id", lit(batchId))
-        .withColumn("ip", pmod(col("id"), lit(parts)).cast("int"))
-        .write.mode("overwrite").partitionBy("batch_id", "ip")
-        .parquet(relPath(dir, "shingles", epoch))
-      buckets.select(col("bk"), col("ids"))
-        .withColumn("batch_id", lit(batchId))
-        .withColumn("bp", pmod(col("bk.bh"), lit(parts)).cast("int"))
-        .write.mode("overwrite").partitionBy("batch_id", "bp")
-        .parquet(relPath(dir, "buckets", epoch))
+      // the two relation writes are independent jobs on disjoint paths —
+      // submit them from two threads so the second's tasks back-fill the
+      // first's straggler tail (guide §2.6; meta publication still happens
+      // strictly after BOTH complete, so crash-safety is unchanged)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val sh = Future {
+        shingles.select(col("id"), col("shingle"))
+          .withColumn("batch_id", lit(batchId))
+          .withColumn("ip", pmod(col("id"), lit(parts)).cast("int"))
+          .write.mode("overwrite").partitionBy("batch_id", "ip")
+          .parquet(relPath(dir, "shingles", epoch))
+      }
+      val bk = Future {
+        buckets.select(col("bk"), col("ids"))
+          .withColumn("batch_id", lit(batchId))
+          .withColumn("bp", pmod(col("bk.bh"), lit(parts)).cast("int"))
+          .write.mode("overwrite").partitionBy("batch_id", "bp")
+          .parquet(relPath(dir, "buckets", epoch))
+      }
+      Await.result(sh, Duration.Inf)
+      Await.result(bk, Duration.Inf)
     }
 
     /** Append ONE ingest batch's relations to the live epoch, keyed and
@@ -818,11 +839,17 @@ object NearDup {
       } else index.shingles
     val shOld = shinglesRel.select(col("id"), col("shingle"))
       .join(candPrune, Seq("id"), "left_semi")
-    val out = exactJaccard(shNew.unionByName(shOld),
+    // cache the batch∪candidate shingle relation: exactJaccard consumes it
+    // THREE times (set sizes + both join sides), and each uncached
+    // evaluation re-ran the corpus-sliver scan + semi-join and re-shingled
+    // the batch (round-21 plan audit). O(batch + candidates) rows — the
+    // same bound as the other probe caches.
+    val shAll = shNew.unionByName(shOld).cache()
+    val out = exactJaccard(shAll,
         cand.select(col("id_new").as("id_a"), col("id_old").as("id_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a").as("id_new"), col("id_b").as("id_old"), col("jaccard"))
-    (out, Seq(perDoc, bNew, cand))
+    (out, Seq(perDoc, bNew, cand, shAll))
   }
 
   /** INCREMENTAL near-dup: dedup a NEW ingest batch against an EXISTING
@@ -890,7 +917,11 @@ object NearDup {
     val candPrune =
       if (nCand <= maxBroadcastKeys) broadcast(candOld) else candOld
     val shOldPruned = shOld.join(candPrune, Seq("id"), "left_semi")
-    exactJaccard(shNew.unionByName(shOldPruned),
+    // cache the union: exactJaccard reads it three times (sizes + both
+    // join sides) — O(batch + candidates) rows, same lifetime contract as
+    // the other probe caches (indexed-overload note, round 21)
+    val shAll = shNew.unionByName(shOldPruned).cache()
+    exactJaccard(shAll,
         cand.select(col("id_new").as("id_a"), col("id_old").as("id_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a").as("id_new"), col("id_b").as("id_old"), col("jaccard"))

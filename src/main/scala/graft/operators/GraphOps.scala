@@ -52,8 +52,20 @@ object GraphOps {
   def bfsLevels(edges: DataFrame, sources: DataFrame, maxDepth: Int): DataFrame = {
     require(maxDepth >= 0, "maxDepth must be non-negative")
     // materialize the edge relation ONCE: a derived edge set (e.g. q61's
-    // lineitem self-join) would otherwise recompute at every level
-    val e = if (maxDepth > 1) edges.localCheckpoint(true) else edges
+    // lineitem self-join) would otherwise recompute at every level. On top
+    // of the lineage cut, pin the relation REPARTITIONED BY SOURCE KEY
+    // (a checkpoint returns a bare LogicalRDD whose partitioning Catalyst
+    // no longer trusts, so every level's frontier join re-exchanged the
+    // whole edge relation; the cached repartition pays that exchange once
+    // and every later level ships only the node-sized frontier). Lifetime:
+    // released by the caller's clearCache / frame unreachability.
+    val e =
+      if (maxDepth > 1) {
+        val parts = edges.sparkSession.conf
+          .get("spark.sql.shuffle.partitions", "200").toInt
+        edges.localCheckpoint(true).repartition(parts, col("u"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      } else edges
     var visited = sources.select(col("v")).distinct()
       .select(col("v"), lit(0).as("level"))
       .localCheckpoint(true)
@@ -68,7 +80,13 @@ object GraphOps {
         .localCheckpoint(true)
       if (next.isEmpty) done = true
       else {
-        visited = visited.union(next).localCheckpoint(true)
+        // visited stays a LAZY union of the checkpointed level frames —
+        // lineage is a flat ≤ maxDepth-way union of RDD scans, so the
+        // per-level re-checkpoint (one extra materializing job per level)
+        // bought nothing (round 21; the exponential-plan hazard this loop
+        // guards against lives in `next`'s self-reference, which keeps its
+        // checkpoint above)
+        visited = visited.union(next)
         frontier = next.select("v")
         d += 1
         done = d > maxDepth
@@ -87,15 +105,33 @@ object GraphOps {
     // same single-materialization argument as bfsLevels: every power step
     // re-joins the edge relation, so a derived edge set must not recompute
     val e = if (iterations > 1) edges.localCheckpoint(true) else edges
+    val parts = edges.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "200").toInt
     val deg = outDegrees(e)
-    val n = deg.agg(count(lit(1)).as("n"))
+    // fold the out-degree onto the edge ONCE and pin the result partitioned
+    // by the source key: the unrolled power steps each referenced `deg` and
+    // `e` lazily, so the plan re-derived the degree aggregate and
+    // re-exchanged the full edge relation per step (round-21 plan audit:
+    // 22 edge-RDD scans, 12 SortMergeJoins, 44 Exchanges for 3 steps).
+    // With (u, v, d) cached hash-partitioned on u, a power step ships only
+    // the node-sized rank vector: one rank exchange + one target-keyed
+    // aggregate — the minimal shuffle count per step. Arithmetic is
+    // untouched (c = r/d per edge row, DECIMAL(28,15) sums are order-
+    // independent), so results stay bit-identical. Lifetime: released by
+    // the caller's clearCache / frame unreachability.
+    val ew = e.join(deg, "u").select(col("u"), col("v"), col("d"))
+      .repartition(parts, col("u"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // node count: 1-row relation, materialized once (each step's teleport
+    // term referenced the lazy aggregate, recomputing it per step)
+    val n = if (iterations > 1) deg.agg(count(lit(1)).as("n")).localCheckpoint(true)
+            else deg.agg(count(lit(1)).as("n"))
     var r = deg.select(col("u").as("v"))
       .crossJoin(broadcast(n))
       .select(col("v"), (lit(1.0) / col("n").cast(DoubleType)).as("r"))
     for (_ <- 1 to iterations) {
-      val contrib = e
+      val contrib = ew
         .join(r.select(col("v").as("u"), col("r")), "u")
-        .join(deg, "u")
         .select(col("v"), (col("r") / col("d").cast(DoubleType)).as("c"))
       r = contrib.groupBy("v")
         .agg(sum(col("c").cast(DecimalType(28, 15))).cast(DoubleType).as("s"))

@@ -72,7 +72,11 @@ object SpanDedup {
       .filter(size(col("__toks")) >= n)
       .select(col(idCol), posexplode(
         transform(sequence(lit(0), size(col("__toks")) - n),
-          s => array_join(slice(col("__toks"), s + 1, lit(n)), " ")))
+          // element_at is O(1) per gram vs slice's per-position array copy
+          // (NearDup.shingles' documented trick, applied here round 21);
+          // concat_ws over non-null tokens ≡ array_join with " "
+          s => concat_ws(" ",
+            (0 until n).map(k => element_at(col("__toks"), s + 1 + k)): _*)))
         .as(Seq("__start", "__w")))
 
   /** Duplicated-span start positions: (idCol, __start) for every token
@@ -82,8 +86,15 @@ object SpanDedup {
     */
   def dupStarts(df: DataFrame, idCol: String, textCol: String,
                 n: Int, minDocs: Int = 2): DataFrame = {
+    // persist the exploded window frame: the two-phase plan consumes it
+    // three times (phase-1 count, candidate prune, final dupKeys join) and
+    // without the pin each consumer re-runs normalize+split+window-build+
+    // hash from the source scan (round-21 plan audit: 4 Generate subtrees
+    // in d15/t19). MEMORY_AND_DISK so the 10× smoke scale spills instead
+    // of thrashing; released by the caller's clearCache / unreachability.
     val w = windows(df, idCol, textCol, n)
       .withColumn("__h", xxhash64(col("__w")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Phase 1: hash-only heavy hitters — the only corpus-wide shuffle,
     // and it carries 8 bytes per window, combiner-friendly.
     val candidates = sharedKeys(w, Seq("__h"), idCol, minDocs)
@@ -241,7 +252,8 @@ object SpanDedup {
     val refW = ref.select(toks(col(refTextCol)).as("__toks"))
       .filter(size(col("__toks")) >= n)
       .select(explode(transform(sequence(lit(0), size(col("__toks")) - n),
-        s => array_join(slice(col("__toks"), s + 1, lit(n)), " ")))
+        s => concat_ws(" ",
+          (0 until n).map(k => element_at(col("__toks"), s + 1 + k)): _*)))
         .as("__w"))
       .distinct()
       .withColumn("__h", xxhash64(col("__w")))
@@ -404,11 +416,13 @@ object SpanDedup {
         "200").toInt)
       .localCheckpoint(true)
 
-    // row-local DISTINCT m-grams of one document
+    // row-local DISTINCT m-grams of one document (element_at O(1) per gram
+    // vs slice's per-position copy — round 21, same trick as windows())
     def mgrams(m: Int): Column =
       when(col("__len") >= m,
         array_distinct(transform(sequence(lit(0), col("__len") - m),
-          s => array_join(slice(col("__toks"), s + 1, lit(m)), " "))))
+          s => concat_ws(" ",
+            (0 until m).map(k => element_at(col("__toks"), s + 1 + k)): _*))))
         .otherwise(array().cast("array<string>"))
 
     // --------------- step 0: ONE text-keyed count for m = 1 … baseLen

@@ -1284,14 +1284,31 @@ object CoreQueries {
       |       FROM e JOIN r2 ON e.u = r2.v JOIN deg USING (u) GROUP BY e.v),
       |r3 AS (SELECT v, 0.5 / CAST(nn.n AS DOUBLE) + (0.5 * s) AS r FROM s3 CROSS JOIN nn)
       |SELECT v AS s_suppkey, ROUND(r, 6) AS pagerank FROM r3""".stripMargin) { (s, dir) =>
-    val li = Tables.lineitem(s, dir).select("l_orderkey", "l_suppkey")
-    val a = li.toDF("k", "u")
-    val b = li.toDF("k", "v")
-    val edges = a.join(b, "k").filter(col("u") =!= col("v"))
-      .select("u", "v").distinct()
-    GraphOps.pageRank(edges, iterations = 3, damping = 0.5)
+    GraphOps.pageRank(coSupplyEdges(Tables.lineitem(s, dir)),
+        iterations = 3, damping = 0.5)
       .select(col("v").as("s_suppkey"), round(col("r"), 6).as("pagerank"))
   }
+
+  /** Distinct co-supply edge relation (suppliers sharing an order, both
+    * directions) for q59/q61 — identical to the lineitem self-join on
+    * `l_orderkey` + distinct, but built as ONE order-keyed `collect_set`
+    * with the pairs expanded IN-ROW (the lshCandidates shape): one
+    * exchange of (orderkey, suppkey) partial sets instead of shuffling
+    * both 600k-row scan sides into a sort-merge self-join and then
+    * re-exchanging the multiplied pair rows for the distinct (round-21:
+    * 3 corpus exchanges + SMJ → 2 exchanges, the second over in-row
+    * expanded pairs that partial-aggregate map-side). Per-order supplier
+    * sets are bounded by order size, so the expansion is row-local and
+    * skew-free.
+    */
+  private def coSupplyEdges(li: DataFrame): DataFrame =
+    li.groupBy(col("l_orderkey"))
+      .agg(collect_set(col("l_suppkey")).as("__ss"))
+      .filter(size(col("__ss")) >= 2)
+      .select(explode(col("__ss")).as("u"), col("__ss"))
+      .select(col("u"), explode(col("__ss")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
 
   // ---------------------------------------------------------------- q60
   /** ROLLING 7-DAY DISTINCT USERS per day (trailing-window MAU) — sliding
@@ -1343,9 +1360,7 @@ object CoreQueries {
       |  WHERE w.level < 3)
       |SELECT v AS s_suppkey, CAST(MIN(level) AS INT) AS level
       |FROM walk GROUP BY v""".stripMargin) { (s, dir) =>
-    val li = Tables.lineitem(s, dir).select("l_orderkey", "l_suppkey")
-    val edges = li.toDF("k", "u").join(li.toDF("k", "v"), "k")
-      .filter(col("u") =!= col("v")).select("u", "v").distinct()
+    val edges = coSupplyEdges(Tables.lineitem(s, dir))
     val src = edges.agg(min(col("u")).as("v"))
     GraphOps.bfsLevels(edges, src, maxDepth = 3)
       .select(col("v").as("s_suppkey"), col("level").cast("int").as("level"))

@@ -92,9 +92,20 @@ object DedupQueries {
        |SELECT id_a, id_b, ROUND(jaccard, 6) AS jaccard
        |FROM j WHERE jaccard >= 0.5""".stripMargin)) { (s, dir) =>
     // join on 8-byte shingle hashes, not n-gram text (counts identical up to
-    // 64-bit collisions, ~1e-11 at corpus scale) — same trick as d03
-    val sh = NearDup.hashedShingles(Tables.documents(s, dir), "doc_id", "text", 3)
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
+    // 64-bit collisions, ~1e-11 at corpus scale) — same trick as d03.
+    // The per-doc shingle ARRAYS are persisted: the plan consumes the
+    // relation four times (join sides a/b + both size lookups), and without
+    // the pin each consumer re-runs the normalize+split+hash chain from the
+    // parquet scan (round-21 plan audit: 4 scan subtrees, with the inferred
+    // non-empty filter evaluating the chain twice more per subtree). Sizes
+    // come from size(hs) map-side — the arrays are in-row distinct, so
+    // |shingle set| is the array length; the old groupBy(id).count over the
+    // exploded relation was an extra exchange computing the same number.
+    // Lifetime: released by the harness's per-query clearCache.
+    val perDoc = NearDup.docShingleArrays(Tables.documents(s, dir), "doc_id", "text", 3)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh = perDoc.select(col("id"), explode(col("hs")).as("shingle"))
+    val sizes = perDoc.select(col("id"), size(col("hs")).as("n"))
     val a = sh.select(col("id").as("id_a"), col("shingle"))
     val b = sh.select(col("id").as("id_b"), col("shingle"))
     val inter = a.join(b, Seq("shingle")).filter(col("id_a") < col("id_b"))

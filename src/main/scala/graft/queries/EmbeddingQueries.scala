@@ -395,10 +395,20 @@ object EmbeddingQueries {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val brute = graft.ext.ClusteredFixture.bruteTopK(
       emb, emb.filter(col("vec_id") < 8), "vec_id", "embedding", 5)
-    val cb = graft.ext.PqAnn.codebook(emb, "vec_id", "embedding", dim,
-      m = 8, k = 16, iterations = 2)
-    val ivf = graft.ext.IvfAnn.codebook(emb, "vec_id", "embedding",
-      k = kCells, iterations = 2)
+    // the two codebook trainings are independent chains of driver-collected
+    // Lloyd passes over the same persisted fixture — run them from two
+    // threads so their (sequential-within-a-chain) small jobs interleave
+    // (guide §2.6); arithmetic and results are untouched
+    val (cb, ivf) = {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val cbF = Future(graft.ext.PqAnn.codebook(emb, "vec_id", "embedding",
+        dim, m = 8, k = 16, iterations = 2))
+      val ivfF = Future(graft.ext.IvfAnn.codebook(emb, "vec_id", "embedding",
+        k = kCells, iterations = 2))
+      (Await.result(cbF, Duration.Inf), Await.result(ivfF, Duration.Inf))
+    }
     val codes = graft.ext.PqAnn.encodeWithCells(emb, "embedding", cb, ivf)
     val adc = graft.ext.PqAnn.searchTopKIvf(codes, emb,
         emb.filter(col("vec_id") < 8), "vec_id", "embedding", "codes",
@@ -508,8 +518,17 @@ object EmbeddingQueries {
         .groupBy("qid")
         .agg(sum(coalesce(col("__hit"), lit(0))).cast("int").as(name))
     }
-    hitsOf("stale", "hits_stale")
-      .join(hitsOf("retrained", "hits_retrained"), Seq("qid"))
+    // the two arm constructions each pay a stored-index load collect and a
+    // probe-routing collect — independent, so overlap them (guide §2.6)
+    val (stale, retrained) = {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val stF = Future(hitsOf("stale", "hits_stale"))
+      val reF = Future(hitsOf("retrained", "hits_retrained"))
+      (Await.result(stF, Duration.Inf), Await.result(reF, Duration.Inf))
+    }
+    stale.join(retrained, Seq("qid"))
       .withColumn("recall_stale", round(col("hits_stale") / 5.0, 6))
       .withColumn("recall_retrained", round(col("hits_retrained") / 5.0, 6))
   }

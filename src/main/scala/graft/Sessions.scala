@@ -7,7 +7,15 @@ import org.apache.spark.sql.SparkSession
   */
 object Sessions {
   def local(cpus: String): SparkSession = {
-    val spark = SparkSession.builder()
+    val b0 = SparkSession.builder()
+    // profiling hook (builder-local, default off): SPARK_GRAFT_EVENTLOG=dir
+    // writes Spark event logs there so job/stage timings can be read
+    // without the UI (run / fork drops -D flags from the sbt command line)
+    sys.env.get("SPARK_GRAFT_EVENTLOG").foreach { dir =>
+      b0.config("spark.eventLog.enabled", "true")
+        .config("spark.eventLog.dir", dir)
+    }
+    val spark = b0
       .master(s"local[$cpus]")
       // shuffle partitions sized to the local core count, not the 200 default
       .config("spark.sql.shuffle.partitions", cpus)

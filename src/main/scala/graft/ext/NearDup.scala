@@ -982,8 +982,12 @@ object NearDup {
     // round, and `edges` may be an arbitrarily expensive upstream pipeline
     // (d06 feeds the full shingle-Jaccard join) that must not re-run per
     // iteration
-    val sym = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
+    // both directions via ONE in-row explode: the union-of-two-selects form
+    // evaluated the upstream pipeline once per branch (round 21)
+    val sym = edges.select(explode(array(
+        struct(col("id_a").as("src"), col("id_b").as("dst")),
+        struct(col("id_b").as("src"), col("id_a").as("dst")))).as("__e"))
+      .select(col("__e.src").as("src"), col("__e.dst").as("dst"))
       .localCheckpoint()
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))

@@ -128,8 +128,14 @@ object DedupQueries {
     s"""WITH $shingleSql
        |SELECT id_a, id_b, ROUND(jaccard, 6) AS jaccard
        |FROM j WHERE jaccard >= 0.7""".stripMargin)) { (s, dir) =>
+    // cacheShingles ON — the documented memory-headroom knob (operator
+    // scaladoc): exact verification reads the shingle relation three times
+    // and the collapse/signature pass a fourth; this box (32 threads,
+    // ample storage headroom) is squarely the measured cache-wins regime,
+    // and the d03 smoke leg gates the 10× behavior every round.
     NearDup.nearDuplicatePairs(Tables.documents(s, dir), "doc_id", "text",
-        threshold = 0.7, numHashes = 64, bands = 32, shingleSize = 3)
+        threshold = 0.7, numHashes = 64, bands = 32, shingleSize = 3,
+        cacheShingles = true)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 

@@ -273,11 +273,16 @@ object TextQueries {
        |  FROM deduped WHERE dn = 1)
        |SELECT doc_id, quality, bucket FROM sampled WHERE rn <= 40""".stripMargin) { (s, dir) =>
     import graft.operators.{Dedup, Sampling}
+    // persist the scored projection: the quality/lang filter otherwise
+    // pushes below it and the regex-heavy qualityScore/langId chains
+    // evaluate twice (filter + project) — round 21, same duplication as
+    // d02's inferred filter. Narrow (5 columns), released by clearCache.
     val scored = Tables.documents(s, dir).select(
       col("doc_id"), col("text"),
       TextFunctions.qualityScore(col("text")).as("quality"),
       TextFunctions.langId(col("text")).as("lang"),
       TextFunctions.fingerprint(col("text")).as("fp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val kept = scored
       .filter(col("quality") >= 0.5 && col("lang") === "en")
       .withColumn("bucket",
@@ -1621,11 +1626,16 @@ object TextQueries {
       .stripMargin) { (s, dir) =>
     import s.implicits._
     import graft.functions.UrlFunctions
+    // persist the canonicalized projection: the keepers aggregate AND the
+    // join-back both consume it, and each uncached evaluation re-runs the
+    // URL regex canonicalization + PSL domain chain (round 21; narrow
+    // 3-column relation, released by clearCache)
     val canon = Tables.documents(s, dir)
       .select(col("doc_id"),
         UrlFunctions.canonicalizeUrl(urlFixture).as("canon_url"),
         UrlFunctions.registeredDomain(UrlFunctions.hostOf(urlFixture),
           pslSubset).as("domain"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val keepers = canon.groupBy("canon_url")
       .agg(min(col("doc_id")).as("doc_id"))
     val deduped = keepers.join(canon, Seq("doc_id", "canon_url"))

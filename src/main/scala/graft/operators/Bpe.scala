@@ -189,12 +189,16 @@ object Bpe {
 
   // --------------------------------------------- interchange artifacts
 
-  /** Export a trained table as the STANDARD text interchange a trainer
-    * consumes (the GPT-2/HF layout): `merges.txt` — a `#version: 0.2`
-    * header then one `left right` line per merge in rank order — and
+  /** Export a trained table as a text interchange: `merges.txt` — a
+    * `#version: 0.2` header then one `left right` line per merge in rank
+    * order — follows the standard BPE merge-table interchange (the only
+    * file [[readArtifacts]] needs to reconstruct the tokenizer exactly);
     * `vocab.txt` — one token per line, line number = token id, base
-    * `alphabet` first then each merge's product in rank order (exactly
-    * how the published implementations construct ids). Deterministic by
+    * `alphabet` first then each merge's product in rank order with
+    * keep-first dedup — is THIS store's own line-per-token id layout
+    * (BERT-style), NOT the token→id JSON map some toolchains expect: a
+    * consumer that derives ids differently must derive them from
+    * merges.txt, which is self-sufficient. Deterministic by
     * construction; symbols never contain whitespace (word-level symbols
     * come from whitespace-split words, byte-level symbols from the
     * space-free byte alphabet), so the space separator is unambiguous.

@@ -110,13 +110,20 @@ object CrawlIngest {
     */
   def curated(survivors: DataFrame, blockDf: DataFrame,
               cap: Int): DataFrame = {
-    // distinct FIRST: a page refetched into a later batch (same id,
-    // same canonical URL, same extraction) would otherwise survive the
-    // keepers join twice and bill its domain's quota twice; refetches
-    // whose CONTENT changed are out of contract (the store's
-    // disjointRows law — version upstream, or use a fresh store)
+    // collapse to ONE row per (doc_id, canon_url, domain) FIRST — domain
+    // is a function of the canonical URL, so the group key is really
+    // (doc_id, canon_url): an identical-content refetch collapses exactly
+    // as the old distinct did, and a refetch whose EXTRACTION changed
+    // (same page, different text/n_words — routine for a continuous
+    // crawler) now resolves deterministically to the largest extraction
+    // instead of shipping duplicate doc_ids that bill the domain quota
+    // twice (round-21 fix of the r20 advice item; max(n_words) rather
+    // than latest-batch because it is BATCH-SPLIT INVARIANT — batch ids
+    // differ between the stream and the one-shot chain, n_words does not)
     val canon = survivors.select(col("doc_id"), col("domain"),
-      col("canon_url"), col("n_words")).distinct()
+        col("canon_url"), col("n_words"))
+      .groupBy(col("doc_id"), col("canon_url"), col("domain"))
+      .agg(max(col("n_words")).as("n_words"))
     val keepers = canon.groupBy("canon_url")
       .agg(min(col("doc_id")).as("doc_id"))
     val deduped = keepers.join(canon, Seq("doc_id", "canon_url"))

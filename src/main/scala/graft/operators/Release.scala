@@ -97,11 +97,16 @@ object Release {
     * from the files of the new directory (linked and written alike) and
     * REQUIRED to match the assignment's counts shard by shard, so a
     * linking bug fails the publish instead of shipping a torn corpus.
-    * Fingerprint equality is three independent 64-bit+ invariants over
-    * the row-hash multiset — the same collision posture as the repo's
-    * md5 content fingerprints. Driver work is O(#shards) (the dirty/
-    * clean lists and the link calls) — the explicit small-side contract,
-    * like maxVocabRows.
+    * Fingerprint equality is three independent 64-bit+ LINEAR invariants
+    * over the row-hash multiset (count, DECIMAL sum, bit-XOR, next to the
+    * token sum). Scope of the guarantee: ACCIDENTAL deltas — any random
+    * member change collides with ~2^-128 odds, the md5-content-fingerprint
+    * posture. Because the folds are linear, adversarially STRUCTURED
+    * multiset swaps that preserve count/sum/xor simultaneously do exist;
+    * the store's threat model is the curation pipeline's own edits (never
+    * adversarial), so linearity is accepted for its map-side-combinable
+    * cost. Driver work is O(#shards) (the dirty/clean lists and the link
+    * calls) — the explicit small-side contract, like maxVocabRows.
     */
   def publish(corpus: DataFrame, dir: String, spec: Spec,
               tokenizer: Option[Tokenizer] = None): Unit = {

@@ -1583,6 +1583,30 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("CrawlIngest.curated resolves a changed-content refetch to ONE row " +
+    "(largest extraction wins) and bills the domain quota once") {
+    import graft.operators.CrawlIngest
+    // doc 1 was refetched and its extraction CHANGED (same doc_id, same
+    // canonical URL, different text/n_words) — the r20 advice case: the
+    // old distinct-then-join finalize shipped BOTH rows, double-billing
+    // a.com's quota and emitting conflicting n_words for one doc_id
+    val survivors = Seq(
+      (1L, "https://a.com/p1", "a.com", "https://a.com/p1", "old text", 25L),
+      (1L, "https://a.com/p1", "a.com", "https://a.com/p1", "new longer", 40L),
+      (2L, "https://a.com/p2", "a.com", "https://a.com/p2", "t2", 30L),
+      (3L, "https://b.net/p3", "b.net", "https://b.net/p3", "t3", 30L)
+    ).toDF("doc_id", "url", "domain", "canon_url", "text", "n_words")
+    val out = CrawlIngest.curated(survivors,
+        Seq.empty[String].toDF("domain"), cap = 2)
+      .select("doc_id", "domain", "n_words")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(out.map(_._1).sorted == Seq(1L, 2L, 3L), out.toString) // one row per doc
+    assert(out.find(_._1 == 1L).get._3 == 40L, // deterministic: max n_words
+      out.toString)
+    assert(out.count(_._2 == "a.com") == 2, // quota billed once per doc
+      out.toString)
+  }
+
   test("crawlIngestStream: binaryFile micro-batches run the compliant chain per " +
     "trigger, every sink accumulates, the read-time cut equals the one-shot " +
     "chain across a mid-stream fold, and a fresh checkpoint is refused") {

@@ -989,9 +989,13 @@ object NearDup {
         struct(col("id_b").as("src"), col("id_a").as("dst")))).as("__e"))
       .select(col("__e.src").as("src"), col("__e.dst").as("dst"))
       .localCheckpoint()
+    // seed labels stay LAZY: they derive from the already-checkpointed sym
+    // by one cheap distinct, so the old eager checkpoint here was a whole
+    // extra materializing job buying nothing (round 1 evaluates the
+    // distinct at most twice — join side + own-row side — both over the
+    // materialized RDD)
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
-      .localCheckpoint()
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {

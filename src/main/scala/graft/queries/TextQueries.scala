@@ -2377,7 +2377,13 @@ object TextQueries {
     * (domain, page_url, lastmod) coverage relation with a
     * freshness-vs-crawl-date verdict (stale = lastmod's whole PERIOD —
     * reduced-precision `YYYY`/`YYYY-MM` forms pad to their period end —
-    * before 2026-08-01; no lastmod → not stale). A posts sitemap
+    * before 2026-08-01; no lastmod → not stale). Freshness precision
+    * note for anyone composing analytics on the verdict: staleBefore
+    * compares full datetimes at CALENDAR-DATE precision in the
+    * lastmod's own offset and pads `YYYY-MM` to day 31 — both
+    * deliberate err-fresh choices (see SitemapFunctions.scala), so a
+    * verdict can be up to ~1 day fresher than a strict instant
+    * comparison would say, never staler. A posts sitemap
     * reachable both directly and through the index dedups via the
     * DISTINCT. Pure column regex algebra end to end — the oracle
     * replays discovery, fetch, both explode levels and the entry

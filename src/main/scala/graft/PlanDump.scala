@@ -1398,7 +1398,271 @@ r14, so per the brief's rule (code change only if the drift reproduces)
 e15 stays on watch with no action. It remains the suite's #2 cost; its
 structural story (two stored probes + brute-force truth + recall joins)
 is audited in its own note.
+
+## Appendix: round-18 box-noise adjudication (the r17 spread queue + q59 + e15)
+
+BENCH_r17's driver artifact carried 14 queries with >2× max/min spreads; the
+r17 brief named the top five for quiet-box min-of-5, plus q59_pagerank's
++26 % min drift (3.49 → 4.38 on an untouched path) and e15's standing watch.
+All seven re-measured on the builder box at HEAD(r18), `SPARK_GRAFT_PASSES=5`,
+load avg ~3/32:
+
+| query | r17 driver min / med (spread) | quiet min / med / (med÷min) |
+|---|---|---|
+| q32_regional_volume | 0.94 / 1.04 (6.7×) | 1.012 / 1.159 (1.15×) |
+| t11_boilerplate_ngrams | 1.09 / 1.44 (6.2×) | 0.905 / 1.196 (1.32×) |
+| t18_quality_classifier | 0.41 / 0.46 (6.0×) | 0.412 / 0.448 (1.09×) |
+| src11_scd2_merge | 1.76 / 3.89 (5.7×) | 1.794 / 2.022 (1.13×) |
+| d06_dedup_clusters | 3.12 / 4.13 (2.9×) | 2.915 / 3.357 (1.15×) |
+| q59_pagerank | 4.38 / 4.66 | 4.102 / 4.822 (1.18×) — see below |
+| e15_codebook_drift | 3.36 / 3.40 | 3.420 / 3.888 (1.14×) |
+
+The five spread-queue queries: every quiet-box spread collapses to ≤ 1.32×
+and every min sits at (or below — t11 0.905 vs 1.09; d06 2.915 vs 3.12, the
+exact-collapse commit f2d6fba) its historical steady state — the same
+driver-box med-inflation signature as the r14–r17 adjudications. src11's
+med "regression" (1.63 → 3.89 in the driver columns) is pure spread: quiet
+med 2.02 on a flat min. No code action on any of the five.
+
+**q59_pagerank — adjudicated as an r16 MIN ANOMALY, not an r17 regression.**
+The drift partially reproduces quiet (suite-context min 4.102, solo
+min-of-5 4.345), which would normally trigger a code change — but the
+longer trajectory resolves it the other way: r15 driver min 4.06, r16 3.49,
+r17 4.38, r18 quiet 4.10. The quiet steady state lands exactly on the r15
+level; the one measurement OFF the ~4.1 s line is r16's 3.49, not r17's
+4.38. The plan is unchanged since r14 (judge-audited: unrolled power steps,
+one edge⨝rank join + one partial-aggregated DECIMAL(28,15) sum per
+iteration, no collect) and no commit in r16 or r17 touched GraphOps, the
+lineitem scan, or session confs on this path. Conclusion: ~4.1 s IS the
+operator's steady state at sf0.1; the r16 artifact's min was a favorable
+outlier (the same single-run luck the min-of-N methodology usually
+protects against, landed in the flattering direction). No code action;
+the flag-line baseline for future rounds is 4.1, not 3.49.
+
+e15_codebook_drift: quiet min 3.420 — third consecutive round inside the
+3.36–3.45 band (r17 quiet 3.454, r17 driver 3.36). The band is the steady
+state; the r15-era 3.08 never reproduced. Stays on watch per the
+no-action-without-reproduction rule; still suite #2–3 cost with the
+structural audit unchanged.
+
+## Appendix: round-19 box-noise adjudication (the r18 queue: d05, q12, t46)
+
+Method per the standing rule: full-suite quiet-box min-of-5 at HEAD(r19),
+`SPARK_GRAFT_PASSES=5`, 218 queries. CALIBRATION NOTE for this table: the
+builder box ran the whole suite at min-total 170.8 s this round (the r18
+driver artifact's min-total was 134.9 at 213) — a UNIFORM ~25 % level shift
+(q59 5.24 vs driver 3.15, e13 4.31 vs 3.17, e15 3.85 vs 3.22, with the
+bottom-200 shifted alike), so the comparable quantity across boxes is each
+query's SHARE of suite min-total, not its absolute seconds. Shares below.
+
+| query | r17 driver (share) | r18 driver (share) | r19 quiet min / med (share) | verdict |
+|---|---|---|---|---|
+| d05_simhash_neardup | 0.32 (0.22 %) | 0.50 (0.37 %) | 0.667 / 0.736 (0.39 %) | regression REAL — adopted, see below |
+| q12_qcut_buckets | 0.58 | 0.58 (2.4× spread) | 0.708 / 0.724 (1.02× spread) | spread = box noise; min flat; closed |
+| t46_importance_sample | 0.74 (0.51 %) | 1.00 (0.74 %) | 1.155 / 1.196 (0.68 %) | r17's 0.74 was the favorable outlier; ~1.0–1.15 is steady state; closed |
+
+**d05 — the one-line cost accounting the r18 brief asked for:** the +0.18 s
+is the SimHash exact-collapse's clique-aggregation EXCHANGE (groupBy
+simhash → min-id rep + size + member list over the signature relation),
+bought against (a) the g² in-bucket expansion and cap-eviction recall hole
+it removes (d03's smoke fixture: 3.0 M genuine pairs silently dropped
+pre-collapse) and (b) the d05 hot-key smoke margin 0.85× → 0.84× with 2×+
+headroom (r17: approaching the 2× gate). The fusion the brief hypothesized
+("reuse the signature projection the collapse already computes once") is
+ALREADY the implemented shape — `NearDup.scala:1050` has ONE aggregation
+carrying rep+size+members precisely so the signature projection is
+consumed once; the residual cost is the exchange itself, which cannot fuse
+into the (band, chunk)-keyed bucketing shuffle (different keys). No code
+action; d05's flag-line baseline going forward is 0.50–0.67 by box, share
+~0.38 %.
+
+q12: the r18 artifact's only >2× med/min spread collapses to 1.02× quiet —
+the driver-box med-inflation signature on a flat min, same as every prior
+adjudication of this query family. t46: min share 0.68 % vs r18's 0.74 %
+(flat); the path is untouched since r15 and the r17 absolute was never
+reproduced in any quiet run — the r18 level is adopted as baseline.
+
+Round-19 additions priced in the same quiet run (min / med): t51 robots.txt
+gate 3.81 / 4.57 AS FIRST MEASURED — fixed in-round by materializing the
+(doc_id, domain, target) projection once (the rules derivation, join left
+side and distinct each re-derived the interpreted registered-domain HOF),
+now 1.07 med solo; q76 warc+robots chain 1.24 / 1.44 (reuses q74's staged
+crawl); src23 release bundle 0.52 / 0.58; src24 WET round-trip 0.04 / 0.07;
+t52 byte-BPE 1.41 / 1.55 (two merge-table trainings per run, driver-side
+over the Zipf-bounded vocab). Worst med/min spread in the quiet artifact:
+1.7× (src22, sub-second) — nothing near the 2× adjudication line.
+
+**Final-HEAD addendum (same day, after the t51 materialization fix):** a
+second full quiet min-of-5 at final HEAD measured **174.5 med / 152.6 min at
+218 queries** — the first run's 170.8 min-total carried residual load (it
+started right after the 13-minute full-test JVM exited), and the calibration
+note above overstates the box shift: at final HEAD q59 measures 4.09 (the
+adjudicated ~4.1 steady state exactly), d05 0.578 (share 0.38 % — conclusion
+unchanged), d18 3.94, e15 3.85→4.33 med-noise. t51 after the fix: 0.867 min
+/ 0.955 med IN SUITE (from 3.81). New-query min sum at final HEAD: 3.64 s
+(t51 0.87, q76 1.21, src23 0.42, src24 0.03, t52 1.11). Worst med/min
+spread in the final artifact: 1.64× — no query near the 2× line.
+
+**Second final-HEAD run (220 queries, after t53/q77 landed):** 197.1 med /
+148.5 min. Two more in-round perf fixes worth recording as PATTERNS: (1)
+t51's triple-derivation (3.81 → 0.87) — an interpreted-HOF projection
+consumed by N plan branches re-evaluates N times; materialize once. (2)
+t53's pushdown trap (3.81 → 0.42) — a filter on a projected alias (or on
+anything derived from a grouping key) SUBSTITUTES the expression and
+re-evaluates it below the aggregate over the whole corpus, once per
+predicate; pinning the tiny post-distinct relation severs the plan. Both
+are the same disease (interpreted `aggregate`-HOF expressions are
+expensive enough that Catalyst's re-evaluation heuristics, tuned for
+cheap codegen'd exprs, backfire) — any future query touching
+`registeredDomain` over a computed column should project → materialize →
+branch.
+
+## Appendix: round-20 box-noise adjudication (the r19 queue: e14, q08, q57, t17, d18)
+
+Method per the standing rule: quiet-box min-of-5 at HEAD(r20),
+`SPARK_GRAFT_PASSES=5`, restricted allowlist (e14/q08/t17/d18 in one run,
+q57 solo) — small-suite context, so absolute seconds sit slightly above
+full-suite-context numbers (fixed per-pass overhead amortizes over fewer
+queries); the comparable quantities are the min and the med÷min spread.
+
+| query | r19 driver min / med | quiet min / med (med÷min) | verdict |
+|---|---|---|---|
+| e14_ann_index_append | 2.73 / 10.26 (3.8×) | 2.805 / 3.875 (1.38×) | the 10.26 med was two contended passes (driver max 20.9); quiet med 3.88 ≈ builder r19 med 3.10 — spread = box noise, min flat on the ~2.7–2.8 steady state; closed |
+| q08_pivot_mean | — / 1.59 | 0.601 / 0.950 (1.58×) | quiet med 0.95 vs driver 1.59 — med inflation on a flat min (historical ~0.6–0.9 band); closed |
+| q57_asof_nearest_purchase | (share drift ×1.46 flagged) | 0.937 / 1.357 (1.45×) | min 0.94 on the ~1.0 steady state; the share drift was level-shift arithmetic on an untouched path (no commit has touched AsOfJoin since r16); closed |
+| t17_doc_chunking | (share drift ×1.32 flagged) | 0.614 / 0.843 (1.37×) | min 0.61 at the historical level; same conclusion; closed |
+| d18_max_dup_run | smoke margin 1.10→1.17× trend | quiet min 4.06 (4-query context); SMOKE_r20 margin **0.70× of linear** (1x 7.51 s, 10x+hot 52.7 s) | the r19 1.17× was the driver box, not the operator: the re-measured margin is back UNDER the r17 level with ~2.9× headroom to the gate; off watch |
+
+No code action on any of the five — every spread collapses quiet and every
+min sits at (or below) its adjudicated steady state; d18's smoke margin
+re-measured at 0.70× closes the only genuinely trending line in the queue.
+
+## Appendix: round-21 (first optimization round) measurement + adjudications
+
+No new queries this round; every change is an in-place plan/shape cut
+verified hash-identical against the DuckDB oracle (per-operator ledger:
+OPTIMIZATION_r21.md; before/after explain dumps: plans/r21/). The
+round-21 notes above carry the per-query cuts.
+
+Box-noise adjudication for the round's own measurements: three
+full-suite runs on the builder box measured 193.0 med / 165.7 min
+(baseline, pre-change), 194.2 / 162.5 (mid-round, CONTENDED — untouched
+control queries drifted +0.2-0.35 min alike, the classic signature), and
+164.3 / 142.5 (the same mid-round code minutes later on a quieter box).
+Per-query MINs across runs are the robust statistic per the standing
+methodology; the final-HEAD runs are recorded in OPTIMIZATION_r21.md.
+
+d18 standing-rule confirmation (the r20 verdict's quiet-queue item — its
+driver med 11.13 vs quiet 4.06 needed one confirming measurement): the
+r20 driver med was the contended box, as every prior d18 adjudication
+found. At r21 HEAD — which additionally cut d18's gram construction
+(element_at for slice) — the builder box measures 4.38 s min solo
+(min-of-5) under load, and the round's quiet final-HEAD full-suite run
+3.20 s min / 3.71 med in 224-query context, vs 6.60 at the same box's
+round-start baseline: below the old quiet steady state, no structural
+residue. Off watch; the r21 driver artifact re-prices it. One handoff
+note: d18's smoke margin moved 0.70x (r20) -> 1.10x of linear — still
+~1.8x headroom to the gate, and the element_at cut shrank the 1x
+denominator as much as the 10x numerator, but the next round's smoke
+log should confirm the ratio is stable.
 """
+
+  /** Round-21 (first optimization round) amendments — rendered as a second
+    * note under the affected queries. Every change is an in-place
+    * plan/shape cut verified hash-identical against the oracle; the full
+    * per-operator ledger is OPTIMIZATION_r21.md and the before/after
+    * explain dumps live under plans/r21/. Numbers are per-query bench MINs
+    * on the round-21 builder box (its own baseline run), the robust
+    * statistic per the standing methodology.
+    */
+  private val round21Notes: Map[String, String] = Map(
+    "q59_pagerank" -> ("the co-supply edge relation now builds as ONE " +
+      "order-keyed collect_set with in-row pair expansion (was a 600k " +
+      "x 600k lineitem self-join + distinct); pageRank folds the " +
+      "out-degree onto the edge relation once and pins (u, v, d) cached " +
+      "hash-partitioned by the source key, and checkpoints the 1-row " +
+      "node count — per power step ONE node-sized rank exchange + ONE " +
+      "target-keyed aggregate (the before plan carried 44 Exchanges, 12 " +
+      "SortMergeJoins and 22 edge-RDD rescans for 3 steps; " +
+      "plans/r21/q59_pagerank_{before,after}.txt). DECIMAL(28,15) sums " +
+      "unchanged, oracle hash unchanged. 3.89 -> 3.08 s min."),
+    "q61_bfs_levels" -> ("shares q59's collect_set edge build; the edge " +
+      "relation additionally pins cached hash-partitioned by the source " +
+      "key (a checkpoint returns a LogicalRDD whose partitioning " +
+      "Catalyst does not trust, so every level re-exchanged the whole " +
+      "edge relation) and the visited set stays a LAZY union of the " +
+      "checkpointed level frames (one materializing job per level " +
+      "removed). 3.21 -> 2.58 s min."),
+    "d02_ngram_jaccard" -> ("the per-doc hashed-shingle ARRAYS persist " +
+      "once and set sizes come from size(hs) map-side — the plan had " +
+      "consumed the normalize+split+hash chain FOUR times from parquet " +
+      "(join sides + both size aggregates, each subtree's inferred " +
+      "filter re-evaluating it twice more) with an exploded " +
+      "groupBy(id).count exchange for sizes. 2.24 -> 1.20 s min, " +
+      "inherited by every CC consumer (d06/d07/d14/d20/d21/d22)."),
+    "d06_dedup_clusters" -> ("connectedComponents builds the symmetric " +
+      "edge relation via one in-row explode — the union-of-two-selects " +
+      "form evaluated the upstream pair pipeline once per branch before " +
+      "the checkpoint — and the seed labels are lazy (their eager " +
+      "checkpoint was a whole extra materializing job). With d02's " +
+      "array pin: 3.12 -> 2.10 s min (d07 2.93 -> 2.13, d14 3.11 -> " +
+      "2.15, d21 3.88 -> 2.43)."),
+    "d15_span_coverage" -> ("dupStarts persists the exploded window " +
+      "frame (three consumers; the plan re-ran the " +
+      "normalize+split+window-build+hash chain per consumer — 4 " +
+      "Generate subtrees) and windows() builds grams with element_at + " +
+      "concat_ws instead of slice's per-position array copy. 2.44 -> " +
+      "1.51 s min (t19 2.78 -> 1.52)."),
+    "d18_max_dup_run" -> ("mgrams/windows build with element_at + " +
+      "concat_ws (slice copied the token array once PER POSITION): " +
+      "6.60 -> 4.3-5.1 s min on the round-21 box. A second restructure " +
+      "— pinning the per-doc flag/SharedGrams state in an " +
+      "InMemoryRelation to de-duplicate expression evaluation — " +
+      "measured 4.28 -> 7.43 s min with flat neighbors and was " +
+      "REVERTED: caching the token-array columns costs more than the " +
+      "row-local expression recompute saves (negative result recorded " +
+      "in OPTIMIZATION_r21.md)."),
+    "d17_containment_pairs" -> ("same array pin + size(hs) sizes as " +
+      "d02, inside the operator. 2.01 -> 1.21 s min."),
+    "d03_minhash_lsh" -> ("the registered query turns the operator's " +
+      "documented cacheShingles knob ON (the bench box is squarely the " +
+      "measured cache-wins regime from the round-4 trade study; the " +
+      "10x hot-key smoke leg still gates the scaled behavior every " +
+      "round). 1.49 -> 1.12 s min; production default stays OFF."),
+    "d10_incremental_neardup" -> ("both incremental probe overloads " +
+      "cache the batch-union-candidate shingle relation that " +
+      "exactJaccard reads three times (sizes + both join sides) — the " +
+      "uncached form re-ran the corpus-sliver scan + semi-join and " +
+      "re-shingled the batch per consumer. d10 1.89 -> 1.27, d11 2.14 " +
+      "-> 2.03, d12 2.52 -> 2.13 s min."),
+    "d13_index_compaction" -> ("NearDupIndex.save writes its two " +
+      "relations from two threads (independent jobs on disjoint paths; " +
+      "meta publication still strictly after both, so crash-safety is " +
+      "unchanged). 3.70 -> 2.92 s min."),
+    "e13_ivfadc_recall" -> ("the two independent codebook trainings " +
+      "(PQ sub-codebooks + IVF router — each a sequential chain of 3 " +
+      "driver-collected Lloyd passes) run from two threads; results " +
+      "identical (DECIMAL sums are order-independent). 3.80 -> 2.81 s " +
+      "min. AnnIndex.build overlaps its trainings the same way."),
+    "e14_ann_index_append" -> ("the stored-index load (codebook " +
+      "collect) overlaps the persisted fixture's materialization from " +
+      "a second thread, so the probe-routing collect reads a warm " +
+      "cache. 2.69 -> 1.91 s min (e17 2.45 -> 2.09, e18 2.41 -> " +
+      "1.96)."),
+    "e15_codebook_drift" -> ("the two arm constructions (each a " +
+      "stored-index load collect + a probe-routing collect) overlap " +
+      "from two threads. 3.35 -> 2.88 s min."),
+    "q71_web_curation" -> ("the canonicalized projection persists — " +
+      "the keepers aggregate and the join-back both consumed it, each " +
+      "re-running the URL-canonicalization + PSL-domain regex chain. " +
+      "1.87 -> 1.50 s min (t08's scored projection got the same pin: " +
+      "1.37 -> 0.84)."),
+    "s26_crawl_ingest" -> ("CrawlIngest.curated now collapses to one " +
+      "row per (doc_id, canon_url) keeping the LARGEST extraction — " +
+      "deterministic and batch-split-invariant under changed-content " +
+      "refetches (the r20 advice item; identical-content refetches " +
+      "collapse exactly as the old distinct did, so the oracle hash is " +
+      "unchanged)."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
@@ -1424,6 +1688,8 @@ is audited in its own note.
         pushed.foreach(p => sb.append(s"- $p]\n"))
         reads.foreach(r => sb.append(s"- $r\n"))
         notes.get(q.name).foreach(n => sb.append(s"- note: $n\n"))
+        round21Notes.get(q.name).foreach(n =>
+          sb.append(s"- note (round 21, optimization): $n\n"))
       } catch {
         case e: Throwable =>
           sb.append(s"\n## ${q.name}\n- plan unavailable: ${e.getMessage.take(80)}\n")

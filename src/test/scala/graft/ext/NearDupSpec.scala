@@ -345,13 +345,20 @@ class NearDupSpec extends SparkSpec {
         assert(!gatedDf.queryExecution.executedPlan.toString
             .contains("BroadcastExchange"),
           "gated probe still forces a broadcast")
+        val gatedRows = gatedDf.as[(Long, Long, Double)].collect().toSet
+        // isolate the second arm: the probe cache()s its reused relations
+        // (perDoc/bNew/cand and, since round 21, the verify union), and the
+        // session cache manager dedupes PLAN-EQUAL subtrees ignoring hints —
+        // without the clear, the hinted arm would silently REUSE the gated
+        // arm's hint-free materializations (fine in production: identical
+        // data either way; fatal for a plan-string assertion about hints)
+        spark.catalog.clearCache()
         val hintedDf = NearDup.incrementalNearDupPairs(batch, index, "doc_id",
           "text", threshold = 0.7, maxBucketSize = 1000)
         assert(hintedDf.queryExecution.executedPlan.toString
             .contains("BroadcastExchange"),
           "under-threshold probe lost its broadcast hints")
-        (gatedDf.as[(Long, Long, Double)].collect().toSet,
-          hintedDf.as[(Long, Long, Double)].collect().toSet)
+        (gatedRows, hintedDf.as[(Long, Long, Double)].collect().toSet)
       } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
       assert(gated == hinted && gated.nonEmpty)
       // same gate on the two-frame overload
